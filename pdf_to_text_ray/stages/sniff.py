@@ -1,0 +1,49 @@
+"""Content sniffing / routing stage.
+
+Generalizes the reference's extension→MIME switch (src/main.ts:277-280)
+into the router the north rule requires: classify each row's payload
+bytes as PDF (``%PDF-`` magic prefix), HTML (doctype / common tag within
+the first 1 KiB), or plain text, and attach a ``doc_type`` column plus a
+``size_bucket`` (log2 of payload size) used for size-bucketed batching /
+oversized-row routing (SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..schemas import DOC_TYPE_HTML, DOC_TYPE_PDF, DOC_TYPE_TEXT
+
+_HTML_HINT = re.compile(
+    rb"<!doctype\s+html|<html[\s>]|<head[\s>]|<body[\s>]|<article[\s>]|"
+    rb"<div[\s>]|<p[\s>]|<meta[\s>]|<title[\s>]|<h1[\s>]"
+)
+
+
+def sniff_doc_type(payload: bytes | None) -> str:
+    if not payload:
+        return DOC_TYPE_TEXT
+    if payload[:5] == b"%PDF-":
+        return DOC_TYPE_PDF
+    head = payload[:1024].lower()
+    if _HTML_HINT.search(head):
+        return DOC_TYPE_HTML
+    return DOC_TYPE_TEXT
+
+
+def sniff_batch(batch: pa.Table, payload_col: str = "html") -> pa.Table:
+    """Append doc_type + size_bucket. The per-row work touches only a
+    1 KiB prefix slice (cheap vs payload size); payload bytes stay
+    zero-copy in Arrow."""
+    prefixes = pc.binary_slice(batch[payload_col], 0, 1024).to_pylist()
+    doc_type = pa.array([sniff_doc_type(p) for p in prefixes], pa.string())
+    sizes = pc.binary_length(batch[payload_col]).to_numpy(zero_copy_only=False)
+    sizes = np.where(np.isnan(sizes.astype("float64")), 0, sizes).astype("int64")
+    bucket = np.where(sizes > 0, np.log2(np.maximum(sizes, 1)).astype("int32"), 0)
+    return batch.append_column("doc_type", doc_type).append_column(
+        "size_bucket", pa.array(bucket.astype("int32"), pa.int32())
+    )
