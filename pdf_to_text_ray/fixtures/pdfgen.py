@@ -1,0 +1,317 @@
+"""Deterministic synthetic-PDF generator with golden text by construction.
+
+Builds minimal-but-real PDF 1.4/1.7 documents from a grammar (PDF 1.7
+spec, ISO 32000-1: §7.5 file structure, §7.5.4 xref tables, §7.5.8 xref
+streams, §7.5.7 object streams, §9.4 text objects):
+
+- classic xref tables AND cross-reference streams (/Type/XRef, /W,
+  optional PNG up-predictor /DecodeParms)
+- object streams (/Type/ObjStm) holding the catalog/pages/font dicts
+- uncompressed and FlateDecode content streams; /Contents arrays
+- text operators: BT/ET, Tf, Td, TD, TL, T*, Tm, Tj, TJ (with kerning
+  numbers), ', ", string escapes (\\( \\) \\\\ octal \\101)
+- multi-page documents, a two-column-layout subset, and an
+  intentionally-broken-xref subset (salvage-scan + fallback test)
+
+The generator records every emitted run's (x, y, text) and derives the
+golden text through the same frozen reading-order spec the extractor
+uses (stages/reading_order.py, itself pinned by hand-written tests), so
+expected text is known by construction.
+"""
+
+from __future__ import annotations
+
+import random
+import zlib
+
+from ..stages.reading_order import Run, document_text
+from .htmlgen import _WORDS, make_sucursal_block_lines, _sentence
+
+FONT_SIZE = 12.0
+LEADING = 14.0
+PAGE_TOP = 742.0
+LEFT_X = 50.0
+RIGHT_X = 340.0
+
+
+def _esc(s: str) -> bytes:
+    out = []
+    for ch in s:
+        if ch in "()\\":
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    return "".join(out).encode("latin-1")
+
+
+class _PageCompose:
+    """Accumulates content-stream ops + the ground-truth runs."""
+
+    def __init__(self):
+        self.ops: list[bytes] = [b"BT", b"/F1 12 Tf"]
+        self.runs: list[Run] = []
+
+    def _show(self, x: float, y: float, text: str):
+        self.runs.append(Run(x, y, text))
+
+    def lines_td(self, x: float, lines: list[str], y0: float = PAGE_TOP):
+        self.ops.append(f"{x:.1f} {y0:.1f} Td".encode())
+        y = y0
+        for i, ln in enumerate(lines):
+            if i > 0:
+                self.ops.append(f"0 -{LEADING:.0f} Td".encode())
+                y -= LEADING
+            self.ops.append(b"(" + _esc(ln) + b") Tj")
+            self._show(x, y, ln)
+
+    def lines_tstar(self, x: float, lines: list[str], y0: float = PAGE_TOP):
+        self.ops.append(f"{LEADING:.0f} TL".encode())
+        self.ops.append(f"{x:.1f} {y0:.1f} Td".encode())
+        y = y0
+        for i, ln in enumerate(lines):
+            if i == 0:
+                self.ops.append(b"(" + _esc(ln) + b") Tj")
+            else:
+                self.ops.append(b"(" + _esc(ln) + b") '")  # T* + show
+                y -= LEADING
+            self._show(x, y, ln)
+
+    def lines_tm(self, x: float, lines: list[str], y0: float = PAGE_TOP):
+        y = y0
+        for ln in lines:
+            self.ops.append(f"1 0 0 1 {x:.1f} {y:.1f} Tm".encode())
+            self.ops.append(b"(" + _esc(ln) + b") Tj")
+            self._show(x, y, ln)
+            y -= LEADING
+
+    def line_tj_kerned(self, x: float, y: float, pieces: list[str]):
+        arr = b" ".join(
+            b"(" + _esc(p) + b")" + (b" -18" if i + 1 < len(pieces) else b"")
+            for i, p in enumerate(pieces)
+        )
+        self.ops.append(f"1 0 0 1 {x:.1f} {y:.1f} Tm".encode())
+        self.ops.append(b"[" + arr + b"] TJ")
+        self._show(x, y, "".join(pieces))
+
+    def line_quote(self, x: float, y: float, text: str):
+        # aw ac (s) " — set word/char spacing, T*, show
+        self.ops.append(f"{LEADING:.0f} TL".encode())
+        self.ops.append(f"1 0 0 1 {x:.1f} {y + LEADING:.1f} Tm".encode())
+        self.ops.append(b'0.5 0.1 (' + _esc(text) + b') "')
+        self._show(x, y, text)
+
+    def content(self) -> bytes:
+        return b"\n".join(self.ops + [b"ET"]) + b"\n"
+
+
+def _rand_lines(rng: random.Random, n: int) -> list[str]:
+    return [_sentence(rng, _WORDS, rng.randrange(3, 9))[:-1] for _ in range(n)]
+
+
+class _PdfBuilder:
+    def __init__(self):
+        self.objects: dict[int, bytes] = {}  # body bytes (without "N 0 obj")
+        self.next_num = 1
+
+    def add(self, body: bytes) -> int:
+        n = self.next_num
+        self.next_num += 1
+        self.objects[n] = body
+        return n
+
+    def add_stream(self, extra: bytes, data: bytes, compress: bool) -> int:
+        if compress:
+            data = zlib.compress(data)
+            filt = b"/Filter /FlateDecode "
+        else:
+            filt = b""
+        body = (
+            b"<< " + filt + b"/Length " + str(len(data)).encode() + b" " + extra
+            + b">>\nstream\n" + data + b"\nendstream"
+        )
+        return self.add(body)
+
+    def serialize(self, xref_style: str, objstm_nums: list[int] | None = None,
+                  broken: bool = False) -> bytes:
+        """Serialize with a classic xref table or an xref stream.
+
+        objstm_nums: object numbers to pack into one /ObjStm (xref-stream
+        style only). broken: corrupt the startxref offset.
+        """
+        out = bytearray(b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n")
+        offsets: dict[int, int] = {}
+        in_objstm: dict[int, int] = {}  # obj num -> index within objstm
+
+        objstm_num = None
+        if objstm_nums:
+            # build the object stream body
+            parts = []
+            offs = []
+            pos = 0
+            for num in objstm_nums:
+                body = self.objects[num]
+                offs.append((num, pos))
+                parts.append(body)
+                pos += len(body) + 1
+            header = " ".join(f"{n} {o}" for n, o in offs).encode() + b" "
+            payload = header + b" ".join(parts) + b" "
+            first = len(header)
+            data = zlib.compress(payload)
+            objstm_num = self.next_num
+            self.next_num += 1
+            self.objects[objstm_num] = (
+                b"<< /Type /ObjStm /N " + str(len(objstm_nums)).encode()
+                + b" /First " + str(first).encode()
+                + b" /Filter /FlateDecode /Length " + str(len(data)).encode()
+                + b" >>\nstream\n" + data + b"\nendstream"
+            )
+            for i, num in enumerate(objstm_nums):
+                in_objstm[num] = i
+
+        emit_order = [n for n in sorted(self.objects) if n not in in_objstm]
+        for num in emit_order:
+            offsets[num] = len(out)
+            out += f"{num} 0 obj\n".encode() + self.objects[num] + b"\nendobj\n"
+
+        root = 1  # catalog is always object 1 by construction
+        if xref_style == "table":
+            xref_off = len(out)
+            size = self.next_num
+            out += b"xref\n" + f"0 {size}\n".encode()
+            out += b"0000000000 65535 f \n"
+            for num in range(1, size):
+                out += f"{offsets.get(num, 0):010d} 00000 n \n".encode()
+            out += (
+                b"trailer\n<< /Size " + str(size).encode()
+                + b" /Root " + str(root).encode() + b" 0 R >>\n"
+            )
+        else:  # xref stream (PDF 1.5+, spec §7.5.8)
+            size = self.next_num + 1  # + the xref stream object itself
+            xref_num = self.next_num
+            rows = [(0, 0, 65535)]
+            for num in range(1, size - 1):
+                if num in in_objstm:
+                    rows.append((2, objstm_num, in_objstm[num]))
+                else:
+                    rows.append((1, offsets.get(num, 0), 0))
+            xref_off = len(out)
+            rows.append((1, xref_off, 0))  # the xref stream itself
+            raw = bytearray()
+            use_pred = xref_style == "stream_pred"
+            prev = bytes(7)
+            for t, f2, f3 in rows:
+                row = bytes([t]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
+                if use_pred:  # PNG "up" predictor, filter type 2
+                    enc = bytes([2]) + bytes(
+                        (row[i] - prev[i]) & 0xFF for i in range(7))
+                    raw += enc
+                    prev = row
+                else:
+                    raw += row
+            data = zlib.compress(bytes(raw))
+            parms = (b" /DecodeParms << /Predictor 12 /Columns 7 >>"
+                     if use_pred else b"")
+            out += f"{xref_num} 0 obj\n".encode()
+            out += (
+                b"<< /Type /XRef /Size " + str(size).encode()
+                + b" /W [1 4 2] /Root " + str(root).encode() + b" 0 R"
+                + b" /Filter /FlateDecode" + parms
+                + b" /Length " + str(len(data)).encode()
+                + b" >>\nstream\n" + data + b"\nendstream\nendobj\n"
+            )
+        out += b"startxref\n"
+        out += str(xref_off + 999983 if broken else xref_off).encode()
+        out += b"\n%%EOF\n"
+        return bytes(out)
+
+
+def make_pdf(rng: random.Random, n_pages: int = 1, *,
+             xref_style: str = "table",      # "table" | "stream" | "stream_pred"
+             use_objstm: bool = False,
+             compress: bool = True,
+             broken: bool = False,
+             two_column: bool = False,
+             with_sucursal: bool = False,
+             lines_per_page: int | None = None) -> tuple[bytes, str, int]:
+    """Returns (pdf_bytes, expected_text, n_pages)."""
+    b = _PdfBuilder()
+    catalog = b.add(b"<< /Type /Catalog /Pages 2 0 R >>")
+    assert catalog == 1
+    pages_num = b.add(b"PLACEHOLDER")  # 2, patched below
+    font = b.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+
+    page_nums: list[int] = []
+    all_runs: list[list[Run]] = []
+    for p in range(n_pages):
+        pc = _PageCompose()
+        style = rng.choice(["td", "tstar", "tm", "mixed"])
+        npl = lines_per_page or rng.randrange(4, 12)
+        if two_column and p == 0:
+            left = _rand_lines(rng, max(3, npl // 2))
+            right = _rand_lines(rng, max(3, npl // 2))
+            # emit right column FIRST to prove order comes from layout,
+            # not emission order
+            pc.lines_tm(RIGHT_X, right)
+            pc.lines_tm(LEFT_X, left)
+        else:
+            lines = _rand_lines(rng, npl)
+            if with_sucursal and p == n_pages - 1:
+                lines += make_sucursal_block_lines(
+                    rng, terminated=rng.random() > 0.15,
+                    mixed_case=rng.random() < 0.2)
+            if style == "td":
+                pc.lines_td(LEFT_X, lines)
+            elif style == "tstar":
+                pc.lines_tstar(LEFT_X, lines)
+            elif style == "tm":
+                pc.lines_tm(LEFT_X, lines)
+            else:  # mixed: Td lines + a kerned TJ line + a quote line + escapes
+                head, rest = lines[: max(1, len(lines) - 3)], lines[max(1, len(lines) - 3):]
+                pc.lines_td(LEFT_X, head)
+                y = PAGE_TOP - LEADING * len(head)
+                if rest:
+                    ln = rest[0]
+                    third = max(1, len(ln) // 3)
+                    pc.line_tj_kerned(LEFT_X, y, [ln[:third], ln[third: 2 * third], ln[2 * third:]])
+                    y -= LEADING
+                if len(rest) > 1:
+                    pc.line_quote(LEFT_X, y - LEADING, rest[1])
+                    y -= LEADING
+                if len(rest) > 2:
+                    # a literal string exercising \( \) \\ and octal \101
+                    pc.ops.append(f"1 0 0 1 {LEFT_X:.1f} {y:.1f} Tm".encode())
+                    raw = rest[2].encode("latin-1") + b" \\(paren\\) \\\\slash \\101"
+                    pc.ops.append(b"(" + raw + b") Tj")
+                    pc._show(LEFT_X, y, rest[2] + " (paren) \\slash A")
+        all_runs.append(pc.runs)
+        content = pc.content()
+        if rng.random() < 0.25 and len(content) > 40:
+            # /Contents array of two streams
+            half = len(pc.ops) // 2
+            c1 = b"\n".join(pc.ops[:half]) + b"\n"
+            c2 = b"\n".join(pc.ops[half:] + [b"ET"]) + b"\n"
+            s1 = b.add_stream(b"", c1, compress)
+            s2 = b.add_stream(b"", c2, rng.random() < 0.5)
+            contents_ref = b"[" + f"{s1} 0 R {s2} 0 R".encode() + b"]"
+        else:
+            s = b.add_stream(b"", content, compress if rng.random() < 0.8 else False)
+            contents_ref = f"{s} 0 R".encode()
+        pg = b.add(
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 " + str(font).encode() + b" 0 R >> >> "
+            b"/Contents " + contents_ref + b" >>"
+        )
+        page_nums.append(pg)
+
+    kids = b"[" + b" ".join(f"{n} 0 R".encode() for n in page_nums) + b"]"
+    b.objects[pages_num] = (
+        b"<< /Type /Pages /Kids " + kids + b" /Count "
+        + str(n_pages).encode() + b" >>"
+    )
+
+    objstm_nums = [catalog, pages_num, font] if use_objstm else None
+    style = "table" if xref_style == "table" else xref_style
+    if use_objstm and style == "table":
+        style = "stream"  # ObjStm requires an xref stream
+    data = b.serialize(style, objstm_nums, broken)
+    return data, document_text(all_runs), n_pages

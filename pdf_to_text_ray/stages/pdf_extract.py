@@ -1,0 +1,832 @@
+"""From-scratch PDF → text extractor.
+
+The reference delegates this to ``unpdf``/``pdfjs-dist``
+(src/main.ts:148-154, package.json:8-9); we implement the parser from
+public knowledge only (PDF 1.7 spec, ISO 32000-1):
+
+- object/lexer layer: header, literal/hex strings, names with #xx,
+  numbers, dicts, arrays, indirect references         (spec §7.3)
+- cross-reference tables with /Prev chains            (spec §7.5.4)
+- cross-reference streams /Type/XRef incl. PNG
+  predictors (/DecodeParms /Predictor 10-15)          (spec §7.5.8)
+- object streams /Type/ObjStm                         (spec §7.5.7)
+- stream filters: FlateDecode (zlib), ASCIIHexDecode  (spec §7.4)
+- page-tree walk with cycle/depth guards              (spec §7.7.3)
+- content-stream text interpreter: BT/ET, Tf, Td, TD, TL, T*, Tm,
+  Tj, TJ, ', ", q/Q/cm, BI..EI skip                   (spec §9.4)
+- broken-xref salvage: scan for "N G obj" markers (last occurrence
+  wins, as incremental updates imply), recover the catalog — sets the
+  ``fallback`` flag instead of crashing (unlike the reference's
+  whole-request 500 at main.ts:259-262)
+
+Positioned runs go through the frozen reading-order spec in
+``reading_order.py``; pages are joined with "\\n" (parity with
+main.ts:152-154).
+
+Known limitations (documented, fail-safe): no encryption, no CID/
+multi-byte fonts or ToUnicode CMaps (bytes decode as Latin-1, correct
+for the Standard/WinAnsi ASCII range), no ASCII85/LZW/DCT filters.
+Rows that hit these raise ``PdfError`` → ``parse_failure=True``.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from typing import Any, NamedTuple
+
+from .reading_order import Run, document_text
+
+MAX_PAGE_TREE_DEPTH = 64
+MAX_PAGES = 100_000
+NOMINAL_GLYPH_WIDTH = 0.5  # em fraction used for the x-advance estimate
+
+
+class PdfError(Exception):
+    pass
+
+
+class Ref(NamedTuple):
+    num: int
+    gen: int
+
+
+class Name(str):
+    """A PDF name object (distinct from a literal string)."""
+    __slots__ = ()
+
+
+class Stream:
+    __slots__ = ("dict", "raw", "_doc")
+
+    def __init__(self, d: dict, raw: bytes, doc: "PdfDocument | None"):
+        self.dict = d
+        self.raw = raw
+        self._doc = doc
+
+    def data(self) -> bytes:
+        return decode_stream(self.dict, self.raw, self._doc)
+
+
+# ── lexer ─────────────────────────────────────────────────────────────
+
+_WS = b"\x00\t\n\f\r "
+_TOKEN_RE = re.compile(
+    rb"""[\x00\t\n\f\r ]+
+      |%[^\r\n]*
+      |(?P<dopen><<)
+      |(?P<dclose>>>)
+      |(?P<aopen>\[)
+      |(?P<aclose>\])
+      |(?P<name>/[^\x00\t\n\f\r ()<>\[\]{}/%]*)
+      |(?P<num>[+-]?(?:\d+\.\d*|\.\d+|\d+))
+      |(?P<hexstr><[0-9A-Fa-f\x00\t\n\f\r ]*>)
+      |(?P<strstart>\()
+      |(?P<brace>[{}])
+      |(?P<kw>[^\x00\t\n\f\r ()<>\[\]{}/%]+)
+      |(?P<stray>[<>)])
+    """,
+    re.VERBOSE,
+)
+_NAME_HEX_RE = re.compile(rb"#([0-9A-Fa-f]{2})")
+_HEX_CLEAN = re.compile(rb"[\x00\t\n\f\r ]")
+
+
+class Token(NamedTuple):
+    kind: str  # num name str kw dopen dclose aopen aclose
+    value: Any
+
+
+class Lexer:
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+        self._pending: list[Token] = []
+
+    def push_back(self, tok: Token) -> None:
+        self._pending.append(tok)
+
+    def _literal_string(self) -> bytes:
+        # self.pos is just past the opening '('
+        data = self.data
+        out = bytearray()
+        depth = 1
+        i = self.pos
+        n = len(data)
+        while i < n:
+            c = data[i]
+            if c == 0x5C:  # backslash
+                i += 1
+                if i >= n:
+                    break
+                e = data[i]
+                if e in b"nrtbf":
+                    out.append({0x6E: 10, 0x72: 13, 0x74: 9, 0x62: 8, 0x66: 12}[e])
+                    i += 1
+                elif e in b"()\\":
+                    out.append(e)
+                    i += 1
+                elif 0x30 <= e <= 0x37:  # octal, 1-3 digits
+                    val = 0
+                    k = 0
+                    while k < 3 and i < n and 0x30 <= data[i] <= 0x37:
+                        val = val * 8 + (data[i] - 0x30)
+                        i += 1
+                        k += 1
+                    out.append(val & 0xFF)
+                elif e in b"\r\n":  # line continuation
+                    i += 1
+                    if e == 0x0D and i < n and data[i] == 0x0A:
+                        i += 1
+                else:
+                    out.append(e)
+                    i += 1
+            elif c == 0x28:  # (
+                depth += 1
+                out.append(c)
+                i += 1
+            elif c == 0x29:  # )
+                depth -= 1
+                if depth == 0:
+                    i += 1
+                    break
+                out.append(c)
+                i += 1
+            else:
+                out.append(c)
+                i += 1
+        self.pos = i
+        return bytes(out)
+
+    def next(self) -> Token | None:
+        if self._pending:
+            return self._pending.pop()
+        data = self.data
+        n = len(data)
+        while self.pos < n:
+            m = _TOKEN_RE.match(data, self.pos)
+            if m is None:
+                self.pos += 1  # unrecognized byte: skip (lenient)
+                continue
+            self.pos = m.end()
+            kind = m.lastgroup
+            if kind is None:  # whitespace / comment
+                continue
+            if kind == "num":
+                s = m.group("num")
+                if b"." in s:
+                    return Token("num", float(s))
+                return Token("num", int(s))
+            if kind == "name":
+                raw = m.group("name")[1:]
+                raw = _NAME_HEX_RE.sub(lambda g: bytes([int(g.group(1), 16)]), raw)
+                return Token("name", Name(raw.decode("latin-1")))
+            if kind == "strstart":
+                return Token("str", self._literal_string())
+            if kind == "hexstr":
+                h = _HEX_CLEAN.sub(b"", m.group("hexstr")[1:-1])
+                if len(h) % 2:
+                    h += b"0"
+                return Token("str", bytes.fromhex(h.decode("ascii")))
+            if kind == "kw":
+                return Token("kw", m.group("kw"))
+            if kind in ("dopen", "dclose", "aopen", "aclose"):
+                return Token(kind, None)
+            # brace / stray delimiter: skip leniently
+            continue
+        return None
+
+
+def parse_value(lx: Lexer, tok: Token | None = None) -> Any:
+    """Parse one PDF object value (dict/array/string/name/number/bool/
+    null/indirect-reference)."""
+    if tok is None:
+        tok = lx.next()
+    if tok is None:
+        raise PdfError("unexpected EOF")
+    if tok.kind == "num":
+        if isinstance(tok.value, int):
+            # possible "num gen R"
+            t2 = lx.next()
+            if t2 is not None and t2.kind == "num" and isinstance(t2.value, int):
+                t3 = lx.next()
+                if t3 is not None and t3.kind == "kw" and t3.value == b"R":
+                    return Ref(tok.value, t2.value)
+                if t3 is not None:
+                    lx.push_back(t3)
+                lx.push_back(t2)
+            elif t2 is not None:
+                lx.push_back(t2)
+        return tok.value
+    if tok.kind in ("str", "name"):
+        return tok.value
+    if tok.kind == "aopen":
+        out = []
+        while True:
+            t = lx.next()
+            if t is None:
+                raise PdfError("unterminated array")
+            if t.kind == "aclose":
+                return out
+            out.append(parse_value(lx, t))
+    if tok.kind == "dopen":
+        d: dict[str, Any] = {}
+        while True:
+            t = lx.next()
+            if t is None:
+                raise PdfError("unterminated dict")
+            if t.kind == "dclose":
+                return d
+            if t.kind != "name":
+                # lenient: skip a malformed key
+                continue
+            d[str(t.value)] = parse_value(lx)
+    if tok.kind == "kw":
+        if tok.value == b"true":
+            return True
+        if tok.value == b"false":
+            return False
+        if tok.value == b"null":
+            return None
+        raise PdfError(f"unexpected keyword {tok.value!r}")
+    raise PdfError(f"unexpected token {tok}")
+
+
+# ── stream filters ────────────────────────────────────────────────────
+
+def _png_predictor(data: bytes, columns: int, colors: int = 1, bpc: int = 8) -> bytes:
+    bpp = max(1, (colors * bpc) // 8)
+    rowlen = (columns * colors * bpc + 7) // 8
+    out = bytearray()
+    prev = bytes(rowlen)
+    i = 0
+    n = len(data)
+    while i + 1 <= n:
+        ft = data[i]
+        row = bytearray(data[i + 1 : i + 1 + rowlen])
+        if len(row) < rowlen:
+            row.extend(bytes(rowlen - len(row)))
+        i += 1 + rowlen
+        if ft == 1:  # Sub
+            for j in range(bpp, rowlen):
+                row[j] = (row[j] + row[j - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for j in range(rowlen):
+                row[j] = (row[j] + prev[j]) & 0xFF
+        elif ft == 3:  # Average
+            for j in range(rowlen):
+                left = row[j - bpp] if j >= bpp else 0
+                row[j] = (row[j] + ((left + prev[j]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for j in range(rowlen):
+                a = row[j - bpp] if j >= bpp else 0
+                b = prev[j]
+                c = prev[j - bpp] if j >= bpp else 0
+                p = a + b - c
+                pa, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc_) else (b if pb <= pc_ else c)
+                row[j] = (row[j] + pred) & 0xFF
+        elif ft != 0:
+            raise PdfError(f"bad PNG predictor filter type {ft}")
+        out += row
+        prev = bytes(row)
+    return bytes(out)
+
+
+def decode_stream(d: dict, raw: bytes, doc: "PdfDocument | None" = None) -> bytes:
+    def res(v):
+        return doc.resolve(v) if doc is not None else v
+
+    filters = res(d.get("Filter"))
+    if filters is None:
+        return raw
+    if not isinstance(filters, list):
+        filters = [filters]
+    parms = res(d.get("DecodeParms") or d.get("DP"))
+    if not isinstance(parms, list):
+        parms = [parms] * len(filters)
+    data = raw
+    for filt, parm in zip(filters, parms):
+        filt = str(res(filt))
+        parm = res(parm) or {}
+        if filt in ("FlateDecode", "Fl"):
+            try:
+                data = zlib.decompress(data)
+            except zlib.error:
+                # salvage partial/over-padded streams
+                try:
+                    dobj = zlib.decompressobj()
+                    data = dobj.decompress(data)
+                except zlib.error as e:
+                    raise PdfError(f"FlateDecode failed: {e}") from e
+        elif filt in ("ASCIIHexDecode", "AHx"):
+            h = _HEX_CLEAN.sub(b"", data.rstrip(b">"))
+            if len(h) % 2:
+                h += b"0"
+            data = bytes.fromhex(h.decode("ascii", errors="ignore"))
+        else:
+            raise PdfError(f"unsupported filter {filt}")
+        pred = res(parm.get("Predictor", 1)) if isinstance(parm, dict) else 1
+        if pred and pred >= 10:
+            data = _png_predictor(
+                data,
+                int(res(parm.get("Columns", 1))),
+                int(res(parm.get("Colors", 1))),
+                int(res(parm.get("BitsPerComponent", 8))),
+            )
+        elif pred and pred == 2:
+            raise PdfError("TIFF predictor unsupported")
+    return data
+
+
+# ── document / xref ───────────────────────────────────────────────────
+
+_OBJ_HEAD_RE = re.compile(rb"(\d+)[\x00\t\n\f\r ]+(\d+)[\x00\t\n\f\r ]+obj\b")
+_XREF_ENT_RE = re.compile(rb"(\d{10})[ ]?(\d{5})[ ]?([nf])")
+_STARTXREF_RE = re.compile(rb"startxref[\x00\t\n\f\r ]+(\d+)")
+
+
+class PdfDocument:
+    def __init__(self, data: bytes):
+        if data[:5] != b"%PDF-":
+            raise PdfError("missing %PDF- header")
+        self.data = data
+        # objnum -> ("i", offset) | ("s", objstm_num, idx_in_stream)
+        self.xref: dict[int, tuple] = {}
+        self.trailer: dict[str, Any] = {}
+        self.cache: dict[int, Any] = {}
+        self.fallback = False
+        try:
+            self._load_xref()
+            if "Root" not in self.trailer:
+                raise PdfError("no /Root in trailer")
+            # validate the catalog is actually reachable
+            root = self.resolve(self.trailer["Root"])
+            if not isinstance(root, dict) or "Pages" not in root:
+                raise PdfError("invalid catalog")
+        except PdfError:
+            self._salvage()
+
+    # -- normal path ---------------------------------------------------
+    def _load_xref(self) -> None:
+        tail = self.data[-2048:]
+        matches = list(_STARTXREF_RE.finditer(tail))
+        if not matches:
+            raise PdfError("no startxref")
+        offset = int(matches[-1].group(1))
+        seen = set()
+        while offset is not None and offset not in seen:
+            seen.add(offset)
+            if offset < 0 or offset >= len(self.data):
+                raise PdfError("startxref offset out of range")
+            offset = self._load_xref_section(offset)
+
+    def _load_xref_section(self, offset: int) -> int | None:
+        data = self.data
+        i = offset
+        while i < len(data) and data[i] in _WS:
+            i += 1
+        if data[i : i + 4] == b"xref":
+            return self._load_xref_table(i + 4)
+        return self._load_xref_stream(i)
+
+    def _load_xref_table(self, pos: int) -> int | None:
+        data = self.data
+        lx = Lexer(data, pos)
+        while True:
+            tok = lx.next()
+            if tok is None:
+                raise PdfError("truncated xref table")
+            if tok.kind == "kw" and tok.value == b"trailer":
+                trailer = parse_value(lx)
+                if not isinstance(trailer, dict):
+                    raise PdfError("bad trailer")
+                for k, v in trailer.items():
+                    self.trailer.setdefault(k, v)
+                prev = trailer.get("Prev")
+                return int(prev) if prev is not None else None
+            if tok.kind != "num":
+                raise PdfError("bad xref section header")
+            start = tok.value
+            tok2 = lx.next()
+            if tok2 is None or tok2.kind != "num":
+                raise PdfError("bad xref section count")
+            count = tok2.value
+            # entries are fixed-width; parse them directly
+            while lx.pos < len(data) and data[lx.pos] in _WS:
+                lx.pos += 1
+            for k in range(count):
+                m = _XREF_ENT_RE.match(data, lx.pos)
+                if not m:
+                    raise PdfError("bad xref entry")
+                off, gen, typ = int(m.group(1)), int(m.group(2)), m.group(3)
+                num = start + k
+                if typ == b"n" and num not in self.xref:
+                    self.xref[num] = ("i", off)
+                lx.pos = m.end()
+                while lx.pos < len(data) and data[lx.pos] in _WS:
+                    lx.pos += 1
+
+    def _load_xref_stream(self, pos: int) -> int | None:
+        obj = self._parse_indirect_at(pos, resolve_length=False)
+        if not isinstance(obj, Stream):
+            raise PdfError("xref offset points at a non-stream object")
+        d = obj.dict
+        if str(d.get("Type", "")) != "XRef":
+            raise PdfError("expected /Type /XRef")
+        data = obj.data()
+        w = [int(x) for x in d["W"]]
+        if len(w) != 3:
+            raise PdfError("bad /W")
+        size = int(d["Size"])
+        index = d.get("Index", [0, size])
+        index = [int(x) for x in index]
+        rowlen = sum(w)
+        pos2 = 0
+        for s in range(0, len(index), 2):
+            start, count = index[s], index[s + 1]
+            for k in range(count):
+                if pos2 + rowlen > len(data):
+                    raise PdfError("truncated xref stream")
+                row = data[pos2 : pos2 + rowlen]
+                pos2 += rowlen
+                fields = []
+                o = 0
+                for width in w:
+                    fields.append(int.from_bytes(row[o : o + width], "big") if width else None)
+                    o += width
+                t = fields[0] if w[0] else 1
+                num = start + k
+                if num in self.xref:
+                    continue
+                if t == 1:
+                    self.xref[num] = ("i", fields[1])
+                elif t == 2:
+                    self.xref[num] = ("s", fields[1], fields[2])
+        for k, v in d.items():
+            if k not in ("Type", "W", "Index", "Length", "Filter", "DecodeParms"):
+                self.trailer.setdefault(k, v)
+        prev = d.get("Prev")
+        return int(prev) if prev is not None else None
+
+    # -- salvage path --------------------------------------------------
+    def _salvage(self) -> None:
+        """Broken-xref recovery: scan for `N G obj` markers (pdf.js-style
+        recovery); the LAST occurrence of an object number wins, matching
+        incremental-update semantics."""
+        self.fallback = True
+        self.xref.clear()
+        self.cache.clear()
+        for m in _OBJ_HEAD_RE.finditer(self.data):
+            self.xref[int(m.group(1))] = ("i", m.start())
+        if not self.xref:
+            raise PdfError("no objects found in salvage scan")
+        # find the catalog: prefer an intact trailer /Root, else scan
+        root_ref = self.trailer.get("Root")
+        if root_ref is None:
+            t = self.data.rfind(b"trailer")
+            if t != -1:
+                try:
+                    lx = Lexer(self.data, t + 7)
+                    trailer = parse_value(lx)
+                    if isinstance(trailer, dict) and "Root" in trailer:
+                        self.trailer.update(trailer)
+                        root_ref = trailer["Root"]
+                except PdfError:
+                    pass
+        if root_ref is None:
+            for num in sorted(self.xref):
+                try:
+                    obj = self.get_object(num)
+                except PdfError:
+                    continue
+                if isinstance(obj, dict) and str(obj.get("Type", "")) == "Catalog":
+                    root_ref = Ref(num, 0)
+                    break
+        if root_ref is None:
+            raise PdfError("catalog not found in salvage scan")
+        self.trailer["Root"] = root_ref
+
+    # -- object access -------------------------------------------------
+    def resolve(self, v: Any, depth: int = 0) -> Any:
+        while isinstance(v, Ref):
+            if depth > 32:
+                raise PdfError("reference chain too deep")
+            v = self.get_object(v.num)
+            depth += 1
+        return v
+
+    def get_object(self, num: int) -> Any:
+        if num in self.cache:
+            return self.cache[num]
+        ent = self.xref.get(num)
+        if ent is None:
+            return None
+        self.cache[num] = None  # break cycles
+        if ent[0] == "i":
+            obj = self._parse_indirect_at(ent[1], expect_num=num)
+        else:
+            obj = self._objstm_object(ent[1], ent[2])
+        self.cache[num] = obj
+        return obj
+
+    def _parse_indirect_at(self, offset: int, expect_num: int | None = None,
+                           resolve_length: bool = True) -> Any:
+        data = self.data
+        m = _OBJ_HEAD_RE.match(data, offset) or _OBJ_HEAD_RE.search(
+            data, offset, offset + 64)
+        if not m:
+            raise PdfError(f"no object header at offset {offset}")
+        if expect_num is not None and int(m.group(1)) != expect_num:
+            raise PdfError(
+                f"xref points {expect_num} at object {m.group(1).decode()}")
+        lx = Lexer(data, m.end())
+        value = parse_value(lx)
+        # stream?
+        tok = lx.next()
+        if tok is not None and tok.kind == "kw" and tok.value == b"stream":
+            if not isinstance(value, dict):
+                raise PdfError("stream without dict")
+            p = lx.pos
+            if data[p : p + 2] == b"\r\n":
+                p += 2
+            elif data[p : p + 1] == b"\n":
+                p += 1
+            length = value.get("Length")
+            if isinstance(length, Ref) and resolve_length:
+                length = self.resolve(length)
+            if isinstance(length, int) and 0 <= length <= len(data) - p:
+                raw = data[p : p + length]
+                # verify endstream follows (lenient re-sync otherwise)
+                q = p + length
+                while q < len(data) and data[q] in _WS:
+                    q += 1
+                if data[q : q + 9] != b"endstream":
+                    end = data.find(b"endstream", p)
+                    if end == -1:
+                        raise PdfError("unterminated stream")
+                    raw = data[p:end].rstrip(b"\r\n")
+            else:
+                end = data.find(b"endstream", p)
+                if end == -1:
+                    raise PdfError("unterminated stream")
+                raw = data[p:end].rstrip(b"\r\n")
+            return Stream(value, raw, self)
+        return value
+
+    def _objstm_object(self, stm_num: int, idx: int) -> Any:
+        stm = self.get_object(stm_num)
+        if not isinstance(stm, Stream) or str(stm.dict.get("Type", "")) != "ObjStm":
+            raise PdfError(f"object {stm_num} is not an ObjStm")
+        data = stm.data()
+        n = int(self.resolve(stm.dict["N"]))
+        first = int(self.resolve(stm.dict["First"]))
+        lx = Lexer(data, 0)
+        pairs = []
+        for _ in range(n):
+            t1 = lx.next()
+            t2 = lx.next()
+            if t1 is None or t2 is None or t1.kind != "num" or t2.kind != "num":
+                raise PdfError("bad ObjStm header")
+            pairs.append((t1.value, t2.value))
+        if idx >= len(pairs):
+            raise PdfError("ObjStm index out of range")
+        off = first + pairs[idx][1]
+        return parse_value(Lexer(data, off))
+
+    # -- page tree -----------------------------------------------------
+    def pages(self) -> list[dict]:
+        root = self.resolve(self.trailer["Root"])
+        if not isinstance(root, dict):
+            raise PdfError("bad catalog")
+        pages_ref = root.get("Pages")
+        if pages_ref is None:
+            raise PdfError("catalog has no /Pages")
+        out: list[dict] = []
+        seen: set[int] = set()
+
+        def walk(node_ref, depth: int):
+            if depth > MAX_PAGE_TREE_DEPTH or len(out) > MAX_PAGES:
+                raise PdfError("page tree too deep/large")
+            if isinstance(node_ref, Ref):
+                if node_ref.num in seen:
+                    return
+                seen.add(node_ref.num)
+            node = self.resolve(node_ref)
+            if not isinstance(node, dict):
+                return
+            if "Kids" in node and str(node.get("Type", "Pages")) != "Page":
+                for kid in self.resolve(node["Kids"]) or []:
+                    walk(kid, depth + 1)
+            else:
+                out.append(node)
+
+        walk(pages_ref, 0)
+        if not out:
+            raise PdfError("no pages")
+        return out
+
+    def page_content(self, page: dict) -> bytes:
+        contents = self.resolve(page.get("Contents"))
+        if contents is None:
+            return b""
+        if isinstance(contents, Stream):
+            return contents.data()
+        if isinstance(contents, list):
+            parts = []
+            for c in contents:
+                c = self.resolve(c)
+                if isinstance(c, Stream):
+                    parts.append(c.data())
+            return b"\n".join(parts)
+        return b""
+
+
+# ── content-stream interpreter ────────────────────────────────────────
+
+_ID = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+
+def _mat_mul(m1, m2):
+    a1, b1, c1, d1, e1, f1 = m1
+    a2, b2, c2, d2, e2, f2 = m2
+    return (
+        a1 * a2 + b1 * c2,
+        a1 * b2 + b1 * d2,
+        c1 * a2 + d1 * c2,
+        c1 * b2 + d1 * d2,
+        e1 * a2 + f1 * c2 + e2,
+        e1 * b2 + f1 * d2 + f2,
+    )
+
+
+def _translate(tx, ty, m):
+    a, b, c, d, e, f = m
+    return (a, b, c, d, tx * a + ty * c + e, tx * b + ty * d + f)
+
+
+def interpret_content(content: bytes) -> list[Run]:
+    """Execute the text-relevant subset of the content stream, returning
+    positioned runs. Unknown operators clear the operand stack (lenient,
+    spec-conformant for an extractor)."""
+    lx = Lexer(content)
+    stack: list[Any] = []
+    runs: list[Run] = []
+    tm = _ID
+    tlm = _ID
+    ctm = _ID
+    ctm_stack: list[tuple] = []
+    leading = 0.0
+    size = 1.0
+
+    def emit(text_bytes: bytes):
+        nonlocal tm
+        if not isinstance(text_bytes, bytes):
+            return
+        text = text_bytes.decode("latin-1")
+        x = ctm[0] * tm[4] + ctm[2] * tm[5] + ctm[4]
+        y = ctm[1] * tm[4] + ctm[3] * tm[5] + ctm[5]
+        if text:
+            runs.append(Run(x, y, text))
+        tm = _translate(len(text) * size * NOMINAL_GLYPH_WIDTH, 0.0, tm)
+
+    while True:
+        tok = lx.next()
+        if tok is None:
+            break
+        if tok.kind in ("num", "str", "name"):
+            stack.append(tok.value)
+            continue
+        if tok.kind == "aopen":
+            arr = []
+            while True:
+                t = lx.next()
+                if t is None or t.kind == "aclose":
+                    break
+                if t.kind in ("num", "str", "name"):
+                    arr.append(t.value)
+            stack.append(arr)
+            continue
+        if tok.kind == "dopen":
+            lx.push_back(tok)
+            try:
+                stack.append(parse_value(lx))
+            except PdfError:
+                stack.clear()
+            continue
+        if tok.kind != "kw":
+            stack.clear()
+            continue
+        op = tok.value
+        try:
+            if op == b"BT":
+                tm = tlm = _ID
+            elif op == b"ET":
+                pass
+            elif op == b"Tf":
+                if len(stack) >= 1 and isinstance(stack[-1], (int, float)):
+                    size = float(stack[-1])
+            elif op == b"Td":
+                tx, ty = float(stack[-2]), float(stack[-1])
+                tlm = _translate(tx, ty, tlm)
+                tm = tlm
+            elif op == b"TD":
+                tx, ty = float(stack[-2]), float(stack[-1])
+                leading = -ty
+                tlm = _translate(tx, ty, tlm)
+                tm = tlm
+            elif op == b"TL":
+                leading = float(stack[-1])
+            elif op == b"T*":
+                tlm = _translate(0.0, -leading, tlm)
+                tm = tlm
+            elif op == b"Tm":
+                tm = tlm = tuple(float(v) for v in stack[-6:])
+            elif op == b"Tj":
+                emit(stack[-1])
+            elif op == b"'":
+                tlm = _translate(0.0, -leading, tlm)
+                tm = tlm
+                emit(stack[-1])
+            elif op == b'"':
+                tlm = _translate(0.0, -leading, tlm)
+                tm = tlm
+                emit(stack[-1])
+            elif op == b"TJ":
+                arr = stack[-1] if stack and isinstance(stack[-1], list) else []
+                text_parts = [e for e in arr if isinstance(e, bytes)]
+                emit(b"".join(text_parts))
+                kern = sum(e for e in arr if isinstance(e, (int, float)))
+                tm = _translate(-kern / 1000.0 * size, 0.0, tm)
+            elif op == b"q":
+                ctm_stack.append(ctm)
+            elif op == b"Q":
+                if ctm_stack:
+                    ctm = ctm_stack.pop()
+            elif op == b"cm":
+                m = tuple(float(v) for v in stack[-6:])
+                ctm = _mat_mul(m, ctm)
+            elif op == b"BI":
+                # inline image: skip to EI
+                end = content.find(b"EI", lx.pos)
+                lx.pos = len(content) if end == -1 else end + 2
+                lx._pending.clear()
+        except (IndexError, TypeError, ValueError):
+            pass  # malformed operands: ignore op (lenient)
+        stack.clear()
+    return runs
+
+
+# ── top-level API ─────────────────────────────────────────────────────
+
+class PdfResult(NamedTuple):
+    text: str
+    n_pages: int
+    fallback: bool
+
+
+def extract_pdf_text(data: bytes) -> PdfResult:
+    """bytes → (text, n_pages, fallback). Raises PdfError on failure."""
+    doc = PdfDocument(data)
+    pages = doc.pages()
+    page_runs = [interpret_content(doc.page_content(p)) for p in pages]
+    return PdfResult(document_text(page_runs), len(pages), doc.fallback)
+
+
+class PdfExtractor:
+    """Actor-pool stage: ``map_batches(PdfExtractor, concurrency=(a,b),
+    batch_format="pyarrow", batch_size=small)``.
+
+    Parser tables (regexes, operator dispatch) are module-level — built
+    once per worker process; the class exists so per-actor state (e.g.
+    font caches) has a home and so the pipeline reserves CPUs for this
+    CPU-bound stage explicitly.
+    """
+
+    def __init__(self, payload_col: str = "html", out_col: str = "text_extracted"):
+        self.payload_col = payload_col
+        self.out_col = out_col
+
+    def __call__(self, batch):
+        import pyarrow as pa
+
+        payloads = batch[self.payload_col].to_pylist()
+        texts, n_pages, fail, fb = [], [], [], []
+        for raw in payloads:
+            try:
+                r = extract_pdf_text(raw)
+                texts.append(r.text)
+                n_pages.append(r.n_pages)
+                fail.append(False)
+                fb.append(r.fallback)
+            except Exception:
+                texts.append("")
+                n_pages.append(0)
+                fail.append(True)
+                fb.append(False)
+        return (
+            batch.append_column(self.out_col, pa.array(texts, pa.string()))
+            .append_column("n_pages", pa.array(n_pages, pa.int32()))
+            .append_column("parse_failure", pa.array(fail, pa.bool_()))
+            .append_column("fallback", pa.array(fb, pa.bool_()))
+        )
