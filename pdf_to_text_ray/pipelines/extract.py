@@ -1,0 +1,209 @@
+"""The flagship pipeline: pages table → extracted text (+ blocks/records).
+
+Ray-Data-native restatement of the reference's POST /upload flow
+(src/main.ts:133-263) at corpus scale (SURVEY.md §3.4):
+
+    read_parquet(pages)
+      → map_batches(sniff)                       [stateless tasks]
+      → map_batches(ExtractDispatch, actor pool) [PDF/HTML/text by row]
+      → dedup by url (keep max warc_ts)          [shuffle on url]
+      → write_parquet per wave + manifest        [resume unit]
+
+Design notes for 100 TB scale:
+- The raw ``html`` payload column is projected away at the dispatch
+  stage — nothing heavy ever enters the dedup shuffle (SURVEY.md §4.3).
+- Extraction is one single-pass per-row dispatch (the reference's M8
+  content-type switch, main.ts:277-280, generalized): one actor pool,
+  mixed batches, small ``batch_size`` so a giant PDF cannot stall a
+  256-row batch. Oversized payloads are still bounded by Ray block
+  splitting + the dispatch ``batch_size``.
+- Resume granularity is an input **wave** (a bounded group of input
+  files): each wave is one streaming pipeline run whose output dir +
+  manifest are finalized atomically; a restarted job skips completed
+  waves (state/manifest.py). Cross-wave global dedup, when input spans
+  crawls, is ``dedup_pages_latest`` over the extracted output.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..schemas import DOC_TYPE_HTML, DOC_TYPE_PDF
+from ..stages.html_extract import extract_html_text
+from ..stages.pdf_extract import PdfError, extract_pdf_text
+from ..stages.sniff import sniff_batch
+from ..state import manifest as mstate
+
+DEFAULT_BATCH_SIZE = 64
+
+
+class ExtractDispatch:
+    """Single-pass router+extractor actor: per row, dispatch on doc_type.
+
+    Parser tables are module-level; the actor form reserves CPUs for
+    this CPU-bound stage and gives heavier per-worker state (font maps,
+    learned scorers) a home. Output drops the payload column.
+    """
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_types = batch["doc_type"].to_pylist()
+        payloads = batch["html"].to_pylist()
+        texts = batch["text"].to_pylist() if "text" in batch.column_names else [None] * len(doc_types)
+
+        out_text: list[str] = []
+        out_pages: list[int] = []
+        out_fail: list[bool] = []
+        out_fb: list[bool] = []
+        for dt, payload, text in zip(doc_types, payloads, texts):
+            try:
+                if dt == DOC_TYPE_PDF:
+                    r = extract_pdf_text(payload)
+                    out_text.append(r.text)
+                    out_pages.append(r.n_pages)
+                    out_fail.append(False)
+                    out_fb.append(r.fallback)
+                elif dt == DOC_TYPE_HTML:
+                    src = payload.decode("utf-8", errors="replace")
+                    out_text.append(extract_html_text(src))
+                    out_pages.append(1)
+                    out_fail.append(False)
+                    out_fb.append(False)
+                else:  # passthrough (FIXTURES.md row kind 3)
+                    if text is not None:
+                        out_text.append(text)
+                    else:
+                        out_text.append(
+                            payload.decode("utf-8", errors="replace") if payload else "")
+                    out_pages.append(1)
+                    out_fail.append(False)
+                    out_fb.append(False)
+            except Exception:
+                out_text.append("")
+                out_pages.append(0)
+                out_fail.append(True)
+                out_fb.append(False)
+        keep = [c for c in ("url", "warc_ts", "lang", "doc_type") if c in batch.column_names]
+        result = batch.select(keep)
+        return (
+            result.append_column("text_extracted", pa.array(out_text, pa.string()))
+            .append_column("n_pages", pa.array(out_pages, pa.int32()))
+            .append_column("parse_failure", pa.array(out_fail, pa.bool_()))
+            .append_column("fallback", pa.array(out_fb, pa.bool_()))
+        )
+
+
+def extract_pages(ds, *, concurrency=None, batch_size: int = DEFAULT_BATCH_SIZE,
+                  num_cpus: float = 1.0):
+    """pages Dataset → extracted-text Dataset (TEXT_SCHEMA + lang)."""
+    if concurrency is None:
+        import ray
+
+        # autoscaling actor pool up to the cluster CPU count; min 1 keeps
+        # small runs from reserving the whole node
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        concurrency = (1, max(2, int(ncpu / max(num_cpus, 0.25))))
+    ds = ds.map_batches(sniff_batch, batch_format="pyarrow")
+    return ds.map_batches(
+        ExtractDispatch,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=num_cpus,
+    )
+
+
+def dedup_pages_latest(ds):
+    """Exact dedup by url, last-write-wins by warc_ts (SURVEY.md §2.6).
+
+    Shuffle key = url; runs AFTER extraction so only extracted text (not
+    raw payloads) moves. Deterministic: max warc_ts, ties broken by the
+    stable sort within each group."""
+    import pandas as pd
+
+    def keep_latest(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values("warc_ts", kind="stable").tail(1)
+
+    return ds.groupby("url").map_groups(keep_latest, batch_format="pandas")
+
+
+def _wave_metrics(wave_out_dir: str) -> dict[str, Any]:
+    """Post-write metrics from the (small) flag/count columns only."""
+    import ray.data as rd
+
+    cols = rd.read_parquet(
+        wave_out_dir, columns=["doc_type", "n_pages", "parse_failure", "fallback"]
+    )
+
+    def agg(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "rows": [batch.num_rows],
+                "pdf_docs": [pc.sum(pc.equal(batch["doc_type"], "pdf")).as_py() or 0],
+                "html_docs": [pc.sum(pc.equal(batch["doc_type"], "html")).as_py() or 0],
+                "text_docs": [pc.sum(pc.equal(batch["doc_type"], "text")).as_py() or 0],
+                "pages": [pc.sum(batch["n_pages"]).as_py() or 0],
+                "parse_failures": [pc.sum(pc.cast(batch["parse_failure"], pa.int64())).as_py() or 0],
+                "fallbacks": [pc.sum(pc.cast(batch["fallback"], pa.int64())).as_py() or 0],
+            }
+        )
+
+    partials = cols.map_batches(agg, batch_format="pyarrow").to_pandas()
+    return {k: int(partials[k].sum()) for k in partials.columns}
+
+
+def run_extract(
+    in_dir: str,
+    out_dir: str,
+    *,
+    files_per_wave: int = 8,
+    dedup: bool = True,
+    concurrency=None,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+    fault_inject_after: int | None = None,
+) -> dict[str, Any]:
+    """Resumable wave-based run over every parquet file in ``in_dir``.
+
+    Completed waves (manifest present) are skipped on restart. Returns
+    the run summary (state/manifest.summarize)."""
+    import ray.data as rd
+
+    files = sorted(
+        os.path.join(in_dir, f) for f in os.listdir(in_dir) if f.endswith(".parquet")
+    )
+    if not files:
+        raise ValueError(f"no parquet files in {in_dir}")
+    waves = [files[i : i + files_per_wave] for i in range(0, len(files), files_per_wave)]
+    done = mstate.completed_waves(out_dir)
+    ran = 0
+    for wave_idx, wave_files in enumerate(waves):
+        if wave_idx in done:
+            continue
+        if fault_inject_after is not None and ran >= fault_inject_after:
+            raise RuntimeError(f"fault injection: stopping before wave {wave_idx}")
+        t0 = time.perf_counter()
+        ds = rd.read_parquet(wave_files)
+        ds = extract_pages(ds, concurrency=concurrency, batch_size=batch_size)
+        if dedup:
+            ds = dedup_pages_latest(ds)
+        wdir = mstate.wave_dir(out_dir, wave_idx)
+        ds.write_parquet(wdir)
+        metrics = _wave_metrics(wdir)
+        elapsed = time.perf_counter() - t0
+        metrics["wall_sec"] = round(elapsed, 3)
+        metrics["docs_per_sec"] = round(metrics["rows"] / elapsed, 2) if elapsed else 0.0
+        mstate.write_manifest(
+            out_dir,
+            wave_idx,
+            {
+                "wave": wave_idx,
+                "input_files": [os.path.basename(f) for f in wave_files],
+                "metrics": metrics,
+            },
+        )
+        ran += 1
+    return mstate.summarize(out_dir)

@@ -481,8 +481,36 @@ class PdfDocument:
             self.xref[int(m.group(1))] = ("i", m.start())
         if not self.xref:
             raise PdfError("no objects found in salvage scan")
-        # find the catalog: prefer an intact trailer /Root, else scan
-        root_ref = self.trailer.get("Root")
+        # index object-stream members (a catalog may be compressed into an
+        # /ObjStm) and pick up /Root from any xref-stream dict found
+        root_from_xrefstm = None
+        for num in sorted(self.xref):
+            try:
+                obj = self.get_object(num)
+            except PdfError:
+                continue
+            if not isinstance(obj, Stream):
+                continue
+            typ = str(obj.dict.get("Type", ""))
+            if typ == "XRef" and "Root" in obj.dict:
+                root_from_xrefstm = obj.dict["Root"]
+            elif typ == "ObjStm":
+                try:
+                    data = obj.data()
+                    n = int(self.resolve(obj.dict["N"]))
+                    lx = Lexer(data, 0)
+                    for idx in range(n):
+                        t1, t2 = lx.next(), lx.next()
+                        if (t1 is None or t2 is None or t1.kind != "num"
+                                or t2.kind != "num"):
+                            break
+                        if t1.value not in self.xref:
+                            self.xref[t1.value] = ("s", num, idx)
+                except PdfError:
+                    continue
+        # find the catalog: intact trailer /Root, else xref-stream /Root,
+        # else scan every recovered object
+        root_ref = self.trailer.get("Root") or root_from_xrefstm
         if root_ref is None:
             t = self.data.rfind(b"trailer")
             if t != -1:

@@ -201,3 +201,13 @@ def test_truncated_pdf_fails_safely():
             extract_pdf_text(cut)  # salvage may succeed partially — fine
         except PdfError:
             pass  # failing safely is also fine; crashing/hanging is not
+
+
+def test_broken_xref_with_objstm_salvage():
+    # catalog compressed inside an /ObjStm AND startxref corrupted:
+    # salvage must index ObjStm members (regression: seed-7 corpus rows)
+    rng = random.Random(901)
+    pdf, expected, _ = make_pdf(rng, n_pages=2, xref_style="stream",
+                                use_objstm=True, broken=True)
+    r = extract_pdf_text(pdf)
+    assert r.fallback and r.text == expected

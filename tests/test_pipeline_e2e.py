@@ -1,0 +1,97 @@
+"""End-to-end golden runs: corpus → pipeline → join to goldens on url →
+byte-equality for every row (SURVEY.md §5.3), plus dedup + resume tests."""
+
+import os
+
+import pyarrow as pa
+import pytest
+
+from pdf_to_text_ray.fixtures.corpus import make_pages_table
+from pdf_to_text_ray.pipelines.extract import (
+    dedup_pages_latest,
+    extract_pages,
+    run_extract,
+)
+from pdf_to_text_ray.state import manifest as mstate
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return make_pages_table(n_rows=120, seed=42)
+
+
+def test_e2e_byte_identity(ray_session, corpus):
+    import ray.data as rd
+
+    pages, golden = corpus
+    ds = rd.from_arrow(pages)
+    out = dedup_pages_latest(extract_pages(ds, batch_size=16)).to_pandas()
+    gold = golden.to_pandas().set_index("url")
+    got = out.set_index("url")
+    assert set(got.index) == set(gold.index)
+    got = got.reindex(gold.index)
+    mismatch = [
+        u for u in gold.index
+        if got.loc[u, "text_extracted"] != gold.loc[u, "text_extracted"]
+    ]
+    assert mismatch == [], f"{len(mismatch)} rows differ, e.g. {mismatch[:3]}"
+    # doc_type + n_pages also match the goldens
+    assert (got["doc_type"] == gold["doc_type"]).all()
+    assert (got["n_pages"].astype(int) == gold["n_pages"].astype(int)).all()
+    # broken-xref rows surface as fallback, not failure
+    assert got["parse_failure"].sum() == 0
+
+
+def test_dedup_keeps_max_warc_ts(ray_session, corpus):
+    import ray.data as rd
+
+    pages, _ = corpus
+    n_unique = len(set(pages["url"].to_pylist()))
+    assert n_unique < pages.num_rows  # corpus does contain duplicates
+    ds = rd.from_arrow(pages.select(["url", "warc_ts", "lang"]))
+    out = dedup_pages_latest(ds).to_pandas()
+    assert len(out) == n_unique
+    import pandas as pd
+
+    expected_max = (
+        pages.select(["url", "warc_ts"]).to_pandas().groupby("url")["warc_ts"].max()
+    )
+    got = out.set_index("url")["warc_ts"]
+    pd.testing.assert_series_equal(
+        got.sort_index(), expected_max.sort_index(), check_names=False
+    )
+
+
+def test_wave_resume(ray_session, tmp_path, corpus):
+    import pyarrow.parquet as pq
+
+    pages, golden = corpus
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(in_dir)
+    # 4 input shards → 4 waves of 1 file
+    n = pages.num_rows
+    for s in range(4):
+        pq.write_table(pages.slice(s * n // 4, (s + 1) * n // 4 - s * n // 4),
+                       os.path.join(in_dir, f"part-{s}.parquet"))
+
+    # first run dies after 2 waves
+    with pytest.raises(RuntimeError, match="fault injection"):
+        run_extract(in_dir, out_dir, files_per_wave=1, fault_inject_after=2)
+    assert mstate.completed_waves(out_dir) == {0, 1}
+
+    # restart completes only the remaining waves
+    summary = run_extract(in_dir, out_dir, files_per_wave=1)
+    assert mstate.completed_waves(out_dir) == {0, 1, 2, 3}
+    assert summary["waves"] == 4
+
+    # output urls exactly equal golden urls (no dups, no gaps)
+    import ray.data as rd
+
+    out_urls = sorted(
+        rd.read_parquet(out_dir, columns=["url"]).to_pandas()["url"]
+    )
+    assert out_urls == sorted(golden["url"].to_pylist())
+    # manifests metrics sum consistently
+    assert summary["metrics"]["rows"] == len(out_urls)
+    assert summary["metrics"]["parse_failures"] == 0
