@@ -1,16 +1,11 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver initializes Ray BEFORE importing this module; nothing here
+(or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``       — flagship extraction pipeline on sf0.001
+- ``queries()``     — one callable per implemented operator (SURVEY.md §2)
+- ``oracle_sql()``  — DuckDB-equivalent SQL for the SQL-expressible subset
 """
 
 from __future__ import annotations
@@ -20,25 +15,26 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: synthesize a pages corpus scaled to sf0.001,
+    run sniff → route → extract (PDF/HTML/text) → dedup; return the
+    extracted-text Dataset."""
+    import ray.data as rd
+
+    from pdf_to_text_ray.fixtures.corpus import ensure_pages_parquet
+    from pdf_to_text_ray.pipelines.extract import dedup_pages_latest, extract_pages
+
+    pages_dir, _ = ensure_pages_parquet(n_rows=200, seed=42)
+    ds = rd.read_parquet(pages_dir)
+    return dedup_pages_latest(extract_pages(ds))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from pdf_to_text_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from pdf_to_text_ray.pipelines.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

@@ -1,0 +1,600 @@
+"""The query battery: every operator as a (Ray pipeline, DuckDB oracle)
+pair over /root/testdata tables — the driver's correctness gate.
+
+Conventions (driver compares row-count + schema + order-insensitive
+value-hash, columns sorted by name):
+- every computed column is NAMED IDENTICALLY in Ray and SQL;
+- float aggregates are ``round(x, 2)`` on BOTH sides — partial-sum
+  ordering differs between engines, rounding absorbs the low bits;
+  pure int/int divisions are left unrounded (IEEE division is exactly
+  rounded, so identical inputs give identical doubles);
+- deterministic tiebreaks everywhere (explicit secondary sort keys).
+
+Non-SQL-expressible ops (PDF/HTML extraction, MinHash/SimHash, LSH,
+fingerprints, language ID) are registered without oracles → the driver
+records rows-only checks.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _lineitem(sf_dir: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"), columns=columns)
+
+
+def _read(sf_dir: str, name: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+
+
+
+def round2(x):
+    """DuckDB ``round(x, 2)`` parity: round(x*100)/100 in double with
+    half-away-from-zero (verified against DuckDB 1.0 empirically) —
+    pandas/pyarrow default to half-to-even, which diverges on the
+    frequent ``.xx5``-scaled values in price arithmetic."""
+    y = np.asarray(x, dtype=np.float64) * 100.0
+    return np.copysign(np.floor(np.abs(y) + 0.5), y) / 100.0
+
+
+# ── relational ops (SURVEY.md §2.5-2.6) ───────────────────────────────
+
+def q1_pricing_summary(sf_dir: str):
+    """Grouped aggregation with vectorized pre-computation (TPC-H Q1
+    shape): one shuffle over small pre-aggregated partials."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = _lineitem(sf_dir, ["l_returnflag", "l_linestatus", "l_quantity",
+                            "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def add_disc_price(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(pd.Timestamp("1998-09-01"))))
+        disc = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("disc_price", disc)
+
+    out = (
+        ds.map_batches(add_disc_price, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Mean("l_quantity", alias_name="avg_qty"),
+            Count(alias_name="count_order"),
+        )
+        .to_pandas()
+    )
+    for c in ("sum_qty", "sum_base_price", "sum_disc_price", "avg_qty"):
+        out[c] = round2(out[c])
+    out["count_order"] = out["count_order"].astype("int64")
+    return out
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)       AS sum_qty,
+       round(sum(l_extendedprice), 2)  AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 2)       AS avg_qty,
+       count(*)                        AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def top_orders(sf_dir: str):
+    """Sort + limit with deterministic tiebreak."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    out = (
+        ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(10)
+        .to_pandas()
+    )
+    out["o_totalprice"] = round2(out["o_totalprice"])
+    return out
+
+
+TOP_ORDERS_SQL = """
+SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+FROM orders ORDER BY orders.o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def filter_project_revenue(sf_dir: str):
+    """Vectorized filter + computed projection (prune at the read)."""
+    ds = _lineitem(sf_dir, ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_discount"], pa.scalar(0.05)))
+        rev = pa.array(round2(
+            pc.multiply(t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"])).to_numpy(
+                            zero_copy_only=False)), pa.float64())
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "l_linenumber": t["l_linenumber"],
+            "revenue": rev,
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+FILTER_PROJECT_SQL = """
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice * (1 - l_discount), 2) AS revenue
+FROM lineitem WHERE l_discount > 0.05
+"""
+
+
+def dedup_events_latest(sf_dir: str):
+    """Keyed last-write-wins dedup (S5/§2.6 pattern on the events log)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts", "value"])
+
+    def keep_latest(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable").tail(1)
+        return pd.DataFrame({
+            "user_id": g["user_id"].to_numpy(),
+            "event_type": g["event_type"].to_numpy(),
+            "last_ts": g["ts"].to_numpy(),
+            "last_value": g["value"].to_numpy(),
+        })
+
+    return ds.groupby(["user_id", "event_type"]).map_groups(
+        keep_latest, batch_format="pandas"
+    )
+
+
+DEDUP_EVENTS_SQL = """
+SELECT user_id, event_type, ts AS last_ts, value AS last_value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def join_customer_orders(sf_dir: str):
+    """Broadcast hash join: small side (customer) shipped once via
+    ray.put, probed per batch — no shuffle of the big side."""
+    import ray
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
+    name_map_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_name"])))
+    from ray.data.aggregate import Count, Sum
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    agg = (
+        orders.groupby("o_custkey")
+        .aggregate(
+            Count(alias_name="order_count"),
+            Sum("o_totalprice", alias_name="total_spent"),
+        )
+    )
+
+    def attach_name(b: pd.DataFrame) -> pd.DataFrame:
+        names = ray.get(name_map_ref)
+        b = b.copy()
+        b["c_name"] = b["o_custkey"].map(names)
+        b = b[b["c_name"].notna()]
+        return pd.DataFrame({
+            "c_custkey": b["o_custkey"].astype("int64"),
+            "c_name": b["c_name"],
+            "order_count": b["order_count"].astype("int64"),
+            "total_spent": round2(b["total_spent"]),
+        })
+
+    return agg.map_batches(attach_name, batch_format="pandas")
+
+
+JOIN_CUSTOMER_ORDERS_SQL = """
+SELECT c_custkey, c_name, count(*) AS order_count,
+       round(sum(o_totalprice), 2) AS total_spent
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+"""
+
+
+def distinct_event_types(sf_dir: str):
+    vals = _read(sf_dir, "events", ["event_type"]).unique("event_type")
+    return pa.table({"event_type": pa.array(sorted(vals), pa.string())})
+
+
+DISTINCT_SQL = "SELECT DISTINCT event_type FROM events"
+
+
+def union_nation_region_names(sf_dir: str):
+    n = _read(sf_dir, "nation", ["n_name"]).map_batches(
+        lambda t: pa.table({"name": t["n_name"]}), batch_format="pyarrow")
+    r = _read(sf_dir, "region", ["r_name"]).map_batches(
+        lambda t: pa.table({"name": t["r_name"]}), batch_format="pyarrow")
+    return n.union(r)
+
+
+UNION_SQL = "SELECT n_name AS name FROM nation UNION ALL SELECT r_name AS name FROM region"
+
+
+def events_running_sum(sf_dir: str):
+    """Ordered per-key window (streaming-shaped op): running sum of value
+    by user, ordered by (ts, event_id) — the partition/order assumption
+    is explicit (ray_guide 'streaming-shaped workloads')."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "user_id": g["user_id"].to_numpy(),
+            "running_value": round2(g["value"].cumsum()),
+        })
+
+    return ds.groupby("user_id").map_groups(running, batch_format="pandas")
+
+
+RUNNING_SUM_SQL = """
+SELECT event_id, user_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2)
+         AS running_value
+FROM events
+"""
+
+
+def point_lookup_event(sf_dir: str):
+    """S5 parity (GET /file/:key → keyed point lookup, main.ts:266-287)."""
+    ds = _read(sf_dir, "events")
+    return ds.map_batches(
+        lambda t: t.filter(pc.equal(t["event_id"], pa.scalar(42))),
+        batch_format="pyarrow",
+    )
+
+
+POINT_LOOKUP_SQL = "SELECT * FROM events WHERE event_id = 42"
+
+
+def sessionize_events(sf_dir: str, gap_minutes: int = 30):
+    """Session counting per user (gap > 30 min ⇒ new session)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        gaps = g["ts"].diff().dt.total_seconds().fillna(0) * 1_000_000
+        n = int(1 + (gaps > gap_us).sum())
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "n_sessions": [n]})
+
+    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return out.map_batches(
+        lambda b: b.astype({"user_id": "int64", "n_sessions": "int64"}),
+        batch_format="pandas",
+    )
+
+
+SESSIONIZE_SQL = """
+SELECT user_id,
+       (1 + sum(CASE WHEN gap_us > 1800000000 THEN 1 ELSE 0 END))::BIGINT AS n_sessions
+FROM (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+) GROUP BY user_id
+"""
+
+
+# ── text ops over documents ───────────────────────────────────────────
+
+def doc_token_stats(sf_dir: str):
+    from ..stages.analysis import token_stats_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: token_stats_batch(b)[["doc_id", "n_tokens", "n_chars",
+                                        "punct_ratio", "avg_token_len"]],
+        batch_format="pandas",
+    )
+
+
+DOC_TOKEN_STATS_SQL = r"""
+SELECT doc_id,
+       CASE WHEN trim(coalesce(text,'')) = '' THEN 0
+            ELSE length(regexp_split_to_array(trim(text), '[ \t\r\n\f\v]+')) END::BIGINT AS n_tokens,
+       length(coalesce(text,''))::BIGINT AS n_chars,
+       length(regexp_replace(coalesce(text,''), '[^.!?,;:]', '', 'g'))
+         / greatest(length(coalesce(text,'')), 1) AS punct_ratio,
+       length(regexp_replace(coalesce(text,''), '[ \t\r\n\f\v]', '', 'g'))
+         / greatest(CASE WHEN trim(coalesce(text,'')) = '' THEN 0
+                         ELSE length(regexp_split_to_array(trim(text), '[ \t\r\n\f\v]+')) END, 1)
+         AS avg_token_len
+FROM documents
+"""
+
+
+def doc_quality_filter(sf_dir: str):
+    from ..stages.analysis import token_stats_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        s = token_stats_batch(b)
+        keep = (s["n_tokens"] >= 10) & (s["punct_ratio"] <= 0.2) & (s["avg_token_len"] >= 2.0)
+        return s[keep][["doc_id", "n_tokens", "punct_ratio"]]
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+DOC_QUALITY_SQL = r"""
+WITH s AS (
+  SELECT doc_id,
+         CASE WHEN trim(coalesce(text,'')) = '' THEN 0
+              ELSE length(regexp_split_to_array(trim(text), '[ \t\r\n\f\v]+')) END::BIGINT AS n_tokens,
+         length(regexp_replace(coalesce(text,''), '[^.!?,;:]', '', 'g'))
+           / greatest(length(coalesce(text,'')), 1) AS punct_ratio,
+         length(regexp_replace(coalesce(text,''), '[ \t\r\n\f\v]', '', 'g'))
+           / greatest(CASE WHEN trim(coalesce(text,'')) = '' THEN 0
+                           ELSE length(regexp_split_to_array(trim(text), '[ \t\r\n\f\v]+')) END, 1)
+           AS avg_token_len
+  FROM documents)
+SELECT doc_id, n_tokens, punct_ratio FROM s
+WHERE n_tokens >= 10 AND punct_ratio <= 0.2 AND avg_token_len >= 2.0
+"""
+
+
+def dedup_exact_docs(sf_dir: str):
+    from ..stages.dedup import exact_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return exact_dedup(ds)
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(coalesce(text,'')) AS text_hash, min(doc_id) AS doc_id
+FROM documents GROUP BY md5(coalesce(text,''))
+"""
+
+
+def top_docs_by_len(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(20)
+
+
+TOP_DOCS_SQL = """
+SELECT doc_id, n_chars FROM documents
+ORDER BY n_chars DESC, doc_id LIMIT 20
+"""
+
+
+def lang_distribution(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", ["lang"])
+    out = ds.groupby("lang").aggregate(Count(alias_name="n_docs")).to_pandas()
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out
+
+
+LANG_DIST_SQL = "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang"
+
+
+# ── embedding ops ─────────────────────────────────────────────────────
+
+KNN_QUERY_IDS = [0, 1, 2, 3, 4]
+
+
+def knn_cosine(sf_dir: str):
+    from ..stages.similarity import knn_bruteforce
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return knn_bruteforce(ds, KNN_QUERY_IDS, k=10)
+
+
+KNN_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+           WHERE vec_id IN (0, 1, 2, 3, 4))
+SELECT query_id, vec_id, rank FROM (
+  SELECT q.query_id, e.vec_id,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+                                           q.embedding::DOUBLE[]) DESC,
+                    e.vec_id) AS rank
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id <> q.query_id
+) WHERE rank <= 10
+"""
+
+NEARDUP_EMB_LIMIT = 2000  # bound the oracle's O(n²) cross join
+
+
+def neardup_embedding(sf_dir: str):
+    from ..stages.similarity import embedding_neardup_pairs
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], pa.scalar(NEARDUP_EMB_LIMIT))),
+        batch_format="pyarrow",
+    )
+    return embedding_neardup_pairs(ds, threshold=0.45)
+
+
+NEARDUP_EMB_SQL = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b
+  ON a.vec_id < b.vec_id
+WHERE a.vec_id < {NEARDUP_EMB_LIMIT} AND b.vec_id < {NEARDUP_EMB_LIMIT}
+  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+"""
+
+
+# ── extraction pipeline (rows-only: not SQL-expressible) ──────────────
+
+def _corpus_rows_for(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    n_docs = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    return max(200, n_docs // 5)
+
+
+def _corpus_dirs(sf_dir: str):
+    from ..fixtures.corpus import ensure_pages_parquet
+
+    return ensure_pages_parquet(_corpus_rows_for(sf_dir), seed=42)
+
+
+def extract_corpus(sf_dir: str):
+    """Flagship: synthesized pages corpus (scaled by sf) → sniff →
+    extract → dedup. Rows-only check; byte-identity is enforced by the
+    pytest golden suite."""
+    import ray.data as rd
+
+    from .extract import dedup_pages_latest, extract_pages
+
+    pages_dir, _ = _corpus_dirs(sf_dir)
+    ds = rd.read_parquet(pages_dir)
+    out = dedup_pages_latest(extract_pages(ds))
+    return out.select_columns(["url", "doc_type", "n_pages", "parse_failure", "fallback"])
+
+
+def extract_records(sf_dir: str):
+    """PDF/HTML → text → blocks → records (reference main.ts full path)."""
+    import ray.data as rd
+
+    from ..stages.segment import records_batch, segment_batch
+    from .extract import dedup_pages_latest, extract_pages
+
+    pages_dir, _ = _corpus_dirs(sf_dir)
+    ds = rd.read_parquet(pages_dir)
+    text = dedup_pages_latest(extract_pages(ds))
+    blocks = text.map_batches(segment_batch, batch_format="pyarrow")
+    return blocks.map_batches(records_batch, batch_format="pyarrow")
+
+
+def block_quality(sf_dir: str):
+    """Block end-marker total vs sum of parsed record importes — the
+    quality aggregate the reference parses but never verifies
+    (main.ts:94; SURVEY.md §2.5)."""
+    import ray.data as rd
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.segment import records_batch, segment_batch
+    from .extract import dedup_pages_latest, extract_pages
+
+    pages_dir, _ = _corpus_dirs(sf_dir)
+    ds = rd.read_parquet(pages_dir)
+    text = dedup_pages_latest(extract_pages(ds))
+    blocks = text.map_batches(segment_batch, batch_format="pyarrow")
+    records = blocks.map_batches(records_batch, batch_format="pyarrow")
+    sums = records.groupby(["url", "block_idx"]).aggregate(
+        Sum("importe", alias_name="sum_importe")
+    ).to_pandas()
+    totals = blocks.select_columns(["url", "block_idx", "block_total"]).to_pandas()
+    out = totals.merge(sums, on=["url", "block_idx"], how="left")
+    out["sum_importe"] = round2(out["sum_importe"].fillna(0.0))
+    out["total_matches"] = (
+        np.isfinite(out["block_total"])
+        & ((out["block_total"] - out["sum_importe"]).abs() < 0.005)
+    )
+    return out.sort_values(["url", "block_idx"]).reset_index(drop=True)
+
+
+def neardup_minhash_docs(sf_dir: str):
+    from ..stages.dedup import minhash_neardup_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_neardup_pairs(ds, threshold=0.7)
+
+
+def neardup_simhash_docs(sf_dir: str):
+    from ..stages.dedup import simhash_neardup_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_neardup_pairs(ds, max_hamming=3)
+
+
+def langid_docs(sf_dir: str):
+    from ..stages.analysis import LangId
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(LangId(), batch_format="pandas")
+    return out.select_columns(["doc_id", "lang_pred"])
+
+
+def fingerprint_docs(sf_dir: str):
+    from ..stages.analysis import fingerprint_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(fingerprint_batch, batch_format="pandas").select_columns(
+        ["doc_id", "fingerprint"]
+    )
+
+
+def ann_lsh_cosine(sf_dir: str):
+    from ..stages.similarity import ann_lsh_topk
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ann_lsh_topk(ds, KNN_QUERY_IDS, k=10, n_bits=6)
+
+
+# ── registry ──────────────────────────────────────────────────────────
+
+QUERIES = {
+    # relational
+    "q1_pricing_summary": q1_pricing_summary,
+    "top_orders": top_orders,
+    "filter_project_revenue": filter_project_revenue,
+    "dedup_events_latest": dedup_events_latest,
+    "join_customer_orders": join_customer_orders,
+    "distinct_event_types": distinct_event_types,
+    "union_nation_region_names": union_nation_region_names,
+    "events_running_sum": events_running_sum,
+    "point_lookup_event": point_lookup_event,
+    "sessionize_events": sessionize_events,
+    # text
+    "doc_token_stats": doc_token_stats,
+    "doc_quality_filter": doc_quality_filter,
+    "dedup_exact_docs": dedup_exact_docs,
+    "top_docs_by_len": top_docs_by_len,
+    "lang_distribution": lang_distribution,
+    # embeddings
+    "knn_cosine": knn_cosine,
+    "neardup_embedding": neardup_embedding,
+    # extraction + non-SQL ops (rows-only)
+    "extract_corpus": extract_corpus,
+    "extract_records": extract_records,
+    "block_quality": block_quality,
+    "neardup_minhash_docs": neardup_minhash_docs,
+    "neardup_simhash_docs": neardup_simhash_docs,
+    "langid_docs": langid_docs,
+    "fingerprint_docs": fingerprint_docs,
+    "ann_lsh_cosine": ann_lsh_cosine,
+}
+
+ORACLE_SQL = {
+    "q1_pricing_summary": Q1_SQL,
+    "top_orders": TOP_ORDERS_SQL,
+    "filter_project_revenue": FILTER_PROJECT_SQL,
+    "dedup_events_latest": DEDUP_EVENTS_SQL,
+    "join_customer_orders": JOIN_CUSTOMER_ORDERS_SQL,
+    "distinct_event_types": DISTINCT_SQL,
+    "union_nation_region_names": UNION_SQL,
+    "events_running_sum": RUNNING_SUM_SQL,
+    "point_lookup_event": POINT_LOOKUP_SQL,
+    "sessionize_events": SESSIONIZE_SQL,
+    "doc_token_stats": DOC_TOKEN_STATS_SQL,
+    "doc_quality_filter": DOC_QUALITY_SQL,
+    "dedup_exact_docs": DEDUP_EXACT_SQL,
+    "top_docs_by_len": TOP_DOCS_SQL,
+    "lang_distribution": LANG_DIST_SQL,
+    "knn_cosine": KNN_SQL,
+    "neardup_embedding": NEARDUP_EMB_SQL,
+}

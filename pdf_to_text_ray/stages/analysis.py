@@ -1,0 +1,161 @@
+"""Text analysis ops for large-scale training-data pipelines.
+
+Beyond the reference's scope (its only text analytics is the block
+regex, src/main.ts:94); these are the standard corpus-quality stages a
+100 TB text pipeline needs: token/char statistics, quality scoring,
+n-gram-heuristic language ID, and rolling-hash document fingerprinting
+(winnowing, per Schleimer/Wilkerson/Aiken "Winnowing: Local Algorithms
+for Document Fingerprinting", SIGMOD 2003).
+
+All batch fns are vectorized (pandas str kernels / numpy); language ID
+is an actor-pool stage whose stopword tables build once per actor.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+_PUNCT_RE = r"[.!?,;:]"
+
+# Hash base/constants for the 64-bit polynomial rolling hash (public
+# Rabin-Karp construction; arithmetic wraps mod 2^64).
+_POLY_BASE = np.uint64(1099511628211)   # FNV prime
+_POLY_SEED = np.uint64(1469598103934665603)
+
+
+def token_stats_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """n_tokens / n_chars / punct_ratio / avg_token_len per row.
+
+    Semantics match the DuckDB oracle exactly:
+      n_tokens      = count of \\S+ groups
+      punct_ratio   = punct_chars / max(n_chars, 1)
+      avg_token_len = non-space chars / max(n_tokens, 1)
+    """
+    # explicit ASCII whitespace classes: Python \s is unicode-aware while
+    # DuckDB's RE2 \s is ASCII — pinning the class keeps oracle parity
+    text = batch[text_col].fillna("")
+    n_chars = text.str.len().astype("int64")
+    n_tokens = text.str.count(r"[^ \t\r\n\f\v]+").astype("int64")
+    punct = text.str.count(_PUNCT_RE).astype("int64")
+    nonspace = (n_chars - text.str.count(r"[ \t\r\n\f\v]").astype("int64")).astype("int64")
+    out = pd.DataFrame(
+        {
+            "n_tokens": n_tokens,
+            "n_chars": n_chars,
+            "punct_ratio": punct / np.maximum(n_chars, 1),
+            "avg_token_len": nonspace / np.maximum(n_tokens, 1),
+        },
+        index=batch.index,
+    )
+    for c in batch.columns:
+        if c not in out.columns and c != text_col:
+            out.insert(0, c, batch[c])
+    return out
+
+
+def quality_filter_batch(batch: pd.DataFrame, *, min_tokens: int = 10,
+                         max_punct_ratio: float = 0.2,
+                         min_avg_token_len: float = 2.0) -> pd.DataFrame:
+    """Heuristic quality gate (length / punctuation / word-shape)."""
+    stats = token_stats_batch(batch)
+    keep = (
+        (stats["n_tokens"] >= min_tokens)
+        & (stats["punct_ratio"] <= max_punct_ratio)
+        & (stats["avg_token_len"] >= min_avg_token_len)
+    )
+    return stats[keep]
+
+
+# ── language identification (n-gram / stopword heuristic) ─────────────
+
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "it", "for",
+           "was", "on", "are", "with", "as", "this", "be", "at", "have"},
+    "es": {"el", "la", "de", "que", "y", "en", "un", "una", "los", "las",
+           "por", "con", "para", "es", "del", "se", "no", "al", "como"},
+    "de": {"der", "die", "das", "und", "ist", "von", "mit", "den", "des",
+           "im", "ein", "eine", "auf", "für", "nicht", "auch", "sich"},
+    "fr": {"le", "la", "les", "de", "des", "et", "un", "une", "est", "que",
+           "dans", "pour", "pas", "sur", "avec", "au", "par", "ce", "il"},
+}
+
+
+class LangId:
+    """Actor-pool stage: stopword tables + regex compile once per actor.
+
+    Prediction: CJK codepoint share → "zh"; else argmax stopword-hit
+    ratio over the profiles; "und" when no profile scores."""
+
+    def __init__(self, text_col: str = "text", out_col: str = "lang_pred"):
+        import re
+
+        self.text_col = text_col
+        self.out_col = out_col
+        self.word_re = re.compile(r"[^\W\d_]+", re.UNICODE)
+        self.cjk_re = re.compile(r"[一-鿿]")
+        self.profiles = {k: frozenset(v) for k, v in _STOPWORDS.items()}
+
+    def predict(self, text: str) -> str:
+        if not text:
+            return "und"
+        if len(self.cjk_re.findall(text[:2000])) >= 5:
+            return "zh"
+        toks = [t.lower() for t in self.word_re.findall(text[:5000])]
+        if not toks:
+            return "und"
+        best_lang, best = "und", 0.0
+        for lang in sorted(self.profiles):  # sorted → deterministic ties
+            prof = self.profiles[lang]
+            score = sum(1 for t in toks if t in prof) / len(toks)
+            if score > best:
+                best_lang, best = lang, score
+        return best_lang if best > 0.02 else "und"
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch[self.out_col] = [
+            self.predict(t or "") for t in batch[self.text_col].tolist()
+        ]
+        return batch
+
+
+# ── rolling-hash fingerprinting (winnowing) ───────────────────────────
+
+def kgram_hashes(text: str, k: int = 8) -> np.ndarray:
+    """Vectorized 64-bit polynomial hashes of all k-byte grams."""
+    b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    if len(b) < k:
+        b = np.pad(b, (0, k - len(b)), constant_values=0)
+    win = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+    powers = np.empty(k, dtype=np.uint64)
+    p = np.uint64(1)
+    for j in range(k - 1, -1, -1):  # explicit multiply → wraps mod 2^64
+        powers[j] = p
+        p = p * _POLY_BASE
+    return (win * powers).sum(axis=1, dtype=np.uint64) + _POLY_SEED
+
+
+def winnow_fingerprint(text: str, k: int = 8, window: int = 16) -> str:
+    """Winnowing: min k-gram hash per sliding window; the deduplicated
+    selection set is digested to one stable hex fingerprint."""
+    norm = " ".join(text.lower().split())
+    h = kgram_hashes(norm, k)
+    if len(h) == 0:
+        return hashlib.blake2b(b"", digest_size=8).hexdigest()
+    if len(h) <= window:
+        sel = np.array([h.min()], dtype=np.uint64)
+    else:
+        # strided view → per-window min without materializing n×window
+        mins = np.lib.stride_tricks.sliding_window_view(h, window).min(axis=1)
+        sel = np.unique(mins)
+    return hashlib.blake2b(sel.tobytes(), digest_size=8).hexdigest()
+
+
+def fingerprint_batch(batch: pd.DataFrame, text_col: str = "text",
+                      out_col: str = "fingerprint") -> pd.DataFrame:
+    batch = batch.copy()
+    batch[out_col] = [winnow_fingerprint(t or "") for t in batch[text_col].tolist()]
+    return batch

@@ -1,0 +1,206 @@
+"""Similarity search over an embedding column (list<float>).
+
+- ``knn_bruteforce``: exact cosine top-k — numpy matmul per batch
+  against a broadcast query matrix (``ray.put`` once, read per actor),
+  per-batch partial top-k, small driver-side final merge. This is the
+  baseline and the oracle-checkable path.
+- ``ann_lsh``: random-hyperplane LSH (Charikar 2002): 16-bit signatures
+  bucket the corpus; queries probe their own bucket (+ multiprobe on
+  the nearest bits). Approximate; the scale path — the shuffle moves
+  (bucket, id) pairs, search is per-bucket.
+- ``embedding_neardup_pairs``: exact threshold self-join (cosine ≥ τ)
+  via per-batch matmul against the broadcast normalized matrix —
+  embedding-cosine near-dup detection for training corpora.
+
+All math in float64 so results are comparable with DuckDB's
+``list_cosine_similarity`` on DOUBLE-cast lists.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def list_column_to_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Zero-copy-ish (one flatten) list<float> column → (n, d) float64."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    offsets = col.offsets.to_numpy(zero_copy_only=False)
+    widths = np.diff(offsets)
+    if len(widths) == 0:
+        return flat.reshape(0, 0)
+    d = int(widths[0])
+    if not (widths == d).all():
+        raise ValueError("ragged embedding column")
+    return flat.reshape(-1, d)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def knn_bruteforce(ds, query_ids: list[int], k: int = 10,
+                   id_col: str = "vec_id", vec_col: str = "embedding") -> pd.DataFrame:
+    """Exact cosine top-k for each query id → (query_id, vec_id, rank).
+
+    The query matrix is materialized once (point lookups on small ids)
+    and broadcast; each batch computes cosine against it and keeps its
+    local top-k; the driver merges the tiny partials. Ties and ranking
+    are deterministic: (-sim, vec_id)."""
+    import ray
+
+    qset = set(query_ids)
+    q_pdf = (
+        ds.map_batches(
+            lambda b: b[b[id_col].isin(qset)], batch_format="pandas"
+        )
+        .to_pandas()
+        .sort_values(id_col)
+    )
+    q_mat = _normalize(
+        np.stack([np.asarray(v, dtype=np.float64) for v in q_pdf[vec_col]])
+    )
+    q_ids = q_pdf[id_col].to_numpy()
+    ref = ray.put((q_ids, q_mat))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qids, qm = ray.get(ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        m = _normalize(list_column_to_matrix(batch[vec_col]))
+        sims = m @ qm.T  # (n, Q)
+        out_q, out_v, out_s = [], [], []
+        for j, qid in enumerate(qids):
+            col = sims[:, j]
+            mask = ids != qid
+            cand_ids = ids[mask]
+            cand = col[mask]
+            take = min(k, len(cand))
+            if take == 0:
+                continue
+            idx = np.argpartition(-cand, take - 1)[:take]
+            out_q.extend([qid] * take)
+            out_v.extend(cand_ids[idx].tolist())
+            out_s.extend(cand[idx].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            id_col: pa.array(out_v, pa.int64()),
+            "sim": pa.array(out_s, pa.float64()),
+        })
+
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
+    partials = partials.sort_values(
+        ["query_id", "sim", id_col], ascending=[True, False, True],
+        kind="mergesort",
+    )
+    out = partials.groupby("query_id", sort=True).head(k).copy()
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    return out[["query_id", id_col, "rank"]].reset_index(drop=True)
+
+
+def embedding_neardup_pairs(ds, threshold: float = 0.95,
+                            id_col: str = "vec_id", vec_col: str = "embedding") -> pd.DataFrame:
+    """Exact cosine-threshold self-join → (id_a, id_b) with id_a < id_b.
+
+    Broadcast the normalized matrix once; each batch matmuls its rows
+    against the full matrix. O(n²) work but O(n·d) shuffle — right up
+    to ~10^6 rows; beyond that use ann_lsh buckets first."""
+    import ray
+
+    full = ds.select_columns([id_col, vec_col]).to_pandas().sort_values(id_col)
+    ids = full[id_col].to_numpy()
+    mat = _normalize(np.stack([np.asarray(v, np.float64) for v in full[vec_col]]))
+    ref = ray.put((ids, mat))
+
+    def batch_pairs(batch: pa.Table) -> pa.Table:
+        all_ids, all_mat = ray.get(ref)
+        bids = batch[id_col].to_numpy(zero_copy_only=False)
+        bm = _normalize(list_column_to_matrix(batch[vec_col]))
+        sims = bm @ all_mat.T
+        rows_a, rows_b = [], []
+        for i, a in enumerate(bids):
+            hits = all_ids[(sims[i] >= threshold) & (all_ids > a)]
+            rows_a.extend([a] * len(hits))
+            rows_b.extend(hits.tolist())
+        return pa.table({
+            "id_a": pa.array(rows_a, pa.int64()),
+            "id_b": pa.array(rows_b, pa.int64()),
+        })
+
+    out = ds.map_batches(batch_pairs, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        out = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                            "id_b": pd.Series([], dtype="int64")})
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+# ── LSH-bucketed ANN (the scale path) ────────────────────────────────
+
+_LSH_SEED = 7243
+
+
+def _hyperplanes(dim: int, n_bits: int) -> np.ndarray:
+    rng = np.random.RandomState(_LSH_SEED)
+    return rng.normal(size=(dim, n_bits))
+
+
+def lsh_bucket_batch(batch: pa.Table, id_col: str = "vec_id",
+                     vec_col: str = "embedding", n_bits: int = 12) -> pa.Table:
+    m = list_column_to_matrix(batch[vec_col])
+    planes = _hyperplanes(m.shape[1], n_bits)
+    bits = (m @ planes) > 0
+    bucket = (bits * (1 << np.arange(n_bits))).sum(axis=1).astype(np.int64)
+    return pa.table({
+        id_col: batch[id_col],
+        "bucket": pa.array(bucket, pa.int64()),
+        vec_col: batch[vec_col],
+    })
+
+
+def ann_lsh_topk(ds, query_ids: list[int], k: int = 10,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 n_bits: int = 12) -> pd.DataFrame:
+    """Approximate top-k: per-bucket exact search, query probes its own
+    bucket. Recall depends on bucket granularity (``n_bits`` vs corpus
+    size — size buckets to ~1k-10k vectors at scale); compare against
+    knn_bruteforce for recall measurements."""
+    bucketed = ds.map_batches(
+        lambda b: lsh_bucket_batch(b, id_col, vec_col, n_bits),
+        batch_format="pyarrow")
+    qset = set(query_ids)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        qs = g[g[id_col].isin(qset)]
+        if len(qs) == 0:
+            return pd.DataFrame({"query_id": [], id_col: [], "rank": []})
+        mat = _normalize(np.stack([np.asarray(v, np.float64) for v in g[vec_col]]))
+        ids = g[id_col].to_numpy()
+        out = []
+        for _, qrow in qs.iterrows():
+            qv = _normalize(np.asarray(qrow[vec_col], np.float64)[None, :])[0]
+            sims = mat @ qv
+            order = np.lexsort((ids, -sims))
+            cnt = 0
+            for idx in order:
+                if ids[idx] == qrow[id_col]:
+                    continue
+                cnt += 1
+                out.append((qrow[id_col], ids[idx], cnt))
+                if cnt >= k:
+                    break
+        return pd.DataFrame({
+            "query_id": [o[0] for o in out],
+            id_col: [o[1] for o in out],
+            "rank": [o[2] for o in out],
+        })
+
+    res = bucketed.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+    pdf = res.to_pandas()
+    if pdf.empty:
+        pdf = pd.DataFrame({"query_id": [], id_col: [], "rank": []})
+    pdf = pdf.astype({"query_id": "int64", id_col: "int64", "rank": "int64"})
+    return pdf.sort_values(["query_id", "rank"]).reset_index(drop=True)
