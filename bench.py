@@ -1,0 +1,173 @@
+"""Benchmark harness.
+
+Default: run the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) at ``$RAY_GRAFT_CPUS`` CPUs (default 32) and print
+ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N,
+   "docs_per_sec": ..., "pages_per_sec": ...}
+
+``--scaling``: run the headline extraction job twice in fresh processes
+(num_cpus=8 and num_cpus=32) on the same input and report both
+throughputs + scaling efficiency (the sandbox evidence for the
+north rule's N vs 4N cluster criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+CORPUS_MULT = int(os.environ.get("GRAFT_CORPUS_MULT", "4"))
+HEAVY = os.environ.get("GRAFT_CORPUS_HEAVY", "1") == "1"
+
+
+def corpus_rows(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    n_docs = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    return max(500, n_docs * CORPUS_MULT)
+
+
+def run_bench() -> dict:
+    import ray
+    import ray.data as rd
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    from pdf_to_text_ray.fixtures.corpus import ensure_pages_parquet
+    from pdf_to_text_ray.pipelines import queries as Q
+    from pdf_to_text_ray.pipelines.extract import dedup_pages_latest, extract_pages
+    from pdf_to_text_ray.stages.segment import records_batch, segment_batch
+
+    n_rows = corpus_rows(SF_DIR)
+    pages_dir, _ = ensure_pages_parquet(n_rows, seed=42, heavy=HEAVY)
+
+    # warm the OS page cache so we measure compute+shuffle, not cold disk
+    rd.read_parquet(pages_dir).count()
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        result = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return result
+
+    # headline: full extraction pipeline (sniff → extract → dedup → write)
+    out_dir = f"/tmp/ptt_bench_out_{NUM_CPUS}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    def headline():
+        ds = rd.read_parquet(pages_dir, override_num_blocks=NUM_CPUS * 2)
+        out = dedup_pages_latest(extract_pages(ds))
+        out.write_parquet(out_dir)
+        return out
+
+    timed("extract", headline)
+    meta = rd.read_parquet(out_dir, columns=["n_pages"])
+    total_docs = meta.count()
+    total_pages = int(meta.to_pandas()["n_pages"].sum())
+
+    # records path on the extracted output
+    def records():
+        ds = rd.read_parquet(out_dir, columns=["url", "text_extracted"])
+        return ds.map_batches(segment_batch, batch_format="pyarrow").map_batches(
+            records_batch, batch_format="pyarrow"
+        ).count()
+
+    timed("records", records)
+
+    # representative operator suite at this sf
+    for name in (
+        "q1_pricing_summary",
+        "filter_project_revenue",
+        "dedup_events_latest",
+        "events_running_sum",
+        "dedup_exact_docs",
+        "neardup_minhash_docs",
+        "knn_cosine",
+        "doc_token_stats",
+    ):
+        fn = Q.QUERIES[name]
+        timed(name, lambda fn=fn: _consume(fn(SF_DIR)))
+
+    ray.shutdown()
+    extract_sec = timings["extract"]
+    return {
+        "metric": "headline extraction pipeline wall time",
+        "value": extract_sec,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "corpus_rows": n_rows,
+        "docs_per_sec": round(total_docs / extract_sec, 2),
+        "pages_per_sec": round(total_pages / extract_sec, 2),
+    }
+
+
+def _consume(result):
+    import pyarrow as pa
+
+    import ray.data
+
+    if isinstance(result, ray.data.Dataset):
+        return result.count()
+    if isinstance(result, pa.Table):
+        return result.num_rows
+    return len(result)
+
+
+def run_scaling() -> dict:
+    """Same job, fresh processes, 8 vs 32 CPUs → scaling efficiency."""
+
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = one(lo)
+    r_hi = one(hi)
+    eff = (r_hi["docs_per_sec"] / r_lo["docs_per_sec"]) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (docs/sec, 8 vs 32 CPUs)",
+        "num_cpus_lo": lo,
+        "num_cpus_hi": hi,
+        "sec_lo": r_lo["value"],
+        "sec_hi": r_hi["value"],
+        "docs_per_sec_lo": r_lo["docs_per_sec"],
+        "docs_per_sec_hi": r_hi["docs_per_sec"],
+        "pages_per_sec_hi": r_hi["pages_per_sec"],
+        "corpus_rows": r_hi["corpus_rows"],
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -28,15 +28,16 @@ from ..schemas import DOC_TYPE_HTML, DOC_TYPE_PDF, DOC_TYPE_TEXT
 from .htmlgen import _WORDS, make_html_page, _sentence
 from .pdfgen import make_pdf
 
-GENERATOR_VERSION = 3  # bump to invalidate /tmp caches
+GENERATOR_VERSION = 5  # bump to invalidate /tmp caches
 _EPOCH_US = 1_600_000_000_000_000  # fixed base timestamp (µs)
 
 _LANGS = ["en", "es", "de", "zh", "fr"]
 
 
-def make_page_row(i: int, seed: int) -> tuple[dict, dict | None]:
+def make_page_row(i: int, seed: int, heavy: bool = False) -> tuple[dict, dict | None]:
     """Deterministic row i → (page_row, golden_row). golden_row is None
-    for stale-duplicate rows (they must lose dedup)."""
+    for stale-duplicate rows (they must lose dedup). ``heavy`` rows are
+    ~10x larger (bench/scaling corpora)."""
     rng = random.Random(seed * 1_000_003 + i)
     url = f"https://ex{i // 7}.test/p{i}"
     warc_ts = _EPOCH_US + i * 3_600_000_000
@@ -47,12 +48,13 @@ def make_page_row(i: int, seed: int) -> tuple[dict, dict | None]:
         broken = rng.random() < 0.05
         pdf, expected, n_pages = make_pdf(
             rng,
-            n_pages=rng.randrange(1, 6),
+            n_pages=rng.randrange(4, 10) if heavy else rng.randrange(1, 6),
             xref_style=style,
             use_objstm=rng.random() < 0.25,
             two_column=rng.random() < 0.15,
             with_sucursal=rng.random() < 0.35,
             broken=broken,
+            lines_per_page=rng.randrange(25, 45) if heavy else None,
         )
         page = {"url": url, "warc_ts": warc_ts, "html": pdf,
                 "text": None, "lang": lang}
@@ -63,6 +65,7 @@ def make_page_row(i: int, seed: int) -> tuple[dict, dict | None]:
             rng, lang=lang,
             with_sucursal=rng.random() < 0.30,
             malformed=rng.random() < 0.15,
+            heavy=heavy,
         )
         page = {"url": url, "warc_ts": warc_ts, "html": html,
                 "text": None, "lang": lang}
@@ -123,12 +126,13 @@ def make_pages_table(n_rows: int, seed: int = 42, dup_fraction: float = 0.05):
 
 
 def ensure_pages_parquet(n_rows: int, seed: int = 42, base_dir: str = "/tmp/ptt_corpus",
-                         num_shards: int | None = None) -> tuple[str, str]:
+                         num_shards: int | None = None,
+                         heavy: bool = False) -> tuple[str, str]:
     """Build (once, cached) a sharded pages corpus + golden table on disk
     via parallel Ray tasks. Returns (pages_dir, golden_dir)."""
     import ray
 
-    key = f"v{GENERATOR_VERSION}_n{n_rows}_s{seed}"
+    key = f"v{GENERATOR_VERSION}_n{n_rows}_s{seed}" + ("_heavy" if heavy else "")
     pages_dir = os.path.join(base_dir, key, "pages")
     golden_dir = os.path.join(base_dir, key, "golden")
     done_marker = os.path.join(base_dir, key, "_DONE")
@@ -137,7 +141,9 @@ def ensure_pages_parquet(n_rows: int, seed: int = 42, base_dir: str = "/tmp/ptt_
     os.makedirs(pages_dir, exist_ok=True)
     os.makedirs(golden_dir, exist_ok=True)
     if num_shards is None:
-        num_shards = max(1, min(64, n_rows // 500))
+        # enough shards that a 32-way pool (and its 4N scaling partner)
+        # always has parallel bundles: ~128 rows per shard, capped at 256
+        num_shards = max(1, min(256, n_rows // 128))
     bounds = [
         (s * n_rows // num_shards, (s + 1) * n_rows // num_shards)
         for s in range(num_shards)
@@ -147,7 +153,7 @@ def ensure_pages_parquet(n_rows: int, seed: int = 42, base_dir: str = "/tmp/ptt_
     def build_shard(shard_idx: int, lo: int, hi: int) -> int:
         rows, goldens = [], []
         for i in range(lo, hi):
-            page, golden = make_page_row(i, seed)
+            page, golden = make_page_row(i, seed, heavy=heavy)
             rows.append(page)
             goldens.append(golden)
             if random.Random(seed * 13 + i).random() < 0.05:

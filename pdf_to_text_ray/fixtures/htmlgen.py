@@ -69,8 +69,11 @@ def _escape_block(rng: random.Random, text: str) -> tuple[str, str]:
 
 def make_html_page(rng: random.Random, lang: str = "en",
                    with_sucursal: bool = False,
-                   malformed: bool = False) -> tuple[bytes, str]:
-    """Returns (html_bytes, expected_main_text)."""
+                   malformed: bool = False,
+                   heavy: bool = False) -> tuple[bytes, str]:
+    """Returns (html_bytes, expected_main_text). ``heavy`` pages carry
+    ~10x the content (bench corpora, so per-doc work dominates
+    scheduling overhead in scaling measurements)."""
     words = _ES_WORDS if lang == "es" else _WORDS
 
     # 1) choose main-content blocks first (the golden truth)
@@ -81,7 +84,7 @@ def make_html_page(rng: random.Random, lang: str = "en",
     blocks_markup.append(f"<h1>{_htmlmod.escape(title)}</h1>")
     blocks_text.append(title)
 
-    n_paras = rng.randrange(3, 8)
+    n_paras = rng.randrange(30, 55) if heavy else rng.randrange(3, 8)
     for _ in range(n_paras):
         para = " ".join(
             _sentence(rng, words, rng.randrange(6, 14))

@@ -103,10 +103,14 @@ def extract_pages(ds, *, concurrency=None, batch_size: int = DEFAULT_BATCH_SIZE,
     if concurrency is None:
         import ray
 
-        # autoscaling actor pool up to the cluster CPU count; min 1 keeps
-        # small runs from reserving the whole node
+        # fixed pool sized to the cluster MINUS headroom for the read/
+        # sniff/write stages: a pool that reserves every CPU starves the
+        # producer and the pipeline deadlocks (observed: 8 actors on an
+        # 8-CPU cluster left ReadParquet permanently backpressured).
+        # Fixed rather than autoscaling so all actors start in parallel
+        # and a short job saturates immediately.
         ncpu = int(ray.cluster_resources().get("CPU", 8))
-        concurrency = (1, max(2, int(ncpu / max(num_cpus, 0.25))))
+        concurrency = max(2, int((ncpu - 2) / max(num_cpus, 0.25)))
     ds = ds.map_batches(sniff_batch, batch_format="pyarrow")
     return ds.map_batches(
         ExtractDispatch,
@@ -117,18 +121,36 @@ def extract_pages(ds, *, concurrency=None, batch_size: int = DEFAULT_BATCH_SIZE,
     )
 
 
-def dedup_pages_latest(ds):
+def dedup_pages_latest(ds, num_buckets: int = 64):
     """Exact dedup by url, last-write-wins by warc_ts (SURVEY.md §2.6).
 
-    Shuffle key = url; runs AFTER extraction so only extracted text (not
-    raw payloads) moves. Deterministic: max warc_ts, ties broken by the
-    stable sort within each group."""
+    Implementation: explicit hash-partitioned dedup — add
+    ``bucket = stable_hash(url) % B``, shuffle on the bucket, then ONE
+    vectorized pandas dedup per bucket. (A naive
+    ``groupby("url").map_groups`` invokes Python once per url — a serial
+    floor that capped scaling efficiency at ~0.3 on 40k docs; bucketing
+    makes the per-group work O(B) vectorized calls.) Runs AFTER
+    extraction so only extracted text, never raw payloads, enters the
+    shuffle. Deterministic: max warc_ts per url, stable-sort tiebreak.
+    At cluster scale, size B ≳ 4× total cores."""
     import pandas as pd
 
-    def keep_latest(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values("warc_ts", kind="stable").tail(1)
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_bucket"] = (
+            pd.util.hash_array(b["url"].to_numpy(dtype=object)) % num_buckets
+        ).astype("int64")
+        return b
 
-    return ds.groupby("url").map_groups(keep_latest, batch_format="pandas")
+    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["url", "warc_ts"], kind="stable")
+        return g.drop_duplicates("url", keep="last").drop(columns=["_bucket"])
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(dedup_bucket, batch_format="pandas")
+    )
 
 
 def _wave_metrics(wave_out_dir: str) -> dict[str, Any]:

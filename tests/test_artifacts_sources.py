@@ -1,0 +1,66 @@
+import os
+
+import pyarrow as pa
+
+from pdf_to_text_ray.fixtures.corpus import make_pages_table
+from pdf_to_text_ray.pipelines.artifacts import lookup_artifact, write_artifacts
+from pdf_to_text_ray.pipelines.extract import extract_pages
+from pdf_to_text_ray.sources.pages import read_loose_documents, read_pages
+from pdf_to_text_ray.stages.segment import CSV_HEADERS, records_batch, segment_batch
+
+
+def test_read_pages_pruning(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    pages, _ = make_pages_table(30, seed=5)
+    p = str(tmp_path / "pages.parquet")
+    pq.write_table(pages, p)
+    ds = read_pages(str(tmp_path), columns=["url", "html"])
+    assert set(ds.schema().names) == {"url", "html"}
+    try:
+        read_pages(str(tmp_path), columns=["nope"])
+        assert False, "should reject unknown column"
+    except ValueError:
+        pass
+
+
+def test_read_loose_documents(ray_session, tmp_path):
+    from pdf_to_text_ray.fixtures.pdfgen import make_pdf
+    import random
+
+    pdf, expected, _ = make_pdf(random.Random(3), n_pages=1)
+    f = tmp_path / "doc.pdf"
+    f.write_bytes(pdf)
+    ds = read_loose_documents(str(tmp_path))
+    out = extract_pages(ds.map_batches(
+        lambda t: t.append_column("text", pa.array([None] * t.num_rows, pa.string())),
+        batch_format="pyarrow"), batch_size=4).to_pandas()
+    assert len(out) == 1 and out.iloc[0]["text_extracted"] == expected
+
+
+def test_artifacts_roundtrip_and_lookup(ray_session, tmp_path):
+    import ray.data as rd
+
+    pages, golden = make_pages_table(40, seed=9)
+    text = extract_pages(rd.from_arrow(pages), batch_size=16)
+    blocks = text.map_batches(segment_batch, batch_format="pyarrow")
+    records = blocks.map_batches(records_batch, batch_format="pyarrow")
+    out_dir = str(tmp_path / "artifacts")
+    paths = write_artifacts(text, records, out_dir)
+    assert set(paths) == {"text", "records", "records_json", "records_csv"}
+
+    csv_file = os.path.join(paths["records_csv"], "part-00000.csv")
+    lines = open(csv_file).read().splitlines()
+    assert lines[0] == CSV_HEADERS
+    n_records = rd.read_parquet(paths["records"]).count()
+    assert len(lines) == 1 + n_records
+    if n_records:
+        # toFixed(2) money formatting on every row
+        assert all(line.rsplit(",", 1)[1].count(".") == 1 and
+                   len(line.rsplit(".", 1)[1]) == 2 for line in lines[1:])
+
+    url = golden["url"][0].as_py()
+    hit = lookup_artifact(out_dir, url, "text").to_pandas()
+    assert len(hit) >= 1 and (hit["url"] == url).all()
+    miss = lookup_artifact(out_dir, "https://nope.test/x", "text").to_pandas()
+    assert len(miss) == 0
