@@ -98,8 +98,27 @@ class ExtractDispatch:
 
 
 def extract_pages(ds, *, concurrency=None, batch_size: int = DEFAULT_BATCH_SIZE,
-                  num_cpus: float = 1.0):
-    """pages Dataset → extracted-text Dataset (TEXT_SCHEMA + lang)."""
+                  num_cpus: float = 1.0, compute: str = "tasks"):
+    """pages Dataset → extracted-text Dataset (TEXT_SCHEMA + lang).
+
+    ``compute="tasks"`` (default): stateless ``map_batches`` tasks — the
+    extractor's state (compiled regexes, tag/operator tables) is
+    module-level, amortized per worker process at import, so Ray's
+    pre-started worker pool runs batches immediately with no pool
+    ramp-up. ``compute="actors"``: an explicit ``ExtractDispatch`` actor
+    pool — the shape to use when per-worker state must be constructed
+    (a learned boilerplate scorer, font caches); costs ~seconds of
+    actor startup per run.
+    """
+    ds = ds.map_batches(sniff_batch, batch_format="pyarrow")
+    if compute == "tasks":
+        dispatch = ExtractDispatch()
+        return ds.map_batches(
+            dispatch.__call__,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            num_cpus=num_cpus,
+        )
     if concurrency is None:
         import ray
 
@@ -111,7 +130,6 @@ def extract_pages(ds, *, concurrency=None, batch_size: int = DEFAULT_BATCH_SIZE,
         # and a short job saturates immediately.
         ncpu = int(ray.cluster_resources().get("CPU", 8))
         concurrency = max(2, int((ncpu - 2) / max(num_cpus, 0.25)))
-    ds = ds.map_batches(sniff_batch, batch_format="pyarrow")
     return ds.map_batches(
         ExtractDispatch,
         batch_format="pyarrow",
@@ -151,6 +169,62 @@ def dedup_pages_latest(ds, num_buckets: int = 64):
         .groupby("_bucket")
         .map_groups(dedup_bucket, batch_format="pandas")
     )
+
+
+def compute_latest_winners(pages_paths) -> dict:
+    """url → max warc_ts, from a PROJECTION-ONLY read of the input
+    (columns pruned at the scan: ~50 bytes/row instead of payloads).
+
+    Per-batch partial max (vectorized pandas groupby) → tiny partials →
+    final merge. The winner map for ~10^8 urls fits a broadcast; beyond
+    that, partition both the winner computation and the filter by
+    hash(url) buckets (same pattern, bucketed)."""
+    import pandas as pd
+    import ray.data as rd
+
+    proj = rd.read_parquet(pages_paths, columns=["url", "warc_ts"])
+
+    def partial_max(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("url", sort=False, as_index=False)["warc_ts"].max()
+
+    partials = proj.map_batches(partial_max, batch_format="pandas").to_pandas()
+    winners = partials.groupby("url", sort=False)["warc_ts"].max()
+    return winners.to_dict()
+
+
+def filter_latest(ds, winners_ref):
+    """Broadcast semi-join: keep a row iff its (url, warc_ts) is the
+    winner. Runs BEFORE extraction so stale duplicates are never parsed
+    — dedup costs a pruned scan + a per-batch dict probe instead of an
+    all-to-all shuffle of extracted text (which cost more than the
+    extraction itself at 80k docs)."""
+    def keep(b: pa.Table) -> pa.Table:
+        import ray
+
+        winners = ray.get(winners_ref) if not isinstance(winners_ref, dict) else winners_ref
+        urls = b["url"].to_pylist()
+        ts = b["warc_ts"].to_pylist()
+        mask = pa.array(
+            [winners.get(u) == t for u, t in zip(urls, ts)], pa.bool_()
+        )
+        # arrow-native filter: the payload column never leaves Arrow
+        # (a pandas filter here copied the full payload bytes per batch)
+        return b.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def extract_corpus_pipeline(pages_dir: str, *, override_num_blocks: int | None = None,
+                            batch_size: int = DEFAULT_BATCH_SIZE):
+    """The headline composition: prededup winners (broadcast semi-join)
+    → sniff → extract. No all-to-all anywhere."""
+    import ray
+    import ray.data as rd
+
+    winners_ref = ray.put(compute_latest_winners(pages_dir))
+    kwargs = {"override_num_blocks": override_num_blocks} if override_num_blocks else {}
+    ds = rd.read_parquet(pages_dir, **kwargs)
+    return extract_pages(filter_latest(ds, winners_ref), batch_size=batch_size)
 
 
 def _wave_metrics(wave_out_dir: str) -> dict[str, Any]:
@@ -209,9 +283,14 @@ def run_extract(
             raise RuntimeError(f"fault injection: stopping before wave {wave_idx}")
         t0 = time.perf_counter()
         ds = rd.read_parquet(wave_files)
-        ds = extract_pages(ds, concurrency=concurrency, batch_size=batch_size)
         if dedup:
-            ds = dedup_pages_latest(ds)
+            import ray
+
+            # prededup: winners from a pruned (url, warc_ts) scan of the
+            # wave, broadcast semi-join BEFORE extraction
+            winners_ref = ray.put(compute_latest_winners(wave_files))
+            ds = filter_latest(ds, winners_ref)
+        ds = extract_pages(ds, concurrency=concurrency, batch_size=batch_size)
         wdir = mstate.wave_dir(out_dir, wave_idx)
         ds.write_parquet(wdir)
         metrics = _wave_metrics(wdir)

@@ -454,26 +454,20 @@ def extract_corpus(sf_dir: str):
     """Flagship: synthesized pages corpus (scaled by sf) → sniff →
     extract → dedup. Rows-only check; byte-identity is enforced by the
     pytest golden suite."""
-    import ray.data as rd
-
-    from .extract import dedup_pages_latest, extract_pages
+    from .extract import extract_corpus_pipeline
 
     pages_dir, _ = _corpus_dirs(sf_dir)
-    ds = rd.read_parquet(pages_dir)
-    out = dedup_pages_latest(extract_pages(ds))
+    out = extract_corpus_pipeline(pages_dir)
     return out.select_columns(["url", "doc_type", "n_pages", "parse_failure", "fallback"])
 
 
 def extract_records(sf_dir: str):
     """PDF/HTML → text → blocks → records (reference main.ts full path)."""
-    import ray.data as rd
-
     from ..stages.segment import records_batch, segment_batch
-    from .extract import dedup_pages_latest, extract_pages
+    from .extract import extract_corpus_pipeline
 
     pages_dir, _ = _corpus_dirs(sf_dir)
-    ds = rd.read_parquet(pages_dir)
-    text = dedup_pages_latest(extract_pages(ds))
+    text = extract_corpus_pipeline(pages_dir)
     blocks = text.map_batches(segment_batch, batch_format="pyarrow")
     return blocks.map_batches(records_batch, batch_format="pyarrow")
 
@@ -482,16 +476,13 @@ def block_quality(sf_dir: str):
     """Block end-marker total vs sum of parsed record importes — the
     quality aggregate the reference parses but never verifies
     (main.ts:94; SURVEY.md §2.5)."""
-    import ray.data as rd
-
     from ray.data.aggregate import Sum
 
     from ..stages.segment import records_batch, segment_batch
-    from .extract import dedup_pages_latest, extract_pages
+    from .extract import extract_corpus_pipeline
 
     pages_dir, _ = _corpus_dirs(sf_dir)
-    ds = rd.read_parquet(pages_dir)
-    text = dedup_pages_latest(extract_pages(ds))
+    text = extract_corpus_pipeline(pages_dir)
     blocks = text.map_batches(segment_batch, batch_format="pyarrow")
     records = blocks.map_batches(records_batch, batch_format="pyarrow")
     sums = records.groupby(["url", "block_idx"]).aggregate(

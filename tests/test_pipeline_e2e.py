@@ -95,3 +95,33 @@ def test_wave_resume(ray_session, tmp_path, corpus):
     # manifests metrics sum consistently
     assert summary["metrics"]["rows"] == len(out_urls)
     assert summary["metrics"]["parse_failures"] == 0
+
+
+def test_oversized_row_among_small(ray_session):
+    """A multi-MB PDF in a batch of small rows must extract correctly and
+    not fail the batch (size-skew path, SURVEY.md §4.2)."""
+    import random
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pdf_to_text_ray.fixtures.pdfgen import make_pdf
+
+    rng = random.Random(77)
+    big_pdf, big_expected, n_pages = make_pdf(
+        rng, n_pages=30, lines_per_page=1600, compress=False)
+    assert len(big_pdf) > 2_000_000  # genuinely oversized vs its peers
+    pages, golden = make_pages_table(30, seed=30)
+    big_row = pa.table({
+        "url": ["https://big.test/doc"],
+        "warc_ts": pa.array([pages["warc_ts"][0].as_py()], pa.timestamp("us")),
+        "html": pa.array([big_pdf], pa.binary()),
+        "text": pa.array([None], pa.string()),
+        "lang": ["en"],
+    })
+    all_pages = pa.concat_tables([pages, big_row])
+    out = extract_pages(rd.from_arrow(all_pages), batch_size=8).to_pandas()
+    big = out[out["url"] == "https://big.test/doc"].iloc[0]
+    assert big["text_extracted"] == big_expected
+    assert big["n_pages"] == n_pages
+    assert out["parse_failure"].sum() == 0
