@@ -373,6 +373,28 @@ ORDER BY n_chars DESC, doc_id LIMIT 20
 """
 
 
+def sample_hash_documents(sf_dir: str):
+    """Deterministic hash sampling (repeatable across runs/engines —
+    preferred over random_sample for resumable pipelines)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return ds.map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], pa.scalar(7)), pa.scalar(0))),
+        batch_format="pyarrow",
+    )
+
+
+SAMPLE_HASH_SQL = """
+SELECT doc_id, n_chars FROM documents WHERE doc_id % 8 = 0
+"""
+
+
+def sample_random_documents(sf_dir: str):
+    """Seeded Bernoulli sample (ds.random_sample) — rows-only check
+    (engine-specific RNG is not SQL-reproducible)."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    return ds.random_sample(0.2, seed=7)
+
+
 def lang_distribution(sf_dir: str):
     from ray.data.aggregate import Count
 
@@ -556,6 +578,8 @@ QUERIES = {
     "dedup_exact_docs": dedup_exact_docs,
     "top_docs_by_len": top_docs_by_len,
     "lang_distribution": lang_distribution,
+    "sample_hash_documents": sample_hash_documents,
+    "sample_random_documents": sample_random_documents,
     # embeddings
     "knn_cosine": knn_cosine,
     "neardup_embedding": neardup_embedding,
@@ -586,6 +610,7 @@ ORACLE_SQL = {
     "dedup_exact_docs": DEDUP_EXACT_SQL,
     "top_docs_by_len": TOP_DOCS_SQL,
     "lang_distribution": LANG_DIST_SQL,
+    "sample_hash_documents": SAMPLE_HASH_SQL,
     "knn_cosine": KNN_SQL,
     "neardup_embedding": NEARDUP_EMB_SQL,
 }

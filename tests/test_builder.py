@@ -1,0 +1,52 @@
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from pdf_to_text_ray.pipelines.builder import (
+    CompiledSegmenter,
+    SegmentConfig,
+    Stage,
+    build_pipeline,
+)
+from pdf_to_text_ray.stages.segment import extract_blocks, parse_block_records
+
+
+def test_default_config_matches_reference_segmenter():
+    seg = SegmentConfig().compile()
+    text = ("noise\nSucursal 7 - X\n8412345678905 2 24.95\n"
+            "* Total importe en la sucursal: 49.90\nSucursal 8 - Y\ntail")
+    assert seg.extract_blocks(text) == extract_blocks(text)
+    blk = seg.extract_blocks(text)[0]
+    assert seg.parse_records(blk) == parse_block_records(blk)
+
+
+def test_custom_markers():
+    cfg = SegmentConfig(start_marker="store", end_pattern=r"-- end of store --",
+                        record_pattern=r"^(\w+)\s+(\d+)\s+(\d+\.\d+)$")
+    seg = cfg.compile()
+    text = "Store A\nsku1 2 10.50\n-- END OF STORE --\nignored"
+    blocks = seg.extract_blocks(text)
+    assert len(blocks) == 1
+    assert seg.parse_records(blocks[0]) == [("A", "sku1", 2, 10.5)]
+
+
+def test_build_pipeline_chains_stages(ray_session):
+    import ray.data as rd
+
+    ds = rd.range(100).map_batches(
+        lambda t: pa.table({"x": t["id"]}), batch_format="pyarrow")
+    stages = [
+        Stage("double", lambda t: pa.table({"x": pc.multiply(t["x"], 2)})),
+        Stage("filter", lambda t: t.filter(pc.greater(t["x"], 100))),
+    ]
+    out = build_pipeline(ds, stages).to_pandas()
+    assert len(out) == 49 and out["x"].min() == 102
+
+
+def test_actor_stage_requires_concurrency():
+    class C:
+        def __call__(self, b):
+            return b
+
+    with pytest.raises(ValueError, match="concurrency"):
+        Stage("c", C).apply(None)
