@@ -291,6 +291,81 @@ FROM (
 """
 
 
+def join_orders_lineitem(sf_dir: str):
+    """Both-sides-large bucketed hash join (stages/joins.py): lineitem ⋈
+    orders on the order key — one bucket shuffle, vectorized per-bucket
+    merge."""
+    from ..stages.joins import bucketed_hash_join
+
+    li = _lineitem(sf_dir, ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"])
+    li = li.map_batches(
+        lambda t: pa.table({
+            "orderkey": t["l_orderkey"],
+            "l_linenumber": t["l_linenumber"],
+            "revenue": pa.array(round2(
+                pc.multiply(t["l_extendedprice"],
+                            pc.subtract(pa.scalar(1.0), t["l_discount"])).to_numpy(
+                                zero_copy_only=False)), pa.float64()),
+        }),
+        batch_format="pyarrow",
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]).map_batches(
+        lambda t: pa.table({"orderkey": t["o_orderkey"],
+                            "o_orderpriority": t["o_orderpriority"]}),
+        batch_format="pyarrow",
+    )
+    out = bucketed_hash_join(li, orders, on="orderkey")
+    return out.map_batches(
+        lambda b: b.astype({"orderkey": "int64", "l_linenumber": "int64"}),
+        batch_format="pandas",
+    )
+
+
+JOIN_ORDERS_LINEITEM_SQL = """
+SELECT l_orderkey AS orderkey, l_linenumber,
+       round(l_extendedprice * (1 - l_discount), 2) AS revenue,
+       o_orderpriority
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+"""
+
+
+def asof_prev_view(sf_dir: str):
+    """As-of join (stages/joins.py): for each 'purchase' event, the
+    latest prior 'view' event of the same user (backward, inner)."""
+    from ..stages.joins import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+    left = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "purchase")).select(
+            ["event_id", "user_id", "ts"]),
+        batch_format="pyarrow",
+    )
+    right = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "view")).select(
+            ["event_id", "user_id", "ts"]),
+        batch_format="pyarrow",
+    ).map_batches(
+        lambda b: b.rename(columns={"event_id": "prev_event_id"}),
+        batch_format="pandas",
+    )
+    out = asof_join(left, right, key="user_id", left_ts="ts", right_ts="ts",
+                    value_cols=["prev_event_id"])
+    return out.map_batches(
+        lambda b: b.dropna(subset=["prev_event_id"]).astype(
+            {"event_id": "int64", "user_id": "int64", "prev_event_id": "int64"}
+        )[["event_id", "user_id", "prev_event_id"]],
+        batch_format="pandas",
+    )
+
+
+ASOF_SQL = """
+SELECT l.event_id, l.user_id, r.event_id AS prev_event_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') r
+  ON l.user_id = r.user_id AND r.ts <= l.ts
+"""
+
+
 # ── text ops over documents ───────────────────────────────────────────
 
 def doc_token_stats(sf_dir: str):
@@ -572,6 +647,8 @@ QUERIES = {
     "events_running_sum": events_running_sum,
     "point_lookup_event": point_lookup_event,
     "sessionize_events": sessionize_events,
+    "join_orders_lineitem": join_orders_lineitem,
+    "asof_prev_view": asof_prev_view,
     # text
     "doc_token_stats": doc_token_stats,
     "doc_quality_filter": doc_quality_filter,
@@ -605,6 +682,8 @@ ORACLE_SQL = {
     "events_running_sum": RUNNING_SUM_SQL,
     "point_lookup_event": POINT_LOOKUP_SQL,
     "sessionize_events": SESSIONIZE_SQL,
+    "join_orders_lineitem": JOIN_ORDERS_LINEITEM_SQL,
+    "asof_prev_view": ASOF_SQL,
     "doc_token_stats": DOC_TOKEN_STATS_SQL,
     "doc_quality_filter": DOC_QUALITY_SQL,
     "dedup_exact_docs": DEDUP_EXACT_SQL,

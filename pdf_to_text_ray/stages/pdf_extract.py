@@ -46,6 +46,11 @@ class PdfError(Exception):
     pass
 
 
+class PdfEncryptedError(PdfError):
+    """Encrypted documents are unsupported (no decryption keys in a
+    batch pipeline); terminal — never falls back to salvage."""
+
+
 class Ref(NamedTuple):
     num: int
     gen: int
@@ -358,12 +363,16 @@ class PdfDocument:
         self.fallback = False
         try:
             self._load_xref()
+            if "Encrypt" in self.trailer:
+                raise PdfEncryptedError("encrypted PDF unsupported")
             if "Root" not in self.trailer:
                 raise PdfError("no /Root in trailer")
             # validate the catalog is actually reachable
             root = self.resolve(self.trailer["Root"])
             if not isinstance(root, dict) or "Pages" not in root:
                 raise PdfError("invalid catalog")
+        except PdfEncryptedError:
+            raise
         except PdfError:
             self._salvage()
 

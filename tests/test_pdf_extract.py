@@ -211,3 +211,14 @@ def test_broken_xref_with_objstm_salvage():
                                 use_objstm=True, broken=True)
     r = extract_pdf_text(pdf)
     assert r.fallback and r.text == expected
+
+
+def test_encrypted_pdf_rejected_not_salvaged():
+    rng = random.Random(950)
+    pdf, _, _ = make_pdf(rng, n_pages=1)
+    # splice an /Encrypt entry into the trailer dict
+    pdf2 = pdf.replace(b"trailer\n<< ", b"trailer\n<< /Encrypt 99 0 R ")
+    assert b"/Encrypt" in pdf2
+    from pdf_to_text_ray.stages.pdf_extract import PdfEncryptedError
+    with pytest.raises(PdfEncryptedError):
+        extract_pdf_text(pdf2)
