@@ -1,0 +1,123 @@
+"""Property/randomized tests (FIXTURES.md §4): round-trips must match by
+construction; arbitrary inputs must fail safely, never crash or hang."""
+
+import math
+import random
+
+from hypothesis import given, settings, strategies as st
+
+from pdf_to_text_ray.fixtures.htmlgen import make_html_page
+from pdf_to_text_ray.fixtures.pdfgen import make_pdf
+from pdf_to_text_ray.functions.scalars import (
+    parse_float_or_zero,
+    parse_int_or_zero,
+    to_fixed,
+)
+from pdf_to_text_ray.stages.html_extract import extract_html_text, parse_html
+from pdf_to_text_ray.stages.pdf_extract import PdfError, extract_pdf_text
+from pdf_to_text_ray.stages.reading_order import Run, page_text
+from pdf_to_text_ray.stages.segment import extract_blocks, parse_block_records
+
+
+# ── generator round-trips over the whole parameter space ─────────────
+
+@given(st.integers(0, 10_000), st.booleans(), st.booleans(),
+       st.sampled_from(["table", "stream", "stream_pred"]))
+@settings(max_examples=40, deadline=None)
+def test_pdf_roundtrip_property(seed, objstm, two_col, style):
+    rng = random.Random(seed)
+    pdf, expected, n = make_pdf(
+        rng, n_pages=rng.randrange(1, 4), xref_style=style,
+        use_objstm=objstm, two_column=two_col,
+        with_sucursal=rng.random() < 0.5)
+    r = extract_pdf_text(pdf)
+    assert r.text == expected and r.n_pages == n
+
+
+@given(st.integers(0, 10_000), st.booleans(), st.booleans(),
+       st.sampled_from(["en", "es", "de"]))
+@settings(max_examples=60, deadline=None)
+def test_html_roundtrip_property(seed, sucursal, malformed, lang):
+    rng = random.Random(seed)
+    html, expected = make_html_page(rng, lang=lang, with_sucursal=sucursal,
+                                    malformed=malformed)
+    assert extract_html_text(html.decode("utf-8")) == expected
+
+
+# ── fail-safe on arbitrary bytes ─────────────────────────────────────
+
+@given(st.binary(min_size=0, max_size=4096))
+@settings(max_examples=80, deadline=None)
+def test_pdf_fuzz_fails_safely(data):
+    try:
+        extract_pdf_text(b"%PDF-1.4\n" + data)
+    except PdfError:
+        pass  # safe failure is the contract
+
+
+@given(st.text(max_size=4096))
+@settings(max_examples=80, deadline=None)
+def test_html_fuzz_never_crashes(text):
+    out = extract_html_text(text)
+    assert isinstance(out, str)
+    parse_html(text)  # tree builder is total too
+
+
+# ── segmenter invariants ─────────────────────────────────────────────
+
+@given(st.lists(st.sampled_from([
+    "Sucursal 1 - A", "8412345678905 2 24.95", "random line",
+    "* Total importe en la sucursal: 74.85", "", "sUcursal 2",
+    "* TOTAL IMPORTE EN LA SUCURSAL: 3",
+]), max_size=40))
+@settings(max_examples=100, deadline=None)
+def test_segmenter_invariants(lines):
+    text = "\n".join(lines)
+    blocks = extract_blocks(text)
+    # every block starts with the case-insensitive marker
+    assert all(b.lower().startswith("sucursal") for b in blocks)
+    # block count == number of marker lines (each opens a block)
+    n_markers = sum(1 for ln in lines if ln.lower().startswith("sucursal"))
+    assert len(blocks) == n_markers
+    # records parse without error; quantities are ints, importes floats
+    for b in blocks:
+        for _, ean, qty, imp in parse_block_records(b):
+            assert ean.isdigit() and isinstance(qty, int) and isinstance(imp, float)
+
+
+# ── scalar coercions are total ───────────────────────────────────────
+
+@given(st.text(max_size=64))
+@settings(max_examples=150, deadline=None)
+def test_coercions_total(s):
+    assert isinstance(parse_int_or_zero(s), int)
+    assert isinstance(parse_float_or_zero(s), float)
+
+
+@given(st.floats(allow_nan=False, allow_infinity=False,
+                 min_value=-1e12, max_value=1e12))
+@settings(max_examples=200, deadline=None)
+def test_to_fixed_is_within_half_cent(x):
+    got = float(to_fixed(x, 2))
+    # tolerance: half a cent plus the float representation gap at |x|
+    assert abs(got - x) <= 0.005 + 4 * math.ulp(abs(x) + 1.0)
+
+
+# ── reading order invariants ─────────────────────────────────────────
+
+@given(st.lists(st.tuples(
+    st.floats(0, 600, allow_nan=False), st.floats(0, 760, allow_nan=False),
+    st.text(st.characters(codec="ascii", exclude_characters="\n\x00"),
+            min_size=1, max_size=12)),
+    max_size=25))
+@settings(max_examples=80, deadline=None)
+def test_page_text_conserves_runs(coords):
+    runs = [Run(x, y, t.strip()) for x, y, t in coords]
+    out = page_text(runs)
+    # every non-empty run text appears in the output
+    for r in runs:
+        if r.text:
+            assert r.text in out
+    # emission order never matters when positions are distinct
+    if len({(r.x, r.y) for r in runs}) == len(runs):
+        assert page_text(list(reversed(runs))) == out
