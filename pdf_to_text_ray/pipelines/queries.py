@@ -424,6 +424,64 @@ WHERE n_tokens >= 10 AND punct_ratio <= 0.2 AND avg_token_len >= 2.0
 """
 
 
+BPE_PATTERN = r"'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\r\n\f\v]+|[ \t\r\n\f\v]+"
+
+
+def doc_bpe_token_count(sf_dir: str):
+    """BPE-ish pre-tokenizer count (GPT-2-style split, RE2-compatible —
+    no lookahead — so the DuckDB oracle runs the identical pattern)."""
+    import re
+
+    rx = re.compile(BPE_PATTERN)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64"),
+            "n_bpe_tokens": [len(rx.findall(t or "")) for t in b["text"]],
+        }).astype({"n_bpe_tokens": "int64"})
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+BPE_COUNT_SQL = (
+    "SELECT doc_id, length(regexp_extract_all(coalesce(text,''), '"
+    + BPE_PATTERN.replace("'", "''")
+    + "'))::BIGINT AS n_bpe_tokens FROM documents"
+)
+
+
+def events_tumbling_agg(sf_dir: str):
+    """Tumbling 1-hour window aggregate over the events stream
+    (streaming-shaped op, SURVEY.md §2.8): bucket = floor(ts / 1h)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def bucketize(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "hour_bucket": (b["ts"].astype("int64") // 3_600_000_000).astype("int64"),
+            "value": b["value"],
+        })
+
+    out = (
+        ds.map_batches(bucketize, batch_format="pandas")
+        .groupby("hour_bucket")
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="total"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    out["total"] = round2(out["total"])
+    return out
+
+
+TUMBLING_SQL = """
+SELECT (epoch_us(ts) // 3600000000) AS hour_bucket, count(*) AS n,
+       round(sum(value), 2) AS total
+FROM events GROUP BY 1
+"""
+
+
 def dedup_exact_docs(sf_dir: str):
     from ..stages.dedup import exact_dedup
 
@@ -653,6 +711,8 @@ QUERIES = {
     "doc_token_stats": doc_token_stats,
     "doc_quality_filter": doc_quality_filter,
     "dedup_exact_docs": dedup_exact_docs,
+    "doc_bpe_token_count": doc_bpe_token_count,
+    "events_tumbling_agg": events_tumbling_agg,
     "top_docs_by_len": top_docs_by_len,
     "lang_distribution": lang_distribution,
     "sample_hash_documents": sample_hash_documents,
@@ -687,6 +747,8 @@ ORACLE_SQL = {
     "doc_token_stats": DOC_TOKEN_STATS_SQL,
     "doc_quality_filter": DOC_QUALITY_SQL,
     "dedup_exact_docs": DEDUP_EXACT_SQL,
+    "doc_bpe_token_count": BPE_COUNT_SQL,
+    "events_tumbling_agg": TUMBLING_SQL,
     "top_docs_by_len": TOP_DOCS_SQL,
     "lang_distribution": LANG_DIST_SQL,
     "sample_hash_documents": SAMPLE_HASH_SQL,
