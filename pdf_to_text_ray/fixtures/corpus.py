@@ -28,7 +28,7 @@ from ..schemas import DOC_TYPE_HTML, DOC_TYPE_PDF, DOC_TYPE_TEXT
 from .htmlgen import _WORDS, make_html_page, _sentence
 from .pdfgen import make_pdf
 
-GENERATOR_VERSION = 5  # bump to invalidate /tmp caches
+GENERATOR_VERSION = 6  # bump to invalidate /tmp caches
 _EPOCH_US = 1_600_000_000_000_000  # fixed base timestamp (µs)
 
 _LANGS = ["en", "es", "de", "zh", "fr"]
@@ -55,6 +55,8 @@ def make_page_row(i: int, seed: int, heavy: bool = False) -> tuple[dict, dict | 
             with_sucursal=rng.random() < 0.35,
             broken=broken,
             lines_per_page=rng.randrange(25, 45) if heavy else None,
+            font_variant=rng.choice(
+                ["standard"] * 7 + ["differences", "winansi", "tounicode"]),
         )
         page = {"url": url, "warc_ts": warc_ts, "html": pdf,
                 "text": None, "lang": lang}

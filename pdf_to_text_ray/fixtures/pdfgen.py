@@ -93,6 +93,12 @@ class _PageCompose:
         self.ops.append(b"[" + arr + b"] TJ")
         self._show(x, y, "".join(pieces))
 
+    def line_raw(self, x: float, y: float, raw_text: str, expected: str):
+        """Show raw latin-1 bytes whose decoded (font-mapped) text differs."""
+        self.ops.append(f"1 0 0 1 {x:.1f} {y:.1f} Tm".encode())
+        self.ops.append(b"(" + _esc(raw_text) + b") Tj")
+        self._show(x, y, expected)
+
     def line_quote(self, x: float, y: float, text: str):
         # aw ac (s) " — set word/char spacing, T*, show
         self.ops.append(f"{LEADING:.0f} TL".encode())
@@ -225,6 +231,36 @@ class _PdfBuilder:
         return bytes(out)
 
 
+def _font_objects(b: "_PdfBuilder", variant: str) -> tuple[int, list[tuple[str, str]]]:
+    """Build the /F1 font object for a variant. Returns (font_obj_num,
+    [(raw_latin1_text, expected_decoded_text)] extra test lines)."""
+    if variant == "differences":
+        font = b.add(
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            b"/Encoding << /Differences [ 128 /eacute /ntilde ] >> >>")
+        return font, [("caf\x80 ma\x81ana", "caf\xe9 ma\xf1ana")]
+    if variant == "winansi":
+        font = b.add(
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            b"/Encoding /WinAnsiEncoding >>")
+        return font, [("\x93quoted\x94 dash \x97 here", "“quoted” dash — here")]
+    if variant == "tounicode":
+        cmap = (
+            b"/CIDInit /ProcSet findresource begin\n"
+            b"begincmap\n"
+            b"2 beginbfchar\n<a4> <2192>\n<a5> <00650301>\nendbfchar\n"
+            b"1 beginbfrange\n<b0> <b2> <2460>\nendbfrange\n"
+            b"endcmap\nend\n"
+        )
+        tu = b.add_stream(b"", cmap, compress=True)
+        font = b.add(
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            b"/ToUnicode " + str(tu).encode() + b" 0 R >>")
+        return font, [("go \xa4 \xb0\xb1\xb2", "go → ①②③")]
+    font = b.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    return font, []
+
+
 def make_pdf(rng: random.Random, n_pages: int = 1, *,
              xref_style: str = "table",      # "table" | "stream" | "stream_pred"
              use_objstm: bool = False,
@@ -232,13 +268,14 @@ def make_pdf(rng: random.Random, n_pages: int = 1, *,
              broken: bool = False,
              two_column: bool = False,
              with_sucursal: bool = False,
-             lines_per_page: int | None = None) -> tuple[bytes, str, int]:
+             lines_per_page: int | None = None,
+             font_variant: str = "standard") -> tuple[bytes, str, int]:
     """Returns (pdf_bytes, expected_text, n_pages)."""
     b = _PdfBuilder()
     catalog = b.add(b"<< /Type /Catalog /Pages 2 0 R >>")
     assert catalog == 1
     pages_num = b.add(b"PLACEHOLDER")  # 2, patched below
-    font = b.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    font, font_lines = _font_objects(b, font_variant)
 
     page_nums: list[int] = []
     all_runs: list[list[Run]] = []
@@ -283,6 +320,12 @@ def make_pdf(rng: random.Random, n_pages: int = 1, *,
                     raw = rest[2].encode("latin-1") + b" \\(paren\\) \\\\slash \\101"
                     pc.ops.append(b"(" + raw + b") Tj")
                     pc._show(LEFT_X, y, rest[2] + " (paren) \\slash A")
+        if p == 0:
+            # font-variant test lines (absolute Tm placement, appended
+            # after the style block so Td-relative blocks start from the
+            # identity text matrix)
+            for k, (raw, expected) in enumerate(font_lines):
+                pc.line_raw(LEFT_X, 770.0 - 14 * k, raw, expected)
         all_runs.append(pc.runs)
         content = pc.content()
         if rng.random() < 0.25 and len(content) > 40:

@@ -23,10 +23,14 @@ Positioned runs go through the frozen reading-order spec in
 ``reading_order.py``; pages are joined with "\\n" (parity with
 main.ts:152-154).
 
-Known limitations (documented, fail-safe): no encryption, no CID/
-multi-byte fonts or ToUnicode CMaps (bytes decode as Latin-1, correct
-for the Standard/WinAnsi ASCII range), no ASCII85/LZW/DCT filters.
-Rows that hit these raise ``PdfError`` → ``parse_failure=True``.
+Simple-font decoding (spec §9.6.6, §9.10.3): Latin-1 base overridden by
+WinAnsiEncoding tables, /Differences glyph names (AGL subset), and
+ToUnicode CMaps (bfchar/bfrange, multi-code-unit targets).
+
+Known limitations (documented, fail-safe): no encryption (terminal
+PdfEncryptedError), no CID/multi-byte composite fonts, no
+ASCII85/LZW/DCT filters. Rows that hit these raise ``PdfError`` →
+``parse_failure=True``.
 """
 
 from __future__ import annotations
@@ -642,7 +646,7 @@ class PdfDocument:
         out: list[dict] = []
         seen: set[int] = set()
 
-        def walk(node_ref, depth: int):
+        def walk(node_ref, depth: int, inherited_res):
             if depth > MAX_PAGE_TREE_DEPTH or len(out) > MAX_PAGES:
                 raise PdfError("page tree too deep/large")
             if isinstance(node_ref, Ref):
@@ -652,16 +656,46 @@ class PdfDocument:
             node = self.resolve(node_ref)
             if not isinstance(node, dict):
                 return
+            res = node.get("Resources", inherited_res)  # spec §7.7.3.4 inheritance
             if "Kids" in node and str(node.get("Type", "Pages")) != "Page":
                 for kid in self.resolve(node["Kids"]) or []:
-                    walk(kid, depth + 1)
+                    walk(kid, depth + 1, res)
             else:
+                if "Resources" not in node and res is not None:
+                    node = dict(node)
+                    node["Resources"] = res
                 out.append(node)
 
-        walk(pages_ref, 0)
+        walk(pages_ref, 0, None)
         if not out:
             raise PdfError("no pages")
         return out
+
+    def page_fonts(self, page: dict) -> dict:
+        """Font-name → FontDecoder for a page's /Resources /Font dict
+        (decoders cached per font object)."""
+        fonts: dict[str, FontDecoder] = {}
+        try:
+            res = self.resolve(page.get("Resources"))
+            if not isinstance(res, dict):
+                return fonts
+            fdict = self.resolve(res.get("Font"))
+            if not isinstance(fdict, dict):
+                return fonts
+            for name, fref in fdict.items():
+                cache_key = ("font", fref.num) if isinstance(fref, Ref) else None
+                if cache_key is not None and cache_key in self.cache:
+                    fonts[name] = self.cache[cache_key]
+                    continue
+                fobj = self.resolve(fref)
+                if isinstance(fobj, dict):
+                    dec = build_font_decoder(self, fobj)
+                    fonts[name] = dec
+                    if cache_key is not None:
+                        self.cache[cache_key] = dec
+        except PdfError:
+            pass  # fonts are best-effort; Latin-1 fallback applies
+        return fonts
 
     def page_content(self, page: dict) -> bytes:
         contents = self.resolve(page.get("Contents"))
@@ -677,6 +711,158 @@ class PdfDocument:
                     parts.append(c.data())
             return b"\n".join(parts)
         return b""
+
+
+# ── simple-font decoding: encodings + ToUnicode CMaps ────────────────
+# (spec §9.6.6 simple-font encodings, §9.10.3 ToUnicode CMaps)
+
+# WinAnsiEncoding codes that differ from Latin-1 (0x80-0x9F block)
+_WINANSI_OVERRIDES = {
+    0x80: "€", 0x82: "‚", 0x83: "ƒ", 0x84: "„",
+    0x85: "…", 0x86: "†", 0x87: "‡", 0x88: "ˆ",
+    0x89: "‰", 0x8A: "Š", 0x8B: "‹", 0x8C: "Œ",
+    0x8E: "Ž", 0x91: "‘", 0x92: "’", 0x93: "“",
+    0x94: "”", 0x95: "•", 0x96: "–", 0x97: "—",
+    0x98: "˜", 0x99: "™", 0x9A: "š", 0x9B: "›",
+    0x9C: "œ", 0x9E: "ž", 0x9F: "Ÿ",
+}
+
+# Adobe Glyph List subset for /Differences arrays (public AGL)
+_AGL = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "underscore": "_",
+    "eacute": "é", "egrave": "è", "aacute": "á",
+    "agrave": "à", "iacute": "í", "oacute": "ó",
+    "uacute": "ú", "ntilde": "ñ", "ccedilla": "ç",
+    "adieresis": "ä", "odieresis": "ö", "udieresis": "ü",
+    "Eacute": "É", "Ntilde": "Ñ", "euro": "€",
+    "quotedblleft": "“", "quotedblright": "”",
+    "quoteleft": "‘", "quoteright": "’", "bullet": "•",
+    "endash": "–", "emdash": "—", "degree": "°",
+}
+for _i in range(10):
+    _AGL[["zero", "one", "two", "three", "four", "five", "six", "seven",
+          "eight", "nine"][_i]] = str(_i)
+for _c in "abcdefghijklmnopqrstuvwxyz":
+    _AGL[_c] = _c
+    _AGL[_c.upper()] = _c.upper()
+
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.DOTALL)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.DOTALL)
+_HEXPAIR_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
+
+
+def _hex_to_unicode(h: bytes) -> str:
+    """CMap destination hex → unicode string (UTF-16BE code units)."""
+    raw = bytes.fromhex(h.decode("ascii"))
+    if len(raw) % 2:
+        raw = b"\x00" + raw
+    return raw.decode("utf-16-be", errors="replace")
+
+
+def parse_tounicode_cmap(data: bytes) -> dict[int, str]:
+    """Parse bfchar/bfrange sections of a ToUnicode CMap (spec §9.10.3).
+    Simple (1-2 byte) source codes; returns code → unicode string."""
+    out: dict[int, str] = {}
+    for seg in _BFCHAR_RE.findall(data):
+        hexes = _HEXPAIR_RE.findall(seg)
+        for src, dst in zip(hexes[0::2], hexes[1::2]):
+            out[int(src, 16)] = _hex_to_unicode(dst)
+    for seg in _BFRANGE_RE.findall(data):
+        # two forms: <lo> <hi> <dst>  |  <lo> <hi> [<d0> <d1> ...]
+        lx = Lexer(seg)
+        vals = []
+        while True:
+            t = lx.next()
+            if t is None:
+                break
+            vals.append(t)
+        i = 0
+        while i + 2 < len(vals):
+            lo_t, hi_t = vals[i], vals[i + 1]
+            if lo_t.kind != "str" or hi_t.kind != "str":
+                i += 1
+                continue
+            lo = int.from_bytes(lo_t.value, "big")
+            hi = int.from_bytes(hi_t.value, "big")
+            nxt = vals[i + 2]
+            if nxt.kind == "str":
+                base = nxt.value
+                base_cp = int.from_bytes(base, "big")
+                width = len(base)
+                for k in range(hi - lo + 1):
+                    out[lo + k] = _hex_to_unicode(
+                        f"{base_cp + k:0{width * 2}x}".encode())
+                i += 3
+            elif nxt.kind == "aopen":
+                j = i + 3
+                k = 0
+                while j < len(vals) and vals[j].kind != "aclose":
+                    if vals[j].kind == "str":
+                        out[lo + k] = _hex_to_unicode(
+                            vals[j].value.hex().encode())
+                        k += 1
+                    j += 1
+                i = j + 1
+            else:
+                i += 1
+    return out
+
+
+class FontDecoder:
+    """byte string → text for one simple font: Latin-1 base, overridden
+    by WinAnsi table / /Differences glyph names / ToUnicode CMap
+    (highest precedence)."""
+
+    __slots__ = ("trans",)
+
+    def __init__(self, overrides: dict[int, str] | None = None):
+        self.trans = dict(overrides) if overrides else None
+
+    def decode(self, raw: bytes) -> str:
+        s = raw.decode("latin-1")
+        if self.trans:
+            return s.translate(self.trans)
+        return s
+
+
+_LATIN1_DECODER = FontDecoder()
+
+
+def build_font_decoder(doc: "PdfDocument", font: dict) -> FontDecoder:
+    overrides: dict[int, str] = {}
+    enc = doc.resolve(font.get("Encoding"))
+    base = None
+    diffs = None
+    if isinstance(enc, str):
+        base = enc
+    elif isinstance(enc, dict):
+        base = str(doc.resolve(enc.get("BaseEncoding")) or "")
+        diffs = doc.resolve(enc.get("Differences"))
+    if base == "WinAnsiEncoding":
+        overrides.update(_WINANSI_OVERRIDES)
+    if isinstance(diffs, list):
+        code = 0
+        for item in diffs:
+            if isinstance(item, (int, float)):
+                code = int(item)
+            elif isinstance(item, str):  # a Name
+                ch = _AGL.get(item)
+                if ch is not None:
+                    overrides[code] = ch
+                code += 1
+    tu = doc.resolve(font.get("ToUnicode"))
+    if isinstance(tu, Stream):
+        try:
+            overrides.update(parse_tounicode_cmap(tu.data()))
+        except PdfError:
+            pass  # unparseable CMap: keep encoding-level mapping
+    return FontDecoder(overrides) if overrides else _LATIN1_DECODER
 
 
 # ── content-stream interpreter ────────────────────────────────────────
@@ -724,11 +910,13 @@ _CT_RE = re.compile(
 )
 
 
-def interpret_content(content: bytes) -> list[Run]:
+def interpret_content(content: bytes, fonts: dict | None = None) -> list[Run]:
     """Execute the text-relevant subset of the content stream, returning
     positioned runs. Unknown operators clear the operand stack (lenient,
-    spec-conformant for an extractor)."""
+    spec-conformant for an extractor). ``fonts`` maps resource font
+    names to FontDecoders (Tf switches the active decoder)."""
     stack: list[Any] = []
+    decoder = _LATIN1_DECODER
     runs: list[Run] = []
     tm = _ID
     tlm = _ID
@@ -743,7 +931,7 @@ def interpret_content(content: bytes) -> list[Run]:
         nonlocal tm
         if not isinstance(text_bytes, bytes):
             return
-        text = text_bytes.decode("latin-1")
+        text = decoder.decode(text_bytes)
         x = ctm[0] * tm[4] + ctm[2] * tm[5] + ctm[4]
         y = ctm[1] * tm[4] + ctm[3] * tm[5] + ctm[5]
         if text:
@@ -819,6 +1007,8 @@ def interpret_content(content: bytes) -> list[Run]:
             elif op == b"Tf":
                 if len(stack) >= 1 and isinstance(stack[-1], (int, float)):
                     size = float(stack[-1])
+                if fonts and len(stack) >= 2 and isinstance(stack[-2], str):
+                    decoder = fonts.get(stack[-2], _LATIN1_DECODER)
             elif op == b"Td":
                 tx, ty = float(stack[-2]), float(stack[-1])
                 tlm = _translate(tx, ty, tlm)
@@ -881,7 +1071,9 @@ def extract_pdf_text(data: bytes) -> PdfResult:
     """bytes → (text, n_pages, fallback). Raises PdfError on failure."""
     doc = PdfDocument(data)
     pages = doc.pages()
-    page_runs = [interpret_content(doc.page_content(p)) for p in pages]
+    page_runs = [
+        interpret_content(doc.page_content(p), doc.page_fonts(p)) for p in pages
+    ]
     return PdfResult(document_text(page_runs), len(pages), doc.fallback)
 
 

@@ -222,3 +222,24 @@ def test_encrypted_pdf_rejected_not_salvaged():
     from pdf_to_text_ray.stages.pdf_extract import PdfEncryptedError
     with pytest.raises(PdfEncryptedError):
         extract_pdf_text(pdf2)
+
+
+@pytest.mark.parametrize("variant,needle", [
+    ("differences", "caf\xe9 ma\xf1ana"),
+    ("winansi", "“quoted” dash — here"),
+    ("tounicode", "go → ①②③"),
+])
+def test_font_encoding_variants(variant, needle):
+    # /Differences glyph names, WinAnsiEncoding table, ToUnicode CMap
+    rng = random.Random(1000)
+    pdf, expected, _ = make_pdf(rng, n_pages=2, font_variant=variant)
+    r = extract_pdf_text(pdf)
+    assert needle in r.text
+    assert r.text == expected
+
+
+def test_font_variant_with_objstm_and_xref_stream():
+    rng = random.Random(1001)
+    pdf, expected, _ = make_pdf(rng, n_pages=1, font_variant="tounicode",
+                                xref_style="stream", use_objstm=True)
+    assert extract_pdf_text(pdf).text == expected
