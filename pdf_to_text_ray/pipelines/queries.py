@@ -684,6 +684,23 @@ def fingerprint_docs(sf_dir: str):
     )
 
 
+def ivf_cosine(sf_dir: str):
+    """IVF ANN (k-means-lite coarse quantizer, n_probe lists probed)."""
+    from ..stages.similarity import ivf_topk
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ivf_topk(ds, KNN_QUERY_IDS, k=10, n_lists=16, n_probe=6)
+
+
+def neardup_keep_docs(sf_dir: str):
+    """Full near-dup dedup: LSH pairs → connected components → one
+    kept doc per group."""
+    from ..stages.dedup import neardup_keep_set
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return neardup_keep_set(ds, threshold=0.7)
+
+
 def ann_lsh_cosine(sf_dir: str):
     from ..stages.similarity import ann_lsh_topk
 
@@ -729,6 +746,8 @@ QUERIES = {
     "langid_docs": langid_docs,
     "fingerprint_docs": fingerprint_docs,
     "ann_lsh_cosine": ann_lsh_cosine,
+    "ivf_cosine": ivf_cosine,
+    "neardup_keep_docs": neardup_keep_docs,
 }
 
 ORACLE_SQL = {

@@ -267,3 +267,44 @@ def simhash_neardup_pairs(ds, *, key_col: str = "doc_id", text_col: str = "text"
     )
     pdf = pairs.to_pandas().drop_duplicates()
     return pdf.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+# ── near-dup groups → canonical keep set ─────────────────────────────
+
+def connected_components(pairs: pd.DataFrame, a_col: str = "id_a",
+                         b_col: str = "id_b") -> dict:
+    """id → group-root (min id) via union-find on the candidate-pair
+    set. Driver-side is safe because LSH candidate pairs ≪ corpus
+    (ray_guide: union-find on the driver only when provably small); at
+    10^12 docs use a few rounds of min-label propagation with groupby
+    instead."""
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs[a_col], pairs[b_col]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra <= rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in set(pairs[a_col]) | set(pairs[b_col])}
+
+
+def neardup_keep_set(ds, *, key_col: str = "doc_id", text_col: str = "text",
+                     threshold: float = 0.7) -> pd.DataFrame:
+    """Full near-dup dedup: MinHash-LSH pairs → connected components →
+    keep min key per group (plus every unpaired doc). Returns
+    (doc_id, group_root, kept)."""
+    pairs = minhash_neardup_pairs(ds, key_col=key_col, text_col=text_col,
+                                  threshold=threshold)
+    roots = connected_components(pairs) if len(pairs) else {}
+    all_ids = ds.select_columns([key_col]).to_pandas()[key_col]
+    out = pd.DataFrame({key_col: all_ids.astype("int64")})
+    out["group_root"] = out[key_col].map(lambda x: roots.get(x, x)).astype("int64")
+    keep_of_group = out.groupby("group_root")[key_col].transform("min")
+    out["kept"] = out[key_col] == keep_of_group
+    return out.sort_values(key_col).reset_index(drop=True)

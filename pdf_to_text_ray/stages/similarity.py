@@ -204,3 +204,105 @@ def ann_lsh_topk(ds, query_ids: list[int], k: int = 10,
         pdf = pd.DataFrame({"query_id": [], id_col: [], "rank": []})
     pdf = pdf.astype({"query_id": "int64", id_col: "int64", "rank": "int64"})
     return pdf.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+# ── IVF (inverted-file) ANN: k-means-lite coarse quantizer ───────────
+
+_IVF_SEED = 4099
+
+
+def ivf_centroids(sample: np.ndarray, n_lists: int, n_iters: int = 10) -> np.ndarray:
+    """Seeded Lloyd's k-means over a (normalized) sample — the coarse
+    quantizer. Deterministic: fixed seed, fixed iteration count."""
+    rng = np.random.RandomState(_IVF_SEED)
+    sample = _normalize(sample)
+    idx = rng.choice(len(sample), size=min(n_lists, len(sample)), replace=False)
+    cents = sample[idx].copy()
+    for _ in range(n_iters):
+        assign = np.argmax(sample @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = sample[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cents[c] = v / n
+    return cents
+
+
+def ivf_topk(ds, query_ids: list[int], k: int = 10, *, n_lists: int = 16,
+             n_probe: int = 4, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> pd.DataFrame:
+    """IVF ANN: assign vectors to their nearest centroid list
+    (map_batches), queries probe the ``n_probe`` nearest lists, exact
+    search within probed lists. The scale path: the shuffle moves
+    (list_id, id, vec) and search touches n_probe/n_lists of the data.
+
+    Centroids are trained on a driver-side sample (bounded; at corpus
+    scale train on ``ds.random_sample``)."""
+    import ray
+
+    sample_pdf = ds.limit(20_000).to_pandas()
+    sample = np.stack([np.asarray(v, np.float64) for v in sample_pdf[vec_col]])
+    cents = ivf_centroids(sample, n_lists)
+    cents_ref = ray.put(cents)
+
+    def assign_lists(batch: pa.Table) -> pa.Table:
+        c = ray.get(cents_ref)
+        m = _normalize(list_column_to_matrix(batch[vec_col]))
+        lists = np.argmax(m @ c.T, axis=1).astype(np.int64)
+        return pa.table({
+            id_col: batch[id_col],
+            "list_id": pa.array(lists, pa.int64()),
+            vec_col: batch[vec_col],
+        })
+
+    assigned = ds.map_batches(assign_lists, batch_format="pyarrow")
+
+    # queries → probed lists
+    qset = set(query_ids)
+    q_pdf = sample_pdf[sample_pdf[id_col].isin(qset)]
+    if len(q_pdf) < len(qset):  # queries not in the sample: full fetch
+        q_pdf = ds.map_batches(
+            lambda b: b[b[id_col].isin(qset)], batch_format="pandas"
+        ).to_pandas()
+    probes: dict[int, set[int]] = {}
+    for _, row in q_pdf.iterrows():
+        qv = _normalize(np.asarray(row[vec_col], np.float64)[None, :])[0]
+        order = np.argsort(-(cents @ qv))[:n_probe]
+        probes[int(row[id_col])] = set(int(x) for x in order)
+    probes_ref = ray.put((probes, {int(r[id_col]): np.asarray(r[vec_col], np.float64)
+                                   for _, r in q_pdf.iterrows()}))
+
+    def search_batch(batch: pa.Table) -> pa.Table:
+        pr, qvecs = ray.get(probes_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        lists = batch["list_id"].to_numpy(zero_copy_only=False)
+        m = _normalize(list_column_to_matrix(batch[vec_col]))
+        out_q, out_v, out_s = [], [], []
+        for qid, probe_lists in pr.items():
+            mask = np.isin(lists, list(probe_lists)) & (ids != qid)
+            if not mask.any():
+                continue
+            qv = _normalize(qvecs[qid][None, :])[0]
+            sims = m[mask] @ qv
+            cand = ids[mask]
+            take = min(k, len(cand))
+            idx = np.argpartition(-sims, take - 1)[:take]
+            out_q.extend([qid] * take)
+            out_v.extend(cand[idx].tolist())
+            out_s.extend(sims[idx].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            id_col: pa.array(out_v, pa.int64()),
+            "sim": pa.array(out_s, pa.float64()),
+        })
+
+    partials = assigned.map_batches(search_batch, batch_format="pyarrow").to_pandas()
+    if partials.empty:
+        return pd.DataFrame({"query_id": [], id_col: [], "rank": []}).astype("int64")
+    partials = partials.sort_values(
+        ["query_id", "sim", id_col], ascending=[True, False, True], kind="mergesort")
+    out = partials.groupby("query_id", sort=True).head(k).copy()
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    return out[["query_id", id_col, "rank"]].reset_index(drop=True)

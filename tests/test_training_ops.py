@@ -226,3 +226,38 @@ def test_media_strict_mode_raises():
 def test_frame_sample_plan():
     assert frame_sample_plan(9500, 1000) == list(range(0, 9500, 1000))
     assert frame_sample_plan(0) == []
+
+
+def test_ivf_topk_recall_vs_bruteforce(ray_session):
+    import ray.data as rd
+
+    from pdf_to_text_ray.stages.similarity import ivf_topk
+
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+    queries = [0, 1, 2]
+    exact = knn_bruteforce(ds, queries, k=5)
+    approx = ivf_topk(ds, queries, k=5, n_lists=8, n_probe=4)
+    assert set(approx["query_id"]) == set(queries)
+    # probing half the lists should recover most exact neighbors
+    recall = len(set(map(tuple, approx[["query_id", "vec_id"]].values))
+                 & set(map(tuple, exact[["query_id", "vec_id"]].values))) / len(exact)
+    assert recall >= 0.5
+    # deterministic
+    approx2 = ivf_topk(ds, queries, k=5, n_lists=8, n_probe=4)
+    pd.testing.assert_frame_equal(approx, approx2)
+
+
+def test_connected_components_and_keep_set(dup_docs_ds):
+    from pdf_to_text_ray.stages.dedup import connected_components, neardup_keep_set
+
+    cc = connected_components(pd.DataFrame({"id_a": [1, 2, 5], "id_b": [2, 3, 6]}))
+    assert cc[1] == cc[2] == cc[3] == 1 and cc[5] == cc[6] == 5
+
+    out = neardup_keep_set(dup_docs_ds, threshold=0.5)
+    assert len(out) == 8
+    grouped = out[out["group_root"] == 0]
+    assert len(grouped) >= 2           # 0,1(,2,5) clustered
+    assert out[out["doc_id"] == 0]["kept"].item() is True or bool(out[out["doc_id"] == 0]["kept"].item())
+    assert not out[out["doc_id"] == 1]["kept"].item()  # dup of 0 dropped
+    kept = out[out["kept"]]
+    assert kept.groupby("group_root").size().max() == 1  # one winner per group
