@@ -244,27 +244,6 @@ def render_blocks(el: Element) -> list[str]:
     return blocks
 
 
-def _text_stats(el: Element) -> tuple[int, int]:
-    """(total_text_len, link_text_len) of a subtree after collapse,
-    pruned subtrees excluded."""
-    total = 0
-    linked = 0
-
-    def walk(node, in_link: bool):
-        nonlocal total, linked
-        for child in node.children:
-            if isinstance(child, str):
-                ln = len(_collapse(child))
-                total += ln
-                if in_link:
-                    linked += ln
-            elif child.tag not in PRUNE_TAGS:
-                walk(child, in_link or child.tag == "a")
-
-    walk(el, el.tag == "a")
-    return total, linked
-
-
 def _hint_boost(attrs: dict[str, str]) -> float:
     blob = (attrs.get("class", "") + " " + attrs.get("id", "")).strip()
     if not blob:
@@ -277,10 +256,36 @@ def _hint_boost(attrs: dict[str, str]) -> float:
     return boost
 
 
+def _subtree_stats(root: Element) -> dict[int, tuple[int, int]]:
+    """One post-order pass: id(el) → (text_len, link_text_len) for every
+    element (pruned subtrees excluded). Replaces per-candidate recursion
+    — scoring was O(candidates × nodes), now O(nodes)."""
+    stats: dict[int, tuple[int, int]] = {}
+
+    def walk(el: Element, in_link: bool) -> tuple[int, int]:
+        total = linked = 0
+        for child in el.children:
+            if isinstance(child, str):
+                ln = len(_collapse(child))
+                total += ln
+                if in_link:
+                    linked += ln
+            elif child.tag not in PRUNE_TAGS:
+                t, l = walk(child, in_link or child.tag == "a")
+                total += t
+                linked += l
+        stats[id(el)] = (total, linked)
+        return total, linked
+
+    walk(root, root.tag == "a")
+    return stats
+
+
 def select_main_content(root: Element) -> Element | None:
     """Best-scoring candidate container (document order wins ties)."""
     best: Element | None = None
     best_score = -1.0
+    stats = _subtree_stats(root)
 
     def walk(node):
         nonlocal best, best_score
@@ -290,7 +295,7 @@ def select_main_content(root: Element) -> Element | None:
             if child.tag in PRUNE_TAGS:
                 continue
             if child.tag in CANDIDATE_TAGS:
-                total, linked = _text_stats(child)
+                total, linked = stats.get(id(child), (0, 0))
                 if total > 0:
                     link_density = linked / total
                     score = (
