@@ -495,6 +495,49 @@ FROM documents GROUP BY md5(coalesce(text,''))
 """
 
 
+def frequent_lines(sf_dir: str):
+    """Corpus-wide line-frequency ranking (line-level dedup support,
+    CCNet-style): top 50 most frequent non-empty lines, deterministic
+    (n desc, line_hash asc)."""
+    from ..stages.analysis import line_frequencies
+
+    ds = _read(sf_dir, "documents", ["text"])
+    freq = line_frequencies(ds, min_count=1)
+    return freq.sort(["n", "line_hash"], descending=[True, False]).limit(50)
+
+
+FREQUENT_LINES_SQL = """
+SELECT md5(line) AS line_hash, count(*) AS n
+FROM (SELECT unnest(string_split(coalesce(text,''), chr(10))) AS line FROM documents)
+WHERE line <> '' GROUP BY 1
+ORDER BY n DESC, line_hash LIMIT 50
+"""
+
+
+def docs_line_deduped(sf_dir: str):
+    """Line-level cleaned docs (frequent lines removed) — rows-only."""
+    from ..stages.analysis import remove_frequent_lines
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = remove_frequent_lines(ds, min_count=3)
+    return out.map_batches(
+        lambda b: pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64"),
+            "n_chars_clean": b["text_clean"].str.len().astype("int64"),
+        }),
+        batch_format="pandas",
+    )
+
+
+def doc_compression_ratio(sf_dir: str):
+    """zlib compression-ratio quality signal — rows-only (no zlib in
+    SQL)."""
+    from ..stages.analysis import compression_ratio_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(compression_ratio_batch, batch_format="pandas")
+
+
 def top_docs_by_len(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
     return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(20)
@@ -730,6 +773,9 @@ QUERIES = {
     "dedup_exact_docs": dedup_exact_docs,
     "doc_bpe_token_count": doc_bpe_token_count,
     "events_tumbling_agg": events_tumbling_agg,
+    "frequent_lines": frequent_lines,
+    "docs_line_deduped": docs_line_deduped,
+    "doc_compression_ratio": doc_compression_ratio,
     "top_docs_by_len": top_docs_by_len,
     "lang_distribution": lang_distribution,
     "sample_hash_documents": sample_hash_documents,
@@ -768,6 +814,7 @@ ORACLE_SQL = {
     "dedup_exact_docs": DEDUP_EXACT_SQL,
     "doc_bpe_token_count": BPE_COUNT_SQL,
     "events_tumbling_agg": TUMBLING_SQL,
+    "frequent_lines": FREQUENT_LINES_SQL,
     "top_docs_by_len": TOP_DOCS_SQL,
     "lang_distribution": LANG_DIST_SQL,
     "sample_hash_documents": SAMPLE_HASH_SQL,

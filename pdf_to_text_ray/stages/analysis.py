@@ -159,3 +159,74 @@ def fingerprint_batch(batch: pd.DataFrame, text_col: str = "text",
     batch = batch.copy()
     batch[out_col] = [winnow_fingerprint(t or "") for t in batch[text_col].tolist()]
     return batch
+
+
+# ── corpus-level line dedup (CCNet-style boilerplate-line removal) ───
+
+def line_count_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Per-batch partial counts of non-empty lines (md5-hashed) — the
+    pre-aggregation half of corpus-level line-frequency counting."""
+    counts: dict[str, int] = {}
+    for text in batch[text_col].fillna(""):
+        for line in text.split("\n"):
+            if line:
+                h = hashlib.md5(line.encode("utf-8")).hexdigest()
+                counts[h] = counts.get(h, 0) + 1
+    return pd.DataFrame({"line_hash": list(counts), "n": list(counts.values())})
+
+
+def line_frequencies(ds, text_col: str = "text", min_count: int = 2):
+    """Corpus-wide line frequencies ≥ min_count: vectorized partial
+    counts per batch, then one small groupby-sum over (hash, n) partials
+    — the text itself never shuffles."""
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(
+        lambda b: line_count_batch(b, text_col), batch_format="pandas")
+    agg = partials.groupby("line_hash").aggregate(Sum("n", alias_name="n"))
+    return agg.map_batches(
+        lambda b: b[b["n"] >= min_count].astype({"n": "int64"}),
+        batch_format="pandas")
+
+
+def remove_frequent_lines(ds, *, text_col: str = "text", min_count: int = 3):
+    """CCNet-style cleaning: drop lines whose corpus frequency ≥
+    min_count (boilerplate/nav lines repeated across pages). The
+    frequent-line set is broadcast (ray.put); each batch filters its
+    docs' lines locally."""
+    import ray
+
+    freq = line_frequencies(ds, text_col, min_count).to_pandas()
+    frequent = set(freq["line_hash"]) if "line_hash" in freq.columns else set()
+    ref = ray.put(frequent)
+
+    def clean(b: pd.DataFrame) -> pd.DataFrame:
+        bad = ray.get(ref)
+        out = []
+        for text in b[text_col].fillna(""):
+            kept = [
+                ln for ln in text.split("\n")
+                if not ln or hashlib.md5(ln.encode("utf-8")).hexdigest() not in bad
+            ]
+            out.append("\n".join(kept))
+        b = b.copy()
+        b[text_col + "_clean"] = out
+        return b
+
+    return ds.map_batches(clean, batch_format="pandas")
+
+
+def compression_ratio_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """zlib compression ratio per doc — a standard repetitive-spam
+    signal (low ratio ⇒ highly repetitive content)."""
+    import zlib
+
+    ratios = []
+    for text in batch[text_col].fillna(""):
+        raw = text.encode("utf-8")
+        ratios.append(len(zlib.compress(raw, 6)) / max(len(raw), 1))
+    out = pd.DataFrame({"compression_ratio": ratios}, index=batch.index)
+    for c in batch.columns:
+        if c != text_col:
+            out.insert(0, c, batch[c])
+    return out

@@ -261,3 +261,37 @@ def test_connected_components_and_keep_set(dup_docs_ds):
     assert not out[out["doc_id"] == 1]["kept"].item()  # dup of 0 dropped
     kept = out[out["kept"]]
     assert kept.groupby("group_root").size().max() == 1  # one winner per group
+
+
+def test_line_dedup_removes_boilerplate(ray_session):
+    import ray.data as rd
+
+    from pdf_to_text_ray.stages.analysis import remove_frequent_lines
+
+    boiler = "ACCEPT COOKIES | HOME | ABOUT"
+    docs = pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            boiler + "\nunique article one body",
+            boiler + "\nanother different piece of writing",
+            boiler + "\nthird separate document text",
+            "no boilerplate in this one at all",
+        ],
+    })
+    out = remove_frequent_lines(rd.from_arrow(docs), min_count=3).to_pandas()
+    cleaned = dict(zip(out["doc_id"], out["text_clean"]))
+    assert boiler not in cleaned[1] and "unique article" in cleaned[1]
+    assert boiler not in cleaned[3] and "third separate" in cleaned[3]
+    assert cleaned[4] == "no boilerplate in this one at all"
+
+
+def test_compression_ratio_signal():
+    from pdf_to_text_ray.stages.analysis import compression_ratio_batch
+
+    b = pd.DataFrame({"doc_id": [1, 2], "text": [
+        "spam spam spam " * 100,
+        "the quick brown fox jumps over a lazy dog while thinking about parquet",
+    ]})
+    out = compression_ratio_batch(b)
+    assert out.loc[0, "compression_ratio"] < 0.1      # repetitive → tiny
+    assert out.loc[1, "compression_ratio"] > 0.5      # normal prose
