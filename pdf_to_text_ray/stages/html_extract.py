@@ -41,6 +41,7 @@ _ATTR_RE = re.compile(
 _WS_COLLAPSE_RE = re.compile(r"[ \t\r\n\f\v\xa0]+")
 
 RAWTEXT_TAGS = {"script", "style", "textarea", "title", "xmp", "noscript", "template"}
+_RAWTEXT_CLOSE = {t: re.compile(rf"</{t}\s*>", re.I) for t in RAWTEXT_TAGS}
 VOID_TAGS = {
     "area", "base", "br", "col", "embed", "hr", "img", "input",
     "link", "meta", "param", "source", "track", "wbr",
@@ -98,7 +99,9 @@ def _parse_attrs(s: str) -> dict[str, str]:
             val = ""
         elif val[:1] in "\"'" and val[:1] == val[-1:] and len(val) >= 2:
             val = val[1:-1]
-        attrs.setdefault(name, _htmlmod.unescape(val))
+        if "&" in val:
+            val = _htmlmod.unescape(val)
+        attrs.setdefault(name, val)
     return attrs
 
 
@@ -158,7 +161,7 @@ def tokenize(src: str):
         pos = i + 1 if i < n else n
         if tag in RAWTEXT_TAGS and not self_closing and pos < n:
             # rawtext: consume until the matching close tag
-            m2 = re.compile(rf"</{tag}\s*>", re.I).search(src, pos)
+            m2 = _RAWTEXT_CLOSE[tag].search(src, pos)
             raw_end = m2.start() if m2 else n
             yield ("rawtext", tag, src[pos:raw_end])
             yield ("end", tag)
@@ -173,7 +176,9 @@ def parse_html(src: str) -> Element:
     for ev in tokenize(src):
         kind = ev[0]
         if kind == "text":
-            txt = _htmlmod.unescape(ev[1])
+            txt = ev[1]
+            if "&" in txt:  # unescape only when an entity can exist
+                txt = _htmlmod.unescape(txt)
             if txt:
                 stack[-1].children.append(txt)
         elif kind == "rawtext":
