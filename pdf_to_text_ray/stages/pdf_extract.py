@@ -206,6 +206,187 @@ class Lexer:
         return None
 
 
+_OBJ_RE = re.compile(
+    rb"""[\x00\t\n\f\r ]+
+      |%[^\r\n]*
+      |(?P<num>[+-]?(?:\d+\.\d*|\.\d+|\d+))
+      |(?P<name>/[^\x00\t\n\f\r ()<>\[\]{}/%]*)
+      |(?P<sstr>\((?:[^()\\]*)\))
+      |(?P<lstr>\()
+      |(?P<dopen><<)
+      |(?P<dclose>>>)
+      |(?P<hexstr><[0-9A-Fa-f\x00\t\n\f\r ]*>)
+      |(?P<aopen>\[)
+      |(?P<aclose>\])
+      |(?P<kw>[^\x00\t\n\f\r ()<>\[\]{}/%]+)
+      |.
+    """,
+    re.VERBOSE | re.DOTALL,
+)
+
+
+def parse_object_at(data: bytes, pos: int) -> tuple[Any, int]:
+    """Single-pass iterative parser for ONE object value starting at
+    ``pos`` → (value, end_pos). Same grammar as parse_value but with no
+    per-token allocation (the object layer was ~40% of PDF parse time).
+    Indirect refs: two ints followed by the ``R`` keyword collapse on
+    the fly."""
+    n = len(data)
+    # container stack: list → plain list; dict under construction → list
+    # of alternating keys/values flattened at close
+    stack: list[tuple[str, list]] = []
+    current_kind = ""
+    current: list = []
+    result_holder: list = []
+
+    def emit(v) -> bool:
+        """Append a completed value; True when the top-level value is
+        done."""
+        if current_kind:
+            current.append(v)
+            return False
+        result_holder.append(v)
+        return True
+
+    while pos < n:
+        m = _OBJ_RE.match(data, pos)
+        if m is None:
+            pos += 1
+            continue
+        pos = m.end()
+        kind = m.lastgroup
+        if kind is None:
+            continue
+        if kind == "num":
+            s = m.group("num")
+            v = float(s) if b"." in s else int(s)
+            if current_kind:
+                current.append(v)
+            else:
+                result_holder.append(v)
+                # a bare top-level number may be "num gen R" — keep going
+                save = pos
+                m2 = _OBJ_RE.match(data, pos)
+                while m2 is not None and m2.lastgroup is None:
+                    pos = m2.end()
+                    m2 = _OBJ_RE.match(data, pos)
+                if (m2 is not None and m2.lastgroup == "num"
+                        and b"." not in m2.group("num")):
+                    pos2 = m2.end()
+                    m3 = _OBJ_RE.match(data, pos2)
+                    while m3 is not None and m3.lastgroup is None:
+                        pos2 = m3.end()
+                        m3 = _OBJ_RE.match(data, pos2)
+                    if m3 is not None and m3.lastgroup == "kw" and m3.group("kw") == b"R":
+                        return Ref(int(s), int(m2.group("num"))), m3.end()
+                return result_holder[0], save
+            continue
+        if kind == "name":
+            raw = m.group("name")[1:]
+            if b"#" in raw:
+                raw = _NAME_HEX_RE.sub(lambda g: bytes([int(g.group(1), 16)]), raw)
+            if emit(Name(raw.decode("latin-1"))):
+                return result_holder[0], pos
+            continue
+        if kind == "sstr":
+            if emit(m.group("sstr")[1:-1]):
+                return result_holder[0], pos
+            continue
+        if kind == "lstr":
+            lx = Lexer(data, pos)
+            v = lx._literal_string()
+            pos = lx.pos
+            if emit(v):
+                return result_holder[0], pos
+            continue
+        if kind == "hexstr":
+            h = _HEX_CLEAN.sub(b"", m.group("hexstr")[1:-1])
+            if len(h) % 2:
+                h += b"0"
+            if emit(bytes.fromhex(h.decode("ascii"))):
+                return result_holder[0], pos
+            continue
+        if kind == "aopen":
+            stack.append((current_kind, current))
+            current_kind, current = "a", []
+            continue
+        if kind == "dopen":
+            stack.append((current_kind, current))
+            current_kind, current = "d", []
+            continue
+        if kind in ("aclose", "dclose"):
+            if not stack:
+                raise PdfError("unbalanced container")
+            # collapse trailing "int int R" triples produced inline
+            items = _collapse_refs(current)
+            if kind == "dclose":
+                d: dict[str, Any] = {}
+                i = 0
+                while i + 1 < len(items):
+                    k = items[i]
+                    if isinstance(k, Name) or isinstance(k, str):
+                        d[str(k)] = items[i + 1]
+                        i += 2
+                    else:
+                        i += 1
+                v: Any = d
+            else:
+                v = items
+            current_kind, current = stack.pop()
+            if emit(v):
+                return result_holder[0], pos
+            continue
+        kw = m.group("kw")
+        if kw == b"R" and current_kind:
+            current.append(_R_MARK)
+            continue
+        if kw == b"true":
+            if emit(True):
+                return result_holder[0], pos
+            continue
+        if kw == b"false":
+            if emit(False):
+                return result_holder[0], pos
+            continue
+        if kw == b"null":
+            if emit(None):
+                return result_holder[0], pos
+            continue
+        raise PdfError(f"unexpected keyword {kw!r} in object")
+    raise PdfError("unexpected EOF in object")
+
+
+class _RMark:
+    __slots__ = ()
+
+
+_R_MARK = _RMark()
+
+
+def _collapse_refs(items: list) -> list:
+    """Fold [..., int, int, _R_MARK, ...] runs into Ref objects."""
+    if _R_MARK not in items:
+        return items
+    out: list = []
+    i = 0
+    n = len(items)
+    while i < n:
+        if (
+            i + 2 < n
+            and items[i + 2] is _R_MARK
+            and isinstance(items[i], int) and not isinstance(items[i], bool)
+            and isinstance(items[i + 1], int) and not isinstance(items[i + 1], bool)
+        ):
+            out.append(Ref(items[i], items[i + 1]))
+            i += 3
+        elif items[i] is _R_MARK:
+            i += 1  # stray R: drop
+        else:
+            out.append(items[i])
+            i += 1
+    return out
+
+
 def parse_value(lx: Lexer, tok: Token | None = None) -> Any:
     """Parse one PDF object value (dict/array/string/name/number/bool/
     null/indirect-reference)."""
@@ -581,14 +762,15 @@ class PdfDocument:
         if expect_num is not None and int(m.group(1)) != expect_num:
             raise PdfError(
                 f"xref points {expect_num} at object {m.group(1).decode()}")
-        lx = Lexer(data, m.end())
-        value = parse_value(lx)
+        value, end_pos = parse_object_at(data, m.end())
         # stream?
-        tok = lx.next()
-        if tok is not None and tok.kind == "kw" and tok.value == b"stream":
+        p0 = end_pos
+        while p0 < len(data) and data[p0] in _WS:
+            p0 += 1
+        if data[p0 : p0 + 6] == b"stream":
             if not isinstance(value, dict):
                 raise PdfError("stream without dict")
-            p = lx.pos
+            p = p0 + 6
             if data[p : p + 2] == b"\r\n":
                 p += 2
             elif data[p : p + 1] == b"\n":
@@ -633,7 +815,7 @@ class PdfDocument:
         if idx >= len(pairs):
             raise PdfError("ObjStm index out of range")
         off = first + pairs[idx][1]
-        return parse_value(Lexer(data, off))
+        return parse_object_at(data, off)[0]
 
     # -- page tree -----------------------------------------------------
     def pages(self) -> list[dict]:
