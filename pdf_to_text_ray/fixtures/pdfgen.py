@@ -358,3 +358,47 @@ def make_pdf(rng: random.Random, n_pages: int = 1, *,
         style = "stream"  # ObjStm requires an xref stream
     data = b.serialize(style, objstm_nums, broken)
     return data, document_text(all_runs), n_pages
+
+
+def make_incremental_pdf(rng: random.Random) -> tuple[bytes, str, int]:
+    """An incrementally-updated PDF (spec §7.5.6): a base single-page
+    document plus an appended update that REPLACES the page's content
+    stream and extends the xref with a /Prev chain. A correct reader
+    resolves the newest object (first xref section wins walking the
+    chain) — golden text is the UPDATED content."""
+    base_pdf, _, _ = make_pdf(rng, n_pages=1, compress=False)
+
+    # find the content-stream object of the single page: page obj /Contents N 0 R
+    import re as _re
+
+    m = _re.search(rb"/Contents (\d+) 0 R", base_pdf)
+    assert m, "generator invariant: single /Contents ref"
+    content_num = int(m.group(1))
+    startxref_old = base_pdf.rfind(b"startxref")
+    old_xref_off = int(base_pdf[startxref_old:].split()[1])
+
+    pc = _PageCompose()
+    new_lines = [_sentence(rng, _WORDS, rng.randrange(4, 8))[:-1] for _ in range(5)]
+    pc.lines_tm(LEFT_X, new_lines)
+    content = pc.content()
+
+    update = bytearray()
+    obj_off = len(base_pdf)
+    update += (
+        f"{content_num} 0 obj\n".encode()
+        + b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+        + content + b"\nendstream\nendobj\n"
+    )
+    xref_off = len(base_pdf) + len(update)
+    # size: reuse the base trailer's /Size
+    msize = _re.search(rb"/Size (\d+)", base_pdf)
+    size = int(msize.group(1)) if msize else content_num + 1
+    update += b"xref\n" + f"{content_num} 1\n".encode()
+    update += f"{obj_off:010d} 00000 n \n".encode()
+    update += (
+        b"trailer\n<< /Size " + str(size).encode()
+        + b" /Root 1 0 R /Prev " + str(old_xref_off).encode() + b" >>\n"
+        + b"startxref\n" + str(xref_off).encode() + b"\n%%EOF\n"
+    )
+    expected = document_text([pc.runs])
+    return base_pdf + bytes(update), expected, 1

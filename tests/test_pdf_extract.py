@@ -243,3 +243,16 @@ def test_font_variant_with_objstm_and_xref_stream():
     pdf, expected, _ = make_pdf(rng, n_pages=1, font_variant="tounicode",
                                 xref_style="stream", use_objstm=True)
     assert extract_pdf_text(pdf).text == expected
+
+
+def test_incremental_update_prev_chain():
+    # appended update replaces the page content; /Prev chain walked,
+    # newest xref section wins (spec §7.5.6)
+    from pdf_to_text_ray.fixtures.pdfgen import make_incremental_pdf
+
+    rng = random.Random(1100)
+    pdf, expected, _ = make_incremental_pdf(rng)
+    assert pdf.count(b"%%EOF") == 2  # genuinely incremental
+    r = extract_pdf_text(pdf)
+    assert r.text == expected
+    assert not r.fallback  # resolved via the xref chain, not salvage

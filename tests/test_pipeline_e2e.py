@@ -125,3 +125,25 @@ def test_oversized_row_among_small(ray_session):
     assert big["text_extracted"] == big_expected
     assert big["n_pages"] == n_pages
     assert out["parse_failure"].sum() == 0
+
+
+def test_actor_pool_mode_matches_task_mode(ray_session, corpus):
+    """extract_pages(compute='actors') must produce identical results to
+    the default task mode (the actor-pool path is the shape for
+    model-bearing extractors)."""
+    import ray.data as rd
+
+    pages, golden = corpus
+    small = pages.slice(0, 40)
+    tasks_out = (
+        extract_pages(rd.from_arrow(small), batch_size=16)
+        .to_pandas().sort_values(["url", "warc_ts"]).reset_index(drop=True)
+    )
+    actors_out = (
+        extract_pages(rd.from_arrow(small), batch_size=16, compute="actors",
+                      concurrency=2)
+        .to_pandas().sort_values(["url", "warc_ts"]).reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(tasks_out, actors_out)
