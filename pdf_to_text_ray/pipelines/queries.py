@@ -366,6 +366,94 @@ ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') r
 """
 
 
+def q3_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape: 3-table join composed from a broadcast semi-join
+    (customer segment filter) + bucketed hash join (orders ⋈ lineitem)
+    + grouped aggregate + top-k."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.joins import bucketed_hash_join
+
+    cutoff = pd.Timestamp("1996-01-01")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    building = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
+    bset_ref = ray.put(building)
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def sel_orders(t: pa.Table) -> pa.Table:
+        keys = set(ray.get(bset_ref))
+        mask = pa.array([
+            (ck in keys) and (od is not None and od < cutoff)
+            for ck, od in zip(t["o_custkey"].to_pylist(),
+                              t["o_orderdate"].to_pylist())
+        ], pa.bool_())
+        t = t.filter(mask)
+        return pa.table({"orderkey": t["o_orderkey"],
+                         "o_orderdate": t["o_orderdate"]})
+
+    orders_f = orders.map_batches(sel_orders, batch_format="pyarrow")
+    li = _lineitem(sf_dir, ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def sel_li(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["l_shipdate"], pa.scalar(cutoff)))
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"orderkey": t["l_orderkey"], "rev": rev})
+
+    li_f = li.map_batches(sel_li, batch_format="pyarrow")
+    joined = bucketed_hash_join(li_f, orders_f, on="orderkey")
+    agg = joined.groupby("orderkey").aggregate(Sum("rev", alias_name="revenue"))
+    out = agg.sort(["revenue", "orderkey"], descending=[True, False]).limit(10).to_pandas()
+    out["orderkey"] = out["orderkey"].astype("int64")
+    out["revenue"] = round2(out["revenue"])
+    return out
+
+
+Q3_SQL = """
+SELECT l_orderkey AS orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1996-01-01'
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+GROUP BY l_orderkey
+ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, l_orderkey LIMIT 10
+"""
+
+
+def q6_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 shape: pure filter + single scalar aggregate — partial
+    sums per batch, one tiny final reduce."""
+    ds = _lineitem(sf_dir, ["l_extendedprice", "l_discount", "l_quantity", "l_shipdate"])
+    lo, hi = pd.Timestamp("1995-01-01"), pd.Timestamp("1997-01-01")
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(
+                pc.and_(pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+                        pc.less(t["l_shipdate"], pa.scalar(hi))),
+                pc.and_(pc.greater_equal(t["l_discount"], pa.scalar(0.05)),
+                        pc.less(t["l_quantity"], pa.scalar(24.0))),
+            )
+        )
+        v = pc.sum(pc.multiply(t["l_extendedprice"], t["l_discount"])).as_py() or 0.0
+        return pa.table({"v": pa.array([v], pa.float64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({"promo_revenue": round2([partials["v"].sum()])})
+
+
+Q6_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS promo_revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_quantity < 24
+"""
+
+
 # ── text ops over documents ───────────────────────────────────────────
 
 def doc_token_stats(sf_dir: str):
@@ -767,6 +855,8 @@ QUERIES = {
     "sessionize_events": sessionize_events,
     "join_orders_lineitem": join_orders_lineitem,
     "asof_prev_view": asof_prev_view,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q6_forecast_revenue": q6_forecast_revenue,
     # text
     "doc_token_stats": doc_token_stats,
     "doc_quality_filter": doc_quality_filter,
@@ -809,6 +899,8 @@ ORACLE_SQL = {
     "sessionize_events": SESSIONIZE_SQL,
     "join_orders_lineitem": JOIN_ORDERS_LINEITEM_SQL,
     "asof_prev_view": ASOF_SQL,
+    "q3_shipping_priority": Q3_SQL,
+    "q6_forecast_revenue": Q6_SQL,
     "doc_token_stats": DOC_TOKEN_STATS_SQL,
     "doc_quality_filter": DOC_QUALITY_SQL,
     "dedup_exact_docs": DEDUP_EXACT_SQL,
