@@ -99,6 +99,16 @@ class _PageCompose:
         self.ops.append(b"(" + _esc(raw_text) + b") Tj")
         self._show(x, y, expected)
 
+    def line_hex(self, x: float, y: float, code_bytes: bytes, expected: str,
+                 font: str = "F2"):
+        """Show a hex string (2-byte CID codes for a Type0 font) —
+        switches to ``font`` for the show, then back to /F1."""
+        self.ops.append(f"/{font} 12 Tf".encode())
+        self.ops.append(f"1 0 0 1 {x:.1f} {y:.1f} Tm".encode())
+        self.ops.append(b"<" + code_bytes.hex().encode() + b"> Tj")
+        self.ops.append(b"/F1 12 Tf")
+        self._show(x, y, expected)
+
     def line_quote(self, x: float, y: float, text: str):
         # aw ac (s) " — set word/char spacing, T*, show
         self.ops.append(f"{LEADING:.0f} TL".encode())
@@ -238,12 +248,29 @@ def _font_objects(b: "_PdfBuilder", variant: str) -> tuple[int, list[tuple[str, 
         font = b.add(
             b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
             b"/Encoding << /Differences [ 128 /eacute /ntilde ] >> >>")
-        return font, [("caf\x80 ma\x81ana", "caf\xe9 ma\xf1ana")]
+        return font, [("raw", "caf\x80 ma\x81ana", "caf\xe9 ma\xf1ana")], {}
     if variant == "winansi":
         font = b.add(
             b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
             b"/Encoding /WinAnsiEncoding >>")
-        return font, [("\x93quoted\x94 dash \x97 here", "“quoted” dash — here")]
+        return font, [("raw", "\x93quoted\x94 dash \x97 here", "“quoted” dash — here")], {}
+    if variant == "cid":
+        # /F1 stays a simple font; /F2 is the composite Type0 font
+        # (Identity-H, 2-byte codes via ToUnicode)
+        cmap = (
+            b"begincmap\n"
+            b"1 beginbfrange\n<0020> <007e> <0020>\nendbfrange\n"
+            b"2 beginbfchar\n<4e2d> <4e2d>\n<6587> <6587>\nendbfchar\n"
+            b"endcmap\n"
+        )
+        tu = b.add_stream(b"", cmap, compress=True)
+        cid_font = b.add(
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /FakeCID "
+            b"/Encoding /Identity-H /ToUnicode " + str(tu).encode() + b" 0 R >>")
+        font = b.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+        text = "Cid Text 中文"
+        codes = b"".join(ord(c).to_bytes(2, "big") for c in text)
+        return font, [("hex", codes, text)], {"F2": cid_font}
     if variant == "tounicode":
         cmap = (
             b"/CIDInit /ProcSet findresource begin\n"
@@ -256,9 +283,9 @@ def _font_objects(b: "_PdfBuilder", variant: str) -> tuple[int, list[tuple[str, 
         font = b.add(
             b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
             b"/ToUnicode " + str(tu).encode() + b" 0 R >>")
-        return font, [("go \xa4 \xb0\xb1\xb2", "go → ①②③")]
+        return font, [("raw", "go \xa4 \xb0\xb1\xb2", "go → ①②③")], {}
     font = b.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
-    return font, []
+    return font, [], {}
 
 
 def make_pdf(rng: random.Random, n_pages: int = 1, *,
@@ -275,7 +302,7 @@ def make_pdf(rng: random.Random, n_pages: int = 1, *,
     catalog = b.add(b"<< /Type /Catalog /Pages 2 0 R >>")
     assert catalog == 1
     pages_num = b.add(b"PLACEHOLDER")  # 2, patched below
-    font, font_lines = _font_objects(b, font_variant)
+    font, font_lines, extra_fonts = _font_objects(b, font_variant)
 
     page_nums: list[int] = []
     all_runs: list[list[Run]] = []
@@ -324,8 +351,11 @@ def make_pdf(rng: random.Random, n_pages: int = 1, *,
             # font-variant test lines (absolute Tm placement, appended
             # after the style block so Td-relative blocks start from the
             # identity text matrix)
-            for k, (raw, expected) in enumerate(font_lines):
-                pc.line_raw(LEFT_X, 770.0 - 14 * k, raw, expected)
+            for k, (fkind, payload, expected) in enumerate(font_lines):
+                if fkind == "hex":
+                    pc.line_hex(LEFT_X, 770.0 - 14 * k, payload, expected)
+                else:
+                    pc.line_raw(LEFT_X, 770.0 - 14 * k, payload, expected)
         all_runs.append(pc.runs)
         content = pc.content()
         if rng.random() < 0.25 and len(content) > 40:
@@ -339,9 +369,12 @@ def make_pdf(rng: random.Random, n_pages: int = 1, *,
         else:
             s = b.add_stream(b"", content, compress if rng.random() < 0.8 else False)
             contents_ref = f"{s} 0 R".encode()
+        fonts_dict = b"/F1 " + str(font).encode() + b" 0 R"
+        for fname, fnum in extra_fonts.items():
+            fonts_dict += f" /{fname} {fnum} 0 R".encode()
         pg = b.add(
             b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-            b"/Resources << /Font << /F1 " + str(font).encode() + b" 0 R >> >> "
+            b"/Resources << /Font << " + fonts_dict + b" >> >> "
             b"/Contents " + contents_ref + b" >>"
         )
         page_nums.append(pg)

@@ -747,13 +747,32 @@ def extract_corpus(sf_dir: str):
     return out.select_columns(["url", "doc_type", "n_pages", "parse_failure", "fallback"])
 
 
-def extract_records(sf_dir: str):
-    """PDF/HTML → text → blocks → records (reference main.ts full path)."""
-    from ..stages.segment import records_batch, segment_batch
+def _ensure_extracted(sf_dir: str) -> str:
+    """Run the extraction once per sf and cache the output parquet —
+    downstream queries (records, block_quality) read the cache instead
+    of re-extracting the corpus."""
+    from ..fixtures.corpus import GENERATOR_VERSION
     from .extract import extract_corpus_pipeline
 
     pages_dir, _ = _corpus_dirs(sf_dir)
-    text = extract_corpus_pipeline(pages_dir)
+    key = f"v{GENERATOR_VERSION}_n{_corpus_rows_for(sf_dir)}"
+    out_dir = os.path.join("/tmp/ptt_extracted", key)
+    marker = os.path.join(out_dir, "_DONE")
+    if not os.path.exists(marker):
+        extract_corpus_pipeline(pages_dir).write_parquet(out_dir)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return out_dir
+
+
+def extract_records(sf_dir: str):
+    """PDF/HTML → text → blocks → records (reference main.ts full path)."""
+    import ray.data as rd
+
+    from ..stages.segment import records_batch, segment_batch
+
+    text = rd.read_parquet(_ensure_extracted(sf_dir),
+                           columns=["url", "text_extracted"])
     blocks = text.map_batches(segment_batch, batch_format="pyarrow")
     return blocks.map_batches(records_batch, batch_format="pyarrow")
 
@@ -762,13 +781,14 @@ def block_quality(sf_dir: str):
     """Block end-marker total vs sum of parsed record importes — the
     quality aggregate the reference parses but never verifies
     (main.ts:94; SURVEY.md §2.5)."""
+    import ray.data as rd
+
     from ray.data.aggregate import Sum
 
     from ..stages.segment import records_batch, segment_batch
-    from .extract import extract_corpus_pipeline
 
-    pages_dir, _ = _corpus_dirs(sf_dir)
-    text = extract_corpus_pipeline(pages_dir)
+    text = rd.read_parquet(_ensure_extracted(sf_dir),
+                           columns=["url", "text_extracted"])
     blocks = text.map_batches(segment_batch, batch_format="pyarrow")
     records = blocks.map_batches(records_batch, batch_format="pyarrow")
     sums = records.groupby(["url", "block_idx"]).aggregate(

@@ -27,8 +27,11 @@ Simple-font decoding (spec §9.6.6, §9.10.3): Latin-1 base overridden by
 WinAnsiEncoding tables, /Differences glyph names (AGL subset), and
 ToUnicode CMaps (bfchar/bfrange, multi-code-unit targets).
 
+Composite Type0 fonts with Identity-H/V encoding decode 2-byte codes
+through their ToUnicode CMap (spec §9.7.4).
+
 Known limitations (documented, fail-safe): no encryption (terminal
-PdfEncryptedError), no CID/multi-byte composite fonts, no
+PdfEncryptedError), no CID fonts with non-identity CMap encodings, no
 ASCII85/LZW/DCT filters. Rows that hit these raise ``PdfError`` →
 ``parse_failure=True``.
 """
@@ -997,16 +1000,30 @@ def parse_tounicode_cmap(data: bytes) -> dict[int, str]:
 
 
 class FontDecoder:
-    """byte string → text for one simple font: Latin-1 base, overridden
-    by WinAnsi table / /Differences glyph names / ToUnicode CMap
-    (highest precedence)."""
+    """byte string → text for one font.
 
-    __slots__ = ("trans",)
+    Simple (1-byte) fonts: Latin-1 base overridden by WinAnsi table /
+    /Differences glyph names / ToUnicode CMap (highest precedence).
+    Composite Type0 fonts with Identity-H/V encoding (spec §9.7.4):
+    2-byte big-endian codes mapped through the ToUnicode CMap
+    (U+FFFD for unmapped codes)."""
 
-    def __init__(self, overrides: dict[int, str] | None = None):
+    __slots__ = ("trans", "two_byte")
+
+    def __init__(self, overrides: dict[int, str] | None = None,
+                 two_byte: bool = False):
         self.trans = dict(overrides) if overrides else None
+        self.two_byte = two_byte
 
     def decode(self, raw: bytes) -> str:
+        if self.two_byte:
+            trans = self.trans or {}
+            if len(raw) % 2:
+                raw = raw[:-1]
+            return "".join(
+                trans.get(int.from_bytes(raw[i : i + 2], "big"), "�")
+                for i in range(0, len(raw), 2)
+            )
         s = raw.decode("latin-1")
         if self.trans:
             return s.translate(self.trans)
@@ -1026,6 +1043,8 @@ def build_font_decoder(doc: "PdfDocument", font: dict) -> FontDecoder:
     elif isinstance(enc, dict):
         base = str(doc.resolve(enc.get("BaseEncoding")) or "")
         diffs = doc.resolve(enc.get("Differences"))
+    subtype = str(doc.resolve(font.get("Subtype")) or "")
+    two_byte = subtype == "Type0" and str(base or "").startswith("Identity")
     if base == "WinAnsiEncoding":
         overrides.update(_WINANSI_OVERRIDES)
     if isinstance(diffs, list):
@@ -1044,6 +1063,8 @@ def build_font_decoder(doc: "PdfDocument", font: dict) -> FontDecoder:
             overrides.update(parse_tounicode_cmap(tu.data()))
         except PdfError:
             pass  # unparseable CMap: keep encoding-level mapping
+    if two_byte:
+        return FontDecoder(overrides, two_byte=True)
     return FontDecoder(overrides) if overrides else _LATIN1_DECODER
 
 

@@ -256,3 +256,12 @@ def test_incremental_update_prev_chain():
     r = extract_pdf_text(pdf)
     assert r.text == expected
     assert not r.fallback  # resolved via the xref chain, not salvage
+
+
+def test_cid_type0_identity_h():
+    # composite Type0 font, Identity-H: 2-byte codes through ToUnicode
+    rng = random.Random(1200)
+    pdf, expected, _ = make_pdf(rng, n_pages=1, font_variant="cid")
+    r = extract_pdf_text(pdf)
+    assert "Cid Text 中文" in r.text
+    assert r.text == expected
