@@ -110,10 +110,17 @@ def make_html_page(rng: random.Random, lang: str = "en",
         blocks_text.append(frag)
 
     if with_sucursal:
-        for line in (make_sucursal_block_lines(rng, terminated=rng.random() > 0.15,
-                                               mixed_case=rng.random() < 0.2)):
-            blocks_markup.append(f"<p>{_htmlmod.escape(line)}</p>")
-            blocks_text.append(line)
+        lines = make_sucursal_block_lines(rng, terminated=rng.random() > 0.15,
+                                          mixed_case=rng.random() < 0.2)
+        if rng.random() < 0.5:
+            # sales block as real preformatted text: <pre> preserves
+            # line structure (one block per line, pinned spec)
+            blocks_markup.append(
+                "<pre>" + "\n".join(_htmlmod.escape(l) for l in lines) + "</pre>")
+        else:
+            for line in lines:
+                blocks_markup.append(f"<p>{_htmlmod.escape(line)}</p>")
+        blocks_text.extend(lines)
 
     # 2) boilerplate (link-dense; must be stripped)
     nav_links = "".join(

@@ -39,6 +39,7 @@ _ATTR_RE = re.compile(
     r"""([^\s=/>]+)(?:\s*=\s*("[^"]*"|'[^']*'|[^\s>]*))?"""
 )
 _WS_COLLAPSE_RE = re.compile(r"[ \t\r\n\f\v\xa0]+")
+_HWS_COLLAPSE_RE = re.compile(r"[ \t\f\v\xa0]+")  # horizontal only (<pre>)
 
 RAWTEXT_TAGS = {"script", "style", "textarea", "title", "xmp", "noscript", "template"}
 _RAWTEXT_CLOSE = {t: re.compile(rf"</{t}\s*>", re.I) for t in RAWTEXT_TAGS}
@@ -230,6 +231,27 @@ def render_blocks(el: Element) -> list[str]:
             if text:
                 blocks.append(text)
 
+    def collect_text(node) -> str:
+        parts: list[str] = []
+        for child in node.children:
+            if isinstance(child, str):
+                parts.append(child)
+            elif child.tag == "br":
+                parts.append("\n")
+            elif child.tag not in PRUNE_TAGS:
+                parts.append(collect_text(child))
+        return "".join(parts)
+
+    def emit_pre(node):
+        # spec amendment: <pre> preserves line structure — each newline-
+        # separated line becomes its own block (horizontal whitespace
+        # still collapses within a line)
+        flush()
+        for line in collect_text(node).split("\n"):
+            text = _HWS_COLLAPSE_RE.sub(" ", line).strip()
+            if text:
+                blocks.append(text)
+
     def walk(node):
         for child in node.children:
             if isinstance(child, str):
@@ -237,7 +259,9 @@ def render_blocks(el: Element) -> list[str]:
                 continue
             if child.tag in PRUNE_TAGS:
                 continue
-            if child.tag in BLOCK_TAGS:
+            if child.tag == "pre":
+                emit_pre(child)
+            elif child.tag in BLOCK_TAGS:
                 flush()
                 walk(child)
                 flush()

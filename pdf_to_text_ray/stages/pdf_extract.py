@@ -486,6 +486,44 @@ def _png_predictor(data: bytes, columns: int, colors: int = 1, bpc: int = 8) -> 
     return bytes(out)
 
 
+def _ascii85_decode(data: bytes) -> bytes:
+    """ASCII85Decode (spec §7.4.3): base-85 groups, 'z' shorthand for
+    four zero bytes, '~>' EOD marker, whitespace ignored."""
+    import base64
+
+    s = _HEX_CLEAN.sub(b"", data)
+    if s.startswith(b"<~"):
+        s = s[2:]
+    end = s.find(b"~>")
+    if end != -1:
+        s = s[:end]
+    try:
+        return base64.a85decode(s, adobe=False)
+    except ValueError as e:
+        raise PdfError(f"ASCII85Decode failed: {e}") from e
+
+
+def _runlength_decode(data: bytes) -> bytes:
+    """RunLengthDecode (spec §7.4.5): length byte 0-127 → copy L+1
+    literal bytes; 129-255 → repeat next byte 257-L times; 128 → EOD."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        l = data[i]
+        if l == 128:
+            break
+        if l < 128:
+            out += data[i + 1 : i + 2 + l]
+            i += 2 + l
+        else:
+            if i + 1 >= n:
+                raise PdfError("truncated RunLength stream")
+            out += bytes([data[i + 1]]) * (257 - l)
+            i += 2
+    return bytes(out)
+
+
 def decode_stream(d: dict, raw: bytes, doc: "PdfDocument | None" = None) -> bytes:
     def res(v):
         return doc.resolve(v) if doc is not None else v
@@ -517,6 +555,10 @@ def decode_stream(d: dict, raw: bytes, doc: "PdfDocument | None" = None) -> byte
             if len(h) % 2:
                 h += b"0"
             data = bytes.fromhex(h.decode("ascii", errors="ignore"))
+        elif filt in ("ASCII85Decode", "A85"):
+            data = _ascii85_decode(data)
+        elif filt in ("RunLengthDecode", "RL"):
+            data = _runlength_decode(data)
         else:
             raise PdfError(f"unsupported filter {filt}")
         pred = res(parm.get("Predictor", 1)) if isinstance(parm, dict) else 1

@@ -92,3 +92,16 @@ def test_candidate_scoring_prefers_hinted_container():
     best = select_main_content(root)
     assert best is not None and best.attrs.get("class") == "post-content"
     assert "body text" in "\n".join(render_blocks(best))
+
+
+def test_pre_preserves_line_structure():
+    src = ("<body><article><p>intro text here</p>"
+           "<pre>Sucursal 1 - A\n8412345678905  2  24.95\n"
+           "* Total importe en la sucursal: 49.90</pre></article></body>")
+    out = extract_html_text(src)
+    assert out == ("intro text here\nSucursal 1 - A\n8412345678905 2 24.95\n"
+                   "* Total importe en la sucursal: 49.90")
+
+
+def test_pre_with_br_and_blank_lines():
+    assert extract_html_text("<body><pre>a\n\n  b<br>c</pre></body>") == "a\nb\nc"

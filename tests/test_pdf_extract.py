@@ -265,3 +265,21 @@ def test_cid_type0_identity_h():
     r = extract_pdf_text(pdf)
     assert "Cid Text 中文" in r.text
     assert r.text == expected
+
+
+def test_ascii85_and_runlength_filters():
+    import base64
+
+    from pdf_to_text_ray.stages.pdf_extract import _runlength_decode
+
+    payload = b"BT 1 0 0 1 50 700 Tm (a85 works) Tj ET"
+    enc = base64.a85encode(payload) + b"~>"
+    assert decode_stream({"Filter": Name("ASCII85Decode")}, enc) == payload
+    # RunLength: literal run + repeat run + EOD
+    rl = bytes([2]) + b"abc" + bytes([257 - 4]) + b"x" + bytes([128])
+    assert _runlength_decode(rl) == b"abc" + b"x" * 4
+    assert decode_stream({"Filter": Name("RunLengthDecode")}, rl) == b"abcxxxx"
+    # filter chains resolve in order
+    chained = decode_stream(
+        {"Filter": [Name("ASCII85Decode")]}, base64.a85encode(payload) + b"~>")
+    assert chained == payload
