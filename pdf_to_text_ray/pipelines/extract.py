@@ -51,16 +51,22 @@ class ExtractDispatch:
     """
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import gzip as _gzip
+
         doc_types = batch["doc_type"].to_pylist()
         payloads = batch["html"].to_pylist()
         texts = batch["text"].to_pylist() if "text" in batch.column_names else [None] * len(doc_types)
+        gzips = (batch["is_gzip"].to_pylist() if "is_gzip" in batch.column_names
+                 else [False] * len(doc_types))
 
         out_text: list[str] = []
         out_pages: list[int] = []
         out_fail: list[bool] = []
         out_fb: list[bool] = []
-        for dt, payload, text in zip(doc_types, payloads, texts):
+        for dt, payload, text, gz in zip(doc_types, payloads, texts, gzips):
             try:
+                if gz and payload:
+                    payload = _gzip.decompress(payload)
                 if dt == DOC_TYPE_PDF:
                     r = extract_pdf_text(payload)
                     out_text.append(r.text)

@@ -24,26 +24,52 @@ _HTML_HINT = re.compile(
 )
 
 
-def sniff_doc_type(payload: bytes | None) -> str:
+GZIP_MAGIC = b"\x1f\x8b"
+
+
+def _gunzip_head(payload: bytes, n: int = 2048) -> bytes:
+    """Decompress just enough of a gzip payload to sniff it."""
+    import zlib
+
+    try:
+        d = zlib.decompressobj(wbits=31)
+        return d.decompress(payload[: n * 4], n)
+    except zlib.error:
+        return b""
+
+
+def sniff_doc_type(payload: bytes | None) -> tuple[str, bool]:
+    """→ (doc_type, is_gzip). Gzipped payloads (Common-Crawl WARC
+    bodies are often stored compressed) are sniffed on a decompressed
+    prefix; the dispatch stage decompresses the full payload."""
     if not payload:
-        return DOC_TYPE_TEXT
+        return DOC_TYPE_TEXT, False
+    is_gzip = payload[:2] == GZIP_MAGIC
+    if is_gzip:
+        payload = _gunzip_head(payload)
+        if not payload:
+            return DOC_TYPE_TEXT, True
     if payload[:5] == b"%PDF-":
-        return DOC_TYPE_PDF
+        return DOC_TYPE_PDF, is_gzip
     head = payload[:1024].lower()
     if _HTML_HINT.search(head):
-        return DOC_TYPE_HTML
-    return DOC_TYPE_TEXT
+        return DOC_TYPE_HTML, is_gzip
+    return DOC_TYPE_TEXT, is_gzip
 
 
 def sniff_batch(batch: pa.Table, payload_col: str = "html") -> pa.Table:
     """Append doc_type + size_bucket. The per-row work touches only a
     1 KiB prefix slice (cheap vs payload size); payload bytes stay
     zero-copy in Arrow."""
-    prefixes = pc.binary_slice(batch[payload_col], 0, 1024).to_pylist()
-    doc_type = pa.array([sniff_doc_type(p) for p in prefixes], pa.string())
+    prefixes = pc.binary_slice(batch[payload_col], 0, 8192).to_pylist()
+    sniffed = [sniff_doc_type(p) for p in prefixes]
+    doc_type = pa.array([s_[0] for s_ in sniffed], pa.string())
+    is_gzip = pa.array([s_[1] for s_ in sniffed], pa.bool_())
     sizes = pc.binary_length(batch[payload_col]).to_numpy(zero_copy_only=False)
     sizes = np.where(np.isnan(sizes.astype("float64")), 0, sizes).astype("int64")
     bucket = np.where(sizes > 0, np.log2(np.maximum(sizes, 1)).astype("int32"), 0)
-    return batch.append_column("doc_type", doc_type).append_column(
-        "size_bucket", pa.array(bucket.astype("int32"), pa.int32())
+    return (
+        batch.append_column("doc_type", doc_type)
+        .append_column("is_gzip", is_gzip)
+        .append_column("size_bucket", pa.array(bucket.astype("int32"), pa.int32()))
     )

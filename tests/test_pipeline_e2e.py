@@ -147,3 +147,34 @@ def test_actor_pool_mode_matches_task_mode(ray_session, corpus):
     import pandas as pd
 
     pd.testing.assert_frame_equal(tasks_out, actors_out)
+
+
+def test_gzip_payloads_transparently_decompressed(ray_session):
+    """Common-Crawl-style gzipped payload bodies: sniffed on the
+    decompressed prefix, fully decompressed at extraction."""
+    import gzip
+    import random
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pdf_to_text_ray.fixtures.htmlgen import make_html_page
+    from pdf_to_text_ray.fixtures.pdfgen import make_pdf
+
+    rng = random.Random(60)
+    html, html_exp = make_html_page(rng)
+    pdf, pdf_exp, _ = make_pdf(rng, n_pages=2)
+    t = pa.table({
+        "url": ["https://gz-html.test/", "https://gz-pdf.test/", "https://gz-junk.test/"],
+        "warc_ts": pa.array([1, 2, 3], pa.timestamp("us")),
+        "html": pa.array([gzip.compress(html), gzip.compress(pdf), b"\x1f\x8b broken"],
+                         pa.binary()),
+        "text": pa.array([None, None, None], pa.string()),
+        "lang": ["en", "en", "en"],
+    })
+    out = extract_pages(rd.from_arrow(t), batch_size=4).to_pandas().set_index("url")
+    assert out.loc["https://gz-html.test/", "text_extracted"] == html_exp
+    assert out.loc["https://gz-pdf.test/", "text_extracted"] == pdf_exp
+    assert out.loc["https://gz-pdf.test/", "doc_type"] == "pdf"
+    # corrupt gzip fails safely as an empty text row, not a crash
+    assert out.loc["https://gz-junk.test/", "text_extracted"] == ""
