@@ -35,7 +35,7 @@ import pyarrow.compute as pc
 
 from ..schemas import DOC_TYPE_HTML, DOC_TYPE_PDF
 from ..stages.html_extract import extract_html_text
-from ..stages.pdf_extract import PdfError, extract_pdf_text
+from ..stages.pdf_extract import extract_pdf_text
 from ..stages.sniff import sniff_batch
 from ..state import manifest as mstate
 
