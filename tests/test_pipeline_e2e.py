@@ -178,3 +178,25 @@ def test_gzip_payloads_transparently_decompressed(ray_session):
     assert out.loc["https://gz-pdf.test/", "doc_type"] == "pdf"
     # corrupt gzip fails safely as an empty text row, not a crash
     assert out.loc["https://gz-junk.test/", "text_extracted"] == ""
+
+
+def test_meta_charset_redecode(ray_session):
+    """Legacy-encoded pages (meta charset) decode via the declared
+    charset when UTF-8 produces replacement characters."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    body = ('<html><head><meta charset="iso-8859-1"></head><body>'
+            '<article><p>' + "café résumé niño " * 30 + "</p></article>"
+            "</body></html>")
+    payload = body.encode("latin-1")  # NOT valid UTF-8 for é/ñ
+    t = pa.table({
+        "url": ["https://legacy.test/"],
+        "warc_ts": pa.array([1], pa.timestamp("us")),
+        "html": pa.array([payload], pa.binary()),
+        "text": pa.array([None], pa.string()),
+        "lang": ["fr"],
+    })
+    out = extract_pages(rd.from_arrow(t), batch_size=4).to_pandas()
+    assert "café résumé niño" in out.iloc[0]["text_extracted"]
+    assert "�" not in out.iloc[0]["text_extracted"]
