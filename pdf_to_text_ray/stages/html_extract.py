@@ -218,9 +218,16 @@ def _collapse(s: str) -> str:
     return _WS_COLLAPSE_RE.sub(" ", s).strip()
 
 
-def render_blocks(el: Element) -> list[str]:
+LINKY_MIN_LEN = 20
+LINKY_DENSITY = 0.6
+
+
+def render_blocks(el: Element, stats: dict | None = None) -> list[str]:
     """Emit collapsed block texts of a subtree in document order,
-    per the pinned spec. Prune non-content subtrees."""
+    per the pinned spec. Prune non-content subtrees; when ``stats``
+    (from _subtree_stats) is given, also prune link-dense block
+    children (link_density > 0.6 over ≥ 20 chars — readability-style
+    sub-candidate cleaning)."""
     blocks: list[str] = []
     buf: list[str] = []
 
@@ -252,6 +259,12 @@ def render_blocks(el: Element) -> list[str]:
             if text:
                 blocks.append(text)
 
+    def is_linky(child) -> bool:
+        if stats is None:
+            return False
+        total, linked = stats.get(id(child), (0, 0))
+        return total >= LINKY_MIN_LEN and linked / total > LINKY_DENSITY
+
     def walk(node):
         for child in node.children:
             if isinstance(child, str):
@@ -262,6 +275,8 @@ def render_blocks(el: Element) -> list[str]:
             if child.tag == "pre":
                 emit_pre(child)
             elif child.tag in BLOCK_TAGS:
+                if is_linky(child):
+                    continue
                 flush()
                 walk(child)
                 flush()
@@ -310,11 +325,12 @@ def _subtree_stats(root: Element) -> dict[int, tuple[int, int]]:
     return stats
 
 
-def select_main_content(root: Element) -> Element | None:
+def select_main_content(root: Element, stats: dict | None = None) -> Element | None:
     """Best-scoring candidate container (document order wins ties)."""
     best: Element | None = None
     best_score = -1.0
-    stats = _subtree_stats(root)
+    if stats is None:
+        stats = _subtree_stats(root)
 
     def walk(node):
         nonlocal best, best_score
@@ -342,13 +358,15 @@ def select_main_content(root: Element) -> Element | None:
 
 
 def extract_html_text(src: str) -> str:
-    """Full path: parse → select main content → render blocks → join.
+    """Full path: parse → select main content → prune link-dense
+    sub-blocks → render blocks → join.
 
     Falls back to the whole document's blocks when no candidate scores
     (e.g. a fragment with no container)."""
     root = parse_html(src)
-    target = select_main_content(root) or root
-    return "\n".join(render_blocks(target))
+    stats = _subtree_stats(root)
+    target = select_main_content(root, stats) or root
+    return "\n".join(render_blocks(target, stats))
 
 
 class HtmlExtractor:

@@ -105,3 +105,16 @@ def test_pre_preserves_line_structure():
 
 def test_pre_with_br_and_blank_lines():
     assert extract_html_text("<body><pre>a\n\n  b<br>c</pre></body>") == "a\nb\nc"
+
+
+def test_link_dense_sub_block_pruned_inside_main():
+    src = (
+        "<body><article><p>" + ("real content sentence here " * 10) + "</p>"
+        '<div class="related">'
+        + "".join(f'<a href="/{i}">related link number {i}</a> ' for i in range(8))
+        + "</div>"
+        "<p>closing paragraph of actual content</p></article></body>"
+    )
+    out = extract_html_text(src)
+    assert "real content" in out and "closing paragraph" in out
+    assert "related link" not in out  # link-dense block dropped
