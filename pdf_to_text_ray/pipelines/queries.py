@@ -570,6 +570,52 @@ FROM events GROUP BY 1
 """
 
 
+def events_sliding_agg(sf_dir: str):
+    """Sliding 3-hour trailing window over the events stream: per hour
+    bucket, count/sum of events in [bucket-2, bucket] (RANGE-frame
+    semantics — gaps in buckets matter, so the window is computed over
+    bucket VALUES, not adjacent rows)."""
+    out = events_tumbling_agg(sf_dir).sort_values("hour_bucket").reset_index(drop=True)
+    b = out["hour_bucket"].to_numpy()
+    n = out["n"].to_numpy()
+    lo = np.searchsorted(b, b - 2, side="left")
+    hi = np.arange(len(b)) + 1
+    csum_n = np.concatenate([[0], np.cumsum(n)])
+    return pd.DataFrame({
+        "hour_bucket": b,
+        "n_3h": (csum_n[hi] - csum_n[lo]).astype("int64"),
+    })
+
+
+SLIDING_SQL = """
+SELECT hour_bucket,
+       sum(n) OVER (ORDER BY hour_bucket
+                    RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)::BIGINT AS n_3h
+FROM (
+  SELECT (epoch_us(ts) // 3600000000) AS hour_bucket, count(*) AS n
+  FROM events GROUP BY 1
+)
+"""
+
+
+def doc_selfrepeat_ratio(sf_dir: str):
+    """Within-document repetition: 1 - distinct/total 20-gram hashes —
+    a self-repetition quality signal (rows-only; rolling-hash based)."""
+    from ..stages.analysis import kgram_hashes
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        ratios = []
+        for t in b["text"].fillna(""):
+            h = kgram_hashes(" ".join(t.lower().split()), 20)
+            ratios.append(1.0 - len(np.unique(h)) / max(len(h), 1))
+        return pd.DataFrame({"doc_id": b["doc_id"].astype("int64"),
+                             "selfrepeat_ratio": ratios})
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
 def dedup_exact_docs(sf_dir: str):
     from ..stages.dedup import exact_dedup
 
@@ -883,6 +929,8 @@ QUERIES = {
     "dedup_exact_docs": dedup_exact_docs,
     "doc_bpe_token_count": doc_bpe_token_count,
     "events_tumbling_agg": events_tumbling_agg,
+    "events_sliding_agg": events_sliding_agg,
+    "doc_selfrepeat_ratio": doc_selfrepeat_ratio,
     "frequent_lines": frequent_lines,
     "docs_line_deduped": docs_line_deduped,
     "doc_compression_ratio": doc_compression_ratio,
@@ -926,6 +974,7 @@ ORACLE_SQL = {
     "dedup_exact_docs": DEDUP_EXACT_SQL,
     "doc_bpe_token_count": BPE_COUNT_SQL,
     "events_tumbling_agg": TUMBLING_SQL,
+    "events_sliding_agg": SLIDING_SQL,
     "frequent_lines": FREQUENT_LINES_SQL,
     "top_docs_by_len": TOP_DOCS_SQL,
     "lang_distribution": LANG_DIST_SQL,
