@@ -598,6 +598,17 @@ FROM (
 """
 
 
+def approx_distinct_users(sf_dir: str):
+    """HLL approximate COUNT(DISTINCT user_id): one 4 KiB sketch per
+    batch, merged on the driver — the mergeable-sketch aggregation
+    shape (rows-only: the estimate is approximate by design; accuracy
+    asserted <5 percent in pytest)."""
+    from ..stages.sketches import approx_distinct
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    return pd.DataFrame({"approx_users": [int(round(approx_distinct(ds, "user_id")))]})
+
+
 def doc_selfrepeat_ratio(sf_dir: str):
     """Within-document repetition: 1 - distinct/total 20-gram hashes —
     a self-repetition quality signal (rows-only; rolling-hash based)."""
@@ -931,6 +942,7 @@ QUERIES = {
     "events_tumbling_agg": events_tumbling_agg,
     "events_sliding_agg": events_sliding_agg,
     "doc_selfrepeat_ratio": doc_selfrepeat_ratio,
+    "approx_distinct_users": approx_distinct_users,
     "frequent_lines": frequent_lines,
     "docs_line_deduped": docs_line_deduped,
     "doc_compression_ratio": doc_compression_ratio,

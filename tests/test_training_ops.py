@@ -295,3 +295,23 @@ def test_compression_ratio_signal():
     out = compression_ratio_batch(b)
     assert out.loc[0, "compression_ratio"] < 0.1      # repetitive → tiny
     assert out.loc[1, "compression_ratio"] > 0.5      # normal prose
+
+
+def test_hll_accuracy_and_merge(ray_session):
+    import ray.data as rd
+
+    from pdf_to_text_ray.stages.sketches import (
+        approx_distinct, hll_estimate, hll_merge, hll_sketch)
+
+    # direct: 10k distinct values within ~5%
+    vals = [f"user-{i}" for i in range(10_000)]
+    est = hll_estimate(hll_sketch(vals))
+    assert abs(est - 10_000) / 10_000 < 0.05
+    # merge associativity: union of halves == whole
+    a, b = hll_sketch(vals[:6000]), hll_sketch(vals[4000:])
+    assert abs(hll_estimate(hll_merge([a, b])) - est) / est < 0.01
+    # distributed path over the events table vs exact distinct users
+    ds = rd.read_parquet(f"{SF}/events.parquet", columns=["user_id"])
+    exact = len(set(ds.to_pandas()["user_id"]))
+    approx = approx_distinct(ds, "user_id")
+    assert abs(approx - exact) / max(exact, 1) < 0.1
