@@ -24,16 +24,23 @@ from ..functions.scalars import to_fixed
 from ..stages.segment import CSV_HEADERS
 
 
-def write_artifacts(text_ds, records_ds, out_dir: str) -> dict[str, str]:
+def write_artifacts(text_ds, records_ds, out_dir: str,
+                    partition_text_by: list[str] | None = None) -> dict[str, str]:
     """Write the three reference artifacts from the extracted-text and
-    records datasets. Returns the artifact directory map."""
+    records datasets. Returns the artifact directory map.
+
+    ``partition_text_by`` (e.g. ["doc_type"]) hive-partitions the text
+    artifact so downstream scans prune whole directories."""
     paths = {
         "text": os.path.join(out_dir, "text"),
         "records": os.path.join(out_dir, "records"),
         "records_json": os.path.join(out_dir, "records_json"),
         "records_csv": os.path.join(out_dir, "records_csv"),
     }
-    text_ds.write_parquet(paths["text"])
+    if partition_text_by:
+        text_ds.write_parquet(paths["text"], partition_cols=partition_text_by)
+    else:
+        text_ds.write_parquet(paths["text"])
     records_ds = records_ds.materialize()  # consumed by three sinks
     records_ds.write_parquet(paths["records"])
     records_ds.write_json(paths["records_json"])

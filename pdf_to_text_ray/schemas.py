@@ -71,3 +71,29 @@ GOLDEN_TEXT_SCHEMA = pa.schema(
         ("n_pages", pa.int32()),
     ]
 )
+
+
+def validate_schema(ds_or_table, expected: pa.Schema, *, subset: bool = True) -> None:
+    """Assert stage-boundary schema conformance: every expected column
+    present with the expected type. ``subset=True`` allows extra
+    columns (stages append; lineage columns travel through)."""
+    import ray.data
+
+    if isinstance(ds_or_table, ray.data.Dataset):
+        actual = ds_or_table.schema()
+        actual_map = dict(zip(actual.names, actual.types))
+    else:
+        actual_map = {f.name: f.type for f in ds_or_table.schema}
+    problems = []
+    for field in expected:
+        if field.name not in actual_map:
+            problems.append(f"missing column {field.name}")
+        elif actual_map[field.name] != field.type:
+            problems.append(
+                f"{field.name}: {actual_map[field.name]} != {field.type}")
+    if not subset:
+        extra = set(actual_map) - set(expected.names)
+        if extra:
+            problems.append(f"unexpected columns {sorted(extra)}")
+    if problems:
+        raise ValueError("schema mismatch: " + "; ".join(problems))

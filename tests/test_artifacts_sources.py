@@ -64,3 +64,37 @@ def test_artifacts_roundtrip_and_lookup(ray_session, tmp_path):
     assert len(hit) >= 1 and (hit["url"] == url).all()
     miss = lookup_artifact(out_dir, "https://nope.test/x", "text").to_pandas()
     assert len(miss) == 0
+
+
+def test_partitioned_text_artifact(ray_session, tmp_path):
+    import os
+
+    import ray.data as rd
+
+    pages, _ = make_pages_table(40, seed=17)
+    text = extract_pages(rd.from_arrow(pages), batch_size=16)
+    blocks = text.map_batches(segment_batch, batch_format="pyarrow")
+    records = blocks.map_batches(records_batch, batch_format="pyarrow")
+    out = str(tmp_path / "art2")
+    paths = write_artifacts(text, records, out, partition_text_by=["doc_type"])
+    parts = sorted(os.listdir(paths["text"]))
+    assert any(p.startswith("doc_type=") for p in parts)
+    # partition-pruned read touches only the html directory
+    html_only = rd.read_parquet(os.path.join(paths["text"], "doc_type=html"))
+    assert html_only.count() > 0
+
+
+def test_schema_validation(ray_session):
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from pdf_to_text_ray.schemas import TEXT_SCHEMA, validate_schema
+
+    import ray.data as rd
+
+    pages, _ = make_pages_table(20, seed=18)
+    out = extract_pages(rd.from_arrow(pages), batch_size=8)
+    validate_schema(out, TEXT_SCHEMA)  # lang column extra → allowed (subset)
+    bad = pa.table({"url": ["x"]})
+    with _pytest.raises(ValueError, match="missing column"):
+        validate_schema(bad, TEXT_SCHEMA)
