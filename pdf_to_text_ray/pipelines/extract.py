@@ -3,10 +3,11 @@
 Ray-Data-native restatement of the reference's POST /upload flow
 (src/main.ts:133-263) at corpus scale (SURVEY.md §3.4):
 
+    winners ← pruned (url, warc_ts) scan        [broadcast semi-join]
     read_parquet(pages)
-      → map_batches(sniff)                       [stateless tasks]
-      → map_batches(ExtractDispatch, actor pool) [PDF/HTML/text by row]
-      → dedup by url (keep max warc_ts)          [shuffle on url]
+      → filter_latest(winners)                   [dedup BEFORE parse]
+      → map_batches(sniff)  [+ gzip detection]   [stateless tasks]
+      → map_batches(ExtractDispatch)             [PDF/HTML/text by row]
       → write_parquet per wave + manifest        [resume unit]
 
 Design notes for 100 TB scale:
@@ -295,6 +296,7 @@ def run_extract(
     concurrency=None,
     batch_size: int = DEFAULT_BATCH_SIZE,
     fault_inject_after: int | None = None,
+    partition_output: int | None = None,
 ) -> dict[str, Any]:
     """Resumable wave-based run over every parquet file in ``in_dir``.
 
@@ -326,7 +328,21 @@ def run_extract(
             ds = filter_latest(ds, winners_ref)
         ds = extract_pages(ds, concurrency=concurrency, batch_size=batch_size)
         wdir = mstate.wave_dir(out_dir, wave_idx)
-        ds.write_parquet(wdir)
+        if partition_output:
+            import pandas as pd
+
+            def add_part(b: pd.DataFrame, n=partition_output) -> pd.DataFrame:
+                b = b.copy()
+                b["part_id"] = (
+                    pd.util.hash_array(b["url"].to_numpy(dtype=object)) % n
+                ).astype("int64")
+                return b
+
+            # stable output layout: part_id = hash(url) % P (SURVEY §4.2)
+            ds.map_batches(add_part, batch_format="pandas").write_parquet(
+                wdir, partition_cols=["part_id"])
+        else:
+            ds.write_parquet(wdir)
         metrics = _wave_metrics(wdir)
         elapsed = time.perf_counter() - t0
         metrics["wall_sec"] = round(elapsed, 3)

@@ -161,22 +161,77 @@ def lsh_bucket_batch(batch: pa.Table, id_col: str = "vec_id",
     })
 
 
+def _probe_buckets(qv: np.ndarray, planes: np.ndarray, n_probe: int) -> set[int]:
+    """Multiprobe: the query's own bucket plus buckets reached by
+    flipping the lowest-|margin| hyperplane bits (per Lv et al. 2007,
+    multi-probe LSH) — recovers neighbors that fall just across a
+    boundary without more tables."""
+    proj = qv @ planes
+    bits = (proj > 0).astype(np.int64)
+    base = int((bits * (1 << np.arange(len(proj)))).sum())
+    out = {base}
+    for bit in np.argsort(np.abs(proj))[: max(0, n_probe - 1)]:
+        out.add(base ^ (1 << int(bit)))
+    return out
+
+
 def ann_lsh_topk(ds, query_ids: list[int], k: int = 10,
                  id_col: str = "vec_id", vec_col: str = "embedding",
-                 n_bits: int = 12) -> pd.DataFrame:
-    """Approximate top-k: per-bucket exact search, query probes its own
-    bucket. Recall depends on bucket granularity (``n_bits`` vs corpus
+                 n_bits: int = 12, n_probe: int = 1) -> pd.DataFrame:
+    """Approximate top-k: per-bucket exact search; each query probes its
+    own bucket plus ``n_probe-1`` multiprobe buckets (lowest-margin bit
+    flips). Recall depends on bucket granularity (``n_bits`` vs corpus
     size — size buckets to ~1k-10k vectors at scale); compare against
     knn_bruteforce for recall measurements."""
+    import ray
+
     bucketed = ds.map_batches(
         lambda b: lsh_bucket_batch(b, id_col, vec_col, n_bits),
         batch_format="pyarrow")
     qset = set(query_ids)
 
+    # query → probed bucket set (broadcast); queries fetched via a
+    # pruned filter pass
+    q_pdf = ds.map_batches(
+        lambda b: b[b[id_col].isin(qset)], batch_format="pandas").to_pandas()
+    probes: dict[int, set[int]] = {}
+    for _, row in q_pdf.iterrows():
+        qv = _normalize(np.asarray(row[vec_col], np.float64)[None, :])[0]
+        planes = _hyperplanes(len(qv), n_bits)
+        probes[int(row[id_col])] = _probe_buckets(qv, planes, n_probe)
+    probes_ref = ray.put(probes)
+
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        qs = g[g[id_col].isin(qset)]
-        if len(qs) == 0:
-            return pd.DataFrame({"query_id": [], id_col: [], "rank": []})
+        pr = ray.get(probes_ref)
+        bucket_val = int(g["bucket"].iloc[0]) if len(g) else -1
+        probe_qids = [q for q, bs in pr.items() if bucket_val in bs]
+        qs = g[g[id_col].isin(qset)] if not probe_qids else None
+        # a query searches every bucket it probes, not only its own
+        if probe_qids:
+            qvecs = {int(r[id_col]): np.asarray(r[vec_col], np.float64)
+                     for _, r in q_pdf.iterrows() if int(r[id_col]) in probe_qids}
+            mat = _normalize(np.stack([np.asarray(v, np.float64) for v in g[vec_col]]))
+            ids = g[id_col].to_numpy()
+            out = []
+            for qid, qv_raw in sorted(qvecs.items()):
+                qv = _normalize(qv_raw[None, :])[0]
+                sims = mat @ qv
+                order = np.lexsort((ids, -sims))
+                cnt = 0
+                for idx in order:
+                    if ids[idx] == qid:
+                        continue
+                    cnt += 1
+                    out.append((qid, ids[idx], float(sims[idx])))
+                    if cnt >= k:
+                        break
+            return pd.DataFrame({
+                "query_id": [o[0] for o in out],
+                id_col: [o[1] for o in out],
+                "sim": [o[2] for o in out],
+            })
+        if qs is None or len(qs) == 0:
+            return pd.DataFrame({"query_id": [], id_col: [], "sim": []})
         mat = _normalize(np.stack([np.asarray(v, np.float64) for v in g[vec_col]]))
         ids = g[id_col].to_numpy()
         out = []
@@ -189,21 +244,29 @@ def ann_lsh_topk(ds, query_ids: list[int], k: int = 10,
                 if ids[idx] == qrow[id_col]:
                     continue
                 cnt += 1
-                out.append((qrow[id_col], ids[idx], cnt))
+                out.append((qrow[id_col], ids[idx], float(sims[idx])))
                 if cnt >= k:
                     break
         return pd.DataFrame({
             "query_id": [o[0] for o in out],
             id_col: [o[1] for o in out],
-            "rank": [o[2] for o in out],
+            "sim": [o[2] for o in out],
         })
 
     res = bucketed.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
     pdf = res.to_pandas()
     if pdf.empty:
-        pdf = pd.DataFrame({"query_id": [], id_col: [], "rank": []})
-    pdf = pdf.astype({"query_id": "int64", id_col: "int64", "rank": "int64"})
-    return pdf.sort_values(["query_id", "rank"]).reset_index(drop=True)
+        return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                             id_col: pd.Series([], dtype="int64"),
+                             "rank": pd.Series([], dtype="int64")})
+    # global re-rank across probed buckets (deterministic ties)
+    pdf = pdf.sort_values(["query_id", "sim", id_col],
+                          ascending=[True, False, True], kind="mergesort")
+    pdf = pdf.drop_duplicates(["query_id", id_col])
+    out = pdf.groupby("query_id", sort=True).head(k).copy()
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    out = out[["query_id", id_col, "rank"]].astype("int64")
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
 # ── IVF (inverted-file) ANN: k-means-lite coarse quantizer ───────────

@@ -200,3 +200,22 @@ def test_meta_charset_redecode(ray_session):
     out = extract_pages(rd.from_arrow(t), batch_size=4).to_pandas()
     assert "café résumé niño" in out.iloc[0]["text_extracted"]
     assert "�" not in out.iloc[0]["text_extracted"]
+
+
+def test_partitioned_wave_output(ray_session, tmp_path, corpus):
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    pages, golden = corpus
+    in_dir = str(tmp_path / "pin")
+    os.makedirs(in_dir)
+    pq.write_table(pages, os.path.join(in_dir, "part-0.parquet"))
+    out_dir = str(tmp_path / "pout")
+    run_extract(in_dir, out_dir, files_per_wave=1, partition_output=8)
+    wave0 = os.path.join(out_dir, "wave=00000")
+    parts = sorted(p for p in os.listdir(wave0) if p.startswith("part_id="))
+    assert len(parts) >= 4  # hash partitioning spread urls over dirs
+    urls = sorted(rd.read_parquet(wave0).to_pandas()["url"])
+    assert urls == sorted(golden["url"].to_pylist())

@@ -315,3 +315,21 @@ def test_hll_accuracy_and_merge(ray_session):
     exact = len(set(ds.to_pandas()["user_id"]))
     approx = approx_distinct(ds, "user_id")
     assert abs(approx - exact) / max(exact, 1) < 0.1
+
+
+def test_multiprobe_improves_recall(ray_session):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+    queries = [0, 1, 2, 3, 4]
+    exact = set(map(tuple, knn_bruteforce(ds, queries, k=5)[["query_id", "vec_id"]].values))
+
+    def recall(n_probe):
+        got = ann_lsh_topk(ds, queries, k=5, n_bits=4, n_probe=n_probe)
+        return len(set(map(tuple, got[["query_id", "vec_id"]].values)) & exact) / len(exact)
+
+    # n_bits=4 → 16 buckets on 500 vectors: 1 probe touches ~6% of the
+    # corpus, 8 probes ~50% — recall must grow with probes
+    r1, r8 = recall(1), recall(8)
+    assert r8 >= r1  # multiprobe can only widen the candidate set
+    assert r8 > 0.25
