@@ -399,13 +399,17 @@ def make_incremental_pdf(rng: random.Random) -> tuple[bytes, str, int]:
     stream and extends the xref with a /Prev chain. A correct reader
     resolves the newest object (first xref section wins walking the
     chain) — golden text is the UPDATED content."""
-    base_pdf, _, _ = make_pdf(rng, n_pages=1, compress=False)
-
-    # find the content-stream object of the single page: page obj /Contents N 0 R
+    # the update mechanism replaces ONE content stream object, so keep
+    # regenerating until the base page uses a single /Contents ref
+    # (make_pdf sometimes emits a /Contents array) — deterministic given rng
     import re as _re
 
-    m = _re.search(rb"/Contents (\d+) 0 R", base_pdf)
-    assert m, "generator invariant: single /Contents ref"
+    for _ in range(20):
+        base_pdf, _, _ = make_pdf(rng, n_pages=1, compress=False)
+        m = _re.search(rb"/Contents (\d+) 0 R(?! \d)", base_pdf)
+        if m and b"/Contents [" not in base_pdf:
+            break
+    assert m and b"/Contents [" not in base_pdf, "no single-ref base found"
     content_num = int(m.group(1))
     startxref_old = base_pdf.rfind(b"startxref")
     old_xref_off = int(base_pdf[startxref_old:].split()[1])
