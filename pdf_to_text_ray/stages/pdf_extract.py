@@ -1066,6 +1066,8 @@ class FontDecoder:
                 trans.get(int.from_bytes(raw[i : i + 2], "big"), "�")
                 for i in range(0, len(raw), 2)
             )
+        if raw[:2] == b"\xfe\xff":  # UTF-16BE BOM (PDF text strings, §7.9.2)
+            return raw[2:].decode("utf-16-be", errors="replace")
         s = raw.decode("latin-1")
         if self.trans:
             return s.translate(self.trans)

@@ -85,8 +85,13 @@ def _cluster_lines(runs: list[Run]) -> list[list[Run]]:
 
 
 def page_text(runs: list[Run]) -> str:
-    """Assemble one page's text from its positioned runs (frozen spec)."""
-    runs = [r for r in runs if r.text]
+    """Assemble one page's text from its positioned runs (frozen spec).
+    Runs with non-finite coordinates (degenerate matrices in malformed
+    content streams) are dropped — they cannot be ordered."""
+    import math
+
+    runs = [r for r in runs
+            if r.text and math.isfinite(r.x) and math.isfinite(r.y)]
     if not runs:
         return ""
     parts: list[str] = []

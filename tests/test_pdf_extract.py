@@ -283,3 +283,19 @@ def test_ascii85_and_runlength_filters():
     chained = decode_stream(
         {"Filter": [Name("ASCII85Decode")]}, base64.a85encode(payload) + b"~>")
     assert chained == payload
+
+
+def test_utf16be_text_string():
+    # BOM-prefixed UTF-16BE literal (PDF text-string encoding, §7.9.2)
+    payload = "﻿Unicode ✓ text".encode("utf-16-be")
+    content = b"BT 1 0 0 1 50 700 Tm <" + payload.hex().encode() + b"> Tj ET"
+    runs = interpret_content(content)
+    assert runs[0].text == "Unicode ✓ text"
+
+
+def test_nonfinite_coordinates_dropped():
+    from pdf_to_text_ray.stages.reading_order import Run, page_text
+
+    runs = [Run(50, 700, "keep"), Run(float("nan"), 700, "dropnan"),
+            Run(50, float("inf"), "dropinf")]
+    assert page_text(runs) == "keep"
