@@ -154,6 +154,27 @@ def extract_pages(ds, *, concurrency=None, batch_size: int = DEFAULT_BATCH_SIZE,
             batch_size=batch_size,
             num_cpus=num_cpus,
         )
+    if compute == "split-oversized":
+        # explicit size routing (SURVEY §4.2): payloads ≥ threshold go
+        # through a batch_size=1 path with extra memory reservation so
+        # one giant document cannot inflate a multi-row batch. Costs a
+        # second pass over the sniffed input (both branches re-execute
+        # the read) — use for payload-heavy corpora where that beats
+        # memory pressure; the default path relies on Ray block
+        # splitting instead.
+        threshold = 4 * 1024 * 1024
+        dispatch = ExtractDispatch()
+        small = ds.map_batches(
+            lambda t: t.filter(pc.less(pc.binary_length(t["html"]), threshold)),
+            batch_format="pyarrow",
+        ).map_batches(dispatch.__call__, batch_format="pyarrow",
+                      batch_size=batch_size, num_cpus=num_cpus)
+        big = ds.map_batches(
+            lambda t: t.filter(pc.greater_equal(pc.binary_length(t["html"]), threshold)),
+            batch_format="pyarrow",
+        ).map_batches(dispatch.__call__, batch_format="pyarrow",
+                      batch_size=1, num_cpus=max(num_cpus, 2.0))
+        return small.union(big)
     if concurrency is None:
         import ray
 

@@ -219,3 +219,34 @@ def test_partitioned_wave_output(ray_session, tmp_path, corpus):
     assert len(parts) >= 4  # hash partitioning spread urls over dirs
     urls = sorted(rd.read_parquet(wave0).to_pandas()["url"])
     assert urls == sorted(golden["url"].to_pylist())
+
+
+def test_split_oversized_routing_matches_default(ray_session):
+    """compute='split-oversized' routes >=4MB payloads through a
+    batch_size=1 path; results must equal the default path."""
+    import random
+
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pdf_to_text_ray.fixtures.pdfgen import make_pdf
+
+    rng = random.Random(88)
+    big_pdf, _, _ = make_pdf(rng, n_pages=55, lines_per_page=1600, compress=False)
+    assert len(big_pdf) > 4 * 1024 * 1024
+    pages, _ = make_pages_table(25, seed=44)
+    big_row = pa.table({
+        "url": ["https://big2.test/doc"],
+        "warc_ts": pa.array([pages["warc_ts"][0].as_py()], pa.timestamp("us")),
+        "html": pa.array([big_pdf], pa.binary()),
+        "text": pa.array([None], pa.string()),
+        "lang": ["en"],
+    })
+    all_pages = pa.concat_tables([pages, big_row])
+    default = (extract_pages(rd.from_arrow(all_pages), batch_size=8)
+               .to_pandas().sort_values(["url", "warc_ts"]).reset_index(drop=True))
+    routed = (extract_pages(rd.from_arrow(all_pages), batch_size=8,
+                            compute="split-oversized")
+              .to_pandas().sort_values(["url", "warc_ts"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(default, routed)
