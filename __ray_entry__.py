@@ -18,14 +18,11 @@ def entry() -> Any:
     """Flagship pipeline: synthesize a pages corpus scaled to sf0.001,
     run sniff → route → extract (PDF/HTML/text) → dedup; return the
     extracted-text Dataset."""
-    import ray.data as rd
-
     from pdf_to_text_ray.fixtures.corpus import ensure_pages_parquet
-    from pdf_to_text_ray.pipelines.extract import dedup_pages_latest, extract_pages
+    from pdf_to_text_ray.pipelines.extract import extract_corpus_pipeline
 
     pages_dir, _ = ensure_pages_parquet(n_rows=200, seed=42)
-    ds = rd.read_parquet(pages_dir)
-    return dedup_pages_latest(extract_pages(ds))
+    return extract_corpus_pipeline(pages_dir)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
