@@ -47,6 +47,8 @@ BLOCKS_SCHEMA = pa.schema(
         ("block_idx", pa.int32()),
         ("block_text", pa.string()),
         ("block_total", pa.float64()),   # parsed end-marker total; NaN if unterminated
+        ("block_start", pa.int64()),     # char span into text_extracted
+        ("block_end", pa.int64()),       # text_extracted[start:end] == block_text
     ]
 )
 

@@ -64,6 +64,39 @@ def extract_blocks(full_text: str) -> list[str]:
     return blocks
 
 
+def extract_blocks_with_spans(full_text: str) -> list[tuple[str, int, int]]:
+    """extract_blocks plus character spans: (block_text, start, end)
+    with the invariant ``full_text[start:end] == block_text`` — the
+    "extracted spans per document" contract (north rule)."""
+    out: list[tuple[str, int, int]] = []
+    current: list[str] = []
+    cur_start = 0
+    capturing = False
+    offset = 0
+    for line in full_text.split("\n"):
+        line_start = offset
+        offset += len(line) + 1  # + the newline
+        if line.lower().startswith("sucursal"):
+            if current:
+                blk = "\n".join(current)
+                out.append((blk, cur_start, cur_start + len(blk)))
+            current = [line]
+            cur_start = line_start
+            capturing = True
+            continue
+        if capturing:
+            current.append(line)
+            if _TOTAL_RE.search(line):
+                blk = "\n".join(current)
+                out.append((blk, cur_start, cur_start + len(blk)))
+                current = []
+                capturing = False
+    if capturing and current:
+        blk = "\n".join(current)
+        out.append((blk, cur_start, cur_start + len(blk)))
+    return out
+
+
 def block_total(block_text: str) -> float:
     """Parse the end-marker total (main.ts:94); NaN when unterminated."""
     m = _TOTAL_NUM_RE.search(block_text)
@@ -126,29 +159,36 @@ def records_to_csv(records: Iterable[tuple[str, str, int, float]]) -> str:
 # ──────────────────────────────────────────────────────────────────────
 
 def segment_batch(batch: pa.Table) -> pa.Table:
-    """Explode documents → blocks. Input needs columns (url,
-    text_extracted); output follows BLOCKS_SCHEMA ordering by
-    (url, block_idx) within the batch."""
+    """Explode documents → blocks with character spans. Input needs
+    columns (url, text_extracted); output follows BLOCKS_SCHEMA plus
+    (block_start, block_end) where
+    ``text_extracted[block_start:block_end] == block_text``."""
     urls: list[str] = []
     idxs: list[int] = []
     texts: list[str] = []
     totals: list[float] = []
+    starts: list[int] = []
+    ends: list[int] = []
     url_col = batch["url"].to_pylist()
     text_col = batch["text_extracted"].to_pylist()
     for url, text in zip(url_col, text_col):
         if not text:
             continue
-        for i, blk in enumerate(extract_blocks(text)):
+        for i, (blk, start, end) in enumerate(extract_blocks_with_spans(text)):
             urls.append(url)
             idxs.append(i)
             texts.append(blk)
             totals.append(block_total(blk))
+            starts.append(start)
+            ends.append(end)
     return pa.table(
         {
             "url": pa.array(urls, pa.string()),
             "block_idx": pa.array(idxs, pa.int32()),
             "block_text": pa.array(texts, pa.string()),
             "block_total": pa.array(np.asarray(totals, dtype=np.float64)),
+            "block_start": pa.array(starts, pa.int64()),
+            "block_end": pa.array(ends, pa.int64()),
         }
     )
 

@@ -94,3 +94,23 @@ def test_batch_explode():
     assert recs.num_rows == 4
     assert recs["record_idx"].to_pylist() == [0, 1, 0, 1]
     assert recs["cantidad"].to_pylist() == [2, 1, 2, 1]
+
+
+def test_block_spans_invariant():
+    from pdf_to_text_ray.stages.segment import extract_blocks_with_spans
+
+    text = "preamble\n" + BLOCK + "\nmid noise\n" + BLOCK.replace("0042", "0099")
+    spans = extract_blocks_with_spans(text)
+    assert [s[0] for s in spans] == extract_blocks(text)
+    for blk, start, end in spans:
+        assert text[start:end] == blk  # the span contract
+
+
+def test_segment_batch_spans():
+    t = pa.table({
+        "url": ["u1"],
+        "text_extracted": ["x\n" + BLOCK + "\ny"],
+    })
+    out = segment_batch(t)
+    s, e = out["block_start"][0].as_py(), out["block_end"][0].as_py()
+    assert t["text_extracted"][0].as_py()[s:e] == out["block_text"][0].as_py()
