@@ -332,6 +332,17 @@ def run_extract(
         raise ValueError(f"no parquet files in {in_dir}")
     waves = [files[i : i + files_per_wave] for i in range(0, len(files), files_per_wave)]
     done = mstate.completed_waves(out_dir)
+    winners_ref = None
+    if dedup:
+        import ray
+
+        # GLOBAL prededup: winners from a pruned (url, warc_ts) scan of
+        # ALL input files (not per wave — a per-wave map would let
+        # duplicate urls spanning wave boundaries survive). The scan
+        # touches two small columns; the winner arrays broadcast once
+        # and every wave's semi-join filter reuses them. At ~10^9+ urls,
+        # bucket the winner computation and filter by hash(url).
+        winners_ref = ray.put(compute_latest_winners(files))
     ran = 0
     for wave_idx, wave_files in enumerate(waves):
         if wave_idx in done:
@@ -340,15 +351,11 @@ def run_extract(
             raise RuntimeError(f"fault injection: stopping before wave {wave_idx}")
         t0 = time.perf_counter()
         ds = rd.read_parquet(wave_files)
-        if dedup:
-            import ray
-
-            # prededup: winners from a pruned (url, warc_ts) scan of the
-            # wave, broadcast semi-join BEFORE extraction
-            winners_ref = ray.put(compute_latest_winners(wave_files))
+        if winners_ref is not None:
             ds = filter_latest(ds, winners_ref)
         ds = extract_pages(ds, concurrency=concurrency, batch_size=batch_size)
         wdir = mstate.wave_dir(out_dir, wave_idx)
+        os.makedirs(wdir, exist_ok=True)  # a fully-deduped wave is empty
         if partition_output:
             import pandas as pd
 
@@ -364,7 +371,14 @@ def run_extract(
                 wdir, partition_cols=["part_id"])
         else:
             ds.write_parquet(wdir)
-        metrics = _wave_metrics(wdir)
+        has_rows = any(
+            f.endswith(".parquet") or f.startswith("part_id=")
+            for f in os.listdir(wdir)
+        )
+        metrics = _wave_metrics(wdir) if has_rows else {
+            "rows": 0, "pdf_docs": 0, "html_docs": 0, "text_docs": 0,
+            "pages": 0, "parse_failures": 0, "fallbacks": 0,
+        }
         elapsed = time.perf_counter() - t0
         metrics["wall_sec"] = round(elapsed, 3)
         metrics["docs_per_sec"] = round(metrics["rows"] / elapsed, 2) if elapsed else 0.0

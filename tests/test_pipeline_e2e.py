@@ -250,3 +250,40 @@ def test_split_oversized_routing_matches_default(ray_session):
                             compute="split-oversized")
               .to_pandas().sort_values(["url", "warc_ts"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(default, routed)
+
+
+def test_cross_wave_dedup(ray_session, tmp_path):
+    """Duplicate urls split ACROSS wave boundaries: only the global
+    max-warc_ts row may survive (regression: per-wave winner maps let
+    both survive)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from pdf_to_text_ray.fixtures.htmlgen import make_html_page
+    import random
+
+    rng = random.Random(5)
+    old_html, _ = make_html_page(rng)
+    new_html, new_exp = make_html_page(rng)
+    in_dir = str(tmp_path / "xin")
+    os.makedirs(in_dir)
+    # file 0 (wave 0): stale row; file 1 (wave 1): fresh row, same url
+    pq.write_table(pa.table({
+        "url": ["https://dup.test/x"], "warc_ts": pa.array([100], pa.timestamp("us")),
+        "html": pa.array([old_html], pa.binary()),
+        "text": pa.array([None], pa.string()), "lang": ["en"],
+    }), os.path.join(in_dir, "part-0.parquet"))
+    pq.write_table(pa.table({
+        "url": ["https://dup.test/x"], "warc_ts": pa.array([200], pa.timestamp("us")),
+        "html": pa.array([new_html], pa.binary()),
+        "text": pa.array([None], pa.string()), "lang": ["en"],
+    }), os.path.join(in_dir, "part-1.parquet"))
+
+    out_dir = str(tmp_path / "xout")
+    run_extract(in_dir, out_dir, files_per_wave=1)
+    out = rd.read_parquet(out_dir).to_pandas()
+    assert len(out) == 1                      # stale row never extracted
+    assert out.iloc[0]["text_extracted"] == new_exp
