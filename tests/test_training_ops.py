@@ -333,3 +333,21 @@ def test_multiprobe_improves_recall(ray_session):
     r1, r8 = recall(1), recall(8)
     assert r8 >= r1  # multiprobe can only widen the candidate set
     assert r8 > 0.25
+
+
+def test_stateful_sessionize_matches_groupby(ray_session):
+    """The raw-actor incremental sessionizer must equal the batch
+    groupby implementation on the same events."""
+    import ray.data as rd
+
+    from pdf_to_text_ray.pipelines.queries import sessionize_events
+    from pdf_to_text_ray.stages.stateful import stateful_sessionize
+
+    sf = "/root/testdata/sf0.001"
+    batch_impl = (sessionize_events(sf).to_pandas()
+                  .sort_values("user_id").reset_index(drop=True))
+    ds = rd.read_parquet(f"{sf}/events.parquet",
+                         columns=["user_id", "ts", "event_id"])
+    actor_impl = stateful_sessionize(ds, num_actors=3)
+    pd.testing.assert_frame_equal(
+        actor_impl, batch_impl.astype({"user_id": "int64", "n_sessions": "int64"}))
