@@ -291,6 +291,16 @@ FROM (
 """
 
 
+def sessionize_events_stateful(sf_dir: str):
+    """Incremental keyed-state sessionization via the raw-actor escape
+    hatch (stages/stateful.py) — same semantics as sessionize_events,
+    verified against the same SQL oracle."""
+    from ..stages.stateful import stateful_sessionize
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    return stateful_sessionize(ds, num_actors=4)
+
+
 def join_orders_lineitem(sf_dir: str):
     """Both-sides-large bucketed hash join (stages/joins.py): lineitem ⋈
     orders on the order key — one bucket shuffle, vectorized per-bucket
@@ -930,6 +940,7 @@ QUERIES = {
     "events_running_sum": events_running_sum,
     "point_lookup_event": point_lookup_event,
     "sessionize_events": sessionize_events,
+    "sessionize_events_stateful": sessionize_events_stateful,
     "join_orders_lineitem": join_orders_lineitem,
     "asof_prev_view": asof_prev_view,
     "q3_shipping_priority": q3_shipping_priority,
@@ -977,6 +988,7 @@ ORACLE_SQL = {
     "events_running_sum": RUNNING_SUM_SQL,
     "point_lookup_event": POINT_LOOKUP_SQL,
     "sessionize_events": SESSIONIZE_SQL,
+    "sessionize_events_stateful": SESSIONIZE_SQL,
     "join_orders_lineitem": JOIN_ORDERS_LINEITEM_SQL,
     "asof_prev_view": ASOF_SQL,
     "q3_shipping_priority": Q3_SQL,
