@@ -206,6 +206,77 @@ GROUP BY c_custkey, c_name
 """
 
 
+def event_value_stats(sf_dir: str):
+    """Min/Max/Std aggregate kernels per event type (completes the Ray
+    aggregate coverage beyond Sum/Mean/Count)."""
+    from ray.data.aggregate import Max, Min, Std
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    out = (
+        ds.groupby("event_type")
+        .aggregate(
+            Min("value", alias_name="min_value"),
+            Max("value", alias_name="max_value"),
+            Std("value", ddof=1, alias_name="std_value"),
+        )
+        .to_pandas()
+    )
+    out["std_value"] = round2(out["std_value"])
+    return out
+
+
+EVENT_STATS_SQL = """
+SELECT event_type, min(value) AS min_value, max(value) AS max_value,
+       round(stddev_samp(value), 2) AS std_value
+FROM events GROUP BY event_type
+"""
+
+
+def distinct_user_event_pairs(sf_dir: str):
+    """Multi-column distinct: per-batch drop_duplicates pre-reduction,
+    then one groupby over the already-small pair set."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    pre = ds.map_batches(
+        lambda b: b.drop_duplicates(["user_id", "event_type"]),
+        batch_format="pandas",
+    )
+    out = pre.groupby(["user_id", "event_type"]).aggregate(Count(alias_name="_n"))
+    return out.map_batches(
+        lambda b: b[["user_id", "event_type"]].astype({"user_id": "int64"}),
+        batch_format="pandas",
+    )
+
+
+DISTINCT_PAIRS_SQL = "SELECT DISTINCT user_id, event_type FROM events"
+
+
+def embedding_norms(sf_dir: str):
+    """L2 norms via the numpy batch format (dict-of-ndarrays) — the
+    numeric-kernel path."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def fn(batch: dict) -> dict:
+        import numpy as np
+
+        mat = np.stack([np.asarray(v, np.float64) for v in batch["embedding"]])
+        return {
+            "vec_id": batch["vec_id"],
+            "l2_norm": round2(np.sqrt((mat * mat).sum(axis=1))),
+        }
+
+    return ds.map_batches(fn, batch_format="numpy")
+
+
+EMB_NORMS_SQL = """
+SELECT vec_id,
+       round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 2)
+         AS l2_norm
+FROM embeddings
+"""
+
+
 def distinct_event_types(sf_dir: str):
     vals = _read(sf_dir, "events", ["event_type"]).unique("event_type")
     return pa.table({"event_type": pa.array(sorted(vals), pa.string())})
@@ -936,6 +1007,9 @@ QUERIES = {
     "dedup_events_latest": dedup_events_latest,
     "join_customer_orders": join_customer_orders,
     "distinct_event_types": distinct_event_types,
+    "event_value_stats": event_value_stats,
+    "distinct_user_event_pairs": distinct_user_event_pairs,
+    "embedding_norms": embedding_norms,
     "union_nation_region_names": union_nation_region_names,
     "events_running_sum": events_running_sum,
     "point_lookup_event": point_lookup_event,
@@ -984,6 +1058,9 @@ ORACLE_SQL = {
     "dedup_events_latest": DEDUP_EVENTS_SQL,
     "join_customer_orders": JOIN_CUSTOMER_ORDERS_SQL,
     "distinct_event_types": DISTINCT_SQL,
+    "event_value_stats": EVENT_STATS_SQL,
+    "distinct_user_event_pairs": DISTINCT_PAIRS_SQL,
+    "embedding_norms": EMB_NORMS_SQL,
     "union_nation_region_names": UNION_SQL,
     "events_running_sum": RUNNING_SUM_SQL,
     "point_lookup_event": POINT_LOOKUP_SQL,
