@@ -206,6 +206,45 @@ GROUP BY c_custkey, c_name
 """
 
 
+def shuffled_lang_distribution(sf_dir: str):
+    """random_shuffle + repartition are content-preserving: the grouped
+    counts after a seeded shuffle must equal the unshuffled oracle."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", ["lang"])
+    ds = ds.random_shuffle(seed=7).repartition(8)
+    out = ds.groupby("lang").aggregate(Count(alias_name="n_docs")).to_pandas()
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out
+
+
+def top_events_per_user(sf_dir: str):
+    """Per-key top-N (window rank): each user's 2 highest-value events,
+    deterministic tiebreak (value desc, event_id asc)."""
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "value"])
+
+    def topn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["value", "event_id"], ascending=[False, True],
+                          kind="mergesort").head(2)
+        return pd.DataFrame({
+            "user_id": g["user_id"].to_numpy(),
+            "event_id": g["event_id"].to_numpy(),
+            "value": g["value"].to_numpy(),
+        })
+
+    return ds.groupby("user_id").map_groups(topn, batch_format="pandas")
+
+
+TOP_EVENTS_SQL = """
+SELECT user_id, event_id, value FROM (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id) AS rn
+  FROM events
+) WHERE rn <= 2
+"""
+
+
 def event_value_stats(sf_dir: str):
     """Min/Max/Std aggregate kernels per event type (completes the Ray
     aggregate coverage beyond Sum/Mean/Count)."""
@@ -1008,6 +1047,8 @@ QUERIES = {
     "join_customer_orders": join_customer_orders,
     "distinct_event_types": distinct_event_types,
     "event_value_stats": event_value_stats,
+    "shuffled_lang_distribution": shuffled_lang_distribution,
+    "top_events_per_user": top_events_per_user,
     "distinct_user_event_pairs": distinct_user_event_pairs,
     "embedding_norms": embedding_norms,
     "union_nation_region_names": union_nation_region_names,
@@ -1059,6 +1100,8 @@ ORACLE_SQL = {
     "join_customer_orders": JOIN_CUSTOMER_ORDERS_SQL,
     "distinct_event_types": DISTINCT_SQL,
     "event_value_stats": EVENT_STATS_SQL,
+    "shuffled_lang_distribution": LANG_DIST_SQL,
+    "top_events_per_user": TOP_EVENTS_SQL,
     "distinct_user_event_pairs": DISTINCT_PAIRS_SQL,
     "embedding_norms": EMB_NORMS_SQL,
     "union_nation_region_names": UNION_SQL,
