@@ -316,6 +316,36 @@ FROM embeddings
 """
 
 
+def nations_without_suppliers(sf_dir: str):
+    """Broadcast ANTI-join: nations with no supplier (semi/anti pattern
+    of SURVEY §2.4 — key set broadcast, filter inside map_batches; at
+    scale a Bloom filter of the keys). Collected to pandas so an empty
+    result still carries its schema."""
+    import ray
+
+    supp_keys = set(
+        _read(sf_dir, "supplier", ["s_nationkey"]).to_pandas()["s_nationkey"]
+    )
+    keys_ref = ray.put(supp_keys)
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+
+    def anti(b: pd.DataFrame) -> pd.DataFrame:
+        keys = ray.get(keys_ref)
+        return b[~b["n_nationkey"].isin(keys)].astype({"n_nationkey": "int32"})
+
+    out = nation.map_batches(anti, batch_format="pandas").to_pandas()
+    if out.empty:
+        out = pd.DataFrame({"n_nationkey": pd.Series([], dtype="int32"),
+                            "n_name": pd.Series([], dtype=object)})
+    return out
+
+
+ANTI_JOIN_SQL = """
+SELECT n_nationkey, n_name FROM nation
+WHERE n_nationkey NOT IN (SELECT s_nationkey FROM supplier)
+"""
+
+
 def distinct_event_types(sf_dir: str):
     vals = _read(sf_dir, "events", ["event_type"]).unique("event_type")
     return pa.table({"event_type": pa.array(sorted(vals), pa.string())})
@@ -1046,6 +1076,7 @@ QUERIES = {
     "dedup_events_latest": dedup_events_latest,
     "join_customer_orders": join_customer_orders,
     "distinct_event_types": distinct_event_types,
+    "nations_without_suppliers": nations_without_suppliers,
     "event_value_stats": event_value_stats,
     "shuffled_lang_distribution": shuffled_lang_distribution,
     "top_events_per_user": top_events_per_user,
@@ -1099,6 +1130,7 @@ ORACLE_SQL = {
     "dedup_events_latest": DEDUP_EVENTS_SQL,
     "join_customer_orders": JOIN_CUSTOMER_ORDERS_SQL,
     "distinct_event_types": DISTINCT_SQL,
+    "nations_without_suppliers": ANTI_JOIN_SQL,
     "event_value_stats": EVENT_STATS_SQL,
     "shuffled_lang_distribution": LANG_DIST_SQL,
     "top_events_per_user": TOP_EVENTS_SQL,
