@@ -206,6 +206,45 @@ GROUP BY c_custkey, c_name
 """
 
 
+def median_value_per_type(sf_dir: str):
+    """Exact per-group median (interpolated, matching SQL median
+    semantics) via vectorized per-group pandas."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "median_value": round2([g["value"].median()]),
+        })
+
+    return ds.groupby("event_type").map_groups(med, batch_format="pandas")
+
+
+MEDIAN_SQL = """
+SELECT event_type, round(median(value), 2) AS median_value
+FROM events GROUP BY event_type
+"""
+
+
+def doc_head_upper(sf_dir: str):
+    """String-kernel projection (pc.utf8_slice_codeunits + utf8_upper —
+    §2.7 scalar-function coverage with an oracle)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "head": pc.utf8_upper(pc.utf8_slice_codeunits(t["text"], 0, 10)),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+HEAD_UPPER_SQL = """
+SELECT doc_id, upper(substr(coalesce(text,''), 1, 10)) AS head FROM documents
+"""
+
+
 def shuffled_lang_distribution(sf_dir: str):
     """random_shuffle + repartition are content-preserving: the grouped
     counts after a seeded shuffle must equal the unshuffled oracle."""
@@ -1079,6 +1118,8 @@ QUERIES = {
     "nations_without_suppliers": nations_without_suppliers,
     "event_value_stats": event_value_stats,
     "shuffled_lang_distribution": shuffled_lang_distribution,
+    "median_value_per_type": median_value_per_type,
+    "doc_head_upper": doc_head_upper,
     "top_events_per_user": top_events_per_user,
     "distinct_user_event_pairs": distinct_user_event_pairs,
     "embedding_norms": embedding_norms,
@@ -1133,6 +1174,8 @@ ORACLE_SQL = {
     "nations_without_suppliers": ANTI_JOIN_SQL,
     "event_value_stats": EVENT_STATS_SQL,
     "shuffled_lang_distribution": LANG_DIST_SQL,
+    "median_value_per_type": MEDIAN_SQL,
+    "doc_head_upper": HEAD_UPPER_SQL,
     "top_events_per_user": TOP_EVENTS_SQL,
     "distinct_user_event_pairs": DISTINCT_PAIRS_SQL,
     "embedding_norms": EMB_NORMS_SQL,
