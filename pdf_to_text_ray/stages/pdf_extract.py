@@ -1050,12 +1050,23 @@ class FontDecoder:
     2-byte big-endian codes mapped through the ToUnicode CMap
     (U+FFFD for unmapped codes)."""
 
-    __slots__ = ("trans", "two_byte")
+    __slots__ = ("trans", "two_byte", "widths")
 
     def __init__(self, overrides: dict[int, str] | None = None,
-                 two_byte: bool = False):
+                 two_byte: bool = False,
+                 widths: dict[int, float] | None = None):
         self.trans = dict(overrides) if overrides else None
         self.two_byte = two_byte
+        self.widths = widths  # byte code → glyph width in em units
+
+    def advance_em(self, raw: bytes) -> float:
+        """Text-space advance (em units) of the raw string: /Widths per
+        byte when declared (spec §9.2.4), nominal estimate otherwise."""
+        if self.widths is not None and not self.two_byte:
+            w = self.widths
+            return sum(w.get(b, NOMINAL_GLYPH_WIDTH) for b in raw)
+        n = len(raw) // 2 if self.two_byte else len(raw)
+        return n * NOMINAL_GLYPH_WIDTH
 
     def decode(self, raw: bytes) -> str:
         if self.two_byte:
@@ -1089,6 +1100,15 @@ def build_font_decoder(doc: "PdfDocument", font: dict) -> FontDecoder:
         diffs = doc.resolve(enc.get("Differences"))
     subtype = str(doc.resolve(font.get("Subtype")) or "")
     two_byte = subtype == "Type0" and str(base or "").startswith("Identity")
+    widths = None
+    warr = doc.resolve(font.get("Widths"))
+    if isinstance(warr, list) and warr:
+        first = int(doc.resolve(font.get("FirstChar", 0)) or 0)
+        widths = {
+            first + i: float(w) / 1000.0
+            for i, w in enumerate(warr)
+            if isinstance(w, (int, float))
+        }
     if base == "WinAnsiEncoding":
         overrides.update(_WINANSI_OVERRIDES)
     if isinstance(diffs, list):
@@ -1109,7 +1129,9 @@ def build_font_decoder(doc: "PdfDocument", font: dict) -> FontDecoder:
             pass  # unparseable CMap: keep encoding-level mapping
     if two_byte:
         return FontDecoder(overrides, two_byte=True)
-    return FontDecoder(overrides) if overrides else _LATIN1_DECODER
+    if overrides or widths:
+        return FontDecoder(overrides, widths=widths)
+    return _LATIN1_DECODER
 
 
 # ── content-stream interpreter ────────────────────────────────────────
@@ -1171,6 +1193,8 @@ def interpret_content(content: bytes, fonts: dict | None = None) -> list[Run]:
     ctm_stack: list[tuple] = []
     leading = 0.0
     size = 1.0
+    char_spacing = 0.0   # Tc (text-space units, unscaled by size)
+    word_spacing = 0.0   # Tw (applies per 0x20 byte, simple fonts)
     arr_stack: list[list] = []
     depth_skip = 0  # inside << >> dicts: collect nothing
 
@@ -1183,7 +1207,12 @@ def interpret_content(content: bytes, fonts: dict | None = None) -> list[Run]:
         y = ctm[1] * tm[4] + ctm[3] * tm[5] + ctm[5]
         if text:
             runs.append(Run(x, y, text))
-        tm = _translate(len(text) * size * NOMINAL_GLYPH_WIDTH, 0.0, tm)
+        # spec §9.4.4: tx = Σ(w_glyph·Tfs + Tc + (Tw if glyph==space))
+        n_glyphs = len(text_bytes) // 2 if decoder.two_byte else len(text_bytes)
+        adv = decoder.advance_em(text_bytes) * size + char_spacing * n_glyphs
+        if word_spacing and not decoder.two_byte:
+            adv += word_spacing * text_bytes.count(b" ")
+        tm = _translate(adv, 0.0, tm)
 
     pos = 0
     n = len(content)
@@ -1267,6 +1296,10 @@ def interpret_content(content: bytes, fonts: dict | None = None) -> list[Run]:
                 tm = tlm
             elif op == b"TL":
                 leading = float(stack[-1])
+            elif op == b"Tc":
+                char_spacing = float(stack[-1])
+            elif op == b"Tw":
+                word_spacing = float(stack[-1])
             elif op == b"T*":
                 tlm = _translate(0.0, -leading, tlm)
                 tm = tlm
@@ -1279,6 +1312,10 @@ def interpret_content(content: bytes, fonts: dict | None = None) -> list[Run]:
                 tm = tlm
                 emit(stack[-1])
             elif op == b'"':
+                # aw ac string " — set word/char spacing, then T* + show
+                if len(stack) >= 3:
+                    word_spacing = float(stack[-3])
+                    char_spacing = float(stack[-2])
                 tlm = _translate(0.0, -leading, tlm)
                 tm = tlm
                 emit(stack[-1])

@@ -299,3 +299,32 @@ def test_nonfinite_coordinates_dropped():
     runs = [Run(50, 700, "keep"), Run(float("nan"), 700, "dropnan"),
             Run(50, float("inf"), "dropinf")]
     assert page_text(runs) == "keep"
+
+
+def test_widths_based_advance():
+    """/Widths + /FirstChar drive the x-advance of unpositioned
+    sequential shows (spec 9.2.4/9.4.4)."""
+    from pdf_to_text_ray.stages.pdf_extract import FontDecoder
+
+    # A (65) is 0.5em, B (66) is 1.0em
+    dec = FontDecoder(widths={65: 0.5, 66: 1.0})
+    fonts = {"F1": dec}
+    content = b"BT /F1 12 Tf 1 0 0 1 100 700 Tm (AB) Tj (C) Tj ET"
+    runs = interpret_content(content, fonts)
+    assert runs[0].x == 100
+    # advance = (0.5 + 1.0) em * 12 = 18
+    assert runs[1].x == 100 + 18
+
+
+def test_char_and_word_spacing_advance():
+    content = (b"BT /F1 10 Tf 2 Tc 5 Tw 1 0 0 1 0 700 Tm (a b) Tj (x) Tj ET")
+    runs = interpret_content(content)
+    # nominal 0.5em * 10 * 3 glyphs + Tc 2*3 + Tw 5*1 space = 15+6+5 = 26
+    assert runs[1].x == 26
+
+
+def test_quote_operator_sets_spacing():
+    content = b'BT /F1 10 Tf 12 TL 1 0 0 1 0 700 Tm 4 2 (ab) " (z) Tj ET'
+    runs = interpret_content(content)
+    # " shows at the next line, then advance = 2*0.5*10 + 2*2 = 14
+    assert runs[0].text == "ab" and runs[1].x == 14
