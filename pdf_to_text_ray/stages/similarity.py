@@ -305,7 +305,11 @@ def ivf_topk(ds, query_ids: list[int], k: int = 10, *, n_lists: int = 16,
     scale train on ``ds.random_sample``)."""
     import ray
 
-    sample_pdf = ds.limit(20_000).to_pandas()
+    # seeded Bernoulli sample (unbiased at corpus scale, unlike a
+    # prefix limit) capped for driver memory
+    sample_pdf = ds.random_sample(0.5, seed=11).limit(20_000).to_pandas()
+    if len(sample_pdf) == 0:
+        sample_pdf = ds.limit(1_000).to_pandas()
     sample = np.stack([np.asarray(v, np.float64) for v in sample_pdf[vec_col]])
     cents = ivf_centroids(sample, n_lists)
     cents_ref = ray.put(cents)
