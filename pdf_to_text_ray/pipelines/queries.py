@@ -206,6 +206,42 @@ GROUP BY c_custkey, c_name
 """
 
 
+def purchase_value_per_user(sf_dir: str):
+    """Conditional aggregation (CASE WHEN shape): vectorized mask inside
+    map_batches, then grouped sums."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def mask(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": b["user_id"],
+            "purchase_value_raw": np.where(b["event_type"] == "purchase",
+                                           b["value"], 0.0),
+        })
+
+    out = (
+        ds.map_batches(mask, batch_format="pandas")
+        .groupby("user_id")
+        .aggregate(Sum("purchase_value_raw", alias_name="purchase_value"),
+                   Count(alias_name="n_events"))
+        .to_pandas()
+    )
+    out["purchase_value"] = round2(out["purchase_value"])
+    out["n_events"] = out["n_events"].astype("int64")
+    out["user_id"] = out["user_id"].astype("int64")
+    return out
+
+
+PURCHASE_VALUE_SQL = """
+SELECT user_id,
+       round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2)
+         AS purchase_value,
+       count(*) AS n_events
+FROM events GROUP BY user_id
+"""
+
+
 def median_value_per_type(sf_dir: str):
     """Exact per-group median (interpolated, matching SQL median
     semantics) via vectorized per-group pandas."""
@@ -1119,6 +1155,7 @@ QUERIES = {
     "event_value_stats": event_value_stats,
     "shuffled_lang_distribution": shuffled_lang_distribution,
     "median_value_per_type": median_value_per_type,
+    "purchase_value_per_user": purchase_value_per_user,
     "doc_head_upper": doc_head_upper,
     "top_events_per_user": top_events_per_user,
     "distinct_user_event_pairs": distinct_user_event_pairs,
@@ -1175,6 +1212,7 @@ ORACLE_SQL = {
     "event_value_stats": EVENT_STATS_SQL,
     "shuffled_lang_distribution": LANG_DIST_SQL,
     "median_value_per_type": MEDIAN_SQL,
+    "purchase_value_per_user": PURCHASE_VALUE_SQL,
     "doc_head_upper": HEAD_UPPER_SQL,
     "top_events_per_user": TOP_EVENTS_SQL,
     "distinct_user_event_pairs": DISTINCT_PAIRS_SQL,
