@@ -217,8 +217,15 @@ def dedup_pages_latest(ds, num_buckets: int = 64):
         return b
 
     def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["url", "warc_ts"], kind="stable")
-        return g.drop_duplicates("url", keep="last").drop(columns=["_bucket"])
+        # Secondary tiebreak: a content hash over the full row — for
+        # equal (url, warc_ts) the winner must not depend on block
+        # arrival order, which varies across runs.
+        row_hash = pd.util.hash_pandas_object(
+            g.drop(columns=["_bucket"]), index=False
+        ).astype("uint64")
+        g = g.assign(_rh=row_hash).sort_values(
+            ["url", "warc_ts", "_rh"], kind="stable")
+        return g.drop_duplicates("url", keep="last").drop(columns=["_bucket", "_rh"])
 
     return (
         ds.map_batches(add_bucket, batch_format="pandas")
@@ -227,14 +234,17 @@ def dedup_pages_latest(ds, num_buckets: int = 64):
     )
 
 
-def compute_latest_winners(pages_paths) -> dict:
-    """url → max warc_ts, from a PROJECTION-ONLY read of the input
-    (columns pruned at the scan: ~50 bytes/row instead of payloads).
+def compute_latest_winners(pages_paths):
+    """(sorted urls, ts) winner arrays — url → max warc_ts — from a
+    PROJECTION-ONLY read of the input (columns pruned at the scan:
+    ~50 bytes/row instead of payloads).
 
     Per-batch partial max (vectorized pandas groupby) → tiny partials →
-    final merge. The winner map for ~10^8 urls fits a broadcast; beyond
-    that, partition both the winner computation and the filter by
-    hash(url) buckets (same pattern, bucketed)."""
+    final merge. Returned as two parallel numpy arrays SORTED BY URL so
+    the semi-join probe is one ``np.searchsorted`` per batch (no Python
+    dict, no per-row probing). Winner arrays for ~10^8 urls fit a
+    broadcast; beyond that use ``compute_latest_winners_bucketed`` +
+    ``filter_latest_bucketed`` (same math, hash-partitioned)."""
     import pandas as pd
     import ray.data as rd
 
@@ -244,30 +254,166 @@ def compute_latest_winners(pages_paths) -> dict:
         return b.groupby("url", sort=False, as_index=False)["warc_ts"].max()
 
     partials = proj.map_batches(partial_max, batch_format="pandas").to_pandas()
-    winners = partials.groupby("url", sort=False)["warc_ts"].max()
-    return winners.to_dict()
+    winners = (
+        partials.groupby("url", sort=False, as_index=False)["warc_ts"].max()
+        .sort_values("url", kind="stable")
+    )
+    urls = winners["url"].to_numpy(dtype=object)
+    ts = winners["warc_ts"].to_numpy().astype("datetime64[us]").view("int64")
+    return urls, ts
+
+
+# Per-worker-process memo for deserialized broadcast state: ray.get of
+# a plain-Python object deserializes it ON EVERY CALL (numpy arrays are
+# zero-copy but the object-dtype url array is not), so the hot path
+# caches by ObjectRef. Worker processes are reused across tasks, making
+# this a once-per-worker cost — the actor-__init__ pattern, available
+# to stateless tasks too.
+_BROADCAST_CACHE: dict = {}
+
+
+def _cached_get(ref):
+    import ray
+
+    if not isinstance(ref, ray.ObjectRef):
+        return ref
+    key = ref.hex()
+    if key not in _BROADCAST_CACHE:
+        _BROADCAST_CACHE.clear()  # one live broadcast per stage; avoid growth
+        _BROADCAST_CACHE[key] = ray.get(ref)
+    return _BROADCAST_CACHE[key]
+
+
+def _winner_mask(b: pa.Table, urls: "Any", ts: "Any") -> pa.Array:
+    import numpy as np
+
+    burls = np.asarray(b["url"].to_pylist(), dtype=object)
+    bts = b["warc_ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").view("int64")
+    idx = np.searchsorted(urls, burls)
+    idx_c = np.minimum(idx, len(urls) - 1) if len(urls) else idx
+    hit = (
+        (urls[idx_c] == burls) & (ts[idx_c] == bts)
+        if len(urls)
+        else np.zeros(len(burls), dtype=bool)
+    )
+    return pa.array(hit)
 
 
 def filter_latest(ds, winners_ref):
     """Broadcast semi-join: keep a row iff its (url, warc_ts) is the
     winner. Runs BEFORE extraction so stale duplicates are never parsed
-    — dedup costs a pruned scan + a per-batch dict probe instead of an
-    all-to-all shuffle of extracted text (which cost more than the
-    extraction itself at 80k docs)."""
+    — dedup costs a pruned scan + a vectorized per-batch searchsorted
+    probe instead of an all-to-all shuffle of extracted text (which cost
+    more than the extraction itself at 80k docs). The winner arrays are
+    deserialized once per worker process (``_cached_get``), not per
+    batch."""
     def keep(b: pa.Table) -> pa.Table:
-        import ray
-
-        winners = ray.get(winners_ref) if not isinstance(winners_ref, dict) else winners_ref
-        urls = b["url"].to_pylist()
-        ts = b["warc_ts"].to_pylist()
-        mask = pa.array(
-            [winners.get(u) == t for u, t in zip(urls, ts)], pa.bool_()
-        )
+        urls, ts = _cached_get(winners_ref)
         # arrow-native filter: the payload column never leaves Arrow
         # (a pandas filter here copied the full payload bytes per batch)
-        return b.filter(mask)
+        return b.filter(_winner_mask(b, urls, ts))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def compute_latest_winners_bucketed(pages_paths, winners_dir: str,
+                                    num_buckets: int = 64) -> str:
+    """Winner computation for url sets beyond the broadcast budget:
+    partial maxes (as above) → hash-bucket shuffle of the SMALL
+    (url, warc_ts) pairs → per-bucket final max → winner parquet
+    partitioned by bucket, written distributed (the full winner set
+    never materializes on any single node). Returns ``winners_dir``."""
+    import pandas as pd
+    import ray.data as rd
+    import shutil as _shutil
+
+    proj = rd.read_parquet(pages_paths, columns=["url", "warc_ts"])
+
+    def partial_max(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.groupby("url", sort=False, as_index=False)["warc_ts"].max()
+        out["bucket"] = (
+            pd.util.hash_array(out["url"].to_numpy(dtype=object)) % num_buckets
+        ).astype("int64")
+        return out
+
+    def bucket_max(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("url", sort=False, as_index=False)["warc_ts"].max()
+        out["bucket"] = g["bucket"].iloc[0]
+        return out.sort_values("url", kind="stable")
+
+    _shutil.rmtree(winners_dir, ignore_errors=True)
+    (
+        proj.map_batches(partial_max, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(bucket_max, batch_format="pandas")
+        .write_parquet(winners_dir, partition_cols=["bucket"])
+    )
+    return winners_dir
+
+
+class _BucketedWinnerFilter:
+    """Actor-pool semi-join against bucketed winner parquet: each batch
+    hashes its urls to buckets and probes only the buckets present,
+    loading each bucket's sorted winner arrays at most once per actor
+    (LRU-capped). Winner state lives in shared storage, not in a
+    broadcast — the ≥10^9-url path."""
+
+    def __init__(self, winners_dir: str, num_buckets: int,
+                 max_cached_buckets: int = 16):
+        self.winners_dir = winners_dir
+        self.num_buckets = num_buckets
+        self.max_cached = max_cached_buckets
+        self._cache: dict[int, tuple] = {}
+
+    def _bucket_arrays(self, bucket: int):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        if bucket not in self._cache:
+            if len(self._cache) >= self.max_cached:
+                self._cache.pop(next(iter(self._cache)))
+            path = os.path.join(self.winners_dir, f"bucket={bucket}")
+            if not os.path.isdir(path):
+                self._cache[bucket] = (np.empty(0, object), np.empty(0, np.int64))
+            else:
+                t = pq.read_table(path, columns=["url", "warc_ts"])
+                df = t.to_pandas().sort_values("url", kind="stable")
+                self._cache[bucket] = (
+                    df["url"].to_numpy(dtype=object),
+                    df["warc_ts"].to_numpy().astype("datetime64[us]").view("int64"),
+                )
+        return self._cache[bucket]
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        import numpy as np
+        import pandas as pd
+
+        if b.num_rows == 0:
+            return b
+        burls = np.asarray(b["url"].to_pylist(), dtype=object)
+        bts = b["warc_ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").view("int64")
+        buckets = pd.util.hash_array(burls) % self.num_buckets
+        hit = np.zeros(len(burls), dtype=bool)
+        for bk in np.unique(buckets):
+            urls, ts = self._bucket_arrays(int(bk))
+            sel = buckets == bk
+            if len(urls) == 0:
+                continue
+            idx = np.minimum(np.searchsorted(urls, burls[sel]), len(urls) - 1)
+            hit[sel] = (urls[idx] == burls[sel]) & (ts[idx] == bts[sel])
+        return b.filter(pa.array(hit))
+
+
+def filter_latest_bucketed(ds, winners_dir: str, num_buckets: int = 64,
+                           concurrency=(2, 8)):
+    return ds.map_batches(
+        _BucketedWinnerFilter,
+        fn_constructor_kwargs={"winners_dir": winners_dir,
+                               "num_buckets": num_buckets},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
 
 
 def extract_corpus_pipeline(pages_dir: str, *, override_num_blocks: int | None = None,
@@ -318,11 +464,17 @@ def run_extract(
     batch_size: int = DEFAULT_BATCH_SIZE,
     fault_inject_after: int | None = None,
     partition_output: int | None = None,
+    winners_mode: str = "broadcast",
 ) -> dict[str, Any]:
     """Resumable wave-based run over every parquet file in ``in_dir``.
 
     Completed waves (manifest present) are skipped on restart. Returns
-    the run summary (state/manifest.summarize)."""
+    the run summary (state/manifest.summarize).
+
+    ``winners_mode``: "broadcast" (default — winner arrays via ray.put,
+    right up to ~10^8 urls) or "bucketed" (winner parquet partitioned by
+    hash(url) bucket + actor-pool probe — the ≥10^9-url path; the full
+    winner set never materializes on one node)."""
     import ray.data as rd
 
     files = sorted(
@@ -333,16 +485,20 @@ def run_extract(
     waves = [files[i : i + files_per_wave] for i in range(0, len(files), files_per_wave)]
     done = mstate.completed_waves(out_dir)
     winners_ref = None
+    winners_dir = None
     if dedup:
-        import ray
-
         # GLOBAL prededup: winners from a pruned (url, warc_ts) scan of
         # ALL input files (not per wave — a per-wave map would let
         # duplicate urls spanning wave boundaries survive). The scan
         # touches two small columns; the winner arrays broadcast once
-        # and every wave's semi-join filter reuses them. At ~10^9+ urls,
-        # bucket the winner computation and filter by hash(url).
-        winners_ref = ray.put(compute_latest_winners(files))
+        # and every wave's semi-join filter reuses them.
+        if winners_mode == "bucketed":
+            winners_dir = compute_latest_winners_bucketed(
+                files, os.path.join(out_dir, "_winners"))
+        else:
+            import ray
+
+            winners_ref = ray.put(compute_latest_winners(files))
     ran = 0
     for wave_idx, wave_files in enumerate(waves):
         if wave_idx in done:
@@ -351,11 +507,26 @@ def run_extract(
             raise RuntimeError(f"fault injection: stopping before wave {wave_idx}")
         t0 = time.perf_counter()
         ds = rd.read_parquet(wave_files)
-        if winners_ref is not None:
+        if winners_dir is not None:
+            ds = filter_latest_bucketed(ds, winners_dir)
+        elif winners_ref is not None:
             ds = filter_latest(ds, winners_ref)
         ds = extract_pages(ds, concurrency=concurrency, batch_size=batch_size)
         wdir = mstate.wave_dir(out_dir, wave_idx)
-        os.makedirs(wdir, exist_ok=True)  # a fully-deduped wave is empty
+        # Crash-safe output: write into a temp dir and atomically rename
+        # into place AFTER the wave completes. Ray write_parquet file
+        # names are unique per execution, so re-running a crashed wave
+        # into the same dir would silently ADD rows alongside the
+        # partial output of the failed attempt. Any stale partial (or a
+        # renamed-but-unmanifested) dir from a prior crash is removed
+        # first — the manifest, written last, is the only completion
+        # marker.
+        import shutil as _shutil
+
+        wtmp = wdir + ".__tmp__"
+        _shutil.rmtree(wtmp, ignore_errors=True)
+        _shutil.rmtree(wdir, ignore_errors=True)
+        os.makedirs(wtmp, exist_ok=True)  # a fully-deduped wave is empty
         if partition_output:
             import pandas as pd
 
@@ -368,9 +539,10 @@ def run_extract(
 
             # stable output layout: part_id = hash(url) % P (SURVEY §4.2)
             ds.map_batches(add_part, batch_format="pandas").write_parquet(
-                wdir, partition_cols=["part_id"])
+                wtmp, partition_cols=["part_id"])
         else:
-            ds.write_parquet(wdir)
+            ds.write_parquet(wtmp)
+        os.replace(wtmp, wdir)
         has_rows = any(
             f.endswith(".parquet") or f.startswith("part_id=")
             for f in os.listdir(wdir)

@@ -367,20 +367,22 @@ DISTINCT_PAIRS_SQL = "SELECT DISTINCT user_id, event_type FROM events"
 
 
 def embedding_norms(sf_dir: str):
-    """L2 norms via the numpy batch format (dict-of-ndarrays) — the
-    numeric-kernel path."""
+    """L2 norms over the list<float> column — zero-copy-ish Arrow path
+    (the numpy batch format made Ray's block-size estimator choke on
+    the ragged object column and spam the logs)."""
+    from ..stages.similarity import list_column_to_matrix
+
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
 
-    def fn(batch: dict) -> dict:
-        import numpy as np
-
-        mat = np.stack([np.asarray(v, np.float64) for v in batch["embedding"]])
-        return {
+    def fn(batch: pa.Table) -> pa.Table:
+        mat = list_column_to_matrix(batch["embedding"])
+        return pa.table({
             "vec_id": batch["vec_id"],
-            "l2_norm": round2(np.sqrt((mat * mat).sum(axis=1))),
-        }
+            "l2_norm": pa.array(round2(np.sqrt((mat * mat).sum(axis=1))),
+                                pa.float64()),
+        })
 
-    return ds.map_batches(fn, batch_format="numpy")
+    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 EMB_NORMS_SQL = """
@@ -1041,6 +1043,12 @@ def _ensure_extracted(sf_dir: str) -> str:
     out_dir = os.path.join("/tmp/ptt_extracted", key)
     marker = os.path.join(out_dir, "_DONE")
     if not os.path.exists(marker):
+        # no marker ⇒ any existing files are a crashed attempt's partial
+        # output; Ray parquet file names are unique per execution, so
+        # writing into the same dir would duplicate rows — clear first
+        import shutil
+
+        shutil.rmtree(out_dir, ignore_errors=True)
         extract_corpus_pipeline(pages_dir).write_parquet(out_dir)
         with open(marker, "w") as f:
             f.write("ok")

@@ -96,18 +96,26 @@ def band_hashes(sig: np.ndarray) -> np.ndarray:
 
 def minhash_bands_batch(batch: pd.DataFrame, key_col: str = "doc_id",
                         text_col: str = "text", k: int = 5) -> pd.DataFrame:
-    """Explode each doc → NUM_BANDS (band, band_hash, key) rows."""
-    keys, bands, bhashes = [], [], []
-    for key, text in zip(batch[key_col].tolist(), batch[text_col].fillna("").tolist()):
-        bh = band_hashes(minhash_signature(shingle_hashes(text, k)))
-        keys.extend([key] * NUM_BANDS)
-        bands.extend(range(NUM_BANDS))
-        bhashes.extend(bh.tolist())
+    """Explode each doc → NUM_BANDS (band, band_hash, key) rows.
+
+    Key dtype comes from the input column (``np.repeat`` of its numpy
+    values), so empty batches — possible after upstream filters — carry
+    the same schema as non-empty ones instead of float64-defaulted
+    columns poisoning the concatenated dataset."""
+    n = len(batch)
+    bh = (
+        np.stack([
+            band_hashes(minhash_signature(shingle_hashes(text, k)))
+            for text in batch[text_col].fillna("").tolist()
+        ])
+        if n
+        else np.zeros((0, NUM_BANDS), dtype=np.uint64)
+    )
     return pd.DataFrame(
         {
-            key_col: np.asarray(keys),
-            "band": np.asarray(bands, dtype=np.int32),
-            "band_hash": np.asarray(bhashes, dtype=np.uint64).astype(np.int64),
+            key_col: np.repeat(batch[key_col].to_numpy(), NUM_BANDS),
+            "band": np.tile(np.arange(NUM_BANDS, dtype=np.int32), n),
+            "band_hash": bh.reshape(-1).astype(np.uint64).astype(np.int64),
         }
     )
 

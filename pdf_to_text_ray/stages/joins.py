@@ -32,9 +32,14 @@ def bucketed_hash_join(left, right, on: str, *, num_buckets: int = 32,
     One all-to-all (the bucket groupby over the union); the per-bucket
     merge is vectorized pandas. Column name collisions get suffixes."""
 
+    # Side membership is carried explicitly via column PREFIXES (not
+    # inferred from all-null columns post-union, which silently drops a
+    # genuine column whose values happen to be all null in a bucket):
+    # each side's non-key columns are renamed "l::x" / "r::x" before the
+    # union and stripped after the per-bucket merge.
     def tag(side: str):
         def fn(b: pd.DataFrame) -> pd.DataFrame:
-            b = b.copy()
+            b = b.rename(columns={c: f"{side}::{c}" for c in b.columns if c != on})
             b["_bucket"] = _bucket_of(b[on], num_buckets)
             b["_side"] = side
             return b
@@ -46,12 +51,12 @@ def bucketed_hash_join(left, right, on: str, *, num_buckets: int = 32,
     )
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g[g["_side"] == "l"].drop(columns=["_bucket", "_side"])
-        rg = g[g["_side"] == "r"].drop(columns=["_bucket", "_side"])
-        # pandas union of heterogeneous sides leaves NaN-padded columns;
-        # restrict each side to its own non-all-null columns + key
-        lg = lg.dropna(axis=1, how="all")
-        rg = rg.dropna(axis=1, how="all")
+        lcols = [c for c in g.columns if c.startswith("l::")]
+        rcols = [c for c in g.columns if c.startswith("r::")]
+        lg = g.loc[g["_side"] == "l", [on] + lcols].rename(
+            columns={c: c[3:] for c in lcols})
+        rg = g.loc[g["_side"] == "r", [on] + rcols].rename(
+            columns={c: c[3:] for c in rcols})
         if lg.empty or (rg.empty and how == "inner"):
             return pd.DataFrame()
         return lg.merge(rg, on=on, how=how, suffixes=suffixes)
@@ -66,12 +71,13 @@ def asof_join(left, right, *, key: str, left_ts: str, right_ts: str,
     appended (NaN/NaT when no match). One bucket shuffle; per-bucket
     ``pd.merge_asof`` over sorted frames."""
 
+    # side membership via column prefixes (see bucketed_hash_join)
     def tag(side: str, ts_col: str):
         def fn(b: pd.DataFrame) -> pd.DataFrame:
-            b = b.copy()
+            b = b.rename(columns={c: f"{side}::{c}" for c in b.columns if c != key})
             b["_bucket"] = _bucket_of(b[key], num_buckets)
             b["_side"] = side
-            b["_ts"] = b[ts_col]
+            b["_ts"] = b[f"{side}::{ts_col}"]
             return b
 
         return fn
@@ -81,8 +87,12 @@ def asof_join(left, right, *, key: str, left_ts: str, right_ts: str,
     )
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g[g["_side"] == "l"].drop(columns=["_bucket", "_side"]).dropna(axis=1, how="all")
-        rg = g[g["_side"] == "r"].drop(columns=["_bucket", "_side"]).dropna(axis=1, how="all")
+        lcols = [c for c in g.columns if c.startswith("l::")]
+        rcols = [c for c in g.columns if c.startswith("r::")]
+        lg = g.loc[g["_side"] == "l", [key, "_ts"] + lcols].rename(
+            columns={c: c[3:] for c in lcols})
+        rg = g.loc[g["_side"] == "r", [key, "_ts"] + rcols].rename(
+            columns={c: c[3:] for c in rcols})
         if lg.empty:
             return pd.DataFrame()
         lg = lg.sort_values(["_ts", key], kind="stable")

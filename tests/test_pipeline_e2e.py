@@ -287,3 +287,69 @@ def test_cross_wave_dedup(ray_session, tmp_path):
     out = rd.read_parquet(out_dir).to_pandas()
     assert len(out) == 1                      # stale row never extracted
     assert out.iloc[0]["text_extracted"] == new_exp
+
+
+def test_midwave_crash_no_duplicate_rows(ray_session, tmp_path, corpus):
+    """A crash DURING a wave's write leaves partial parquet in the wave
+    dir with no manifest; the restart must not merge its own rows with
+    the stale partial output (Ray parquet file names are unique per
+    execution, so without cleanup the rows silently duplicate)."""
+    import shutil
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    pages, golden = corpus
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(in_dir)
+    n = pages.num_rows
+    for s in range(2):
+        pq.write_table(pages.slice(s * n // 2, (s + 1) * n // 2 - s * n // 2),
+                       os.path.join(in_dir, f"part-{s}.parquet"))
+
+    with pytest.raises(RuntimeError, match="fault injection"):
+        run_extract(in_dir, out_dir, files_per_wave=1, fault_inject_after=1)
+
+    # simulate a crash mid-write of wave 1: partial parquet, no manifest
+    w0 = mstate.wave_dir(out_dir, 0)
+    w1 = mstate.wave_dir(out_dir, 1)
+    os.makedirs(w1, exist_ok=True)
+    src = next(f for f in os.listdir(w0) if f.endswith(".parquet"))
+    shutil.copy(os.path.join(w0, src), os.path.join(w1, "stale-" + src))
+    # and a crash between write and rename: a leftover temp dir
+    os.makedirs(w1 + ".__tmp__", exist_ok=True)
+    shutil.copy(os.path.join(w0, src), w1 + ".__tmp__/stale2-" + src)
+
+    run_extract(in_dir, out_dir, files_per_wave=1)
+    out_urls = sorted(
+        rd.read_parquet(out_dir, columns=["url"]).to_pandas()["url"])
+    assert out_urls == sorted(golden["url"].to_pylist())  # no dups/gaps
+
+
+def test_bucketed_winners_matches_broadcast(ray_session, tmp_path, corpus):
+    """The beyond-broadcast winners path (hash-bucketed winner parquet +
+    actor-pool probe) selects exactly the same rows as the broadcast
+    searchsorted semi-join."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    pages, golden = corpus
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    pq.write_table(pages, os.path.join(in_dir, "part-0.parquet"))
+
+    out_b = str(tmp_path / "out_broadcast")
+    out_k = str(tmp_path / "out_bucketed")
+    run_extract(in_dir, out_b, files_per_wave=1)
+    run_extract(in_dir, out_k, files_per_wave=1, winners_mode="bucketed")
+
+    cols = ["url", "warc_ts", "text_extracted"]
+    a = (rd.read_parquet(out_b, columns=cols).to_pandas()
+         .sort_values("url").reset_index(drop=True))
+    b = (rd.read_parquet(out_k, columns=cols).to_pandas()
+         .sort_values("url").reset_index(drop=True))
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
+    assert sorted(a["url"]) == sorted(golden["url"].to_pylist())
