@@ -138,11 +138,18 @@ FROM lineitem WHERE l_discount > 0.05
 
 
 def dedup_events_latest(sf_dir: str):
-    """Keyed last-write-wins dedup (S5/§2.6 pattern on the events log)."""
+    """Keyed last-write-wins dedup (S5/§2.6 pattern on the events log).
+
+    Hash-bucketed: ONE vectorized sort + drop_duplicates per bucket —
+    not one Python call per key (stages/groups.py rationale)."""
+    from ..stages.groups import bucketed_group_apply
+
     ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts", "value"])
 
-    def keep_latest(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="stable").tail(1)
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "event_type", "ts", "event_id"],
+                          kind="stable")
+        g = g.drop_duplicates(["user_id", "event_type"], keep="last")
         return pd.DataFrame({
             "user_id": g["user_id"].to_numpy(),
             "event_type": g["event_type"].to_numpy(),
@@ -150,9 +157,7 @@ def dedup_events_latest(sf_dir: str):
             "last_value": g["value"].to_numpy(),
         })
 
-    return ds.groupby(["user_id", "event_type"]).map_groups(
-        keep_latest, batch_format="pandas"
-    )
+    return bucketed_group_apply(ds, ["user_id", "event_type"], per_bucket)
 
 
 DEDUP_EVENTS_SQL = """
@@ -244,16 +249,21 @@ FROM events GROUP BY user_id
 
 def median_value_per_type(sf_dir: str):
     """Exact per-group median (interpolated, matching SQL median
-    semantics) via vectorized per-group pandas."""
+    semantics): bucketed shuffle + pandas' grouped median kernel per
+    bucket (holistic aggregate — needs all of a key's values together,
+    which hash bucketing guarantees)."""
+    from ..stages.groups import bucketed_group_apply
+
     ds = _read(sf_dir, "events", ["event_type", "value"])
 
-    def med(g: pd.DataFrame) -> pd.DataFrame:
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("event_type", sort=False, as_index=False)["value"].median()
         return pd.DataFrame({
-            "event_type": [g["event_type"].iloc[0]],
-            "median_value": round2([g["value"].median()]),
+            "event_type": out["event_type"].to_numpy(),
+            "median_value": round2(out["value"]),
         })
 
-    return ds.groupby("event_type").map_groups(med, batch_format="pandas")
+    return bucketed_group_apply(ds, "event_type", per_bucket)
 
 
 MEDIAN_SQL = """
@@ -296,18 +306,21 @@ def shuffled_lang_distribution(sf_dir: str):
 def top_events_per_user(sf_dir: str):
     """Per-key top-N (window rank): each user's 2 highest-value events,
     deterministic tiebreak (value desc, event_id asc)."""
+    from ..stages.groups import bucketed_group_apply
+
     ds = _read(sf_dir, "events", ["user_id", "event_id", "value"])
 
-    def topn(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["value", "event_id"], ascending=[False, True],
-                          kind="mergesort").head(2)
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "value", "event_id"],
+                          ascending=[True, False, True], kind="mergesort")
+        g = g.groupby("user_id", sort=False).head(2)
         return pd.DataFrame({
             "user_id": g["user_id"].to_numpy(),
             "event_id": g["event_id"].to_numpy(),
             "value": g["value"].to_numpy(),
         })
 
-    return ds.groupby("user_id").map_groups(topn, batch_format="pandas")
+    return bucketed_group_apply(ds, "user_id", per_bucket)
 
 
 TOP_EVENTS_SQL = """
@@ -446,17 +459,20 @@ def events_running_sum(sf_dir: str):
     """Ordered per-key window (streaming-shaped op): running sum of value
     by user, ordered by (ts, event_id) — the partition/order assumption
     is explicit (ray_guide 'streaming-shaped workloads')."""
+    from ..stages.groups import bucketed_group_apply
+
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
 
-    def running(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="stable")
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
         return pd.DataFrame({
             "event_id": g["event_id"].to_numpy(),
             "user_id": g["user_id"].to_numpy(),
-            "running_value": round2(g["value"].cumsum()),
+            "running_value": round2(
+                g.groupby("user_id", sort=False)["value"].cumsum()),
         })
 
-    return ds.groupby("user_id").map_groups(running, batch_format="pandas")
+    return bucketed_group_apply(ds, "user_id", per_bucket)
 
 
 RUNNING_SUM_SQL = """
@@ -481,20 +497,25 @@ POINT_LOOKUP_SQL = "SELECT * FROM events WHERE event_id = 42"
 
 def sessionize_events(sf_dir: str, gap_minutes: int = 30):
     """Session counting per user (gap > 30 min ⇒ new session)."""
+    from ..stages.groups import bucketed_group_apply
+
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
     gap_us = gap_minutes * 60 * 1_000_000
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="stable")
-        gaps = g["ts"].diff().dt.total_seconds().fillna(0) * 1_000_000
-        n = int(1 + (gaps > gap_us).sum())
-        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "n_sessions": [n]})
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        gaps = g.groupby("user_id", sort=False)["ts"].diff()
+        new_session = (gaps.dt.total_seconds() * 1_000_000 > gap_us)
+        out = (
+            g.assign(_new=new_session)
+            .groupby("user_id", sort=False, as_index=False)["_new"].sum()
+        )
+        return pd.DataFrame({
+            "user_id": out["user_id"].astype("int64"),
+            "n_sessions": (out["_new"] + 1).astype("int64"),
+        })
 
-    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
-    return out.map_batches(
-        lambda b: b.astype({"user_id": "int64", "n_sessions": "int64"}),
-        batch_format="pandas",
-    )
+    return bucketed_group_apply(ds, "user_id", per_bucket)
 
 
 SESSIONIZE_SQL = """
