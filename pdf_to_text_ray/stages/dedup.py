@@ -130,21 +130,26 @@ def jaccard(a: np.ndarray, b: np.ndarray) -> float:
 
 def minhash_neardup_pairs(ds, *, key_col: str = "doc_id", text_col: str = "text",
                           k: int = 5, threshold: float = 0.7,
-                          max_bucket: int = 200):
-    """Full near-dup pipeline → Dataset of (id_a, id_b, jaccard_sim).
+                          max_bucket: int = 200, verify: str = "auto",
+                          join_verify_above: int = 50_000):
+    """Full near-dup pipeline → (id_a, id_b, jaccard_sim) pandas.
 
     Stages: signature+bands (map_batches, vectorized) → shuffle on
     (band, band_hash) → per-bucket candidate pairs → exact-Jaccard
-    verify with text joined back via a broadcast id→shingles store.
+    verification. The LSH shuffle only moves 24-byte triples, never
+    text.
+
+    ``verify``: "broadcast" ships an id→shingles map via ray.put and
+    probes it per chunk (fast while candidate shingle sets fit one
+    node); "join" re-derives shingles for candidate ids only and
+    attaches them to the pair list via two hash-partitioned joins —
+    nothing corpus-sized ever lands on one node. "auto" switches to the
+    join path when the candidate-pair count exceeds
+    ``join_verify_above``.
 
     ``max_bucket`` guards degenerate buckets (e.g. empty docs all
-    hashing equal) — skipped buckets are counted, not silently dropped
-    (logged via the returned pair table's metadata at caller level).
-    At 10^12-doc scale, replace the broadcast with a hash-partitioned
-    join on id buckets; the LSH shuffle itself only moves 24-byte rows.
+    hashing equal).
     """
-    import ray
-
     bands = ds.map_batches(
         lambda b: minhash_bands_batch(b, key_col, text_col, k),
         batch_format="pandas",
@@ -164,8 +169,21 @@ def minhash_neardup_pairs(ds, *, key_col: str = "doc_id", text_col: str = "text"
     cand_pdf = cand.to_pandas().drop_duplicates()  # candidates ≪ corpus
     if len(cand_pdf) == 0:
         return pd.DataFrame({"id_a": [], "id_b": [], "jaccard_sim": []})
+    cand_pdf = cand_pdf.astype({"id_a": "int64", "id_b": "int64"})
 
-    # broadcast shingle sets of candidate ids only
+    if verify == "join" or (verify == "auto" and len(cand_pdf) > join_verify_above):
+        verified = _verify_pairs_join(ds, cand_pdf, key_col, text_col, k, threshold)
+    else:
+        verified = _verify_pairs_broadcast(ds, cand_pdf, key_col, text_col, k, threshold)
+    return verified.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def _verify_pairs_broadcast(ds, cand_pdf: pd.DataFrame, key_col: str,
+                            text_col: str, k: int, threshold: float) -> pd.DataFrame:
+    """Jaccard verify via a broadcast id→shingles map (candidate ids
+    only). Bound: candidate shingle sets fit one node's memory."""
+    import ray
+
     cand_ids = set(cand_pdf["id_a"]) | set(cand_pdf["id_b"])
 
     def collect_shingles(b: pd.DataFrame) -> pd.DataFrame:
@@ -187,7 +205,7 @@ def minhash_neardup_pairs(ds, *, key_col: str = "doc_id", text_col: str = "text"
     ref = ray.put(shingle_map)
 
     @ray.remote
-    def verify(chunk: pd.DataFrame, store_ref) -> pd.DataFrame:
+    def verify_chunk(chunk: pd.DataFrame, store_ref) -> pd.DataFrame:
         store = store_ref
         sims = [
             jaccard(store.get(a, np.empty(0, np.uint64)),
@@ -199,10 +217,74 @@ def minhash_neardup_pairs(ds, *, key_col: str = "doc_id", text_col: str = "text"
         return chunk[chunk["jaccard_sim"] >= threshold]
 
     chunks = np.array_split(cand_pdf, max(1, len(cand_pdf) // 5000))
-    verified = pd.concat(
-        ray.get([verify.remote(c, ref) for c in chunks]), ignore_index=True
+    return pd.concat(
+        ray.get([verify_chunk.remote(c, ref) for c in chunks]), ignore_index=True
     )
-    return verified.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def _verify_pairs_join(ds, cand_pdf: pd.DataFrame, key_col: str, text_col: str,
+                       k: int, threshold: float, num_buckets: int = 32) -> pd.DataFrame:
+    """Jaccard verify via hash-partitioned joins: shingles are derived
+    for candidate ids only (a small broadcast id SET, not content) and
+    attached to the pair list by two bucketed joins — no node ever
+    holds more than one bucket of shingle content. The 10^12-doc
+    path."""
+    import ray
+    import ray.data as rd
+
+    from .joins import bucketed_hash_join
+
+    id_arr = np.unique(np.concatenate([cand_pdf["id_a"].to_numpy(),
+                                       cand_pdf["id_b"].to_numpy()]))
+    ids_ref = ray.put(id_arr)  # sorted by np.unique
+
+    def collect_shingles(b: pd.DataFrame) -> pd.DataFrame:
+        ids_sorted = ray.get(ids_ref)
+        keys = b[key_col].to_numpy()
+        idx = np.searchsorted(ids_sorted, keys)
+        idx_c = np.minimum(idx, max(len(ids_sorted) - 1, 0))
+        mask = (ids_sorted[idx_c] == keys) if len(ids_sorted) else np.zeros(len(keys), bool)
+        sel = b.loc[mask]
+        return pd.DataFrame({
+            key_col: sel[key_col].astype("int64").to_numpy(),
+            "shingles": [shingle_hashes(t, k).tobytes()
+                         for t in sel[text_col].fillna("").tolist()],
+        })
+
+    sh = ds.map_batches(collect_shingles, batch_format="pandas")
+    sh_a = sh.map_batches(
+        lambda b: b.rename(columns={key_col: "id_a", "shingles": "sh_a"}),
+        batch_format="pandas")
+    sh_b = sh.map_batches(
+        lambda b: b.rename(columns={key_col: "id_b", "shingles": "sh_b"}),
+        batch_format="pandas")
+    pairs_ds = rd.from_pandas(cand_pdf)
+    j1 = bucketed_hash_join(pairs_ds, sh_a, on="id_a", num_buckets=num_buckets)
+    # the union inside the join NaN-pads the other side's columns, which
+    # floats id_b — re-int it so the second join's hash buckets match
+    j1 = j1.map_batches(lambda b: b.assign(id_b=b["id_b"].astype("int64")),
+                        batch_format="pandas")
+    j2 = bucketed_hash_join(j1, sh_b, on="id_b", num_buckets=num_buckets)
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        sims = [
+            jaccard(np.frombuffer(sa, dtype=np.uint64),
+                    np.frombuffer(sb, dtype=np.uint64))
+            for sa, sb in zip(b["sh_a"], b["sh_b"])
+        ]
+        out = pd.DataFrame({
+            "id_a": b["id_a"].astype("int64").to_numpy(),
+            "id_b": b["id_b"].astype("int64").to_numpy(),
+            "jaccard_sim": sims,
+        })
+        return out[out["jaccard_sim"] >= threshold]
+
+    out = j2.map_batches(score, batch_format="pandas").to_pandas()
+    if out.empty:
+        out = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                            "id_b": pd.Series([], dtype="int64"),
+                            "jaccard_sim": pd.Series([], dtype="float64")})
+    return out
 
 
 # ── SimHash ───────────────────────────────────────────────────────────
@@ -279,13 +361,65 @@ def simhash_neardup_pairs(ds, *, key_col: str = "doc_id", text_col: str = "text"
 
 # ── near-dup groups → canonical keep set ─────────────────────────────
 
+def minlabel_components(pairs: pd.DataFrame, *, num_buckets: int = 16,
+                        max_rounds: int = 50) -> pd.DataFrame:
+    """(node, group_root) for every node in ``pairs`` via DISTRIBUTED
+    min-label propagation: per round, every node takes the min of its
+    own label and its neighbors' labels — one hash-partitioned join
+    (edge ⋈ label on src) plus one vectorized ``groupby(node).min``;
+    repeat until the label sum (monotone non-increasing, integral)
+    stops changing. O(component-diameter) rounds; no driver-side
+    union-find, so component state never concentrates on one node.
+
+    The pair list itself is the output of LSH banding (≪ corpus); the
+    per-round working set is 2·|pairs| (node, label) rows."""
+    import ray.data as rd
+
+    from ray.data.aggregate import Min
+
+    from .joins import bucketed_hash_join
+
+    if len(pairs) == 0:
+        return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                             "group_root": pd.Series([], dtype="int64")})
+    a = pairs["id_a"].to_numpy().astype("int64")
+    b = pairs["id_b"].to_numpy().astype("int64")
+    sym = pd.DataFrame({"src": np.concatenate([a, b]),
+                        "dst": np.concatenate([b, a])}).drop_duplicates()
+    edges = rd.from_pandas(sym)
+    nodes = np.unique(sym["src"].to_numpy())
+    labels = rd.from_pandas(pd.DataFrame({"node": nodes, "label": nodes}))
+    prev_sum = int(nodes.sum())
+    for _ in range(max_rounds):
+        lab_src = labels.map_batches(
+            lambda t: t.rename(columns={"node": "src"}), batch_format="pandas")
+        cand = bucketed_hash_join(
+            edges, lab_src, on="src", num_buckets=num_buckets
+        ).map_batches(
+            lambda t: pd.DataFrame({"node": t["dst"].astype("int64"),
+                                    "label": t["label"].astype("int64")}),
+            batch_format="pandas")
+        labels = (
+            cand.union(labels)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+        cur_sum = int(labels.sum("label"))
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    out = labels.to_pandas().rename(columns={"label": "group_root"})
+    return out.astype({"node": "int64", "group_root": "int64"}).sort_values(
+        "node").reset_index(drop=True)
+
+
 def connected_components(pairs: pd.DataFrame, a_col: str = "id_a",
                          b_col: str = "id_b") -> dict:
     """id → group-root (min id) via union-find on the candidate-pair
-    set. Driver-side is safe because LSH candidate pairs ≪ corpus
-    (ray_guide: union-find on the driver only when provably small); at
-    10^12 docs use a few rounds of min-label propagation with groupby
-    instead."""
+    set — the driver-side REFERENCE implementation, used to parity-test
+    ``minlabel_components`` (the distributed path that production
+    ``neardup_keep_set`` uses)."""
     parent: dict = {}
 
     def find(x):
@@ -303,16 +437,36 @@ def connected_components(pairs: pd.DataFrame, a_col: str = "id_a",
 
 
 def neardup_keep_set(ds, *, key_col: str = "doc_id", text_col: str = "text",
-                     threshold: float = 0.7) -> pd.DataFrame:
-    """Full near-dup dedup: MinHash-LSH pairs → connected components →
-    keep min key per group (plus every unpaired doc). Returns
-    (doc_id, group_root, kept)."""
+                     threshold: float = 0.7):
+    """Full near-dup dedup: MinHash-LSH pairs → min-label-propagation
+    components (distributed; no driver union-find) → keep min key per
+    group (plus every unpaired doc). Returns a Dataset of
+    (doc_id, group_root, kept) — the corpus id column itself never
+    materializes on the driver; only the component labels (bounded by
+    the LSH candidate set, ≪ corpus) are broadcast."""
+    import ray
+
     pairs = minhash_neardup_pairs(ds, key_col=key_col, text_col=text_col,
                                   threshold=threshold)
-    roots = connected_components(pairs) if len(pairs) else {}
-    all_ids = ds.select_columns([key_col]).to_pandas()[key_col]
-    out = pd.DataFrame({key_col: all_ids.astype("int64")})
-    out["group_root"] = out[key_col].map(lambda x: roots.get(x, x)).astype("int64")
-    keep_of_group = out.groupby("group_root")[key_col].transform("min")
-    out["kept"] = out[key_col] == keep_of_group
-    return out.sort_values(key_col).reset_index(drop=True)
+    comp = minlabel_components(pairs)
+    # (sorted nodes, roots) arrays — kept iff root == id (the group min
+    # is always its own root, so membership alone decides)
+    nodes = comp["node"].to_numpy()
+    roots = comp["group_root"].to_numpy()
+    ref = ray.put((nodes, roots))
+
+    def flag(b: pd.DataFrame) -> pd.DataFrame:
+        ns, rs = ray.get(ref)
+        ids = b[key_col].to_numpy().astype("int64")
+        grp = ids.copy()
+        if len(ns):
+            idx = np.minimum(np.searchsorted(ns, ids), len(ns) - 1)
+            hit = ns[idx] == ids
+            grp[hit] = rs[idx[hit]]
+        return pd.DataFrame({
+            key_col: ids,
+            "group_root": grp,
+            "kept": ids == grp,
+        })
+
+    return ds.map_batches(flag, batch_format="pandas")

@@ -253,7 +253,8 @@ def test_connected_components_and_keep_set(dup_docs_ds):
     cc = connected_components(pd.DataFrame({"id_a": [1, 2, 5], "id_b": [2, 3, 6]}))
     assert cc[1] == cc[2] == cc[3] == 1 and cc[5] == cc[6] == 5
 
-    out = neardup_keep_set(dup_docs_ds, threshold=0.5)
+    out = neardup_keep_set(dup_docs_ds, threshold=0.5).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
     assert len(out) == 8
     grouped = out[out["group_root"] == 0]
     assert len(grouped) >= 2           # 0,1(,2,5) clustered
@@ -351,3 +352,31 @@ def test_stateful_sessionize_matches_groupby(ray_session):
     actor_impl = stateful_sessionize(ds, num_actors=3)
     pd.testing.assert_frame_equal(
         actor_impl, batch_impl.astype({"user_id": "int64", "n_sessions": "int64"}))
+
+def test_minlabel_components_matches_union_find(ray_session):
+    """Distributed min-label propagation == driver-side union-find on
+    chains (worst-case diameter), cliques, and singleton-free graphs."""
+    from pdf_to_text_ray.stages.dedup import connected_components, minlabel_components
+
+    pairs = pd.DataFrame({
+        # chain 10-11-12-13-14, clique {2,4,6}, pair (100, 7)
+        "id_a": [10, 11, 12, 13, 2, 2, 4, 100],
+        "id_b": [11, 12, 13, 14, 4, 6, 6, 7],
+    })
+    got = minlabel_components(pairs)
+    ref = connected_components(pairs)
+    assert dict(zip(got["node"], got["group_root"])) == ref
+    # empty input keeps schema
+    empty = minlabel_components(pairs.iloc[0:0])
+    assert list(empty.columns) == ["node", "group_root"] and len(empty) == 0
+
+
+def test_minhash_verify_join_matches_broadcast(dup_docs_ds):
+    """The hash-partitioned verify join (10^12-doc path) returns exactly
+    the broadcast-verified pair set."""
+    from pdf_to_text_ray.stages.dedup import minhash_neardup_pairs
+
+    a = minhash_neardup_pairs(dup_docs_ds, threshold=0.5, verify="broadcast")
+    b = minhash_neardup_pairs(dup_docs_ds, threshold=0.5, verify="join")
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True))
