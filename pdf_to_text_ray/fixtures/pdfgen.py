@@ -148,15 +148,66 @@ class _PdfBuilder:
         return self.add(body)
 
     def serialize(self, xref_style: str, objstm_nums: list[int] | None = None,
-                  broken: bool = False) -> bytes:
+                  broken: bool = False, encrypt: str | None = None) -> bytes:
         """Serialize with a classic xref table or an xref stream.
 
         objstm_nums: object numbers to pack into one /ObjStm (xref-stream
         style only). broken: corrupt the startxref offset.
+        encrypt: None, "rc4-40", "rc4-128", or "aes-128" — standard
+        security handler with EMPTY user/owner passwords (spec §7.6);
+        every stream payload is encrypted with its per-object key
+        (deterministic IVs for AES so fixtures are byte-reproducible).
         """
         out = bytearray(b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n")
         offsets: dict[int, int] = {}
         in_objstm: dict[int, int] = {}  # obj num -> index within objstm
+
+        handler = None
+        enc_num = None
+        file_id = b""
+        if encrypt:
+            import hashlib
+
+            from ..stages import pdf_crypto
+
+            file_id = hashlib.md5(
+                f"fixture-id:{encrypt}:{len(self.objects)}".encode()).digest()
+            enc_dict, handler = pdf_crypto.make_encrypt_dict(file_id, mode=encrypt)
+            body = (
+                b"<< /Filter /Standard /V " + str(enc_dict["V"]).encode()
+                + b" /R " + str(enc_dict["R"]).encode()
+                + b" /Length " + str(enc_dict["Length"]).encode()
+                + b" /P " + str(enc_dict["P"]).encode()
+                + b" /O <" + enc_dict["O"].hex().encode() + b">"
+                + b" /U <" + enc_dict["U"].hex().encode() + b">"
+            )
+            if enc_dict["V"] == 4:
+                body += (b" /CF << /StdCF << /CFM /AESV2 /Length 16"
+                         b" /AuthEvent /DocOpen >> >>"
+                         b" /StmF /StdCF /StrF /StdCF")
+            body += b" >>"
+            enc_num = self.next_num
+            self.next_num += 1
+            self.objects[enc_num] = body
+
+        def encrypt_body(num: int, body: bytes) -> bytes:
+            """Encrypt the stream payload of an object (non-stream
+            fixture objects carry no strings, so streams are the only
+            encrypted content here)."""
+            i = body.find(b">>\nstream\n")
+            if i == -1:
+                return body
+            import hashlib
+            import re as _re
+
+            head = body[:i]
+            payload = body[i + len(b">>\nstream\n"):]
+            payload = payload[: payload.rindex(b"\nendstream")]
+            iv = hashlib.md5(b"iv" + file_id + str(num).encode()).digest()
+            ct = handler.encrypt_stream(payload, num, 0, iv=iv)
+            head = _re.sub(rb"/Length \d+", b"/Length " + str(len(ct)).encode(),
+                           head, count=1)
+            return head + b">>\nstream\n" + ct + b"\nendstream"
 
         objstm_num = None
         if objstm_nums:
@@ -187,9 +238,17 @@ class _PdfBuilder:
         emit_order = [n for n in sorted(self.objects) if n not in in_objstm]
         for num in emit_order:
             offsets[num] = len(out)
-            out += f"{num} 0 obj\n".encode() + self.objects[num] + b"\nendobj\n"
+            body = self.objects[num]
+            if handler is not None and num != enc_num:
+                body = encrypt_body(num, body)
+            out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
 
         root = 1  # catalog is always object 1 by construction
+        enc_trailer = b""
+        if handler is not None:
+            hexid = b"<" + file_id.hex().encode() + b">"
+            enc_trailer = (b" /Encrypt " + str(enc_num).encode() + b" 0 R"
+                           + b" /ID [" + hexid + hexid + b"]")
         if xref_style == "table":
             xref_off = len(out)
             size = self.next_num
@@ -199,7 +258,8 @@ class _PdfBuilder:
                 out += f"{offsets.get(num, 0):010d} 00000 n \n".encode()
             out += (
                 b"trailer\n<< /Size " + str(size).encode()
-                + b" /Root " + str(root).encode() + b" 0 R >>\n"
+                + b" /Root " + str(root).encode() + b" 0 R"
+                + enc_trailer + b" >>\n"
             )
         else:  # xref stream (PDF 1.5+, spec §7.5.8)
             size = self.next_num + 1  # + the xref stream object itself
@@ -231,6 +291,7 @@ class _PdfBuilder:
             out += (
                 b"<< /Type /XRef /Size " + str(size).encode()
                 + b" /W [1 4 2] /Root " + str(root).encode() + b" 0 R"
+                + enc_trailer
                 + b" /Filter /FlateDecode" + parms
                 + b" /Length " + str(len(data)).encode()
                 + b" >>\nstream\n" + data + b"\nendstream\nendobj\n"
@@ -296,7 +357,8 @@ def make_pdf(rng: random.Random, n_pages: int = 1, *,
              two_column: bool = False,
              with_sucursal: bool = False,
              lines_per_page: int | None = None,
-             font_variant: str = "standard") -> tuple[bytes, str, int]:
+             font_variant: str = "standard",
+             encrypt: str | None = None) -> tuple[bytes, str, int]:
     """Returns (pdf_bytes, expected_text, n_pages)."""
     b = _PdfBuilder()
     catalog = b.add(b"<< /Type /Catalog /Pages 2 0 R >>")
@@ -389,7 +451,7 @@ def make_pdf(rng: random.Random, n_pages: int = 1, *,
     style = "table" if xref_style == "table" else xref_style
     if use_objstm and style == "table":
         style = "stream"  # ObjStm requires an xref stream
-    data = b.serialize(style, objstm_nums, broken)
+    data = b.serialize(style, objstm_nums, broken, encrypt=encrypt)
     return data, document_text(all_runs), n_pages
 
 

@@ -1,0 +1,368 @@
+"""PDF standard security handler (ISO 32000-1 §7.6) — from scratch.
+
+Supports what the web actually contains: documents encrypted with the
+*empty user password* (readable by any viewer — the reference's pdf.js
+decrypts them transparently via ``getDocumentProxy``,
+/root/reference/src/main.ts:149). Algorithms:
+
+- RC4 ("V2" crypt filter; V=1/2, R=2/3) — §7.6.2, Algorithm 1
+- AES-128-CBC ("AESV2" crypt filter; V=4, R=4) — §7.6.2, with the
+  16-byte IV prefix and PKCS#7 padding
+- key derivation / user-password authentication — §7.6.3.3
+  Algorithms 2, 4, 5; owner entry (Algorithm 3) implemented for the
+  fixture generator
+
+Password-protected documents (empty-user-password check fails) and
+unsupported revisions (R=5/6 AES-256, crypt-filter exotica) raise
+``PdfEncryptedError`` — terminal, never salvage.
+
+Both directions (decrypt for the extractor, encrypt for
+fixtures/pdfgen.py) are implemented so golden tests are
+round-trip-by-construction. Pure Python: RC4/AES here run only on the
+rare encrypted tail of a corpus, not the hot path.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+
+class PdfEncryptedError(Exception):
+    """Raised via stages.pdf_extract (re-exported there); defined here
+    too so the crypto layer has no import cycle."""
+
+
+_PAD = bytes([
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E, 0x56,
+    0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+])
+
+
+def rc4(key: bytes, data: bytes) -> bytes:
+    """Classic RC4 (KSA + PRGA). Symmetric: encrypt == decrypt."""
+    S = list(range(256))
+    j = 0
+    klen = len(key)
+    for i in range(256):
+        j = (j + S[i] + key[i % klen]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for idx, ch in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + S[i]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+        out[idx] = ch ^ S[(S[i] + S[j]) & 0xFF]
+    return bytes(out)
+
+
+# ── AES-128 (FIPS-197) ───────────────────────────────────────────────
+
+_SBOX = [
+    0x63, 0x7C, 0x77, 0x7B, 0xF2, 0x6B, 0x6F, 0xC5, 0x30, 0x01, 0x67, 0x2B,
+    0xFE, 0xD7, 0xAB, 0x76, 0xCA, 0x82, 0xC9, 0x7D, 0xFA, 0x59, 0x47, 0xF0,
+    0xAD, 0xD4, 0xA2, 0xAF, 0x9C, 0xA4, 0x72, 0xC0, 0xB7, 0xFD, 0x93, 0x26,
+    0x36, 0x3F, 0xF7, 0xCC, 0x34, 0xA5, 0xE5, 0xF1, 0x71, 0xD8, 0x31, 0x15,
+    0x04, 0xC7, 0x23, 0xC3, 0x18, 0x96, 0x05, 0x9A, 0x07, 0x12, 0x80, 0xE2,
+    0xEB, 0x27, 0xB2, 0x75, 0x09, 0x83, 0x2C, 0x1A, 0x1B, 0x6E, 0x5A, 0xA0,
+    0x52, 0x3B, 0xD6, 0xB3, 0x29, 0xE3, 0x2F, 0x84, 0x53, 0xD1, 0x00, 0xED,
+    0x20, 0xFC, 0xB1, 0x5B, 0x6A, 0xCB, 0xBE, 0x39, 0x4A, 0x4C, 0x58, 0xCF,
+    0xD0, 0xEF, 0xAA, 0xFB, 0x43, 0x4D, 0x33, 0x85, 0x45, 0xF9, 0x02, 0x7F,
+    0x50, 0x3C, 0x9F, 0xA8, 0x51, 0xA3, 0x40, 0x8F, 0x92, 0x9D, 0x38, 0xF5,
+    0xBC, 0xB6, 0xDA, 0x21, 0x10, 0xFF, 0xF3, 0xD2, 0xCD, 0x0C, 0x13, 0xEC,
+    0x5F, 0x97, 0x44, 0x17, 0xC4, 0xA7, 0x7E, 0x3D, 0x64, 0x5D, 0x19, 0x73,
+    0x60, 0x81, 0x4F, 0xDC, 0x22, 0x2A, 0x90, 0x88, 0x46, 0xEE, 0xB8, 0x14,
+    0xDE, 0x5E, 0x0B, 0xDB, 0xE0, 0x32, 0x3A, 0x0A, 0x49, 0x06, 0x24, 0x5C,
+    0xC2, 0xD3, 0xAC, 0x62, 0x91, 0x95, 0xE4, 0x79, 0xE7, 0xC8, 0x37, 0x6D,
+    0x8D, 0xD5, 0x4E, 0xA9, 0x6C, 0x56, 0xF4, 0xEA, 0x65, 0x7A, 0xAE, 0x08,
+    0xBA, 0x78, 0x25, 0x2E, 0x1C, 0xA6, 0xB4, 0xC6, 0xE8, 0xDD, 0x74, 0x1F,
+    0x4B, 0xBD, 0x8B, 0x8A, 0x70, 0x3E, 0xB5, 0x66, 0x48, 0x03, 0xF6, 0x0E,
+    0x61, 0x35, 0x57, 0xB9, 0x86, 0xC1, 0x1D, 0x9E, 0xE1, 0xF8, 0x98, 0x11,
+    0x69, 0xD9, 0x8E, 0x94, 0x9B, 0x1E, 0x87, 0xE9, 0xCE, 0x55, 0x28, 0xDF,
+    0x8C, 0xA1, 0x89, 0x0D, 0xBF, 0xE6, 0x42, 0x68, 0x41, 0x99, 0x2D, 0x0F,
+    0xB0, 0x54, 0xBB, 0x16,
+]
+_INV_SBOX = [0] * 256
+for _i, _v in enumerate(_SBOX):
+    _INV_SBOX[_v] = _i
+_RCON = [0x01, 0x02, 0x04, 0x08, 0x10, 0x20, 0x40, 0x80, 0x1B, 0x36]
+
+
+def _xtime(a: int) -> int:
+    a <<= 1
+    return (a ^ 0x1B) & 0xFF if a & 0x100 else a
+
+
+def _gmul(a: int, b: int) -> int:
+    p = 0
+    while b:
+        if b & 1:
+            p ^= a
+        a = _xtime(a)
+        b >>= 1
+    return p
+
+
+class AES128:
+    """AES-128 block cipher, list-of-16-bytes column-major state."""
+
+    def __init__(self, key: bytes):
+        if len(key) != 16:
+            raise ValueError("AES-128 needs a 16-byte key")
+        # 44 words of key schedule
+        w = [list(key[i:i + 4]) for i in range(0, 16, 4)]
+        for i in range(4, 44):
+            t = list(w[i - 1])
+            if i % 4 == 0:
+                t = t[1:] + t[:1]
+                t = [_SBOX[b] for b in t]
+                t[0] ^= _RCON[i // 4 - 1]
+            w.append([w[i - 4][j] ^ t[j] for j in range(4)])
+        self.round_keys = [sum(w[4 * r:4 * r + 4], []) for r in range(11)]
+
+    @staticmethod
+    def _add_round_key(s, rk):
+        return [s[i] ^ rk[i] for i in range(16)]
+
+    def encrypt_block(self, block: bytes) -> bytes:
+        s = self._add_round_key(list(block), self.round_keys[0])
+        for rnd in range(1, 11):
+            s = [_SBOX[b] for b in s]
+            # ShiftRows on the column-major flat layout (byte (r,c) at
+            # index 4c+r): new[4c+r] = old[4((c+r)%4)+r]
+            s = [s[(4 * (c + r) + r) % 16] for c in range(4) for r in range(4)]
+            if rnd < 10:
+                s = self._mix_columns(s)
+            s = self._add_round_key(s, self.round_keys[rnd])
+        return bytes(s)
+
+    @staticmethod
+    def _mix_columns(s):
+        out = [0] * 16
+        for c in range(4):
+            col = s[4 * c:4 * c + 4]
+            out[4 * c + 0] = _gmul(col[0], 2) ^ _gmul(col[1], 3) ^ col[2] ^ col[3]
+            out[4 * c + 1] = col[0] ^ _gmul(col[1], 2) ^ _gmul(col[2], 3) ^ col[3]
+            out[4 * c + 2] = col[0] ^ col[1] ^ _gmul(col[2], 2) ^ _gmul(col[3], 3)
+            out[4 * c + 3] = _gmul(col[0], 3) ^ col[1] ^ col[2] ^ _gmul(col[3], 2)
+        return out
+
+    @staticmethod
+    def _inv_mix_columns(s):
+        out = [0] * 16
+        for c in range(4):
+            col = s[4 * c:4 * c + 4]
+            out[4 * c + 0] = (_gmul(col[0], 14) ^ _gmul(col[1], 11)
+                              ^ _gmul(col[2], 13) ^ _gmul(col[3], 9))
+            out[4 * c + 1] = (_gmul(col[0], 9) ^ _gmul(col[1], 14)
+                              ^ _gmul(col[2], 11) ^ _gmul(col[3], 13))
+            out[4 * c + 2] = (_gmul(col[0], 13) ^ _gmul(col[1], 9)
+                              ^ _gmul(col[2], 14) ^ _gmul(col[3], 11))
+            out[4 * c + 3] = (_gmul(col[0], 11) ^ _gmul(col[1], 13)
+                              ^ _gmul(col[2], 9) ^ _gmul(col[3], 14))
+        return out
+
+    def decrypt_block(self, block: bytes) -> bytes:
+        s = self._add_round_key(list(block), self.round_keys[10])
+        for rnd in range(9, -1, -1):
+            # InvShiftRows: new[4c+r] = old[4((c-r)%4)+r]
+            s = [s[(4 * (c - r) + r) % 16] for c in range(4) for r in range(4)]
+            s = [_INV_SBOX[b] for b in s]
+            s = self._add_round_key(s, self.round_keys[rnd])
+            if rnd > 0:
+                s = self._inv_mix_columns(s)
+        return bytes(s)
+
+
+def aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """PKCS#7-padded CBC encrypt; returns iv || ciphertext (the PDF
+    stream layout, §7.6.2)."""
+    cipher = AES128(key)
+    pad = 16 - (len(data) % 16)
+    data = data + bytes([pad]) * pad
+    out = bytearray(iv)
+    prev = iv
+    for i in range(0, len(data), 16):
+        block = bytes(a ^ b for a, b in zip(data[i:i + 16], prev))
+        prev = cipher.encrypt_block(block)
+        out += prev
+    return bytes(out)
+
+
+def aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
+    """Inverse of aes_cbc_encrypt: data = iv || ciphertext."""
+    if len(data) < 32 or len(data) % 16:
+        raise ValueError("bad AES-CBC payload length")
+    cipher = AES128(key)
+    prev = data[:16]
+    out = bytearray()
+    for i in range(16, len(data), 16):
+        ct = data[i:i + 16]
+        pt = cipher.decrypt_block(ct)
+        out += bytes(a ^ b for a, b in zip(pt, prev))
+        prev = ct
+    pad = out[-1]
+    if not 1 <= pad <= 16:
+        raise ValueError("bad PKCS#7 padding")
+    return bytes(out[:-pad])
+
+
+# ── standard security handler ────────────────────────────────────────
+
+class StandardSecurityHandler:
+    """Decrypting handler authenticated with the EMPTY user password.
+
+    ``enc`` is the resolved /Encrypt dictionary; ``file_id`` the first
+    element of the trailer /ID array (bytes). Raises PdfEncryptedError
+    for password-protected or unsupported documents.
+    """
+
+    def __init__(self, enc: dict, file_id: bytes):
+        if str(enc.get("Filter", "")) != "Standard":
+            raise PdfEncryptedError(
+                f"unsupported security handler {enc.get('Filter')!r}")
+        self.v = int(enc.get("V", 0))
+        self.r = int(enc.get("R", 2))
+        self.length = int(enc.get("Length", 40))
+        self.o = bytes(enc.get("O") or b"")
+        self.u = bytes(enc.get("U") or b"")
+        self.p = int(enc.get("P", -1))
+        self.encrypt_metadata = bool(enc.get("EncryptMetadata", True))
+        self.cfm_stm = self.cfm_str = "V2"
+        if self.v == 4:
+            cf = enc.get("CF") or {}
+            for attr, which in (("cfm_stm", "StmF"), ("cfm_str", "StrF")):
+                name = str(enc.get(which, "Identity"))
+                if name == "Identity":
+                    setattr(self, attr, "Identity")
+                    continue
+                sub = cf.get(name) or {}
+                setattr(self, attr, str(sub.get("CFM", "None")))
+                if "Length" in sub:
+                    # CF /Length is in BYTES (spec table 25)
+                    self.length = int(sub["Length"]) * 8
+        if self.v not in (1, 2, 4) or self.r not in (2, 3, 4):
+            raise PdfEncryptedError(
+                f"unsupported encryption V={self.v} R={self.r}")
+        for cfm in (self.cfm_stm, self.cfm_str):
+            if cfm not in ("V2", "AESV2", "Identity"):
+                raise PdfEncryptedError(f"unsupported crypt filter {cfm}")
+        self.file_id = file_id
+        self.key = self._file_key(b"")
+        if not self._check_user_password():
+            raise PdfEncryptedError("password-protected (empty user "
+                                    "password rejected)")
+
+    # Algorithm 2
+    def _file_key(self, password: bytes) -> bytes:
+        n = 5 if self.r == 2 else max(5, self.length // 8)
+        h = hashlib.md5()
+        h.update((password + _PAD)[:32])
+        h.update(self.o[:32])
+        h.update(struct.pack("<i", self.p))
+        h.update(self.file_id)
+        if self.r >= 4 and not self.encrypt_metadata:
+            h.update(b"\xff\xff\xff\xff")
+        key = h.digest()
+        if self.r >= 3:
+            for _ in range(50):
+                key = hashlib.md5(key[:n]).digest()
+        return key[:n]
+
+    # Algorithms 4/5
+    def _compute_u(self, key: bytes) -> bytes:
+        if self.r == 2:
+            return rc4(key, _PAD)
+        h = hashlib.md5(_PAD + self.file_id).digest()
+        u = rc4(key, h)
+        for i in range(1, 20):
+            u = rc4(bytes(b ^ i for b in key), u)
+        return u + bytes(16)
+
+    def _check_user_password(self) -> bool:
+        u = self._compute_u(self.key)
+        if self.r == 2:
+            return u == self.u[:32]
+        return u[:16] == self.u[:16]
+
+    # Algorithm 1
+    def _obj_key(self, num: int, gen: int, cfm: str) -> bytes:
+        salt = b"sAlT" if cfm == "AESV2" else b""
+        m = hashlib.md5(
+            self.key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+            + salt
+        ).digest()
+        return m[: min(len(self.key) + 5, 16)]
+
+    def _apply(self, data: bytes, num: int, gen: int, cfm: str,
+               encrypt: bool, iv: bytes | None = None) -> bytes:
+        if cfm == "Identity" or not data:
+            return data
+        key = self._obj_key(num, gen, cfm)
+        if cfm == "AESV2":
+            if encrypt:
+                return aes_cbc_encrypt(key, iv or bytes(16), data)
+            return aes_cbc_decrypt(key, data)
+        return rc4(key, data)
+
+    def decrypt_stream(self, data: bytes, num: int, gen: int) -> bytes:
+        return self._apply(data, num, gen, self.cfm_stm, encrypt=False)
+
+    def decrypt_string(self, data: bytes, num: int, gen: int) -> bytes:
+        return self._apply(data, num, gen, self.cfm_str, encrypt=False)
+
+    def encrypt_stream(self, data: bytes, num: int, gen: int,
+                       iv: bytes | None = None) -> bytes:
+        return self._apply(data, num, gen, self.cfm_stm, encrypt=True, iv=iv)
+
+    def encrypt_string(self, data: bytes, num: int, gen: int,
+                       iv: bytes | None = None) -> bytes:
+        return self._apply(data, num, gen, self.cfm_str, encrypt=True, iv=iv)
+
+
+def make_encrypt_dict(file_id: bytes, *, mode: str = "rc4-128",
+                      p: int = -4) -> tuple[dict, "StandardSecurityHandler"]:
+    """Fixture-side: build an /Encrypt dict (empty user AND owner
+    password) plus a handler keyed for it. ``mode``: "rc4-40"
+    (V1/R2), "rc4-128" (V2/R3), "aes-128" (V4/R4 AESV2)."""
+    if mode == "rc4-40":
+        v, r, length = 1, 2, 40
+    elif mode == "rc4-128":
+        v, r, length = 2, 3, 128
+    elif mode == "aes-128":
+        v, r, length = 4, 4, 128
+    else:
+        raise ValueError(f"unknown mode {mode}")
+    n = 5 if r == 2 else length // 8
+
+    # Algorithm 3: the /O entry from the (empty) owner password
+    okey = hashlib.md5(_PAD).digest()  # empty owner password, padded
+    if r >= 3:
+        for _ in range(50):
+            okey = hashlib.md5(okey[:n]).digest()
+    okey = okey[:n]
+    o = rc4(okey, _PAD)  # RC4 of the padded (empty) USER password
+    if r >= 3:
+        for i in range(1, 20):
+            o = rc4(bytes(b ^ i for b in okey), o)
+
+    enc: dict = {"Filter": "Standard", "V": v, "R": r, "Length": length,
+                 "P": p, "O": o}
+    if v == 4:
+        enc["CF"] = {"StdCF": {"CFM": "AESV2", "Length": length // 8,
+                               "AuthEvent": "DocOpen"}}
+        enc["StmF"] = "StdCF"
+        enc["StrF"] = "StdCF"
+    # U needs the file key, which needs O and P — compute via a probe
+    # handler with U check bypassed
+    probe = object.__new__(StandardSecurityHandler)
+    probe.v, probe.r, probe.length, probe.o, probe.p = v, r, length, o, p
+    probe.encrypt_metadata = True
+    probe.file_id = file_id
+    probe.cfm_stm = probe.cfm_str = "AESV2" if mode == "aes-128" else "V2"
+    probe.key = probe._file_key(b"")
+    enc["U"] = probe._compute_u(probe.key)
+    handler = probe  # fully initialized for encryption use
+    return enc, handler

@@ -30,10 +30,18 @@ ToUnicode CMaps (bfchar/bfrange, multi-code-unit targets).
 Composite Type0 fonts with Identity-H/V encoding decode 2-byte codes
 through their ToUnicode CMap (spec §9.7.4).
 
-Known limitations (documented, fail-safe): no encryption (terminal
-PdfEncryptedError), no CID fonts with non-identity CMap encodings, no
-ASCII85/LZW/DCT filters. Rows that hit these raise ``PdfError`` →
-``parse_failure=True``.
+Encrypted documents with the EMPTY user password (the common web case;
+the reference's pdf.js handles them via getDocumentProxy,
+src/main.ts:149) are decrypted transparently: standard security
+handler, RC4 40/128-bit and AES-128-CBC (spec §7.6, stages/pdf_crypto).
+``PdfEncryptedError`` is reserved for genuinely password-protected or
+unsupported-revision documents.
+
+Stream filters implemented: Flate (+PNG predictors), ASCIIHex, ASCII85,
+RunLength. Known limitations (documented, fail-safe): no LZW/DCT/JBIG2
+filters (image codecs; LZW text streams are vanishingly rare post-1995),
+no predefined CID CMap tables (embedded CMap streams are supported).
+Rows that hit these raise ``PdfError`` → ``parse_failure=True``.
 """
 
 from __future__ import annotations
@@ -69,15 +77,26 @@ class Name(str):
 
 
 class Stream:
-    __slots__ = ("dict", "raw", "_doc")
+    __slots__ = ("dict", "raw", "_doc", "obj_num", "gen")
 
-    def __init__(self, d: dict, raw: bytes, doc: "PdfDocument | None"):
+    def __init__(self, d: dict, raw: bytes, doc: "PdfDocument | None",
+                 obj_num: int | None = None, gen: int = 0):
         self.dict = d
         self.raw = raw
         self._doc = doc
+        self.obj_num = obj_num
+        self.gen = gen
 
     def data(self) -> bytes:
-        return decode_stream(self.dict, self.raw, self._doc)
+        raw = self.raw
+        doc = self._doc
+        # decrypt-before-filters (spec §7.6.2); cross-reference streams
+        # are never encrypted (§7.5.8.2)
+        if (doc is not None and getattr(doc, "decryptor", None) is not None
+                and self.obj_num is not None
+                and str(self.dict.get("Type", "")) != "XRef"):
+            raw = doc.decryptor.decrypt_stream(raw, self.obj_num, self.gen)
+        return decode_stream(self.dict, raw, doc)
 
 
 # ── lexer ─────────────────────────────────────────────────────────────
@@ -591,10 +610,10 @@ class PdfDocument:
         self.trailer: dict[str, Any] = {}
         self.cache: dict[int, Any] = {}
         self.fallback = False
+        self.decryptor = None
         try:
             self._load_xref()
-            if "Encrypt" in self.trailer:
-                raise PdfEncryptedError("encrypted PDF unsupported")
+            self._setup_encryption()
             if "Root" not in self.trailer:
                 raise PdfError("no /Root in trailer")
             # validate the catalog is actually reachable
@@ -605,6 +624,50 @@ class PdfDocument:
             raise
         except PdfError:
             self._salvage()
+            if "Encrypt" in self.trailer and self.decryptor is None:
+                self._setup_encryption()
+
+    def _setup_encryption(self) -> None:
+        """Build the standard security handler (empty user password)
+        from the trailer /Encrypt dict — spec §7.6. pdf.js does this
+        transparently for the reference (src/main.ts:149); here it
+        gates stream/string decryption in Stream.data() and
+        _parse_indirect_at. Password-protected or unsupported documents
+        raise terminal PdfEncryptedError."""
+        enc_ref = self.trailer.get("Encrypt")
+        if enc_ref is None:
+            return
+        from . import pdf_crypto
+
+        enc = self.resolve(enc_ref)
+        if not isinstance(enc, dict):
+            raise PdfEncryptedError("malformed /Encrypt dictionary")
+        enc = {str(k): self.resolve(v) for k, v in enc.items()}
+        if isinstance(enc.get("CF"), dict):
+            enc["CF"] = {str(k): self.resolve(v) for k, v in enc["CF"].items()}
+        ids = self.resolve(self.trailer.get("ID"))
+        fid = b""
+        if isinstance(ids, list) and ids:
+            first = self.resolve(ids[0])
+            if isinstance(first, bytes):
+                fid = first
+        try:
+            self.decryptor = pdf_crypto.StandardSecurityHandler(enc, fid)
+        except pdf_crypto.PdfEncryptedError as e:
+            raise PdfEncryptedError(str(e)) from e
+
+    def _decrypt_strings(self, value: Any, num: int, gen: int) -> Any:
+        """Recursively decrypt literal/hex strings of a DIRECT object
+        (strings inside ObjStm-packed objects are not separately
+        encrypted — the object stream itself was, §7.6.2)."""
+        if isinstance(value, bytes):
+            return self.decryptor.decrypt_string(value, num, gen)
+        if isinstance(value, list):
+            return [self._decrypt_strings(v, num, gen) for v in value]
+        if isinstance(value, dict):
+            return {k: self._decrypt_strings(v, num, gen)
+                    for k, v in value.items()}
+        return value
 
     # -- normal path ---------------------------------------------------
     def _load_xref(self) -> None:
@@ -807,6 +870,7 @@ class PdfDocument:
         if expect_num is not None and int(m.group(1)) != expect_num:
             raise PdfError(
                 f"xref points {expect_num} at object {m.group(1).decode()}")
+        obj_num, obj_gen = int(m.group(1)), int(m.group(2))
         value, end_pos = parse_object_at(data, m.end())
         # stream?
         p0 = end_pos
@@ -839,7 +903,9 @@ class PdfDocument:
                 if end == -1:
                     raise PdfError("unterminated stream")
                 raw = data[p:end].rstrip(b"\r\n")
-            return Stream(value, raw, self)
+            return Stream(value, raw, self, obj_num=obj_num, gen=obj_gen)
+        if self.decryptor is not None:
+            value = self._decrypt_strings(value, obj_num, obj_gen)
         return value
 
     def _objstm_object(self, stm_num: int, idx: int) -> Any:

@@ -328,3 +328,72 @@ def test_quote_operator_sets_spacing():
     runs = interpret_content(content)
     # " shows at the next line, then advance = 2*0.5*10 + 2*2 = 14
     assert runs[0].text == "ab" and runs[1].x == 14
+
+
+# ── encryption (standard security handler, spec §7.6) ────────────────
+
+class TestEncryption:
+    def test_aes128_fips197_vector(self):
+        from pdf_to_text_ray.stages.pdf_crypto import AES128
+
+        key = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+        pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+        ct = AES128(key).encrypt_block(pt)
+        assert ct.hex() == "69c4e0d86a7b0430d8cdb78070b4c55a"
+        assert AES128(key).decrypt_block(ct) == pt
+
+    def test_rc4_vector(self):
+        from pdf_to_text_ray.stages.pdf_crypto import rc4
+
+        assert rc4(b"Key", b"Plaintext").hex() == "bbf316e8d940af0ad3"
+        assert rc4(b"Key", rc4(b"Key", b"round trip")) == b"round trip"
+
+    def test_cbc_roundtrip_and_padding(self):
+        from pdf_to_text_ray.stages.pdf_crypto import (aes_cbc_decrypt,
+                                                       aes_cbc_encrypt)
+
+        key, iv = bytes(16), bytes(range(16))
+        for n in (0, 1, 15, 16, 17, 100):
+            msg = bytes(range(256))[:n]
+            assert aes_cbc_decrypt(key, aes_cbc_encrypt(key, iv, msg)) == msg
+
+    @pytest.mark.parametrize("mode", ["rc4-40", "rc4-128", "aes-128"])
+    @pytest.mark.parametrize("xref_style", ["table", "stream"])
+    def test_encrypted_byte_identity(self, mode, xref_style):
+        import random
+
+        from pdf_to_text_ray.fixtures.pdfgen import make_pdf
+
+        for seed in (1, 5, 9):
+            rng = random.Random(seed)
+            data, expected, _ = make_pdf(
+                rng, n_pages=2, xref_style=xref_style,
+                use_objstm=(seed == 9), encrypt=mode)
+            r = extract_pdf_text(data)
+            assert r.text == expected
+            assert not r.fallback
+
+    def test_password_protected_raises(self):
+        import random
+
+        from pdf_to_text_ray.fixtures.pdfgen import make_pdf
+        from pdf_to_text_ray.stages.pdf_extract import PdfEncryptedError
+
+        rng = random.Random(3)
+        data, _, _ = make_pdf(rng, encrypt="rc4-128")
+        idx = data.find(b"/U <")
+        bad = data[:idx + 4] + b"00112233445566778899aabbccddeeff" + data[idx + 36:]
+        with pytest.raises(PdfEncryptedError):
+            extract_pdf_text(bad)
+
+    def test_unsupported_revision_raises(self):
+        import random
+
+        from pdf_to_text_ray.fixtures.pdfgen import make_pdf
+        from pdf_to_text_ray.stages.pdf_extract import PdfEncryptedError
+
+        rng = random.Random(4)
+        data, _, _ = make_pdf(rng, encrypt="rc4-128")
+        bad = data.replace(b"/V 2 /R 3", b"/V 5 /R 6")
+        with pytest.raises(PdfEncryptedError):
+            extract_pdf_text(bad)
