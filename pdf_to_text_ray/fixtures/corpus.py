@@ -28,7 +28,7 @@ from ..schemas import DOC_TYPE_HTML, DOC_TYPE_PDF, DOC_TYPE_TEXT
 from .htmlgen import _WORDS, make_html_page, _sentence
 from .pdfgen import make_pdf
 
-GENERATOR_VERSION = 8  # bump to invalidate /tmp caches
+GENERATOR_VERSION = 9  # bump to invalidate /tmp caches
 _EPOCH_US = 1_600_000_000_000_000  # fixed base timestamp (µs)
 
 _LANGS = ["en", "es", "de", "zh", "fr"]
@@ -56,7 +56,8 @@ def make_page_row(i: int, seed: int, heavy: bool = False) -> tuple[dict, dict | 
             broken=broken,
             lines_per_page=rng.randrange(25, 45) if heavy else None,
             font_variant=rng.choice(
-                ["standard"] * 7 + ["differences", "winansi", "tounicode"]),
+                ["standard"] * 7
+                + ["differences", "winansi", "tounicode", "cid", "cid_cmap"]),
             # the Common-Crawl reality: a tail of empty-user-password
             # encrypted PDFs (pdf.js reads them transparently; so do we)
             encrypt=rng.choice(

@@ -332,6 +332,37 @@ def _font_objects(b: "_PdfBuilder", variant: str) -> tuple[int, list[tuple[str, 
         text = "Cid Text 中文"
         codes = b"".join(ord(c).to_bytes(2, "big") for c in text)
         return font, [("hex", codes, text)], {"F2": cid_font}
+    if variant == "cid_cmap":
+        # /F2 is a Type0 font whose /Encoding is an EMBEDDED CMap stream
+        # (spec §9.7.5.3) with MIXED code lengths: 1-byte ASCII + 2-byte
+        # CJK codes (GBK-EUC-like shape) — exercises variable-length
+        # codespace segmentation, not just Identity-H
+        enc_cmap = (
+            b"%!PS-Adobe-3.0 Resource-CMap\n"
+            b"begincmap\n"
+            b"/CMapName /Fixture-GBK-like def\n"
+            b"2 begincodespacerange\n<00> <7f>\n<8140> <fefe>\nendcodespacerange\n"
+            b"1 begincidrange\n<20> <7e> 1\nendcidrange\n"
+            b"2 begincidchar\n<8140> 100\n<8141> 101\n<8142> 102\nendcidchar\n"
+            b"endcmap\n"
+        )
+        tu_cmap = (
+            b"begincmap\n"
+            b"2 begincodespacerange\n<00> <7f>\n<8140> <fefe>\nendcodespacerange\n"
+            b"1 beginbfrange\n<20> <7e> <0020>\nendbfrange\n"
+            b"3 beginbfchar\n<8140> <4e2d>\n<8141> <6587>\n<8142> <5b57>\n"
+            b"endbfchar\nendcmap\n"
+        )
+        enc = b.add_stream(b"/Type /CMap ", enc_cmap, compress=True)
+        tu = b.add_stream(b"", tu_cmap, compress=True)
+        cid_font = b.add(
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /FakeGBK "
+            b"/Encoding " + str(enc).encode() + b" 0 R "
+            b"/ToUnicode " + str(tu).encode() + b" 0 R >>")
+        font = b.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+        # "mix " in 1-byte codes, then CJK 中文字 in 2-byte codes, then "!"
+        codes = b"mix " + b"\x81\x40\x81\x41\x81\x42" + b"!"
+        return font, [("hex", codes, "mix 中文字!")], {"F2": cid_font}
     if variant == "tounicode":
         cmap = (
             b"/CIDInit /ProcSet findresource begin\n"

@@ -1048,6 +1048,49 @@ for _c in "abcdefghijklmnopqrstuvwxyz":
 _BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.DOTALL)
 _BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.DOTALL)
 _HEXPAIR_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
+_CODESPACE_RE = re.compile(rb"begincodespacerange(.*?)endcodespacerange", re.DOTALL)
+_CIDRANGE_ENT_RE = re.compile(
+    rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s+(\d+)")
+_CIDCHAR_ENT_RE = re.compile(rb"<([0-9A-Fa-f]+)>\s+(\d+)")
+_CIDRANGE_RE = re.compile(rb"begincidrange(.*?)endcidrange", re.DOTALL)
+_CIDCHAR_RE = re.compile(rb"begincidchar(.*?)endcidchar", re.DOTALL)
+
+
+def parse_codespace_ranges(data: bytes) -> list[tuple[int, bytes, bytes]]:
+    """CMap codespacerange sections → [(n_bytes, lo, hi)] — the
+    variable-length code segmentation table (spec §9.7.6.2)."""
+    out: list[tuple[int, bytes, bytes]] = []
+    for seg in _CODESPACE_RE.findall(data):
+        hexes = _HEXPAIR_RE.findall(seg)
+        for lo, hi in zip(hexes[0::2], hexes[1::2]):
+            nb = max(1, (len(lo) + 1) // 2)
+            out.append((
+                nb,
+                bytes.fromhex(lo.decode("ascii").zfill(nb * 2)),
+                bytes.fromhex(hi.decode("ascii").zfill(nb * 2)),
+            ))
+    # shortest codes first: the standard greedy prefix match
+    out.sort(key=lambda r: r[0])
+    return out
+
+
+def parse_cid_cmap(data: bytes):
+    """Embedded CMap encoding stream (spec §9.7.5.3) → (codespaces,
+    code→CID dict). The CID mapping drives glyph/width selection; for
+    text extraction the codespace ranges (code segmentation) are the
+    load-bearing part — Unicode comes from the sibling ToUnicode CMap,
+    which is keyed by the same codes."""
+    codespaces = parse_codespace_ranges(data)
+    cids: dict[int, int] = {}
+    for seg in _CIDRANGE_RE.findall(data):
+        for lo, hi, cid in _CIDRANGE_ENT_RE.findall(seg):
+            lo_i, hi_i, base = int(lo, 16), int(hi, 16), int(cid)
+            for k in range(min(hi_i - lo_i, 65535) + 1):
+                cids[lo_i + k] = base + k
+    for seg in _CIDCHAR_RE.findall(data):
+        for code, cid in _CIDCHAR_ENT_RE.findall(seg):
+            cids[int(code, 16)] = int(cid)
+    return codespaces, cids
 
 
 def _hex_to_unicode(h: bytes) -> str:
@@ -1114,20 +1157,43 @@ class FontDecoder:
     /Differences glyph names / ToUnicode CMap (highest precedence).
     Composite Type0 fonts with Identity-H/V encoding (spec §9.7.4):
     2-byte big-endian codes mapped through the ToUnicode CMap
-    (U+FFFD for unmapped codes)."""
+    (U+FFFD for unmapped codes). Composite fonts with an EMBEDDED CMap
+    encoding stream (spec §9.7.5.3): variable-length codes segmented by
+    the CMap's codespace ranges, then mapped through ToUnicode."""
 
-    __slots__ = ("trans", "two_byte", "widths")
+    __slots__ = ("trans", "two_byte", "widths", "codespaces")
 
     def __init__(self, overrides: dict[int, str] | None = None,
                  two_byte: bool = False,
-                 widths: dict[int, float] | None = None):
+                 widths: dict[int, float] | None = None,
+                 codespaces: list[tuple[int, bytes, bytes]] | None = None):
         self.trans = dict(overrides) if overrides else None
         self.two_byte = two_byte
         self.widths = widths  # byte code → glyph width in em units
+        self.codespaces = codespaces  # sorted by code length ascending
+
+    def _codes(self, raw: bytes) -> list[int]:
+        """Variable-length code segmentation per the codespace ranges;
+        an unmatched byte consumes one byte and yields -1 (fail-safe)."""
+        out: list[int] = []
+        i, n = 0, len(raw)
+        while i < n:
+            for nb, lo, hi in self.codespaces:
+                seg = raw[i:i + nb]
+                if len(seg) == nb and lo <= seg <= hi:
+                    out.append(int.from_bytes(seg, "big"))
+                    i += nb
+                    break
+            else:
+                out.append(-1)
+                i += 1
+        return out
 
     def advance_em(self, raw: bytes) -> float:
         """Text-space advance (em units) of the raw string: /Widths per
         byte when declared (spec §9.2.4), nominal estimate otherwise."""
+        if self.codespaces is not None:
+            return len(self._codes(raw)) * NOMINAL_GLYPH_WIDTH
         if self.widths is not None and not self.two_byte:
             w = self.widths
             return sum(w.get(b, NOMINAL_GLYPH_WIDTH) for b in raw)
@@ -1135,6 +1201,9 @@ class FontDecoder:
         return n * NOMINAL_GLYPH_WIDTH
 
     def decode(self, raw: bytes) -> str:
+        if self.codespaces is not None:
+            trans = self.trans or {}
+            return "".join(trans.get(c, "�") for c in self._codes(raw))
         if self.two_byte:
             trans = self.trans or {}
             if len(raw) % 2:
@@ -1165,7 +1234,37 @@ def build_font_decoder(doc: "PdfDocument", font: dict) -> FontDecoder:
         base = str(doc.resolve(enc.get("BaseEncoding")) or "")
         diffs = doc.resolve(enc.get("Differences"))
     subtype = str(doc.resolve(font.get("Subtype")) or "")
-    two_byte = subtype == "Type0" and str(base or "").startswith("Identity")
+    if subtype == "Type0":
+        tu_overrides: dict[int, str] = {}
+        tu0 = doc.resolve(font.get("ToUnicode"))
+        if isinstance(tu0, Stream):
+            try:
+                tu_overrides.update(parse_tounicode_cmap(tu0.data()))
+            except PdfError:
+                pass
+        if isinstance(enc, Stream):
+            # embedded CMap encoding stream (spec §9.7.5.3)
+            try:
+                cs, _cids = parse_cid_cmap(enc.data())
+            except PdfError:
+                cs = []
+            return FontDecoder(
+                tu_overrides,
+                codespaces=cs or [(2, b"\x00\x00", b"\xff\xff")])
+        if str(base or "").startswith("Identity"):
+            return FontDecoder(tu_overrides, two_byte=True)
+        # predefined non-identity CMap name: the Adobe registry tables
+        # are not shipped here; since extraction Unicode comes from the
+        # code-keyed ToUnicode CMap anyway, segment codes with the
+        # ToUnicode CMap's own codespace ranges (2-byte fallback)
+        cs = []
+        if isinstance(tu0, Stream):
+            try:
+                cs = parse_codespace_ranges(tu0.data())
+            except (PdfError, ValueError):
+                cs = []
+        return FontDecoder(
+            tu_overrides, codespaces=cs or [(2, b"\x00\x00", b"\xff\xff")])
     widths = None
     warr = doc.resolve(font.get("Widths"))
     if isinstance(warr, list) and warr:
@@ -1193,8 +1292,6 @@ def build_font_decoder(doc: "PdfDocument", font: dict) -> FontDecoder:
             overrides.update(parse_tounicode_cmap(tu.data()))
         except PdfError:
             pass  # unparseable CMap: keep encoding-level mapping
-    if two_byte:
-        return FontDecoder(overrides, two_byte=True)
     if overrides or widths:
         return FontDecoder(overrides, widths=widths)
     return _LATIN1_DECODER
@@ -1274,9 +1371,14 @@ def interpret_content(content: bytes, fonts: dict | None = None) -> list[Run]:
         if text:
             runs.append(Run(x, y, text))
         # spec §9.4.4: tx = Σ(w_glyph·Tfs + Tc + (Tw if glyph==space))
-        n_glyphs = len(text_bytes) // 2 if decoder.two_byte else len(text_bytes)
+        if decoder.codespaces is not None:
+            n_glyphs = len(decoder._codes(text_bytes))
+            multi = True
+        else:
+            multi = decoder.two_byte
+            n_glyphs = len(text_bytes) // 2 if multi else len(text_bytes)
         adv = decoder.advance_em(text_bytes) * size + char_spacing * n_glyphs
-        if word_spacing and not decoder.two_byte:
+        if word_spacing and not multi:
             adv += word_spacing * text_bytes.count(b" ")
         tm = _translate(adv, 0.0, tm)
 

@@ -397,3 +397,44 @@ class TestEncryption:
         bad = data.replace(b"/V 2 /R 3", b"/V 5 /R 6")
         with pytest.raises(PdfEncryptedError):
             extract_pdf_text(bad)
+
+
+# ── CID fonts with embedded CMap encodings (spec §9.7.5.3) ───────────
+
+class TestCidCmap:
+    def test_parse_cid_cmap(self):
+        from pdf_to_text_ray.stages.pdf_extract import parse_cid_cmap
+
+        data = (b"2 begincodespacerange\n<00> <7f>\n<8140> <fefe>\n"
+                b"endcodespacerange\n"
+                b"1 begincidrange\n<20> <7e> 1\nendcidrange\n"
+                b"1 begincidchar\n<8140> 100\nendcidchar\n")
+        cs, cids = parse_cid_cmap(data)
+        assert cs == [(1, b"\x00", b"\x7f"), (2, b"\x81\x40", b"\xfe\xfe")]
+        assert cids[0x20] == 1 and cids[0x7e] == 0x5f and cids[0x8140] == 100
+
+    def test_variable_length_segmentation(self):
+        from pdf_to_text_ray.stages.pdf_extract import FontDecoder
+
+        dec = FontDecoder(
+            {0x41: "A", 0x8140: "中"},
+            codespaces=[(1, b"\x00", b"\x7f"), (2, b"\x81\x40", b"\xfe\xfe")])
+        assert dec.decode(b"\x41\x81\x40\x41") == "A中A"
+        # unmatched lead byte consumes one byte, fail-safe
+        assert dec.decode(b"\x80\x41") == "�A"
+
+    @pytest.mark.parametrize("xref_style", ["table", "stream"])
+    @pytest.mark.parametrize("encrypt", [None, "aes-128"])
+    def test_cid_cmap_byte_identity(self, xref_style, encrypt):
+        import random
+
+        from pdf_to_text_ray.fixtures.pdfgen import make_pdf
+
+        for seed in (1, 4, 6):
+            rng = random.Random(seed)
+            data, expected, _ = make_pdf(rng, n_pages=2, xref_style=xref_style,
+                                         font_variant="cid_cmap",
+                                         encrypt=encrypt)
+            r = extract_pdf_text(data)
+            assert r.text == expected
+            assert "中文字" in r.text
