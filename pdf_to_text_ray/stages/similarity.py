@@ -163,15 +163,32 @@ def lsh_bucket_batch(batch: pa.Table, id_col: str = "vec_id",
 
 def _probe_buckets(qv: np.ndarray, planes: np.ndarray, n_probe: int) -> set[int]:
     """Multiprobe: the query's own bucket plus buckets reached by
-    flipping the lowest-|margin| hyperplane bits (per Lv et al. 2007,
-    multi-probe LSH) — recovers neighbors that fall just across a
-    boundary without more tables."""
+    perturbation sets over the lowest-|margin| hyperplane bits (per Lv
+    et al. 2007, multi-probe LSH) — subsets of 1-3 bits ranked by
+    summed margin, so n_probe can usefully exceed n_bits+1."""
+    from itertools import combinations
+
     proj = qv @ planes
     bits = (proj > 0).astype(np.int64)
     base = int((bits * (1 << np.arange(len(proj)))).sum())
+    if n_probe <= 1:
+        return {base}
+    order = np.argsort(np.abs(proj))
+    m = min(len(proj), 10)
+    cands: list[tuple[float, int]] = []
+    for r in (1, 2, 3):
+        for combo in combinations(range(m), r):
+            score = float(sum(abs(proj[order[i]]) for i in combo))
+            mask = 0
+            for i in combo:
+                mask |= 1 << int(order[i])
+            cands.append((score, base ^ mask))
+    cands.sort()
     out = {base}
-    for bit in np.argsort(np.abs(proj))[: max(0, n_probe - 1)]:
-        out.add(base ^ (1 << int(bit)))
+    for _, b in cands:
+        if len(out) >= n_probe:
+            break
+        out.add(b)
     return out
 
 
@@ -293,6 +310,62 @@ def ivf_centroids(sample: np.ndarray, n_lists: int, n_iters: int = 10) -> np.nda
     return cents
 
 
+def ivf_centroids_distributed(ds, n_lists: int, *, n_iters: int = 8,
+                              vec_col: str = "embedding") -> np.ndarray:
+    """Lloyd's k-means with the ITERATIONS inside ``map_batches``:
+    per pass, every batch assigns its vectors to the broadcast
+    centroids and emits per-centroid partial (sum, count) — n_lists
+    rows per batch — which the driver merges and renormalizes. The
+    full corpus never concentrates anywhere; driver traffic per
+    iteration is O(n_lists · dim). Deterministic: seeded init sample,
+    fixed iteration count, order-stable partial merge."""
+    import ray
+
+    init_pdf = ds.random_sample(0.5, seed=11).limit(max(4 * n_lists, 64)).to_pandas()
+    if len(init_pdf) == 0:
+        init_pdf = ds.limit(max(4 * n_lists, 64)).to_pandas()
+    init = _normalize(np.stack([np.asarray(v, np.float64)
+                                for v in init_pdf[vec_col]]))
+    rng = np.random.RandomState(_IVF_SEED)
+    idx = rng.choice(len(init), size=min(n_lists, len(init)), replace=False)
+    cents = init[idx].copy()
+
+    for _ in range(n_iters):
+        ref = ray.put(cents)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(ref)
+            m = _normalize(list_column_to_matrix(batch[vec_col]))
+            if len(m) == 0:
+                return pa.table({
+                    "cid": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                    "vecsum": pa.array([], pa.list_(pa.float64())),
+                })
+            assign = np.argmax(m @ c.T, axis=1)
+            sums = np.zeros_like(c)
+            np.add.at(sums, assign, m)
+            counts = np.bincount(assign, minlength=len(c))
+            return pa.table({
+                "cid": pa.array(np.arange(len(c)), pa.int64()),
+                "cnt": pa.array(counts.astype(np.int64), pa.int64()),
+                "vecsum": pa.array(list(sums), pa.list_(pa.float64())),
+            })
+
+        parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        agg_cnt = parts.groupby("cid", sort=True)["cnt"].sum()
+        new = cents.copy()
+        for cid, grp in parts.groupby("cid", sort=True):
+            if agg_cnt[cid] == 0:
+                continue  # empty list keeps its centroid
+            v = np.sum(np.stack([np.asarray(x) for x in grp["vecsum"]]), axis=0)
+            norm = np.linalg.norm(v)
+            if norm > 0:
+                new[int(cid)] = v / norm
+        cents = new
+    return cents
+
+
 def ivf_topk(ds, query_ids: list[int], k: int = 10, *, n_lists: int = 16,
              n_probe: int = 4, id_col: str = "vec_id",
              vec_col: str = "embedding") -> pd.DataFrame:
@@ -301,18 +374,17 @@ def ivf_topk(ds, query_ids: list[int], k: int = 10, *, n_lists: int = 16,
     search within probed lists. The scale path: the shuffle moves
     (list_id, id, vec) and search touches n_probe/n_lists of the data.
 
-    Centroids are trained on a driver-side sample (bounded; at corpus
-    scale train on ``ds.random_sample``)."""
+    Centroids are trained DISTRIBUTED (ivf_centroids_distributed:
+    partial-assign per batch + tiny driver merge per iteration)."""
     import ray
 
-    # seeded Bernoulli sample (unbiased at corpus scale, unlike a
-    # prefix limit) capped for driver memory
-    sample_pdf = ds.random_sample(0.5, seed=11).limit(20_000).to_pandas()
-    if len(sample_pdf) == 0:
-        sample_pdf = ds.limit(1_000).to_pandas()
-    sample = np.stack([np.asarray(v, np.float64) for v in sample_pdf[vec_col]])
-    cents = ivf_centroids(sample, n_lists)
+    cents = ivf_centroids_distributed(ds, n_lists, vec_col=vec_col)
     cents_ref = ray.put(cents)
+    # queries fetched via a pruned filter pass
+    qset0 = set(query_ids)
+    sample_pdf = ds.map_batches(
+        lambda b: b[b[id_col].isin(qset0)], batch_format="pandas"
+    ).to_pandas()
 
     def assign_lists(batch: pa.Table) -> pa.Table:
         c = ray.get(cents_ref)
@@ -327,12 +399,7 @@ def ivf_topk(ds, query_ids: list[int], k: int = 10, *, n_lists: int = 16,
     assigned = ds.map_batches(assign_lists, batch_format="pyarrow")
 
     # queries → probed lists
-    qset = set(query_ids)
-    q_pdf = sample_pdf[sample_pdf[id_col].isin(qset)]
-    if len(q_pdf) < len(qset):  # queries not in the sample: full fetch
-        q_pdf = ds.map_batches(
-            lambda b: b[b[id_col].isin(qset)], batch_format="pandas"
-        ).to_pandas()
+    q_pdf = sample_pdf
     probes: dict[int, set[int]] = {}
     for _, row in q_pdf.iterrows():
         qv = _normalize(np.asarray(row[vec_col], np.float64)[None, :])[0]
