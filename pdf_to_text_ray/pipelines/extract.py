@@ -465,6 +465,8 @@ def run_extract(
     fault_inject_after: int | None = None,
     partition_output: int | None = None,
     winners_mode: str = "broadcast",
+    file_granular_resume: bool = False,
+    fault_inject_after_files: int | None = None,
 ) -> dict[str, Any]:
     """Resumable wave-based run over every parquet file in ``in_dir``.
 
@@ -474,7 +476,14 @@ def run_extract(
     ``winners_mode``: "broadcast" (default — winner arrays via ray.put,
     right up to ~10^8 urls) or "bucketed" (winner parquet partitioned by
     hash(url) bucket + actor-pool probe — the ≥10^9-url path; the full
-    winner set never materializes on one node)."""
+    winner set never materializes on one node).
+
+    ``file_granular_resume``: make the resume unit an input FILE inside
+    the wave — each file extracts into ``wave=W/file=NNN/`` with its own
+    atomically-written sub-manifest, so a mid-wave kill redoes only the
+    interrupted file instead of the whole wave. The wave manifest (the
+    aggregation of its sub-manifests) is still written last and remains
+    the wave-done marker."""
     import ray.data as rd
 
     files = sorted(
@@ -499,34 +508,30 @@ def run_extract(
             import ray
 
             winners_ref = ray.put(compute_latest_winners(files))
-    ran = 0
-    for wave_idx, wave_files in enumerate(waves):
-        if wave_idx in done:
-            continue
-        if fault_inject_after is not None and ran >= fault_inject_after:
-            raise RuntimeError(f"fault injection: stopping before wave {wave_idx}")
+    import shutil as _shutil
+
+    _ZERO = {"rows": 0, "pdf_docs": 0, "html_docs": 0, "text_docs": 0,
+             "pages": 0, "parse_failures": 0, "fallbacks": 0}
+
+    def run_unit(unit_files: list[str], unit_dir: str) -> dict[str, Any]:
+        """One resume unit (a wave, or a single file in granular mode):
+        extract → write to a temp dir → atomic rename. Ray write_parquet
+        file names are unique per execution, so re-running a crashed
+        unit into the same dir would silently ADD rows alongside the
+        partial output of the failed attempt — stale partial (or
+        renamed-but-unmanifested) dirs are removed first; the manifest,
+        written last, is the only completion marker."""
         t0 = time.perf_counter()
-        ds = rd.read_parquet(wave_files)
+        ds = rd.read_parquet(unit_files)
         if winners_dir is not None:
             ds = filter_latest_bucketed(ds, winners_dir)
         elif winners_ref is not None:
             ds = filter_latest(ds, winners_ref)
         ds = extract_pages(ds, concurrency=concurrency, batch_size=batch_size)
-        wdir = mstate.wave_dir(out_dir, wave_idx)
-        # Crash-safe output: write into a temp dir and atomically rename
-        # into place AFTER the wave completes. Ray write_parquet file
-        # names are unique per execution, so re-running a crashed wave
-        # into the same dir would silently ADD rows alongside the
-        # partial output of the failed attempt. Any stale partial (or a
-        # renamed-but-unmanifested) dir from a prior crash is removed
-        # first — the manifest, written last, is the only completion
-        # marker.
-        import shutil as _shutil
-
-        wtmp = wdir + ".__tmp__"
-        _shutil.rmtree(wtmp, ignore_errors=True)
-        _shutil.rmtree(wdir, ignore_errors=True)
-        os.makedirs(wtmp, exist_ok=True)  # a fully-deduped wave is empty
+        utmp = unit_dir + ".__tmp__"
+        _shutil.rmtree(utmp, ignore_errors=True)
+        _shutil.rmtree(unit_dir, ignore_errors=True)
+        os.makedirs(utmp, exist_ok=True)  # a fully-deduped unit is empty
         if partition_output:
             import pandas as pd
 
@@ -539,21 +544,57 @@ def run_extract(
 
             # stable output layout: part_id = hash(url) % P (SURVEY §4.2)
             ds.map_batches(add_part, batch_format="pandas").write_parquet(
-                wtmp, partition_cols=["part_id"])
+                utmp, partition_cols=["part_id"])
         else:
-            ds.write_parquet(wtmp)
-        os.replace(wtmp, wdir)
+            ds.write_parquet(utmp)
+        os.replace(utmp, unit_dir)
         has_rows = any(
             f.endswith(".parquet") or f.startswith("part_id=")
-            for f in os.listdir(wdir)
+            for f in os.listdir(unit_dir)
         )
-        metrics = _wave_metrics(wdir) if has_rows else {
-            "rows": 0, "pdf_docs": 0, "html_docs": 0, "text_docs": 0,
-            "pages": 0, "parse_failures": 0, "fallbacks": 0,
-        }
+        metrics = _wave_metrics(unit_dir) if has_rows else dict(_ZERO)
         elapsed = time.perf_counter() - t0
         metrics["wall_sec"] = round(elapsed, 3)
         metrics["docs_per_sec"] = round(metrics["rows"] / elapsed, 2) if elapsed else 0.0
+        return metrics
+
+    ran = 0
+    files_ran = 0
+    for wave_idx, wave_files in enumerate(waves):
+        if wave_idx in done:
+            continue
+        if fault_inject_after is not None and ran >= fault_inject_after:
+            raise RuntimeError(f"fault injection: stopping before wave {wave_idx}")
+        wdir = mstate.wave_dir(out_dir, wave_idx)
+        if file_granular_resume:
+            done_subs = mstate.completed_subunits(out_dir, wave_idx)
+            os.makedirs(wdir, exist_ok=True)
+            sub_metrics: list[dict[str, Any]] = []
+            for sub_idx, f in enumerate(wave_files):
+                if sub_idx in done_subs:  # mid-wave resume: skip done files
+                    sub_metrics.append(done_subs[sub_idx]["metrics"])
+                    continue
+                if (fault_inject_after_files is not None
+                        and files_ran >= fault_inject_after_files):
+                    raise RuntimeError(
+                        f"fault injection: stopping before wave {wave_idx} "
+                        f"file {sub_idx}")
+                m = run_unit([f], mstate.sub_dir(out_dir, wave_idx, sub_idx))
+                mstate.write_sub_manifest(out_dir, wave_idx, sub_idx, {
+                    "wave": wave_idx, "file_idx": sub_idx,
+                    "input_files": [os.path.basename(f)], "metrics": m,
+                })
+                sub_metrics.append(m)
+                files_ran += 1
+            metrics = dict(_ZERO)
+            metrics["wall_sec"] = 0.0
+            for m in sub_metrics:
+                for k in metrics:
+                    metrics[k] = round(metrics[k] + m.get(k, 0), 3)
+            ws = metrics["wall_sec"]
+            metrics["docs_per_sec"] = round(metrics["rows"] / ws, 2) if ws else 0.0
+        else:
+            metrics = run_unit(wave_files, wdir)
         mstate.write_manifest(
             out_dir,
             wave_idx,

@@ -124,18 +124,33 @@ class LangId:
 
 # ── rolling-hash fingerprinting (winnowing) ───────────────────────────
 
+_POWERS_CACHE: dict[int, np.ndarray] = {}
+
+
+def _poly_powers(k: int) -> np.ndarray:
+    """base^(k-1-j) mod 2^64 for j in 0..k-1 — memoized per k (was
+    recomputed per call, emitting a numpy overflow RuntimeWarning per
+    multiply: warning formatting alone was measurable in the hot
+    batch loop)."""
+    powers = _POWERS_CACHE.get(k)
+    if powers is None:
+        powers = np.empty(k, dtype=np.uint64)
+        p = np.uint64(1)
+        with np.errstate(over="ignore"):
+            for j in range(k - 1, -1, -1):  # wraps mod 2^64 by design
+                powers[j] = p
+                p = p * _POLY_BASE
+        _POWERS_CACHE[k] = powers
+    return powers
+
+
 def kgram_hashes(text: str, k: int = 8) -> np.ndarray:
     """Vectorized 64-bit polynomial hashes of all k-byte grams."""
     b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
     if len(b) < k:
         b = np.pad(b, (0, k - len(b)), constant_values=0)
     win = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
-    powers = np.empty(k, dtype=np.uint64)
-    p = np.uint64(1)
-    for j in range(k - 1, -1, -1):  # explicit multiply → wraps mod 2^64
-        powers[j] = p
-        p = p * _POLY_BASE
-    return (win * powers).sum(axis=1, dtype=np.uint64) + _POLY_SEED
+    return (win * _poly_powers(k)).sum(axis=1, dtype=np.uint64) + _POLY_SEED
 
 
 def winnow_fingerprint(text: str, k: int = 8, window: int = 16) -> str:
@@ -163,12 +178,17 @@ def fingerprint_batch(batch: pd.DataFrame, text_col: str = "text",
 
 # ── corpus-level line dedup (CCNet-style boilerplate-line removal) ───
 
-def line_count_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+def line_count_batch(batch, text_col: str = "text") -> pd.DataFrame:
     """Per-batch partial counts of non-empty lines (md5-hashed) — the
-    pre-aggregation half of corpus-level line-frequency counting."""
+    pre-aggregation half of corpus-level line-frequency counting.
+    Accepts an Arrow table (no pandas copy of the block) or pandas."""
+    import pyarrow as pa
+
+    texts = (batch[text_col].to_pylist() if isinstance(batch, pa.Table)
+             else batch[text_col].fillna("").tolist())
     counts: dict[str, int] = {}
-    for text in batch[text_col].fillna(""):
-        for line in text.split("\n"):
+    for text in texts:
+        for line in (text or "").split("\n"):
             if line:
                 h = hashlib.md5(line.encode("utf-8")).hexdigest()
                 counts[h] = counts.get(h, 0) + 1
@@ -182,7 +202,7 @@ def line_frequencies(ds, text_col: str = "text", min_count: int = 2):
     from ray.data.aggregate import Sum
 
     partials = ds.map_batches(
-        lambda b: line_count_batch(b, text_col), batch_format="pandas")
+        lambda b: line_count_batch(b, text_col), batch_format="pyarrow")
     agg = partials.groupby("line_hash").aggregate(Sum("n", alias_name="n"))
     return agg.map_batches(
         lambda b: b[b["n"] >= min_count].astype({"n": "int64"}),
@@ -200,20 +220,20 @@ def remove_frequent_lines(ds, *, text_col: str = "text", min_count: int = 3):
     frequent = set(freq["line_hash"]) if "line_hash" in freq.columns else set()
     ref = ray.put(frequent)
 
-    def clean(b: pd.DataFrame) -> pd.DataFrame:
+    def clean(t) -> "object":
+        import pyarrow as pa
+
         bad = ray.get(ref)
         out = []
-        for text in b[text_col].fillna(""):
+        for text in t[text_col].to_pylist():
             kept = [
-                ln for ln in text.split("\n")
+                ln for ln in (text or "").split("\n")
                 if not ln or hashlib.md5(ln.encode("utf-8")).hexdigest() not in bad
             ]
             out.append("\n".join(kept))
-        b = b.copy()
-        b[text_col + "_clean"] = out
-        return b
+        return t.append_column(text_col + "_clean", pa.array(out, pa.string()))
 
-    return ds.map_batches(clean, batch_format="pandas")
+    return ds.map_batches(clean, batch_format="pyarrow")
 
 
 def compression_ratio_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:

@@ -60,13 +60,22 @@ def add_content_hash_batch(batch: pd.DataFrame, text_col: str = "text",
 def exact_dedup(ds, key_col: str = "doc_id", text_col: str = "text"):
     """Exact dedup: min key per content hash. Returns (text_hash, doc_id).
 
-    Pattern: vectorized hash inside map_batches, then a groupby over the
-    small (hash, key) projection only — payload never shuffles."""
+    Pattern: hash inside map_batches on the ARROW batch (only the text
+    column is materialized as Python strings; no pandas copy of the
+    block), then a groupby over the small (hash, key) projection only —
+    payload never shuffles."""
+    import pyarrow as pa
+
     from ray.data.aggregate import Min
 
-    hashed = ds.map_batches(
-        lambda b: add_content_hash_batch(b, text_col), batch_format="pandas"
-    ).select_columns(["text_hash", key_col])
+    def hash_batch(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "text_hash": pa.array([content_hash(x) for x in
+                                   t[text_col].to_pylist()], pa.string()),
+            key_col: t[key_col],
+        })
+
+    hashed = ds.map_batches(hash_batch, batch_format="pyarrow")
     return hashed.groupby("text_hash").aggregate(Min(key_col, alias_name=key_col))
 
 
@@ -94,26 +103,36 @@ def band_hashes(sig: np.ndarray) -> np.ndarray:
     return (bands * _BAND_MIX[None, :]).sum(axis=1, dtype=np.uint64)
 
 
-def minhash_bands_batch(batch: pd.DataFrame, key_col: str = "doc_id",
+def minhash_bands_batch(batch, key_col: str = "doc_id",
                         text_col: str = "text", k: int = 5) -> pd.DataFrame:
     """Explode each doc → NUM_BANDS (band, band_hash, key) rows.
+    Accepts an Arrow table (zero pandas copy of the block; only the
+    text column materializes as Python strings) or a pandas frame.
 
     Key dtype comes from the input column (``np.repeat`` of its numpy
     values), so empty batches — possible after upstream filters — carry
     the same schema as non-empty ones instead of float64-defaulted
     columns poisoning the concatenated dataset."""
-    n = len(batch)
+    import pyarrow as pa
+
+    if isinstance(batch, pa.Table):
+        texts = batch[text_col].to_pylist()
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+    else:
+        texts = batch[text_col].fillna("").tolist()
+        keys = batch[key_col].to_numpy()
+    n = len(texts)
     bh = (
         np.stack([
-            band_hashes(minhash_signature(shingle_hashes(text, k)))
-            for text in batch[text_col].fillna("").tolist()
+            band_hashes(minhash_signature(shingle_hashes(text or "", k)))
+            for text in texts
         ])
         if n
         else np.zeros((0, NUM_BANDS), dtype=np.uint64)
     )
     return pd.DataFrame(
         {
-            key_col: np.repeat(batch[key_col].to_numpy(), NUM_BANDS),
+            key_col: np.repeat(keys, NUM_BANDS),
             "band": np.tile(np.arange(NUM_BANDS, dtype=np.int32), n),
             "band_hash": bh.reshape(-1).astype(np.uint64).astype(np.int64),
         }
@@ -152,20 +171,32 @@ def minhash_neardup_pairs(ds, *, key_col: str = "doc_id", text_col: str = "text"
     """
     bands = ds.map_batches(
         lambda b: minhash_bands_batch(b, key_col, text_col, k),
-        batch_format="pandas",
+        batch_format="pyarrow",
     )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(g[key_col].tolist()))
-        if len(ids) < 2 or len(ids) > max_bucket:
-            return pd.DataFrame({"id_a": [], "id_b": []})
-        pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]]
-        return pd.DataFrame({"id_a": [p[0] for p in pairs],
-                             "id_b": [p[1] for p in pairs]})
+    # ONE vectorized call per hash bucket, not one Python call per
+    # (band, band_hash) group: singleton groups (the vast majority) are
+    # dropped by a vectorized transform("count") and only genuine
+    # collision groups are looped (stages/groups.py rationale).
+    from .groups import bucketed_group_apply
 
-    cand = bands.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
-    )
+    def pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        counts = g.groupby(["band", "band_hash"], sort=False)[key_col].transform("count")
+        g = g[counts >= 2]
+        out_a: list = []
+        out_b: list = []
+        for _, grp in g.groupby(["band", "band_hash"], sort=False):
+            ids = sorted(set(grp[key_col].tolist()))
+            if len(ids) < 2 or len(ids) > max_bucket:
+                continue
+            for i, a in enumerate(ids):
+                for b2 in ids[i + 1:]:
+                    out_a.append(a)
+                    out_b.append(b2)
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b})
+
+    cand = bucketed_group_apply(bands, ["band", "band_hash"], pairs_bucket,
+                                num_buckets=32)
     cand_pdf = cand.to_pandas().drop_duplicates()  # candidates ≪ corpus
     if len(cand_pdf) == 0:
         return pd.DataFrame({"id_a": [], "id_b": [], "jaccard_sim": []})
@@ -186,10 +217,10 @@ def _verify_pairs_broadcast(ds, cand_pdf: pd.DataFrame, key_col: str,
 
     cand_ids = set(cand_pdf["id_a"]) | set(cand_pdf["id_b"])
 
-    def collect_shingles(b: pd.DataFrame) -> pd.DataFrame:
+    def collect_shingles(t) -> pd.DataFrame:
         rows = [
-            (key, shingle_hashes(text, k))
-            for key, text in zip(b[key_col].tolist(), b[text_col].fillna("").tolist())
+            (key, shingle_hashes(text or "", k))
+            for key, text in zip(t[key_col].to_pylist(), t[text_col].to_pylist())
             if key in cand_ids
         ]
         return pd.DataFrame(
@@ -197,7 +228,7 @@ def _verify_pairs_broadcast(ds, cand_pdf: pd.DataFrame, key_col: str,
              "shingles": [r[1].tobytes() for r in rows]}
         )
 
-    stores = ds.map_batches(collect_shingles, batch_format="pandas").to_pandas()
+    stores = ds.map_batches(collect_shingles, batch_format="pyarrow").to_pandas()
     shingle_map = {
         key: np.frombuffer(buf, dtype=np.uint64)
         for key, buf in zip(stores[key_col], stores["shingles"])
@@ -238,20 +269,22 @@ def _verify_pairs_join(ds, cand_pdf: pd.DataFrame, key_col: str, text_col: str,
                                        cand_pdf["id_b"].to_numpy()]))
     ids_ref = ray.put(id_arr)  # sorted by np.unique
 
-    def collect_shingles(b: pd.DataFrame) -> pd.DataFrame:
+    def collect_shingles(t) -> pd.DataFrame:
+        import pyarrow as _pa
+
         ids_sorted = ray.get(ids_ref)
-        keys = b[key_col].to_numpy()
+        keys = t[key_col].to_numpy(zero_copy_only=False)
         idx = np.searchsorted(ids_sorted, keys)
         idx_c = np.minimum(idx, max(len(ids_sorted) - 1, 0))
         mask = (ids_sorted[idx_c] == keys) if len(ids_sorted) else np.zeros(len(keys), bool)
-        sel = b.loc[mask]
+        sel = t.filter(_pa.array(mask))
         return pd.DataFrame({
-            key_col: sel[key_col].astype("int64").to_numpy(),
-            "shingles": [shingle_hashes(t, k).tobytes()
-                         for t in sel[text_col].fillna("").tolist()],
+            key_col: sel[key_col].to_numpy(zero_copy_only=False).astype("int64"),
+            "shingles": [shingle_hashes(x or "", k).tobytes()
+                         for x in sel[text_col].to_pylist()],
         })
 
-    sh = ds.map_batches(collect_shingles, batch_format="pandas")
+    sh = ds.map_batches(collect_shingles, batch_format="pyarrow")
     sh_a = sh.map_batches(
         lambda b: b.rename(columns={key_col: "id_a", "shingles": "sh_a"}),
         batch_format="pandas")
@@ -303,14 +336,21 @@ def simhash64(text: str) -> int:
     return int(sh)
 
 
-def simhash_batch(batch: pd.DataFrame, key_col: str = "doc_id",
+def simhash_batch(batch, key_col: str = "doc_id",
                   text_col: str = "text") -> pd.DataFrame:
+    import pyarrow as pa
+
+    if isinstance(batch, pa.Table):
+        texts = batch[text_col].to_pylist()
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+    else:
+        texts = batch[text_col].fillna("").tolist()
+        keys = batch[key_col].to_numpy()
     return pd.DataFrame(
         {
-            key_col: batch[key_col].to_numpy(),
+            key_col: keys,
             "simhash": np.array(
-                [simhash64(t) for t in batch[text_col].fillna("").tolist()],
-                dtype=np.uint64,
+                [simhash64(t or "") for t in texts], dtype=np.uint64
             ).astype(np.int64),
         }
     )
@@ -321,7 +361,7 @@ def simhash_neardup_pairs(ds, *, key_col: str = "doc_id", text_col: str = "text"
     """Pairs with Hamming(simhash) ≤ max_hamming via 4×16-bit band tables
     (pigeonhole: any pair within Hamming ≤ 3 collides in ≥ 1 band)."""
     sigs = ds.map_batches(
-        lambda b: simhash_batch(b, key_col, text_col), batch_format="pandas"
+        lambda b: simhash_batch(b, key_col, text_col), batch_format="pyarrow"
     )
 
     def explode_bands(b: pd.DataFrame) -> pd.DataFrame:
@@ -338,23 +378,29 @@ def simhash_neardup_pairs(ds, *, key_col: str = "doc_id", text_col: str = "text"
 
     bands = sigs.map_batches(explode_bands, batch_format="pandas")
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        rows = sorted(set(zip(g[key_col], g["simhash"])))
-        if len(rows) < 2 or len(rows) > max_bucket:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+    # one vectorized call per hash bucket; only genuine band-value
+    # collision groups are looped (see minhash_neardup_pairs)
+    from .groups import bucketed_group_apply
+
+    def pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        counts = g.groupby(["band", "band_val"], sort=False)[key_col].transform("count")
+        g = g[counts >= 2]
         out = []
-        for i, (ka, ha) in enumerate(rows):
-            for kb, hb in rows[i + 1:]:
-                dist = bin((int(ha) ^ int(hb)) & 0xFFFFFFFFFFFFFFFF).count("1")
-                if dist <= max_hamming:
-                    out.append((ka, kb, dist))
+        for _, grp in g.groupby(["band", "band_val"], sort=False):
+            rows = sorted(set(zip(grp[key_col], grp["simhash"])))
+            if len(rows) < 2 or len(rows) > max_bucket:
+                continue
+            for i, (ka, ha) in enumerate(rows):
+                for kb, hb in rows[i + 1:]:
+                    dist = bin((int(ha) ^ int(hb)) & 0xFFFFFFFFFFFFFFFF).count("1")
+                    if dist <= max_hamming:
+                        out.append((ka, kb, dist))
         return pd.DataFrame({"id_a": [o[0] for o in out],
                              "id_b": [o[1] for o in out],
                              "hamming": [o[2] for o in out]})
 
-    pairs = bands.groupby(["band", "band_val"]).map_groups(
-        bucket_pairs, batch_format="pandas"
-    )
+    pairs = bucketed_group_apply(bands, ["band", "band_val"], pairs_bucket,
+                                 num_buckets=32)
     pdf = pairs.to_pandas().drop_duplicates()
     return pdf.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 

@@ -191,22 +191,61 @@ def aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
     return bytes(out)
 
 
+# ── numpy-vectorized decrypt path ────────────────────────────────────
+# CBC DECRYPT parallelizes across blocks (ECB-decrypt all ciphertext
+# blocks at once, then XOR with the shifted ciphertext); the scalar
+# path above would cost ~100 µs/block in pure Python — ~200× too slow
+# for the corpus pipeline's encrypted tail.
+
+import numpy as np
+
+_SBOX_NP = np.array(_SBOX, dtype=np.uint8)
+_INV_SBOX_NP = np.array(_INV_SBOX, dtype=np.uint8)
+_GF_T = {m: np.array([_gmul(x, m) for x in range(256)], dtype=np.uint8)
+         for m in (9, 11, 13, 14)}
+# InvShiftRows permutation on the column-major flat layout
+_INV_SHIFT_IDX = np.array(
+    [(4 * (c - r) + r) % 16 for c in range(4) for r in range(4)], dtype=np.intp)
+
+
+def _inv_mix_columns_np(s: np.ndarray) -> np.ndarray:
+    a, b, c, d = s[:, 0::4], s[:, 1::4], s[:, 2::4], s[:, 3::4]
+    t9, t11, t13, t14 = _GF_T[9], _GF_T[11], _GF_T[13], _GF_T[14]
+    out = np.empty_like(s)
+    out[:, 0::4] = t14[a] ^ t11[b] ^ t13[c] ^ t9[d]
+    out[:, 1::4] = t9[a] ^ t14[b] ^ t11[c] ^ t13[d]
+    out[:, 2::4] = t13[a] ^ t9[b] ^ t14[c] ^ t11[d]
+    out[:, 3::4] = t11[a] ^ t13[b] ^ t9[c] ^ t14[d]
+    return out
+
+
+def _aes_ecb_decrypt_blocks(cipher: AES128, blocks: np.ndarray) -> np.ndarray:
+    rks = [np.array(rk, dtype=np.uint8) for rk in cipher.round_keys]
+    s = blocks ^ rks[10]
+    for rnd in range(9, -1, -1):
+        s = s[:, _INV_SHIFT_IDX]
+        s = _INV_SBOX_NP[s]
+        s = s ^ rks[rnd]
+        if rnd > 0:
+            s = _inv_mix_columns_np(s)
+    return s
+
+
 def aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
-    """Inverse of aes_cbc_encrypt: data = iv || ciphertext."""
+    """Inverse of aes_cbc_encrypt: data = iv || ciphertext.
+    Vectorized: all blocks ECB-decrypted in one numpy pass, then XORed
+    with the shifted ciphertext (CBC chaining)."""
     if len(data) < 32 or len(data) % 16:
         raise ValueError("bad AES-CBC payload length")
     cipher = AES128(key)
-    prev = data[:16]
-    out = bytearray()
-    for i in range(16, len(data), 16):
-        ct = data[i:i + 16]
-        pt = cipher.decrypt_block(ct)
-        out += bytes(a ^ b for a, b in zip(pt, prev))
-        prev = ct
+    arr = np.frombuffer(data, dtype=np.uint8).reshape(-1, 16)
+    ct = arr[1:]                      # ciphertext blocks
+    pt = _aes_ecb_decrypt_blocks(cipher, ct) ^ arr[:-1]
+    out = pt.tobytes()
     pad = out[-1]
     if not 1 <= pad <= 16:
         raise ValueError("bad PKCS#7 padding")
-    return bytes(out[:-pad])
+    return out[:-pad]
 
 
 # ── standard security handler ────────────────────────────────────────

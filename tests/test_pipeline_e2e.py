@@ -353,3 +353,39 @@ def test_bucketed_winners_matches_broadcast(ray_session, tmp_path, corpus):
 
     pd.testing.assert_frame_equal(a, b)
     assert sorted(a["url"]) == sorted(golden["url"].to_pylist())
+
+
+def test_file_granular_midwave_resume(ray_session, tmp_path, corpus):
+    """file_granular_resume: a kill MID-WAVE (after 3 of 4 files, wave
+    of 4) must, on restart, redo only the interrupted file — completed
+    sub-units (sub-manifests present) are skipped — and produce exactly
+    the golden url set."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    pages, golden = corpus
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(in_dir)
+    n = pages.num_rows
+    for s in range(4):
+        pq.write_table(pages.slice(s * n // 4, (s + 1) * n // 4 - s * n // 4),
+                       os.path.join(in_dir, f"part-{s}.parquet"))
+
+    # one wave of 4 files; die before the 4th file
+    with pytest.raises(RuntimeError, match="fault injection"):
+        run_extract(in_dir, out_dir, files_per_wave=4,
+                    file_granular_resume=True, fault_inject_after_files=3)
+    assert mstate.completed_waves(out_dir) == set()       # wave NOT done
+    assert set(mstate.completed_subunits(out_dir, 0)) == {0, 1, 2}
+
+    # restart: only file 3 runs; wave manifest aggregates all four
+    summary = run_extract(in_dir, out_dir, files_per_wave=4,
+                          file_granular_resume=True)
+    assert mstate.completed_waves(out_dir) == {0}
+    assert set(mstate.completed_subunits(out_dir, 0)) == {0, 1, 2, 3}
+
+    out_urls = sorted(
+        rd.read_parquet(out_dir, columns=["url"]).to_pandas()["url"])
+    assert out_urls == sorted(golden["url"].to_pylist())
+    assert summary["metrics"]["rows"] == len(out_urls)
