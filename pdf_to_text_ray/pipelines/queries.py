@@ -849,12 +849,23 @@ FROM (
 def approx_distinct_users(sf_dir: str):
     """HLL approximate COUNT(DISTINCT user_id): one 4 KiB sketch per
     batch, merged on the driver — the mergeable-sketch aggregation
-    shape (rows-only: the estimate is approximate by design; accuracy
-    asserted <5 percent in pytest)."""
+    shape. Oracle-checkable: returns the EXACT distinct count (which
+    SQL verifies) plus a within-5-percent flag for the HLL estimate
+    (the accuracy claim, encoded in the oracle row)."""
     from ..stages.sketches import approx_distinct
 
     ds = _read(sf_dir, "events", ["user_id"])
-    return pd.DataFrame({"approx_users": [int(round(approx_distinct(ds, "user_id")))]})
+    est = approx_distinct(ds, "user_id")
+    exact = len(ds.unique("user_id"))
+    ok = abs(est - exact) / max(exact, 1) < 0.05
+    return pd.DataFrame({"n_users": [exact], "approx_within_5pct": [bool(ok)]})
+
+
+APPROX_DISTINCT_SQL = """
+SELECT count(DISTINCT user_id)::BIGINT AS n_users,
+       true AS approx_within_5pct
+FROM events
+"""
 
 
 def doc_selfrepeat_ratio(sf_dir: str):
@@ -1321,4 +1332,5 @@ ORACLE_SQL = {
     "neardup_embedding": NEARDUP_EMB_SQL,
     "docs_line_deduped": LINE_DEDUP_SQL,
     "ann_recall_floor": ANN_RECALL_SQL,
+    "approx_distinct_users": APPROX_DISTINCT_SQL,
 }

@@ -103,12 +103,21 @@ def knn_bruteforce(ds, query_ids: list[int], k: int = 10,
 
 
 def embedding_neardup_pairs(ds, threshold: float = 0.95,
-                            id_col: str = "vec_id", vec_col: str = "embedding") -> pd.DataFrame:
-    """Exact cosine-threshold self-join → (id_a, id_b) with id_a < id_b.
+                            id_col: str = "vec_id", vec_col: str = "embedding",
+                            method: str = "auto",
+                            max_exact: int = 200_000) -> pd.DataFrame:
+    """Cosine-threshold self-join → (id_a, id_b) with id_a < id_b.
 
-    Broadcast the normalized matrix once; each batch matmuls its rows
-    against the full matrix. O(n²) work but O(n·d) shuffle — right up
-    to ~10^6 rows; beyond that use ann_lsh buckets first."""
+    ``method``: "exact" — broadcast the normalized matrix once, each
+    batch matmuls its rows against it (O(n²) work, O(n·d) broadcast;
+    this is also the oracle-checked baseline); "blocked" — multi-table
+    hyperplane-LSH bucketing + exact cosine within buckets (the scale
+    path: no full-matrix broadcast, work ∝ bucket sizes; approximate
+    with recall ≈ 1-(1-p^b)^T); "auto" — exact up to ``max_exact``
+    rows, blocked beyond."""
+    if method == "blocked" or (method == "auto" and ds.count() > max_exact):
+        return embedding_neardup_pairs_blocked(
+            ds, threshold, id_col=id_col, vec_col=vec_col)
     import ray
 
     full = ds.select_columns([id_col, vec_col]).to_pandas().sort_values(id_col)
@@ -136,6 +145,65 @@ def embedding_neardup_pairs(ds, threshold: float = 0.95,
         out = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                             "id_b": pd.Series([], dtype="int64")})
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def embedding_neardup_pairs_blocked(ds, threshold: float = 0.95,
+                                    id_col: str = "vec_id",
+                                    vec_col: str = "embedding",
+                                    n_bits: int = 12,
+                                    n_tables: int = 6) -> pd.DataFrame:
+    """Approximate cosine-threshold self-join for corpora beyond the
+    broadcast budget: ``n_tables`` independent hyperplane-LSH tables
+    bucket the vectors; exact cosine runs only WITHIN buckets; pair
+    sets union across tables. For threshold τ, per-table bucket
+    collision prob is p^n_bits with p = 1 - arccos(τ)/π, overall
+    recall ≈ 1-(1-p^n_bits)^n_tables (τ=0.95 → ~0.93 at 12 bits ×
+    6 tables). The shuffle moves (table, bucket, id, vec) — n_tables×
+    the input, never O(n²)."""
+    import ray.data as rd  # noqa: F401  (documents the dependency)
+
+    from .groups import bucketed_group_apply
+
+    def explode(batch: pa.Table) -> pd.DataFrame:
+        m = list_column_to_matrix(batch[vec_col])
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        frames = []
+        for t in range(n_tables):
+            rng = np.random.RandomState(_LSH_SEED + 7919 * (t + 1))
+            planes = rng.normal(size=(m.shape[1], n_bits))
+            bits = (m @ planes) > 0
+            bucket = (bits * (1 << np.arange(n_bits))).sum(axis=1).astype(np.int64)
+            frames.append(pd.DataFrame({
+                id_col: ids, "table": np.int64(t), "bucket": bucket,
+                "vec": [row.tobytes() for row in m.astype(np.float64)],
+            }))
+        return pd.concat(frames, ignore_index=True)
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+
+    def pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        counts = g.groupby(["table", "bucket"], sort=False)[id_col].transform("count")
+        g = g[counts >= 2]
+        out_a: list = []
+        out_b: list = []
+        for _, grp in g.groupby(["table", "bucket"], sort=False):
+            grp = grp.drop_duplicates(id_col).sort_values(id_col)
+            ids = grp[id_col].to_numpy()
+            mat = _normalize(np.stack([np.frombuffer(v, np.float64)
+                                       for v in grp["vec"]]))
+            sims = mat @ mat.T
+            ai, bi = np.nonzero(np.triu(sims >= threshold, k=1))
+            out_a.extend(ids[ai].tolist())
+            out_b.extend(ids[bi].tolist())
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b})
+
+    pdf = bucketed_group_apply(exploded, ["table", "bucket"], pairs_bucket,
+                               num_buckets=32).to_pandas()
+    if pdf.empty:
+        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                             "id_b": pd.Series([], dtype="int64")})
+    return (pdf.drop_duplicates().astype({"id_a": "int64", "id_b": "int64"})
+            .sort_values(["id_a", "id_b"]).reset_index(drop=True))
 
 
 # ── LSH-bucketed ANN (the scale path) ────────────────────────────────

@@ -380,3 +380,25 @@ def test_minhash_verify_join_matches_broadcast(dup_docs_ds):
     b = minhash_neardup_pairs(dup_docs_ds, threshold=0.5, verify="join")
     pd.testing.assert_frame_equal(
         a.reset_index(drop=True), b.reset_index(drop=True))
+
+def test_embedding_neardup_blocked_recall(ray_session):
+    """The blocked (LSH-bucketed) threshold self-join returns a subset
+    of the exact pair set with high recall at a high threshold."""
+    import ray.data as rd
+
+    from pdf_to_text_ray.stages.similarity import (
+        embedding_neardup_pairs, embedding_neardup_pairs_blocked)
+
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+    exact = embedding_neardup_pairs(ds, threshold=0.45, method="exact")
+    blocked = embedding_neardup_pairs_blocked(ds, threshold=0.45,
+                                              n_bits=4, n_tables=8)
+    ex = set(map(tuple, exact[["id_a", "id_b"]].values))
+    bl = set(map(tuple, blocked[["id_a", "id_b"]].values))
+    assert bl <= ex                      # no false positives (exact verify)
+    if ex:
+        assert len(bl & ex) / len(ex) >= 0.5
+    # deterministic
+    blocked2 = embedding_neardup_pairs_blocked(ds, threshold=0.45,
+                                               n_bits=4, n_tables=8)
+    pd.testing.assert_frame_equal(blocked, blocked2)
