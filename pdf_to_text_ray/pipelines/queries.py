@@ -702,6 +702,160 @@ WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1997-01-0
 """
 
 
+def orders_with_discounted_items(sf_dir: str):
+    """EXISTS semi-join (TPC-H Q4 shape): orders having ≥1 lineitem
+    with discount > 0.08, counted by priority — the distinct key set is
+    computed distributed (per-batch unique → small union) and broadcast
+    for the probe (Bloom filter at corpus scale)."""
+    import ray
+
+    from ray.data.aggregate import Count
+
+    li = _lineitem(sf_dir, ["l_orderkey", "l_discount"])
+    keys_pdf = (
+        li.map_batches(
+            lambda t: pa.table({"k": pc.unique(
+                t.filter(pc.greater(t["l_discount"], pa.scalar(0.08)))["l_orderkey"])}),
+            batch_format="pyarrow")
+        .to_pandas()
+    )
+    key_arr = np.unique(keys_pdf["k"].to_numpy())
+    ref = ray.put(key_arr)
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+
+    def semi(t: pa.Table) -> pa.Table:
+        ks = ray.get(ref)
+        ids = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        idx = np.minimum(np.searchsorted(ks, ids), max(len(ks) - 1, 0))
+        hit = (ks[idx] == ids) if len(ks) else np.zeros(len(ids), bool)
+        return t.filter(pa.array(hit))
+
+    out = (
+        orders.map_batches(semi, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_orders"))
+        .to_pandas()
+    )
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out
+
+
+EXISTS_SEMI_SQL = """
+SELECT o_orderpriority, count(*)::BIGINT AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_discount > 0.08)
+GROUP BY o_orderpriority
+"""
+
+
+def events_lag_delta(sf_dir: str):
+    """lag() window: per user (ordered by ts, event_id), the delta of
+    value vs the previous event — hash-bucketed, one vectorized
+    groupby.diff per bucket; first-row NULLs dropped."""
+    from ..stages.groups import bucketed_group_apply
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        delta = g.groupby("user_id", sort=False)["value"].diff()
+        out = pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "user_id": g["user_id"].to_numpy(),
+            "delta": delta.to_numpy(),
+        }).dropna(subset=["delta"])
+        out["delta"] = round2(out["delta"])
+        return out
+
+    return bucketed_group_apply(ds, "user_id", per_bucket)
+
+
+LAG_DELTA_SQL = """
+SELECT event_id, user_id, delta FROM (
+  SELECT event_id, user_id,
+         round(value - lag(value) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id), 2) AS delta
+  FROM events
+) WHERE delta IS NOT NULL
+"""
+
+
+def orders_monthly_volume(sf_dir: str):
+    """Calendar bucketing: order count + revenue per (year, month)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def bucketize(b: pd.DataFrame) -> pd.DataFrame:
+        d = pd.to_datetime(b["o_orderdate"])
+        return pd.DataFrame({
+            "ym": (d.dt.year * 100 + d.dt.month).astype("int64"),
+            "o_totalprice": b["o_totalprice"],
+        })
+
+    out = (
+        ds.map_batches(bucketize, batch_format="pandas")
+        .groupby("ym")
+        .aggregate(Count(alias_name="n_orders"),
+                   Sum("o_totalprice", alias_name="revenue"))
+        .to_pandas()
+    )
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["revenue"] = round2(out["revenue"])
+    return out
+
+
+MONTHLY_VOLUME_SQL = """
+SELECT (year(o_orderdate) * 100 + month(o_orderdate))::BIGINT AS ym,
+       count(*)::BIGINT AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders GROUP BY 1
+"""
+
+
+def event_props_k_stats(sf_dir: str):
+    """JSON-column extraction (the M6 fenced-JSON parser's scalar-path
+    cousin, oracle-checked): parse props, average the \"k\" field per
+    event type."""
+    import json
+
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def parse(t: pa.Table) -> pd.DataFrame:
+        ks = []
+        for p in t["props"].to_pylist():
+            try:
+                ks.append(float(json.loads(p or "{}").get("k", 0)))
+            except (ValueError, TypeError):
+                ks.append(0.0)
+        return pd.DataFrame({
+            "event_type": t["event_type"].to_pylist(), "k": ks})
+
+    out = (
+        ds.map_batches(parse, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("k", alias_name="k_sum"), Count(alias_name="n"))
+        .to_pandas()
+    )
+    res = pd.DataFrame({
+        "event_type": out["event_type"],
+        "avg_k": round2(out["k_sum"] / out["n"]),
+    })
+    return res
+
+
+PROPS_K_SQL = """
+SELECT event_type,
+       round(avg(coalesce(CAST(json_extract_string(props, '$.k') AS DOUBLE), 0)), 2)
+         AS avg_k
+FROM events GROUP BY event_type
+"""
+
+
 # ── text ops over documents ───────────────────────────────────────────
 
 def doc_token_stats(sf_dir: str):
@@ -1260,6 +1414,10 @@ QUERIES = {
     "asof_prev_view": asof_prev_view,
     "q3_shipping_priority": q3_shipping_priority,
     "q6_forecast_revenue": q6_forecast_revenue,
+    "orders_with_discounted_items": orders_with_discounted_items,
+    "events_lag_delta": events_lag_delta,
+    "orders_monthly_volume": orders_monthly_volume,
+    "event_props_k_stats": event_props_k_stats,
     # text
     "doc_token_stats": doc_token_stats,
     "doc_quality_filter": doc_quality_filter,
@@ -1318,6 +1476,10 @@ ORACLE_SQL = {
     "asof_prev_view": ASOF_SQL,
     "q3_shipping_priority": Q3_SQL,
     "q6_forecast_revenue": Q6_SQL,
+    "orders_with_discounted_items": EXISTS_SEMI_SQL,
+    "events_lag_delta": LAG_DELTA_SQL,
+    "orders_monthly_volume": MONTHLY_VOLUME_SQL,
+    "event_props_k_stats": PROPS_K_SQL,
     "doc_token_stats": DOC_TOKEN_STATS_SQL,
     "doc_quality_filter": DOC_QUALITY_SQL,
     "dedup_exact_docs": DEDUP_EXACT_SQL,
