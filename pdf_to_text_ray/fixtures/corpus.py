@@ -28,7 +28,7 @@ from ..schemas import DOC_TYPE_HTML, DOC_TYPE_PDF, DOC_TYPE_TEXT
 from .htmlgen import _WORDS, make_html_page, _sentence
 from .pdfgen import make_pdf
 
-GENERATOR_VERSION = 9  # bump to invalidate /tmp caches
+GENERATOR_VERSION = 10  # bump to invalidate /tmp caches
 _EPOCH_US = 1_600_000_000_000_000  # fixed base timestamp (µs)
 
 _LANGS = ["en", "es", "de", "zh", "fr"]
@@ -63,6 +63,7 @@ def make_page_row(i: int, seed: int, heavy: bool = False) -> tuple[dict, dict | 
             encrypt=rng.choice(
                 [None] * 9 + ["rc4-128", "aes-128", "rc4-40"])
             if not broken else None,
+            compress=rng.choice([True] * 8 + ["lzw", False]),
         )
         page = {"url": url, "warc_ts": warc_ts, "html": pdf,
                 "text": None, "lang": lang}

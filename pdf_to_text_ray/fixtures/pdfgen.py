@@ -120,6 +120,54 @@ class _PageCompose:
         return b"\n".join(self.ops + [b"ET"]) + b"\n"
 
 
+def _lzw_encode(data: bytes, early_change: int = 1) -> bytes:
+    """PDF LZWDecode-compatible encoder (spec §7.4.4): MSB-first
+    variable-width 9→12-bit codes, clear=256/EOD=257, EarlyChange=1.
+    Mirrors the extractor's decoder width schedule; table reset at
+    4095 entries."""
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    emit(256, width)  # initial clear
+    w = b""
+    for byte in data:
+        wc = w + bytes([byte])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        table[wc] = next_code
+        next_code += 1
+        # decoder widens when len(table)+early >= 1<<width; its table
+        # length equals next_code here
+        if next_code + early_change - 1 >= (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4095:
+            emit(256, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        w = bytes([byte])
+    if w:
+        emit(table[w], width)
+    emit(257, width)  # EOD
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
 def _rand_lines(rng: random.Random, n: int) -> list[str]:
     return [_sentence(rng, _WORDS, rng.randrange(3, 9))[:-1] for _ in range(n)]
 
@@ -135,8 +183,12 @@ class _PdfBuilder:
         self.objects[n] = body
         return n
 
-    def add_stream(self, extra: bytes, data: bytes, compress: bool) -> int:
-        if compress:
+    def add_stream(self, extra: bytes, data: bytes, compress) -> int:
+        """``compress``: False (raw), True (Flate), or "lzw"."""
+        if compress == "lzw":
+            data = _lzw_encode(data)
+            filt = b"/Filter /LZWDecode "
+        elif compress:
             data = zlib.compress(data)
             filt = b"/Filter /FlateDecode "
         else:

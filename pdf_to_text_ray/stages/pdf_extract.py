@@ -543,6 +543,48 @@ def _runlength_decode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _lzw_decode(data: bytes, early_change: int = 1) -> bytes:
+    """LZWDecode (spec §7.4.4): MSB-first variable-width codes 9→12
+    bits, clear=256, EOD=257; ``EarlyChange`` (default 1) widens the
+    code size one code early — the TIFF/PDF convention."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            nbits -= width
+            code = (acc >> nbits) & ((1 << width) - 1)
+            if code == 256:  # clear table
+                table = table[:258]
+                width = 9
+                prev = None
+                continue
+            if code == 257:  # EOD
+                return bytes(out)
+            if prev is None:
+                if code > 255:
+                    raise PdfError("LZW: first code not a literal")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):  # KwKwK case
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise PdfError("LZW: code out of range")
+            out += entry
+            prev = entry
+            if len(table) + early_change >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
 def decode_stream(d: dict, raw: bytes, doc: "PdfDocument | None" = None) -> bytes:
     def res(v):
         return doc.resolve(v) if doc is not None else v
@@ -578,6 +620,9 @@ def decode_stream(d: dict, raw: bytes, doc: "PdfDocument | None" = None) -> byte
             data = _ascii85_decode(data)
         elif filt in ("RunLengthDecode", "RL"):
             data = _runlength_decode(data)
+        elif filt in ("LZWDecode", "LZW"):
+            early = int(res(parm.get("EarlyChange", 1))) if isinstance(parm, dict) else 1
+            data = _lzw_decode(data, early_change=early)
         else:
             raise PdfError(f"unsupported filter {filt}")
         pred = res(parm.get("Predictor", 1)) if isinstance(parm, dict) else 1

@@ -438,3 +438,43 @@ class TestCidCmap:
             r = extract_pdf_text(data)
             assert r.text == expected
             assert "中文字" in r.text
+
+
+# ── LZWDecode filter (spec §7.4.4) ───────────────────────────────────
+
+class TestLzw:
+    def test_roundtrip_cases(self):
+        import os
+        import random
+
+        from pdf_to_text_ray.fixtures.pdfgen import _lzw_encode
+        from pdf_to_text_ray.stages.pdf_extract import _lzw_decode
+
+        rng = random.Random(7)
+        cases = [b"", b"A", b"AAAAAAAA", b"-----A---B",
+                 os.urandom(4096),             # incompressible
+                 b"ab" * 4000,                  # width growth 9->12
+                 b"lorem ipsum " * 2500,        # table reset at 4095
+                 bytes(rng.randrange(4) for _ in range(20000))]
+        for c in cases:
+            assert _lzw_decode(_lzw_encode(c)) == c
+
+    def test_kwkwk_and_width_pattern(self):
+        from pdf_to_text_ray.stages.pdf_extract import _lzw_decode
+
+        # the ISO 32000 §7.4.4 example structure (x*5, y, x*3, z):
+        # prefix-growing codes + the KwKwK case
+        enc = bytes.fromhex("800B6050220C0C8501")
+        assert _lzw_decode(enc) == b"-----A---B"
+
+    def test_lzw_pdf_byte_identity(self):
+        import random
+
+        from pdf_to_text_ray.fixtures.pdfgen import make_pdf
+
+        for seed in (1, 3, 5):
+            rng = random.Random(seed)
+            data, expected, _ = make_pdf(rng, n_pages=2, compress="lzw")
+            assert b"/LZWDecode" in data
+            r = extract_pdf_text(data)
+            assert r.text == expected
