@@ -1206,16 +1206,23 @@ class FontDecoder:
     encoding stream (spec §9.7.5.3): variable-length codes segmented by
     the CMap's codespace ranges, then mapped through ToUnicode."""
 
-    __slots__ = ("trans", "two_byte", "widths", "codespaces")
+    __slots__ = ("trans", "two_byte", "widths", "codespaces",
+                 "cids", "cid_widths", "default_width")
 
     def __init__(self, overrides: dict[int, str] | None = None,
                  two_byte: bool = False,
                  widths: dict[int, float] | None = None,
-                 codespaces: list[tuple[int, bytes, bytes]] | None = None):
+                 codespaces: list[tuple[int, bytes, bytes]] | None = None,
+                 cids: dict[int, int] | None = None,
+                 cid_widths: dict[int, float] | None = None,
+                 default_width: float | None = None):
         self.trans = dict(overrides) if overrides else None
         self.two_byte = two_byte
         self.widths = widths  # byte code → glyph width in em units
         self.codespaces = codespaces  # sorted by code length ascending
+        self.cids = cids  # code → CID (embedded CMap; None ⇒ identity)
+        self.cid_widths = cid_widths  # CID → width in em units (/W)
+        self.default_width = default_width  # /DW in em units
 
     def _codes(self, raw: bytes) -> list[int]:
         """Variable-length code segmentation per the codespace ranges;
@@ -1236,14 +1243,28 @@ class FontDecoder:
 
     def advance_em(self, raw: bytes) -> float:
         """Text-space advance (em units) of the raw string: /Widths per
-        byte when declared (spec §9.2.4), nominal estimate otherwise."""
-        if self.codespaces is not None:
-            return len(self._codes(raw)) * NOMINAL_GLYPH_WIDTH
-        if self.widths is not None and not self.two_byte:
+        byte (simple fonts, spec §9.2.4) or CID /W + /DW (composite
+        fonts, §9.7.4.3) when declared, nominal estimate otherwise."""
+        if self.codespaces is not None or self.two_byte:
+            if self.codespaces is not None:
+                codes = self._codes(raw)
+            else:
+                codes = [int.from_bytes(raw[i:i + 2], "big")
+                         for i in range(0, len(raw) - len(raw) % 2, 2)]
+            if self.cid_widths is None and self.default_width is None:
+                return len(codes) * NOMINAL_GLYPH_WIDTH
+            dw = self.default_width if self.default_width is not None else 1.0
+            cw = self.cid_widths or {}
+            cids = self.cids
+            total = 0.0
+            for c in codes:
+                cid = cids.get(c, c) if cids else c
+                total += cw.get(cid, dw)
+            return total
+        if self.widths is not None:
             w = self.widths
             return sum(w.get(b, NOMINAL_GLYPH_WIDTH) for b in raw)
-        n = len(raw) // 2 if self.two_byte else len(raw)
-        return n * NOMINAL_GLYPH_WIDTH
+        return len(raw) * NOMINAL_GLYPH_WIDTH
 
     def decode(self, raw: bytes) -> str:
         if self.codespaces is not None:
@@ -1268,6 +1289,47 @@ class FontDecoder:
 _LATIN1_DECODER = FontDecoder()
 
 
+def _cid_font_widths(doc: "PdfDocument", font: dict):
+    """(CID→em-width map, /DW em default) from the descendant CIDFont's
+    /W array (spec §9.7.4.3: ``c [w...]`` runs and ``c1 c2 w`` ranges,
+    glyph-space thousandths). (None, None) when undeclared — callers
+    fall back to the nominal estimate."""
+    try:
+        desc = doc.resolve(font.get("DescendantFonts"))
+        if isinstance(desc, list) and desc:
+            desc = doc.resolve(desc[0])
+        if not isinstance(desc, dict):
+            return None, None
+        dw = doc.resolve(desc.get("DW"))
+        default = float(dw) / 1000.0 if isinstance(dw, (int, float)) else None
+        warr = doc.resolve(desc.get("W"))
+        if not isinstance(warr, list):
+            return None, default
+        out: dict[int, float] = {}
+        i = 0
+        while i < len(warr):
+            a = doc.resolve(warr[i])
+            nxt = doc.resolve(warr[i + 1]) if i + 1 < len(warr) else None
+            if isinstance(nxt, list):
+                for j, w in enumerate(nxt):
+                    w = doc.resolve(w)
+                    if isinstance(w, (int, float)):
+                        out[int(a) + j] = float(w) / 1000.0
+                i += 2
+            elif i + 2 < len(warr):
+                c2 = doc.resolve(warr[i + 1])
+                w = doc.resolve(warr[i + 2])
+                if isinstance(w, (int, float)):
+                    for c in range(int(a), min(int(c2), int(a) + 65535) + 1):
+                        out[c] = float(w) / 1000.0
+                i += 3
+            else:
+                break
+        return (out or None), default
+    except (PdfError, TypeError, ValueError):
+        return None, None
+
+
 def build_font_decoder(doc: "PdfDocument", font: dict) -> FontDecoder:
     overrides: dict[int, str] = {}
     enc = doc.resolve(font.get("Encoding"))
@@ -1287,17 +1349,23 @@ def build_font_decoder(doc: "PdfDocument", font: dict) -> FontDecoder:
                 tu_overrides.update(parse_tounicode_cmap(tu0.data()))
             except PdfError:
                 pass
+        cid_widths, default_width = _cid_font_widths(doc, font)
         if isinstance(enc, Stream):
             # embedded CMap encoding stream (spec §9.7.5.3)
+            cids = None
             try:
-                cs, _cids = parse_cid_cmap(enc.data())
+                cs, cids = parse_cid_cmap(enc.data())
             except PdfError:
                 cs = []
             return FontDecoder(
                 tu_overrides,
-                codespaces=cs or [(2, b"\x00\x00", b"\xff\xff")])
+                codespaces=cs or [(2, b"\x00\x00", b"\xff\xff")],
+                cids=cids or None, cid_widths=cid_widths,
+                default_width=default_width)
         if str(base or "").startswith("Identity"):
-            return FontDecoder(tu_overrides, two_byte=True)
+            return FontDecoder(tu_overrides, two_byte=True,
+                               cid_widths=cid_widths,
+                               default_width=default_width)
         # predefined non-identity CMap name: the Adobe registry tables
         # are not shipped here; since extraction Unicode comes from the
         # code-keyed ToUnicode CMap anyway, segment codes with the
@@ -1309,7 +1377,8 @@ def build_font_decoder(doc: "PdfDocument", font: dict) -> FontDecoder:
             except (PdfError, ValueError):
                 cs = []
         return FontDecoder(
-            tu_overrides, codespaces=cs or [(2, b"\x00\x00", b"\xff\xff")])
+            tu_overrides, codespaces=cs or [(2, b"\x00\x00", b"\xff\xff")],
+            cid_widths=cid_widths, default_width=default_width)
     widths = None
     warr = doc.resolve(font.get("Widths"))
     if isinstance(warr, list) and warr:
