@@ -1331,6 +1331,32 @@ def block_quality(sf_dir: str):
     return out.sort_values(["url", "block_idx"]).reset_index(drop=True)
 
 
+def media_features(sf_dir: str):
+    """Multimodal actor-pool pipeline (rows-only): synthetic media table
+    (REAL BMP/PPM/WAV payloads + a fake-compressed tail, scaled by sf)
+    → MediaFeatureExtractor → per-row feature L2 norm."""
+    import ray.data as rd
+
+    from ..fixtures.mediagen import ensure_media_parquet
+    from ..stages.multimodal import FEATURE_DIM, extract_media_features
+
+    media_dir = ensure_media_parquet(_corpus_rows_for(sf_dir), seed=42)
+    ds = rd.read_parquet(media_dir)
+    out = extract_media_features(ds, concurrency=(1, 4), batch_size=32)
+
+    def norms(t: pa.Table) -> pa.Table:
+        col = t["features"].combine_chunks()
+        m = col.flatten().to_numpy(zero_copy_only=False).reshape(-1, FEATURE_DIM)
+        return pa.table({
+            "media_id": t["media_id"],
+            "media_type": t["media_type"],
+            "feat_norm": pa.array(round2(np.sqrt((m * m).sum(axis=1))),
+                                  pa.float64()),
+        })
+
+    return out.map_batches(norms, batch_format="pyarrow")
+
+
 def neardup_minhash_docs(sf_dir: str):
     from ..stages.dedup import minhash_neardup_pairs
 
@@ -1449,6 +1475,7 @@ QUERIES = {
     "ivf_cosine": ivf_cosine,
     "neardup_keep_docs": neardup_keep_docs,
     "ann_recall_floor": ann_recall_floor,
+    "media_features": media_features,
 }
 
 ORACLE_SQL = {

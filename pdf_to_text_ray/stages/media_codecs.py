@@ -1,0 +1,229 @@
+"""Real media codecs for formats decodable with stdlib + numpy only.
+
+PIL/ffmpeg are not in this container, but that does NOT force the whole
+multimodal path to be fake: BMP and PPM/PGM images and RIFF/WAVE PCM
+audio decode with numpy and the stdlib ``wave`` module. These are the
+REAL decode paths for ``MediaFeatureExtractor``; compressed formats
+(JPEG/PNG/MP4) still fall back to the injected/fake decoder and are the
+documented stub.
+
+Implemented from the public format specs:
+- BMP: BITMAPFILEHEADER + BITMAPINFOHEADER, uncompressed 24-bit BGR
+  (bottom-up or top-down, 4-byte row padding) and 8-bit paletted.
+- PPM/PGM: binary P6/P5 with whitespace/comment-tolerant headers.
+- WAV: canonical RIFF/WAVE fmt+data chunks, PCM 8/16-bit, via ``wave``.
+
+Encoders mirror the decoders so fixtures are roundtrip-by-construction.
+Feature extraction is deterministic numpy: images → size/aspect,
+channel stats, 32-bin luma histogram; audio → duration, RMS, zero
+crossings, 16-band spectrum. Both land in the same FEATURE_DIM vector
+layout the fake decoder uses, so downstream schemas are identical.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+
+import numpy as np
+
+
+class UnsupportedMediaError(Exception):
+    """Payload format needs an external decoder (JPEG/PNG/MP4/...)."""
+
+
+# ── BMP ──────────────────────────────────────────────────────────────
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB → 24-bit uncompressed bottom-up BMP."""
+    h, w, _ = arr.shape
+    row_size = (w * 3 + 3) & ~3
+    img_size = row_size * h
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 14 + 40)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size,
+                       2835, 2835, 0, 0)
+    rows = bytearray()
+    bgr = arr[:, :, ::-1]  # RGB → BGR
+    pad = b"\x00" * (row_size - w * 3)
+    for y in range(h - 1, -1, -1):  # bottom-up
+        rows += bgr[y].tobytes() + pad
+    return header + info + bytes(rows)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """BMP → (H, W, 3) uint8 RGB. 24-bit uncompressed + 8-bit paletted."""
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise UnsupportedMediaError("not a BMP")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise UnsupportedMediaError("pre-BITMAPINFOHEADER BMP")
+    w, h = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0:
+        raise UnsupportedMediaError(f"compressed BMP (method {compression})")
+    top_down = h < 0
+    h = abs(h)
+    if bpp == 24:
+        row_size = (w * 3 + 3) & ~3
+        rows = np.frombuffer(payload, np.uint8, row_size * h, data_off)
+        rows = rows.reshape(h, row_size)[:, : w * 3].reshape(h, w, 3)
+        rgb = rows[:, :, ::-1]
+    elif bpp == 8:
+        pal_off = 14 + hdr_size
+        pal = np.frombuffer(payload, np.uint8, 256 * 4, pal_off).reshape(256, 4)
+        row_size = (w + 3) & ~3
+        rows = np.frombuffer(payload, np.uint8, row_size * h, data_off)
+        idx = rows.reshape(h, row_size)[:, :w]
+        rgb = pal[idx][:, :, :3][:, :, ::-1]
+    else:
+        raise UnsupportedMediaError(f"{bpp}-bpp BMP")
+    if not top_down:
+        rgb = rgb[::-1]
+    return np.ascontiguousarray(rgb)
+
+
+# ── PPM / PGM ────────────────────────────────────────────────────────
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    h, w = arr.shape[:2]
+    if arr.ndim == 2:
+        return b"P5\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
+
+
+def _pnm_tokens(payload: bytes, n: int):
+    """First n whitespace-separated header tokens (comments skipped);
+    returns (tokens, data offset)."""
+    toks: list[bytes] = []
+    i = 0
+    while len(toks) < n and i < len(payload):
+        c = payload[i:i + 1]
+        if c == b"#":
+            i = payload.find(b"\n", i)
+            if i == -1:
+                break
+            i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(payload) and not payload[j:j + 1].isspace():
+                j += 1
+            toks.append(payload[i:j])
+            i = j
+    return toks, i + 1  # one whitespace byte after maxval
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    magic = payload[:2]
+    if magic not in (b"P5", b"P6"):
+        raise UnsupportedMediaError("not a binary PGM/PPM")
+    toks, off = _pnm_tokens(payload[2:], 3)
+    if len(toks) < 3:
+        raise UnsupportedMediaError("truncated PNM header")
+    w, h, maxval = (int(t) for t in toks)
+    if maxval > 255:
+        raise UnsupportedMediaError("16-bit PNM")
+    ch = 3 if magic == b"P6" else 1
+    need = w * h * ch
+    data = np.frombuffer(payload, np.uint8, need, 2 + off)
+    arr = data.reshape(h, w, ch) if ch == 3 else data.reshape(h, w)
+    return np.ascontiguousarray(arr)
+
+
+# ── WAV ──────────────────────────────────────────────────────────────
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """float samples in [-1, 1] → 16-bit PCM mono WAV."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(rate)
+        f.writeframes((np.clip(samples, -1, 1) * 32767).astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """WAV → (rate, float64 mono samples in [-1, 1])."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise UnsupportedMediaError("not a RIFF/WAVE payload")
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as f:
+            rate = f.getframerate()
+            nch = f.getnchannels()
+            width = f.getsampwidth()
+            raw = f.readframes(f.getnframes())
+    except wave.Error as e:
+        raise UnsupportedMediaError(f"wave: {e}") from e
+    if width == 2:
+        x = np.frombuffer(raw, "<i2").astype(np.float64) / 32768.0
+    elif width == 1:
+        x = (np.frombuffer(raw, np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise UnsupportedMediaError(f"{width * 8}-bit WAV")
+    if nch > 1:
+        x = x.reshape(-1, nch).mean(axis=1)
+    return rate, x
+
+
+# ── feature extraction (deterministic numpy) ─────────────────────────
+
+def resize_nearest(arr: np.ndarray, w: int, h: int) -> np.ndarray:
+    """Nearest-neighbor resize — the real ``resize`` op (no PIL)."""
+    ys = (np.arange(h) * arr.shape[0] // h).clip(0, arr.shape[0] - 1)
+    xs = (np.arange(w) * arr.shape[1] // w).clip(0, arr.shape[1] - 1)
+    return arr[ys][:, xs]
+
+
+def image_features(arr: np.ndarray, dim: int = 64) -> np.ndarray:
+    """[log-w, log-h, aspect, mean/std per channel, 32-bin luma hist]
+    padded to ``dim``."""
+    if arr.ndim == 2:
+        arr = np.repeat(arr[:, :, None], 3, axis=2)
+    h, w = arr.shape[:2]
+    f = arr.astype(np.float64) / 255.0
+    luma = 0.2126 * f[:, :, 0] + 0.7152 * f[:, :, 1] + 0.0722 * f[:, :, 2]
+    hist, _ = np.histogram(luma, bins=32, range=(0.0, 1.0))
+    out = np.zeros(dim, dtype=np.float32)
+    head = [np.log1p(w), np.log1p(h), w / max(h, 1),
+            *f.mean(axis=(0, 1)), *f.std(axis=(0, 1))]
+    out[: len(head)] = head
+    out[16:48] = hist / max(luma.size, 1)
+    return out
+
+
+def audio_features(rate: int, x: np.ndarray, dim: int = 64) -> np.ndarray:
+    """[log-duration, RMS, zero-crossing rate, peak, 16-band log
+    spectrum] padded to ``dim``."""
+    out = np.zeros(dim, dtype=np.float32)
+    n = len(x)
+    if n == 0:
+        return out
+    zcr = float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8)))))
+    head = [np.log1p(n / max(rate, 1)), float(np.sqrt(np.mean(x * x))),
+            zcr, float(np.abs(x).max())]
+    out[: len(head)] = head
+    spec = np.abs(np.fft.rfft(x[: min(n, 1 << 15)]))
+    bands = np.array_split(spec, 16)
+    out[16:32] = [np.log1p(b.mean()) if len(b) else 0.0 for b in bands]
+    return out
+
+
+def decode_features(payload: bytes, dim: int = 64) -> np.ndarray:
+    """Magic-byte dispatch → REAL features for BMP/PNM/WAV payloads;
+    raises UnsupportedMediaError for formats needing external codecs."""
+    p = payload or b""
+    if p[:2] == b"BM":
+        return image_features(decode_bmp(p), dim)
+    if p[:2] in (b"P5", b"P6"):
+        return image_features(decode_ppm(p), dim)
+    if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+        rate, x = decode_wav(p)
+        return audio_features(rate, x, dim)
+    raise UnsupportedMediaError(
+        f"no stdlib decoder for magic {p[:4]!r} (JPEG/PNG/MP4 need an "
+        "injected decode_fn)")

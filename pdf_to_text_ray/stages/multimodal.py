@@ -1,10 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary.
 
-Decode libraries (PIL/ffmpeg/torchaudio) are NOT in this container, so
-the codec step is STUBBED — ``decode_fn`` defaults to a deterministic
-fake (seeded from the payload bytes) and a real decoder can be injected
-per deployment. Everything Ray-side is real and tested: schemas, actor
-signatures, batch sizing for large binary rows, and output layout.
+The decode step is REAL for formats the stdlib + numpy can handle —
+BMP and PPM/PGM images, RIFF/WAVE PCM audio (stages/media_codecs,
+written from the public format specs) — and falls back to a
+deterministic fake only for compressed formats (JPEG/PNG/MP4) whose
+libraries (PIL/ffmpeg) are not in this container; a real decoder for
+those can be injected per deployment (``decode_fn``), and
+``strict=True`` raises instead of faking. Everything Ray-side is real
+and tested: schemas, actor signatures, batch sizing for large binary
+rows, and output layout.
 
 Pattern: large binary payloads ⇒ SMALL ``batch_size`` and
 ``batch_format="pyarrow"`` so payload bytes stay zero-copy in the
@@ -44,23 +48,38 @@ class MediaFeatureExtractor:
     """Actor-pool stage: ``map_batches(MediaFeatureExtractor,
     concurrency=(a,b), batch_size=SMALL, num_cpus=1)``.
 
-    __init__ loads the (stubbed) model once per actor; __call__ decodes
-    + featurizes per batch. ``strict=True`` raises NotImplementedError
-    for the codec step — the marker that a real decoder must be
-    injected in deployments with media libraries installed."""
+    __init__ binds the decoder chain once per actor; __call__ decodes +
+    featurizes per batch. Per payload: injected ``decode_fn`` first (if
+    any), then the REAL stdlib decoders (BMP/PNM/WAV →
+    media_codecs.decode_features), then — for formats needing external
+    codecs — a deterministic fake, or ``NotImplementedError`` when
+    ``strict=True`` (the marker that a real JPEG/PNG/MP4 decoder must
+    be injected in deployments with media libraries installed)."""
 
     def __init__(self, decode_fn=None, strict: bool = False, dim: int = FEATURE_DIM):
-        if strict and decode_fn is None:
-            raise NotImplementedError(
-                "real media decoding requires an injected decode_fn "
-                "(image/audio libs are not available in this environment)"
-            )
-        self.decode_fn = decode_fn or (lambda payload: _fake_decode(payload, dim))
+        self.decode_fn = decode_fn
+        self.strict = strict
         self.dim = dim
+
+    def _features(self, payload: bytes) -> np.ndarray:
+        from .media_codecs import UnsupportedMediaError, decode_features
+
+        if self.decode_fn is not None:
+            try:
+                return self.decode_fn(payload)
+            except UnsupportedMediaError:
+                pass
+        try:
+            return decode_features(payload, self.dim)
+        except UnsupportedMediaError as e:
+            if self.strict:
+                raise NotImplementedError(
+                    f"{e} — inject a decode_fn for this format") from e
+            return _fake_decode(payload, self.dim)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
-        feats = np.stack([self.decode_fn(p) for p in payloads]) if payloads else \
+        feats = np.stack([self._features(p) for p in payloads]) if payloads else \
             np.zeros((0, self.dim), dtype=np.float32)
         feat_col = pa.FixedSizeListArray.from_arrays(
             pa.array(feats.ravel(), pa.float32()), self.dim

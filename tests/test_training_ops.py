@@ -218,9 +218,46 @@ def test_media_feature_extractor_plumbing(ray_session):
     assert f1["features"].to_pylist() == f2["features"].to_pylist()
 
 
-def test_media_strict_mode_raises():
-    with pytest.raises(NotImplementedError):
-        MediaFeatureExtractor(strict=True)
+def test_media_strict_mode_raises_on_undecodable_only():
+    from pdf_to_text_ray.stages.media_codecs import encode_bmp
+
+    ext = MediaFeatureExtractor(strict=True)
+    bmp = encode_bmp(np.full((4, 4, 3), 128, np.uint8))
+    assert len(ext._features(bmp)) == 64          # stdlib-decodable: real
+    with pytest.raises(NotImplementedError):      # JPEG: needs injection
+        ext._features(b"\xff\xd8\xff\xe0 fake jpeg")
+
+
+def test_media_codecs_roundtrip_and_features():
+    from pdf_to_text_ray.stages.media_codecs import (
+        audio_features, decode_bmp, decode_features, decode_ppm, decode_wav,
+        encode_bmp, encode_ppm, encode_wav, image_features, resize_nearest)
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, size=(13, 7, 3)).astype(np.uint8)  # odd width: row padding
+    assert (decode_bmp(encode_bmp(img)) == img).all()
+    assert (decode_ppm(encode_ppm(img)) == img).all()
+    gray = rng.randint(0, 256, size=(5, 9)).astype(np.uint8)
+    assert (decode_ppm(encode_ppm(gray)) == gray).all()
+
+    t = np.linspace(0, 1, 16000)
+    sig = 0.5 * np.sin(2 * np.pi * 440 * t)
+    rate, back = decode_wav(encode_wav(sig, 16000))
+    assert rate == 16000 and len(back) == 16000
+    assert np.abs(back - sig).max() < 1e-3        # 16-bit quantization
+
+    # real features: image dims/histogram land where documented
+    f = image_features(img)
+    assert f[0] == pytest.approx(np.log1p(7)) and f[1] == pytest.approx(np.log1p(13))
+    assert abs(f[16:48].sum() - 1.0) < 1e-6       # luma histogram normalized
+    fa = audio_features(rate, back)
+    assert fa[1] == pytest.approx(0.5 / np.sqrt(2), rel=1e-2)  # sine RMS
+
+    # dispatch + resize
+    assert len(decode_features(encode_wav(sig))) == 64
+    assert resize_nearest(img, 4, 4).shape == (4, 4, 3)
+    small = resize_nearest(img, 3, 2)
+    assert small.shape == (2, 3, 3)
 
 
 def test_frame_sample_plan():
