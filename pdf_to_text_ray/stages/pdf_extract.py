@@ -95,7 +95,10 @@ class Stream:
         if (doc is not None and getattr(doc, "decryptor", None) is not None
                 and self.obj_num is not None
                 and str(self.dict.get("Type", "")) != "XRef"):
-            raw = doc.decryptor.decrypt_stream(raw, self.obj_num, self.gen)
+            try:
+                raw = doc.decryptor.decrypt_stream(raw, self.obj_num, self.gen)
+            except Exception as e:  # corrupt ciphertext/padding → typed
+                raise PdfError(f"stream decryption failed: {e}") from e
         return decode_stream(self.dict, raw, doc)
 
 
@@ -706,7 +709,10 @@ class PdfDocument:
         (strings inside ObjStm-packed objects are not separately
         encrypted — the object stream itself was, §7.6.2)."""
         if isinstance(value, bytes):
-            return self.decryptor.decrypt_string(value, num, gen)
+            try:
+                return self.decryptor.decrypt_string(value, num, gen)
+            except Exception as e:
+                raise PdfError(f"string decryption failed: {e}") from e
         if isinstance(value, list):
             return [self._decrypt_strings(v, num, gen) for v in value]
         if isinstance(value, dict):

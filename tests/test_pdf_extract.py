@@ -543,3 +543,22 @@ class TestCidWidths:
         raw = (65).to_bytes(2, "big") + (66).to_bytes(2, "big") \
             + (101).to_bytes(2, "big") + (9999).to_bytes(2, "big")
         assert dec.advance_em(raw) == pytest.approx(0.5 + 0.6 + 0.25 + 0.8)
+
+    def test_corrupt_ciphertext_is_typed_error(self):
+        """Byte-flipped encrypted streams must surface as PdfError
+        (parse_failure in the pipeline), not bare ValueError."""
+        import random
+
+        from pdf_to_text_ray.fixtures.pdfgen import make_pdf
+        from pdf_to_text_ray.stages.pdf_extract import PdfError
+
+        rng = random.Random(1)
+        data, _, _ = make_pdf(rng, n_pages=2, encrypt="aes-128")
+        buf = bytearray(data)
+        stream_at = data.find(b"stream\n") + 7
+        for k in range(24):
+            buf[stream_at + k] ^= 0xA5
+        try:
+            extract_pdf_text(bytes(buf))
+        except PdfError:
+            pass  # typed (includes the decryption-failure wrap)
