@@ -27,6 +27,15 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--batch-size", type=int, default=64)
     ap.add_argument("--cpus", type=int, default=None,
                     help="num_cpus for a local session (ignored on a cluster)")
+    ap.add_argument("--winners-mode", choices=["broadcast", "bucketed"],
+                    default="broadcast",
+                    help="dedup winner state: broadcast arrays (≲1e8 urls)"
+                         " or hash-bucketed parquet (beyond)")
+    ap.add_argument("--file-granular-resume", action="store_true",
+                    help="resume unit = input file inside a wave (a"
+                         " mid-wave kill redoes only the interrupted file)")
+    ap.add_argument("--partition-output", type=int, default=None,
+                    help="partition wave output by hash(url) %% N")
     args = ap.parse_args(argv)
 
     import ray
@@ -46,6 +55,9 @@ def main(argv: list[str] | None = None) -> int:
             files_per_wave=args.files_per_wave,
             dedup=not args.no_dedup,
             batch_size=args.batch_size,
+            winners_mode=args.winners_mode,
+            file_granular_resume=args.file_granular_resume,
+            partition_output=args.partition_output,
         )
         print(json.dumps(summary))
     finally:
