@@ -246,9 +246,18 @@ def compute_latest_winners(pages_paths):
     broadcast; beyond that use ``compute_latest_winners_bucketed`` +
     ``filter_latest_bucketed`` (same math, hash-partitioned)."""
     import pandas as pd
+    import ray
+
     import ray.data as rd
 
-    proj = rd.read_parquet(pages_paths, columns=["url", "warc_ts"])
+    # the pruned 2-column scan is tiny per file — cap task count at the
+    # CPU count so many-small-file inputs don't pay per-task overhead
+    # 156× over (measured: 156 files → 6-9 s as 156 tasks, 0.6 s capped;
+    # capping below the file count groups files per task, it never
+    # splits row groups)
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    proj = rd.read_parquet(pages_paths, columns=["url", "warc_ts"],
+                           override_num_blocks=max(2, ncpu))
 
     def partial_max(b: pd.DataFrame) -> pd.DataFrame:
         return b.groupby("url", sort=False, as_index=False)["warc_ts"].max()
@@ -324,10 +333,14 @@ def compute_latest_winners_bucketed(pages_paths, winners_dir: str,
     partitioned by bucket, written distributed (the full winner set
     never materializes on any single node). Returns ``winners_dir``."""
     import pandas as pd
+    import ray
+
     import ray.data as rd
     import shutil as _shutil
 
-    proj = rd.read_parquet(pages_paths, columns=["url", "warc_ts"])
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    proj = rd.read_parquet(pages_paths, columns=["url", "warc_ts"],
+                           override_num_blocks=max(2, ncpu))
 
     def partial_max(b: pd.DataFrame) -> pd.DataFrame:
         out = b.groupby("url", sort=False, as_index=False)["warc_ts"].max()
