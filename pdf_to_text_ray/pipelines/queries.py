@@ -614,6 +614,44 @@ ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') r
 """
 
 
+def supplier_count_per_nation(sf_dir: str):
+    """LEFT OUTER bucketed hash join: every nation with its supplier
+    count, zero included (exercises joins.py how='left' with empty
+    right sides in some buckets)."""
+    from ..stages.joins import bucketed_hash_join
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).map_batches(
+        lambda t: pa.table({"nkey": t["n_nationkey"], "n_name": t["n_name"]}),
+        batch_format="pyarrow")
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
+        lambda t: pa.table({"nkey": t["s_nationkey"], "s_suppkey": t["s_suppkey"]}),
+        batch_format="pyarrow")
+    joined = bucketed_hash_join(nation, supp, on="nkey", how="left",
+                                num_buckets=8, right_cols=["s_suppkey"])
+
+    def agg(b: pd.DataFrame) -> pd.DataFrame:
+        out = (b.groupby(["nkey", "n_name"], sort=False, as_index=False)
+               ["s_suppkey"].count())
+        return pd.DataFrame({
+            "n_nationkey": out["nkey"].astype("int64"),
+            "n_name": out["n_name"],
+            "n_suppliers": out["s_suppkey"].astype("int64"),
+        })
+
+    # buckets hold whole nations (join key = partition key) and
+    # batch_size=None keeps bucket blocks intact, so the per-batch
+    # count is already final per nation
+    return joined.map_batches(agg, batch_format="pandas", batch_size=None)
+
+
+LEFT_JOIN_SQL = """
+SELECT n_nationkey::BIGINT AS n_nationkey, n_name,
+       count(s_suppkey)::BIGINT AS n_suppliers
+FROM nation LEFT JOIN supplier ON n_nationkey = s_nationkey
+GROUP BY 1, 2
+"""
+
+
 def q3_shipping_priority(sf_dir: str):
     """TPC-H Q3 shape: 3-table join composed from a broadcast semi-join
     (customer segment filter) + bucketed hash join (orders ⋈ lineitem)
@@ -1441,6 +1479,7 @@ QUERIES = {
     "q3_shipping_priority": q3_shipping_priority,
     "q6_forecast_revenue": q6_forecast_revenue,
     "orders_with_discounted_items": orders_with_discounted_items,
+    "supplier_count_per_nation": supplier_count_per_nation,
     "events_lag_delta": events_lag_delta,
     "orders_monthly_volume": orders_monthly_volume,
     "event_props_k_stats": event_props_k_stats,
@@ -1504,6 +1543,7 @@ ORACLE_SQL = {
     "q3_shipping_priority": Q3_SQL,
     "q6_forecast_revenue": Q6_SQL,
     "orders_with_discounted_items": EXISTS_SEMI_SQL,
+    "supplier_count_per_nation": LEFT_JOIN_SQL,
     "events_lag_delta": LAG_DELTA_SQL,
     "orders_monthly_volume": MONTHLY_VOLUME_SQL,
     "event_props_k_stats": PROPS_K_SQL,

@@ -26,11 +26,19 @@ def _bucket_of(values: pd.Series, num_buckets: int) -> np.ndarray:
 
 
 def bucketed_hash_join(left, right, on: str, *, num_buckets: int = 32,
-                       suffixes: tuple[str, str] = ("_l", "_r"), how: str = "inner"):
+                       suffixes: tuple[str, str] = ("_l", "_r"),
+                       how: str = "inner",
+                       left_cols: list[str] | None = None,
+                       right_cols: list[str] | None = None):
     """Explicit partitioned hash join of two Datasets on one key column.
 
     One all-to-all (the bucket groupby over the union); the per-bucket
-    merge is vectorized pandas. Column name collisions get suffixes."""
+    merge is vectorized pandas. Column name collisions get suffixes.
+
+    ``left_cols``/``right_cols``: each side's non-key column names. The
+    per-bucket schema is otherwise inferred from the rows present —
+    a bucket that happens to contain only one side would drop the other
+    side's columns under outer joins. Pass them for non-inner joins."""
 
     # Side membership is carried explicitly via column PREFIXES (not
     # inferred from all-null columns post-union, which silently drops a
@@ -57,6 +65,12 @@ def bucketed_hash_join(left, right, on: str, *, num_buckets: int = 32,
             columns={c: c[3:] for c in lcols})
         rg = g.loc[g["_side"] == "r", [on] + rcols].rename(
             columns={c: c[3:] for c in rcols})
+        for cols, side in ((left_cols, lg), (right_cols, rg)):
+            if cols:
+                for c in cols:
+                    if c not in side.columns:
+                        side[c] = pd.Series([], dtype=object) if side.empty \
+                            else pd.NA
         if lg.empty or (rg.empty and how == "inner"):
             return pd.DataFrame()
         return lg.merge(rg, on=on, how=how, suffixes=suffixes)
