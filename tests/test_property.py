@@ -121,3 +121,42 @@ def test_page_text_conserves_runs(coords):
     # emission order never matters when positions are distinct
     if len({(r.x, r.y) for r in runs}) == len(runs):
         assert page_text(list(reversed(runs))) == out
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    n=st.integers(min_value=0, max_value=120),
+    seed=st.integers(min_value=0, max_value=10_000),
+    buckets=st.integers(min_value=1, max_value=8),
+)
+def test_bucketed_group_apply_matches_plain_groupby(ray_session, n, seed, buckets):
+    """Hash-bucketed grouped execution == a single-node pandas groupby
+    for an order-insensitive per-group reduction, for any key skew."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from pdf_to_text_ray.stages.groups import bucketed_group_apply
+
+    rng = np.random.RandomState(seed)
+    df = pd.DataFrame({
+        "k": rng.randint(0, max(n // 4, 1), size=n),
+        "s": rng.choice(["a", "b", "c"], size=n),
+        "v": rng.normal(size=n),
+    })
+    expected = (df.groupby(["k", "s"], as_index=False)["v"].sum()
+                if n else pd.DataFrame({"k": [], "s": [], "v": []}))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["k", "s"], sort=False, as_index=False)["v"].sum()
+
+    if n == 0:
+        return  # rd.from_pandas of an empty frame is degenerate
+    got = bucketed_group_apply(
+        rd.from_pandas(df), ["k", "s"], per_bucket, num_buckets=buckets
+    ).to_pandas()
+    got = got.sort_values(["k", "s"]).reset_index(drop=True)
+    expected = expected.sort_values(["k", "s"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"k": "int64"}), expected.astype({"k": "int64"}),
+        check_exact=False, rtol=1e-9)
