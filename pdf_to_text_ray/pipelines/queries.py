@@ -272,6 +272,33 @@ FROM events GROUP BY event_type
 """
 
 
+def user_event_sequence(sf_dir: str):
+    """Ordered grouped string aggregation: each user's full event-type
+    sequence as a comma string (deterministic order: ts, event_id) —
+    the string_agg/ARRAY_AGG shape, hash-bucketed."""
+    from ..stages.groups import bucketed_group_apply
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        out = (g.groupby("user_id", sort=False)["event_type"]
+               .agg(",".join).reset_index())
+        return pd.DataFrame({
+            "user_id": out["user_id"].astype("int64"),
+            "event_seq": out["event_type"],
+        })
+
+    return bucketed_group_apply(ds, "user_id", per_bucket)
+
+
+STRING_AGG_SQL = """
+SELECT user_id,
+       string_agg(event_type, ',' ORDER BY ts, event_id) AS event_seq
+FROM events GROUP BY user_id
+"""
+
+
 def doc_head_upper(sf_dir: str):
     """String-kernel projection (pc.utf8_slice_codeunits + utf8_upper —
     §2.7 scalar-function coverage with an oracle)."""
@@ -1481,6 +1508,7 @@ QUERIES = {
     "orders_with_discounted_items": orders_with_discounted_items,
     "supplier_count_per_nation": supplier_count_per_nation,
     "events_lag_delta": events_lag_delta,
+    "user_event_sequence": user_event_sequence,
     "orders_monthly_volume": orders_monthly_volume,
     "event_props_k_stats": event_props_k_stats,
     # text
@@ -1545,6 +1573,7 @@ ORACLE_SQL = {
     "orders_with_discounted_items": EXISTS_SEMI_SQL,
     "supplier_count_per_nation": LEFT_JOIN_SQL,
     "events_lag_delta": LAG_DELTA_SQL,
+    "user_event_sequence": STRING_AGG_SQL,
     "orders_monthly_volume": MONTHLY_VOLUME_SQL,
     "event_props_k_stats": PROPS_K_SQL,
     "doc_token_stats": DOC_TOKEN_STATS_SQL,
