@@ -237,6 +237,15 @@ class _PdfBuilder:
                 body += (b" /CF << /StdCF << /CFM /AESV2 /Length 16"
                          b" /AuthEvent /DocOpen >> >>"
                          b" /StmF /StdCF /StrF /StdCF")
+            elif enc_dict["V"] == 5:
+                body += (
+                    b" /OE <" + enc_dict["OE"].hex().encode() + b">"
+                    + b" /UE <" + enc_dict["UE"].hex().encode() + b">"
+                    + b" /Perms <" + enc_dict["Perms"].hex().encode() + b">"
+                    + b" /CF << /StdCF << /CFM /AESV3 /Length 32"
+                    b" /AuthEvent /DocOpen >> >>"
+                    b" /StmF /StdCF /StrF /StdCF"
+                )
             body += b" >>"
             enc_num = self.next_num
             self.next_num += 1

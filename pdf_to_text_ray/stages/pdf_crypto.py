@@ -8,12 +8,15 @@ decrypts them transparently via ``getDocumentProxy``,
 - RC4 ("V2" crypt filter; V=1/2, R=2/3) — §7.6.2, Algorithm 1
 - AES-128-CBC ("AESV2" crypt filter; V=4, R=4) — §7.6.2, with the
   16-byte IV prefix and PKCS#7 padding
+- AES-256-CBC ("AESV3" crypt filter; V=5, R=5/6) — ISO 32000-2
+  §7.6.4: Algorithm 2.B hardened hash, /U//UE file-key unwrap, the
+  256-bit file key used directly (no per-object derivation)
 - key derivation / user-password authentication — §7.6.3.3
-  Algorithms 2, 4, 5; owner entry (Algorithm 3) implemented for the
-  fixture generator
+  Algorithms 2, 4, 5 (+2.A/2.B for V5); owner/U/UE/O/OE/Perms entries
+  (Algorithms 3, 8, 9, 10) implemented for the fixture generator
 
 Password-protected documents (empty-user-password check fails) and
-unsupported revisions (R=5/6 AES-256, crypt-filter exotica) raise
+unsupported handlers (public-key, crypt-filter exotica) raise
 ``PdfEncryptedError`` — terminal, never salvage.
 
 Both directions (decrypt for the extractor, encrypt for
@@ -106,21 +109,28 @@ def _gmul(a: int, b: int) -> int:
 
 
 class AES128:
-    """AES-128 block cipher, list-of-16-bytes column-major state."""
+    """AES block cipher (FIPS-197), 128- or 256-bit keys,
+    list-of-16-bytes column-major state. (Name kept from the AES-128
+    original; AES-256 support — Nk=8, Nr=14, the extra SubWord step —
+    was added for the V5/R6 handler.)"""
 
     def __init__(self, key: bytes):
-        if len(key) != 16:
-            raise ValueError("AES-128 needs a 16-byte key")
-        # 44 words of key schedule
-        w = [list(key[i:i + 4]) for i in range(0, 16, 4)]
-        for i in range(4, 44):
+        if len(key) not in (16, 32):
+            raise ValueError("AES needs a 16- or 32-byte key")
+        nk = len(key) // 4
+        self.n_rounds = nk + 6
+        w = [list(key[i:i + 4]) for i in range(0, len(key), 4)]
+        for i in range(nk, 4 * (self.n_rounds + 1)):
             t = list(w[i - 1])
-            if i % 4 == 0:
+            if i % nk == 0:
                 t = t[1:] + t[:1]
                 t = [_SBOX[b] for b in t]
-                t[0] ^= _RCON[i // 4 - 1]
-            w.append([w[i - 4][j] ^ t[j] for j in range(4)])
-        self.round_keys = [sum(w[4 * r:4 * r + 4], []) for r in range(11)]
+                t[0] ^= _RCON[i // nk - 1]
+            elif nk > 6 and i % nk == 4:
+                t = [_SBOX[b] for b in t]
+            w.append([w[i - nk][j] ^ t[j] for j in range(4)])
+        self.round_keys = [sum(w[4 * r:4 * r + 4], [])
+                           for r in range(self.n_rounds + 1)]
 
     @staticmethod
     def _add_round_key(s, rk):
@@ -128,12 +138,12 @@ class AES128:
 
     def encrypt_block(self, block: bytes) -> bytes:
         s = self._add_round_key(list(block), self.round_keys[0])
-        for rnd in range(1, 11):
+        for rnd in range(1, self.n_rounds + 1):
             s = [_SBOX[b] for b in s]
             # ShiftRows on the column-major flat layout (byte (r,c) at
             # index 4c+r): new[4c+r] = old[4((c+r)%4)+r]
             s = [s[(4 * (c + r) + r) % 16] for c in range(4) for r in range(4)]
-            if rnd < 10:
+            if rnd < self.n_rounds:
                 s = self._mix_columns(s)
             s = self._add_round_key(s, self.round_keys[rnd])
         return bytes(s)
@@ -165,8 +175,8 @@ class AES128:
         return out
 
     def decrypt_block(self, block: bytes) -> bytes:
-        s = self._add_round_key(list(block), self.round_keys[10])
-        for rnd in range(9, -1, -1):
+        s = self._add_round_key(list(block), self.round_keys[self.n_rounds])
+        for rnd in range(self.n_rounds - 1, -1, -1):
             # InvShiftRows: new[4c+r] = old[4((c-r)%4)+r]
             s = [s[(4 * (c - r) + r) % 16] for c in range(4) for r in range(4)]
             s = [_INV_SBOX[b] for b in s]
@@ -221,14 +231,61 @@ def _inv_mix_columns_np(s: np.ndarray) -> np.ndarray:
 
 def _aes_ecb_decrypt_blocks(cipher: AES128, blocks: np.ndarray) -> np.ndarray:
     rks = [np.array(rk, dtype=np.uint8) for rk in cipher.round_keys]
-    s = blocks ^ rks[10]
-    for rnd in range(9, -1, -1):
+    s = blocks ^ rks[cipher.n_rounds]
+    for rnd in range(cipher.n_rounds - 1, -1, -1):
         s = s[:, _INV_SHIFT_IDX]
         s = _INV_SBOX_NP[s]
         s = s ^ rks[rnd]
         if rnd > 0:
             s = _inv_mix_columns_np(s)
     return s
+
+
+def aes_cbc_encrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """Raw CBC encrypt, NO padding, NO iv prefix (data must be a
+    multiple of 16) — the /UE//OE and Algorithm-2.B shape."""
+    if len(data) % 16:
+        raise ValueError("nopad CBC needs 16-aligned data")
+    cipher = AES128(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        block = bytes(a ^ b for a, b in zip(data[i:i + 16], prev))
+        prev = cipher.encrypt_block(block)
+        out += prev
+    return bytes(out)
+
+
+def aes_cbc_decrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """Raw CBC decrypt, no padding, explicit iv."""
+    if len(data) % 16:
+        raise ValueError("nopad CBC needs 16-aligned data")
+    cipher = AES128(key)
+    arr = np.frombuffer(data, dtype=np.uint8).reshape(-1, 16)
+    prevs = np.vstack([np.frombuffer(iv, np.uint8), arr[:-1]]) if len(arr) \
+        else arr
+    return (_aes_ecb_decrypt_blocks(cipher, arr) ^ prevs).tobytes()
+
+
+def hash_2b(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """ISO 32000-2 Algorithm 2.B (the R6 hardened hash): iterated
+    SHA-256/384/512 rounds keyed by an AES-128-CBC pass, terminating
+    when round ≥ 64 and the last byte of E ≤ round - 32."""
+    k = hashlib.sha256(password + salt + udata).digest()
+    i = 0
+    e = b"\xff"
+    while i < 64 or e[-1] > i - 32:
+        k1 = (password + k + udata) * 64
+        e = aes_cbc_encrypt_nopad(k[:16], k[16:32], k1)
+        mod = sum(e[:16]) % 3
+        if mod == 0:
+            k = hashlib.sha256(e).digest()
+        elif mod == 1:
+            k = hashlib.sha384(e).digest()
+        else:
+            k = hashlib.sha512(e).digest()
+        i += 1
+    return k[:32]
 
 
 def aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
@@ -270,7 +327,7 @@ class StandardSecurityHandler:
         self.p = int(enc.get("P", -1))
         self.encrypt_metadata = bool(enc.get("EncryptMetadata", True))
         self.cfm_stm = self.cfm_str = "V2"
-        if self.v == 4:
+        if self.v in (4, 5):
             cf = enc.get("CF") or {}
             for attr, which in (("cfm_stm", "StmF"), ("cfm_str", "StrF")):
                 name = str(enc.get(which, "Identity"))
@@ -282,17 +339,42 @@ class StandardSecurityHandler:
                 if "Length" in sub:
                     # CF /Length is in BYTES (spec table 25)
                     self.length = int(sub["Length"]) * 8
-        if self.v not in (1, 2, 4) or self.r not in (2, 3, 4):
+        if (self.v, self.r) not in ((1, 2), (1, 3), (2, 2), (2, 3), (4, 4),
+                                    (5, 5), (5, 6)):
             raise PdfEncryptedError(
                 f"unsupported encryption V={self.v} R={self.r}")
+        allowed = ("V2", "AESV2", "Identity") if self.v < 5 \
+            else ("AESV3", "Identity")
         for cfm in (self.cfm_stm, self.cfm_str):
-            if cfm not in ("V2", "AESV2", "Identity"):
+            if cfm not in allowed:
                 raise PdfEncryptedError(f"unsupported crypt filter {cfm}")
         self.file_id = file_id
-        self.key = self._file_key(b"")
-        if not self._check_user_password():
+        if self.v == 5:
+            self.oe = bytes(enc.get("OE") or b"")
+            self.ue = bytes(enc.get("UE") or b"")
+            self.key = self._file_key_v5(b"")
+        else:
+            self.key = self._file_key(b"")
+            if not self._check_user_password():
+                raise PdfEncryptedError("password-protected (empty user "
+                                        "password rejected)")
+
+    # ISO 32000-2 §7.6.4.4.10/11 (Algorithms 11/2.A): authenticate the
+    # empty USER password against /U and unwrap the file key from /UE
+    def _file_key_v5(self, password: bytes) -> bytes:
+        if len(self.u) < 48 or len(self.ue) < 32:
+            raise PdfEncryptedError("malformed V5 /U or /UE")
+        vsalt, ksalt = self.u[32:40], self.u[40:48]
+        if self.r == 6:
+            h = hash_2b(password, vsalt)
+        else:  # R5 (the deprecated Adobe extension): plain SHA-256
+            h = hashlib.sha256(password + vsalt).digest()
+        if h != self.u[:32]:
             raise PdfEncryptedError("password-protected (empty user "
                                     "password rejected)")
+        ikey = (hash_2b(password, ksalt) if self.r == 6
+                else hashlib.sha256(password + ksalt).digest())
+        return aes_cbc_decrypt_nopad(ikey, bytes(16), self.ue[:32])
 
     # Algorithm 2
     def _file_key(self, password: bytes) -> bytes:
@@ -339,6 +421,12 @@ class StandardSecurityHandler:
                encrypt: bool, iv: bytes | None = None) -> bytes:
         if cfm == "Identity" or not data:
             return data
+        if cfm == "AESV3":
+            # V5: the 256-bit FILE key is used directly (no per-object
+            # derivation, ISO 32000-2 §7.6.3.3)
+            if encrypt:
+                return aes_cbc_encrypt(self.key, iv or bytes(16), data)
+            return aes_cbc_decrypt(self.key, data)
         key = self._obj_key(num, gen, cfm)
         if cfm == "AESV2":
             if encrypt:
@@ -365,7 +453,36 @@ def make_encrypt_dict(file_id: bytes, *, mode: str = "rc4-128",
                       p: int = -4) -> tuple[dict, "StandardSecurityHandler"]:
     """Fixture-side: build an /Encrypt dict (empty user AND owner
     password) plus a handler keyed for it. ``mode``: "rc4-40"
-    (V1/R2), "rc4-128" (V2/R3), "aes-128" (V4/R4 AESV2)."""
+    (V1/R2), "rc4-128" (V2/R3), "aes-128" (V4/R4 AESV2), "aes-256"
+    (V5/R6 AESV3 per ISO 32000-2 Algorithms 8/9/10)."""
+    if mode == "aes-256":
+        # deterministic "random" material derived from the file id so
+        # fixtures are byte-reproducible
+        rnd = hashlib.sha512(b"fixture-v5:" + file_id).digest()
+        file_key = rnd[:32]
+        uvs, uks = rnd[32:40], rnd[40:48]
+        u = hash_2b(b"", uvs) + uvs + uks                       # Alg 8
+        ue = aes_cbc_encrypt_nopad(hash_2b(b"", uks), bytes(16), file_key)
+        rnd2 = hashlib.sha512(b"fixture-v5-o:" + file_id).digest()
+        ovs, oks = rnd2[:8], rnd2[8:16]
+        o = hash_2b(b"", ovs, u) + ovs + oks                    # Alg 9
+        oe = aes_cbc_encrypt_nopad(hash_2b(b"", oks, u), bytes(16), file_key)
+        perms_plain = (struct.pack("<i", p) + b"\xff\xff\xff\xff"
+                       + b"T" + b"adb" + rnd2[16:20])           # Alg 10
+        perms = AES128(file_key).encrypt_block(perms_plain)
+        enc = {"Filter": "Standard", "V": 5, "R": 6, "Length": 256,
+               "P": p, "O": o, "U": u, "OE": oe, "UE": ue, "Perms": perms,
+               "CF": {"StdCF": {"CFM": "AESV3", "Length": 32,
+                                "AuthEvent": "DocOpen"}},
+               "StmF": "StdCF", "StrF": "StdCF"}
+        probe = object.__new__(StandardSecurityHandler)
+        probe.v, probe.r, probe.length = 5, 6, 256
+        probe.o, probe.u, probe.p = o, u, p
+        probe.encrypt_metadata = True
+        probe.file_id = file_id
+        probe.cfm_stm = probe.cfm_str = "AESV3"
+        probe.key = file_key
+        return enc, probe
     if mode == "rc4-40":
         v, r, length = 1, 2, 40
     elif mode == "rc4-128":

@@ -33,7 +33,8 @@ through their ToUnicode CMap (spec §9.7.4).
 Encrypted documents with the EMPTY user password (the common web case;
 the reference's pdf.js handles them via getDocumentProxy,
 src/main.ts:149) are decrypted transparently: standard security
-handler, RC4 40/128-bit and AES-128-CBC (spec §7.6, stages/pdf_crypto).
+handler, RC4 40/128-bit, AES-128-CBC, and AES-256 V5/R6 (spec §7.6 +
+ISO 32000-2 §7.6.4, stages/pdf_crypto).
 ``PdfEncryptedError`` is reserved for genuinely password-protected or
 unsupported-revision documents.
 

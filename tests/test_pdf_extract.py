@@ -562,3 +562,46 @@ class TestCidWidths:
             extract_pdf_text(bytes(buf))
         except PdfError:
             pass  # typed (includes the decryption-failure wrap)
+
+
+# ── AES-256 / V5 R6 (ISO 32000-2 §7.6.4) ─────────────────────────────
+
+class TestAes256:
+    def test_aes256_fips197_vector(self):
+        from pdf_to_text_ray.stages.pdf_crypto import AES128
+
+        key = bytes.fromhex("000102030405060708090a0b0c0d0e0f"
+                            "101112131415161718191a1b1c1d1e1f")
+        pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+        ct = AES128(key).encrypt_block(pt)
+        assert ct.hex() == "8ea2b7ca516745bfeafc49904b496089"
+        assert AES128(key).decrypt_block(ct) == pt
+
+    def test_v5r6_byte_identity(self):
+        """Empty-user-password V5/R6 documents decrypt transparently;
+        the Algorithm-2.B hardened hash makes each open ~0.5s by
+        design, so only two round-trips here (a wider sweep ran in
+        development)."""
+        import random
+
+        from pdf_to_text_ray.fixtures.pdfgen import make_pdf
+
+        for seed, xref in ((1, "table"), (5, "stream")):
+            rng = random.Random(seed)
+            data, expected, _ = make_pdf(rng, n_pages=2, xref_style=xref,
+                                         encrypt="aes-256")
+            r = extract_pdf_text(data)
+            assert r.text == expected
+
+    def test_v5_tampered_u_rejected(self):
+        import random
+
+        from pdf_to_text_ray.fixtures.pdfgen import make_pdf
+        from pdf_to_text_ray.stages.pdf_extract import PdfEncryptedError
+
+        rng = random.Random(3)
+        data, _, _ = make_pdf(rng, encrypt="aes-256")
+        idx = data.find(b"/U <")
+        bad = data[:idx + 4] + b"00" * 32 + data[idx + 4 + 64:]
+        with pytest.raises(PdfEncryptedError):
+            extract_pdf_text(bad)
