@@ -605,3 +605,34 @@ class TestAes256:
         bad = data[:idx + 4] + b"00" * 32 + data[idx + 4 + 64:]
         with pytest.raises(PdfEncryptedError):
             extract_pdf_text(bad)
+
+
+def test_type3_font_differences_decode():
+    """Type3 fonts ride the simple-font path: /Differences (+ToUnicode
+    when present) map codes; /CharProcs glyph programs are irrelevant
+    to text extraction."""
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>"),
+        5: (b"<< /Type /Font /Subtype /Type3 /FontBBox [0 0 10 10] "
+            b"/FontMatrix [0.01 0 0 0.01 0 0] /CharProcs << >> "
+            b"/Encoding << /Differences [ 65 /eacute /ntilde ] >> "
+            b"/FirstChar 65 /LastChar 66 /Widths [ 500 500 ] >>"),
+    }
+    content = b"BT /F1 12 Tf 1 0 0 1 50 700 Tm (cafAB) Tj ET\n"
+    objs[4] = (b"<< /Length " + str(len(content)).encode()
+               + b" >>\nstream\n" + content + b"\nendstream")
+    out = bytearray(b"%PDF-1.7\n")
+    offsets = {}
+    for nn in sorted(objs):
+        offsets[nn] = len(out)
+        out += f"{nn} 0 obj\n".encode() + objs[nn] + b"\nendobj\n"
+    xref_off = len(out)
+    out += b"xref\n0 6\n0000000000 65535 f \n"
+    for nn in range(1, 6):
+        out += f"{offsets[nn]:010d} 00000 n \n".encode()
+    out += (b"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n"
+            + str(xref_off).encode() + b"\n%%EOF\n")
+    assert extract_pdf_text(bytes(out)).text == "caféñ"
