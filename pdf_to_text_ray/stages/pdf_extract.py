@@ -1296,6 +1296,40 @@ class FontDecoder:
 _LATIN1_DECODER = FontDecoder()
 
 
+# Codespace ranges of the common predefined CMaps (ISO 32000-1 §9.7.5.2
+# / the published Adobe CMap resources — the RANGES are small public
+# facts; the full CID mapping tables are not shipped, and are not
+# needed for text: Unicode comes from the code-keyed ToUnicode CMap).
+_CS_2BYTE = [(2, b"\x00\x00", b"\xff\xff")]
+_CS_GBK = [(1, b"\x00", b"\x80"), (2, b"\x81\x40", b"\xfe\xfe")]
+_CS_BIG5 = [(1, b"\x00", b"\x80"), (2, b"\xa1\x40", b"\xfe\xfe")]
+_CS_UHC = [(1, b"\x00", b"\x80"), (2, b"\x81\x41", b"\xfe\xfe")]
+_CS_RKSJ = [(1, b"\x00", b"\x80"), (1, b"\xa0", b"\xdf"),
+            (2, b"\x81\x40", b"\x9f\xfc"), (2, b"\xe0\x40", b"\xfc\xfc")]
+_CS_EUC_JP = [(1, b"\x00", b"\x80"), (2, b"\x8e\xa0", b"\x8e\xdf"),
+              (2, b"\xa1\xa1", b"\xfe\xfe")]
+_PREDEFINED_CODESPACES = {
+    "GB-EUC": _CS_GBK, "GBpc-EUC": _CS_GBK, "GBK-EUC": _CS_GBK,
+    "GBKp-EUC": _CS_GBK, "GBK2K": _CS_GBK,
+    "B5pc": _CS_BIG5, "ETen-B5": _CS_BIG5, "ETenms-B5": _CS_BIG5,
+    "HKscs-B5": _CS_BIG5,
+    "90ms-RKSJ": _CS_RKSJ, "90msp-RKSJ": _CS_RKSJ, "90pv-RKSJ": _CS_RKSJ,
+    "83pv-RKSJ": _CS_RKSJ, "Add-RKSJ": _CS_RKSJ, "Ext-RKSJ": _CS_RKSJ,
+    "EUC": _CS_EUC_JP,
+    "KSC-EUC": _CS_UHC, "KSCms-UHC": _CS_UHC, "KSCms-UHC-HW": _CS_UHC,
+    "KSCpc-EUC": _CS_UHC,
+}
+
+
+def _predefined_codespaces(cmap_name: str):
+    """Segmentation table for a predefined CMap name, or None."""
+    base = cmap_name[:-2] if cmap_name.endswith(("-H", "-V")) else cmap_name
+    if base.startswith("Uni"):  # UniGB-UCS2, UniJIS-UCS2, UniKS-UTF16, ...
+        return list(_CS_2BYTE)
+    cs = _PREDEFINED_CODESPACES.get(base)
+    return list(cs) if cs is not None else None
+
+
 def _cid_font_widths(doc: "PdfDocument", font: dict):
     """(CID→em-width map, /DW em default) from the descendant CIDFont's
     /W array (spec §9.7.4.3: ``c [w...]`` runs and ``c1 c2 w`` ranges,
@@ -1373,16 +1407,18 @@ def build_font_decoder(doc: "PdfDocument", font: dict) -> FontDecoder:
             return FontDecoder(tu_overrides, two_byte=True,
                                cid_widths=cid_widths,
                                default_width=default_width)
-        # predefined non-identity CMap name: the Adobe registry tables
-        # are not shipped here; since extraction Unicode comes from the
-        # code-keyed ToUnicode CMap anyway, segment codes with the
-        # ToUnicode CMap's own codespace ranges (2-byte fallback)
-        cs = []
-        if isinstance(tu0, Stream):
+        # predefined non-identity CMap name: the Adobe registry CID
+        # tables are not shipped here, but the published CODESPACE
+        # ranges of the common CMaps are — they give correct
+        # variable-length segmentation, and extraction Unicode comes
+        # from the code-keyed ToUnicode CMap. Fallbacks: the ToUnicode
+        # CMap's own codespaces, then 2-byte.
+        cs = _predefined_codespaces(str(enc)) if isinstance(enc, str) else None
+        if not cs and isinstance(tu0, Stream):
             try:
                 cs = parse_codespace_ranges(tu0.data())
             except (PdfError, ValueError):
-                cs = []
+                cs = None
         return FontDecoder(
             tu_overrides, codespaces=cs or [(2, b"\x00\x00", b"\xff\xff")],
             cid_widths=cid_widths, default_width=default_width)

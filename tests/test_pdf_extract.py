@@ -636,3 +636,54 @@ def test_type3_font_differences_decode():
     out += (b"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n"
             + str(xref_off).encode() + b"\n%%EOF\n")
     assert extract_pdf_text(bytes(out)).text == "caféñ"
+
+
+def test_predefined_cmap_codespace_segmentation():
+    """A predefined CMap NAME (no embedded stream, ToUnicode without
+    codespacerange): segmentation comes from the published codespace
+    ranges of the named CMap family (mixed 1-/2-byte GBK shape)."""
+    import zlib
+
+    # ToUnicode WITHOUT codespacerange: segmentation must come from the
+    # predefined-name table, not this stream
+    tu = (b"1 beginbfrange\n<20> <7e> <0020>\nendbfrange\n"
+          b"2 beginbfchar\n<8140> <4e2d>\n<8141> <6587>\nendbfchar\n")
+    tuz = zlib.compress(tu)
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>"),
+        5: (b"<< /Type /Font /Subtype /Type0 /BaseFont /Fake "
+            b"/Encoding /GBK-EUC-H /ToUnicode 6 0 R >>"),
+        6: (b"<< /Filter /FlateDecode /Length " + str(len(tuz)).encode()
+            + b" >>\nstream\n" + tuz + b"\nendstream"),
+    }
+    codes = b"go " + b"\x81\x40\x81\x41" + b"!"
+    content = (b"BT /F1 12 Tf 1 0 0 1 50 700 Tm <"
+               + codes.hex().encode() + b"> Tj ET\n")
+    objs[4] = (b"<< /Length " + str(len(content)).encode()
+               + b" >>\nstream\n" + content + b"\nendstream")
+    out = bytearray(b"%PDF-1.7\n")
+    offsets = {}
+    for nn in sorted(objs):
+        offsets[nn] = len(out)
+        out += f"{nn} 0 obj\n".encode() + objs[nn] + b"\nendobj\n"
+    xref_off = len(out)
+    out += b"xref\n0 7\n0000000000 65535 f \n"
+    for nn in range(1, 7):
+        out += f"{offsets[nn]:010d} 00000 n \n".encode()
+    out += (b"trailer\n<< /Size 7 /Root 1 0 R >>\nstartxref\n"
+            + str(xref_off).encode() + b"\n%%EOF\n")
+    assert extract_pdf_text(bytes(out)).text == "go 中文!"
+
+
+def test_predefined_codespace_table():
+    from pdf_to_text_ray.stages.pdf_extract import _predefined_codespaces
+
+    assert _predefined_codespaces("GBK-EUC-H") == [
+        (1, b"\x00", b"\x80"), (2, b"\x81\x40", b"\xfe\xfe")]
+    assert _predefined_codespaces("UniJIS-UCS2-V") == [
+        (2, b"\x00\x00", b"\xff\xff")]
+    assert _predefined_codespaces("90ms-RKSJ-H")[0][0] == 1
+    assert _predefined_codespaces("NoSuch-CMap") is None
