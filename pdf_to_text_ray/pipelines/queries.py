@@ -946,6 +946,75 @@ FROM events GROUP BY event_type
 """
 
 
+def doc_lines_exploded(sf_dir: str):
+    """Explode docs → one row per line with positional index (the
+    flat_map shape, SURVEY §2.2's doc→blocks explode) — oracle-checked
+    against DuckDB's aligned unnest. Bounded to doc_id < 50 to keep the
+    compare small."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.less(t["doc_id"], pa.scalar(50)))
+        ids, idxs, lines = [], [], []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            for i, line in enumerate((text or "").split("\n"), start=1):
+                ids.append(did)
+                idxs.append(i)
+                lines.append(line)
+        return pd.DataFrame({
+            "doc_id": pd.Series(ids, dtype="int64"),
+            "line_idx": pd.Series(idxs, dtype="int64"),
+            "line": pd.Series(lines, dtype=object),
+        })
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+DOC_LINES_SQL = """
+SELECT doc_id,
+       unnest(generate_series(1, len(l)))::BIGINT AS line_idx,
+       unnest(l) AS line
+FROM (SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS l
+      FROM documents WHERE doc_id < 50)
+"""
+
+
+def artifact_roundtrip(sf_dir: str):
+    """S2-S4 sink parity as a driver-gate entry (rows-only): write the
+    three reference artifacts (text parquet, records parquet/json, CSV
+    with the main.ts:40 header + toFixed(2) rendering) from the
+    extracted cache, read them back, return per-artifact row counts."""
+    import ray.data as rd
+
+    from ..stages.segment import CSV_HEADERS, records_batch, segment_batch
+    from .artifacts import write_artifacts
+
+    text = rd.read_parquet(_ensure_extracted(sf_dir),
+                           columns=["url", "text_extracted", "doc_type"])
+    records = (
+        rd.read_parquet(_ensure_extracted(sf_dir),
+                        columns=["url", "text_extracted"])
+        .map_batches(segment_batch, batch_format="pyarrow")
+        .map_batches(records_batch, batch_format="pyarrow")
+    )
+    out_dir = "/tmp/ptt_artifacts_gate"
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    paths = write_artifacts(text, records, out_dir,
+                            partition_text_by=["doc_type"])
+    n_text = rd.read_parquet(paths["text"]).count()
+    n_records = rd.read_parquet(paths["records"]).count()
+    with open(os.path.join(paths["records_csv"], "part-00000.csv")) as f:
+        csv_lines = f.read().splitlines()
+    assert csv_lines[0] == CSV_HEADERS
+    return pd.DataFrame({
+        "artifact": ["text", "records", "records_csv_rows"],
+        "n_rows": pd.Series([n_text, n_records, len(csv_lines) - 1],
+                            dtype="int64"),
+    })
+
+
 # ── text ops over documents ───────────────────────────────────────────
 
 def doc_token_stats(sf_dir: str):
@@ -1568,6 +1637,8 @@ QUERIES = {
     "neardup_keep_docs": neardup_keep_docs,
     "ann_recall_floor": ann_recall_floor,
     "media_features": media_features,
+    "doc_lines_exploded": doc_lines_exploded,
+    "artifact_roundtrip": artifact_roundtrip,
 }
 
 ORACLE_SQL = {
@@ -1616,4 +1687,5 @@ ORACLE_SQL = {
     "docs_line_deduped": LINE_DEDUP_SQL,
     "ann_recall_floor": ANN_RECALL_SQL,
     "approx_distinct_users": APPROX_DISTINCT_SQL,
+    "doc_lines_exploded": DOC_LINES_SQL,
 }
