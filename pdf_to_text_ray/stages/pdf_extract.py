@@ -1231,22 +1231,26 @@ class FontDecoder:
         self.cid_widths = cid_widths  # CID → width in em units (/W)
         self.default_width = default_width  # /DW in em units
 
-    def _codes(self, raw: bytes) -> list[int]:
-        """Variable-length code segmentation per the codespace ranges;
-        an unmatched byte consumes one byte and yields -1 (fail-safe)."""
-        out: list[int] = []
+    def _codes_len(self, raw: bytes) -> list[tuple[int, int]]:
+        """Variable-length code segmentation per the codespace ranges →
+        (code, n_bytes) pairs; an unmatched byte consumes one byte and
+        yields (-1, 1) (fail-safe)."""
+        out: list[tuple[int, int]] = []
         i, n = 0, len(raw)
         while i < n:
             for nb, lo, hi in self.codespaces:
                 seg = raw[i:i + nb]
                 if len(seg) == nb and lo <= seg <= hi:
-                    out.append(int.from_bytes(seg, "big"))
+                    out.append((int.from_bytes(seg, "big"), nb))
                     i += nb
                     break
             else:
-                out.append(-1)
+                out.append((-1, 1))
                 i += 1
         return out
+
+    def _codes(self, raw: bytes) -> list[int]:
+        return [c for c, _ in self._codes_len(raw)]
 
     def advance_em(self, raw: bytes) -> float:
         """Text-space advance (em units) of the raw string: /Widths per
@@ -1324,8 +1328,16 @@ _PREDEFINED_CODESPACES = {
 def _predefined_codespaces(cmap_name: str):
     """Segmentation table for a predefined CMap name, or None."""
     base = cmap_name[:-2] if cmap_name.endswith(("-H", "-V")) else cmap_name
-    if base.startswith("Uni"):  # UniGB-UCS2, UniJIS-UCS2, UniKS-UTF16, ...
-        return list(_CS_2BYTE)
+    if base.startswith("Uni"):
+        if base.endswith("UTF16"):
+            # UTF-16BE codespace: 2-byte BMP halves + 4-byte surrogate
+            # pairs (the published Uni*-UTF16 shape)
+            return [
+                (2, b"\x00\x00", b"\xd7\xff"),
+                (2, b"\xe0\x00", b"\xff\xff"),
+                (4, b"\xd8\x00\xdc\x00", b"\xdb\xff\xdf\xff"),
+            ]
+        return list(_CS_2BYTE)  # UniGB-UCS2, UniJIS-UCS2, UniKS-UCS2, ...
     cs = _PREDEFINED_CODESPACES.get(base)
     return list(cs) if cs is not None else None
 
@@ -1535,8 +1547,16 @@ def interpret_content(content: bytes, fonts: dict | None = None) -> list[Run]:
             multi = decoder.two_byte
             n_glyphs = len(text_bytes) // 2 if multi else len(text_bytes)
         adv = decoder.advance_em(text_bytes) * size + char_spacing * n_glyphs
-        if word_spacing and not multi:
-            adv += word_spacing * text_bytes.count(b" ")
+        if word_spacing:
+            if decoder.codespaces is not None:
+                # spec §9.3.3: Tw applies only to the SINGLE-BYTE code
+                # 32 — possible in mixed-length CMaps, never in 2-byte
+                # Identity encodings
+                n_sp = sum(1 for c, nb in decoder._codes_len(text_bytes)
+                           if nb == 1 and c == 0x20)
+                adv += word_spacing * n_sp
+            elif not multi:
+                adv += word_spacing * text_bytes.count(b" ")
         tm = _translate(adv, 0.0, tm)
 
     pos = 0

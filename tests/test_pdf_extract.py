@@ -687,3 +687,28 @@ def test_predefined_codespace_table():
         (2, b"\x00\x00", b"\xff\xff")]
     assert _predefined_codespaces("90ms-RKSJ-H")[0][0] == 1
     assert _predefined_codespaces("NoSuch-CMap") is None
+
+
+def test_cmap_word_spacing_single_byte_space_only():
+    """Tw applies to the 1-byte code 32 in mixed-length CMap fonts
+    (spec §9.3.3), never to 2-byte codes."""
+    from pdf_to_text_ray.stages.pdf_extract import FontDecoder
+
+    dec = FontDecoder(
+        {0x20: " ", 0x41: "A", 0x8140: "中"},
+        codespaces=[(1, b"\x00", b"\x7f"), (2, b"\x81\x40", b"\xfe\xfe")])
+    pairs = dec._codes_len(b"A \x81\x40")
+    assert pairs == [(0x41, 1), (0x20, 1), (0x8140, 2)]
+
+
+def test_utf16_predefined_codespaces_surrogates():
+    from pdf_to_text_ray.stages.pdf_extract import (FontDecoder,
+                                                    _predefined_codespaces)
+
+    cs = _predefined_codespaces("UniGB-UTF16-H")
+    dec = FontDecoder({0x41: "A"}, codespaces=cs)
+    # BMP 2-byte + a surrogate PAIR as one 4-byte code
+    raw = b"\x00\x41" + b"\xd8\x3d\xde\x00" + b"\x00\x41"
+    pairs = dec._codes_len(raw)
+    assert [nb for _, nb in pairs] == [2, 4, 2]
+    assert pairs[1][0] == 0xD83DDE00
