@@ -1297,6 +1297,16 @@ UNION ALL SELECT 'lsh', true
 """
 
 
+def doc_lm_perplexity(sf_dir: str):
+    """Char-trigram LM perplexity per doc vs the corpus-trained model —
+    CCNet-style fluency/quality signal (rows-only: the LM is trained
+    in-pipeline, not SQL-expressible)."""
+    from ..stages.analysis import lm_perplexity
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return lm_perplexity(ds)
+
+
 def doc_compression_ratio(sf_dir: str):
     """zlib compression-ratio quality signal — rows-only (no zlib in
     SQL)."""
@@ -1617,6 +1627,7 @@ QUERIES = {
     "frequent_lines": frequent_lines,
     "docs_line_deduped": docs_line_deduped,
     "doc_compression_ratio": doc_compression_ratio,
+    "doc_lm_perplexity": doc_lm_perplexity,
     "top_docs_by_len": top_docs_by_len,
     "lang_distribution": lang_distribution,
     "sample_hash_documents": sample_hash_documents,

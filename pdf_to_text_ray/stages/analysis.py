@@ -236,6 +236,103 @@ def remove_frequent_lines(ds, *, text_col: str = "text", min_count: int = 3):
     return ds.map_batches(clean, batch_format="pyarrow")
 
 
+# ── character n-gram LM perplexity (CCNet-style quality signal) ──────
+
+_LM_BUCKETS = 1 << 20  # hashed context·char space; counts fit 8 MB
+
+
+def _lm_hash(codes: np.ndarray) -> np.ndarray:
+    """Vectorized bucket ids for (c0, c1, c2) trigram windows."""
+    h = (codes[:-2].astype(np.uint64) * np.uint64(1_000_003)
+         + codes[1:-1].astype(np.uint64)) * np.uint64(1_000_003) \
+        + codes[2:].astype(np.uint64)
+    return (h % np.uint64(_LM_BUCKETS)).astype(np.int64)
+
+
+def _lm_ctx_hash(codes: np.ndarray) -> np.ndarray:
+    """Bucket ids for the (c0, c1) context of each trigram window."""
+    h = (codes[:-2].astype(np.uint64) * np.uint64(1_000_003)
+         + codes[1:-1].astype(np.uint64))
+    return (h % np.uint64(_LM_BUCKETS)).astype(np.int64)
+
+
+def _text_codes(text: str) -> np.ndarray:
+    norm = " ".join((text or "").lower().split())
+    return np.frombuffer(norm.encode("utf-8"), dtype=np.uint8)
+
+
+def train_char_lm(ds, text_col: str = "text") -> tuple[np.ndarray, np.ndarray]:
+    """DISTRIBUTED char-trigram LM training: per-batch partial bucket
+    counts (np.bincount over hashed trigram/context ids — one
+    (_LM_BUCKETS,) vector per batch) merged by a tiny driver sum.
+    Returns (trigram_counts, context_counts) — 8 MB each, broadcastable.
+    Nothing corpus-sized ever concentrates: driver traffic is
+    O(batches × buckets-present) via sparse partials."""
+    import pyarrow as pa
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        tri = np.zeros(0, np.int64)
+        ctx = np.zeros(0, np.int64)
+        tri_c = np.zeros(_LM_BUCKETS, np.int64)
+        ctx_c = np.zeros(_LM_BUCKETS, np.int64)
+        for text in t[text_col].to_pylist():
+            codes = _text_codes(text)
+            if len(codes) < 3:
+                continue
+            np.add.at(tri_c, _lm_hash(codes), 1)
+            np.add.at(ctx_c, _lm_ctx_hash(codes), 1)
+        # sparse representation: only non-zero buckets leave the task
+        nz_t = np.nonzero(tri_c)[0]
+        nz_c = np.nonzero(ctx_c)[0]
+        return pd.DataFrame({
+            "kind": np.concatenate([np.zeros(len(nz_t), np.int8),
+                                    np.ones(len(nz_c), np.int8)]),
+            "bucket": np.concatenate([nz_t, nz_c]),
+            "n": np.concatenate([tri_c[nz_t], ctx_c[nz_c]]),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    tri = np.zeros(_LM_BUCKETS, np.int64)
+    ctx = np.zeros(_LM_BUCKETS, np.int64)
+    t_rows = parts[parts["kind"] == 0]
+    c_rows = parts[parts["kind"] == 1]
+    np.add.at(tri, t_rows["bucket"].to_numpy(), t_rows["n"].to_numpy())
+    np.add.at(ctx, c_rows["bucket"].to_numpy(), c_rows["n"].to_numpy())
+    return tri, ctx
+
+
+def lm_perplexity(ds, *, key_col: str = "doc_id", text_col: str = "text",
+                  k_smooth: float = 0.1):
+    """Per-doc char-trigram cross-entropy perplexity against the
+    corpus-trained LM (CCNet-style: low = fluent/common, high =
+    gibberish). Model broadcast via ray.put; scoring vectorized per
+    batch. Returns a Dataset of (key, lm_perplexity)."""
+    import ray
+
+    import pyarrow as pa
+
+    tri, ctx = train_char_lm(ds, text_col)
+    ref = ray.put((tri, ctx))
+
+    def score(t: pa.Table) -> pd.DataFrame:
+        tri_c, ctx_c = ray.get(ref)
+        out = []
+        for text in t[text_col].to_pylist():
+            codes = _text_codes(text)
+            if len(codes) < 3:
+                out.append(float("nan"))
+                continue
+            num = tri_c[_lm_hash(codes)] + k_smooth
+            den = ctx_c[_lm_ctx_hash(codes)] + k_smooth * 256.0
+            out.append(float(np.exp(-np.mean(np.log(num / den)))))
+        return pd.DataFrame({
+            key_col: t[key_col].to_numpy(zero_copy_only=False),
+            "lm_perplexity": out,
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 def compression_ratio_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     """zlib compression ratio per doc — a standard repetitive-spam
     signal (low ratio ⇒ highly repetitive content)."""

@@ -439,3 +439,27 @@ def test_embedding_neardup_blocked_recall(ray_session):
     blocked2 = embedding_neardup_pairs_blocked(ds, threshold=0.45,
                                                n_bits=4, n_tables=8)
     pd.testing.assert_frame_equal(blocked, blocked2)
+
+def test_char_lm_perplexity_separates_fluent_from_gibberish(ray_session):
+    """Corpus-like text scores LOWER perplexity than random gibberish
+    against the corpus-trained trigram LM; deterministic across runs."""
+    import ray.data as rd
+
+    from pdf_to_text_ray.stages.analysis import lm_perplexity
+
+    rng = np.random.RandomState(4)
+    fluent = ["the quick brown fox jumps over the lazy dog and runs on " * 6
+              for _ in range(6)]
+    gibberish = ["".join(chr(rng.randint(33, 127)) for _ in range(300))
+                 for _ in range(2)]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": list(range(8)),
+        "text": fluent + gibberish,
+    }))
+    out = lm_perplexity(ds).to_pandas().sort_values("doc_id")
+    fl = out["lm_perplexity"].iloc[:6].mean()
+    gb = out["lm_perplexity"].iloc[6:].mean()
+    assert fl < gb, (fl, gb)
+    out2 = lm_perplexity(ds).to_pandas().sort_values("doc_id")
+    pd.testing.assert_frame_equal(out.reset_index(drop=True),
+                                  out2.reset_index(drop=True))
