@@ -1307,6 +1307,53 @@ def doc_lm_perplexity(sf_dir: str):
     return lm_perplexity(ds)
 
 
+def doc_pii_counts(sf_dir: str):
+    """PII detection counts per doc (emails/phones/IPv4) — the identical
+    RE2-compatible patterns run on BOTH sides, so the oracle checks the
+    detector exactly."""
+    from ..stages.analysis import pii_counts_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: pii_counts_batch(t).astype({"doc_id": "int64"}),
+        batch_format="pyarrow")
+
+
+def _sql_quote(pattern: str) -> str:
+    # DuckDB standard string literals: only quote doubling, no
+    # backslash escapes — the regex is embedded verbatim
+    return pattern.replace("'", "''")
+
+
+def _pii_sql() -> str:
+    from ..stages.analysis import PII_EMAIL_RE, PII_IPV4_RE, PII_PHONE_RE
+
+    return f"""
+SELECT doc_id,
+       length(regexp_extract_all(coalesce(text,''), '{_sql_quote(PII_EMAIL_RE)}'))::BIGINT AS n_emails,
+       length(regexp_extract_all(coalesce(text,''), '{_sql_quote(PII_PHONE_RE)}'))::BIGINT AS n_phones,
+       length(regexp_extract_all(coalesce(text,''), '{_sql_quote(PII_IPV4_RE)}'))::BIGINT AS n_ipv4
+FROM documents
+"""
+
+
+def decontaminate_docs(sf_dir: str):
+    """Benchmark decontamination (rows-only): flag corpus docs sharing
+    any 13-gram with a deterministic 'eval set' (the 5 lowest-id docs
+    stand in for held-out benchmark text — guaranteed hits by
+    construction, so the probe path is exercised)."""
+    from ..stages.analysis import flag_contaminated
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    eval_texts = (
+        ds.map_batches(
+            lambda t: t.filter(pc.less(t["doc_id"], pa.scalar(5))),
+            batch_format="pyarrow")
+        .to_pandas()["text"].fillna("").tolist()
+    )
+    return flag_contaminated(ds, eval_texts, n=13)
+
+
 def doc_compression_ratio(sf_dir: str):
     """zlib compression-ratio quality signal — rows-only (no zlib in
     SQL)."""
@@ -1628,6 +1675,8 @@ QUERIES = {
     "docs_line_deduped": docs_line_deduped,
     "doc_compression_ratio": doc_compression_ratio,
     "doc_lm_perplexity": doc_lm_perplexity,
+    "doc_pii_counts": doc_pii_counts,
+    "decontaminate_docs": decontaminate_docs,
     "top_docs_by_len": top_docs_by_len,
     "lang_distribution": lang_distribution,
     "sample_hash_documents": sample_hash_documents,
@@ -1699,4 +1748,5 @@ ORACLE_SQL = {
     "ann_recall_floor": ANN_RECALL_SQL,
     "approx_distinct_users": APPROX_DISTINCT_SQL,
     "doc_lines_exploded": DOC_LINES_SQL,
+    "doc_pii_counts": _pii_sql(),
 }

@@ -347,3 +347,97 @@ def compression_ratio_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.D
         if c != text_col:
             out.insert(0, c, batch[c])
     return out
+
+
+# ── benchmark decontamination (n-gram overlap vs an eval set) ────────
+
+def eval_ngram_set(eval_texts: list[str], n: int = 13) -> np.ndarray:
+    """Sorted unique 64-bit hashes of the eval set's word n-grams — the
+    GPT-3-style decontamination reference set (small; broadcastable)."""
+    hashes = []
+    for text in eval_texts:
+        toks = (text or "").lower().split()
+        for i in range(len(toks) - n + 1):
+            gram = " ".join(toks[i:i + n])
+            hashes.append(kgram_hashes(gram, min(len(gram), 16))[0])
+    return np.unique(np.asarray(hashes, dtype=np.uint64))
+
+
+def flag_contaminated(ds, eval_texts: list[str], *, n: int = 13,
+                      key_col: str = "doc_id", text_col: str = "text"):
+    """Flag corpus docs sharing ANY word n-gram with the eval set
+    (training-set decontamination): the eval hash set broadcasts once
+    (ray.put), each batch probes it via searchsorted — no shuffle.
+    Returns (key, contaminated, n_hits)."""
+    import ray
+
+    import pyarrow as pa
+
+    ref = ray.put(eval_ngram_set(eval_texts, n))
+
+    def probe(t: pa.Table) -> pd.DataFrame:
+        ev = ray.get(ref)
+        flags, hits = [], []
+        for text in t[text_col].to_pylist():
+            toks = (text or "").lower().split()
+            cnt = 0
+            for i in range(len(toks) - n + 1):
+                gram = " ".join(toks[i:i + n])
+                h = kgram_hashes(gram, min(len(gram), 16))[0]
+                j = int(np.searchsorted(ev, h))
+                if j < len(ev) and ev[j] == h:
+                    cnt += 1
+            flags.append(cnt > 0)
+            hits.append(cnt)
+        return pd.DataFrame({
+            key_col: t[key_col].to_numpy(zero_copy_only=False),
+            "contaminated": pd.Series(flags, dtype=bool),
+            "n_hits": pd.Series(hits, dtype="int64"),
+        })
+
+    return ds.map_batches(probe, batch_format="pyarrow")
+
+
+# ── PII detection / scrubbing ────────────────────────────────────────
+
+# RE2-compatible (no lookaround) so the DuckDB oracle can run the
+# identical patterns
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+?[0-9]{1,3}[-. ]?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}"
+PII_IPV4_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+
+def pii_counts_batch(batch, key_col: str = "doc_id",
+                     text_col: str = "text") -> pd.DataFrame:
+    """Per-doc counts of email/phone/IPv4 matches (vectorized pandas
+    str.count with compiled patterns)."""
+    import pyarrow as pa
+
+    texts = (pd.Series(batch[text_col].to_pylist(), dtype=object).fillna("")
+             if isinstance(batch, pa.Table) else batch[text_col].fillna(""))
+    keys = (batch[key_col].to_numpy(zero_copy_only=False)
+            if isinstance(batch, pa.Table) else batch[key_col].to_numpy())
+    return pd.DataFrame({
+        key_col: keys,
+        "n_emails": texts.str.count(PII_EMAIL_RE).astype("int64").to_numpy(),
+        "n_phones": texts.str.count(PII_PHONE_RE).astype("int64").to_numpy(),
+        "n_ipv4": texts.str.count(PII_IPV4_RE).astype("int64").to_numpy(),
+    })
+
+
+def scrub_pii_batch(batch, text_col: str = "text"):
+    """Redact emails/phones/IPv4 with typed placeholders — the cleaning
+    half (Arrow in, Arrow out; only the text column materializes)."""
+    import re
+
+    import pyarrow as pa
+
+    out = []
+    for text in batch[text_col].to_pylist():
+        s = text or ""
+        s = re.sub(PII_EMAIL_RE, "<EMAIL>", s)
+        s = re.sub(PII_PHONE_RE, "<PHONE>", s)
+        s = re.sub(PII_IPV4_RE, "<IP>", s)
+        out.append(s)
+    return batch.append_column(text_col + "_scrubbed",
+                               pa.array(out, pa.string()))

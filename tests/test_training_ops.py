@@ -463,3 +463,42 @@ def test_char_lm_perplexity_separates_fluent_from_gibberish(ray_session):
     out2 = lm_perplexity(ds).to_pandas().sort_values("doc_id")
     pd.testing.assert_frame_equal(out.reset_index(drop=True),
                                   out2.reset_index(drop=True))
+
+def test_pii_detection_and_scrubbing(ray_session):
+    from pdf_to_text_ray.stages.analysis import pii_counts_batch, scrub_pii_batch
+
+    t = pa.table({
+        "doc_id": [1, 2, 3],
+        "text": [
+            "mail me at jane.doe+x@examp.le or call +1 (555) 123-4567",
+            "server at 192.168.0.1 and 10.0.0.255 replied",
+            "no pii here at all",
+        ],
+    })
+    c = pii_counts_batch(t)
+    assert c["n_emails"].tolist() == [1, 0, 0]
+    assert c["n_phones"].tolist() == [1, 0, 0]
+    assert c["n_ipv4"].tolist() == [0, 2, 0]
+    s = scrub_pii_batch(t)["text_scrubbed"].to_pylist()
+    assert "<EMAIL>" in s[0] and "<PHONE>" in s[0]
+    assert s[1].count("<IP>") == 2
+    assert s[2] == "no pii here at all"
+
+
+def test_decontamination_flags_eval_overlap(ray_session):
+    import ray.data as rd
+
+    from pdf_to_text_ray.stages.analysis import flag_contaminated
+
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa quebec romeo ")
+    docs = pa.table({
+        "doc_id": [0, 1, 2],
+        "text": [base * 2,                 # contains eval text verbatim
+                 "completely different words " * 20,
+                 base.upper() * 2],        # case-insensitive match
+    })
+    ds = rd.from_arrow(docs)
+    out = flag_contaminated(ds, [base], n=13).to_pandas().sort_values("doc_id")
+    assert out["contaminated"].tolist() == [True, False, True]
+    assert out["n_hits"].iloc[0] > 0
