@@ -480,6 +480,7 @@ def run_extract(
     winners_mode: str = "broadcast",
     file_granular_resume: bool = False,
     fault_inject_after_files: int | None = None,
+    sort_output: bool = False,
 ) -> dict[str, Any]:
     """Resumable wave-based run over every parquet file in ``in_dir``.
 
@@ -541,6 +542,12 @@ def run_extract(
         elif winners_ref is not None:
             ds = filter_latest(ds, winners_ref)
         ds = extract_pages(ds, concurrency=concurrency, batch_size=batch_size)
+        if sort_output:
+            # deterministic row ordering across the unit's files
+            # (SURVEY §2.6: sort key = url, stable diffable output);
+            # one range-partitioned shuffle per unit, applied after
+            # extraction so only extracted text moves
+            ds = ds.sort("url")
         utmp = unit_dir + ".__tmp__"
         _shutil.rmtree(utmp, ignore_errors=True)
         _shutil.rmtree(unit_dir, ignore_errors=True)

@@ -36,6 +36,9 @@ def main(argv: list[str] | None = None) -> int:
                          " mid-wave kill redoes only the interrupted file)")
     ap.add_argument("--partition-output", type=int, default=None,
                     help="partition wave output by hash(url) %% N")
+    ap.add_argument("--sort-output", action="store_true",
+                    help="globally sort each unit's output rows by url"
+                         " (stable diffable layout; one shuffle per unit)")
     args = ap.parse_args(argv)
 
     import ray
@@ -58,6 +61,7 @@ def main(argv: list[str] | None = None) -> int:
             winners_mode=args.winners_mode,
             file_granular_resume=args.file_granular_resume,
             partition_output=args.partition_output,
+            sort_output=args.sort_output,
         )
         print(json.dumps(summary))
     finally:

@@ -389,3 +389,27 @@ def test_file_granular_midwave_resume(ray_session, tmp_path, corpus):
         rd.read_parquet(out_dir, columns=["url"]).to_pandas()["url"])
     assert out_urls == sorted(golden["url"].to_pylist())
     assert summary["metrics"]["rows"] == len(out_urls)
+
+
+def test_sorted_output_rows_globally_ordered(ray_session, tmp_path, corpus):
+    """sort_output=True: rows across a wave's output files, read in
+    file order, are globally sorted by url (byte-stable diffable
+    layout) — and the row set still exactly matches the goldens."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    pages, golden = corpus
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(in_dir)
+    pq.write_table(pages, os.path.join(in_dir, "part-0.parquet"))
+    run_extract(in_dir, out_dir, files_per_wave=1, sort_output=True)
+
+    wdir = mstate.wave_dir(out_dir, 0)
+    urls = []
+    for f in sorted(os.listdir(wdir)):
+        if f.endswith(".parquet"):
+            urls.extend(pq.read_table(os.path.join(wdir, f),
+                                      columns=["url"])["url"].to_pylist())
+    assert urls == sorted(urls)
+    assert sorted(urls) == sorted(golden["url"].to_pylist())
