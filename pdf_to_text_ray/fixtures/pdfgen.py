@@ -162,6 +162,13 @@ def _lzw_encode(data: bytes, early_change: int = 1) -> bytes:
         w = bytes([byte])
     if w:
         emit(table[w], width)
+        # the decoder APPENDS an entry for this final code too and may
+        # widen before reading the next code — mirror it, else EOD goes
+        # out at a stale width when the final code lands exactly on a
+        # 511/1023/2047-entry boundary (silent roundtrip corruption)
+        next_code += 1
+        if next_code + early_change - 1 >= (1 << width) and width < 12:
+            width += 1
     emit(257, width)  # EOD
     if nbits:
         out.append((acc << (8 - nbits)) & 0xFF)

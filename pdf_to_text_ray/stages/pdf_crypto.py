@@ -300,7 +300,10 @@ def aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
     pt = _aes_ecb_decrypt_blocks(cipher, ct) ^ arr[:-1]
     out = pt.tobytes()
     pad = out[-1]
-    if not 1 <= pad <= 16:
+    # full padding check (not just the length byte): corrupt ciphertext
+    # otherwise has a 16/256 chance of slipping through as silently
+    # truncated garbage instead of a typed error
+    if not 1 <= pad <= 16 or out[-pad:] != bytes([pad]) * pad:
         raise ValueError("bad PKCS#7 padding")
     return out[:-pad]
 

@@ -1252,6 +1252,21 @@ class FontDecoder:
     def _codes(self, raw: bytes) -> list[int]:
         return [c for c, _ in self._codes_len(raw)]
 
+    def decode_codes(self, codes: list[int]) -> str:
+        """Map already-segmented codes through ToUnicode — lets the
+        interpreter segment ONCE per show op instead of re-running the
+        per-byte codespace walk for decode/advance/word-spacing."""
+        trans = self.trans or {}
+        return "".join(trans.get(c, "�") for c in codes)
+
+    def advance_from_codes(self, codes: list[int]) -> float:
+        if self.cid_widths is None and self.default_width is None:
+            return len(codes) * NOMINAL_GLYPH_WIDTH
+        dw = self.default_width if self.default_width is not None else 1.0
+        cw = self.cid_widths or {}
+        cids = self.cids
+        return sum(cw.get(cids.get(c, c) if cids else c, dw) for c in codes)
+
     def advance_em(self, raw: bytes) -> float:
         """Text-space advance (em units) of the raw string: /Widths per
         byte (simple fonts, spec §9.2.4) or CID /W + /DW (composite
@@ -1534,29 +1549,34 @@ def interpret_content(content: bytes, fonts: dict | None = None) -> list[Run]:
         nonlocal tm
         if not isinstance(text_bytes, bytes):
             return
-        text = decoder.decode(text_bytes)
+        # spec §9.4.4: tx = Σ(w_glyph·Tfs + Tc + (Tw if glyph==space))
+        if decoder.codespaces is not None:
+            # variable-length CMap font: run the codespace walk ONCE per
+            # show op; decode / advance / Tw all reuse the segmentation
+            codes_len = decoder._codes_len(text_bytes)
+            codes = [c for c, _ in codes_len]
+            text = decoder.decode_codes(codes)
+            n_glyphs = len(codes)
+            adv = decoder.advance_from_codes(codes) * size \
+                + char_spacing * n_glyphs
+            if word_spacing:
+                # spec §9.3.3: Tw applies only to the SINGLE-BYTE code
+                # 32 — possible in mixed-length CMaps, never in 2-byte
+                # Identity encodings
+                n_sp = sum(1 for c, nb in codes_len if nb == 1 and c == 0x20)
+                adv += word_spacing * n_sp
+        else:
+            text = decoder.decode(text_bytes)
+            multi = decoder.two_byte
+            n_glyphs = len(text_bytes) // 2 if multi else len(text_bytes)
+            adv = decoder.advance_em(text_bytes) * size \
+                + char_spacing * n_glyphs
+            if word_spacing and not multi:
+                adv += word_spacing * text_bytes.count(b" ")
         x = ctm[0] * tm[4] + ctm[2] * tm[5] + ctm[4]
         y = ctm[1] * tm[4] + ctm[3] * tm[5] + ctm[5]
         if text:
             runs.append(Run(x, y, text))
-        # spec §9.4.4: tx = Σ(w_glyph·Tfs + Tc + (Tw if glyph==space))
-        if decoder.codespaces is not None:
-            n_glyphs = len(decoder._codes(text_bytes))
-            multi = True
-        else:
-            multi = decoder.two_byte
-            n_glyphs = len(text_bytes) // 2 if multi else len(text_bytes)
-        adv = decoder.advance_em(text_bytes) * size + char_spacing * n_glyphs
-        if word_spacing:
-            if decoder.codespaces is not None:
-                # spec §9.3.3: Tw applies only to the SINGLE-BYTE code
-                # 32 — possible in mixed-length CMaps, never in 2-byte
-                # Identity encodings
-                n_sp = sum(1 for c, nb in decoder._codes_len(text_bytes)
-                           if nb == 1 and c == 0x20)
-                adv += word_spacing * n_sp
-            elif not multi:
-                adv += word_spacing * text_bytes.count(b" ")
         tm = _translate(adv, 0.0, tm)
 
     pos = 0
