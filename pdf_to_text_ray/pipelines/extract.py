@@ -382,7 +382,11 @@ class _BucketedWinnerFilter:
         import numpy as np
         import pyarrow.parquet as pq
 
-        if bucket not in self._cache:
+        if bucket in self._cache:
+            # true LRU: refresh recency on hit (python dicts iterate in
+            # insertion order, so pop+reinsert moves to the back)
+            self._cache[bucket] = self._cache.pop(bucket)
+        else:
             if len(self._cache) >= self.max_cached:
                 self._cache.pop(next(iter(self._cache)))
             path = os.path.join(self.winners_dir, f"bucket={bucket}")

@@ -271,8 +271,6 @@ def train_char_lm(ds, text_col: str = "text") -> tuple[np.ndarray, np.ndarray]:
     import pyarrow as pa
 
     def partial(t: pa.Table) -> pd.DataFrame:
-        tri = np.zeros(0, np.int64)
-        ctx = np.zeros(0, np.int64)
         tri_c = np.zeros(_LM_BUCKETS, np.int64)
         ctx_c = np.zeros(_LM_BUCKETS, np.int64)
         for text in t[text_col].to_pylist():
@@ -351,16 +349,23 @@ def compression_ratio_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.D
 
 # ── benchmark decontamination (n-gram overlap vs an eval set) ────────
 
+def _gram_hashes(toks: list[str], n: int) -> np.ndarray:
+    """Stable 64-bit hashes of FULL word n-grams (vectorized siphash
+    over the joined gram strings — the whole gram, not a prefix)."""
+    grams = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+    if not grams:
+        return np.empty(0, dtype=np.uint64)
+    return pd.util.hash_array(np.asarray(grams, dtype=object))
+
+
 def eval_ngram_set(eval_texts: list[str], n: int = 13) -> np.ndarray:
     """Sorted unique 64-bit hashes of the eval set's word n-grams — the
     GPT-3-style decontamination reference set (small; broadcastable)."""
-    hashes = []
-    for text in eval_texts:
-        toks = (text or "").lower().split()
-        for i in range(len(toks) - n + 1):
-            gram = " ".join(toks[i:i + n])
-            hashes.append(kgram_hashes(gram, min(len(gram), 16))[0])
-    return np.unique(np.asarray(hashes, dtype=np.uint64))
+    hashes = [
+        _gram_hashes((text or "").lower().split(), n) for text in eval_texts
+    ]
+    return np.unique(np.concatenate(hashes)) if hashes \
+        else np.empty(0, dtype=np.uint64)
 
 
 def flag_contaminated(ds, eval_texts: list[str], *, n: int = 13,
@@ -379,14 +384,13 @@ def flag_contaminated(ds, eval_texts: list[str], *, n: int = 13,
         ev = ray.get(ref)
         flags, hits = [], []
         for text in t[text_col].to_pylist():
-            toks = (text or "").lower().split()
-            cnt = 0
-            for i in range(len(toks) - n + 1):
-                gram = " ".join(toks[i:i + n])
-                h = kgram_hashes(gram, min(len(gram), 16))[0]
-                j = int(np.searchsorted(ev, h))
-                if j < len(ev) and ev[j] == h:
-                    cnt += 1
+            hs = _gram_hashes((text or "").lower().split(), n)
+            if len(hs) == 0 or len(ev) == 0:
+                flags.append(False)
+                hits.append(0)
+                continue
+            idx = np.minimum(np.searchsorted(ev, hs), len(ev) - 1)
+            cnt = int((ev[idx] == hs).sum())
             flags.append(cnt > 0)
             hits.append(cnt)
         return pd.DataFrame({

@@ -200,7 +200,8 @@ def minhash_neardup_pairs(ds, *, key_col: str = "doc_id", text_col: str = "text"
     cand_pdf = cand.to_pandas().drop_duplicates()  # candidates ≪ corpus
     if len(cand_pdf) == 0:
         return pd.DataFrame({"id_a": [], "id_b": [], "jaccard_sim": []})
-    cand_pdf = cand_pdf.astype({"id_a": "int64", "id_b": "int64"})
+    if pd.api.types.is_integer_dtype(cand_pdf["id_a"]):
+        cand_pdf = cand_pdf.astype({"id_a": "int64", "id_b": "int64"})
 
     if verify == "join" or (verify == "auto" and len(cand_pdf) > join_verify_above):
         verified = _verify_pairs_join(ds, cand_pdf, key_col, text_col, k, threshold)
@@ -279,7 +280,7 @@ def _verify_pairs_join(ds, cand_pdf: pd.DataFrame, key_col: str, text_col: str,
         mask = (ids_sorted[idx_c] == keys) if len(ids_sorted) else np.zeros(len(keys), bool)
         sel = t.filter(_pa.array(mask))
         return pd.DataFrame({
-            key_col: sel[key_col].to_numpy(zero_copy_only=False).astype("int64"),
+            key_col: sel[key_col].to_numpy(zero_copy_only=False),
             "shingles": [shingle_hashes(x or "", k).tobytes()
                          for x in sel[text_col].to_pylist()],
         })
@@ -305,9 +306,10 @@ def _verify_pairs_join(ds, cand_pdf: pd.DataFrame, key_col: str, text_col: str,
                     np.frombuffer(sb, dtype=np.uint64))
             for sa, sb in zip(b["sh_a"], b["sh_b"])
         ]
+        ints = pd.api.types.is_numeric_dtype(b["id_a"])
         out = pd.DataFrame({
-            "id_a": b["id_a"].astype("int64").to_numpy(),
-            "id_b": b["id_b"].astype("int64").to_numpy(),
+            "id_a": b["id_a"].astype("int64").to_numpy() if ints else b["id_a"].to_numpy(),
+            "id_b": b["id_b"].astype("int64").to_numpy() if ints else b["id_b"].to_numpy(),
             "jaccard_sim": sims,
         })
         return out[out["jaccard_sim"] >= threshold]
@@ -428,14 +430,21 @@ def minlabel_components(pairs: pd.DataFrame, *, num_buckets: int = 16,
     if len(pairs) == 0:
         return pd.DataFrame({"node": pd.Series([], dtype="int64"),
                              "group_root": pd.Series([], dtype="int64")})
-    a = pairs["id_a"].to_numpy().astype("int64")
-    b = pairs["id_b"].to_numpy().astype("int64")
+    # factorize keys through a SORTED vocabulary so integer-code min ==
+    # key min — propagation then runs on int64 codes regardless of the
+    # caller's key type (int ids, urls, uuids, ...)
+    raw_a = pairs["id_a"].to_numpy()
+    raw_b = pairs["id_b"].to_numpy()
+    vocab = np.unique(np.concatenate([raw_a, raw_b]))
+    a = np.searchsorted(vocab, raw_a).astype("int64")
+    b = np.searchsorted(vocab, raw_b).astype("int64")
     sym = pd.DataFrame({"src": np.concatenate([a, b]),
                         "dst": np.concatenate([b, a])}).drop_duplicates()
     edges = rd.from_pandas(sym)
     nodes = np.unique(sym["src"].to_numpy())
     labels = rd.from_pandas(pd.DataFrame({"node": nodes, "label": nodes}))
     prev_sum = int(nodes.sum())
+    converged = False
     for _ in range(max_rounds):
         lab_src = labels.map_batches(
             lambda t: t.rename(columns={"node": "src"}), batch_format="pandas")
@@ -453,11 +462,22 @@ def minlabel_components(pairs: pd.DataFrame, *, num_buckets: int = 16,
         )
         cur_sum = int(labels.sum("label"))
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # no silent caps: a component whose diameter exceeds max_rounds
+        # would otherwise return intermediate labels (duplicates kept)
+        raise RuntimeError(
+            f"min-label propagation did not converge in {max_rounds} "
+            f"rounds (component diameter exceeds it); raise max_rounds")
     out = labels.to_pandas().rename(columns={"label": "group_root"})
-    return out.astype({"node": "int64", "group_root": "int64"}).sort_values(
-        "node").reset_index(drop=True)
+    out = out.astype({"node": "int64", "group_root": "int64"})
+    out = pd.DataFrame({
+        "node": vocab[out["node"].to_numpy()],
+        "group_root": vocab[out["group_root"].to_numpy()],
+    })
+    return out.sort_values("node").reset_index(drop=True)
 
 
 def connected_components(pairs: pd.DataFrame, a_col: str = "id_a",
@@ -503,7 +523,7 @@ def neardup_keep_set(ds, *, key_col: str = "doc_id", text_col: str = "text",
 
     def flag(b: pd.DataFrame) -> pd.DataFrame:
         ns, rs = ray.get(ref)
-        ids = b[key_col].to_numpy().astype("int64")
+        ids = b[key_col].to_numpy()
         grp = ids.copy()
         if len(ns):
             idx = np.minimum(np.searchsorted(ns, ids), len(ns) - 1)
