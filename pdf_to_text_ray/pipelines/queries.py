@@ -1628,6 +1628,94 @@ def ann_lsh_cosine(sf_dir: str):
     return ann_lsh_topk(ds, KNN_QUERY_IDS, k=10, n_bits=6, n_probe=16)
 
 
+def neardup_jaccard_docs(sf_dir: str):
+    """EXACT word-5-gram Jaccard near-dup pairs (inverted-index
+    blocked; oracle: DuckDB set-overlap self-join over the same
+    grams)."""
+    from ..stages.dedup import jaccard_neardup_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return jaccard_neardup_pairs(ds, n=5, threshold=0.5)
+
+
+# Word 5-gram Jaccard over lowered, whitespace-split text — tokenization
+# mirrors Python's str.split(); gram identity by full string (the Ray
+# side hashes the same strings at 64 bits: collision odds negligible).
+NEARDUP_JACCARD_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+  FROM documents WHERE trim(coalesce(text, '')) <> ''
+),
+g AS (
+  SELECT DISTINCT doc_id,
+         unnest([array_to_string(t[i:i+4], ' ')
+                 for i in range(1, greatest(len(t) - 4, 0) + 1)]) AS gram
+  FROM toks
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, c::DOUBLE / (sa.n + sb.n - c) AS jaccard_sim
+FROM inter
+JOIN sizes sa ON sa.doc_id = inter.id_a
+JOIN sizes sb ON sb.doc_id = inter.id_b
+WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.5
+"""
+
+
+def neardup_jaccard_keep_docs(sf_dir: str):
+    """Exact-Jaccard dedup end-to-end: pairs → min-label components →
+    keep min doc per group (oracle: recursive-CTE min-reachability)."""
+    from ..stages.dedup import jaccard_keep_set
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return jaccard_keep_set(ds, n=5, threshold=0.5)
+
+
+NEARDUP_JACCARD_KEEP_SQL = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+  FROM documents WHERE trim(coalesce(text, '')) <> ''
+),
+g AS (
+  SELECT DISTINCT doc_id,
+         unnest([array_to_string(t[i:i+4], ' ')
+                 for i in range(1, greatest(len(t) - 4, 0) + 1)]) AS gram
+  FROM toks
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = inter.id_a
+  JOIN sizes sb ON sb.doc_id = inter.id_b
+  WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.5
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(node, r) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node
+),
+comp AS (SELECT node, min(r) AS group_root FROM reach GROUP BY node)
+SELECT d.doc_id,
+       coalesce(c.group_root, d.doc_id) AS group_root,
+       coalesce(c.group_root, d.doc_id) = d.doc_id AS kept
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+"""
+
+
 # ── registry ──────────────────────────────────────────────────────────
 
 QUERIES = {
@@ -1695,6 +1783,8 @@ QUERIES = {
     "ann_lsh_cosine": ann_lsh_cosine,
     "ivf_cosine": ivf_cosine,
     "neardup_keep_docs": neardup_keep_docs,
+    "neardup_jaccard_docs": neardup_jaccard_docs,
+    "neardup_jaccard_keep_docs": neardup_jaccard_keep_docs,
     "ann_recall_floor": ann_recall_floor,
     "media_features": media_features,
     "doc_lines_exploded": doc_lines_exploded,
@@ -1749,4 +1839,6 @@ ORACLE_SQL = {
     "approx_distinct_users": APPROX_DISTINCT_SQL,
     "doc_lines_exploded": DOC_LINES_SQL,
     "doc_pii_counts": _pii_sql(),
+    "neardup_jaccard_docs": NEARDUP_JACCARD_SQL,
+    "neardup_jaccard_keep_docs": NEARDUP_JACCARD_KEEP_SQL,
 }

@@ -407,6 +407,78 @@ def simhash_neardup_pairs(ds, *, key_col: str = "doc_id", text_col: str = "text"
     return pdf.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+# ── exact n-gram Jaccard near-dup (inverted-index blocked) ───────────
+
+def jaccard_neardup_pairs(ds, *, key_col: str = "doc_id",
+                          text_col: str = "text", n: int = 5,
+                          threshold: float = 0.5, num_buckets: int = 32,
+                          max_posting: int | None = None):
+    """EXACT word-n-gram Jaccard near-duplicate pairs (no sketching).
+
+    Inverted-index blocking: each doc explodes into its DISTINCT word
+    n-gram hashes with the doc's set size carried alongside; a
+    hash-bucketed groupby on the gram expands every multi-doc posting
+    into partial pair rows via a vectorized self-merge, and a second
+    bucketed groupby sums partials per (id_a, id_b). That sum IS
+    |A ∩ B| exactly (grams are distinct within a doc), so
+    ``jaccard = c / (sz_a + sz_b - c)`` needs no text re-scan and no
+    second corpus pass. Two payload-free shuffles: ~24-byte
+    (gram, key, size) triples, then pair partials.
+
+    Exact for ``threshold > 0`` when ``max_posting`` is None: a pair
+    with J ≥ t shares ≥ 1 gram, and every shared gram is counted once.
+    ``max_posting`` drops hotter postings (stop-gram pruning — the
+    standard recall/cost knob at corpus scale; a pruned pair must then
+    reach t through rarer shared grams). Gram identity is a 64-bit
+    hash of the full joined gram string — a within-doc collision would
+    shrink a set by one (probability ~grams²/2⁶⁴, negligible)."""
+    import pyarrow as pa
+
+    from .analysis import _gram_hashes
+    from .groups import bucketed_group_apply
+
+    def explode(t: pa.Table) -> pd.DataFrame:
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        gs = [np.unique(_gram_hashes((x or "").lower().split(), n))
+              for x in t[text_col].to_pylist()]
+        cnt = np.array([len(g) for g in gs], dtype=np.int64)
+        return pd.DataFrame({
+            "gram": (np.concatenate(gs) if gs
+                     else np.empty(0, dtype=np.uint64)),
+            key_col: np.repeat(keys, cnt),
+            "sz": np.repeat(cnt, cnt),
+        })
+
+    grams = ds.map_batches(explode, batch_format="pyarrow")
+
+    def partial_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g.duplicated("gram", keep=False)]
+        if max_posting is not None and len(g):
+            plen = g.groupby("gram", sort=False)["gram"].transform("size")
+            g = g[plen <= max_posting]
+        m = g.merge(g, on="gram", suffixes=("_a", "_b"))
+        m = m[m[f"{key_col}_a"] < m[f"{key_col}_b"]]
+        out = m.groupby([f"{key_col}_a", f"{key_col}_b", "sz_a", "sz_b"],
+                        sort=False).size().reset_index(name="c")
+        return out.rename(columns={f"{key_col}_a": "id_a",
+                                   f"{key_col}_b": "id_b"})
+
+    partials = bucketed_group_apply(grams, "gram", partial_pairs,
+                                    num_buckets=num_buckets)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["id_a", "id_b", "sz_a", "sz_b"], sort=False,
+                        as_index=False)["c"].sum()
+        j = agg["c"].to_numpy(dtype=np.float64) / (
+            agg["sz_a"].to_numpy() + agg["sz_b"].to_numpy()
+            - agg["c"].to_numpy())
+        agg["jaccard_sim"] = j
+        return agg.loc[j >= threshold, ["id_a", "id_b", "jaccard_sim"]]
+
+    return bucketed_group_apply(partials, ["id_a", "id_b"], finish,
+                                num_buckets=num_buckets)
+
+
 # ── near-dup groups → canonical keep set ─────────────────────────────
 
 def minlabel_components(pairs: pd.DataFrame, *, num_buckets: int = 16,
@@ -514,9 +586,18 @@ def neardup_keep_set(ds, *, key_col: str = "doc_id", text_col: str = "text",
 
     pairs = minhash_neardup_pairs(ds, key_col=key_col, text_col=text_col,
                                   threshold=threshold)
+    return keep_set_from_pairs(ds, pairs, key_col=key_col)
+
+
+def keep_set_from_pairs(ds, pairs: pd.DataFrame, *, key_col: str = "doc_id"):
+    """Near-dup pairs → (key, group_root, kept) over the full corpus:
+    min-label components of the pair graph, broadcast as sorted
+    (nodes, roots) arrays (bounded by the candidate set, ≪ corpus),
+    probed per batch with searchsorted. kept ⇔ the doc is its own
+    group root (every unpaired doc roots itself)."""
+    import ray
+
     comp = minlabel_components(pairs)
-    # (sorted nodes, roots) arrays — kept iff root == id (the group min
-    # is always its own root, so membership alone decides)
     nodes = comp["node"].to_numpy()
     roots = comp["group_root"].to_numpy()
     ref = ray.put((nodes, roots))
@@ -536,3 +617,14 @@ def neardup_keep_set(ds, *, key_col: str = "doc_id", text_col: str = "text",
         })
 
     return ds.map_batches(flag, batch_format="pandas")
+
+
+def jaccard_keep_set(ds, *, key_col: str = "doc_id", text_col: str = "text",
+                     n: int = 5, threshold: float = 0.5,
+                     max_posting: int | None = None):
+    """Exact n-gram-Jaccard dedup end-to-end: inverted-index pairs →
+    components → keep min key per group (plus every unpaired doc)."""
+    pairs = jaccard_neardup_pairs(
+        ds, key_col=key_col, text_col=text_col, n=n,
+        threshold=threshold, max_posting=max_posting).to_pandas()
+    return keep_set_from_pairs(ds, pairs, key_col=key_col)

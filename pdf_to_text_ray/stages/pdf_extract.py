@@ -1699,8 +1699,18 @@ def interpret_content(content: bytes, fonts: dict | None = None) -> list[Run]:
                 m = tuple(float(v) for v in stack[-6:])
                 ctm = _mat_mul(m, ctm)
             elif op == b"BI":
-                # inline image: skip to EI
+                # inline image (spec §8.9.7): skip past EI. The image
+                # data is raw binary and may contain the bytes "EI", so
+                # require whitespace on both sides (spec: EI is a
+                # whitespace-delimited operator) instead of taking the
+                # first occurrence.
                 end = content.find(b"EI", pos)
+                while end != -1:
+                    before_ws = end == 0 or content[end - 1] in b"\x00\t\n\x0c\r "
+                    after_ws = end + 2 >= n or content[end + 2] in b"\x00\t\n\x0c\r "
+                    if before_ws and after_ws:
+                        break
+                    end = content.find(b"EI", end + 2)
                 pos = n if end == -1 else end + 2
         except (IndexError, TypeError, ValueError):
             pass  # malformed operands: ignore op (lenient)

@@ -119,6 +119,17 @@ def test_inline_image_skipped():
     assert [r.text for r in runs] == ["a", "b"]
 
 
+def test_inline_image_data_containing_ei_bytes():
+    # raw image bytes happen to contain "EI" NOT whitespace-delimited —
+    # the skip must not terminate there (spec §8.9.7: EI is an operator,
+    # hence whitespace-delimited)
+    img = b"\x10EI\x20no(stray)EIx\xffEI\xfe"
+    content = (b"BT (a) Tj ET BI /W 2 /H 2 /BPC 8 ID " + img +
+               b" EI BT (b) Tj ET")
+    runs = interpret_content(content)
+    assert [r.text for r in runs] == ["a", "b"]
+
+
 # ── end-to-end fixture round-trips ────────────────────────────────────
 
 @pytest.mark.parametrize("seed", range(8))

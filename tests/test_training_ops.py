@@ -418,6 +418,67 @@ def test_minhash_verify_join_matches_broadcast(dup_docs_ds):
     pd.testing.assert_frame_equal(
         a.reset_index(drop=True), b.reset_index(drop=True))
 
+def test_jaccard_neardup_exact_vs_bruteforce(dup_docs_ds):
+    """Inverted-index Jaccard pairs == brute-force all-pairs Jaccard."""
+    import numpy as np
+
+    from pdf_to_text_ray.stages.analysis import _gram_hashes
+    from pdf_to_text_ray.stages.dedup import jaccard_neardup_pairs
+
+    texts = dup_docs_ds.to_pandas().set_index("doc_id")["text"].to_dict()
+    sets = {k: set(np.unique(_gram_hashes((v or "").lower().split(), 3)))
+            for k, v in texts.items()}
+    want = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            u = len(sets[a] | sets[b])
+            j = len(sets[a] & sets[b]) / u if u else 0.0
+            if j >= 0.3:
+                want[(a, b)] = j
+    got = jaccard_neardup_pairs(dup_docs_ds, n=3, threshold=0.3).to_pandas()
+    got_map = {(r.id_a, r.id_b): r.jaccard_sim for r in got.itertuples()}
+    assert got_map.keys() == want.keys()
+    for k in want:
+        assert abs(got_map[k] - want[k]) < 1e-12
+    # exact dup pair scores exactly 1.0
+    assert got_map[(0, 1)] == 1.0
+
+
+def test_jaccard_neardup_string_keys_and_keep_set(ray_session):
+    """String doc keys flow through pairs → components → keep set."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pdf_to_text_ray.stages.dedup import jaccard_keep_set
+
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    ds = rd.from_arrow(pa.table({
+        "doc_id": ["u/a", "u/b", "u/c", "u/d"],
+        "text": [base, base, base + " tail word", "totally different words"],
+    }))
+    out = jaccard_keep_set(ds, n=3, threshold=0.5).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert list(out["doc_id"]) == ["u/a", "u/b", "u/c", "u/d"]
+    assert list(out["group_root"]) == ["u/a", "u/a", "u/a", "u/d"]
+    assert list(out["kept"]) == [True, False, False, True]
+
+
+def test_jaccard_max_posting_prunes_hot_grams(dup_docs_ds):
+    """Stop-gram pruning only lowers counts — a subset of the exact
+    pair set survives, with jaccard never overestimated."""
+    from pdf_to_text_ray.stages.dedup import jaccard_neardup_pairs
+
+    exact = jaccard_neardup_pairs(dup_docs_ds, n=3, threshold=0.3).to_pandas()
+    pruned = jaccard_neardup_pairs(dup_docs_ds, n=3, threshold=0.3,
+                                   max_posting=2).to_pandas()
+    ex = {(r.id_a, r.id_b): r.jaccard_sim for r in exact.itertuples()}
+    pr = {(r.id_a, r.id_b): r.jaccard_sim for r in pruned.itertuples()}
+    assert pr.keys() <= ex.keys()
+    for k, v in pr.items():
+        assert v <= ex[k] + 1e-12
+
+
 def test_embedding_neardup_blocked_recall(ray_session):
     """The blocked (LSH-bucketed) threshold self-join returns a subset
     of the exact pair set with high recall at a high threshold."""
