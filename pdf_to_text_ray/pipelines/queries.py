@@ -1182,8 +1182,10 @@ FROM events
 
 
 def doc_selfrepeat_ratio(sf_dir: str):
-    """Within-document repetition: 1 - distinct/total 20-gram hashes —
-    a self-repetition quality signal (rows-only; rolling-hash based)."""
+    """Within-document repetition: 1 - distinct/total char-20-gram
+    hashes over whitespace-normalized lowered text (oracle: the same
+    ratio over the gram STRINGS in DuckDB — 64-bit hash collisions are
+    the only possible divergence, odds ~grams²/2⁶⁴)."""
     from ..stages.analysis import kgram_hashes
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -1197,6 +1199,25 @@ def doc_selfrepeat_ratio(sf_dir: str):
                              "selfrepeat_ratio": ratios})
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+# Python hashes 20-BYTE grams of the normalized text; the corpus is
+# ASCII so character substr is byte-identical. Sub-20-char text pads to
+# exactly one gram on the Ray side → ratio 0, the CASE below mirrors it.
+SELFREPEAT_SQL = r"""
+WITH norm AS (
+  SELECT doc_id,
+         lower(regexp_replace(trim(coalesce(text, '')), '\s+', ' ', 'g')) AS t
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN length(t) < 20 THEN 0.0
+            ELSE 1.0 - len(list_distinct([substr(t, i, 20)
+                     for i in range(1, length(t) - 18)]))::DOUBLE
+                     / (length(t) - 19)
+       END AS selfrepeat_ratio
+FROM norm
+"""
 
 
 def dedup_exact_docs(sf_dir: str):
@@ -1337,6 +1358,56 @@ FROM documents
 """
 
 
+def _langid_sql() -> str:
+    """LangId heuristic replicated in SQL, profiles injected from the
+    same ``_STOPWORDS`` tables the actor loads. The corpus is ASCII, so
+    ``[a-zA-Z]+`` tokenizes identically to Python's unicode word regex;
+    ties break to the alphabetically-first language (Python iterates
+    sorted profiles with a strict '>')."""
+    from ..stages.analysis import _STOPWORDS
+
+    rows = ", ".join(
+        f"('{lang}', '{w}')"
+        for lang in sorted(_STOPWORDS)
+        for w in sorted(_STOPWORDS[lang])
+    )
+    return f"""
+WITH docs AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+cjk AS (
+  SELECT doc_id, length(regexp_replace(substr(text, 1, 2000),
+         '[^\\x{{4E00}}-\\x{{9FFF}}]', '', 'g')) AS ncjk
+  FROM docs
+),
+toks AS (
+  SELECT doc_id, list_transform(
+           regexp_extract_all(substr(text, 1, 5000), '[a-zA-Z]+'),
+           x -> lower(x)) AS t
+  FROM docs
+),
+tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
+prof(lang, w) AS (VALUES {rows}),
+scores AS (
+  SELECT t.doc_id, p.lang, count(*) AS hits
+  FROM tok t JOIN prof p ON p.w = t.w
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT s.doc_id, s.lang, s.hits::DOUBLE / k.ntok AS score,
+         row_number() OVER (PARTITION BY s.doc_id
+                            ORDER BY s.hits::DOUBLE / k.ntok DESC, s.lang) AS rn
+  FROM scores s
+  JOIN (SELECT doc_id, len(t) AS ntok FROM toks) k USING (doc_id)
+)
+SELECT d.doc_id,
+       CASE WHEN c.ncjk >= 5 THEN 'zh'
+            WHEN b.score > 0.02 THEN b.lang
+            ELSE 'und' END AS lang_pred
+FROM docs d
+LEFT JOIN cjk c USING (doc_id)
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+"""
+
+
 def decontaminate_docs(sf_dir: str):
     """Benchmark decontamination (rows-only): flag corpus docs sharing
     any 13-gram with a deterministic 'eval set' (the 5 lowest-id docs
@@ -1352,6 +1423,39 @@ def decontaminate_docs(sf_dir: str):
         .to_pandas()["text"].fillna("").tolist()
     )
     return flag_contaminated(ds, eval_texts, n=13)
+
+
+# Same gram definition as the Ray side (word 13-grams of lowered,
+# whitespace-split text; eval set = distinct grams of docs 0-4). The
+# Ray probe counts gram OCCURRENCES in the doc (not distinct), hence
+# the non-distinct doc_g side of the join.
+DECONTAMINATE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+  FROM documents WHERE trim(coalesce(text, '')) <> ''
+),
+eval_g AS (
+  SELECT DISTINCT
+         unnest([array_to_string(t[i:i+12], ' ')
+                 for i in range(1, greatest(len(t) - 12, 0) + 1)]) AS gram
+  FROM toks WHERE doc_id < 5
+),
+doc_g AS (
+  SELECT doc_id,
+         unnest([array_to_string(t[i:i+12], ' ')
+                 for i in range(1, greatest(len(t) - 12, 0) + 1)]) AS gram
+  FROM toks
+),
+hits AS (
+  SELECT dg.doc_id, count(*) AS n_hits
+  FROM doc_g dg JOIN eval_g e ON dg.gram = e.gram
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(h.n_hits, 0) > 0 AS contaminated,
+       coalesce(h.n_hits, 0)::BIGINT AS n_hits
+FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+"""
 
 
 def doc_compression_ratio(sf_dir: str):
@@ -1841,4 +1945,7 @@ ORACLE_SQL = {
     "doc_pii_counts": _pii_sql(),
     "neardup_jaccard_docs": NEARDUP_JACCARD_SQL,
     "neardup_jaccard_keep_docs": NEARDUP_JACCARD_KEEP_SQL,
+    "decontaminate_docs": DECONTAMINATE_SQL,
+    "doc_selfrepeat_ratio": SELFREPEAT_SQL,
+    "langid_docs": _langid_sql(),
 }
