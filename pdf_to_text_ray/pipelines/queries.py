@@ -666,6 +666,39 @@ ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') r
 """
 
 
+def purchase_views_band_join(sf_dir: str):
+    """RANGE join without an equi key (stages/joins.py
+    ``temporal_band_count``): for each purchase event, the number of
+    view events — by ANY user — within ±60 s. Time-bucket
+    partitioning with ≤2-way probe replication; payload never
+    shuffles."""
+    from ..stages.joins import temporal_band_count
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "event_type"])
+    purchases = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "purchase")).select(
+            ["event_id", "ts"]),
+        batch_format="pyarrow",
+    )
+    views = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "view")).select(["ts"]),
+        batch_format="pyarrow",
+    )
+    return temporal_band_count(purchases, views, left_ts="ts",
+                               right_ts="ts", left_key="event_id",
+                               band_us=60_000_000, out_col="n_views_60s")
+
+
+BAND_JOIN_SQL = """
+SELECT p.event_id, count(v.ts)::BIGINT AS n_views_60s
+FROM (SELECT event_id, ts FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT ts FROM events WHERE event_type = 'view') v
+  ON v.ts >= p.ts - INTERVAL 60 SECOND
+ AND v.ts <= p.ts + INTERVAL 60 SECOND
+GROUP BY p.event_id
+"""
+
+
 def supplier_count_per_nation(sf_dir: str):
     """LEFT OUTER bucketed hash join: every nation with its supplier
     count, zero included (exercises joins.py how='left' with empty
@@ -1887,6 +1920,7 @@ QUERIES = {
     "ann_lsh_cosine": ann_lsh_cosine,
     "ivf_cosine": ivf_cosine,
     "neardup_keep_docs": neardup_keep_docs,
+    "purchase_views_band_join": purchase_views_band_join,
     "neardup_jaccard_docs": neardup_jaccard_docs,
     "neardup_jaccard_keep_docs": neardup_jaccard_keep_docs,
     "ann_recall_floor": ann_recall_floor,
@@ -1948,4 +1982,5 @@ ORACLE_SQL = {
     "decontaminate_docs": DECONTAMINATE_SQL,
     "doc_selfrepeat_ratio": SELFREPEAT_SQL,
     "langid_docs": _langid_sql(),
+    "purchase_views_band_join": BAND_JOIN_SQL,
 }

@@ -46,3 +46,54 @@ def test_asof_join_backward(ray_session):
     # lid 10 (ts100) -> val 7 (ts90); lid 11 (ts200) -> val 8 (ts150);
     # lid 20 (ts150) -> val 9 (exact match allowed)
     assert out["val"].tolist() == [7, 8, 9]
+
+
+def test_temporal_band_count(ray_session):
+    """Boundary-inclusive band counting, windows spanning two time
+    buckets, and zero-match probes."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from pdf_to_text_ray.stages.joins import temporal_band_count
+
+    band = 10  # µs; bucket width 20
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    lts = base + np.array([15, 40, 100], "timedelta64[us]")  # probes
+    #        probe 15: window [5, 25] spans buckets 0 and 1
+    #        probe 40: window [30, 50] spans buckets 1 and 2
+    #        probe 100: window [90, 110] — no right rows
+    rts = base + np.array([5, 25, 19, 20, 30, 50, 51], "timedelta64[us]")
+    left = rd.from_pandas(pd.DataFrame({"event_id": [1, 2, 3], "ts": lts}))
+    right = rd.from_pandas(pd.DataFrame({"ts": rts}))
+    out = (temporal_band_count(left, right, left_ts="ts", right_ts="ts",
+                               left_key="event_id", band_us=band,
+                               out_col="n")
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    # probe 15 matches 5,25,19,20 (both endpoints inclusive) = 4
+    # probe 40 matches 30,50 = 2 (51 excluded)
+    assert out["event_id"].tolist() == [1, 2, 3]
+    assert out["n"].tolist() == [4, 2, 0]
+
+
+def test_temporal_band_count_matches_bruteforce(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from pdf_to_text_ray.stages.joins import temporal_band_count
+
+    rng = np.random.RandomState(7)
+    base = np.datetime64("2024-01-01", "us")
+    lt = base + rng.randint(0, 10_000, 200).astype("timedelta64[us]")
+    rt = base + rng.randint(0, 10_000, 500).astype("timedelta64[us]")
+    band = 137
+    left = rd.from_pandas(pd.DataFrame({"event_id": np.arange(200), "ts": lt}))
+    right = rd.from_pandas(pd.DataFrame({"ts": rt}))
+    out = (temporal_band_count(left, right, left_ts="ts", right_ts="ts",
+                               left_key="event_id", band_us=band, out_col="n")
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    li = lt.astype("int64")[:, None]
+    ri = rt.astype("int64")[None, :]
+    want = (np.abs(ri - li) <= band).sum(axis=1)
+    assert out["n"].to_numpy().tolist() == want.tolist()
