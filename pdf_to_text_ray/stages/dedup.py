@@ -552,6 +552,107 @@ def minlabel_components(pairs: pd.DataFrame, *, num_buckets: int = 16,
     return out.sort_values("node").reset_index(drop=True)
 
 
+def star_components(pairs: pd.DataFrame, *, num_buckets: int = 16,
+                    max_rounds: int = 60) -> pd.DataFrame:
+    """Connected components via alternating large-star / small-star
+    rounds (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC 2014): converges in O(log²) rounds REGARDLESS of
+    component diameter — the scale path for pathological chains where
+    ``minlabel_components``' O(diameter) rounds would not terminate.
+
+    Each half-round is ONE hash-bucketed groupby on the edge's larger
+    endpoint with a vectorized per-bucket grouped min; only (u, v)
+    int64 edge pairs ever shuffle. Same contract/output schema as
+    ``minlabel_components``."""
+    import ray.data as rd
+
+    from .groups import bucketed_group_apply
+
+    if len(pairs) == 0:
+        return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                             "group_root": pd.Series([], dtype="int64")})
+    raw_a = pairs["id_a"].to_numpy()
+    raw_b = pairs["id_b"].to_numpy()
+    vocab = np.unique(np.concatenate([raw_a, raw_b]))
+    a = np.searchsorted(vocab, raw_a).astype("int64")
+    b = np.searchsorted(vocab, raw_b).astype("int64")
+    # orient (u, v) with u > v; drop self-loops
+    u = np.maximum(a, b)
+    v = np.minimum(a, b)
+    keep = u != v
+    edges_pdf = pd.DataFrame({"u": u[keep], "v": v[keep]}).drop_duplicates()
+    all_nodes = np.unique(np.concatenate([u, v]))
+
+    def small_star(df: pd.DataFrame) -> pd.DataFrame:
+        # edges arrive oriented u > v; per u: m = min neighbor; relink
+        # every neighbor (and u itself) to m
+        mn = df.groupby("u")["v"].transform("min").to_numpy()
+        out = pd.DataFrame({
+            "u": np.concatenate([df["v"].to_numpy(), df["u"].to_numpy()]),
+            "v": np.concatenate([mn, mn]),
+        })
+        return out[out["u"] != out["v"]].drop_duplicates()
+
+    def checksum(ds) -> tuple[int, int]:
+        def part(bdf: pd.DataFrame) -> pd.DataFrame:
+            h = pd.util.hash_array(
+                bdf["u"].to_numpy() * np.int64(1_000_003)
+                + bdf["v"].to_numpy())
+            return pd.DataFrame({"n": [len(bdf)],
+                                 "h": [int(h.sum() % (1 << 61))]})
+        p = ds.map_batches(part, batch_format="pandas").to_pandas()
+        return int(p["n"].sum()), int(p["h"].sum() % (1 << 61))
+
+    edges = rd.from_pandas(edges_pdf)
+    prev = checksum(edges)
+    converged = False
+    for _ in range(max_rounds):
+        # large-star groups SYMMETRIZED neighborhoods: bucket by the
+        # node column after symmetrizing inside the bucket fn would
+        # split a node's neighborhood across buckets, so symmetrize
+        # FIRST, then bucket on the node
+        sym = edges.map_batches(
+            lambda bdf: pd.DataFrame({
+                "n": np.concatenate([bdf["u"].to_numpy(),
+                                     bdf["v"].to_numpy()]),
+                "w": np.concatenate([bdf["v"].to_numpy(),
+                                     bdf["u"].to_numpy()]),
+            }),
+            batch_format="pandas")
+
+        def ls_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            m = g.groupby("n")["w"].transform("min").to_numpy()
+            m = np.minimum(m, g["n"].to_numpy())
+            big = g["w"].to_numpy() > g["n"].to_numpy()
+            out = pd.DataFrame({"u": g["w"].to_numpy()[big], "v": m[big]})
+            return out[out["u"] != out["v"]].drop_duplicates()
+
+        edges = bucketed_group_apply(sym, "n", ls_bucket,
+                                     num_buckets=num_buckets)
+        edges = bucketed_group_apply(edges, "u", small_star,
+                                     num_buckets=num_buckets).materialize()
+        cur = checksum(edges)
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+    if not converged:
+        raise RuntimeError(
+            f"star rounds did not converge in {max_rounds} iterations")
+    final = edges.to_pandas().drop_duplicates()
+    # at convergence every edge points a node at its component root
+    root_of = final.groupby("u")["v"].min()
+    roots = np.full(len(all_nodes), -1, dtype=np.int64)
+    idx = np.searchsorted(all_nodes, root_of.index.to_numpy())
+    roots[idx] = root_of.to_numpy()
+    self_root = roots == -1
+    roots[self_root] = all_nodes[self_root]
+    return pd.DataFrame({
+        "node": vocab[all_nodes],
+        "group_root": vocab[roots],
+    }).sort_values("node").reset_index(drop=True)
+
+
 def connected_components(pairs: pd.DataFrame, a_col: str = "id_a",
                          b_col: str = "id_b") -> dict:
     """id → group-root (min id) via union-find on the candidate-pair
@@ -589,15 +690,21 @@ def neardup_keep_set(ds, *, key_col: str = "doc_id", text_col: str = "text",
     return keep_set_from_pairs(ds, pairs, key_col=key_col)
 
 
-def keep_set_from_pairs(ds, pairs: pd.DataFrame, *, key_col: str = "doc_id"):
+def keep_set_from_pairs(ds, pairs: pd.DataFrame, *, key_col: str = "doc_id",
+                        components: str = "minlabel"):
     """Near-dup pairs → (key, group_root, kept) over the full corpus:
-    min-label components of the pair graph, broadcast as sorted
-    (nodes, roots) arrays (bounded by the candidate set, ≪ corpus),
-    probed per batch with searchsorted. kept ⇔ the doc is its own
-    group root (every unpaired doc roots itself)."""
+    components of the pair graph, broadcast as sorted (nodes, roots)
+    arrays (bounded by the candidate set, ≪ corpus), probed per batch
+    with searchsorted. kept ⇔ the doc is its own group root (every
+    unpaired doc roots itself).
+
+    ``components``: "minlabel" (O(diameter) rounds — near-dup graphs
+    are shallow) or "star" (large-star/small-star, O(log²) rounds —
+    for adversarial chain-shaped graphs)."""
     import ray
 
-    comp = minlabel_components(pairs)
+    comp = (star_components(pairs) if components == "star"
+            else minlabel_components(pairs))
     nodes = comp["node"].to_numpy()
     roots = comp["group_root"].to_numpy()
     ref = ray.put((nodes, roots))

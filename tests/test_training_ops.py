@@ -563,3 +563,38 @@ def test_decontamination_flags_eval_overlap(ray_session):
     out = flag_contaminated(ds, [base], n=13).to_pandas().sort_values("doc_id")
     assert out["contaminated"].tolist() == [True, False, True]
     assert out["n_hits"].iloc[0] > 0
+
+
+def test_star_components_parity_and_long_path(ray_session):
+    """Large-star/small-star components match union-find on random
+    graphs AND converge on a 400-node path — a diameter min-label
+    propagation would need 400 rounds for."""
+    import numpy as np
+
+    from pdf_to_text_ray.stages.dedup import (
+        connected_components, star_components)
+
+    rng = np.random.RandomState(3)
+    # random sparse graph over 120 nodes
+    a = rng.randint(0, 120, 150)
+    b = rng.randint(0, 120, 150)
+    m = a != b
+    pairs = pd.DataFrame({"id_a": a[m], "id_b": b[m]})
+    got = star_components(pairs)
+    ref = connected_components(pairs)
+    assert dict(zip(got["node"], got["group_root"])) == ref
+
+    # path 0-1-2-...-399: one component rooted at 0, few star rounds
+    path = pd.DataFrame({"id_a": np.arange(399), "id_b": np.arange(1, 400)})
+    got = star_components(path, max_rounds=25)
+    assert (got["group_root"] == 0).all() and len(got) == 400
+
+    # string keys factorize through the sorted vocab
+    sp = pd.DataFrame({"id_a": ["url/c", "url/b"], "id_b": ["url/b", "url/a"]})
+    got = star_components(sp)
+    assert dict(zip(got["node"], got["group_root"])) == {
+        "url/a": "url/a", "url/b": "url/a", "url/c": "url/a"}
+
+    # empty input keeps schema
+    empty = star_components(pairs.iloc[0:0])
+    assert list(empty.columns) == ["node", "group_root"] and len(empty) == 0
