@@ -14,16 +14,16 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from ..stages.media_codecs import encode_bmp, encode_ppm, encode_wav
+from ..stages.media_codecs import encode_bmp, encode_png, encode_ppm, encode_wav
 from ..stages.multimodal import MEDIA_SCHEMA
 
-MEDIA_GENERATOR_VERSION = 1
+MEDIA_GENERATOR_VERSION = 2  # v2: PNG payloads (real decode path)
 
 
 def make_media_row(i: int, seed: int) -> dict:
     rng = np.random.RandomState(seed * 911_383 + i)
     kind = i % 5
-    if kind in (0, 1):  # BMP / PPM image
+    if kind in (0, 1):  # BMP / PPM / PNG image
         h, w = int(rng.randint(8, 48)), int(rng.randint(8, 48))
         yy, xx = np.mgrid[0:h, 0:w]
         img = np.stack([
@@ -31,7 +31,11 @@ def make_media_row(i: int, seed: int) -> dict:
             (yy * 255 // max(h - 1, 1)),
             rng.randint(0, 256, size=(h, w)),
         ], axis=2).astype(np.uint8)
-        payload = encode_bmp(img) if kind == 0 else encode_ppm(img)
+        if kind == 0:
+            # alternate BMP / PNG-with-cycling-filters on the even slot
+            payload = encode_bmp(img) if i % 2 else encode_png(img, -1)
+        else:
+            payload = encode_ppm(img)
         return {"media_id": i, "media_type": "image", "payload": payload,
                 "meta_width": w, "meta_height": h, "meta_duration_ms": 0}
     if kind == 2:  # WAV tone

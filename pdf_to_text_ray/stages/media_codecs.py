@@ -4,7 +4,7 @@ PIL/ffmpeg are not in this container, but that does NOT force the whole
 multimodal path to be fake: BMP and PPM/PGM images and RIFF/WAVE PCM
 audio decode with numpy and the stdlib ``wave`` module. These are the
 REAL decode paths for ``MediaFeatureExtractor``; compressed formats
-(JPEG/PNG/MP4) still fall back to the injected/fake decoder and are the
+(JPEG/MP4) still fall back to the injected/fake decoder and are the
 documented stub.
 
 Implemented from the public format specs:
@@ -12,6 +12,8 @@ Implemented from the public format specs:
   (bottom-up or top-down, 4-byte row padding) and 8-bit paletted.
 - PPM/PGM: binary P6/P5 with whitespace/comment-tolerant headers.
 - WAV: canonical RIFF/WAVE fmt+data chunks, PCM 8/16-bit, via ``wave``.
+- PNG: 8-bit gray/RGB/RGBA non-interlaced, zlib IDAT, all five row
+  filters (spec §9), CRC-validated chunks.
 
 Encoders mirror the decoders so fixtures are roundtrip-by-construction.
 Feature extraction is deterministic numpy: images → size/aspect,
@@ -30,7 +32,7 @@ import numpy as np
 
 
 class UnsupportedMediaError(Exception):
-    """Payload format needs an external decoder (JPEG/PNG/MP4/...)."""
+    """Payload format needs an external decoder (JPEG/MP4/...)."""
 
 
 # ── BMP ──────────────────────────────────────────────────────────────
@@ -213,17 +215,157 @@ def audio_features(rate: int, x: np.ndarray, dim: int = 64) -> np.ndarray:
     return out
 
 
+# ── PNG (ISO/IEC 15948 / RFC 2083: zlib IDAT + per-row filters) ──────
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type → samples per pixel (8-bit depth only)
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data)))
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
+    """(H,W) gray / (H,W,3) RGB / (H,W,4) RGBA uint8 → 8-bit
+    non-interlaced PNG. ``filter_type`` 0-4 fixes the row filter;
+    -1 cycles through all five so fixtures exercise every unfilter
+    path. Filters computed per spec §9 on the ORIGINAL bytes (left /
+    up / average / Paeth), so decode is roundtrip-by-construction."""
+    import zlib
+
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    color = {1: 0, 3: 2, 4: 6}[ch]
+    raw = bytearray()
+    prev = np.zeros((w, ch), dtype=np.int16)
+    for y in range(h):
+        row = arr[y].astype(np.int16)
+        ft = (y % 5) if filter_type == -1 else filter_type
+        left = np.vstack([np.zeros((1, ch), np.int16), row[:-1]])
+        ul = np.vstack([np.zeros((1, ch), np.int16), prev[:-1]])
+        if ft == 0:
+            out = row
+        elif ft == 1:
+            out = row - left
+        elif ft == 2:
+            out = row - prev
+        elif ft == 3:
+            out = row - (left + prev) // 2
+        else:  # Paeth
+            p = left + prev - ul
+            pa_ = np.abs(p - left)
+            pb = np.abs(p - prev)
+            pc = np.abs(p - ul)
+            pred = np.where((pa_ <= pb) & (pa_ <= pc), left,
+                            np.where(pb <= pc, prev, ul))
+            out = row - pred
+        raw.append(ft)
+        raw += (out & 0xFF).astype(np.uint8).tobytes()
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG → (H, W, C) uint8 (C = 1/3/4). 8-bit depth, color types
+    0/2/6, non-interlaced; CRC-validated chunks. Filters unfiltered
+    per spec §9: None/Up vectorized, Sub via per-lane cumsum, Average/
+    Paeth per-pixel (sequential by definition)."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise UnsupportedMediaError("not a PNG")
+    pos, n = 8, len(payload)
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= n:
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        typ = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + ln]
+        if len(data) != ln or pos + 12 + ln > n:
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + ln)
+        if crc != zlib.crc32(typ + data):
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or color not in _PNG_CHANNELS or interlace or comp or filt:
+        raise UnsupportedMediaError(
+            f"PNG variant unsupported (depth={depth} color={color} "
+            f"interlace={interlace})")
+    ch = _PNG_CHANNELS[color]
+    stride = w * ch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("PNG IDAT size mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        row = np.frombuffer(
+            raw, np.uint8, stride, y * (stride + 1) + 1).copy()
+        if ft == 0:
+            rec = row
+        elif ft == 1:  # Sub: cumsum per byte lane (stride = bpp)
+            rec = row.reshape(w, ch).astype(np.uint64).cumsum(
+                axis=0).astype(np.uint8).reshape(stride)
+        elif ft == 2:  # Up
+            rec = row + prev
+        elif ft == 3:  # Average
+            rec = np.zeros(stride, dtype=np.uint8)
+            for x in range(stride):
+                left = int(rec[x - ch]) if x >= ch else 0
+                rec[x] = (int(row[x]) + (left + int(prev[x])) // 2) & 0xFF
+        elif ft == 4:  # Paeth
+            rec = np.zeros(stride, dtype=np.uint8)
+            for x in range(stride):
+                a = int(rec[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                p = a + b - c
+                pa_, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb and pa_ <= pc) else (b if pb <= pc else c)
+                rec[x] = (int(row[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG filter {ft} invalid")
+        out[y] = rec
+        prev = rec
+    return out.reshape(h, w, ch)
+
+
 def decode_features(payload: bytes, dim: int = 64) -> np.ndarray:
-    """Magic-byte dispatch → REAL features for BMP/PNM/WAV payloads;
-    raises UnsupportedMediaError for formats needing external codecs."""
+    """Magic-byte dispatch → REAL features for BMP/PNM/PNG/WAV
+    payloads; raises UnsupportedMediaError for formats needing
+    external codecs."""
     p = payload or b""
     if p[:2] == b"BM":
         return image_features(decode_bmp(p), dim)
     if p[:2] in (b"P5", b"P6"):
         return image_features(decode_ppm(p), dim)
+    if p[:8] == _PNG_SIG:
+        img = decode_png(p)
+        if img.shape[2] == 4:
+            img = img[:, :, :3]  # drop alpha for feature parity
+        return image_features(img.squeeze(-1) if img.shape[2] == 1 else img,
+                              dim)
     if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
         rate, x = decode_wav(p)
         return audio_features(rate, x, dim)
     raise UnsupportedMediaError(
-        f"no stdlib decoder for magic {p[:4]!r} (JPEG/PNG/MP4 need an "
+        f"no stdlib decoder for magic {p[:4]!r} (JPEG/MP4 need an "
         "injected decode_fn)")

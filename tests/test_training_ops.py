@@ -598,3 +598,37 @@ def test_star_components_parity_and_long_path(ray_session):
     # empty input keeps schema
     empty = star_components(pairs.iloc[0:0])
     assert list(empty.columns) == ["node", "group_root"] and len(empty) == 0
+
+
+def test_png_codec_roundtrip_all_filters_and_colors():
+    from pdf_to_text_ray.stages.media_codecs import (
+        UnsupportedMediaError, decode_features, decode_png, encode_png)
+
+    rng = np.random.RandomState(11)
+    gray = rng.randint(0, 256, size=(9, 5)).astype(np.uint8)
+    rgb = rng.randint(0, 256, size=(7, 11, 3)).astype(np.uint8)
+    rgba = rng.randint(0, 256, size=(6, 4, 4)).astype(np.uint8)
+    for ft in (0, 1, 2, 3, 4, -1):  # -1 cycles every filter per row
+        assert (decode_png(encode_png(gray, ft)).squeeze(-1) == gray).all()
+        assert (decode_png(encode_png(rgb, ft)) == rgb).all()
+        assert (decode_png(encode_png(rgba, ft)) == rgba).all()
+
+    # dispatch: PNG is now a REAL decode path
+    f = decode_features(encode_png(rgb, -1))
+    assert len(f) == 64 and f[0] == pytest.approx(np.log1p(11))
+
+    # corrupt payload → typed error (CRC check), not garbage pixels
+    blob = bytearray(encode_png(rgb))
+    blob[40] ^= 0x01  # a byte inside IDAT data
+    with pytest.raises(ValueError):
+        decode_png(bytes(blob))
+
+    # unsupported variant (16-bit depth) → UnsupportedMediaError
+    import struct as _s
+    import zlib as _z
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = _s.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
+    chunk = _s.pack(">I", len(ihdr)) + b"IHDR" + ihdr + _s.pack(
+        ">I", _z.crc32(b"IHDR" + ihdr))
+    with pytest.raises(UnsupportedMediaError):
+        decode_png(sig + chunk)
