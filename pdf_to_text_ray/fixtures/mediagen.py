@@ -14,10 +14,11 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from ..stages.media_codecs import encode_bmp, encode_png, encode_ppm, encode_wav
+from ..stages.media_codecs import (
+    encode_bmp, encode_gif, encode_png, encode_ppm, encode_wav)
 from ..stages.multimodal import MEDIA_SCHEMA
 
-MEDIA_GENERATOR_VERSION = 2  # v2: PNG payloads (real decode path)
+MEDIA_GENERATOR_VERSION = 3  # v2: PNG payloads; v3: +GIF (real decodes)
 
 
 def make_media_row(i: int, seed: int) -> dict:
@@ -35,7 +36,10 @@ def make_media_row(i: int, seed: int) -> dict:
             # alternate BMP / PNG-with-cycling-filters on the even slot
             payload = encode_bmp(img) if i % 2 else encode_png(img, -1)
         else:
-            payload = encode_ppm(img)
+            # alternate PPM / interlaced GIF (≤256-color gradient+noise
+            # quantizes; decode path is what matters, not fidelity)
+            payload = encode_ppm(img) if i % 2 else encode_gif(
+                img, interlace=True)
         return {"media_id": i, "media_type": "image", "payload": payload,
                 "meta_width": w, "meta_height": h, "meta_duration_ms": 0}
     if kind == 2:  # WAV tone

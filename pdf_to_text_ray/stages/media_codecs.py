@@ -14,6 +14,8 @@ Implemented from the public format specs:
 - WAV: canonical RIFF/WAVE fmt+data chunks, PCM 8/16-bit, via ``wave``.
 - PNG: 8-bit gray/RGB/RGBA non-interlaced, zlib IDAT, all five row
   filters (spec §9), CRC-validated chunks.
+- GIF: GIF87a/89a first frame — full variable-width LSB-first LZW
+  (table growth + 4096 reset), global/local palettes, interlacing.
 
 Encoders mirror the decoders so fixtures are roundtrip-by-construction.
 Feature extraction is deterministic numpy: images → size/aspect,
@@ -215,6 +217,210 @@ def audio_features(rate: int, x: np.ndarray, dim: int = 64) -> np.ndarray:
     return out
 
 
+# ── GIF (GIF89a spec: LSB-first variable-width LZW, palettes) ────────
+
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW: codes packed LSB-first, width starts at
+    ``min_code_size + 1``, CLEAR = 2^mcs resets the table, END = CLEAR+1;
+    width grows AFTER the table reaches 2^width entries, capped at 12."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+
+    acc = 0
+    nbits = 0
+    pos = 0
+    width = min_code_size + 1
+    table = list(base)
+    prev: bytes | None = None
+    out = bytearray()
+    n = len(data)
+    while True:
+        while nbits < width:
+            if pos >= n:
+                return bytes(out)  # truncated stream: salvage
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = list(base)
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            return bytes(out)
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table) and len(table) < 4096:
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"GIF LZW code {code} out of range")
+        out += entry
+        if len(table) >= (1 << width) and width < 12:
+            width += 1
+        prev = entry
+
+
+def _gif_lzw_encode(data: bytes, min_code_size: int) -> bytes:
+    """Real LZW compression mirroring ``_gif_lzw_decode`` (dictionary
+    growth + width changes included, so decode exercises the full
+    algorithm). Emits CLEAR first and END last per the spec."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    width = min_code_size + 1
+
+    def emit(code: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    w = b""
+    for byte in data:
+        wk = w + bytes([byte])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        table[wk] = next_code
+        next_code += 1
+        # decoder widens when ITS table (same size) reaches 2^width
+        if next_code - 1 >= (1 << width) and width < 12:
+            width += 1
+        if next_code > 4095:
+            emit(clear)
+            # flush width back; decoder resets on CLEAR
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code_size + 1
+        w = bytes([byte])
+    if w:
+        emit(table[w])
+        next_code += 1
+        if next_code - 1 >= (1 << width) and width < 12:
+            width += 1
+    emit(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def encode_gif(arr: np.ndarray, interlace: bool = False) -> bytes:
+    """(H, W, 3) uint8 RGB → GIF89a with a 256-entry global palette
+    built from the image's distinct colors (quantized by masking the
+    low bits if >256 distinct) and REAL LZW-compressed pixel data."""
+    h, w, _ = arr.shape
+    flat = arr.reshape(-1, 3)
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    shift = 0
+    while len(colors) > 256:
+        shift += 1
+        flat = (arr.reshape(-1, 3) >> shift) << shift
+        colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    pal = np.zeros((256, 3), dtype=np.uint8)
+    pal[: len(colors)] = colors
+    idx = inverse.astype(np.uint8).reshape(h, w)
+    if interlace:
+        rows = [y for start, step in _GIF_INTERLACE_PASSES
+                for y in range(start, h, step)]
+        pix = idx[rows].tobytes()
+    else:
+        pix = idx.tobytes()
+    mcs = 8
+    lzw = _gif_lzw_encode(pix, mcs)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # global table, 256×3
+    out += pal.tobytes()
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h,
+                       0x40 if interlace else 0)
+    out.append(mcs)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00;"
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """GIF87a/89a first frame → (H, W, 3) uint8 RGB. Global/local
+    palettes, interlacing, and full variable-width LZW."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise UnsupportedMediaError("not a GIF")
+    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gpal = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gpal = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(payload) and payload[pos]:
+                pos += payload[pos] + 1
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            left, top, w, h, iflags = struct.unpack_from("<HHHHB", payload,
+                                                         pos + 1)
+            pos += 10
+            pal = gpal
+            if iflags & 0x80:
+                n = 2 << (iflags & 7)
+                pal = np.frombuffer(payload, np.uint8, n * 3,
+                                    pos).reshape(n, 3)
+                pos += n * 3
+            if pal is None:
+                raise ValueError("GIF image with no color table")
+            mcs = payload[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(payload) and payload[pos]:
+                ln = payload[pos]
+                data += payload[pos + 1:pos + 1 + ln]
+                pos += ln + 1
+            pix = np.frombuffer(
+                _gif_lzw_decode(bytes(data), mcs), np.uint8)
+            if len(pix) < w * h:
+                raise ValueError("GIF pixel data truncated")
+            pix = pix[: w * h].reshape(h, w)
+            if iflags & 0x40:  # deinterlace
+                rows = [y for start, step in _GIF_INTERLACE_PASSES
+                        for y in range(start, h, step)]
+                out = np.zeros((h, w), dtype=np.uint8)
+                out[rows] = pix
+                pix = out
+            if (pix >= len(pal)).any():
+                raise ValueError("GIF index outside color table")
+            return np.ascontiguousarray(pal[pix])
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"GIF unknown block 0x{b:02x}")
+    raise ValueError("GIF contains no image block")
+
+
 # ── PNG (ISO/IEC 15948 / RFC 2083: zlib IDAT + per-row filters) ──────
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -363,6 +569,8 @@ def decode_features(payload: bytes, dim: int = 64) -> np.ndarray:
             img = img[:, :, :3]  # drop alpha for feature parity
         return image_features(img.squeeze(-1) if img.shape[2] == 1 else img,
                               dim)
+    if p[:6] in (b"GIF87a", b"GIF89a"):
+        return image_features(decode_gif(p), dim)
     if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
         rate, x = decode_wav(p)
         return audio_features(rate, x, dim)

@@ -50,7 +50,7 @@ class MediaFeatureExtractor:
 
     __init__ binds the decoder chain once per actor; __call__ decodes +
     featurizes per batch. Per payload: injected ``decode_fn`` first (if
-    any), then the REAL stdlib decoders (BMP/PNM/PNG/WAV →
+    any), then the REAL stdlib decoders (BMP/PNM/PNG/GIF/WAV →
     media_codecs.decode_features), then — for formats needing external
     codecs — a deterministic fake, or ``NotImplementedError`` when
     ``strict=True`` (the marker that a real JPEG/MP4 decoder must

@@ -632,3 +632,32 @@ def test_png_codec_roundtrip_all_filters_and_colors():
         ">I", _z.crc32(b"IHDR" + ihdr))
     with pytest.raises(UnsupportedMediaError):
         decode_png(sig + chunk)
+
+
+def test_gif_codec_roundtrip_and_lzw():
+    from pdf_to_text_ray.stages.media_codecs import (
+        _gif_lzw_decode, _gif_lzw_encode, decode_features, decode_gif,
+        encode_gif)
+
+    rng = np.random.RandomState(5)
+    # raw LZW across width-growth boundaries and the 4096-entry reset
+    for size in (1, 300, 1200, 30000, 120000):
+        for mcs in (2, 8):
+            data = rng.randint(0, 1 << mcs, size).astype(np.uint8).tobytes()
+            assert _gif_lzw_decode(_gif_lzw_encode(data, mcs), mcs) == data
+
+    # ≤256-color images roundtrip exactly, plain and interlaced
+    img = (rng.randint(0, 4, (23, 17, 3)) * 80).astype(np.uint8)
+    assert (decode_gif(encode_gif(img)) == img).all()
+    assert (decode_gif(encode_gif(img, interlace=True)) == img).all()
+
+    # >256 distinct colors quantize by low-bit masking: bounded error
+    big = rng.randint(0, 256, (40, 40, 3)).astype(np.uint8)
+    got = decode_gif(encode_gif(big))
+    assert got.shape == big.shape
+    assert np.abs(got.astype(int) - big.astype(int)).max() <= 63
+    assert len(np.unique(got.reshape(-1, 3), axis=0)) <= 256
+
+    # dispatch: GIF is a REAL decode path now
+    f = decode_features(encode_gif(img))
+    assert len(f) == 64 and f[0] == np.float32(np.log1p(17))
