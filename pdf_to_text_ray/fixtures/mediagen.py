@@ -1,9 +1,11 @@
 """Deterministic synthetic media corpus (MEDIA_SCHEMA rows).
 
-Payloads are REAL encoded files the engine's stdlib codecs decode:
-BMP and PPM images (gradient + noise patterns), WAV tones — plus a
-tail of fake-compressed payloads (JPEG/MP4 magic) exercising the
-fallback path. Seeded and cached under /tmp like fixtures/corpus.py.
+Payloads are REAL encoded files the engine's codecs decode: BMP, PPM,
+PNG, GIF and baseline JPEG images (gradient + noise patterns; JPEG
+mixes 444/420 subsampling and restart intervals), WAV tones — plus a
+tail of fake MP4 payloads exercising the fallback path (the one
+remaining stub format). Seeded and cached under /tmp like
+fixtures/corpus.py.
 """
 
 from __future__ import annotations
@@ -14,11 +16,12 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+from ..stages.jpeg_codec import encode_jpeg
 from ..stages.media_codecs import (
     encode_bmp, encode_gif, encode_png, encode_ppm, encode_wav)
 from ..stages.multimodal import MEDIA_SCHEMA
 
-MEDIA_GENERATOR_VERSION = 3  # v2: PNG payloads; v3: +GIF (real decodes)
+MEDIA_GENERATOR_VERSION = 4  # v3: +GIF; v4: real baseline JPEGs
 
 
 def make_media_row(i: int, seed: int) -> dict:
@@ -55,10 +58,22 @@ def make_media_row(i: int, seed: int) -> dict:
         payload = encode_ppm(rng.randint(0, 256, size=(h, w)).astype(np.uint8))
         return {"media_id": i, "media_type": "image", "payload": payload,
                 "meta_width": w, "meta_height": h, "meta_duration_ms": 0}
-    # fake-compressed tail (fallback path)
-    magic = b"\xff\xd8\xff\xe0" if i % 2 else b"\x00\x00\x00\x18ftypmp42"
-    payload = magic + rng.bytes(64)
-    return {"media_id": i, "media_type": "video" if i % 2 == 0 else "image",
+    if i % 2:  # REAL baseline JPEG (444/420 alternating, lossy)
+        h, w = int(rng.randint(9, 40)), int(rng.randint(9, 40))
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.stack([
+            (xx * 255 // max(w - 1, 1)),
+            (yy * 255 // max(h - 1, 1)),
+            np.full((h, w), int(rng.randint(0, 256))),
+        ], axis=2).astype(np.uint8)
+        payload = encode_jpeg(img, quality=int(rng.choice([60, 85, 95])),
+                              subsample="420" if i % 4 == 1 else "444",
+                              restart_interval=3 if i % 8 == 1 else 0)
+        return {"media_id": i, "media_type": "image", "payload": payload,
+                "meta_width": w, "meta_height": h, "meta_duration_ms": 0}
+    # fake-compressed tail: MP4 video is the one remaining stub format
+    payload = b"\x00\x00\x00\x18ftypmp42" + rng.bytes(64)
+    return {"media_id": i, "media_type": "video",
             "payload": payload, "meta_width": 0, "meta_height": 0,
             "meta_duration_ms": int(rng.randint(0, 10_000))}
 

@@ -1,11 +1,11 @@
 """Real media codecs for formats decodable with stdlib + numpy only.
 
 PIL/ffmpeg are not in this container, but that does NOT force the whole
-multimodal path to be fake: BMP and PPM/PGM images and RIFF/WAVE PCM
-audio decode with numpy and the stdlib ``wave`` module. These are the
-REAL decode paths for ``MediaFeatureExtractor``; compressed formats
-(JPEG/MP4) still fall back to the injected/fake decoder and are the
-documented stub.
+multimodal path to be fake: BMP, PPM/PGM, PNG, GIF and baseline JPEG
+images (jpeg_codec.py) and RIFF/WAVE PCM audio decode with numpy and
+the stdlib. These are the REAL decode paths for
+``MediaFeatureExtractor``; only video containers (MP4) still fall back
+to the injected/fake decoder and are the documented stub.
 
 Implemented from the public format specs:
 - BMP: BITMAPFILEHEADER + BITMAPINFOHEADER, uncompressed 24-bit BGR
@@ -16,6 +16,8 @@ Implemented from the public format specs:
   filters (spec §9), CRC-validated chunks.
 - GIF: GIF87a/89a first frame — full variable-width LSB-first LZW
   (table growth + 4096 reset), global/local palettes, interlacing.
+- JPEG: baseline sequential DCT (ITU-T T.81) — Huffman, arbitrary
+  sampling factors, restart markers; see ``jpeg_codec.py``.
 
 Encoders mirror the decoders so fixtures are roundtrip-by-construction.
 Feature extraction is deterministic numpy: images → size/aspect,
@@ -34,7 +36,7 @@ import numpy as np
 
 
 class UnsupportedMediaError(Exception):
-    """Payload format needs an external decoder (JPEG/MP4/...)."""
+    """Payload format needs an external decoder (MP4/video/...)."""
 
 
 # ── BMP ──────────────────────────────────────────────────────────────
@@ -574,6 +576,15 @@ def decode_features(payload: bytes, dim: int = 64) -> np.ndarray:
     if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
         rate, x = decode_wav(p)
         return audio_features(rate, x, dim)
+    if p[:2] == b"\xff\xd8":
+        from .jpeg_codec import UnsupportedJpegError, decode_jpeg
+
+        try:
+            img = decode_jpeg(p)
+        except UnsupportedJpegError as e:
+            raise UnsupportedMediaError(str(e)) from e
+        return image_features(
+            img.squeeze(-1) if img.shape[2] == 1 else img, dim)
     raise UnsupportedMediaError(
-        f"no stdlib decoder for magic {p[:4]!r} (JPEG/MP4 need an "
+        f"no stdlib decoder for magic {p[:4]!r} (MP4/video needs an "
         "injected decode_fn)")

@@ -1,11 +1,11 @@
 """Multimodal column plumbing: image/audio/video as opaque binary.
 
-The decode step is REAL for formats the stdlib + numpy can handle —
-BMP and PPM/PGM images, RIFF/WAVE PCM audio (stages/media_codecs,
-written from the public format specs) — and falls back to a
-deterministic fake only for compressed formats (JPEG/MP4) whose
-libraries (PIL/ffmpeg) are not in this container; a real decoder for
-those can be injected per deployment (``decode_fn``), and
+The decode step is REAL for every image/audio format in the corpus —
+BMP, PPM/PGM, PNG, GIF, baseline JPEG, RIFF/WAVE PCM audio
+(stages/media_codecs + stages/jpeg_codec, written from the public
+format specs) — and falls back to a deterministic fake only for video
+containers (MP4) whose decoder (ffmpeg) is not in this container; a
+real decoder can be injected per deployment (``decode_fn``), and
 ``strict=True`` raises instead of faking. Everything Ray-side is real
 and tested: schemas, actor signatures, batch sizing for large binary
 rows, and output layout.
@@ -50,10 +50,10 @@ class MediaFeatureExtractor:
 
     __init__ binds the decoder chain once per actor; __call__ decodes +
     featurizes per batch. Per payload: injected ``decode_fn`` first (if
-    any), then the REAL stdlib decoders (BMP/PNM/PNG/GIF/WAV →
+    any), then the REAL decoders (BMP/PNM/PNG/GIF/JPEG/WAV →
     media_codecs.decode_features), then — for formats needing external
-    codecs — a deterministic fake, or ``NotImplementedError`` when
-    ``strict=True`` (the marker that a real JPEG/MP4 decoder must
+    codecs (MP4) — a deterministic fake, or ``NotImplementedError``
+    when ``strict=True`` (the marker that a real video decoder must
     be injected in deployments with media libraries installed)."""
 
     def __init__(self, decode_fn=None, strict: bool = False, dim: int = FEATURE_DIM):

@@ -18,6 +18,8 @@ All math in float64 so results are comparable with DuckDB's
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -385,15 +387,31 @@ def ivf_centroids_distributed(ds, n_lists: int, *, n_iters: int = 8,
     centroids and emits per-centroid partial (sum, count) — n_lists
     rows per batch — which the driver merges and renormalizes. The
     full corpus never concentrates anywhere; driver traffic per
-    iteration is O(n_lists · dim). Deterministic: seeded init sample,
-    fixed iteration count, order-stable partial merge."""
+    iteration is O(n_lists · dim). Deterministic regardless of block
+    layout / task completion order: the init sample is chosen by a
+    multiplicative hash of the row's own vector bytes (not by block
+    arrival), partials are lexsorted before each float summation."""
     import ray
 
-    init_pdf = ds.random_sample(0.5, seed=11).limit(max(4 * n_lists, 64)).to_pandas()
-    if len(init_pdf) == 0:
-        init_pdf = ds.limit(max(4 * n_lists, 64)).to_pandas()
+    n_init = max(4 * n_lists, 64)
+
+    def init_sample(batch: pa.Table) -> pa.Table:
+        m = list_column_to_matrix(batch[vec_col])
+        if len(m) == 0:
+            return pa.table({"v": pa.array([], pa.list_(pa.float64())),
+                             "h": pa.array([], pa.uint64())})
+        h = np.array([int.from_bytes(
+            hashlib.blake2b(row.tobytes(), digest_size=8).digest(), "big")
+            for row in m], dtype=np.uint64)
+        keep = np.argsort(h)[: 4 * n_init]  # per-batch pre-prune
+        return pa.table({"v": pa.array(list(m[keep]), pa.list_(pa.float64())),
+                         "h": pa.array(h[keep], pa.uint64())})
+
+    init_pdf = ds.map_batches(
+        init_sample, batch_format="pyarrow").to_pandas()
+    init_pdf = init_pdf.sort_values("h").head(n_init)
     init = _normalize(np.stack([np.asarray(v, np.float64)
-                                for v in init_pdf[vec_col]]))
+                                for v in init_pdf["v"]]))
     rng = np.random.RandomState(_IVF_SEED)
     idx = rng.choice(len(init), size=min(n_lists, len(init)), replace=False)
     cents = init[idx].copy()
@@ -426,7 +444,11 @@ def ivf_centroids_distributed(ds, n_lists: int, *, n_iters: int = 8,
         for cid, grp in parts.groupby("cid", sort=True):
             if agg_cnt[cid] == 0:
                 continue  # empty list keeps its centroid
-            v = np.sum(np.stack([np.asarray(x) for x in grp["vecsum"]]), axis=0)
+            arr = np.stack([np.asarray(x) for x in grp["vecsum"]])
+            # float += is order-sensitive; lexsort partials so the merge
+            # is identical whatever order tasks completed in
+            arr = arr[np.lexsort(arr.T[::-1])]
+            v = np.sum(arr, axis=0)
             norm = np.linalg.norm(v)
             if norm > 0:
                 new[int(cid)] = v / norm

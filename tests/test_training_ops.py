@@ -661,3 +661,89 @@ def test_gif_codec_roundtrip_and_lzw():
     # dispatch: GIF is a REAL decode path now
     f = decode_features(encode_gif(img))
     assert len(f) == 64 and f[0] == np.float32(np.log1p(17))
+
+
+def _psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 10 * np.log10(255.0 ** 2 / mse) if mse else 99.0
+
+
+def test_jpeg_codec_baseline_roundtrip():
+    from pdf_to_text_ray.stages.jpeg_codec import (
+        UnsupportedJpegError, decode_jpeg, encode_jpeg)
+    from pdf_to_text_ray.stages.media_codecs import decode_features
+
+    h, w = 37, 53  # non-multiple-of-8/16 exercises edge padding
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack([xx * 255 // (w - 1), yy * 255 // (h - 1),
+                    (xx + yy) * 255 // (w + h - 2)], axis=2).astype(np.uint8)
+
+    # lossy codec: assert fidelity bounds, not equality
+    assert _psnr(img, decode_jpeg(encode_jpeg(img, 95))) > 45
+    assert _psnr(img, decode_jpeg(encode_jpeg(img, 50))) > 35
+    # 4:2:0 subsampled MCUs (generic sampling-factor loop)
+    dec = decode_jpeg(encode_jpeg(img, 90, subsample="420"))
+    assert dec.shape == img.shape and _psnr(img, dec) > 35
+    # grayscale single-component scan
+    g = (yy * 255 // (h - 1)).astype(np.uint8)
+    decg = decode_jpeg(encode_jpeg(g, 90))
+    assert decg.shape == (h, w, 1) and _psnr(g, decg.squeeze(-1)) > 45
+    # noise at q95 still bounded (worst case for DCT coding)
+    rng = np.random.RandomState(3)
+    noise = rng.randint(0, 256, (24, 24, 3)).astype(np.uint8)
+    assert _psnr(noise, decode_jpeg(encode_jpeg(noise, 95))) > 30
+
+    # restart markers: decode must be bit-identical to the no-DRI stream
+    a = decode_jpeg(encode_jpeg(img, 90))
+    for ri in (1, 3, 7):
+        b = decode_jpeg(encode_jpeg(img, 90, restart_interval=ri))
+        assert (a == b).all()
+    c = decode_jpeg(encode_jpeg(img, 90, subsample="420",
+                                restart_interval=2))
+    assert (decode_jpeg(encode_jpeg(img, 90, subsample="420")) == c).all()
+
+    # progressive (SOF2) is out of scope → typed error, not garbage
+    with pytest.raises(UnsupportedJpegError):
+        decode_jpeg(b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x08\x00\x08"
+                    b"\x01\x01\x11\x00\xff\xd9")
+
+    # dispatch: JPEG is a REAL decode path in the multimodal stage now
+    f = decode_features(encode_jpeg(img, 85))
+    assert len(f) == 64 and f[0] == np.float32(np.log1p(w))
+
+
+def test_jpeg_zigzag_and_huffman_internals():
+    from pdf_to_text_ray.stages.jpeg_codec import (
+        UNZIGZAG, ZIGZAG, _BitReader, _BitWriter, _HuffDecoder,
+        _HuffEncoder, _extend, _magnitude)
+
+    # zigzag: first/last entries per spec Figure 5, inverse consistent
+    assert list(ZIGZAG[:8]) == [0, 1, 8, 16, 9, 2, 3, 10]
+    assert ZIGZAG[63] == 63
+    assert (ZIGZAG[UNZIGZAG] == np.arange(64)).all()
+
+    # magnitude coding roundtrips through EXTEND for every small value
+    for v in range(-255, 256):
+        size, bits = _magnitude(v)
+        assert (_extend(bits, size) if size else 0) == v
+
+    # writer stuffs 0xFF bytes; reader destuffing happens upstream,
+    # so feed the raw (unstuffed) stream here
+    wtr = _BitWriter()
+    wtr.write(0xFF, 8)
+    wtr.write(0xAB, 8)
+    assert bytes(wtr.out) == b"\xff\x00\xab"
+
+    # canonical Huffman enc/dec inverse over a whole table
+    from pdf_to_text_ray.stages.jpeg_codec import AC_LUMA_BITS, AC_LUMA_VALS
+    enc = _HuffEncoder(AC_LUMA_BITS, AC_LUMA_VALS)
+    dec = _HuffDecoder(AC_LUMA_BITS, AC_LUMA_VALS)
+    wtr = _BitWriter()
+    for sym in AC_LUMA_VALS:
+        ln, code = enc[sym]
+        wtr.write(code, ln)
+    wtr.flush()
+    # destuff FF 00 pairs as the decoder does
+    raw = bytes(wtr.out).replace(b"\xff\x00", b"\xff")
+    rdr = _BitReader(raw)
+    assert [dec.decode(rdr) for _ in AC_LUMA_VALS] == AC_LUMA_VALS
