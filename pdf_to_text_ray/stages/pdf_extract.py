@@ -39,10 +39,11 @@ ISO 32000-2 §7.6.4, stages/pdf_crypto).
 unsupported-revision documents.
 
 Stream filters implemented: Flate (+PNG predictors), ASCIIHex, ASCII85,
-RunLength. Known limitations (documented, fail-safe): no LZW/DCT/JBIG2
-filters (image codecs; LZW text streams are vanishingly rare post-1995),
-no predefined CID CMap tables (embedded CMap streams are supported).
-Rows that hit these raise ``PdfError`` → ``parse_failure=True``.
+RunLength, LZW, DCT (baseline JFIF via ``jpeg_codec``). Known
+limitations (documented, fail-safe): no JBIG2/JPX filters (image-only
+codecs), no predefined CID CMap tables (embedded CMap streams are
+supported). Rows that hit these raise ``PdfError`` →
+``parse_failure=True``.
 """
 
 from __future__ import annotations
@@ -627,6 +628,16 @@ def decode_stream(d: dict, raw: bytes, doc: "PdfDocument | None" = None) -> byte
         elif filt in ("LZWDecode", "LZW"):
             early = int(res(parm.get("EarlyChange", 1))) if isinstance(parm, dict) else 1
             data = _lzw_decode(data, early_change=early)
+        elif filt in ("DCTDecode", "DCT"):
+            # image samples (spec §7.4.8): baseline JFIF → raw
+            # interleaved component bytes. Only image XObjects carry
+            # this filter; text extraction never consumes the pixels,
+            # but thumbnails/embedded-file consumers can.
+            from .jpeg_codec import UnsupportedJpegError, decode_jpeg
+            try:
+                data = decode_jpeg(data).tobytes()
+            except UnsupportedJpegError as e:
+                raise PdfError(f"DCTDecode: {e}") from e
         else:
             raise PdfError(f"unsupported filter {filt}")
         pred = res(parm.get("Predictor", 1)) if isinstance(parm, dict) else 1

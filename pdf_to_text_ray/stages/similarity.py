@@ -40,6 +40,21 @@ def list_column_to_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     return flat.reshape(-1, d)
 
 
+def _fetch_rows_by_id(ds, id_col: str, ids) -> pd.DataFrame:
+    """Pruned point-lookup pass: Arrow-native ``is_in`` filter (keeps
+    list columns out of the pandas block-size estimator, which chokes
+    on empty object-dtype batches), then one small to_pandas."""
+    import pyarrow.compute as pc
+
+    value_set = pa.array(sorted(int(i) for i in ids), pa.int64())
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.is_in(pc.cast(batch[id_col], pa.int64()), value_set=value_set))
+
+    return ds.map_batches(keep, batch_format="pyarrow").to_pandas()
+
+
 def _normalize(m: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(m, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
@@ -57,13 +72,7 @@ def knn_bruteforce(ds, query_ids: list[int], k: int = 10,
     import ray
 
     qset = set(query_ids)
-    q_pdf = (
-        ds.map_batches(
-            lambda b: b[b[id_col].isin(qset)], batch_format="pandas"
-        )
-        .to_pandas()
-        .sort_values(id_col)
-    )
+    q_pdf = _fetch_rows_by_id(ds, id_col, qset).sort_values(id_col)
     q_mat = _normalize(
         np.stack([np.asarray(v, dtype=np.float64) for v in q_pdf[vec_col]])
     )
@@ -279,8 +288,7 @@ def ann_lsh_topk(ds, query_ids: list[int], k: int = 10,
 
     # query → probed bucket set (broadcast); queries fetched via a
     # pruned filter pass
-    q_pdf = ds.map_batches(
-        lambda b: b[b[id_col].isin(qset)], batch_format="pandas").to_pandas()
+    q_pdf = _fetch_rows_by_id(ds, id_col, qset)
     probes: dict[int, set[int]] = {}
     for _, row in q_pdf.iterrows():
         qv = _normalize(np.asarray(row[vec_col], np.float64)[None, :])[0]
@@ -472,9 +480,7 @@ def ivf_topk(ds, query_ids: list[int], k: int = 10, *, n_lists: int = 16,
     cents_ref = ray.put(cents)
     # queries fetched via a pruned filter pass
     qset0 = set(query_ids)
-    sample_pdf = ds.map_batches(
-        lambda b: b[b[id_col].isin(qset0)], batch_format="pandas"
-    ).to_pandas()
+    sample_pdf = _fetch_rows_by_id(ds, id_col, qset0)
 
     def assign_lists(batch: pa.Table) -> pa.Table:
         c = ray.get(cents_ref)

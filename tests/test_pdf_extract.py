@@ -451,6 +451,30 @@ class TestCidCmap:
             assert "中文字" in r.text
 
 
+# ── DCTDecode filter (spec §7.4.8) ───────────────────────────────────
+
+class TestDctDecode:
+    def test_decode_stream_dct_samples(self):
+        import numpy as np
+
+        from pdf_to_text_ray.stages.jpeg_codec import encode_jpeg
+        from pdf_to_text_ray.stages.pdf_extract import decode_stream
+
+        img = np.full((16, 24, 3), 128, np.uint8)
+        payload = encode_jpeg(img, quality=95)
+        out = decode_stream({"Filter": "DCTDecode"}, payload)
+        arr = np.frombuffer(out, np.uint8).reshape(16, 24, 3)
+        assert np.abs(arr.astype(int) - 128).max() <= 3  # lossy but flat
+
+    def test_decode_stream_dct_garbage_is_pdf_error(self):
+        import pytest
+
+        from pdf_to_text_ray.stages.pdf_extract import PdfError, decode_stream
+
+        with pytest.raises(PdfError):
+            decode_stream({"Filter": "DCTDecode"}, b"\xff\xd8not a jpeg")
+
+
 # ── LZWDecode filter (spec §7.4.4) ───────────────────────────────────
 
 class TestLzw:
