@@ -1853,6 +1853,140 @@ FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
 """
 
 
+# ── exact distributed quantiles / heavy hitters / BM25 / rollup ──────
+
+def quantiles_price(sf_dir: str):
+    """Exact quantile_disc over l_extendedprice via iterative histogram
+    refinement (stages/quantiles.py) — the column never materializes;
+    small buckets/cap here deliberately force multi-round refinement +
+    final exact gathers so the scale path is what's oracle-checked."""
+    from pdf_to_text_ray.stages.quantiles import exact_quantiles
+
+    ds = _lineitem(sf_dir, ["l_extendedprice"])
+    return exact_quantiles(ds, "l_extendedprice",
+                           [0.01, 0.25, 0.5, 0.75, 0.9, 0.99],
+                           n_buckets=64, collect_cap=500)
+
+
+QUANTILES_SQL = """
+SELECT 0.01::DOUBLE AS q, quantile_disc(l_extendedprice, 0.01) AS value FROM lineitem
+UNION ALL
+SELECT 0.25::DOUBLE, quantile_disc(l_extendedprice, 0.25) FROM lineitem
+UNION ALL
+SELECT 0.5::DOUBLE, quantile_disc(l_extendedprice, 0.5) FROM lineitem
+UNION ALL
+SELECT 0.75::DOUBLE, quantile_disc(l_extendedprice, 0.75) FROM lineitem
+UNION ALL
+SELECT 0.9::DOUBLE, quantile_disc(l_extendedprice, 0.9) FROM lineitem
+UNION ALL
+SELECT 0.99::DOUBLE, quantile_disc(l_extendedprice, 0.99) FROM lineitem
+ORDER BY q
+"""
+
+
+def heavy_hitter_tokens(sf_dir: str):
+    """Exact top-25 tokens: Misra-Gries candidate pass + exact-count
+    verify pass (stages/sketches.py) — the token stream never
+    shuffles, only ≤capacity (token, cnt) partials per batch."""
+    from pdf_to_text_ray.stages.sketches import heavy_hitter_tokens as hh
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return hh(ds, k=25, capacity=2048)
+
+
+HEAVY_HITTERS_SQL = """
+SELECT t AS token, count(*) AS cnt
+FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
+      FROM documents)
+WHERE t <> ''
+GROUP BY t
+ORDER BY cnt DESC, token ASC
+LIMIT 25
+"""
+
+
+BM25_TERMS = ["hash", "join", "stream", "window"]
+
+
+def bm25_doc_scores(sf_dir: str):
+    """Per-(doc, term) BM25 scores for a fixed query term set
+    (stages/analysis.py::bm25_term_scores): distributed df/avgdl
+    partials + per-doc scoring; per-term rows keep the float math
+    order-free so the SQL twin is bit-stable."""
+    from pdf_to_text_ray.stages.analysis import bm25_term_scores
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bm25_term_scores(ds, BM25_TERMS)
+
+
+BM25_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS ts
+  FROM documents
+),
+stats AS (SELECT count(*) AS n_docs, avg(len(ts)) AS avgdl FROM toks),
+terms(term) AS (VALUES ('hash'), ('join'), ('stream'), ('window')),
+df AS (
+  SELECT term, count(*) AS df
+  FROM toks, terms WHERE list_contains(ts, term) GROUP BY term
+),
+tf AS (
+  SELECT doc_id, term, len(list_filter(ts, x -> x = term)) AS tf,
+         len(ts) AS dl
+  FROM toks, terms
+)
+SELECT t.doc_id, t.term,
+       round(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1)
+             * (t.tf * (1.2 + 1))
+             / (t.tf + 1.2 * (1 - 0.75 + 0.75 * t.dl / s.avgdl)), 6)
+         AS score
+FROM tf t JOIN df d USING (term) CROSS JOIN stats s
+WHERE t.tf > 0
+ORDER BY t.doc_id, t.term
+"""
+
+
+def orders_rollup_volume(sf_dir: str):
+    """GROUP BY ROLLUP(status, priority): one distributed aggregate at
+    the finest grain, super-aggregate levels derived from the tiny
+    grouped result (counts re-sum exactly; price sums round2'd)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+    fine = (
+        ds.groupby(["o_orderstatus", "o_orderpriority"])
+        .aggregate(Count(alias_name="n"),
+                   Sum("o_totalprice", alias_name="total"))
+        .to_pandas()
+    )
+    fine = fine.sort_values(["o_orderstatus", "o_orderpriority"])
+    mid = (fine.groupby("o_orderstatus", as_index=False)
+           .agg(n=("n", "sum"), total=("total", "sum")))
+    mid["o_orderpriority"] = None
+    top = pd.DataFrame({"o_orderstatus": [None], "o_orderpriority": [None],
+                        "n": [int(fine["n"].sum())],
+                        "total": [float(fine["total"].sum())]})
+    out = pd.concat([fine, mid, top], ignore_index=True)
+    out["n"] = out["n"].astype("int64")
+    out["total"] = round2(out["total"])
+    return (out[["o_orderstatus", "o_orderpriority", "n", "total"]]
+            .sort_values(["o_orderstatus", "o_orderpriority"],
+                         na_position="first")
+            .reset_index(drop=True))
+
+
+ROLLUP_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+
 # ── registry ──────────────────────────────────────────────────────────
 
 QUERIES = {
@@ -1927,6 +2061,11 @@ QUERIES = {
     "media_features": media_features,
     "doc_lines_exploded": doc_lines_exploded,
     "artifact_roundtrip": artifact_roundtrip,
+    # exact sketch-assisted / OLAP additions
+    "quantiles_price": quantiles_price,
+    "heavy_hitter_tokens": heavy_hitter_tokens,
+    "bm25_doc_scores": bm25_doc_scores,
+    "orders_rollup_volume": orders_rollup_volume,
 }
 
 ORACLE_SQL = {
@@ -1983,4 +2122,8 @@ ORACLE_SQL = {
     "doc_selfrepeat_ratio": SELFREPEAT_SQL,
     "langid_docs": _langid_sql(),
     "purchase_views_band_join": BAND_JOIN_SQL,
+    "quantiles_price": QUANTILES_SQL,
+    "heavy_hitter_tokens": HEAVY_HITTERS_SQL,
+    "bm25_doc_scores": BM25_SQL,
+    "orders_rollup_volume": ROLLUP_SQL,
 }

@@ -445,3 +445,74 @@ def scrub_pii_batch(batch, text_col: str = "text"):
         out.append(s)
     return batch.append_column(text_col + "_scrubbed",
                                pa.array(out, pa.string()))
+
+
+# ── BM25 relevance scoring (Robertson/Spärck Jones; Lucene idf) ──────
+
+def bm25_term_scores(ds, query_terms: list[str], *, key_col: str = "doc_id",
+                     text_col: str = "text", k1: float = 1.2,
+                     b: float = 0.75) -> pd.DataFrame:
+    """Per-(doc, query-term) BM25 partial scores → DataFrame(doc_id,
+    term, score) for docs where tf > 0.
+
+    Two streaming passes, no token shuffle: (1) per-batch corpus
+    partials — df per query term, doc count, token-length sum — merged
+    on the driver (|terms|+2 numbers per batch); (2) per-doc tf/dl →
+    score. Scores are per-term (no cross-term float summation) so the
+    SQL oracle reproduces them bit-stably; idf is the Lucene
+    ``ln(1 + (N - df + .5)/(df + .5))`` variant, rounded to 6 dp.
+    """
+    import pyarrow as pa
+    import ray
+    from .sketches import tokenize_ascii
+
+    terms = sorted(set(query_terms))
+
+    def partials(t: pa.Table) -> pa.Table:
+        docs = 0
+        len_sum = 0
+        df = dict.fromkeys(terms, 0)
+        for s in t[text_col].to_pylist():
+            toks = tokenize_ascii(s or "")
+            docs += 1
+            len_sum += len(toks)
+            tok_set = set(toks)
+            for q in terms:
+                if q in tok_set:
+                    df[q] += 1
+        keys = [*terms, "__docs__", "__len__"]
+        vals = [*(df[q] for q in terms), docs, len_sum]
+        return pa.table({"k": pa.array(keys, pa.string()),
+                         "v": pa.array(vals, pa.int64())})
+
+    agg = ds.map_batches(partials, batch_format="pyarrow").to_pandas()
+    sums = agg.groupby("k")["v"].sum()
+    n_docs = int(sums["__docs__"])
+    avgdl = float(sums["__len__"]) / n_docs
+    df_map = {q: int(sums.get(q, 0)) for q in terms}
+    bcast = ray.put((terms, df_map, n_docs, avgdl))
+
+    def score_batch(t: pa.Table) -> pa.Table:
+        qs, dfm, n, ad = ray.get(bcast)
+        out_id, out_t, out_s = [], [], []
+        ids = t[key_col].to_pylist()
+        for did, s in zip(ids, t[text_col].to_pylist()):
+            toks = tokenize_ascii(s or "")
+            dl = len(toks)
+            for q in qs:
+                tf = toks.count(q)
+                if tf == 0 or dfm[q] == 0:
+                    continue
+                idf = np.log((n - dfm[q] + 0.5) / (dfm[q] + 0.5) + 1)
+                frac = (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / ad))
+                out_id.append(did)
+                out_t.append(q)
+                out_s.append(idf * frac)
+        sc = np.asarray(out_s, np.float64) * 1e6
+        sc = np.copysign(np.floor(np.abs(sc) + 0.5), sc) / 1e6
+        return pa.table({key_col: pa.array(out_id, pa.int64()),
+                         "term": pa.array(out_t, pa.string()),
+                         "score": pa.array(sc, pa.float64())})
+
+    out = ds.map_batches(score_batch, batch_format="pyarrow").to_pandas()
+    return out.sort_values([key_col, "term"]).reset_index(drop=True)

@@ -71,3 +71,92 @@ def approx_distinct(ds, col: str) -> float:
     parts = ds.map_batches(batch_sketch, batch_format="pyarrow").to_pandas()
     merged = hll_merge([np.frombuffer(buf, dtype=np.uint8) for buf in parts["sketch"]])
     return hll_estimate(merged)
+
+
+# ── Misra-Gries heavy hitters (exact via candidate verify pass) ──────
+
+_TOKEN_SPLIT_RE = None
+
+
+def _token_split():
+    """lower + split on non-[a-z0-9] — mirrored exactly by the DuckDB
+    oracle's string_split_regex so hashes match."""
+    global _TOKEN_SPLIT_RE
+    if _TOKEN_SPLIT_RE is None:
+        import re
+
+        _TOKEN_SPLIT_RE = re.compile(r"[^a-z0-9]+")
+    return _TOKEN_SPLIT_RE
+
+
+def tokenize_ascii(text: str) -> list[str]:
+    return [t for t in _token_split().split(text.lower()) if t]
+
+
+def mg_summary(counter: dict, capacity: int) -> dict:
+    """Trim a counter to a Misra-Gries summary of ≤ ``capacity``
+    entries: subtract the (capacity+1)-largest count from everything
+    and drop non-positives. Mergeable: summing two summaries then
+    trimming again keeps the MG error bound (Agarwal et al., PODS'12
+    'Mergeable Summaries')."""
+    if len(counter) <= capacity:
+        return dict(counter)
+    thresh = sorted(counter.values(), reverse=True)[capacity]
+    return {k: v - thresh for k, v in counter.items() if v > thresh}
+
+
+def heavy_hitter_tokens(ds, k: int = 20, *, text_col: str = "text",
+                        capacity: int = 4096) -> "object":
+    """EXACT top-k most frequent tokens (count desc, token asc ties)
+    in two streaming passes — the raw token stream never shuffles:
+
+    1. per-batch token Counter → MG summary (≤ capacity rows of
+       (token, cnt) each) → groupby-sum → driver trim to the merged MG
+       summary. Every token with true frequency > N/capacity is
+       guaranteed present (N = total tokens), so for any k whose true
+       k-th count exceeds N/capacity the candidate set is a superset
+       of the true top-k.
+    2. exact counts for the ~capacity candidates only (broadcast set,
+       per-batch filtered Counter) → tiny groupby-sum → top-k.
+    """
+    import collections
+
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+    from ray.data.aggregate import Sum
+
+    def batch_mg(t: pa.Table) -> pa.Table:
+        c: collections.Counter = collections.Counter()
+        for s in t[text_col].to_pylist():
+            c.update(tokenize_ascii(s or ""))
+        s = mg_summary(c, capacity)
+        return pa.table({"token": pa.array(list(s.keys()), pa.string()),
+                         "cnt": pa.array(list(s.values()), pa.int64())})
+
+    merged = (
+        ds.map_batches(batch_mg, batch_format="pyarrow")
+        .groupby("token").aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    cand = set(mg_summary(
+        dict(zip(merged["token"], merged["cnt"])), capacity).keys())
+    cand_ref = ray.put(cand)
+
+    def batch_exact(t: pa.Table) -> pa.Table:
+        keep = ray.get(cand_ref)
+        c: collections.Counter = collections.Counter()
+        for s in t[text_col].to_pylist():
+            c.update(tok for tok in tokenize_ascii(s or "") if tok in keep)
+        return pa.table({"token": pa.array(list(c.keys()), pa.string()),
+                         "cnt": pa.array(list(c.values()), pa.int64())})
+
+    exact = (
+        ds.map_batches(batch_exact, batch_format="pyarrow")
+        .groupby("token").aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    out = exact.sort_values(["cnt", "token"], ascending=[False, True],
+                            kind="mergesort").head(k)
+    out["cnt"] = out["cnt"].astype("int64")
+    return out[["token", "cnt"]].reset_index(drop=True)

@@ -1,0 +1,119 @@
+"""Exact distributed quantiles, Misra-Gries heavy hitters, BM25."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pdf_to_text_ray.stages.quantiles import _rank_for, exact_quantiles
+from pdf_to_text_ray.stages.sketches import (
+    heavy_hitter_tokens, mg_summary, tokenize_ascii)
+
+
+def _quantile_disc_ref(vals: np.ndarray, q: float) -> float:
+    s = np.sort(vals)
+    return float(s[_rank_for(q, len(s))])
+
+
+QS = [0.0, 0.01, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+
+
+@pytest.mark.parametrize("case", ["uniform", "lognormal", "plateau", "ints"])
+def test_exact_quantiles_matches_sorted_rank(ray_session, case):
+    import ray.data as rd
+
+    rng = np.random.RandomState(11)
+    if case == "uniform":
+        vals = rng.uniform(-50, 50, 20_000)
+    elif case == "lognormal":
+        vals = rng.lognormal(3, 2, 20_000)
+    elif case == "plateau":
+        # 90% identical value → degenerate-interval termination path
+        vals = np.concatenate([np.full(18_000, 7.25),
+                               rng.uniform(0, 10, 2_000)])
+        rng.shuffle(vals)
+    else:
+        vals = rng.randint(0, 40, 20_000).astype(np.float64)
+
+    ds = rd.from_pandas(pd.DataFrame({"x": vals})).repartition(8)
+    # tiny buckets/cap force several refinement rounds
+    out = exact_quantiles(ds, "x", QS, n_buckets=16, collect_cap=64)
+    expect = [_quantile_disc_ref(vals, q) for q in QS]
+    assert out["q"].tolist() == QS
+    assert out["value"].tolist() == expect
+
+
+def test_exact_quantiles_empty_and_single(ray_session):
+    import ray.data as rd
+
+    out = exact_quantiles(
+        rd.from_pandas(pd.DataFrame({"x": [42.0]})), "x", [0.5])
+    assert out["value"].tolist() == [42.0]
+    out = exact_quantiles(
+        rd.from_pandas(pd.DataFrame({"x": pd.Series([], dtype="float64")})),
+        "x", [0.5])
+    assert np.isnan(out["value"].iloc[0])
+
+
+def test_mg_summary_guarantee():
+    rng = np.random.RandomState(3)
+    # zipf-ish stream: frequent items must survive trimming
+    stream = [f"t{int(z)}" for z in rng.zipf(1.5, 50_000) if z < 1000]
+    from collections import Counter
+
+    exact = Counter(stream)
+    n = len(stream)
+    cap = 64
+    s = mg_summary(dict(exact), cap)
+    assert len(s) <= cap
+    for tok, cnt in exact.items():
+        if cnt > n / cap:
+            assert tok in s, f"frequent item {tok} ({cnt}) dropped"
+        # MG estimate never overcounts and undercounts by ≤ n/cap
+        if tok in s:
+            assert s[tok] <= cnt
+            assert cnt - s[tok] <= n / cap + 1
+
+
+def test_heavy_hitters_exact_topk(ray_session):
+    import ray.data as rd
+
+    rng = np.random.RandomState(5)
+    vocab = [f"w{i}" for i in range(500)]
+    weights = 1.0 / np.arange(1, 501)
+    weights /= weights.sum()
+    docs = [" ".join(rng.choice(vocab, size=60, p=weights))
+            for _ in range(300)]
+    ds = rd.from_pandas(pd.DataFrame({"text": docs})).repartition(6)
+    out = heavy_hitter_tokens(ds, k=15, capacity=256)
+
+    from collections import Counter
+
+    exact = Counter(t for d in docs for t in tokenize_ascii(d))
+    expect = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    assert list(zip(out["token"], out["cnt"])) == expect
+
+
+def test_bm25_term_scores_reference(ray_session):
+    import ray.data as rd
+
+    from pdf_to_text_ray.stages.analysis import bm25_term_scores
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["cat dog cat", "dog bird", "fish fish fish cat", "bird"],
+    })
+    out = bm25_term_scores(rd.from_pandas(docs).repartition(2),
+                           ["cat", "fish"], k1=1.2, b=0.75)
+    # df: cat=2, fish=1; N=4; avgdl=(3+2+4+1)/4=2.5
+    n, avgdl = 4, 2.5
+
+    def score(tf, df, dl, k1=1.2, b=0.75):
+        idf = np.log((n - df + 0.5) / (df + 0.5) + 1)
+        return round(idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl)), 6)
+
+    expect = pd.DataFrame({
+        "doc_id": [1, 3, 3],
+        "term": ["cat", "cat", "fish"],
+        "score": [score(2, 2, 3), score(1, 2, 4), score(3, 1, 4)],
+    })
+    pd.testing.assert_frame_equal(out, expect, check_dtype=False)
