@@ -64,6 +64,19 @@ def run_bench() -> dict:
     # warm the OS page cache so we measure compute+shuffle, not cold disk
     rd.read_parquet(pages_dir).count()
 
+    # warm Ray workers too: the first pipeline execution pays each
+    # worker's import of the extraction modules (numpy/pandas/parser
+    # state) — measured at 20-40 s extra on the cold first rep. A
+    # small untimed run through the SAME fused stage chain amortizes
+    # it so timed reps measure steady-state throughput.
+    warm_dir, _ = ensure_pages_parquet(min(2000, n_rows), seed=42,
+                                       heavy=HEAVY)
+    shutil.rmtree("/tmp/ptt_bench_warm", ignore_errors=True)
+    extract_corpus_pipeline(
+        warm_dir, override_num_blocks=NUM_CPUS * 2
+    ).write_parquet("/tmp/ptt_bench_warm")
+    shutil.rmtree("/tmp/ptt_bench_warm", ignore_errors=True)
+
     timings: dict[str, float] = {}
 
     def timed(name, fn):

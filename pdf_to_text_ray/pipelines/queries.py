@@ -1884,6 +1884,30 @@ ORDER BY q
 """
 
 
+def event_value_quantiles(sf_dir: str):
+    """Per-group exact quantiles: every (event_type, q) pair is one
+    spec in the shared refinement rounds — pass count is O(rounds),
+    independent of group count."""
+    from pdf_to_text_ray.stages.quantiles import exact_group_quantiles
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return exact_group_quantiles(ds, "event_type", "value",
+                                 [0.25, 0.5, 0.75, 0.9],
+                                 n_buckets=64, collect_cap=500)
+
+
+GROUP_QUANTILES_SQL = """
+SELECT event_type,
+       quantile_disc(value, 0.25) AS q_25,
+       quantile_disc(value, 0.5)  AS q_50,
+       quantile_disc(value, 0.75) AS q_75,
+       quantile_disc(value, 0.9)  AS q_90
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def heavy_hitter_tokens(sf_dir: str):
     """Exact top-25 tokens: Misra-Gries candidate pass + exact-count
     verify pass (stages/sketches.py) — the token stream never
@@ -2063,6 +2087,7 @@ QUERIES = {
     "artifact_roundtrip": artifact_roundtrip,
     # exact sketch-assisted / OLAP additions
     "quantiles_price": quantiles_price,
+    "event_value_quantiles": event_value_quantiles,
     "heavy_hitter_tokens": heavy_hitter_tokens,
     "bm25_doc_scores": bm25_doc_scores,
     "orders_rollup_volume": orders_rollup_volume,
@@ -2123,6 +2148,7 @@ ORACLE_SQL = {
     "langid_docs": _langid_sql(),
     "purchase_views_band_join": BAND_JOIN_SQL,
     "quantiles_price": QUANTILES_SQL,
+    "event_value_quantiles": GROUP_QUANTILES_SQL,
     "heavy_hitter_tokens": HEAVY_HITTERS_SQL,
     "bm25_doc_scores": BM25_SQL,
     "orders_rollup_volume": ROLLUP_SQL,

@@ -54,6 +54,28 @@ def test_exact_quantiles_empty_and_single(ray_session):
     assert np.isnan(out["value"].iloc[0])
 
 
+def test_exact_group_quantiles(ray_session):
+    import ray.data as rd
+
+    from pdf_to_text_ray.stages.quantiles import exact_group_quantiles
+
+    rng = np.random.RandomState(2)
+    n = 12_000
+    groups = rng.choice(["a", "b", "c"], n, p=[0.7, 0.2, 0.1])
+    vals = np.where(groups == "a", rng.lognormal(2, 1, n),
+                    rng.uniform(-5, 5, n))
+    df = pd.DataFrame({"g": groups, "x": vals})
+    ds = rd.from_pandas(df).repartition(6)
+    out = exact_group_quantiles(ds, "g", "x", [0.25, 0.5, 0.9],
+                                n_buckets=16, collect_cap=64)
+    assert out["g"].tolist() == ["a", "b", "c"]
+    for g in "abc":
+        gv = df.loc[df["g"] == g, "x"].to_numpy()
+        row = out[out["g"] == g].iloc[0]
+        for q, cname in [(0.25, "q_25"), (0.5, "q_50"), (0.9, "q_90")]:
+            assert row[cname] == _quantile_disc_ref(gv, q), (g, q)
+
+
 def test_mg_summary_guarantee():
     rng = np.random.RandomState(3)
     # zipf-ish stream: frequent items must survive trimming
