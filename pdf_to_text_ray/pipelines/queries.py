@@ -1972,6 +1972,112 @@ ORDER BY t.doc_id, t.term
 """
 
 
+INDEX_TERMS = ["hash", "vector", "window"]
+
+
+def inverted_index_lookup(sf_dir: str):
+    """Build the sharded inverted index once per sf (hive-partitioned
+    parquet, one dir per token-hash shard), then serve the term lookup
+    by reading ONLY the shards the query terms hash to."""
+    import shutil
+
+    from pdf_to_text_ray.stages.index import (
+        build_inverted_index, lookup_postings)
+
+    import pyarrow.parquet as pq
+
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    n = pq.ParquetFile(docs_path).metadata.num_rows
+    out_dir = f"/tmp/ptt_invindex/n{n}"
+    marker = os.path.join(out_dir, "_DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        ds = _read(sf_dir, "documents", ["doc_id", "text"])
+        build_inverted_index(ds, out_dir, num_shards=16)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return lookup_postings(out_dir, INDEX_TERMS, num_shards=16)
+
+
+INV_INDEX_SQL = """
+SELECT DISTINCT t AS token, doc_id
+FROM (SELECT doc_id,
+             unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
+      FROM documents)
+WHERE t IN ('hash', 'vector', 'window')
+ORDER BY token, doc_id
+"""
+
+
+def doc_length_quartile(sf_dir: str):
+    """Value-bucket assignment by exact quantile boundaries (composes
+    the histogram-refinement quantile engine): boundaries computed
+    distributed, then one vectorized searchsorted pass tags each doc."""
+    from pdf_to_text_ray.stages.quantiles import exact_quantiles
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    bounds = exact_quantiles(ds, "n_chars", [0.25, 0.5, 0.75],
+                             n_buckets=64, collect_cap=500)
+    edges = bounds["value"].to_numpy()
+
+    def tag(t: pa.Table) -> pa.Table:
+        v = t["n_chars"].to_numpy(zero_copy_only=False)
+        # side="right": a value equal to a boundary belongs to the
+        # upper bucket (SQL's strict `< b` CASE arms)
+        quart = np.searchsorted(edges, v, side="right") + 1
+        return pa.table({"doc_id": t["doc_id"],
+                         "quartile": pa.array(quart, pa.int64())})
+
+    return ds.map_batches(tag, batch_format="pyarrow")
+
+
+DOC_QUARTILE_SQL = """
+WITH b AS (SELECT quantile_disc(n_chars, 0.25) AS b1,
+                  quantile_disc(n_chars, 0.5)  AS b2,
+                  quantile_disc(n_chars, 0.75) AS b3
+           FROM documents)
+SELECT doc_id,
+       CASE WHEN n_chars < b1 THEN 1
+            WHEN n_chars < b2 THEN 2
+            WHEN n_chars < b3 THEN 3
+            ELSE 4 END AS quartile
+FROM documents, b
+"""
+
+
+def join_part_supplier_auto(sf_dir: str):
+    """auto_join planner: part (scan-rooted, small at test sf) joins
+    supplier counts — the planner picks broadcast under the size
+    limit, bucketed-hash beyond it; both routes parity-tested."""
+    from pdf_to_text_ray.stages.joins import auto_join
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_name"])
+    li = _lineitem(sf_dir, ["l_partkey", "l_quantity"])
+    # key names differ; project lineitem key to the part key name first
+    li = li.map_batches(
+        lambda t: t.rename_columns(["p_partkey", "l_quantity"]),
+        batch_format="pyarrow")
+    joined = auto_join(li, part, on="p_partkey", how="inner")
+    from ray.data.aggregate import Count, Sum
+
+    out = (joined.groupby("p_partkey")
+           .aggregate(Count(alias_name="n_lines"),
+                      Sum("l_quantity", alias_name="total_qty"))
+           .to_pandas())
+    out["n_lines"] = out["n_lines"].astype("int64")
+    out["total_qty"] = round2(out["total_qty"])
+    return out.sort_values("p_partkey").reset_index(drop=True)
+
+
+JOIN_AUTO_SQL = """
+SELECT l_partkey AS p_partkey, count(*) AS n_lines,
+       round(sum(l_quantity), 2) AS total_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY l_partkey
+ORDER BY p_partkey
+"""
+
+
 def orders_rollup_volume(sf_dir: str):
     """GROUP BY ROLLUP(status, priority): one distributed aggregate at
     the finest grain, super-aggregate levels derived from the tiny
@@ -2091,6 +2197,9 @@ QUERIES = {
     "heavy_hitter_tokens": heavy_hitter_tokens,
     "bm25_doc_scores": bm25_doc_scores,
     "orders_rollup_volume": orders_rollup_volume,
+    "inverted_index_lookup": inverted_index_lookup,
+    "doc_length_quartile": doc_length_quartile,
+    "join_part_supplier_auto": join_part_supplier_auto,
 }
 
 ORACLE_SQL = {
@@ -2152,4 +2261,7 @@ ORACLE_SQL = {
     "heavy_hitter_tokens": HEAVY_HITTERS_SQL,
     "bm25_doc_scores": BM25_SQL,
     "orders_rollup_volume": ROLLUP_SQL,
+    "inverted_index_lookup": INV_INDEX_SQL,
+    "doc_length_quartile": DOC_QUARTILE_SQL,
+    "join_part_supplier_auto": JOIN_AUTO_SQL,
 }

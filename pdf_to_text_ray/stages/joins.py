@@ -78,6 +78,56 @@ def bucketed_hash_join(left, right, on: str, *, num_buckets: int = 32,
     return both.groupby("_bucket").map_groups(join_bucket, batch_format="pandas")
 
 
+def broadcast_join(left, right, on: str, *,
+                   how: str = "inner",
+                   suffixes: tuple[str, str] = ("_l", "_r")):
+    """Small-side join: ``right`` (a Dataset or pandas frame) is
+    materialized once, shipped via ``ray.put``, and merged per batch
+    of ``left`` — the big side never shuffles."""
+    import ray
+
+    rdf = right if isinstance(right, pd.DataFrame) else right.to_pandas()
+    right_ref = ray.put(rdf)
+
+    def merge(b: pd.DataFrame) -> pd.DataFrame:
+        r = ray.get(right_ref)
+        return b.merge(r, on=on, how=how, suffixes=suffixes)
+
+    return left.map_batches(merge, batch_format="pandas")
+
+
+# right sides at or under this estimate are broadcast (object-store
+# copy per node on a real cluster; per-process memo locally)
+BROADCAST_LIMIT_BYTES = 64 << 20
+
+
+def auto_join(left, right, on: str, *,
+              how: str = "inner",
+              num_buckets: int = 32,
+              suffixes: tuple[str, str] = ("_l", "_r"),
+              left_cols: list[str] | None = None,
+              right_cols: list[str] | None = None,
+              broadcast_limit_bytes: int = BROADCAST_LIMIT_BYTES):
+    """Join planner: broadcast the right side when its estimated size
+    fits ``broadcast_limit_bytes``, else fall back to the bucketed
+    hash join (one all-to-all).
+
+    The size estimate is ``right.size_bytes()`` — metadata-only for
+    scan-rooted Datasets (read_parquet without transforms), so call
+    this with the right side as close to the read as possible; derived
+    Datasets may execute to estimate, in which case prefer choosing
+    the strategy explicitly."""
+    try:
+        est = right.size_bytes()
+    except Exception:
+        est = None
+    if est is not None and est <= broadcast_limit_bytes:
+        return broadcast_join(left, right, on, how=how, suffixes=suffixes)
+    return bucketed_hash_join(left, right, on, num_buckets=num_buckets,
+                              suffixes=suffixes, how=how,
+                              left_cols=left_cols, right_cols=right_cols)
+
+
 def asof_join(left, right, *, key: str, left_ts: str, right_ts: str,
               value_cols: list[str], num_buckets: int = 32):
     """For each left row, the latest right row with the same ``key`` and

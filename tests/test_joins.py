@@ -97,3 +97,60 @@ def test_temporal_band_count_matches_bruteforce(ray_session):
     ri = rt.astype("int64")[None, :]
     want = (np.abs(ri - li) <= band).sum(axis=1)
     assert out["n"].to_numpy().tolist() == want.tolist()
+
+
+def test_auto_join_routes_and_parity(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from pdf_to_text_ray.stages.joins import (
+        auto_join, broadcast_join, bucketed_hash_join)
+
+    rng = np.random.RandomState(4)
+    left = pd.DataFrame({"k": rng.randint(0, 50, 500),
+                         "x": rng.rand(500)})
+    right = pd.DataFrame({"k": np.arange(40), "name": [f"n{i}" for i in range(40)]})
+
+    def run(ds):
+        return (ds.to_pandas().sort_values(["k", "x"])
+                .reset_index(drop=True))
+
+    lds, rds = rd.from_pandas(left).repartition(4), rd.from_pandas(right)
+    via_bcast = run(broadcast_join(lds, rds, "k"))
+    via_bucket = run(bucketed_hash_join(lds, rds, "k").select_columns(["k", "x", "name"]))
+    expect = (left.merge(right, on="k").sort_values(["k", "x"])
+              .reset_index(drop=True))
+    pd.testing.assert_frame_equal(via_bcast, expect)
+    pd.testing.assert_frame_equal(via_bucket, expect)
+
+    # planner: tiny right side → broadcast; forced 0-byte limit → bucketed
+    small = run(auto_join(lds, rds, "k"))
+    forced = run(auto_join(lds, rds, "k", broadcast_limit_bytes=0)
+                 .select_columns(["k", "x", "name"]))
+    pd.testing.assert_frame_equal(small, expect)
+    pd.testing.assert_frame_equal(forced, expect)
+
+
+def test_inverted_index_roundtrip(ray_session, tmp_path):
+    import ray.data as rd
+
+    from pdf_to_text_ray.stages.index import (
+        build_inverted_index, lookup_postings)
+    from pdf_to_text_ray.stages.sketches import tokenize_ascii
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["alpha beta gamma", "beta delta", "Alpha ALPHA zeta"],
+    })
+    idx = str(tmp_path / "idx")
+    build_inverted_index(rd.from_pandas(docs).repartition(2), idx,
+                         num_shards=4)
+    out = lookup_postings(idx, ["alpha", "beta", "missing"], num_shards=4)
+    expect = pd.DataFrame({
+        "token": ["alpha", "alpha", "beta", "beta"],
+        "doc_id": [1, 3, 1, 2],
+    })
+    pd.testing.assert_frame_equal(out, expect, check_dtype=False)
+    # postings are distinct per doc even with repeated tokens
+    assert len(out[(out.token == "alpha") & (out.doc_id == 3)]) == 1
+    assert tokenize_ascii("Alpha ALPHA zeta") == ["alpha", "alpha", "zeta"]
