@@ -1908,6 +1908,74 @@ ORDER BY event_type
 """
 
 
+def purchase_value_per_user_salted(sf_dir: str):
+    """Skew-defusing variant of purchase_value_per_user: two-stage
+    salted aggregation (stages/groups.py::salted_group_agg) — a hot
+    user's rows split across 16 salt reducers before the per-key
+    merge. Same oracle as the unsalted query."""
+    from pdf_to_text_ray.stages.groups import salted_group_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def mask(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": b["user_id"],
+            "purchase_value_raw": np.where(b["event_type"] == "purchase",
+                                           b["value"], 0.0),
+        })
+
+    out = salted_group_agg(
+        ds.map_batches(mask, batch_format="pandas"),
+        "user_id", sum_cols=["purchase_value_raw"], count_alias="n_events",
+    ).to_pandas()
+    out = out.rename(columns={"purchase_value_raw": "purchase_value"})
+    out["purchase_value"] = round2(out["purchase_value"])
+    out["n_events"] = out["n_events"].astype("int64")
+    out["user_id"] = out["user_id"].astype("int64")
+    return out[["user_id", "purchase_value", "n_events"]]
+
+
+def approx_quantiles_value(sf_dir: str):
+    """One-pass sketch quantiles vs the exact engine, encoded like
+    approx_distinct_users: the EXACT quantile values (SQL-verified)
+    plus a rank-error flag for the sketch estimate (rank measured by
+    one distributed count pass per q)."""
+    from pdf_to_text_ray.stages.quantiles import exact_quantiles
+    from pdf_to_text_ray.stages.sketches import approx_quantiles
+
+    qs = [0.25, 0.5, 0.75, 0.9]
+    ds = _read(sf_dir, "events", ["value"])
+    exact = exact_quantiles(ds, "value", qs, n_buckets=64, collect_cap=500)
+    est = approx_quantiles(ds, "value", qs)
+    n = ds.count()
+
+    def rank_of(x: float) -> int:
+        return ds.map_batches(
+            lambda t, x=x: pa.table({"c": pa.array(
+                [int(pc.sum(pc.cast(pc.less_equal(t["value"], pa.scalar(x)),
+                                    pa.int64())).as_py() or 0)], pa.int64())}),
+            batch_format="pyarrow").to_pandas()["c"].sum()
+
+    flags = [bool(abs(rank_of(e) / n - q) <= 0.01)
+             for e, q in zip(est, qs)]
+    return pd.DataFrame({"q": pd.Series(qs, dtype="float64"),
+                         "value": exact["value"],
+                         "sketch_within_1pct_rank": flags})
+
+
+APPROX_QUANTILES_SQL = """
+SELECT 0.25::DOUBLE AS q, quantile_disc(value, 0.25) AS value,
+       true AS sketch_within_1pct_rank FROM events
+UNION ALL
+SELECT 0.5::DOUBLE, quantile_disc(value, 0.5), true FROM events
+UNION ALL
+SELECT 0.75::DOUBLE, quantile_disc(value, 0.75), true FROM events
+UNION ALL
+SELECT 0.9::DOUBLE, quantile_disc(value, 0.9), true FROM events
+ORDER BY q
+"""
+
+
 def heavy_hitter_tokens(sf_dir: str):
     """Exact top-25 tokens: Misra-Gries candidate pass + exact-count
     verify pass (stages/sketches.py) — the token stream never
@@ -2132,6 +2200,7 @@ QUERIES = {
     "shuffled_lang_distribution": shuffled_lang_distribution,
     "median_value_per_type": median_value_per_type,
     "purchase_value_per_user": purchase_value_per_user,
+    "purchase_value_per_user_salted": purchase_value_per_user_salted,
     "doc_head_upper": doc_head_upper,
     "top_events_per_user": top_events_per_user,
     "distinct_user_event_pairs": distinct_user_event_pairs,
@@ -2194,6 +2263,7 @@ QUERIES = {
     # exact sketch-assisted / OLAP additions
     "quantiles_price": quantiles_price,
     "event_value_quantiles": event_value_quantiles,
+    "approx_quantiles_value": approx_quantiles_value,
     "heavy_hitter_tokens": heavy_hitter_tokens,
     "bm25_doc_scores": bm25_doc_scores,
     "orders_rollup_volume": orders_rollup_volume,
@@ -2214,6 +2284,7 @@ ORACLE_SQL = {
     "shuffled_lang_distribution": LANG_DIST_SQL,
     "median_value_per_type": MEDIAN_SQL,
     "purchase_value_per_user": PURCHASE_VALUE_SQL,
+    "purchase_value_per_user_salted": PURCHASE_VALUE_SQL,
     "doc_head_upper": HEAD_UPPER_SQL,
     "top_events_per_user": TOP_EVENTS_SQL,
     "distinct_user_event_pairs": DISTINCT_PAIRS_SQL,
@@ -2258,6 +2329,7 @@ ORACLE_SQL = {
     "purchase_views_band_join": BAND_JOIN_SQL,
     "quantiles_price": QUANTILES_SQL,
     "event_value_quantiles": GROUP_QUANTILES_SQL,
+    "approx_quantiles_value": APPROX_QUANTILES_SQL,
     "heavy_hitter_tokens": HEAVY_HITTERS_SQL,
     "bm25_doc_scores": BM25_SQL,
     "orders_rollup_volume": ROLLUP_SQL,

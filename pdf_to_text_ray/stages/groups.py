@@ -61,3 +61,45 @@ def bucketed_group_apply(ds, keys: list[str] | str, per_bucket_fn,
         .groupby("_bucket")
         .map_groups(run_bucket, batch_format="pandas")
     )
+
+
+def salted_group_agg(ds, key: str, *, sum_cols: list[str],
+                     num_salts: int = 16, count_alias: str = "n"):
+    """Skew-defusing two-stage aggregation for ALGEBRAIC aggregates
+    (sum/count here; mean = sum/count downstream): stage 1 groups by
+    ``(key, salt)`` — a hot key's rows split across ``num_salts``
+    reducers instead of landing on one — stage 2 merges the ≤
+    num_salts partials per key (tiny: |keys| × num_salts rows).
+
+    Per-group functions that need the WHOLE group (median, top-k per
+    key) cannot be salted; use ``bucketed_group_apply`` and size
+    buckets instead."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def add_salt(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        # deterministic per-row salt: low bits of a cheap row mix —
+        # independent of key so a hot key spreads uniformly
+        salt = (np.arange(n, dtype=np.int64) * 0x9E3779B9) % num_salts
+        return t.append_column("_salt", pa.array(salt, pa.int64()))
+
+    stage1 = (
+        ds.map_batches(add_salt, batch_format="pyarrow")
+        .groupby([key, "_salt"])
+        .aggregate(*(Sum(c, alias_name=f"{c}_p") for c in sum_cols),
+                   _count_agg(count_alias))
+    )
+    stage2 = (
+        stage1.groupby(key)
+        .aggregate(*(Sum(f"{c}_p", alias_name=c) for c in sum_cols),
+                   Sum(count_alias, alias_name=count_alias))
+    )
+    return stage2
+
+
+def _count_agg(alias: str):
+    from ray.data.aggregate import Count
+
+    return Count(alias_name=alias)

@@ -160,3 +160,58 @@ def heavy_hitter_tokens(ds, k: int = 20, *, text_col: str = "text",
                             kind="mergesort").head(k)
     out["cnt"] = out["cnt"].astype("int64")
     return out[["token", "cnt"]].reset_index(drop=True)
+
+
+# ── mergeable equi-depth quantile sketch ─────────────────────────────
+
+def quantile_sketch_batch(vals: np.ndarray, size: int = 512):
+    """(values, weights) summary of one batch: ``size`` evenly spaced
+    order statistics, each carrying weight n/size. Deterministic, one
+    pass, 16·size bytes — the equi-depth histogram summary (cf.
+    Greenwald-Khanna / KLL motivation; this is the simple mergeable
+    variant with rank error ≤ n_batch/size per batch)."""
+    v = np.sort(np.asarray(vals, np.float64))
+    n = len(v)
+    if n == 0:
+        return np.empty(0), np.empty(0)
+    if n <= size:
+        return v, np.ones(n)
+    idx = ((np.arange(size) + 0.5) * n / size).astype(np.int64)
+    return v[idx], np.full(size, n / size)
+
+
+def merged_quantile(values: np.ndarray, weights: np.ndarray,
+                    qs: list[float]) -> list[float]:
+    """Weighted quantile over concatenated batch summaries."""
+    order = np.argsort(values, kind="mergesort")
+    v, w = values[order], weights[order]
+    cum = np.cumsum(w)
+    total = cum[-1]
+    out = []
+    for q in qs:
+        target = max(q * total, 1e-12)
+        out.append(float(v[min(int(np.searchsorted(cum, target)),
+                               len(v) - 1)]))
+    return out
+
+
+def approx_quantiles(ds, col: str, qs: list[float], *,
+                     size: int = 512) -> list[float]:
+    """One-pass approximate quantiles: each batch ships a 512-point
+    equi-depth summary (vs the exact engine's multi-round refinement
+    in stages/quantiles.py — this is the cheap screen, that is the
+    exact answer)."""
+    import pyarrow as pa
+
+    def batch_summary(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        v = pc.drop_null(t[col]).to_numpy(zero_copy_only=False)
+        sv, sw = quantile_sketch_batch(v, size)
+        return pa.table({"v": pa.array(sv, pa.float64()),
+                         "w": pa.array(sw, pa.float64())})
+
+    pdf = ds.map_batches(batch_summary, batch_format="pyarrow").to_pandas()
+    if pdf.empty:
+        return [float("nan")] * len(qs)
+    return merged_quantile(pdf["v"].to_numpy(), pdf["w"].to_numpy(), qs)

@@ -115,6 +115,23 @@ def test_heavy_hitters_exact_topk(ray_session):
     assert list(zip(out["token"], out["cnt"])) == expect
 
 
+def test_quantile_sketch_rank_error(ray_session):
+    import ray.data as rd
+
+    from pdf_to_text_ray.stages.sketches import approx_quantiles
+
+    rng = np.random.RandomState(8)
+    vals = np.concatenate([rng.lognormal(1, 2, 60_000),
+                           rng.uniform(-100, 0, 40_000)])
+    ds = rd.from_pandas(pd.DataFrame({"x": vals})).repartition(10)
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    est = approx_quantiles(ds, "x", qs, size=512)
+    s = np.sort(vals)
+    for q, e in zip(qs, est):
+        rank = np.searchsorted(s, e, side="right") / len(s)
+        assert abs(rank - q) <= 0.01, (q, e, rank)
+
+
 def test_bm25_term_scores_reference(ray_session):
     import ray.data as rd
 
