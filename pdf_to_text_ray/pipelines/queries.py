@@ -2185,6 +2185,114 @@ ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
 """
 
 
+def lineitem_price_corr(sf_dir: str):
+    """Distributed Pearson correlation: one pass of per-batch moment
+    partials (n, Σx, Σy, Σxy, Σx², Σy² — six doubles per batch),
+    merged on the driver. The canonical custom-algebraic-aggregate
+    shape: no shuffle, state is O(1)."""
+    ds = _lineitem(sf_dir, ["l_quantity", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t["l_quantity"].to_numpy(zero_copy_only=False)
+        y = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n": pa.array([len(x)], pa.int64()),
+            "sx": pa.array([float(x.sum())], pa.float64()),
+            "sy": pa.array([float(y.sum())], pa.float64()),
+            "sxy": pa.array([float((x * y).sum())], pa.float64()),
+            "sxx": pa.array([float((x * x).sum())], pa.float64()),
+            "syy": pa.array([float((y * y).sum())], pa.float64()),
+        })
+
+    p = ds.map_batches(partial, batch_format="pyarrow").to_pandas().sum()
+    n = float(p["n"])
+    cov = p["sxy"] / n - (p["sx"] / n) * (p["sy"] / n)
+    vx = p["sxx"] / n - (p["sx"] / n) ** 2
+    vy = p["syy"] / n - (p["sy"] / n) ** 2
+    corr = cov / np.sqrt(vx * vy)
+    return pd.DataFrame({"corr_qty_price": round2(np.asarray([corr * 1.0]))})
+
+
+CORR_SQL = """
+SELECT round(corr(l_quantity, l_extendedprice), 2) AS corr_qty_price
+FROM lineitem
+"""
+
+
+def orders_percent_rank(sf_dir: str):
+    """Global window function percent_rank() OVER (ORDER BY
+    o_totalprice): distributed (value → count) aggregate, cumulative
+    ranks over the sorted distinct values (bounded by |distinct|;
+    beyond broadcast budgets, the histogram-refinement quantile engine
+    supplies range boundaries instead), broadcast + searchsorted per
+    batch. Ties share a rank, as SQL defines."""
+    import ray
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    from ray.data.aggregate import Count
+
+    vc = (ds.groupby("o_totalprice").aggregate(Count(alias_name="c"))
+          .to_pandas().sort_values("o_totalprice"))
+    vals = vc["o_totalprice"].to_numpy()
+    below = np.concatenate([[0], np.cumsum(vc["c"].to_numpy())[:-1]])
+    n = int(vc["c"].sum())
+    ref = ray.put((vals, below))
+
+    def rank_batch(t: pa.Table) -> pa.Table:
+        v, b = ray.get(ref)
+        x = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(v, x)
+        pr = b[idx] / (n - 1) if n > 1 else np.zeros(len(x))
+        pr = np.floor(np.abs(pr) * 1e6 + 0.5) / 1e6
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "percent_rank": pa.array(pr, pa.float64())})
+
+    return ds.map_batches(rank_batch, batch_format="pyarrow")
+
+
+PERCENT_RANK_SQL = """
+SELECT o_orderkey,
+       round(percent_rank() OVER (ORDER BY o_totalprice), 6) AS percent_rank
+FROM orders
+"""
+
+
+def mode_event_per_user(sf_dir: str):
+    """Per-group MODE with deterministic ties (count desc, value asc):
+    distributed (user, event_type) counts, then a bucketed vectorized
+    argmax per user — two small shuffles, payload never moves."""
+    from pdf_to_text_ray.stages.groups import bucketed_group_apply
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    counts = (ds.groupby(["user_id", "event_type"])
+              .aggregate(Count(alias_name="c")))
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "c", "event_type"],
+                            ascending=[True, False, True], kind="mergesort")
+        top = df.groupby("user_id", sort=True).head(1)
+        return pd.DataFrame({
+            "user_id": top["user_id"].astype("int64"),
+            "mode_event": top["event_type"],
+        })
+
+    out = bucketed_group_apply(counts, "user_id", pick).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+MODE_SQL = """
+WITH c AS (SELECT user_id, event_type, count(*) AS c
+           FROM events GROUP BY user_id, event_type),
+r AS (SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY c DESC, event_type ASC) AS rn
+      FROM c)
+SELECT user_id, event_type AS mode_event FROM r WHERE rn = 1
+ORDER BY user_id
+"""
+
+
 # ── registry ──────────────────────────────────────────────────────────
 
 QUERIES = {
@@ -2270,6 +2378,9 @@ QUERIES = {
     "inverted_index_lookup": inverted_index_lookup,
     "doc_length_quartile": doc_length_quartile,
     "join_part_supplier_auto": join_part_supplier_auto,
+    "lineitem_price_corr": lineitem_price_corr,
+    "orders_percent_rank": orders_percent_rank,
+    "mode_event_per_user": mode_event_per_user,
 }
 
 ORACLE_SQL = {
@@ -2336,4 +2447,7 @@ ORACLE_SQL = {
     "inverted_index_lookup": INV_INDEX_SQL,
     "doc_length_quartile": DOC_QUARTILE_SQL,
     "join_part_supplier_auto": JOIN_AUTO_SQL,
+    "lineitem_price_corr": CORR_SQL,
+    "orders_percent_rank": PERCENT_RANK_SQL,
+    "mode_event_per_user": MODE_SQL,
 }
