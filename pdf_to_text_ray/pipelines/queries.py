@@ -2185,6 +2185,142 @@ ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
 """
 
 
+def q5_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5 shape — six-table join pipeline, scale-typed per side:
+    region/nation/supplier broadcast (tiny / per-nation bounded),
+    orders⋈customer and lineitem⋈(orders+cust) as bucketed hash joins
+    (the two fact-fact edges), revenue pre-aggregated per batch before
+    the final small groupby."""
+    import ray
+
+    from pdf_to_text_ray.stages.joins import bucketed_hash_join
+
+    # broadcast side: ASIA nations + supplier→nation
+    nation = _read(sf_dir, "nation").to_pandas()
+    region = _read(sf_dir, "region").to_pandas()
+    asia_keys = region.loc[region["r_name"] == "ASIA", "r_regionkey"]
+    asia_nations = nation[nation["n_regionkey"].isin(asia_keys)]
+    n_names = dict(zip(asia_nations["n_nationkey"], asia_nations["n_name"]))
+    supp = (_read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+            .to_pandas().sort_values("s_suppkey"))  # searchsorted probe
+    supp_ref = ray.put((supp["s_suppkey"].to_numpy(),
+                        supp["s_nationkey"].to_numpy(), n_names))
+
+    lo = pd.Timestamp("1996-01-01")
+    hi = pd.Timestamp("1997-01-01")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey",
+                                      "o_orderdate"]).map_batches(
+        lambda t: (t.filter(
+            pc.and_(pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+                    pc.less(t["o_orderdate"], pa.scalar(hi))))
+            .select(["o_orderkey", "o_custkey"])
+            .rename_columns(["o_orderkey", "c_custkey"])),
+        batch_format="pyarrow")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    o_c = bucketed_hash_join(orders, cust, on="c_custkey",
+                             left_cols=["o_orderkey"],
+                             right_cols=["c_nationkey"])
+
+    li = _lineitem(sf_dir, ["l_orderkey", "l_suppkey", "l_extendedprice",
+                            "l_discount"]).map_batches(
+        lambda t: t.rename_columns(
+            ["o_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]),
+        batch_format="pyarrow")
+    joined = bucketed_hash_join(
+        li, o_c.map_batches(lambda b: b[["o_orderkey", "c_nationkey"]],
+                            batch_format="pandas"),
+        on="o_orderkey",
+        left_cols=["l_suppkey", "l_extendedprice", "l_discount"],
+        right_cols=["c_nationkey"])
+
+    def revenue_partial(b: pd.DataFrame) -> pd.DataFrame:
+        sk, sn, names = ray.get(supp_ref)
+        idx = np.searchsorted(sk, b["l_suppkey"].to_numpy())
+        idx = np.clip(idx, 0, len(sk) - 1)
+        s_nat = np.where(sk[idx] == b["l_suppkey"].to_numpy(), sn[idx], -1)
+        keep = (s_nat == b["c_nationkey"].to_numpy()) & \
+            np.isin(s_nat, list(names.keys()))
+        b = b[keep]
+        rev = (b["l_extendedprice"] * (1 - b["l_discount"]))
+        part = pd.DataFrame({"n_nat": s_nat[keep], "revenue": rev})
+        return part.groupby("n_nat", as_index=False)["revenue"].sum()
+
+    from ray.data.aggregate import Sum
+
+    agg = (joined.map_batches(revenue_partial, batch_format="pandas")
+           .groupby("n_nat").aggregate(Sum("revenue", alias_name="revenue"))
+           .to_pandas())
+    agg["n_name"] = agg["n_nat"].map(n_names)
+    agg["revenue"] = round2(agg["revenue"])
+    return (agg[["n_name", "revenue"]]
+            .sort_values(["revenue", "n_name"], ascending=[False, True])
+            .reset_index(drop=True))
+
+
+Q5_SQL = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+def q18_large_orders(sf_dir: str):
+    """TPC-H Q18 shape (HAVING over a grouped fact + two joins): the
+    HAVING filter runs distributed on the grouped aggregate, the
+    surviving key set is tiny → broadcast-joined to orders/customer."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    big = (
+        _lineitem(sf_dir, ["l_orderkey", "l_quantity"])
+        .groupby("l_orderkey")
+        .aggregate(Sum("l_quantity", alias_name="sum_qty"))
+        .map_batches(lambda b: b[b["sum_qty"] > 150.0],
+                     batch_format="pandas")
+        .to_pandas()
+    )
+    big_ref = ray.put(dict(zip(big["l_orderkey"], big["sum_qty"])))
+
+    def attach(b: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(big_ref)
+        b = b[b["o_orderkey"].isin(m.keys())].copy()
+        b["sum_qty"] = b["o_orderkey"].map(m)
+        return b
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice"]
+                   ).map_batches(attach, batch_format="pandas")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
+    out = orders.to_pandas().merge(
+        cust, left_on="o_custkey", right_on="c_custkey")
+    out["o_totalprice"] = round2(out["o_totalprice"])
+    out["sum_qty"] = round2(out["sum_qty"])
+    return (out[["c_name", "o_orderkey", "o_totalprice", "sum_qty"]]
+            .sort_values(["o_totalprice", "o_orderkey"],
+                         ascending=[False, True])
+            .reset_index(drop=True))
+
+
+Q18_SQL = """
+SELECT c_name, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+       round(sum_qty, 2) AS sum_qty
+FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 150.0) big
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+"""
+
+
 def lineitem_price_corr(sf_dir: str):
     """Distributed Pearson correlation: one pass of per-batch moment
     partials (n, Σx, Σy, Σxy, Σx², Σy² — six doubles per batch),
@@ -2381,6 +2517,8 @@ QUERIES = {
     "lineitem_price_corr": lineitem_price_corr,
     "orders_percent_rank": orders_percent_rank,
     "mode_event_per_user": mode_event_per_user,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "q18_large_orders": q18_large_orders,
 }
 
 ORACLE_SQL = {
@@ -2450,4 +2588,6 @@ ORACLE_SQL = {
     "lineitem_price_corr": CORR_SQL,
     "orders_percent_rank": PERCENT_RANK_SQL,
     "mode_event_per_user": MODE_SQL,
+    "q5_local_supplier_volume": Q5_SQL,
+    "q18_large_orders": Q18_SQL,
 }

@@ -40,6 +40,25 @@ def bucketed_hash_join(left, right, on: str, *, num_buckets: int = 32,
     a bucket that happens to contain only one side would drop the other
     side's columns under outer joins. Pass them for non-inner joins."""
 
+    # The union NaN-pads each side's tagged columns into the other
+    # side's blocks, which COERCES integer columns to float64 — and a
+    # float64 key hashes differently from the int64 it came from, so a
+    # CHAINED bucketed join on this output would silently lose rows
+    # (found via TPC-H Q5's orders⋈customer → ⋈lineitem chain).
+    # Capture both sides' original dtypes up front and restore them on
+    # the merged output (nulls from outer joins stay float).
+    import pyarrow as pa
+
+    def _int_cols(ds) -> dict:
+        try:
+            sch = ds.schema()
+            return {n: "int64" for n, t in zip(sch.names, sch.types)
+                    if pa.types.is_integer(t)}
+        except Exception:
+            return {}
+
+    restore = {**_int_cols(left), **_int_cols(right)}
+
     # Side membership is carried explicitly via column PREFIXES (not
     # inferred from all-null columns post-union, which silently drops a
     # genuine column whose values happen to be all null in a bucket):
@@ -73,7 +92,12 @@ def bucketed_hash_join(left, right, on: str, *, num_buckets: int = 32,
                             else pd.NA
         if lg.empty or (rg.empty and how == "inner"):
             return pd.DataFrame()
-        return lg.merge(rg, on=on, how=how, suffixes=suffixes)
+        out = lg.merge(rg, on=on, how=how, suffixes=suffixes)
+        for c, dt in restore.items():
+            if c in out.columns and out[c].dtype != dt and \
+                    not out[c].isna().any():
+                out[c] = out[c].astype(dt)
+        return out
 
     return both.groupby("_bucket").map_groups(join_bucket, batch_format="pandas")
 

@@ -154,3 +154,29 @@ def test_inverted_index_roundtrip(ray_session, tmp_path):
     # postings are distinct per doc even with repeated tokens
     assert len(out[(out.token == "alpha") & (out.doc_id == 3)]) == 1
     assert tokenize_ascii("Alpha ALPHA zeta") == ["alpha", "alpha", "zeta"]
+
+
+def test_chained_bucketed_join_preserves_int_keys(ray_session):
+    """Regression: the union NaN-pads side columns which coerced int64
+    join keys to float64 in the OUTPUT; a chained second bucketed join
+    then hashed int64 vs float64 keys differently and silently lost
+    rows (TPC-H Q5 chain)."""
+    import numpy as np
+    import ray.data as rd
+
+    from pdf_to_text_ray.stages.joins import bucketed_hash_join
+
+    rng = np.random.RandomState(9)
+    a = pd.DataFrame({"k1": rng.randint(0, 30, 300), "x": rng.rand(300)})
+    b = pd.DataFrame({"k1": np.arange(30), "k2": np.arange(30) % 7})
+    c = pd.DataFrame({"k2": np.arange(7), "name": [f"g{i}" for i in range(7)]})
+
+    ab = bucketed_hash_join(rd.from_pandas(a).repartition(4),
+                            rd.from_pandas(b), on="k1",
+                            left_cols=["x"], right_cols=["k2"])
+    sch = dict(zip(ab.schema().names, ab.schema().types))
+    assert str(sch["k2"]) == "int64", sch
+    abc = bucketed_hash_join(ab, rd.from_pandas(c), on="k2",
+                             left_cols=["k1", "x"], right_cols=["name"])
+    expect = a.merge(b, on="k1").merge(c, on="k2")
+    assert abc.count() == len(expect)
