@@ -2429,6 +2429,224 @@ ORDER BY user_id
 """
 
 
+def q10_returned_revenue(sf_dir: str):
+    """TPC-H Q10 shape — revenue lost to returned items per customer:
+    date-pruned orders ⋈ returnflag-filtered lineitem as a bucketed
+    hash join (both fact sides), per-batch revenue partials before the
+    customer groupby, top-20 on the tiny grouped result, names
+    attached from a driver-side point read of the survivors only."""
+    from ray.data.aggregate import Sum
+
+    from pdf_to_text_ray.stages.joins import bucketed_hash_join
+
+    lo = pd.Timestamp("1996-01-01")
+    hi = pd.Timestamp("1996-04-01")
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        lambda t: (t.filter(
+            pc.and_(pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+                    pc.less(t["o_orderdate"], pa.scalar(hi))))
+            .select(["o_orderkey", "o_custkey"])),
+        batch_format="pyarrow")
+
+    def returned_rev(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], pa.scalar("R")))
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"o_orderkey": t["l_orderkey"], "rev": rev})
+
+    li = _lineitem(sf_dir, ["l_orderkey", "l_returnflag",
+                            "l_extendedprice", "l_discount"]
+                   ).map_batches(returned_rev, batch_format="pyarrow")
+    joined = bucketed_hash_join(li, orders, on="o_orderkey",
+                                left_cols=["rev"], right_cols=["o_custkey"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("o_custkey", as_index=False)["rev"].sum()
+
+    agg = (joined.map_batches(partial, batch_format="pandas")
+           .groupby("o_custkey").aggregate(Sum("rev", alias_name="rev"))
+           .to_pandas())
+    top = (agg.sort_values(["rev", "o_custkey"], ascending=[False, True])
+           .head(20))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
+        lambda t: t.filter(pc.is_in(
+            t["c_custkey"], value_set=pa.array(top["o_custkey"], pa.int64()))),
+        batch_format="pyarrow").to_pandas()
+    out = top.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    out["revenue"] = round2(out["rev"])
+    return (out[["c_custkey", "c_name", "revenue"]]
+            .sort_values(["revenue", "c_custkey"], ascending=[False, True])
+            .reset_index(drop=True))
+
+
+Q10_SQL = """
+WITH rev AS (
+  SELECT o_custkey, sum(l_extendedprice * (1 - l_discount)) AS rev
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate <  TIMESTAMP '1996-04-01'
+  GROUP BY o_custkey
+  ORDER BY rev DESC, o_custkey LIMIT 20)
+SELECT c_custkey, c_name, round(rev, 2) AS revenue
+FROM rev JOIN customer ON c_custkey = o_custkey
+ORDER BY revenue DESC, c_custkey
+"""
+
+
+def q14_promo_revenue(sf_dir: str):
+    """TPC-H Q14 shape — promo revenue share for one ship month. The
+    part side ships ONCE as a broadcast pair of sorted arrays
+    (p_partkey, is_promo); each lineitem batch contributes two scalar
+    partials (promo/total revenue) — no shuffle at all, merge is a
+    2-double sum on the driver."""
+    import ray
+
+    part = (_read(sf_dir, "part", ["p_partkey", "p_type"])
+            .to_pandas().sort_values("p_partkey"))
+    part_ref = ray.put((part["p_partkey"].to_numpy(),
+                        (part["p_type"] == "PROMO").to_numpy()))
+    lo = pd.Timestamp("1996-06-01")
+    hi = pd.Timestamp("1996-07-01")
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(
+            pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+            pc.less(t["l_shipdate"], pa.scalar(hi))))
+        keys, promo = ray.get(part_ref)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        idx = np.clip(np.searchsorted(keys, pk), 0, len(keys) - 1)
+        is_promo = (keys[idx] == pk) & promo[idx]
+        rev = (t["l_extendedprice"].to_numpy(zero_copy_only=False)
+               * (1.0 - t["l_discount"].to_numpy(zero_copy_only=False)))
+        return pa.table({
+            "promo": pa.array([float(rev[is_promo].sum())], pa.float64()),
+            "total": pa.array([float(rev.sum())], pa.float64()),
+        })
+
+    p = (_lineitem(sf_dir, ["l_partkey", "l_shipdate",
+                            "l_extendedprice", "l_discount"])
+         .map_batches(partial, batch_format="pyarrow").to_pandas().sum())
+    ratio = 100.0 * p["promo"] / p["total"]
+    return pd.DataFrame({"promo_revenue": round2(np.asarray([ratio]))})
+
+
+Q14_SQL = """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                         THEN l_extendedprice * (1 - l_discount)
+                         ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 2) AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-06-01'
+  AND l_shipdate <  TIMESTAMP '1996-07-01'
+"""
+
+
+def nations_customers_and_suppliers(sf_dir: str):
+    """INTERSECT set op: distributed distinct of each side's nation
+    keys (unique() shuffles only the key column), tiny driver-side
+    intersection mapped to names. Complements the EXCEPT-shaped
+    ``nations_without_suppliers`` anti-join."""
+    c = set(_read(sf_dir, "customer", ["c_nationkey"]).unique("c_nationkey"))
+    s = set(_read(sf_dir, "supplier", ["s_nationkey"]).unique("s_nationkey"))
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    keep = nation[nation["n_nationkey"].isin(c & s)]
+    return (pd.DataFrame({"n_name": sorted(keep["n_name"])})
+            .reset_index(drop=True))
+
+
+INTERSECT_SQL = """
+SELECT n_name FROM nation JOIN customer ON c_nationkey = n_nationkey
+INTERSECT
+SELECT n_name FROM nation JOIN supplier ON s_nationkey = n_nationkey
+ORDER BY n_name
+"""
+
+
+def events_user_ntile(sf_dir: str):
+    """Partitioned window functions row_number() + ntile(4) OVER
+    (PARTITION BY user_id ORDER BY ts, event_id): hash-bucketed by
+    user, ONE vectorized pandas call per bucket (groupby.cumcount +
+    transform-size; the ntile big/small group split computed
+    arithmetically per row — no per-key Python)."""
+    from pdf_to_text_ray.stages.groups import bucketed_group_apply
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    n = 4
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        g = df.groupby("user_id", sort=False)
+        rn0 = g.cumcount().to_numpy()
+        cnt = g["event_id"].transform("size").to_numpy()
+        small = cnt // n
+        rem = cnt % n
+        big = small + 1
+        cut = rem * big
+        in_big = rn0 < cut
+        tile = np.where(
+            in_big,
+            rn0 // np.maximum(big, 1),
+            rem + (rn0 - cut) // np.maximum(small, 1),
+        )
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(),
+            "user_id": df["user_id"].to_numpy(),
+            "rn": (rn0 + 1).astype("int64"),
+            "tile": (tile + 1).astype("int64"),
+        })
+
+    return bucketed_group_apply(ds, "user_id", per_bucket)
+
+
+NTILE_SQL = """
+SELECT event_id, user_id,
+       row_number() OVER w AS rn,
+       ntile(4)     OVER w AS tile
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def events_pivot_counts(sf_dir: str):
+    """PIVOT (event_type values → one count column each): conditional
+    indicator columns appended per batch (pyarrow casts, zero-copy
+    key column), then ONE grouped Sum shuffle over the 6-column
+    indicator table — the wide payload never exists pre-aggregation."""
+    from ray.data.aggregate import Sum
+
+    types = ["click", "error", "purchase", "signup", "view"]
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def indicators(t: pa.Table) -> pa.Table:
+        cols = {"user_id": t["user_id"]}
+        for et in types:
+            cols[f"n_{et}"] = pc.cast(
+                pc.equal(t["event_type"], pa.scalar(et)), pa.int64())
+        return pa.table(cols)
+
+    out = (ds.map_batches(indicators, batch_format="pyarrow")
+           .groupby("user_id")
+           .aggregate(*(Sum(f"n_{et}", alias_name=f"n_{et}")
+                        for et in types))
+           .to_pandas())
+    for et in types:
+        out[f"n_{et}"] = out[f"n_{et}"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+PIVOT_SQL = """
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+       count(*) FILTER (WHERE event_type = 'error')    AS n_error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+       count(*) FILTER (WHERE event_type = 'view')     AS n_view
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
 # ── registry ──────────────────────────────────────────────────────────
 
 QUERIES = {
@@ -2519,6 +2737,11 @@ QUERIES = {
     "mode_event_per_user": mode_event_per_user,
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "q18_large_orders": q18_large_orders,
+    "q10_returned_revenue": q10_returned_revenue,
+    "q14_promo_revenue": q14_promo_revenue,
+    "nations_customers_and_suppliers": nations_customers_and_suppliers,
+    "events_user_ntile": events_user_ntile,
+    "events_pivot_counts": events_pivot_counts,
 }
 
 ORACLE_SQL = {
@@ -2590,4 +2813,9 @@ ORACLE_SQL = {
     "mode_event_per_user": MODE_SQL,
     "q5_local_supplier_volume": Q5_SQL,
     "q18_large_orders": Q18_SQL,
+    "q10_returned_revenue": Q10_SQL,
+    "q14_promo_revenue": Q14_SQL,
+    "nations_customers_and_suppliers": INTERSECT_SQL,
+    "events_user_ntile": NTILE_SQL,
+    "events_pivot_counts": PIVOT_SQL,
 }
