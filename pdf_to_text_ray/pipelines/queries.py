@@ -2647,6 +2647,144 @@ FROM events GROUP BY user_id ORDER BY user_id
 """
 
 
+def neardup_editdist_docs(sf_dir: str):
+    """Edit-distance near-dup pairs (stages/dedup.py::
+    editdist_neardup_pairs): (lang, length-bucket) blocking, one
+    projection-only shuffle, all pair distances per bucket in a single
+    pair-vectorized Levenshtein DP. Oracle is DuckDB ``levenshtein``
+    over the identical blocking predicate."""
+    from pdf_to_text_ray.stages.dedup import editdist_neardup_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
+    pairs = editdist_neardup_pairs(ds).to_pandas()
+    return (pairs.sort_values(["doc_id1", "doc_id2"])
+            .reset_index(drop=True))
+
+
+EDITDIST_SQL = """
+WITH d AS (SELECT doc_id, lang, n_chars // 64 AS b,
+                  substring(text, 1, 40) AS head
+           FROM documents)
+SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
+       levenshtein(a.head, b.head) AS dist
+FROM d a JOIN d b ON a.lang = b.lang AND a.b = b.b AND a.doc_id < b.doc_id
+WHERE levenshtein(a.head, b.head) <= 8
+ORDER BY doc_id1, doc_id2
+"""
+
+
+def doc_normalize_text(sf_dir: str):
+    """Text canonicalization for dedup keying: NFC-normalize, lower,
+    collapse ASCII whitespace runs, trim — emitted as an md5 content
+    key (the exact-dedup key a cleaned corpus would group on).
+    Vectorized pandas str ops per batch; text never shuffles."""
+    import hashlib
+    import re
+    import unicodedata
+
+    ws = re.compile(r"[ \t\r\n]+")
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df["text"].map(
+            lambda t: ws.sub(" ", unicodedata.normalize("NFC", t).lower())
+            .strip(" "))
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "norm_len": texts.str.len().astype("int64"),
+            "norm_md5": texts.map(
+                lambda t: hashlib.md5(t.encode()).hexdigest()),
+        })
+
+    return ds.map_batches(norm, batch_format="pandas")
+
+
+NORMALIZE_SQL = r"""
+WITH n AS (SELECT doc_id,
+                  trim(regexp_replace(nfc_normalize(lower(text)),
+                                      '[ \t\r\n]+', ' ', 'g'), ' ') AS t
+           FROM documents)
+SELECT doc_id, length(t) AS norm_len, md5(t) AS norm_md5 FROM n
+ORDER BY doc_id
+"""
+
+
+def doc_gopher_repetition(sf_dir: str):
+    """Gopher-style repetition quality signals: fraction of characters
+    inside duplicate lines + the max single-line repeat count, per
+    document. One pandas split/explode per batch (C-level), grouped
+    sums per doc — every doc lives in one row so NOTHING shuffles.
+    int/int division is IEEE-exact, no rounding needed for the SQL
+    twin."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def signals(df: pd.DataFrame) -> pd.DataFrame:
+        lines = (df[["doc_id"]].assign(line=df["text"].str.split("\n"))
+                 .explode("line"))
+        lines["len"] = lines["line"].str.len()
+        g = (lines.groupby(["doc_id", "line"], sort=False)
+             .agg(c=("len", "size"), len=("len", "first"))
+             .reset_index())
+        g["chars"] = g["c"] * g["len"]
+        g["dup_chars"] = np.where(g["c"] > 1, g["chars"], 0)
+        s = (g.groupby("doc_id", sort=False)
+             .agg(total=("chars", "sum"), dup=("dup_chars", "sum"),
+                  max_line_count=("c", "max"))
+             .reset_index())
+        frac = np.where(s["total"] > 0,
+                        s["dup"].to_numpy(dtype=np.float64)
+                        / np.maximum(s["total"].to_numpy(), 1), 0.0)
+        return pd.DataFrame({
+            "doc_id": s["doc_id"].to_numpy(),
+            "frac_dup_line_chars": frac,
+            "max_line_count": s["max_line_count"].astype("int64"),
+        })
+
+    return ds.map_batches(signals, batch_format="pandas")
+
+
+GOPHER_SQL = """
+WITH l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+           FROM documents),
+g AS (SELECT doc_id, line, count(*) AS c, length(line) AS len
+      FROM l GROUP BY doc_id, line),
+s AS (SELECT doc_id, sum(c * len) AS total,
+             sum(CASE WHEN c > 1 THEN c * len ELSE 0 END) AS dup,
+             max(c) AS maxc
+      FROM g GROUP BY doc_id)
+SELECT doc_id,
+       CASE WHEN total > 0 THEN CAST(dup AS DOUBLE) / total
+            ELSE 0.0 END AS frac_dup_line_chars,
+       maxc AS max_line_count
+FROM s ORDER BY doc_id
+"""
+
+
+def sample_stratified_docs(sf_dir: str):
+    """Stratified deterministic sampling: the dominant language is
+    downsampled 1-in-8, minority languages kept 1-in-2 — the standard
+    corpus-rebalancing shape, resumable because membership is a pure
+    function of the key (no RNG state)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        mod = pc.bit_wise_and(
+            t["doc_id"],
+            pc.if_else(pc.equal(t["lang"], pa.scalar("en")),
+                       pa.scalar(7, pa.int64()), pa.scalar(1, pa.int64())))
+        return t.filter(pc.equal(mod, pa.scalar(0, pa.int64())))
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+STRATIFIED_SQL = """
+SELECT doc_id, lang FROM documents
+WHERE (lang = 'en' AND doc_id % 8 = 0)
+   OR (lang <> 'en' AND doc_id % 2 = 0)
+ORDER BY doc_id
+"""
+
+
 # ── registry ──────────────────────────────────────────────────────────
 
 QUERIES = {
@@ -2742,6 +2880,10 @@ QUERIES = {
     "nations_customers_and_suppliers": nations_customers_and_suppliers,
     "events_user_ntile": events_user_ntile,
     "events_pivot_counts": events_pivot_counts,
+    "neardup_editdist_docs": neardup_editdist_docs,
+    "doc_normalize_text": doc_normalize_text,
+    "doc_gopher_repetition": doc_gopher_repetition,
+    "sample_stratified_docs": sample_stratified_docs,
 }
 
 ORACLE_SQL = {
@@ -2818,4 +2960,8 @@ ORACLE_SQL = {
     "nations_customers_and_suppliers": INTERSECT_SQL,
     "events_user_ntile": NTILE_SQL,
     "events_pivot_counts": PIVOT_SQL,
+    "neardup_editdist_docs": EDITDIST_SQL,
+    "doc_normalize_text": NORMALIZE_SQL,
+    "doc_gopher_repetition": GOPHER_SQL,
+    "sample_stratified_docs": STRATIFIED_SQL,
 }

@@ -735,3 +735,109 @@ def jaccard_keep_set(ds, *, key_col: str = "doc_id", text_col: str = "text",
         ds, key_col=key_col, text_col=text_col, n=n,
         threshold=threshold, max_posting=max_posting).to_pandas()
     return keep_set_from_pairs(ds, pairs, key_col=key_col)
+
+
+# ── edit-distance (Levenshtein) near-dup ──────────────────────────────
+
+def _encode_heads(texts, max_chars: int):
+    """Pad-encode string heads to a (n, max_chars) uint32 codepoint
+    matrix + length vector (UTF-32 codepoints, so CJK compares per
+    character exactly like SQL ``levenshtein``)."""
+    n = len(texts)
+    codes = np.zeros((n, max_chars), dtype=np.uint32)
+    lens = np.empty(n, dtype=np.int32)
+    for i, t in enumerate(texts):
+        t = (t or "")[:max_chars]
+        lens[i] = len(t)
+        if t:
+            codes[i, : len(t)] = np.frombuffer(
+                t.encode("utf-32-le"), dtype=np.uint32)
+    return codes, lens
+
+
+def levenshtein_pairs(codes: np.ndarray, lens: np.ndarray,
+                      ia: np.ndarray, ib: np.ndarray) -> np.ndarray:
+    """Exact Levenshtein distance for many string pairs at once.
+
+    Vectorized across the PAIR axis: the classic DP runs one python
+    iteration per row of the (≤ max_chars)-row matrix; the horizontal
+    insert recurrence cur[j] = min(base[k] + (j-k), k ≤ j) collapses
+    to a prefix-min (``np.minimum.accumulate`` of base[k]-k), so each
+    row is O(P·L) numpy work with NO inner python loop."""
+    A = codes[ia]
+    B = codes[ib]
+    la = lens[ia].astype(np.int32)
+    lb = lens[ib].astype(np.int32)
+    P, L = A.shape
+    j_idx = np.arange(L + 1, dtype=np.int32)
+    prev = np.broadcast_to(j_idx, (P, L + 1)).copy()
+    res = np.where(la == 0, lb, -1).astype(np.int32)
+    base = np.empty((P, L + 1), dtype=np.int32)
+    for i in range(1, int(la.max(initial=0)) + 1):
+        cost = (A[:, i - 1][:, None] != B).astype(np.int32)
+        base[:, 0] = i
+        np.minimum(prev[:, 1:] + 1, prev[:, :-1] + cost, out=base[:, 1:])
+        cur = np.minimum.accumulate(base - j_idx, axis=1) + j_idx
+        done = la == i
+        if done.any():
+            res[done] = cur[done, lb[done]]
+        prev = cur
+    return res
+
+
+def editdist_neardup_pairs(ds, *, key_col: str = "doc_id",
+                           text_col: str = "text", lang_col: str = "lang",
+                           len_col: str = "n_chars", head_chars: int = 40,
+                           len_bucket: int = 64, threshold: int = 8,
+                           num_buckets: int = 32):
+    """Near-duplicate pairs by exact edit distance over document heads.
+
+    Blocking: candidates must share ``(lang, floor(len/len_bucket))``
+    — pairs never cross blocks, bounding the all-pairs cost per block;
+    blocks are hash-bucketed (one shuffle of the ≤ head_chars
+    projection, full text never moves) and each bucket computes ALL
+    its pair distances in one ``levenshtein_pairs`` call.
+
+    Partitioning assumption: a block's doc count is bounded (length ×
+    language stratification); salt giant blocks via a finer
+    ``len_bucket`` if one stratum dominates."""
+    from .groups import bucketed_group_apply
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            key_col: df[key_col].to_numpy(),
+            "_lang": df[lang_col].to_numpy(),
+            "_blk": (df[len_col].to_numpy() // len_bucket).astype("int64"),
+            "_head": df[text_col].str.slice(0, head_chars),
+        })
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({f"{key_col}1": pd.Series([], dtype="int64"),
+                              f"{key_col}2": pd.Series([], dtype="int64"),
+                              "dist": pd.Series([], dtype="int64")})
+        if len(df) < 2:
+            return empty
+        ids = df[key_col].to_numpy()
+        codes, lens = _encode_heads(df["_head"].tolist(), head_chars)
+        ia_parts, ib_parts = [], []
+        for idx in df.groupby(["_lang", "_blk"], sort=False).indices.values():
+            if len(idx) >= 2:
+                iu, ju = np.triu_indices(len(idx), k=1)
+                ia_parts.append(idx[iu])
+                ib_parts.append(idx[ju])
+        if not ia_parts:
+            return empty
+        ia = np.concatenate(ia_parts)
+        ib = np.concatenate(ib_parts)
+        d = levenshtein_pairs(codes, lens, ia, ib)
+        keep = d <= threshold
+        a, b = ids[ia[keep]], ids[ib[keep]]
+        return pd.DataFrame({
+            f"{key_col}1": np.minimum(a, b).astype("int64"),
+            f"{key_col}2": np.maximum(a, b).astype("int64"),
+            "dist": d[keep].astype("int64"),
+        })
+
+    return bucketed_group_apply(
+        ds.map_batches(project, batch_format="pandas"),
+        ["_lang", "_blk"], per_bucket, num_buckets=num_buckets)

@@ -747,3 +747,56 @@ def test_jpeg_zigzag_and_huffman_internals():
     raw = bytes(wtr.out).replace(b"\xff\x00", b"\xff")
     rdr = _BitReader(raw)
     assert [dec.decode(rdr) for _ in AC_LUMA_VALS] == AC_LUMA_VALS
+
+
+def _lev_ref(a: str, b: str) -> int:
+    # textbook O(len(a)*len(b)) reference
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[len(b)]
+
+
+def test_levenshtein_pairs_matches_reference():
+    import random
+
+    from pdf_to_text_ray.stages.dedup import _encode_heads, levenshtein_pairs
+
+    rng = random.Random(11)
+    alpha = "ab文字é "
+    texts = ["", "a", "文", "kitten", "sitting"]
+    texts += ["".join(rng.choice(alpha) for _ in range(rng.randrange(0, 24)))
+              for _ in range(40)]
+    codes, lens = _encode_heads(texts, 24)
+    n = len(texts)
+    ia, ib = np.triu_indices(n, k=1)
+    got = levenshtein_pairs(codes, lens, ia, ib)
+    for k in range(len(ia)):
+        exp = _lev_ref(texts[ia[k]][:24], texts[ib[k]][:24])
+        assert got[k] == exp, (texts[ia[k]], texts[ib[k]], got[k], exp)
+
+
+def test_editdist_neardup_pairs_blocking(ray_session):
+    import ray.data as rd
+
+    from pdf_to_text_ray.stages.dedup import editdist_neardup_pairs
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        "text": ["hello world xyz", "hello world xyzq",  # dist 1, same block
+                 "hello world xyz", "totally different content here",
+                 "hello world xyz", "hello world xyz"],
+        "lang": ["en", "en", "en", "en", "fr", "en"],
+        "n_chars": [15, 16, 15, 30, 15, 300],  # 6: other length block
+    })
+    pairs = editdist_neardup_pairs(
+        rd.from_pandas(df), len_bucket=64, threshold=3).to_pandas()
+    got = set(zip(pairs["doc_id1"], pairs["doc_id2"]))
+    # 5 is blocked out by lang, 6 by length bucket, 4 by distance
+    assert got == {(1, 2), (1, 3), (2, 3)}
+    d13 = pairs.loc[(pairs["doc_id1"] == 1) & (pairs["doc_id2"] == 3), "dist"]
+    assert list(d13) == [0]
