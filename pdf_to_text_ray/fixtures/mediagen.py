@@ -2,10 +2,10 @@
 
 Payloads are REAL encoded files the engine's codecs decode: BMP, PPM,
 PNG, GIF and baseline JPEG images (gradient + noise patterns; JPEG
-mixes 444/420 subsampling and restart intervals), WAV tones — plus a
-tail of fake MP4 payloads exercising the fallback path (the one
-remaining stub format). Seeded and cached under /tmp like
-fixtures/corpus.py.
+mixes 444/420 subsampling and restart intervals), WAV tones, and REAL
+MJPEG-in-MP4 videos (muxed + demuxed by stages/mp4_codec) — plus an
+avc1-stub tail exercising the external-codec fallback path. Seeded
+and cached under /tmp like fixtures/corpus.py.
 """
 
 from __future__ import annotations
@@ -21,7 +21,7 @@ from ..stages.media_codecs import (
     encode_bmp, encode_gif, encode_png, encode_ppm, encode_wav)
 from ..stages.multimodal import MEDIA_SCHEMA
 
-MEDIA_GENERATOR_VERSION = 4  # v3: +GIF; v4: real baseline JPEGs
+MEDIA_GENERATOR_VERSION = 5  # v4: real JPEGs; v5: real MJPEG-MP4s
 
 
 def make_media_row(i: int, seed: int) -> dict:
@@ -71,11 +71,45 @@ def make_media_row(i: int, seed: int) -> dict:
                               restart_interval=3 if i % 8 == 1 else 0)
         return {"media_id": i, "media_type": "image", "payload": payload,
                 "meta_width": w, "meta_height": h, "meta_duration_ms": 0}
-    # fake-compressed tail: MP4 video is the one remaining stub format
-    payload = b"\x00\x00\x00\x18ftypmp42" + rng.bytes(64)
-    return {"media_id": i, "media_type": "video",
-            "payload": payload, "meta_width": 0, "meta_height": 0,
-            "meta_duration_ms": int(rng.randint(0, 10_000))}
+    if i % 4 == 2:
+        # avc1-stub tail: compressed video (H.264) genuinely needs an
+        # external decoder — exercises the fallback / strict path. A
+        # structurally VALID container (parse_mp4 walks it fine), only
+        # the sample format is undecodable here.
+        from ..stages.mp4_codec import encode_mp4_mjpeg
+
+        real = encode_mp4_mjpeg(
+            [encode_jpeg(np.zeros((8, 8, 3), np.uint8))], width=8, height=8)
+        # patch the stsd sample-entry fourcc (stsd hdr 4 + verflags 4 +
+        # entry count 4 + entry size 4 → fourcc) — NOT a blind replace,
+        # which would hit the "mjpeg" handler-name string first
+        fcc = real.index(b"stsd") + 16
+        assert real[fcc:fcc + 4] == b"jpeg"
+        payload = real[:fcc] + b"avc1" + real[fcc + 4:]
+        return {"media_id": i, "media_type": "video",
+                "payload": payload, "meta_width": 8, "meta_height": 8,
+                "meta_duration_ms": 100}
+    # REAL MJPEG-in-MP4: muxed by the repo's ISO BMFF writer, frames
+    # by its baseline JPEG encoder — decoded end-to-end without any
+    # external library.
+    from ..stages.mp4_codec import encode_mp4_mjpeg
+
+    h, w = int(rng.randint(9, 33)), int(rng.randint(9, 33))
+    fps = int(rng.choice([5, 10]))
+    n_frames = int(rng.randint(2, 7))
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = []
+    for f in range(n_frames):
+        img = np.stack([
+            (xx * 255 // max(w - 1, 1)),
+            (yy * 255 // max(h - 1, 1)),
+            np.full((h, w), (f * 251 + i * 17) % 256),
+        ], axis=2).astype(np.uint8)
+        frames.append(encode_jpeg(img, quality=85))
+    payload = encode_mp4_mjpeg(frames, width=w, height=h, fps=fps)
+    return {"media_id": i, "media_type": "video", "payload": payload,
+            "meta_width": w, "meta_height": h,
+            "meta_duration_ms": 1000 * n_frames // fps}
 
 
 def ensure_media_parquet(n_rows: int, seed: int = 42,

@@ -3,9 +3,11 @@
 PIL/ffmpeg are not in this container, but that does NOT force the whole
 multimodal path to be fake: BMP, PPM/PGM, PNG, GIF and baseline JPEG
 images (jpeg_codec.py) and RIFF/WAVE PCM audio decode with numpy and
-the stdlib. These are the REAL decode paths for
-``MediaFeatureExtractor``; only video containers (MP4) still fall back
-to the injected/fake decoder and are the documented stub.
+the stdlib. MJPEG-in-MP4 video demuxes through the
+ISO BMFF parser (mp4_codec.py) with frames decoded by jpeg_codec.
+These are the REAL decode paths for ``MediaFeatureExtractor``; only
+compressed video codecs (avc1/H.264 …) still fall back to the
+injected/fake decoder and are the documented stub.
 
 Implemented from the public format specs:
 - BMP: BITMAPFILEHEADER + BITMAPINFOHEADER, uncompressed 24-bit BGR
@@ -585,6 +587,13 @@ def decode_features(payload: bytes, dim: int = 64) -> np.ndarray:
             raise UnsupportedMediaError(str(e)) from e
         return image_features(
             img.squeeze(-1) if img.shape[2] == 1 else img, dim)
+    if len(p) >= 12 and p[4:8] == b"ftyp":
+        from .mp4_codec import Mp4Error, UnsupportedSampleFormat, video_features
+
+        try:
+            return video_features(p, dim)
+        except (UnsupportedSampleFormat, Mp4Error) as e:
+            raise UnsupportedMediaError(str(e)) from e
     raise UnsupportedMediaError(
-        f"no stdlib decoder for magic {p[:4]!r} (MP4/video needs an "
-        "injected decode_fn)")
+        f"no stdlib decoder for magic {p[:4]!r} (compressed video codecs "
+        "like avc1/H.264 need an injected decode_fn)")

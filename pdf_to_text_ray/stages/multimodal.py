@@ -1,14 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque binary.
 
-The decode step is REAL for every image/audio format in the corpus —
-BMP, PPM/PGM, PNG, GIF, baseline JPEG, RIFF/WAVE PCM audio
-(stages/media_codecs + stages/jpeg_codec, written from the public
-format specs) — and falls back to a deterministic fake only for video
-containers (MP4) whose decoder (ffmpeg) is not in this container; a
-real decoder can be injected per deployment (``decode_fn``), and
-``strict=True`` raises instead of faking. Everything Ray-side is real
-and tested: schemas, actor signatures, batch sizing for large binary
-rows, and output layout.
+The decode step is REAL for every image/audio/video format in the
+corpus — BMP, PPM/PGM, PNG, GIF, baseline JPEG, RIFF/WAVE PCM audio,
+and MJPEG-in-MP4 video (full ISO BMFF demux in stages/mp4_codec +
+stages/media_codecs + stages/jpeg_codec, all written from the public
+format specs) — and falls back to a deterministic fake only for
+compressed video codecs (avc1/H.264 …) whose decoder is not in this
+container; a real decoder can be injected per deployment
+(``decode_fn``), and ``strict=True`` raises instead of faking.
+Everything Ray-side is real and tested: schemas, actor signatures,
+batch sizing for large binary rows, and output layout.
 
 Pattern: large binary payloads ⇒ SMALL ``batch_size`` and
 ``batch_format="pyarrow"`` so payload bytes stay zero-copy in the
@@ -50,11 +51,12 @@ class MediaFeatureExtractor:
 
     __init__ binds the decoder chain once per actor; __call__ decodes +
     featurizes per batch. Per payload: injected ``decode_fn`` first (if
-    any), then the REAL decoders (BMP/PNM/PNG/GIF/JPEG/WAV →
-    media_codecs.decode_features), then — for formats needing external
-    codecs (MP4) — a deterministic fake, or ``NotImplementedError``
-    when ``strict=True`` (the marker that a real video decoder must
-    be injected in deployments with media libraries installed)."""
+    any), then the REAL decoders (BMP/PNM/PNG/GIF/JPEG/WAV/MJPEG-MP4 →
+    media_codecs.decode_features), then — for sample formats needing
+    external codecs (avc1/H.264 …) — a deterministic fake, or
+    ``NotImplementedError`` when ``strict=True`` (the marker that a
+    compressed-video decoder must be injected in deployments with
+    media libraries installed)."""
 
     def __init__(self, decode_fn=None, strict: bool = False, dim: int = FEATURE_DIM):
         self.decode_fn = decode_fn

@@ -800,3 +800,68 @@ def test_editdist_neardup_pairs_blocking(ray_session):
     assert got == {(1, 2), (1, 3), (2, 3)}
     d13 = pairs.loc[(pairs["doc_id1"] == 1) & (pairs["doc_id2"] == 3), "dist"]
     assert list(d13) == [0]
+
+
+def test_mp4_mux_demux_roundtrip():
+    from pdf_to_text_ray.stages.jpeg_codec import encode_jpeg
+    from pdf_to_text_ray.stages.mp4_codec import (
+        decode_mp4_frames, encode_mp4_mjpeg, parse_mp4, video_features)
+
+    h, w, n = 20, 28, 4
+    yy, xx = np.mgrid[0:h, 0:w]
+    originals, jpegs = [], []
+    for f in range(n):
+        img = np.stack([(xx * 255 // (w - 1)), (yy * 255 // (h - 1)),
+                        np.full((h, w), f * 60)], axis=2).astype(np.uint8)
+        originals.append(img)
+        jpegs.append(encode_jpeg(img, quality=90))
+    mp4 = encode_mp4_mjpeg(jpegs, width=w, height=h, fps=4)
+
+    info = parse_mp4(mp4)
+    assert info.duration_ms == 1000
+    t = info.tracks[0]
+    assert (t.handler, t.codec) == ("vide", "jpeg")
+    assert (t.width, t.height) == (w, h)
+    # sample-table byte ranges must re-slice the exact frame bytes
+    assert [mp4[a:b] for a, b in t.sample_ranges] == jpegs
+
+    frames = decode_mp4_frames(mp4)
+    assert len(frames) == n
+    for orig, dec in zip(originals, frames):
+        assert dec.shape == orig.shape
+        assert np.abs(dec.astype(int) - orig.astype(int)).mean() < 12
+
+    fv = video_features(mp4)
+    assert fv.shape == (64,)
+    assert fv[14] == n  # frame count feature
+
+
+def test_mp4_unsupported_codec_raises():
+    from pdf_to_text_ray.stages.media_codecs import (
+        UnsupportedMediaError, decode_features)
+    from pdf_to_text_ray.stages.mp4_codec import (
+        UnsupportedSampleFormat, decode_mp4_frames)
+    from pdf_to_text_ray.fixtures.mediagen import make_media_row
+
+    # i % 5 == 4, i % 2 == 0, i % 4 == 2 → avc1 stub row
+    row = make_media_row(14, seed=42)
+    assert row["media_type"] == "video"
+    with pytest.raises(UnsupportedSampleFormat):
+        decode_mp4_frames(row["payload"])
+    with pytest.raises(UnsupportedMediaError):
+        decode_features(row["payload"])
+
+
+def test_media_fixture_mjpeg_rows_decode_for_real():
+    from pdf_to_text_ray.fixtures.mediagen import make_media_row
+    from pdf_to_text_ray.stages.media_codecs import decode_features
+    from pdf_to_text_ray.stages.mp4_codec import parse_mp4
+
+    row = make_media_row(4, seed=42)  # i%5==4, i%2==0, i%4==0 → MJPEG MP4
+    assert row["media_type"] == "video"
+    info = parse_mp4(row["payload"])
+    assert info.duration_ms == row["meta_duration_ms"]
+    t = info.tracks[0]
+    assert (t.width, t.height) == (row["meta_width"], row["meta_height"])
+    feats = decode_features(row["payload"])
+    assert feats.shape == (64,) and np.isfinite(feats).all()
