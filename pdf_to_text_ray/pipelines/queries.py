@@ -1684,6 +1684,23 @@ def block_quality(sf_dir: str):
     return out.sort_values(["url", "block_idx"]).reset_index(drop=True)
 
 
+def video_frames(sf_dir: str):
+    """Video frame-sampling pipeline (rows-only): MP4 rows of the
+    media table demuxed + frame-decoded for real (stages/mp4_codec
+    MJPEG path) through the VideoFrameSampler actor pool — one output
+    row per sampled frame; avc1-stub rows surface as
+    ``decodable=False`` instead of failing the job."""
+    import ray.data as rd
+
+    from ..fixtures.mediagen import ensure_media_parquet
+    from ..stages.multimodal import sample_video_frames
+
+    media_dir = ensure_media_parquet(_corpus_rows_for(sf_dir), seed=42)
+    ds = rd.read_parquet(media_dir).filter(
+        expr="media_type == 'video'")
+    return sample_video_frames(ds, concurrency=(1, 4))
+
+
 def media_features(sf_dir: str):
     """Multimodal actor-pool pipeline (rows-only): synthetic media table
     (REAL BMP/PPM/WAV payloads + a fake-compressed tail, scaled by sf)
@@ -2785,6 +2802,113 @@ ORDER BY doc_id
 """
 
 
+def customers_above_nation_avg(sf_dir: str):
+    """Correlated-subquery decorrelation (c_acctbal > avg of the
+    customer's nation): the per-nation average is a tiny grouped
+    aggregate, broadcast once and probed per batch with searchsorted —
+    the correlated scan never re-executes."""
+    import ray
+
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+    avg = (ds.groupby("c_nationkey")
+           .aggregate(Sum("c_acctbal", alias_name="s"),
+                      Count(alias_name="n"))
+           .to_pandas().sort_values("c_nationkey"))
+    ref = ray.put((avg["c_nationkey"].to_numpy(),
+                   (avg["s"] / avg["n"]).to_numpy()))
+
+    def above(t: pa.Table) -> pa.Table:
+        keys, means = ray.get(ref)
+        nk = t["c_nationkey"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(keys, nk)
+        mask = t["c_acctbal"].to_numpy(zero_copy_only=False) > means[idx]
+        t = t.filter(pa.array(mask))
+        return pa.table({"c_custkey": t["c_custkey"],
+                         "c_acctbal": pc.round(t["c_acctbal"], 2)})
+
+    return ds.map_batches(above, batch_format="pyarrow")
+
+
+ABOVE_AVG_SQL = """
+SELECT c_custkey, round(c_acctbal, 2) AS c_acctbal
+FROM customer c
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                   WHERE c_nationkey = c.c_nationkey)
+ORDER BY c_custkey
+"""
+
+
+def argmax_event_user(sf_dir: str):
+    """ARG_MAX / max_by aggregate with deterministic ties: per event
+    type, the (user, event) holding the maximum value — tie-broken by
+    smallest event_id. Per-batch partial argmax (one row per type per
+    batch) then the same combine over the tiny partials: the classic
+    mergeable-argmax shape, no full shuffle."""
+    ds = _read(sf_dir, "events",
+               ["event_type", "event_id", "user_id", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["event_type", "value", "event_id"],
+                            ascending=[True, False, True], kind="mergesort")
+        return df.groupby("event_type", sort=False).head(1)
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = partial(parts)
+    out = out.rename(columns={"event_id": "max_event_id",
+                              "user_id": "max_user_id",
+                              "value": "max_value"})
+    out["max_value"] = round2(out["max_value"])
+    return (out[["event_type", "max_event_id", "max_user_id", "max_value"]]
+            .sort_values("event_type").reset_index(drop=True))
+
+
+ARGMAX_SQL = """
+WITH r AS (SELECT event_type, event_id, user_id, value,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY value DESC, event_id) AS rn
+           FROM events)
+SELECT event_type, event_id AS max_event_id, user_id AS max_user_id,
+       round(value, 2) AS max_value
+FROM r WHERE rn = 1 ORDER BY event_type
+"""
+
+
+def sample_k_per_lang(sf_dir: str):
+    """Deterministic per-group k-sample: the k docs with smallest
+    md5(doc_id) per language — repeatable across engines and runs
+    (reservoir sampling without RNG state). Per-batch partial top-k
+    per group, then the same top-k over the tiny partials."""
+    import hashlib
+
+    k = 10
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def rank_key(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["h"] = [hashlib.md5(str(d).encode()).hexdigest()
+                   for d in df["doc_id"]]
+        return (df.sort_values(["lang", "h"], kind="mergesort")
+                .groupby("lang", sort=False).head(k))
+
+    parts = ds.map_batches(rank_key, batch_format="pandas").to_pandas()
+    out = (parts.sort_values(["lang", "h"], kind="mergesort")
+           .groupby("lang", sort=False).head(k))
+    return (out[["lang", "doc_id"]]
+            .sort_values(["lang", "doc_id"]).reset_index(drop=True))
+
+
+SAMPLE_K_SQL = """
+WITH r AS (SELECT lang, doc_id,
+                  row_number() OVER (PARTITION BY lang
+                                     ORDER BY md5(CAST(doc_id AS VARCHAR)))
+                      AS rn
+           FROM documents)
+SELECT lang, doc_id FROM r WHERE rn <= 10 ORDER BY lang, doc_id
+"""
+
+
 # ── registry ──────────────────────────────────────────────────────────
 
 QUERIES = {
@@ -2858,6 +2982,7 @@ QUERIES = {
     "neardup_jaccard_keep_docs": neardup_jaccard_keep_docs,
     "ann_recall_floor": ann_recall_floor,
     "media_features": media_features,
+    "video_frames": video_frames,
     "doc_lines_exploded": doc_lines_exploded,
     "artifact_roundtrip": artifact_roundtrip,
     # exact sketch-assisted / OLAP additions
@@ -2884,6 +3009,9 @@ QUERIES = {
     "doc_normalize_text": doc_normalize_text,
     "doc_gopher_repetition": doc_gopher_repetition,
     "sample_stratified_docs": sample_stratified_docs,
+    "customers_above_nation_avg": customers_above_nation_avg,
+    "argmax_event_user": argmax_event_user,
+    "sample_k_per_lang": sample_k_per_lang,
 }
 
 ORACLE_SQL = {
@@ -2964,4 +3092,7 @@ ORACLE_SQL = {
     "doc_normalize_text": NORMALIZE_SQL,
     "doc_gopher_repetition": GOPHER_SQL,
     "sample_stratified_docs": STRATIFIED_SQL,
+    "customers_above_nation_avg": ABOVE_AVG_SQL,
+    "argmax_event_user": ARGMAX_SQL,
+    "sample_k_per_lang": SAMPLE_K_SQL,
 }

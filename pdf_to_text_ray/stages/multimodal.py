@@ -98,6 +98,77 @@ def frame_sample_plan(duration_ms: int, every_ms: int = 1000) -> list[int]:
     return list(range(0, duration_ms, every_ms))
 
 
+class VideoFrameSampler:
+    """Actor-pool flat-map stage: one input video row → one output row
+    per sampled frame (id, frame index, timestamp, dims, luma stats).
+    Real demux/decode via stages/mp4_codec for MJPEG samples; rows
+    whose codec needs an external decoder are emitted with
+    ``decodable=False`` (or dropped with ``skip_undecodable=True``) so
+    a 100-TB run degrades per-row, never per-job."""
+
+    def __init__(self, max_frames: int = 8, skip_undecodable: bool = False):
+        self.max_frames = max_frames
+        self.skip_undecodable = skip_undecodable
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .mp4_codec import Mp4Error, decode_mp4_frames, parse_mp4
+
+        out = {k: [] for k in ("media_id", "frame_idx", "ts_ms", "width",
+                               "height", "luma_mean", "decodable")}
+        for mid, payload in zip(batch["media_id"].to_pylist(),
+                                batch["payload"].to_pylist()):
+            try:
+                info = parse_mp4(payload)
+                frames = decode_mp4_frames(payload, self.max_frames)
+            except Mp4Error:
+                if not self.skip_undecodable:
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(-1)
+                    out["ts_ms"].append(0)
+                    out["width"].append(0)
+                    out["height"].append(0)
+                    out["luma_mean"].append(0.0)
+                    out["decodable"].append(False)
+                continue
+            track = [t for t in info.tracks if t.handler == "vide"][0]
+            n_total = max(len(track.sample_ranges), 1)
+            step_ms = info.duration_ms / n_total
+            for i, f in enumerate(frames):
+                out["media_id"].append(mid)
+                out["frame_idx"].append(i)
+                out["ts_ms"].append(int(round(i * step_ms)))
+                out["width"].append(f.shape[1])
+                out["height"].append(f.shape[0])
+                out["luma_mean"].append(float(
+                    (0.2126 * f[:, :, 0] + 0.7152 * f[:, :, 1]
+                     + 0.0722 * f[:, :, 2]).mean()))
+                out["decodable"].append(True)
+        return pa.table({
+            "media_id": pa.array(out["media_id"], pa.int64()),
+            "frame_idx": pa.array(out["frame_idx"], pa.int32()),
+            "ts_ms": pa.array(out["ts_ms"], pa.int32()),
+            "width": pa.array(out["width"], pa.int32()),
+            "height": pa.array(out["height"], pa.int32()),
+            "luma_mean": pa.array(out["luma_mean"], pa.float32()),
+            "decodable": pa.array(out["decodable"], pa.bool_()),
+        })
+
+
+def sample_video_frames(ds, *, concurrency=(1, 8), batch_size: int = 8,
+                        max_frames: int = 8):
+    """Dataset[MEDIA_SCHEMA video rows] → per-frame rows. Small batch
+    size: decoded frames × batch_size × concurrency bound worker
+    heaps, not the encoded payload size."""
+    return ds.map_batches(
+        VideoFrameSampler,
+        fn_constructor_kwargs={"max_frames": max_frames},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
 def extract_media_features(ds, *, concurrency=(1, 8), batch_size: int = 16):
     """Dataset[MEDIA_SCHEMA] → features dataset. Small batches: payload
     bytes × batch_size × concurrency must fit worker heaps."""

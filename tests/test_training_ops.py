@@ -865,3 +865,29 @@ def test_media_fixture_mjpeg_rows_decode_for_real():
     assert (t.width, t.height) == (row["meta_width"], row["meta_height"])
     feats = decode_features(row["payload"])
     assert feats.shape == (64,) and np.isfinite(feats).all()
+
+
+def test_video_frame_sampler_pipeline(ray_session):
+    import ray.data as rd
+
+    from pdf_to_text_ray.fixtures.mediagen import ensure_media_parquet
+    from pdf_to_text_ray.stages.multimodal import sample_video_frames
+
+    media_dir = ensure_media_parquet(40, seed=42)
+    ds = rd.read_parquet(media_dir).filter(expr="media_type == 'video'")
+    n_videos = ds.count()
+    assert n_videos > 0
+    out = sample_video_frames(ds, concurrency=(1, 2)).to_pandas()
+    ok = out[out["decodable"]]
+    bad = out[~out["decodable"]]
+    assert len(ok) > 0 and len(bad) > 0  # MJPEG rows + avc1 stubs
+    assert (ok["frame_idx"] >= 0).all()
+    assert (ok["width"] > 0).all() and (ok["height"] > 0).all()
+    assert ok["luma_mean"].between(0, 255).all()
+    # every decodable video contributes >= 2 frames (fixture makes 2-6)
+    per_vid = ok.groupby("media_id").size()
+    assert (per_vid >= 2).all()
+    # ts monotone within a video
+    for _, g in ok.groupby("media_id"):
+        ts = g.sort_values("frame_idx")["ts_ms"].to_numpy()
+        assert (np.diff(ts) >= 0).all()
