@@ -2909,6 +2909,89 @@ SELECT lang, doc_id FROM r WHERE rn <= 10 ORDER BY lang, doc_id
 """
 
 
+def tfidf_similar_docs(sf_dir: str):
+    """Exact sparse TF-IDF all-pairs cosine (stages/similarity.py::
+    tfidf_cosine_pairs): inverted-index blocked, df computed in-bucket,
+    norms and dot products in one partial pass, stop-terms pruned at
+    df > 0.5·N. Oracle recomputes the identical weighting in SQL."""
+    from pdf_to_text_ray.stages.similarity import tfidf_cosine_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = tfidf_cosine_pairs(ds, threshold=0.3).to_pandas()
+    return (out.sort_values(["doc_id1", "doc_id2"]).reset_index(drop=True))
+
+
+TFIDF_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+             AS term
+  FROM documents WHERE trim(coalesce(text, '')) <> ''
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+       FROM tok GROUP BY doc_id, term),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+w AS (SELECT tf.doc_id, tf.term, tf.tf * ln(n.n / df.df) AS w
+      FROM tf, df, n
+      WHERE tf.term = df.term AND df.df <= 0.5 * n.n),
+nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
+dot AS (SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
+               sum(a.w * b.w) AS d
+        FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+SELECT doc_id1, doc_id2,
+       round(d / (na.nrm * nb.nrm), 6) AS cosine_sim
+FROM dot
+JOIN nrm na ON na.doc_id = doc_id1
+JOIN nrm nb ON nb.doc_id = doc_id2
+WHERE d / (na.nrm * nb.nrm) >= 0.3
+ORDER BY doc_id1, doc_id2
+"""
+
+
+def label_centroids(sf_dir: str):
+    """Per-label embedding centroid (the grouped-vector-mean every
+    embedding pipeline needs): per-batch float64 partial sums per
+    label (one (labels × dim) matrix per batch — vectors never
+    shuffle), merged on the driver, emitted exploded as
+    (label, idx, centroid) rows for the SQL twin."""
+    from pdf_to_text_ray.stages.similarity import list_column_to_matrix
+
+    ds = _read(sf_dir, "embeddings", ["embedding", "label"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = list_column_to_matrix(t["embedding"])
+        labels = t["label"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), m.shape[1]), dtype=np.float64)
+        np.add.at(sums, inv, m)
+        counts = np.bincount(inv)
+        d = m.shape[1]
+        return pa.table({
+            "label": pa.array(np.repeat(uniq, d), pa.int32()),
+            "idx": pa.array(np.tile(np.arange(1, d + 1), len(uniq)),
+                            pa.int64()),
+            "s": pa.array(sums.ravel(), pa.float64()),
+            "n": pa.array(np.repeat(counts, d).astype("int64"), pa.int64()),
+        })
+
+    parts = (ds.map_batches(partial, batch_format="pyarrow")
+             .to_pandas()
+             .groupby(["label", "idx"], as_index=False)[["s", "n"]].sum())
+    parts["centroid"] = np.round(parts["s"] / parts["n"], 6)
+    return (parts[["label", "idx", "centroid"]]
+            .sort_values(["label", "idx"]).reset_index(drop=True))
+
+
+CENTROID_SQL = """
+WITH e AS (SELECT label, generate_subscripts(embedding, 1) AS idx,
+                  unnest(embedding)::DOUBLE AS v
+           FROM embeddings)
+SELECT label, idx, round(avg(v), 6) AS centroid
+FROM e GROUP BY label, idx ORDER BY label, idx
+"""
+
+
 # ── registry ──────────────────────────────────────────────────────────
 
 QUERIES = {
@@ -3012,6 +3095,8 @@ QUERIES = {
     "customers_above_nation_avg": customers_above_nation_avg,
     "argmax_event_user": argmax_event_user,
     "sample_k_per_lang": sample_k_per_lang,
+    "tfidf_similar_docs": tfidf_similar_docs,
+    "label_centroids": label_centroids,
 }
 
 ORACLE_SQL = {
@@ -3095,4 +3180,6 @@ ORACLE_SQL = {
     "customers_above_nation_avg": ABOVE_AVG_SQL,
     "argmax_event_user": ARGMAX_SQL,
     "sample_k_per_lang": SAMPLE_K_SQL,
+    "tfidf_similar_docs": TFIDF_SQL,
+    "label_centroids": CENTROID_SQL,
 }

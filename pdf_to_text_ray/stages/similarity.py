@@ -536,3 +536,110 @@ def ivf_topk(ds, query_ids: list[int], k: int = 10, *, n_lists: int = 16,
     out = partials.groupby("query_id", sort=True).head(k).copy()
     out["rank"] = out.groupby("query_id").cumcount() + 1
     return out[["query_id", id_col, "rank"]].reset_index(drop=True)
+
+
+# ── exact sparse TF-IDF all-pairs cosine ─────────────────────────────
+
+def tfidf_cosine_pairs(ds, *, key_col: str = "doc_id",
+                       text_col: str = "text", threshold: float = 0.3,
+                       max_df_frac: float = 0.5, num_buckets: int = 32):
+    """EXACT all-pairs cosine similarity over sparse TF-IDF vectors,
+    inverted-index blocked (no sketching, no dense vectors).
+
+    One explode pass emits (term, doc, tf) triples; a term-bucketed
+    groupby sees each term's FULL posting, so df (and the idf weight
+    ``tf·ln(N/df)``) is computed in place — no separate df join — and
+    the bucket emits BOTH the pairwise weight products and each doc's
+    squared-norm partials in one pass (norm rows ride along keyed as
+    ``(doc, -1)``). A second bucketed groupby sums partials per key
+    pair: pair sums are exact dot products, ``(doc, -1)`` sums are
+    ‖doc‖²; the tiny norm table broadcasts for the final division.
+
+    ``max_df_frac`` drops stop-terms (df > frac·N) BEFORE pairing —
+    the knob that keeps posting self-joins from going quadratic on
+    "the"-class terms; weights are tiny there anyway. Text never
+    shuffles: both exchanges move ≤ ~32-byte rows.
+
+    Partitioning assumptions: a term's posting fits one bucket
+    (stop-term pruning enforces it); the (doc → norm) table fits a
+    broadcast (swap for a bucketed join beyond ~10^8 docs)."""
+    import ray
+
+    from .groups import bucketed_group_apply
+
+    n_docs = float(ds.count())
+
+    def explode(t: pa.Table) -> pd.DataFrame:
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        terms_l, keys_l, tf_l = [], [], []
+        for k, x in zip(keys, t[text_col].to_pylist()):
+            toks = (x or "").lower().split()
+            if not toks:
+                continue
+            terms, counts = np.unique(toks, return_counts=True)
+            terms_l.append(terms)
+            keys_l.append(np.full(len(terms), k, dtype=np.int64))
+            tf_l.append(counts.astype(np.float64))
+        if not terms_l:
+            return pd.DataFrame({"term": pd.Series([], dtype=object),
+                                 "k": pd.Series([], dtype="int64"),
+                                 "tf": pd.Series([], dtype="float64")})
+        return pd.DataFrame({"term": np.concatenate(terms_l),
+                             "k": np.concatenate(keys_l),
+                             "tf": np.concatenate(tf_l)})
+
+    tf = ds.map_batches(explode, batch_format="pyarrow")
+
+    def weigh_and_pair(g: pd.DataFrame) -> pd.DataFrame:
+        df_ = g.groupby("term", sort=False)["term"].transform("size")
+        keep = df_.to_numpy() <= max_df_frac * n_docs
+        g, df_ = g[keep], df_[keep]
+        w = g["tf"].to_numpy() * np.log(n_docs / df_.to_numpy())
+        g = pd.DataFrame({"term": g["term"].to_numpy(),
+                          "k": g["k"].to_numpy(), "w": w})
+        norm = (pd.DataFrame({"k": g["k"], "w2": w * w})
+                .groupby("k", as_index=False)["w2"].sum())
+        norm_rows = pd.DataFrame({"ia": norm["k"].astype("int64"),
+                                  "ib": np.int64(-1),
+                                  "x": norm["w2"]})
+        m = g[g.duplicated("term", keep=False)].merge(
+            g, on="term", suffixes=("_a", "_b"))
+        m = m[m["k_a"] < m["k_b"]]
+        m = m.assign(x=m["w_a"] * m["w_b"])
+        pair_rows = (m.groupby(["k_a", "k_b"], sort=False, as_index=False)
+                     ["x"].sum()
+                     .rename(columns={"k_a": "ia", "k_b": "ib"}))
+        return pd.concat([norm_rows, pair_rows[["ia", "ib", "x"]]],
+                         ignore_index=True)
+
+    partials = bucketed_group_apply(tf, "term", weigh_and_pair,
+                                    num_buckets=num_buckets)
+
+    def reduce_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["ia", "ib"], sort=False, as_index=False)["x"].sum()
+
+    combined = bucketed_group_apply(partials, ["ia", "ib"], reduce_pairs,
+                                    num_buckets=num_buckets).materialize()
+
+    norms = combined.filter(expr="ib == -1").to_pandas().sort_values("ia")
+    nk = norms["ia"].to_numpy()
+    nv = np.sqrt(norms["x"].to_numpy())
+    ref = ray.put((nk, nv))
+
+    def finish(t: pa.Table) -> pa.Table:
+        keys, vals = ray.get(ref)
+        ia = t["ia"].to_numpy(zero_copy_only=False)
+        ib = t["ib"].to_numpy(zero_copy_only=False)
+        dot = t["x"].to_numpy(zero_copy_only=False)
+        na = vals[np.searchsorted(keys, ia)]
+        nb = vals[np.searchsorted(keys, ib)]
+        sim = dot / (na * nb)
+        keep = sim >= threshold
+        return pa.table({
+            f"{key_col}1": pa.array(ia[keep], pa.int64()),
+            f"{key_col}2": pa.array(ib[keep], pa.int64()),
+            "cosine_sim": pa.array(np.round(sim[keep], 6), pa.float64()),
+        })
+
+    return combined.filter(expr="ib != -1").map_batches(
+        finish, batch_format="pyarrow")

@@ -891,3 +891,52 @@ def test_video_frame_sampler_pipeline(ray_session):
     for _, g in ok.groupby("media_id"):
         ts = g.sort_values("frame_idx")["ts_ms"].to_numpy()
         assert (np.diff(ts) >= 0).all()
+
+
+def test_tfidf_cosine_pairs_matches_bruteforce(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from pdf_to_text_ray.stages.similarity import tfidf_cosine_pairs
+
+    docs = {
+        1: "red apple pie with red apple filling",
+        2: "red apple pie with green apple filling",
+        3: "quantum flux capacitor maintenance manual",
+        4: "red apple pie with red apple filling",  # exact dup of 1
+        5: "",
+    }
+    df = pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+    got = tfidf_cosine_pairs(
+        rd.from_pandas(df), threshold=0.2, max_df_frac=1.0).to_pandas()
+    got = got.set_index(["doc_id1", "doc_id2"])["cosine_sim"]
+
+    # brute-force reference
+    n = len(docs)
+    tf = {k: pd.Series(v.lower().split()).value_counts().to_dict()
+          for k, v in docs.items()}
+    dfreq = {}
+    for t in tf.values():
+        for term in t:
+            dfreq[term] = dfreq.get(term, 0) + 1
+    vecs = {k: {term: c * math.log(n / dfreq[term])
+                for term, c in t.items()} for k, t in tf.items()}
+
+    def cos(a, b):
+        dot = sum(w * vecs[b].get(t, 0.0) for t, w in vecs[a].items())
+        na = math.sqrt(sum(w * w for w in vecs[a].values()))
+        nb = math.sqrt(sum(w * w for w in vecs[b].values()))
+        return dot / (na * nb) if na and nb else 0.0
+
+    expected = {}
+    for a in docs:
+        for b in docs:
+            if a < b and vecs[a] and vecs[b]:
+                s = cos(a, b)
+                if s >= 0.2:
+                    expected[(a, b)] = s
+    assert set(got.index) == set(expected)
+    for k, v in expected.items():
+        assert abs(got[k] - v) < 1e-6, (k, got[k], v)
+    assert got[(1, 4)] == 1.0  # exact dup → cosine exactly 1
