@@ -2992,6 +2992,96 @@ FROM e GROUP BY label, idx ORDER BY label, idx
 """
 
 
+def curation_pipeline(sf_dir: str):
+    """Flagship composite curation pipeline — the canonical training-
+    data preparation chain as ONE streaming Dataset program with a
+    full SQL twin:
+
+      normalize → exact-dedup on normalized-content key (groupby-min
+      winners, broadcast searchsorted semi-join) → quality filter
+      (token stats thresholds) → stratified sample (downsample the
+      dominant language) → (doc_id, lang, n_tokens).
+
+    Only the (key, doc_id) projection ever shuffles; text stays in
+    place and every other stage is a per-batch map. Winner set
+    broadcasts (bounded by surviving doc count; swap for the bucketed
+    winner filter beyond broadcast budgets — pipelines/extract.py has
+    both shapes)."""
+    import hashlib
+    import re
+    import unicodedata
+
+    import ray
+
+    from ray.data.aggregate import Min
+
+    from pdf_to_text_ray.stages.analysis import token_stats_batch
+
+    ws = re.compile(r"[ \t\r\n]+")
+
+    def norm_key(t: str) -> str:
+        n = ws.sub(" ", unicodedata.normalize("NFC", t).lower()).strip(" ")
+        return hashlib.md5(n.encode()).hexdigest()
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    keys = ds.map_batches(
+        lambda df: pd.DataFrame({
+            "key": df["text"].map(norm_key),
+            "doc_id": df["doc_id"].to_numpy()}),
+        batch_format="pandas")
+    winners = (keys.groupby("key")
+               .aggregate(Min("doc_id", alias_name="keep_id"))
+               .to_pandas())
+    ref = ray.put(np.sort(winners["keep_id"].to_numpy()))
+
+    def curate(df: pd.DataFrame) -> pd.DataFrame:
+        ids = ray.get(ref)
+        pos = np.searchsorted(ids, df["doc_id"].to_numpy())
+        pos = np.clip(pos, 0, len(ids) - 1)
+        df = df[ids[pos] == df["doc_id"].to_numpy()]
+        s = token_stats_batch(df)
+        keep = ((s["n_tokens"] >= 10) & (s["punct_ratio"] <= 0.2)
+                & (s["avg_token_len"] >= 2.0))
+        strat = (s["lang"] != "en") | (s["doc_id"] % 2 == 0)
+        s = s[keep & strat]
+        return pd.DataFrame({"doc_id": s["doc_id"].to_numpy(),
+                             "lang": s["lang"].to_numpy(),
+                             "n_tokens": s["n_tokens"].to_numpy()})
+
+    return ds.map_batches(curate, batch_format="pandas")
+
+
+CURATION_SQL = r"""
+WITH k AS (
+  SELECT doc_id, lang, text,
+         md5(trim(regexp_replace(nfc_normalize(lower(text)),
+                                 '[ \t\r\n]+', ' ', 'g'), ' ')) AS key
+  FROM documents),
+w AS (SELECT key, min(doc_id) AS keep_id FROM k GROUP BY key),
+d AS (SELECT k.doc_id, k.lang, k.text FROM k
+      JOIN w ON k.doc_id = w.keep_id),
+s AS (
+  SELECT doc_id, lang,
+         CASE WHEN trim(coalesce(text,'')) = '' THEN 0
+              ELSE length(regexp_split_to_array(trim(text),
+                                                '[ \t\r\n\f\v]+'))
+         END::BIGINT AS n_tokens,
+         length(regexp_replace(coalesce(text,''), '[^.!?,;:]', '', 'g'))
+           / greatest(length(coalesce(text,'')), 1) AS punct_ratio,
+         length(regexp_replace(coalesce(text,''), '[ \t\r\n\f\v]', '', 'g'))
+           / greatest(CASE WHEN trim(coalesce(text,'')) = '' THEN 0
+                           ELSE length(regexp_split_to_array(trim(text),
+                                                     '[ \t\r\n\f\v]+'))
+                      END, 1) AS avg_token_len
+  FROM d)
+SELECT doc_id, lang, n_tokens FROM s
+WHERE n_tokens >= 10 AND punct_ratio <= 0.2 AND avg_token_len >= 2.0
+  AND (lang <> 'en' OR doc_id % 2 = 0)
+ORDER BY doc_id
+"""
+
+
 # ── registry ──────────────────────────────────────────────────────────
 
 QUERIES = {
@@ -3097,6 +3187,7 @@ QUERIES = {
     "sample_k_per_lang": sample_k_per_lang,
     "tfidf_similar_docs": tfidf_similar_docs,
     "label_centroids": label_centroids,
+    "curation_pipeline": curation_pipeline,
 }
 
 ORACLE_SQL = {
@@ -3182,4 +3273,5 @@ ORACLE_SQL = {
     "sample_k_per_lang": SAMPLE_K_SQL,
     "tfidf_similar_docs": TFIDF_SQL,
     "label_centroids": CENTROID_SQL,
+    "curation_pipeline": CURATION_SQL,
 }
