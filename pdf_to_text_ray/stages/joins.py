@@ -20,6 +20,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+from .groups import arrow_out
+
 
 def _bucket_of(values: pd.Series, num_buckets: int) -> np.ndarray:
     return (pd.util.hash_array(values.to_numpy()) % num_buckets).astype("int64")
@@ -65,11 +67,11 @@ def bucketed_hash_join(left, right, on: str, *, num_buckets: int = 32,
     # each side's non-key columns are renamed "l::x" / "r::x" before the
     # union and stripped after the per-bucket merge.
     def tag(side: str):
-        def fn(b: pd.DataFrame) -> pd.DataFrame:
+        def fn(b: pd.DataFrame):
             b = b.rename(columns={c: f"{side}::{c}" for c in b.columns if c != on})
             b["_bucket"] = _bucket_of(b[on], num_buckets)
             b["_side"] = side
-            return b
+            return arrow_out(b)
 
         return fn
 
@@ -97,7 +99,7 @@ def bucketed_hash_join(left, right, on: str, *, num_buckets: int = 32,
             if c in out.columns and out[c].dtype != dt and \
                     not out[c].isna().any():
                 out[c] = out[c].astype(dt)
-        return out
+        return arrow_out(out)
 
     return both.groupby("_bucket").map_groups(join_bucket, batch_format="pandas")
 
@@ -113,9 +115,9 @@ def broadcast_join(left, right, on: str, *,
     rdf = right if isinstance(right, pd.DataFrame) else right.to_pandas()
     right_ref = ray.put(rdf)
 
-    def merge(b: pd.DataFrame) -> pd.DataFrame:
+    def merge(b: pd.DataFrame):
         r = ray.get(right_ref)
-        return b.merge(r, on=on, how=how, suffixes=suffixes)
+        return arrow_out(b.merge(r, on=on, how=how, suffixes=suffixes))
 
     return left.map_batches(merge, batch_format="pandas")
 
@@ -166,7 +168,7 @@ def asof_join(left, right, *, key: str, left_ts: str, right_ts: str,
             b["_bucket"] = _bucket_of(b[key], num_buckets)
             b["_side"] = side
             b["_ts"] = b[f"{side}::{ts_col}"]
-            return b
+            return arrow_out(b)
 
         return fn
 
@@ -194,7 +196,7 @@ def asof_join(left, right, *, key: str, left_ts: str, right_ts: str,
                 lg, rg[[key, "_ts"] + value_cols], on="_ts", by=key,
                 direction="backward", allow_exact_matches=True,
             )
-        return out.drop(columns=["_ts"])
+        return arrow_out(out.drop(columns=["_ts"]))
 
     return both.groupby("_bucket").map_groups(join_bucket, batch_format="pandas")
 
@@ -227,16 +229,16 @@ def temporal_band_count(left, right, *, left_ts: str, right_ts: str,
         # µs int64 regardless of the frame's datetime unit (ns vs us)
         return np.asarray(col.to_numpy(), dtype="datetime64[us]").astype(np.int64)
 
-    def prep_right(b: pd.DataFrame) -> pd.DataFrame:
+    def prep_right(b: pd.DataFrame):
         ts = _us(b[right_ts])
-        return pd.DataFrame({
+        return arrow_out(pd.DataFrame({
             "_bucket": ts // width,
             "_side": np.repeat(np.int8(1), len(ts)),
             "_ts": ts,
             left_key: np.zeros(len(ts), dtype=np.int64),
-        })
+        }))
 
-    def prep_left(b: pd.DataFrame) -> pd.DataFrame:
+    def prep_left(b: pd.DataFrame):
         ts = _us(b[left_ts])
         keys = b[left_key].to_numpy()
         lo_b = (ts - band_us) // width
@@ -248,12 +250,12 @@ def temporal_band_count(left, right, *, left_ts: str, right_ts: str,
         buckets[first] = lo_b
         second = first[reps == 2] + 1
         buckets[second] = hi_b[reps == 2]
-        return pd.DataFrame({
+        return arrow_out(pd.DataFrame({
             "_bucket": buckets,
             "_side": np.repeat(np.int8(0), len(buckets)),
             "_ts": np.repeat(ts, reps),
             left_key: np.repeat(keys, reps),
-        })
+        }))
 
     both = left.map_batches(prep_left, batch_format="pandas").union(
         right.map_batches(prep_right, batch_format="pandas"))
@@ -273,8 +275,8 @@ def temporal_band_count(left, right, *, left_ts: str, right_ts: str,
         hi = np.minimum(pts + band_us, (bucket + 1) * width - 1)
         n = (np.searchsorted(rts, hi, side="right")
              - np.searchsorted(rts, lo, side="left"))
-        return pd.DataFrame({left_key: probes[left_key].to_numpy(),
-                             "_partial": n.astype("int64")})
+        return arrow_out(pd.DataFrame({left_key: probes[left_key].to_numpy(),
+                                       "_partial": n.astype("int64")}))
 
     partials = both.groupby("_bucket").map_groups(
         count_bucket, batch_format="pandas")
