@@ -214,7 +214,9 @@ def dedup_pages_latest(ds, num_buckets: int = 64):
         b["_bucket"] = (
             pd.util.hash_array(b["url"].to_numpy(dtype=object)) % num_buckets
         ).astype("int64")
-        return b
+        from ..stages.groups import arrow_out
+
+        return arrow_out(b)
 
     def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
         # Secondary tiebreak: a content hash over the full row — for
@@ -342,12 +344,14 @@ def compute_latest_winners_bucketed(pages_paths, winners_dir: str,
     proj = rd.read_parquet(pages_paths, columns=["url", "warc_ts"],
                            override_num_blocks=max(2, ncpu))
 
-    def partial_max(b: pd.DataFrame) -> pd.DataFrame:
+    def partial_max(b: pd.DataFrame):
+        from ..stages.groups import arrow_out
+
         out = b.groupby("url", sort=False, as_index=False)["warc_ts"].max()
         out["bucket"] = (
             pd.util.hash_array(out["url"].to_numpy(dtype=object)) % num_buckets
         ).astype("int64")
-        return out
+        return arrow_out(out)
 
     def bucket_max(g: pd.DataFrame) -> pd.DataFrame:
         out = g.groupby("url", sort=False, as_index=False)["warc_ts"].max()

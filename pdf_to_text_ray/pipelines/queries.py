@@ -2258,7 +2258,8 @@ def q5_local_supplier_volume(sf_dir: str):
         left_cols=["l_suppkey", "l_extendedprice", "l_discount"],
         right_cols=["c_nationkey"])
 
-    def revenue_partial(b: pd.DataFrame) -> pd.DataFrame:
+    def revenue_partial(t: pa.Table):
+        b = t.to_pandas()
         sk, sn, names = ray.get(supp_ref)
         idx = np.searchsorted(sk, b["l_suppkey"].to_numpy())
         idx = np.clip(idx, 0, len(sk) - 1)
@@ -2272,7 +2273,7 @@ def q5_local_supplier_volume(sf_dir: str):
 
     from ray.data.aggregate import Sum
 
-    agg = (joined.map_batches(revenue_partial, batch_format="pandas")
+    agg = (joined.map_batches(revenue_partial, batch_format="pyarrow")
            .groupby("n_nat").aggregate(Sum("revenue", alias_name="revenue"))
            .to_pandas())
     agg["n_name"] = agg["n_nat"].map(n_names)
@@ -2486,10 +2487,11 @@ def q10_returned_revenue(sf_dir: str):
     joined = bucketed_hash_join(li, orders, on="o_orderkey",
                                 left_cols=["rev"], right_cols=["o_custkey"])
 
-    def partial(b: pd.DataFrame):
+    def partial(t: pa.Table):
+        b = t.to_pandas()
         return arrow_out(b.groupby("o_custkey", as_index=False)["rev"].sum())
 
-    agg = (joined.map_batches(partial, batch_format="pandas")
+    agg = (joined.map_batches(partial, batch_format="pyarrow")
            .groupby("o_custkey").aggregate(Sum("rev", alias_name="rev"))
            .to_pandas())
     top = (agg.sort_values(["rev", "o_custkey"], ascending=[False, True])

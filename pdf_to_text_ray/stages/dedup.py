@@ -30,6 +30,7 @@ import hashlib
 
 import numpy as np
 import pandas as pd
+import pyarrow.compute as pc
 
 from .analysis import kgram_hashes
 
@@ -512,20 +513,33 @@ def minlabel_components(pairs: pd.DataFrame, *, num_buckets: int = 16,
     b = np.searchsorted(vocab, raw_b).astype("int64")
     sym = pd.DataFrame({"src": np.concatenate([a, b]),
                         "dst": np.concatenate([b, a])}).drop_duplicates()
-    edges = rd.from_pandas(sym)
+    import pyarrow as pa
+
+    # Arrow blocks from the seed: union() requires homogeneous block
+    # types, and every derived dataset in the loop is Arrow now
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array(sym["src"].to_numpy(), pa.int64()),
+        "dst": pa.array(sym["dst"].to_numpy(), pa.int64())}))
     nodes = np.unique(sym["src"].to_numpy())
-    labels = rd.from_pandas(pd.DataFrame({"node": nodes, "label": nodes}))
+    labels = rd.from_arrow(pa.table({
+        "node": pa.array(nodes, pa.int64()),
+        "label": pa.array(nodes, pa.int64())}))
     prev_sum = int(nodes.sum())
     converged = False
     for _ in range(max_rounds):
+        # Arrow blocks throughout the round: the per-round
+        # groupby(node).Min exchange takes the pandas slow path
+        # otherwise (see groups.arrow_out)
         lab_src = labels.map_batches(
-            lambda t: t.rename(columns={"node": "src"}), batch_format="pandas")
+            lambda t: t.rename_columns(["src", "label"]),
+            batch_format="pyarrow")
         cand = bucketed_hash_join(
             edges, lab_src, on="src", num_buckets=num_buckets
         ).map_batches(
-            lambda t: pd.DataFrame({"node": t["dst"].astype("int64"),
-                                    "label": t["label"].astype("int64")}),
-            batch_format="pandas")
+            lambda t: pa.table({
+                "node": pc.cast(t["dst"], pa.int64()),
+                "label": pc.cast(t["label"], pa.int64())}),
+            batch_format="pyarrow")
         labels = (
             cand.union(labels)
             .groupby("node")

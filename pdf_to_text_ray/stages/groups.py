@@ -28,11 +28,12 @@ def arrow_out(df: pd.DataFrame):
     path on pandas-format blocks — measured ~5× on a 2000-group
     Aggregate in this repo (13.3 s → 3.0 s once the blocks were
     Arrow). Every helper here therefore emits Arrow even when the
-    per-bucket compute is pandas. Empty frames stay pandas:
-    ``from_pandas`` maps an empty object column to the Arrow ``null``
-    type, which poisons schema unification against non-empty blocks."""
-    if len(df) == 0:
-        return df
+    per-bucket compute is pandas — INCLUDING empty frames: Ray's
+    sort-boundary sampler asserts homogeneous block types across a
+    dataset, so one pandas empty among Arrow blocks aborts the
+    exchange. Empty object columns become Arrow ``null`` type, which
+    Ray's permissive schema promotion unifies with the non-empty
+    blocks' concrete types."""
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
@@ -54,28 +55,35 @@ def bucketed_group_apply(ds, keys: list[str] | str, per_bucket_fn,
     be real."""
     key_list = [keys] if isinstance(keys, str) else list(keys)
 
-    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+    # Both boundary maps DECLARE batch_format="pyarrow": the declared
+    # format of the map fused into an exchange decides the exchange's
+    # block type (a pandas-declared upstream map forces the whole
+    # sort/aggregate onto the pandas slow path and makes Ray emit
+    # empty PANDAS partitions that poison the type-homogeneity assert,
+    # even when the UDF itself returns Arrow). Per-bucket compute
+    # stays pandas internally.
+    def add_bucket(t: pa.Table) -> pa.Table:
         if len(key_list) == 1:
-            h = stable_bucket(b[key_list[0]], num_buckets)
+            h = stable_bucket(
+                t[key_list[0]].to_numpy(zero_copy_only=False), num_buckets)
         else:
-            h = np.zeros(len(b), dtype=np.uint64)
+            h = np.zeros(t.num_rows, dtype=np.uint64)
             for k in key_list:  # order-sensitive combine of per-key hashes
-                arr = b[k].to_numpy()
+                arr = t[k].to_numpy(zero_copy_only=False)
                 if arr.dtype.kind not in "iu":
                     arr = np.asarray(arr, dtype=object)
                 h = h * np.uint64(0x9E3779B97F4A7C15) + pd.util.hash_array(arr)
             h = (h % num_buckets).astype("int64")
-        b = b.copy()
-        b["_bucket"] = h
-        return arrow_out(b)
+        return t.append_column("_bucket", pa.array(h, pa.int64()))
 
-    def run_bucket(g: pd.DataFrame):
-        return arrow_out(per_bucket_fn(g.drop(columns=["_bucket"])))
+    def run_bucket(g: pa.Table):
+        df = g.drop_columns(["_bucket"]).to_pandas()
+        return arrow_out(per_bucket_fn(df))
 
     return (
-        ds.map_batches(add_bucket, batch_format="pandas")
+        ds.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("_bucket")
-        .map_groups(run_bucket, batch_format="pandas")
+        .map_groups(run_bucket, batch_format="pyarrow")
     )
 
 

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from .groups import arrow_out
 
@@ -66,20 +67,30 @@ def bucketed_hash_join(left, right, on: str, *, num_buckets: int = 32,
     # genuine column whose values happen to be all null in a bucket):
     # each side's non-key columns are renamed "l::x" / "r::x" before the
     # union and stripped after the per-bucket merge.
+    # Arrow-native, pyarrow-DECLARED tag maps: the declared format of
+    # the map fused into the bucket exchange decides the exchange's
+    # block type — pandas-declared maps force the sort onto the pandas
+    # slow path (~5x, see groups.arrow_out) and make Ray emit empty
+    # pandas partitions that break block-type homogeneity.
     def tag(side: str):
-        def fn(b: pd.DataFrame):
-            b = b.rename(columns={c: f"{side}::{c}" for c in b.columns if c != on})
-            b["_bucket"] = _bucket_of(b[on], num_buckets)
-            b["_side"] = side
-            return arrow_out(b)
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.rename_columns(
+                [c if c == on else f"{side}::{c}" for c in t.column_names])
+            h = (pd.util.hash_array(t[on].to_numpy(zero_copy_only=False))
+                 % num_buckets).astype("int64")
+            t = t.append_column("_bucket", pa.array(h, pa.int64()))
+            return t.append_column(
+                "_side", pa.array([side] * t.num_rows, pa.string()))
 
         return fn
 
-    both = left.map_batches(tag("l"), batch_format="pandas").union(
-        right.map_batches(tag("r"), batch_format="pandas")
+    both = left.map_batches(tag("l"), batch_format="pyarrow").union(
+        right.map_batches(tag("r"), batch_format="pyarrow")
     )
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def join_bucket(t: pa.Table):
+        # pyarrow batch_format: see groups.bucketed_group_apply
+        g = t.to_pandas()
         lcols = [c for c in g.columns if c.startswith("l::")]
         rcols = [c for c in g.columns if c.startswith("r::")]
         lg = g.loc[g["_side"] == "l", [on] + lcols].rename(
@@ -93,7 +104,7 @@ def bucketed_hash_join(left, right, on: str, *, num_buckets: int = 32,
                         side[c] = pd.Series([], dtype=object) if side.empty \
                             else pd.NA
         if lg.empty or (rg.empty and how == "inner"):
-            return pd.DataFrame()
+            return arrow_out(pd.DataFrame())
         out = lg.merge(rg, on=on, how=how, suffixes=suffixes)
         for c, dt in restore.items():
             if c in out.columns and out[c].dtype != dt and \
@@ -101,7 +112,8 @@ def bucketed_hash_join(left, right, on: str, *, num_buckets: int = 32,
                 out[c] = out[c].astype(dt)
         return arrow_out(out)
 
-    return both.groupby("_bucket").map_groups(join_bucket, batch_format="pandas")
+    return both.groupby("_bucket").map_groups(join_bucket,
+                                              batch_format="pyarrow")
 
 
 def broadcast_join(left, right, on: str, *,
@@ -115,11 +127,15 @@ def broadcast_join(left, right, on: str, *,
     rdf = right if isinstance(right, pd.DataFrame) else right.to_pandas()
     right_ref = ray.put(rdf)
 
-    def merge(b: pd.DataFrame):
+    # pyarrow-declared (merge itself is pandas): a pandas-declared map
+    # fused into a downstream aggregate forces the exchange onto the
+    # pandas slow path (see bucketed_hash_join's tag note)
+    def merge(t: pa.Table):
         r = ray.get(right_ref)
-        return arrow_out(b.merge(r, on=on, how=how, suffixes=suffixes))
+        return arrow_out(t.to_pandas().merge(r, on=on, how=how,
+                                             suffixes=suffixes))
 
-    return left.map_batches(merge, batch_format="pandas")
+    return left.map_batches(merge, batch_format="pyarrow")
 
 
 # right sides at or under this estimate are broadcast (object-store
@@ -161,22 +177,27 @@ def asof_join(left, right, *, key: str, left_ts: str, right_ts: str,
     appended (NaN/NaT when no match). One bucket shuffle; per-bucket
     ``pd.merge_asof`` over sorted frames."""
 
-    # side membership via column prefixes (see bucketed_hash_join)
+    # side membership via column prefixes; arrow-native pyarrow-declared
+    # tags (see bucketed_hash_join)
     def tag(side: str, ts_col: str):
-        def fn(b: pd.DataFrame) -> pd.DataFrame:
-            b = b.rename(columns={c: f"{side}::{c}" for c in b.columns if c != key})
-            b["_bucket"] = _bucket_of(b[key], num_buckets)
-            b["_side"] = side
-            b["_ts"] = b[f"{side}::{ts_col}"]
-            return arrow_out(b)
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.rename_columns(
+                [c if c == key else f"{side}::{c}" for c in t.column_names])
+            h = (pd.util.hash_array(t[key].to_numpy(zero_copy_only=False))
+                 % num_buckets).astype("int64")
+            t = t.append_column("_bucket", pa.array(h, pa.int64()))
+            t = t.append_column(
+                "_side", pa.array([side] * t.num_rows, pa.string()))
+            return t.append_column("_ts", t[f"{side}::{ts_col}"])
 
         return fn
 
-    both = left.map_batches(tag("l", left_ts), batch_format="pandas").union(
-        right.map_batches(tag("r", right_ts), batch_format="pandas")
+    both = left.map_batches(tag("l", left_ts), batch_format="pyarrow").union(
+        right.map_batches(tag("r", right_ts), batch_format="pyarrow")
     )
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def join_bucket(t: pa.Table):
+        g = t.to_pandas()
         lcols = [c for c in g.columns if c.startswith("l::")]
         rcols = [c for c in g.columns if c.startswith("r::")]
         lg = g.loc[g["_side"] == "l", [key, "_ts"] + lcols].rename(
@@ -184,7 +205,7 @@ def asof_join(left, right, *, key: str, left_ts: str, right_ts: str,
         rg = g.loc[g["_side"] == "r", [key, "_ts"] + rcols].rename(
             columns={c: c[3:] for c in rcols})
         if lg.empty:
-            return pd.DataFrame()
+            return arrow_out(pd.DataFrame())
         lg = lg.sort_values(["_ts", key], kind="stable")
         if rg.empty:
             out = lg.copy()
@@ -198,7 +219,8 @@ def asof_join(left, right, *, key: str, left_ts: str, right_ts: str,
             )
         return arrow_out(out.drop(columns=["_ts"]))
 
-    return both.groupby("_bucket").map_groups(join_bucket, batch_format="pandas")
+    return both.groupby("_bucket").map_groups(join_bucket,
+                                              batch_format="pyarrow")
 
 
 def temporal_band_count(left, right, *, left_ts: str, right_ts: str,
@@ -225,22 +247,24 @@ def temporal_band_count(left, right, *, left_ts: str, right_ts: str,
 
     width = 2 * band_us
 
-    def _us(col: pd.Series) -> np.ndarray:
-        # µs int64 regardless of the frame's datetime unit (ns vs us)
-        return np.asarray(col.to_numpy(), dtype="datetime64[us]").astype(np.int64)
+    def _us(col) -> np.ndarray:
+        # µs int64 regardless of the column's datetime unit (ns vs us)
+        arr = col.to_numpy(zero_copy_only=False)
+        return np.asarray(arr, dtype="datetime64[us]").astype(np.int64)
 
-    def prep_right(b: pd.DataFrame):
+    # pyarrow-declared prep maps (see bucketed_hash_join's tag note)
+    def prep_right(b: pa.Table) -> pa.Table:
         ts = _us(b[right_ts])
-        return arrow_out(pd.DataFrame({
-            "_bucket": ts // width,
-            "_side": np.repeat(np.int8(1), len(ts)),
-            "_ts": ts,
-            left_key: np.zeros(len(ts), dtype=np.int64),
-        }))
+        return pa.table({
+            "_bucket": pa.array(ts // width, pa.int64()),
+            "_side": pa.array(np.repeat(np.int8(1), len(ts)), pa.int8()),
+            "_ts": pa.array(ts, pa.int64()),
+            left_key: pa.array(np.zeros(len(ts), dtype=np.int64), pa.int64()),
+        })
 
-    def prep_left(b: pd.DataFrame):
+    def prep_left(b: pa.Table) -> pa.Table:
         ts = _us(b[left_ts])
-        keys = b[left_key].to_numpy()
+        keys = b[left_key].to_numpy(zero_copy_only=False)
         lo_b = (ts - band_us) // width
         hi_b = (ts + band_us) // width
         reps = (1 + (hi_b != lo_b)).astype(np.int64)
@@ -250,21 +274,23 @@ def temporal_band_count(left, right, *, left_ts: str, right_ts: str,
         buckets[first] = lo_b
         second = first[reps == 2] + 1
         buckets[second] = hi_b[reps == 2]
-        return arrow_out(pd.DataFrame({
-            "_bucket": buckets,
-            "_side": np.repeat(np.int8(0), len(buckets)),
-            "_ts": np.repeat(ts, reps),
-            left_key: np.repeat(keys, reps),
-        }))
+        return pa.table({
+            "_bucket": pa.array(buckets, pa.int64()),
+            "_side": pa.array(np.repeat(np.int8(0), len(buckets)), pa.int8()),
+            "_ts": pa.array(np.repeat(ts, reps), pa.int64()),
+            left_key: pa.array(np.repeat(keys, reps)),
+        })
 
-    both = left.map_batches(prep_left, batch_format="pandas").union(
-        right.map_batches(prep_right, batch_format="pandas"))
+    both = left.map_batches(prep_left, batch_format="pyarrow").union(
+        right.map_batches(prep_right, batch_format="pyarrow"))
 
-    def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def count_bucket(t: pa.Table):
+        g = t.to_pandas()
         probes = g[g["_side"] == 0]
         if probes.empty:
-            return pd.DataFrame({left_key: pd.Series([], dtype="int64"),
-                                 "_partial": pd.Series([], dtype="int64")})
+            return arrow_out(
+                pd.DataFrame({left_key: pd.Series([], dtype="int64"),
+                              "_partial": pd.Series([], dtype="int64")}))
         rts = np.sort(g.loc[g["_side"] == 1, "_ts"].to_numpy())
         # count right rows of THIS bucket only — the probe's replica in
         # its other overlapping bucket counts that bucket's (disjoint)
@@ -279,6 +305,6 @@ def temporal_band_count(left, right, *, left_ts: str, right_ts: str,
                                        "_partial": n.astype("int64")}))
 
     partials = both.groupby("_bucket").map_groups(
-        count_bucket, batch_format="pandas")
+        count_bucket, batch_format="pyarrow")
     return partials.groupby(left_key).aggregate(
         Sum("_partial", alias_name=out_col))
