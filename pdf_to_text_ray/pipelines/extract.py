@@ -207,18 +207,24 @@ def dedup_pages_latest(ds, num_buckets: int = 64):
     extraction so only extracted text, never raw payloads, enters the
     shuffle. Deterministic: max warc_ts per url, stable-sort tiebreak.
     At cluster scale, size B ≳ 4× total cores."""
+    import numpy as np
     import pandas as pd
+    import pyarrow as pa
 
-    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.copy()
-        b["_bucket"] = (
-            pd.util.hash_array(b["url"].to_numpy(dtype=object)) % num_buckets
+    from ..stages.groups import arrow_out
+
+    # arrow-declared boundary maps: the declared format of the map
+    # fused into the bucket exchange decides the exchange's block type
+    # (groups.arrow_out rationale) — with text payloads in the shuffle
+    # the pandas per-row path is the difference that matters
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = (pd.util.hash_array(
+            np.asarray(t["url"].to_pylist(), dtype=object)) % num_buckets
         ).astype("int64")
-        from ..stages.groups import arrow_out
+        return t.append_column("_bucket", pa.array(h, pa.int64()))
 
-        return arrow_out(b)
-
-    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def dedup_bucket(t: pa.Table):
+        g = t.to_pandas()
         # Secondary tiebreak: a content hash over the full row — for
         # equal (url, warc_ts) the winner must not depend on block
         # arrival order, which varies across runs.
@@ -227,12 +233,13 @@ def dedup_pages_latest(ds, num_buckets: int = 64):
         ).astype("uint64")
         g = g.assign(_rh=row_hash).sort_values(
             ["url", "warc_ts", "_rh"], kind="stable")
-        return g.drop_duplicates("url", keep="last").drop(columns=["_bucket", "_rh"])
+        return arrow_out(g.drop_duplicates("url", keep="last")
+                         .drop(columns=["_bucket", "_rh"]))
 
     return (
-        ds.map_batches(add_bucket, batch_format="pandas")
+        ds.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("_bucket")
-        .map_groups(dedup_bucket, batch_format="pandas")
+        .map_groups(dedup_bucket, batch_format="pyarrow")
     )
 
 
@@ -344,25 +351,29 @@ def compute_latest_winners_bucketed(pages_paths, winners_dir: str,
     proj = rd.read_parquet(pages_paths, columns=["url", "warc_ts"],
                            override_num_blocks=max(2, ncpu))
 
-    def partial_max(b: pd.DataFrame):
+    def partial_max(t):
         from ..stages.groups import arrow_out
 
+        b = t.to_pandas()
         out = b.groupby("url", sort=False, as_index=False)["warc_ts"].max()
         out["bucket"] = (
             pd.util.hash_array(out["url"].to_numpy(dtype=object)) % num_buckets
         ).astype("int64")
         return arrow_out(out)
 
-    def bucket_max(g: pd.DataFrame) -> pd.DataFrame:
+    def bucket_max(t):
+        from ..stages.groups import arrow_out
+
+        g = t.to_pandas()
         out = g.groupby("url", sort=False, as_index=False)["warc_ts"].max()
         out["bucket"] = g["bucket"].iloc[0]
-        return out.sort_values("url", kind="stable")
+        return arrow_out(out.sort_values("url", kind="stable"))
 
     _shutil.rmtree(winners_dir, ignore_errors=True)
     (
-        proj.map_batches(partial_max, batch_format="pandas")
+        proj.map_batches(partial_max, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(bucket_max, batch_format="pandas")
+        .map_groups(bucket_max, batch_format="pyarrow")
         .write_parquet(winners_dir, partition_cols=["bucket"])
     )
     return winners_dir

@@ -245,15 +245,16 @@ def purchase_value_per_user(sf_dir: str):
 
     ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
 
-    def mask(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "user_id": b["user_id"],
-            "purchase_value_raw": np.where(b["event_type"] == "purchase",
-                                           b["value"], 0.0),
+    def mask(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "purchase_value_raw": pc.if_else(
+                pc.equal(t["event_type"], pa.scalar("purchase")),
+                t["value"], pa.scalar(0.0)),
         })
 
     out = (
-        ds.map_batches(mask, batch_format="pandas")
+        ds.map_batches(mask, batch_format="pyarrow")
         .groupby("user_id")
         .aggregate(Sum("purchase_value_raw", alias_name="purchase_value"),
                    Count(alias_name="n_events"))
@@ -913,15 +914,16 @@ def orders_monthly_volume(sf_dir: str):
 
     ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
 
-    def bucketize(b: pd.DataFrame) -> pd.DataFrame:
-        d = pd.to_datetime(b["o_orderdate"])
-        return pd.DataFrame({
-            "ym": (d.dt.year * 100 + d.dt.month).astype("int64"),
-            "o_totalprice": b["o_totalprice"],
+    def bucketize(t: pa.Table) -> pa.Table:
+        ym = pc.add(pc.multiply(pc.year(t["o_orderdate"]), pa.scalar(100)),
+                    pc.month(t["o_orderdate"]))
+        return pa.table({
+            "ym": pc.cast(ym, pa.int64()),
+            "o_totalprice": t["o_totalprice"],
         })
 
     out = (
-        ds.map_batches(bucketize, batch_format="pandas")
+        ds.map_batches(bucketize, batch_format="pyarrow")
         .groupby("ym")
         .aggregate(Count(alias_name="n_orders"),
                    Sum("o_totalprice", alias_name="revenue"))
@@ -1142,14 +1144,15 @@ def events_tumbling_agg(sf_dir: str):
 
     ds = _read(sf_dir, "events", ["ts", "value"])
 
-    def bucketize(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "hour_bucket": (b["ts"].astype("int64") // 3_600_000_000).astype("int64"),
-            "value": b["value"],
+    def bucketize(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        return pa.table({
+            "hour_bucket": pc.divide(us, pa.scalar(3_600_000_000, pa.int64())),
+            "value": t["value"],
         })
 
     out = (
-        ds.map_batches(bucketize, batch_format="pandas")
+        ds.map_batches(bucketize, batch_format="pyarrow")
         .groupby("hour_bucket")
         .aggregate(Count(alias_name="n"), Sum("value", alias_name="total"))
         .to_pandas()
