@@ -294,12 +294,17 @@ def _verify_pairs_join(ds, cand_pdf: pd.DataFrame, key_col: str, text_col: str,
         lambda b: b.rename(columns={key_col: "id_b", "shingles": "sh_b"}),
         batch_format="pandas")
     pairs_ds = rd.from_pandas(cand_pdf)
-    j1 = bucketed_hash_join(pairs_ds, sh_a, on="id_a", num_buckets=num_buckets)
+    # block_format="pandas": the shingle columns are multi-KB blobs —
+    # Arrow boundaries copy the bytes at every conversion, pandas
+    # object blocks move pointers (measured 2-3x on this join chain)
+    j1 = bucketed_hash_join(pairs_ds, sh_a, on="id_a",
+                            num_buckets=num_buckets, block_format="pandas")
     # the union inside the join NaN-pads the other side's columns, which
     # floats id_b — re-int it so the second join's hash buckets match
     j1 = j1.map_batches(lambda b: b.assign(id_b=b["id_b"].astype("int64")),
                         batch_format="pandas")
-    j2 = bucketed_hash_join(j1, sh_b, on="id_b", num_buckets=num_buckets)
+    j2 = bucketed_hash_join(j1, sh_b, on="id_b",
+                            num_buckets=num_buckets, block_format="pandas")
 
     def score(b: pd.DataFrame) -> pd.DataFrame:
         sims = [

@@ -32,7 +32,8 @@ def bucketed_hash_join(left, right, on: str, *, num_buckets: int = 32,
                        suffixes: tuple[str, str] = ("_l", "_r"),
                        how: str = "inner",
                        left_cols: list[str] | None = None,
-                       right_cols: list[str] | None = None):
+                       right_cols: list[str] | None = None,
+                       block_format: str = "pyarrow"):
     """Explicit partitioned hash join of two Datasets on one key column.
 
     One all-to-all (the bucket groupby over the union); the per-bucket
@@ -41,7 +42,17 @@ def bucketed_hash_join(left, right, on: str, *, num_buckets: int = 32,
     ``left_cols``/``right_cols``: each side's non-key column names. The
     per-bucket schema is otherwise inferred from the rows present —
     a bucket that happens to contain only one side would drop the other
-    side's columns under outer joins. Pass them for non-inner joins."""
+    side's columns under outer joins. Pass them for non-inner joins.
+
+    ``block_format``: "pyarrow" (default) keeps the bucket exchange on
+    Ray's Arrow fast path — right for relational rows (measured ~5×
+    on downstream aggregates). "pandas" keeps every block pandas
+    end-to-end: right when a side carries LARGE BINARY/blob cells
+    (shingle sets, payloads) — Arrow boundaries copy blob bytes at
+    every conversion while pandas object blocks move pointers
+    (measured 2-3× on the minhash verify join). Do not mix formats
+    within one dataset: Ray's exchange asserts block-type
+    homogeneity."""
 
     # The union NaN-pads each side's tagged columns into the other
     # side's blocks, which COERCES integer columns to float64 — and a
@@ -72,8 +83,10 @@ def bucketed_hash_join(left, right, on: str, *, num_buckets: int = 32,
     # block type — pandas-declared maps force the sort onto the pandas
     # slow path (~5x, see groups.arrow_out) and make Ray emit empty
     # pandas partitions that break block-type homogeneity.
+    arrow_blocks = block_format == "pyarrow"
+
     def tag(side: str):
-        def fn(t: pa.Table) -> pa.Table:
+        def fn_arrow(t: pa.Table) -> pa.Table:
             t = t.rename_columns(
                 [c if c == on else f"{side}::{c}" for c in t.column_names])
             h = (pd.util.hash_array(t[on].to_numpy(zero_copy_only=False))
@@ -82,15 +95,23 @@ def bucketed_hash_join(left, right, on: str, *, num_buckets: int = 32,
             return t.append_column(
                 "_side", pa.array([side] * t.num_rows, pa.string()))
 
-        return fn
+        def fn_pandas(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.rename(
+                columns={c: f"{side}::{c}" for c in b.columns if c != on})
+            b["_bucket"] = _bucket_of(b[on], num_buckets)
+            b["_side"] = side
+            return b
 
-    both = left.map_batches(tag("l"), batch_format="pyarrow").union(
-        right.map_batches(tag("r"), batch_format="pyarrow")
+        return fn_arrow if arrow_blocks else fn_pandas
+
+    fmt = "pyarrow" if arrow_blocks else "pandas"
+    both = left.map_batches(tag("l"), batch_format=fmt).union(
+        right.map_batches(tag("r"), batch_format=fmt)
     )
 
-    def join_bucket(t: pa.Table):
+    def join_bucket(t):
         # pyarrow batch_format: see groups.bucketed_group_apply
-        g = t.to_pandas()
+        g = t.to_pandas() if arrow_blocks else t
         lcols = [c for c in g.columns if c.startswith("l::")]
         rcols = [c for c in g.columns if c.startswith("r::")]
         lg = g.loc[g["_side"] == "l", [on] + lcols].rename(
@@ -104,16 +125,15 @@ def bucketed_hash_join(left, right, on: str, *, num_buckets: int = 32,
                         side[c] = pd.Series([], dtype=object) if side.empty \
                             else pd.NA
         if lg.empty or (rg.empty and how == "inner"):
-            return arrow_out(pd.DataFrame())
+            return arrow_out(pd.DataFrame()) if arrow_blocks else pd.DataFrame()
         out = lg.merge(rg, on=on, how=how, suffixes=suffixes)
         for c, dt in restore.items():
             if c in out.columns and out[c].dtype != dt and \
                     not out[c].isna().any():
                 out[c] = out[c].astype(dt)
-        return arrow_out(out)
+        return arrow_out(out) if arrow_blocks else out
 
-    return both.groupby("_bucket").map_groups(join_bucket,
-                                              batch_format="pyarrow")
+    return both.groupby("_bucket").map_groups(join_bucket, batch_format=fmt)
 
 
 def broadcast_join(left, right, on: str, *,
