@@ -3095,6 +3095,125 @@ ORDER BY doc_id
 """
 
 
+def q4_order_priority(sf_dir: str):
+    """TPC-H Q4 shape — order count per priority for date-window
+    orders having at least one line shipped after the order date.
+    The EXISTS probe never ships the fact payload: lineitem collapses
+    to max(l_shipdate) per orderkey (per-batch partial, then a
+    key+8-byte groupby), the survivor test rides the bucketed join
+    with the date-pruned orders, and the answer is a 5-row count."""
+    from ray.data.aggregate import Max, Sum
+
+    from pdf_to_text_ray.stages.joins import bucketed_hash_join
+
+    def ship_partial(t: pa.Table) -> pa.Table:
+        b = pd.DataFrame({
+            "o_orderkey": t["l_orderkey"].to_numpy(zero_copy_only=False),
+            "ship_ns": t["l_shipdate"].cast(pa.int64()).to_numpy(
+                zero_copy_only=False)})
+        return arrow_out(b.groupby("o_orderkey", as_index=False)
+                         .agg(ship_ns=("ship_ns", "max")))
+
+    maxship = (_lineitem(sf_dir, ["l_orderkey", "l_shipdate"])
+               .map_batches(ship_partial, batch_format="pyarrow")
+               .groupby("o_orderkey")
+               .aggregate(Max("ship_ns", alias_name="ship_ns")))
+
+    lo = pd.Timestamp("1996-01-01")
+    hi = pd.Timestamp("1996-04-01")
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"]
+                   ).map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+                    pc.less(t["o_orderdate"], pa.scalar(hi)))),
+        batch_format="pyarrow")
+
+    joined = bucketed_hash_join(
+        maxship, orders, on="o_orderkey",
+        left_cols=["ship_ns"],
+        right_cols=["o_orderdate", "o_orderpriority"])
+
+    def cnt(t: pa.Table) -> pa.Table:
+        b = t.to_pandas()
+        b = b[b["ship_ns"] > b["o_orderdate"].astype("int64")]
+        return arrow_out(b.groupby("o_orderpriority", as_index=False)
+                         .size().rename(columns={"size": "order_count"}))
+
+    out = (joined.map_batches(cnt, batch_format="pyarrow")
+           .groupby("o_orderpriority")
+           .aggregate(Sum("order_count", alias_name="order_count"))
+           .to_pandas())
+    out["order_count"] = out["order_count"].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q19_disjunctive_revenue(sf_dir: str):
+    """TPC-H Q19 shape — revenue under an OR-of-ANDs predicate that
+    couples part attributes with lineitem quantity bands. The part
+    side ships once as broadcast sorted arrays (partkey, brand code,
+    size); each lineitem batch evaluates all three disjuncts
+    vectorized and contributes one scalar partial — zero shuffle."""
+    import ray
+
+    part = (_read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+            .to_pandas().sort_values("p_partkey"))
+    brands = ["Brand#12", "Brand#23", "Brand#34"]
+    bcode = np.full(len(part), -1, np.int8)
+    for i, b in enumerate(brands):
+        bcode[(part["p_brand"] == b).to_numpy()] = i
+    part_ref = ray.put((part["p_partkey"].to_numpy(), bcode,
+                        part["p_size"].to_numpy()))
+    # (brand, max_size, qty_lo, qty_hi) per disjunct
+    bands = [(0, 5, 1.0, 11.0), (1, 10, 10.0, 20.0), (2, 15, 20.0, 30.0)]
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys, code, size = ray.get(part_ref)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        idx = np.clip(np.searchsorted(keys, pk), 0, len(keys) - 1)
+        hit = keys[idx] == pk
+        c, s = code[idx], size[idx]
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        mask = np.zeros(len(pk), bool)
+        for bc, smax, qlo, qhi in bands:
+            mask |= (hit & (c == bc) & (s >= 1) & (s <= smax)
+                     & (qty >= qlo) & (qty <= qhi))
+        rev = (t["l_extendedprice"].to_numpy(zero_copy_only=False)
+               * (1.0 - t["l_discount"].to_numpy(zero_copy_only=False)))
+        return pa.table({"rev": pa.array([float(rev[mask].sum())],
+                                         pa.float64())})
+
+    total = (_lineitem(sf_dir, ["l_partkey", "l_quantity",
+                                "l_extendedprice", "l_discount"])
+             .map_batches(partial, batch_format="pyarrow")
+             .to_pandas()["rev"].sum())
+    return pd.DataFrame({"revenue": round2(np.asarray([total]))})
+
+
+Q19_SQL = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
 # ── registry ──────────────────────────────────────────────────────────
 
 QUERIES = {
@@ -3188,6 +3307,8 @@ QUERIES = {
     "q18_large_orders": q18_large_orders,
     "q10_returned_revenue": q10_returned_revenue,
     "q14_promo_revenue": q14_promo_revenue,
+    "q4_order_priority": q4_order_priority,
+    "q19_disjunctive_revenue": q19_disjunctive_revenue,
     "nations_customers_and_suppliers": nations_customers_and_suppliers,
     "events_user_ntile": events_user_ntile,
     "events_pivot_counts": events_pivot_counts,
@@ -3274,6 +3395,8 @@ ORACLE_SQL = {
     "q18_large_orders": Q18_SQL,
     "q10_returned_revenue": Q10_SQL,
     "q14_promo_revenue": Q14_SQL,
+    "q4_order_priority": Q4_SQL,
+    "q19_disjunctive_revenue": Q19_SQL,
     "nations_customers_and_suppliers": INTERSECT_SQL,
     "events_user_ntile": NTILE_SQL,
     "events_pivot_counts": PIVOT_SQL,
