@@ -3202,6 +3202,50 @@ def q19_disjunctive_revenue(sf_dir: str):
     return pd.DataFrame({"revenue": round2(np.asarray([total]))})
 
 
+def docs_span_deduped(sf_dir: str):
+    """Exact duplicate-substring removal (Lee et al. 2022 semantics,
+    rolling-hash + text-verify instead of a suffix array): every char
+    covered by a 50-codepoint window whose exact text occurs ≥2 times
+    corpus-wide is cut. See ``stages/dedup.py::span_dedup`` for the
+    three-pass shuffle-light shape."""
+    from pdf_to_text_ray.stages.dedup import span_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return span_dedup(ds, key_col="doc_id", text_col="text",
+                      L=50, min_count=2)
+
+
+SPAN_DEDUP_SQL = """
+WITH w AS (
+  SELECT doc_id, gs.i AS i, substr(text, gs.i::INT, 50) AS g
+  FROM documents
+  CROSS JOIN LATERAL
+    (SELECT unnest(range(1, greatest(length(text) - 48, 1))) AS i) gs),
+dup AS (SELECT g FROM w GROUP BY g HAVING count(*) >= 2),
+dw AS (SELECT w.doc_id, w.i FROM w WHERE w.g IN (SELECT g FROM dup)),
+ch AS (
+  SELECT doc_id, gs.p AS p, substr(text, gs.p::INT, 1) AS c
+  FROM documents
+  CROSS JOIN LATERAL
+    (SELECT unnest(range(1, length(text) + 1)) AS p) gs),
+keep AS (
+  SELECT ch.doc_id, ch.p, ch.c FROM ch
+  WHERE NOT EXISTS (SELECT 1 FROM dw
+                    WHERE dw.doc_id = ch.doc_id
+                      AND ch.p >= dw.i AND ch.p < dw.i + 50)),
+cleaned AS (SELECT doc_id, string_agg(c, '' ORDER BY p) AS text_spanclean
+            FROM keep GROUP BY doc_id),
+counts AS (SELECT doc_id, count(*)::BIGINT AS dup_windows
+           FROM dw GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(cn.dup_windows, 0)::BIGINT AS dup_windows,
+       coalesce(cl.text_spanclean, '') AS text_spanclean
+FROM documents d
+LEFT JOIN cleaned cl ON cl.doc_id = d.doc_id
+LEFT JOIN counts cn ON cn.doc_id = d.doc_id
+"""
+
+
 Q19_SQL = """
 SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
 FROM lineitem JOIN part ON p_partkey = l_partkey
@@ -3309,6 +3353,7 @@ QUERIES = {
     "q14_promo_revenue": q14_promo_revenue,
     "q4_order_priority": q4_order_priority,
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
+    "docs_span_deduped": docs_span_deduped,
     "nations_customers_and_suppliers": nations_customers_and_suppliers,
     "events_user_ntile": events_user_ntile,
     "events_pivot_counts": events_pivot_counts,
@@ -3397,6 +3442,7 @@ ORACLE_SQL = {
     "q14_promo_revenue": Q14_SQL,
     "q4_order_priority": Q4_SQL,
     "q19_disjunctive_revenue": Q19_SQL,
+    "docs_span_deduped": SPAN_DEDUP_SQL,
     "nations_customers_and_suppliers": INTERSECT_SQL,
     "events_user_ntile": NTILE_SQL,
     "events_pivot_counts": PIVOT_SQL,

@@ -860,3 +860,133 @@ def editdist_neardup_pairs(ds, *, key_col: str = "doc_id",
     return bucketed_group_apply(
         ds.map_batches(project, batch_format="pandas"),
         ["_lang", "_blk"], per_bucket, num_buckets=num_buckets)
+
+
+# ── exact duplicate-substring span removal ───────────────────────────
+# Lee et al., "Deduplicating Training Data Makes Language Models
+# Better" (ACL 2022) motivates removing exact repeated substrings, not
+# just whole near-dup documents. Their single-corpus suffix array does
+# not distribute; this is the shuffle-light equivalent: rolling-hash
+# blocking + text verification, so the result is collision-exact.
+
+
+def _char_window_hashes(text: str, L: int) -> np.ndarray:
+    """64-bit polynomial hashes of every L-CODEPOINT window (stride 1).
+    Codepoint-level — not UTF-8 bytes — so window boundaries match SQL
+    ``substr`` / Python slicing on non-ASCII text."""
+    from .analysis import _poly_powers
+
+    codes = np.frombuffer((text or "").encode("utf-32-le"), dtype=np.uint32)
+    if len(codes) < L:
+        return np.empty(0, np.uint64)
+    win = np.lib.stride_tricks.sliding_window_view(codes, L).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        return (win * _poly_powers(L)).sum(axis=1, dtype=np.uint64)
+
+
+def span_dup_candidate_hashes(ds, *, text_col: str = "text", L: int = 50,
+                              min_count: int = 2):
+    """Window hashes occurring ≥ min_count times corpus-wide.
+
+    Per-batch ``np.unique`` partials mean the shuffle carries one
+    (hash, count) row per DISTINCT hash per batch — never the text,
+    never one row per window."""
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        hs = [_char_window_hashes(x, L) for x in t[text_col].to_pylist()]
+        allh = np.concatenate(hs) if hs else np.empty(0, np.uint64)
+        u, c = np.unique(allh, return_counts=True)
+        return pa.table({"gh": pa.array(u, pa.uint64()),
+                         "n": pa.array(c.astype(np.int64), pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("gh").aggregate(Sum("n", alias_name="n")))
+    return agg.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n"], pa.scalar(min_count))),
+        batch_format="pyarrow")
+
+
+def span_dedup(ds, *, key_col: str = "doc_id", text_col: str = "text",
+               L: int = 50, min_count: int = 2):
+    """Remove every character covered by an L-codepoint window whose
+    exact text occurs ≥ min_count times in the corpus.
+
+    Three passes, text never shuffles:
+    1. hash-only partial counts → groupby sum → candidate dup hashes
+       (hash collisions tolerated here);
+    2. only candidate-hit windows ship their actual L-char gram, partial-
+       counted per batch → groupby gram → true multiplicities — this
+       makes the result EXACT regardless of hash collisions;
+    3. verified grams broadcast (``ray.put``); each doc marks covered
+       codepoints with a diff-array and cuts them locally.
+
+    Broadcast sets are bounded by the corpus's duplicated fraction
+    (candidate hashes + verified grams), not its size; beyond that
+    budget the probe becomes a hash-partitioned join on ``gh`` like
+    ``_verify_pairs_join``. Returns (key, dup_windows, text_spanclean).
+    """
+    import pyarrow as pa
+    import ray
+    from ray.data.aggregate import Sum
+
+    cand = span_dup_candidate_hashes(
+        ds, text_col=text_col, L=L, min_count=min_count).to_pandas()
+    cand_arr = np.sort(cand["gh"].to_numpy(dtype=np.uint64)) if len(cand) \
+        else np.empty(0, np.uint64)
+    cand_ref = ray.put(cand_arr)
+
+    def _hits(cands: np.ndarray, text: str):
+        h = _char_window_hashes(text, L)
+        if len(h) == 0 or len(cands) == 0:
+            return h, np.empty(0, np.int64)
+        pos = np.searchsorted(cands, h)
+        ok = (pos < len(cands)) & (cands[np.minimum(pos, len(cands) - 1)] == h)
+        return h, np.nonzero(ok)[0]
+
+    def gram_partial(t: pa.Table) -> pa.Table:
+        cands = ray.get(cand_ref)
+        counts: dict[str, int] = {}
+        for text in t[text_col].to_pylist():
+            text = text or ""
+            _, idx = _hits(cands, text)
+            for i in idx:
+                g = text[i:i + L]
+                counts[g] = counts.get(g, 0) + 1
+        return pa.table({"gram": pa.array(list(counts), pa.string()),
+                         "n": pa.array(list(counts.values()), pa.int64())})
+
+    verified = (ds.map_batches(gram_partial, batch_format="pyarrow")
+                .groupby("gram").aggregate(Sum("n", alias_name="n"))
+                .to_pandas())
+    dup_grams = frozenset(
+        verified.loc[verified["n"] >= min_count, "gram"]) if len(verified) \
+        else frozenset()
+    ver_ref = ray.put(dup_grams)
+
+    def clean(t: pa.Table) -> pa.Table:
+        cands, dup = ray.get(cand_ref), ray.get(ver_ref)
+        out_text, out_cnt = [], []
+        for text in t[text_col].to_pylist():
+            text = text or ""
+            _, idx = _hits(cands, text)
+            marked = [i for i in idx if text[i:i + L] in dup]
+            if not marked:
+                out_text.append(text)
+                out_cnt.append(0)
+                continue
+            n = len(text)
+            diff = np.zeros(n + 1, np.int32)
+            ii = np.asarray(marked, np.int64)
+            np.add.at(diff, ii, 1)
+            np.add.at(diff, np.minimum(ii + L, n), -1)
+            covered = np.cumsum(diff[:-1]) > 0
+            codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+            out_text.append(codes[~covered].tobytes().decode("utf-32-le"))
+            out_cnt.append(len(marked))
+        return pa.table({key_col: t[key_col],
+                         "dup_windows": pa.array(out_cnt, pa.int64()),
+                         "text_spanclean": pa.array(out_text, pa.string())})
+
+    return ds.map_batches(clean, batch_format="pyarrow")

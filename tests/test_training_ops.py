@@ -940,3 +940,55 @@ def test_tfidf_cosine_pairs_matches_bruteforce(ray_session):
     for k, v in expected.items():
         assert abs(got[k] - v) < 1e-6, (k, got[k], v)
     assert got[(1, 4)] == 1.0  # exact dup → cosine exactly 1
+
+
+# ── exact duplicate-substring span removal ───────────────────────────
+
+def _span_dedup_reference(texts: list[str], L: int, min_count: int):
+    """Brute-force semantics: cut chars covered by any L-window whose
+    exact text occurs >= min_count times over all (doc, pos)."""
+    from collections import Counter
+
+    counts = Counter(t[i:i + L] for t in texts
+                     for i in range(len(t) - L + 1))
+    out = []
+    for t in texts:
+        marked = [i for i in range(len(t) - L + 1)
+                  if counts[t[i:i + L]] >= min_count]
+        covered = set()
+        for i in marked:
+            covered.update(range(i, i + L))
+        out.append(("".join(c for p, c in enumerate(t) if p not in covered),
+                    len(marked)))
+    return out
+
+
+def test_span_dedup_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from pdf_to_text_ray.stages.dedup import span_dedup
+
+    boiler = "SHARED NAVIGATION BOILERPLATE " * 3   # 90 chars, dup'd
+    texts = [
+        "unique first document text " * 4 + boiler,
+        boiler + " middle unique stretch here " * 3 + boiler,
+        "wholly unique third document with no repeats at all " * 2,
+        "short",
+        "",
+        "überschrift ünïcode " * 6,      # non-ASCII dup'd with next
+        "überschrift ünïcode " * 6 + "tail",
+        "self repeated inside one doc only " * 4,   # intra-doc dup
+    ]
+    L, mc = 50, 2
+    ref = _span_dedup_reference(texts, L, mc)
+
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = (span_dedup(rd.from_pandas(df), key_col="doc_id",
+                      text_col="text", L=L, min_count=mc)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    for i, (want_text, want_cnt) in enumerate(ref):
+        assert got.loc[i, "text_spanclean"] == want_text, f"doc {i}"
+        assert got.loc[i, "dup_windows"] == want_cnt, f"doc {i}"
+    # the intra-doc repeat must have been caught (multiplicity counts
+    # positions, not docs)
+    assert got.loc[7, "dup_windows"] > 0
