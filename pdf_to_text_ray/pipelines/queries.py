@@ -3258,6 +3258,62 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
 """
 
 
+def seq_pack_offsets(sf_dir: str, seq_len: int = 2048):
+    """Sequence packing for LM training (concatenate-and-chunk): docs
+    in doc_id order, one EOS token after each, chunked into
+    ``seq_len``-token training sequences. Emits each doc's token count
+    and first/last sequence index. The cumulative offset is a true
+    distributed SCAN (``groups.ordered_prefix_sum``: range-bucket
+    partials + driver prefix over B scalars + vectorized in-bucket
+    cumsum) — not a driver loop over rows."""
+    from pdf_to_text_ray.stages.groups import ordered_prefix_sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def toks(t: pa.Table) -> pa.Table:
+        s = pd.Series(t["text"].to_pylist()).fillna("")
+        n = (s.str.count(r"[^ \t\r\n\f\v]+") + 1).astype("int64")  # +EOS
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": pa.array(n.to_numpy(), pa.int64())})
+
+    cum = ordered_prefix_sum(ds.map_batches(toks, batch_format="pyarrow"),
+                             order_col="doc_id", value_col="n_tokens",
+                             out_col="cum")
+
+    def place(t: pa.Table) -> pa.Table:
+        c = t["cum"].to_numpy(zero_copy_only=False)
+        n = t["n_tokens"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": t["n_tokens"],
+            "seq_start": pa.array((c - n) // seq_len, pa.int64()),
+            "seq_end": pa.array((c - 1) // seq_len, pa.int64())})
+
+    return cum.map_batches(place, batch_format="pyarrow")
+
+
+SEQ_PACK_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(coalesce(text,'')) = '' THEN 0
+              ELSE length(regexp_split_to_array(trim(text),
+                                                '[ \t\r\n\f\v]+'))
+         END::BIGINT + 1 AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum
+  FROM t)
+SELECT doc_id, n_tokens,
+       ((cum - n_tokens) // 2048)::BIGINT AS seq_start,
+       ((cum - 1) // 2048)::BIGINT AS seq_end
+FROM c
+"""
+
+
 # ── registry ──────────────────────────────────────────────────────────
 
 QUERIES = {
@@ -3354,6 +3410,7 @@ QUERIES = {
     "q4_order_priority": q4_order_priority,
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
     "docs_span_deduped": docs_span_deduped,
+    "seq_pack_offsets": seq_pack_offsets,
     "nations_customers_and_suppliers": nations_customers_and_suppliers,
     "events_user_ntile": events_user_ntile,
     "events_pivot_counts": events_pivot_counts,
@@ -3443,6 +3500,7 @@ ORACLE_SQL = {
     "q4_order_priority": Q4_SQL,
     "q19_disjunctive_revenue": Q19_SQL,
     "docs_span_deduped": SPAN_DEDUP_SQL,
+    "seq_pack_offsets": SEQ_PACK_SQL,
     "nations_customers_and_suppliers": INTERSECT_SQL,
     "events_user_ntile": NTILE_SQL,
     "events_pivot_counts": PIVOT_SQL,

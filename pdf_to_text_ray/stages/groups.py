@@ -127,3 +127,60 @@ def _count_agg(alias: str):
     from ray.data.aggregate import Count
 
     return Count(alias_name=alias)
+
+
+def ordered_prefix_sum(ds, *, order_col: str, value_col: str,
+                       out_col: str = "cum", num_buckets: int = 32):
+    """Distributed inclusive prefix sum of ``value_col`` in
+    ``order_col`` order — a SCAN, the one shape neither map_batches nor
+    groupby expresses alone (each row depends on every earlier row).
+
+    Classic two-level scan: range-bucket on ``order_col`` (so bucket i
+    holds only keys ordered before bucket i+1), per-bucket totals via a
+    tiny (bucket, sum) groupby, an exclusive prefix over the B totals
+    on the driver (B scalars, not rows), then one vectorized
+    sort+cumsum per bucket with its offset added. Rows shuffle once,
+    carrying only (order, value) plus carried columns.
+
+    ``order_col`` must be numeric with distinct values (ties would make
+    the scan order ambiguous). Skewed key ranges skew bucket sizes —
+    acceptable for dense ids; use quantile boundaries for heavy skew.
+    """
+    import ray
+    from ray.data.aggregate import Max, Min, Sum
+
+    mm = ds.aggregate(Min(order_col), Max(order_col))
+    lo, hi = mm[f"min({order_col})"], mm[f"max({order_col})"]
+    span = max(int(hi) - int(lo) + 1, 1)
+    nb = min(num_buckets, span)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        v = t[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = (v - int(lo)) * nb // span
+        return t.append_column("_rbucket", pa.array(b, pa.int64()))
+
+    withb = ds.map_batches(add_bucket, batch_format="pyarrow")
+
+    def bucket_partial(t: pa.Table) -> pa.Table:
+        b = pd.DataFrame({
+            "_rbucket": t["_rbucket"].to_numpy(zero_copy_only=False),
+            "s": t[value_col].to_numpy(zero_copy_only=False)})
+        return arrow_out(b.groupby("_rbucket", as_index=False)
+                         .agg(s=("s", "sum")))
+
+    totals = (withb.map_batches(bucket_partial, batch_format="pyarrow")
+              .groupby("_rbucket").aggregate(Sum("s", alias_name="s"))
+              .to_pandas().sort_values("_rbucket"))
+    csum = totals["s"].cumsum().shift(fill_value=0)
+    offsets = dict(zip(totals["_rbucket"], csum))
+    off_ref = ray.put(offsets)
+
+    def scan_bucket(t: pa.Table):
+        g = t.to_pandas().sort_values(order_col)
+        base = ray.get(off_ref).get(g["_rbucket"].iloc[0], 0) \
+            if len(g) else 0
+        g[out_col] = g[value_col].cumsum() + base
+        return arrow_out(g.drop(columns=["_rbucket"]))
+
+    return withb.groupby("_rbucket").map_groups(scan_bucket,
+                                                batch_format="pyarrow")

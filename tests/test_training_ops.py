@@ -992,3 +992,24 @@ def test_span_dedup_matches_bruteforce(ray_session):
     # the intra-doc repeat must have been caught (multiplicity counts
     # positions, not docs)
     assert got.loc[7, "dup_windows"] > 0
+
+
+def test_ordered_prefix_sum_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from pdf_to_text_ray.stages.groups import ordered_prefix_sum
+
+    rng = np.random.RandomState(7)
+    # sparse, shuffled, negative-friendly ids — the scan must order
+    # globally, not per block
+    ids = rng.permutation(np.arange(0, 5000, 3))
+    vals = rng.randint(0, 100, size=len(ids))
+    df = pd.DataFrame({"k": ids, "v": vals})
+    got = (ordered_prefix_sum(
+        rd.from_pandas(df).repartition(7),
+        order_col="k", value_col="v", out_col="cum", num_buckets=8)
+        .to_pandas().sort_values("k").reset_index(drop=True))
+    want = df.sort_values("k").reset_index(drop=True)
+    want["cum"] = want["v"].cumsum()
+    assert (got["cum"].to_numpy() == want["cum"].to_numpy()).all()
+    assert list(got.columns) == ["k", "v", "cum"]
