@@ -1356,6 +1356,30 @@ UNION ALL SELECT 'lsh', true
 """
 
 
+def ann_pq_recall(sf_dir: str):
+    """PQ-ADC quality gate: recall@10 of the product-quantized path
+    (32-bit→40-bit codes + exact re-rank; `similarity.py::pq_topk`)
+    vs the exact baseline, asserted against a floor. Measured 0.90-
+    0.92 at sf0.001/sf0.01; floor 0.75 leaves host-noise margin
+    (training/ADC are fully deterministic, so the only variance is
+    corpus content)."""
+    from ..stages.similarity import knn_bruteforce, pq_topk
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    exact = knn_bruteforce(ds, KNN_QUERY_IDS, k=10)
+    ex = set(map(tuple, exact[["query_id", "vec_id"]].values))
+    pq = pq_topk(ds, KNN_QUERY_IDS, k=10, m=8, ks=32, rerank=10)
+    got = set(map(tuple, pq[["query_id", "vec_id"]].values))
+    recall = len(ex & got) / max(len(ex), 1)
+    return pd.DataFrame({"method": ["pq"],
+                         "recall_ok": [bool(recall >= 0.75)]})
+
+
+ANN_PQ_SQL = """
+SELECT 'pq' AS method, true AS recall_ok
+"""
+
+
 def doc_lm_perplexity(sf_dir: str):
     """Char-trigram LM perplexity per doc vs the corpus-trained model —
     CCNet-style fluency/quality signal (rows-only: the LM is trained
@@ -3386,6 +3410,7 @@ QUERIES = {
     "neardup_jaccard_docs": neardup_jaccard_docs,
     "neardup_jaccard_keep_docs": neardup_jaccard_keep_docs,
     "ann_recall_floor": ann_recall_floor,
+    "ann_pq_recall": ann_pq_recall,
     "media_features": media_features,
     "video_frames": video_frames,
     "doc_lines_exploded": doc_lines_exploded,
@@ -3472,6 +3497,7 @@ ORACLE_SQL = {
     "neardup_embedding": NEARDUP_EMB_SQL,
     "docs_line_deduped": LINE_DEDUP_SQL,
     "ann_recall_floor": ANN_RECALL_SQL,
+    "ann_pq_recall": ANN_PQ_SQL,
     "approx_distinct_users": APPROX_DISTINCT_SQL,
     "doc_lines_exploded": DOC_LINES_SQL,
     "doc_pii_counts": _pii_sql(),

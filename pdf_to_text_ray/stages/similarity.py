@@ -643,3 +643,198 @@ def tfidf_cosine_pairs(ds, *, key_col: str = "doc_id",
 
     return combined.filter(expr="ib != -1").map_batches(
         finish, batch_format="pyarrow")
+
+
+# ── product quantization ANN (Jégou/Douze/Schmid, TPAMI 2011) ────────
+# The 100-TB memory path: vectors compress to m uint8 codes (d·4 →
+# m bytes, 32× at d=64/m=8), search runs over the CODES via asymmetric
+# distance (per-query lookup tables), and only the tiny re-rank
+# candidate set ever touches full vectors again.
+
+
+def pq_train_codebooks(ds, *, m: int = 8, ks: int = 16, n_iters: int = 8,
+                       vec_col: str = "embedding") -> np.ndarray:
+    """(m, ks, d/m) per-subspace Euclidean k-means codebooks, trained
+    distributed: ONE partial pass per iteration covers ALL m subspaces
+    (each batch emits m·ks (sub, cid, count, vecsum) rows); the driver
+    merge is O(m·ks·d/m) = O(ks·d) per iteration. Deterministic like
+    ``ivf_centroids_distributed``: hash-chosen init sample, lexsorted
+    partials before float summation."""
+    import ray
+
+    n_init = max(4 * ks, 64)
+
+    def init_sample(batch: pa.Table) -> pa.Table:
+        mat = list_column_to_matrix(batch[vec_col])
+        if len(mat) == 0:
+            return pa.table({"v": pa.array([], pa.list_(pa.float64())),
+                             "h": pa.array([], pa.uint64())})
+        h = np.array([int.from_bytes(
+            hashlib.blake2b(row.tobytes(), digest_size=8).digest(), "big")
+            for row in mat], dtype=np.uint64)
+        keep = np.argsort(h)[: 4 * n_init]
+        return pa.table({"v": pa.array(list(mat[keep]), pa.list_(pa.float64())),
+                         "h": pa.array(h[keep], pa.uint64())})
+
+    init_pdf = (ds.map_batches(init_sample, batch_format="pyarrow")
+                .to_pandas().sort_values("h").head(n_init))
+    sample = _normalize(np.stack([np.asarray(v, np.float64)
+                                  for v in init_pdf["v"]]))
+    d = sample.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    rng = np.random.RandomState(_IVF_SEED ^ 0x50)
+    books = np.empty((m, ks, dsub), np.float64)
+    for j in range(m):
+        idx = rng.choice(len(sample), size=min(ks, len(sample)),
+                         replace=False)
+        books[j, : len(idx)] = sample[idx, j * dsub:(j + 1) * dsub]
+        if len(idx) < ks:  # degenerate tiny corpora: pad with repeats
+            books[j, len(idx):] = books[j, : ks - len(idx)]
+
+    def _assign(sub: np.ndarray, cb: np.ndarray) -> np.ndarray:
+        # argmin ||x - c||² = argmin (||c||² - 2 x·c), vectorized
+        return np.argmin((cb * cb).sum(1)[None, :] - 2.0 * (sub @ cb.T),
+                         axis=1)
+
+    for _ in range(n_iters):
+        ref = ray.put(books)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            cb = ray.get(ref)
+            mat = _normalize(list_column_to_matrix(batch[vec_col]))
+            mm, kk, dd = cb.shape
+            subs, cids, cnts, sums = [], [], [], []
+            for j in range(mm):
+                if len(mat) == 0:
+                    continue
+                sub = mat[:, j * dd:(j + 1) * dd]
+                a = _assign(sub, cb[j])
+                s = np.zeros((kk, dd))
+                np.add.at(s, a, sub)
+                c = np.bincount(a, minlength=kk)
+                subs.extend([j] * kk)
+                cids.extend(range(kk))
+                cnts.extend(c.astype(np.int64).tolist())
+                sums.extend(list(s))
+            return pa.table({
+                "sub": pa.array(subs, pa.int64()),
+                "cid": pa.array(cids, pa.int64()),
+                "cnt": pa.array(cnts, pa.int64()),
+                "vecsum": pa.array(sums, pa.list_(pa.float64())),
+            })
+
+        parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        for (j, cid), grp in parts.groupby(["sub", "cid"], sort=True):
+            n = grp["cnt"].sum()
+            if n == 0:
+                continue
+            arr = np.stack([np.asarray(x) for x in grp["vecsum"]])
+            arr = arr[np.lexsort(arr.T[::-1])]
+            books[int(j), int(cid)] = arr.sum(axis=0) / n
+    return books
+
+
+def pq_encode(ds, codebooks: np.ndarray, *, id_col: str = "vec_id",
+              vec_col: str = "embedding"):
+    """Dataset of (id, code) where code is m bytes — the compressed
+    index an ADC search (and nothing else) needs to touch."""
+    import ray
+
+    ref = ray.put(codebooks)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        cb = ray.get(ref)
+        mm, kk, dd = cb.shape
+        mat = _normalize(list_column_to_matrix(batch[vec_col]))
+        codes = np.empty((len(mat), mm), np.uint8)
+        for j in range(mm):
+            sub = mat[:, j * dd:(j + 1) * dd]
+            codes[:, j] = np.argmin(
+                (cb[j] * cb[j]).sum(1)[None, :] - 2.0 * (sub @ cb[j].T),
+                axis=1).astype(np.uint8)
+        return pa.table({
+            id_col: batch[id_col],
+            "code": pa.array([c.tobytes() for c in codes], pa.binary()),
+        })
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def pq_topk(ds, query_ids: list[int], k: int = 10, *, m: int = 8,
+            ks: int = 16, rerank: int = 4, id_col: str = "vec_id",
+            vec_col: str = "embedding") -> pd.DataFrame:
+    """PQ-ADC cosine top-k with exact re-rank.
+
+    Pipeline: train codebooks (distributed) → encode corpus to m-byte
+    codes → per-batch ADC scan over CODES ONLY (per-query (m, ks)
+    inner-product lookup tables; sims are table-gather sums, no float
+    matmul against the corpus) keeping top rerank·k per batch → driver
+    union of candidates → one pruned filter pass fetches candidates'
+    full vectors → exact cosine re-rank to top-k. Same deterministic
+    (-sim, id) ordering as ``knn_bruteforce``."""
+    import ray
+
+    books = pq_train_codebooks(ds, m=m, ks=ks, vec_col=vec_col)
+    codes = pq_encode(ds, books, id_col=id_col, vec_col=vec_col)
+
+    q_pdf = _fetch_rows_by_id(ds, id_col, set(query_ids)).sort_values(id_col)
+    q_mat = _normalize(np.stack(
+        [np.asarray(v, np.float64) for v in q_pdf[vec_col]]))
+    q_ids = q_pdf[id_col].to_numpy()
+    mm, kk, dd = books.shape
+    # per-query ADC tables: table[q, j, c] = q_sub_j · codebook[j, c]
+    tables = np.einsum("qjd,jcd->qjc", q_mat.reshape(len(q_mat), mm, dd),
+                       books)
+    t_ref = ray.put((q_ids, tables))
+    r = rerank * k
+
+    def adc_partial(batch: pa.Table) -> pa.Table:
+        qids, tbl = ray.get(t_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        raw = b"".join(batch["code"].to_pylist())
+        cm = np.frombuffer(raw, np.uint8).reshape(-1, tbl.shape[1])
+        out_q, out_v, out_s = [], [], []
+        cols = np.arange(tbl.shape[1])
+        for qi, qid in enumerate(qids):
+            sims = tbl[qi][cols[None, :], cm].sum(axis=1)
+            mask = ids != qid
+            cand, cs = ids[mask], sims[mask]
+            take = min(r, len(cand))
+            if take == 0:
+                continue
+            idx = np.argpartition(-cs, take - 1)[:take]
+            out_q.extend([qid] * take)
+            out_v.extend(cand[idx].tolist())
+            out_s.extend(cs[idx].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            id_col: pa.array(out_v, pa.int64()),
+            "adc": pa.array(out_s, pa.float64()),
+        })
+
+    partials = codes.map_batches(adc_partial, batch_format="pyarrow").to_pandas()
+    if partials.empty:
+        return pd.DataFrame({"query_id": [], id_col: [], "rank": []}).astype("int64")
+    partials = partials.sort_values(
+        ["query_id", "adc", id_col], ascending=[True, False, True],
+        kind="mergesort")
+    cand = partials.groupby("query_id", sort=True).head(r)
+
+    # exact re-rank: candidates' true vectors via one pruned pass
+    cand_ids = set(cand[id_col].tolist())
+    vec_pdf = _fetch_rows_by_id(ds, id_col, cand_ids)
+    vmap = {int(row[id_col]): _normalize(
+        np.asarray(row[vec_col], np.float64)[None, :])[0]
+        for _, row in vec_pdf.iterrows()}
+    rows = []
+    for qi, qid in enumerate(q_ids):
+        ids_q = cand.loc[cand["query_id"] == qid, id_col].to_numpy()
+        if len(ids_q) == 0:
+            continue
+        sims = np.array([vmap[int(i)] @ q_mat[qi] for i in ids_q])
+        order = np.lexsort((ids_q, -sims))[:k]
+        for rank, pos in enumerate(order, 1):
+            rows.append((int(qid), int(ids_q[pos]), rank))
+    return pd.DataFrame(rows, columns=["query_id", id_col, "rank"])

@@ -1013,3 +1013,32 @@ def test_ordered_prefix_sum_matches_numpy(ray_session):
     want["cum"] = want["v"].cumsum()
     assert (got["cum"].to_numpy() == want["cum"].to_numpy()).all()
     assert list(got.columns) == ["k", "v", "cum"]
+
+
+def test_pq_topk_recall_and_compression(ray_session):
+    import ray.data as rd
+
+    from pdf_to_text_ray.stages.similarity import (
+        knn_bruteforce,
+        pq_encode,
+        pq_topk,
+        pq_train_codebooks,
+    )
+
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    books = pq_train_codebooks(ds, m=8, ks=32)
+    assert books.shape == (8, 32, 8)
+    codes = pq_encode(ds, books).to_pandas()
+    assert codes["code"].map(len).eq(8).all()     # 32 B float → 8 B
+    assert len(codes) == ds.count()
+
+    qids = [0, 1, 2, 3, 4]
+    exact = knn_bruteforce(ds, qids, k=10)
+    pq = pq_topk(ds, qids, k=10, m=8, ks=32, rerank=10)
+    ex = set(map(tuple, exact[["query_id", "vec_id"]].values))
+    got = set(map(tuple, pq[["query_id", "vec_id"]].values))
+    assert len(ex & got) / len(ex) >= 0.75
+    # determinism: a second run returns the identical frame
+    pq2 = pq_topk(ds, qids, k=10, m=8, ks=32, rerank=10)
+    pd.testing.assert_frame_equal(pq, pq2)
