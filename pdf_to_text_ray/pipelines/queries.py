@@ -2102,7 +2102,16 @@ def inverted_index_lookup(sf_dir: str):
 
     docs_path = os.path.join(sf_dir, "documents.parquet")
     n = pq.ParquetFile(docs_path).metadata.num_rows
-    out_dir = f"/tmp/ptt_invindex/n{n}"
+    # Cache key fingerprints the source file AND the index format so a
+    # tokenizer/layout change (or a different corpus with the same row
+    # count) can never serve a stale index.
+    import hashlib
+
+    st = os.stat(docs_path)
+    fp = hashlib.md5(
+        f"{docs_path}|{st.st_size}|{st.st_mtime_ns}|v2".encode()
+    ).hexdigest()[:12]
+    out_dir = f"/tmp/ptt_invindex/n{n}_{fp}"
     marker = os.path.join(out_dir, "_DONE")
     if not os.path.exists(marker):
         shutil.rmtree(out_dir, ignore_errors=True)
@@ -3271,7 +3280,7 @@ LEFT JOIN counts cn ON cn.doc_id = d.doc_id
 
 
 Q19_SQL = """
-SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT coalesce(round(sum(l_extendedprice * (1 - l_discount)), 2), 0.0) AS revenue
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
        AND l_quantity BETWEEN 1 AND 11)
