@@ -3349,6 +3349,456 @@ FROM c
 
 # ── registry ──────────────────────────────────────────────────────────
 
+def q13_customer_distribution(sf_dir: str):
+    """TPC-H Q13 shape — distribution of per-customer order counts,
+    including the zero bucket. Two cascaded groupbys: the first is the
+    wide one (orders by custkey, count); the second groups the already
+    per-customer-small result by count. The zero bucket needs only the
+    customer row COUNT (parquet footer metadata), not a join — orders
+    reference existing customers (TPC-H referential integrity)."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count
+
+    per_cust = (_read(sf_dir, "orders", ["o_custkey"])
+                .groupby("o_custkey")
+                .aggregate(Count(alias_name="c_count")))
+    dist = (per_cust.groupby("c_count")
+            .aggregate(Count(alias_name="custdist"))
+            .to_pandas())
+    n_cust = pq.ParquetFile(
+        os.path.join(sf_dir, "customer.parquet")).metadata.num_rows
+    n_with = int(dist["custdist"].sum())
+    if n_cust > n_with:
+        dist = pd.concat(
+            [dist, pd.DataFrame({"c_count": [0],
+                                 "custdist": [n_cust - n_with]})],
+            ignore_index=True)
+    dist["c_count"] = dist["c_count"].astype("int64")
+    dist["custdist"] = dist["custdist"].astype("int64")
+    return (dist.sort_values(["custdist", "c_count"],
+                             ascending=[False, False])
+            .reset_index(drop=True))
+
+
+Q13_SQL = """
+SELECT c_count, count(*)::BIGINT AS custdist
+FROM (SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q15_top_supplier(sf_dir: str):
+    """TPC-H Q15 shape — argmax over a grouped revenue aggregate: the
+    per-supplier sum is distributed; the global max is a scalar
+    aggregate on the (bounded-by-#suppliers) grouped dataset; the
+    winner set is tiny and joins supplier names driver-side. The
+    equality filter compares sums produced by ONE engine, so float
+    summation order cannot split the winner between engines."""
+    from ray.data.aggregate import Sum
+
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1996-04-01")
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(
+            pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+            pc.less(t["l_shipdate"], pa.scalar(hi))))
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"s_suppkey": t["l_suppkey"],
+                         "total_revenue": rev})
+
+    per_supp = (_lineitem(sf_dir, ["l_suppkey", "l_shipdate",
+                                   "l_extendedprice", "l_discount"])
+                .map_batches(partial, batch_format="pyarrow")
+                .groupby("s_suppkey")
+                .aggregate(Sum("total_revenue", alias_name="total_revenue")))
+    mx = per_supp.max("total_revenue")
+    winners = (per_supp
+               .filter(expr=f"total_revenue == {mx!r}")
+               .to_pandas())
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
+    out = winners.merge(supp, on="s_suppkey")
+    out["total_revenue"] = round2(out["total_revenue"])
+    return (out[["s_suppkey", "s_name", "total_revenue"]]
+            .sort_values("s_suppkey").reset_index(drop=True))
+
+
+Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS s_suppkey,
+         sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s.s_suppkey, s.s_name, round(r.total_revenue, 2) AS total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.s_suppkey
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s.s_suppkey
+"""
+
+
+def q17_small_quantity_revenue(sf_dir: str):
+    """TPC-H Q17 shape — correlated per-key average as a broadcast:
+    pass 1 computes avg quantity per brand part (pruned to the brand's
+    partkeys via a broadcast membership probe); pass 2 re-scans
+    lineitem filtering quantity < 0.2·avg(partkey) through the
+    broadcast per-part thresholds; each batch emits one scalar
+    partial. Integer-valued quantities keep both engines' averages
+    bit-exact (sums < 2^53), so the threshold comparison agrees."""
+    import ray
+
+    brand = "Brand#13"
+    pk = (_read(sf_dir, "part", ["p_partkey", "p_brand"]).to_pandas())
+    pkeys = np.sort(pk.loc[pk["p_brand"] == brand, "p_partkey"].to_numpy())
+    pk_ref = ray.put(pkeys)
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        keys = ray.get(pk_ref)
+        lp = t["l_partkey"].to_numpy(zero_copy_only=False)
+        idx = np.clip(np.searchsorted(keys, lp), 0, max(len(keys) - 1, 0))
+        hit = (keys[idx] == lp) if len(keys) else np.zeros(len(lp), bool)
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)[hit]
+        part = pd.DataFrame({"p_partkey": lp[hit], "s": qty,
+                             "n": np.ones(hit.sum(), np.int64)})
+        g = part.groupby("p_partkey", as_index=False).sum()
+        return arrow_out(g)
+
+    from ray.data.aggregate import Sum
+
+    avg = (_lineitem(sf_dir, ["l_partkey", "l_quantity"])
+           .map_batches(qty_partial, batch_format="pyarrow")
+           .groupby("p_partkey")
+           .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+           .to_pandas())
+    thresh = dict(zip(avg["p_partkey"],
+                      0.2 * (avg["s"] / avg["n"])))
+    tkeys = np.array(sorted(thresh), dtype=np.int64)
+    tvals = np.array([thresh[k] for k in tkeys], dtype=np.float64)
+    t_ref = ray.put((tkeys, tvals))
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        keys, vals = ray.get(t_ref)
+        lp = t["l_partkey"].to_numpy(zero_copy_only=False)
+        idx = np.clip(np.searchsorted(keys, lp), 0, max(len(keys) - 1, 0))
+        hit = (keys[idx] == lp) if len(keys) else np.zeros(len(lp), bool)
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        keep = hit & (qty < vals[idx])
+        s = float(t["l_extendedprice"].to_numpy(
+            zero_copy_only=False)[keep].sum())
+        return pa.table({"s": pa.array([s], pa.float64())})
+
+    total = (_lineitem(sf_dir, ["l_partkey", "l_quantity",
+                                "l_extendedprice"])
+             .map_batches(rev_partial, batch_format="pyarrow")
+             .to_pandas()["s"].sum())
+    return pd.DataFrame({"avg_yearly": round2(np.asarray([total / 7.0]))})
+
+
+Q17_SQL = """
+SELECT coalesce(round(sum(l_extendedprice) / 7.0, 2), 0.0) AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#13'
+  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+"""
+
+
+def q22_idle_customers(sf_dir: str):
+    """TPC-H Q22 shape — anti-join against the distinct
+    recently-ordering customer set (bounded by #customers → broadcast
+    sorted-array probe, the EXISTS pattern in reverse) gated by a
+    global scalar average computed from distributed partials."""
+    import ray
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+
+    def bal_partial(t: pa.Table) -> pa.Table:
+        b = t["c_acctbal"].to_numpy(zero_copy_only=False)
+        pos = b[b > 0.0]
+        return pa.table({"s": pa.array([float(pos.sum())], pa.float64()),
+                         "n": pa.array([len(pos)], pa.int64())})
+
+    parts = cust.map_batches(bal_partial, batch_format="pyarrow").to_pandas()
+    avg_bal = parts["s"].sum() / parts["n"].sum()
+
+    cut = pd.Timestamp("2000-01-01")
+    active = (_read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+              .map_batches(lambda t: t.filter(
+                  pc.greater_equal(t["o_orderdate"], pa.scalar(cut)))
+                  .select(["o_custkey"]), batch_format="pyarrow")
+              .groupby("o_custkey").count().to_pandas())
+    active_ref = ray.put(np.sort(active["o_custkey"].to_numpy()))
+
+    def idle(t: pa.Table) -> pa.Table:
+        keys = ray.get(active_ref)
+        ck = t["c_custkey"].to_numpy(zero_copy_only=False)
+        idx = np.clip(np.searchsorted(keys, ck), 0, max(len(keys) - 1, 0))
+        has = (keys[idx] == ck) if len(keys) else np.zeros(len(ck), bool)
+        bal = t["c_acctbal"].to_numpy(zero_copy_only=False)
+        keep = (~has) & (bal > avg_bal)
+        part = pd.DataFrame({"seg": ck[keep] % 10, "bal": bal[keep],
+                             "one": np.ones(keep.sum(), np.int64)})
+        g = part.groupby("seg", as_index=False).agg(
+            numcust=("one", "sum"), totacctbal=("bal", "sum"))
+        return arrow_out(g)
+
+    from ray.data.aggregate import Sum
+
+    out = (cust.map_batches(idle, batch_format="pyarrow")
+           .groupby("seg")
+           .aggregate(Sum("numcust", alias_name="numcust"),
+                      Sum("totacctbal", alias_name="totacctbal"))
+           .to_pandas())
+    if out.empty:  # every customer ordered — keep the typed schema
+        return pd.DataFrame({"seg": pd.Series([], dtype="int64"),
+                             "numcust": pd.Series([], dtype="int64"),
+                             "totacctbal": pd.Series([], dtype="float64")})
+    out["numcust"] = out["numcust"].astype("int64")
+    out["totacctbal"] = round2(out["totacctbal"])
+    return out.sort_values("seg").reset_index(drop=True)
+
+
+Q22_SQL = """
+SELECT c_custkey % 10 AS seg, count(*)::BIGINT AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                   WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY seg ORDER BY seg
+"""
+
+
+def q7_nation_volume(sf_dir: str):
+    """TPC-H Q7 shape — bidirectional nation-pair trade volume by ship
+    year. Same scale typing as Q5: supplier→nation ships once as
+    broadcast sorted arrays; orders⋈customer and lineitem⋈(o⋈c) are
+    the two bucketed fact-fact edges; the (supp_nation, cust_nation,
+    year) partial aggregate happens inside each batch before the final
+    tiny groupby."""
+    import ray
+
+    from pdf_to_text_ray.stages.joins import bucketed_hash_join
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    names = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    pair = {1, 2}  # NATION_1 <-> NATION_2, both directions
+    supp = (_read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+            .to_pandas().sort_values("s_suppkey"))
+    supp_ref = ray.put((supp["s_suppkey"].to_numpy(),
+                        supp["s_nationkey"].to_numpy()))
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        lambda t: t.rename_columns(["o_orderkey", "c_custkey"]),
+        batch_format="pyarrow")
+    o_c = bucketed_hash_join(orders, cust, on="c_custkey",
+                             left_cols=["o_orderkey"],
+                             right_cols=["c_nationkey"])
+
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1998-01-01")
+    li = _lineitem(sf_dir, ["l_orderkey", "l_suppkey", "l_shipdate",
+                            "l_extendedprice", "l_discount"]).map_batches(
+        lambda t: (t.filter(pc.and_(
+            pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+            pc.less(t["l_shipdate"], pa.scalar(hi))))
+            .rename_columns(["o_orderkey", "l_suppkey", "l_shipdate",
+                             "l_extendedprice", "l_discount"])),
+        batch_format="pyarrow")
+    joined = bucketed_hash_join(
+        li, o_c.map_batches(lambda t: t.select(["o_orderkey", "c_nationkey"]),
+                            batch_format="pyarrow"),
+        on="o_orderkey",
+        left_cols=["l_suppkey", "l_shipdate", "l_extendedprice",
+                   "l_discount"],
+        right_cols=["c_nationkey"])
+
+    def volume_partial(t: pa.Table) -> pa.Table:
+        b = t.to_pandas()
+        sk, sn = ray.get(supp_ref)
+        lsk = b["l_suppkey"].to_numpy()
+        idx = np.clip(np.searchsorted(sk, lsk), 0, len(sk) - 1)
+        s_nat = np.where(sk[idx] == lsk, sn[idx], -1)
+        c_nat = b["c_nationkey"].to_numpy()
+        keep = (((s_nat == 1) & (c_nat == 2))
+                | ((s_nat == 2) & (c_nat == 1)))
+        b = b[keep]
+        part = pd.DataFrame({
+            "supp_nation": s_nat[keep], "cust_nation": c_nat[keep],
+            "l_year": b["l_shipdate"].dt.year.to_numpy(),
+            "volume": (b["l_extendedprice"] * (1 - b["l_discount"]))})
+        return arrow_out(part.groupby(
+            ["supp_nation", "cust_nation", "l_year"],
+            as_index=False)["volume"].sum())
+
+    from ray.data.aggregate import Sum
+
+    agg = (joined.map_batches(volume_partial, batch_format="pyarrow")
+           .groupby(["supp_nation", "cust_nation", "l_year"])
+           .aggregate(Sum("volume", alias_name="volume"))
+           .to_pandas())
+    if agg.empty:  # no trade between the pair at this sf
+        return pd.DataFrame({"supp_nation": pd.Series([], dtype=object),
+                             "cust_nation": pd.Series([], dtype=object),
+                             "l_year": pd.Series([], dtype="int64"),
+                             "volume": pd.Series([], dtype="float64")})
+    agg["supp_nation"] = agg["supp_nation"].map(names)
+    agg["cust_nation"] = agg["cust_nation"].map(names)
+    agg["l_year"] = agg["l_year"].astype("int64")
+    agg["volume"] = round2(agg["volume"])
+    return (agg.sort_values(["supp_nation", "cust_nation", "l_year"])
+            .reset_index(drop=True))
+
+
+Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate)::BIGINT AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS volume
+FROM supplier, lineitem, orders, customer, nation n1, nation n2
+WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+  AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+  AND c_nationkey = n2.n_nationkey
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def viewers_without_purchase(sf_dir: str):
+    """EXCEPT set op — distinct viewers minus distinct big-ticket
+    purchasers (value > 180). The subtrahend side is distinct-reduced
+    distributed first (bounded by #users), then broadcast as a sorted
+    array; the minuend stays a streaming distinct."""
+    import ray
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+    buyers = (ev.filter(expr="event_type == 'purchase' and value > 180.0")
+              .groupby("user_id").count().to_pandas())
+    buyers_ref = ray.put(np.sort(buyers["user_id"].to_numpy())
+                         if len(buyers) else np.array([], dtype=np.int64))
+
+    def probe(t: pa.Table) -> pa.Table:
+        keys = ray.get(buyers_ref)
+        t = t.filter(pc.equal(t["event_type"], pa.scalar("view")))
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        idx = np.clip(np.searchsorted(keys, u), 0, max(len(keys) - 1, 0))
+        isb = (keys[idx] == u) if len(keys) else np.zeros(len(u), bool)
+        return pa.table({"user_id": pa.array(u[~isb])})
+
+    out = (ev.map_batches(probe, batch_format="pyarrow")
+           .groupby("user_id").count().to_pandas())
+    if out.empty:
+        return pd.DataFrame({"user_id": pd.Series([], dtype="int64")})
+    return out[["user_id"]].sort_values("user_id").reset_index(drop=True)
+
+
+EXCEPT_SQL = """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+EXCEPT
+SELECT DISTINCT user_id FROM events
+WHERE event_type = 'purchase' AND value > 180.0
+"""
+
+
+def events_moving_avg(sf_dir: str):
+    """ROWS-frame moving average (3-row trailing window) per user —
+    hash-bucketed shuffle, one vectorized pandas rolling-mean call per
+    bucket (`groups.bucketed_group_apply`)."""
+    from pdf_to_text_ray.stages.groups import bucketed_group_apply
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        mov = (df.groupby("user_id")["value"]
+               .rolling(3, min_periods=1).mean()
+               .reset_index(level=0, drop=True))
+        return pd.DataFrame({"event_id": df["event_id"],
+                             "mov_avg": round2(mov)})
+
+    return bucketed_group_apply(ev, "user_id", per_bucket).to_pandas()
+
+
+MOVING_AVG_SQL = """
+SELECT event_id,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+             2) AS mov_avg
+FROM events
+"""
+
+
+def user_first_last_event(sf_dir: str):
+    """first_value / last_value per partition — per-user first and
+    last event type under the (ts, event_id) total order, one
+    vectorized first/last per bucket."""
+    from pdf_to_text_ray.stages.groups import bucketed_group_apply
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                  "event_type"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        g = df.groupby("user_id")["event_type"]
+        out = pd.DataFrame({"first_event": g.first(), "last_event": g.last(),
+                            "n_events": g.size().astype("int64")})
+        return out.reset_index()
+
+    return (bucketed_group_apply(ev, "user_id", per_bucket)
+            .to_pandas().sort_values("user_id").reset_index(drop=True))
+
+
+FIRST_LAST_SQL = """
+SELECT DISTINCT user_id,
+       first_value(event_type) OVER w AS first_event,
+       last_value(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       ) AS last_event,
+       count(*) OVER (PARTITION BY user_id) AS n_events
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def nation_supplier_rank(sf_dir: str):
+    """rank() vs dense_rank() over a grouped count (ties are real —
+    25 nations share supplier counts). The count is distributed; the
+    ranking runs on the 25-row grouped result."""
+    per_nation = (_read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+                  .groupby("s_nationkey").count().to_pandas()
+                  .rename(columns={"count()": "n_supp"}))
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    out = nation.merge(per_nation, left_on="n_nationkey",
+                       right_on="s_nationkey", how="left")
+    out["n_supp"] = out["n_supp"].fillna(0).astype("int64")
+    out["rnk"] = (out["n_supp"].rank(method="min", ascending=False)
+                  .astype("int64"))
+    out["drnk"] = (out["n_supp"].rank(method="dense", ascending=False)
+                   .astype("int64"))
+    return (out[["n_name", "n_supp", "rnk", "drnk"]]
+            .sort_values("n_name").reset_index(drop=True))
+
+
+NATION_RANK_SQL = """
+WITH c AS (SELECT n_name, count(s_suppkey)::BIGINT AS n_supp
+           FROM nation LEFT JOIN supplier ON s_nationkey = n_nationkey
+           GROUP BY n_name)
+SELECT n_name, n_supp,
+       rank() OVER (ORDER BY n_supp DESC) AS rnk,
+       dense_rank() OVER (ORDER BY n_supp DESC) AS drnk
+FROM c ORDER BY n_name
+"""
+
+
 QUERIES = {
     # relational
     "q1_pricing_summary": q1_pricing_summary,
@@ -3458,6 +3908,15 @@ QUERIES = {
     "tfidf_similar_docs": tfidf_similar_docs,
     "label_centroids": label_centroids,
     "curation_pipeline": curation_pipeline,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q15_top_supplier": q15_top_supplier,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q22_idle_customers": q22_idle_customers,
+    "q7_nation_volume": q7_nation_volume,
+    "viewers_without_purchase": viewers_without_purchase,
+    "events_moving_avg": events_moving_avg,
+    "user_first_last_event": user_first_last_event,
+    "nation_supplier_rank": nation_supplier_rank,
 }
 
 ORACLE_SQL = {
@@ -3549,4 +4008,13 @@ ORACLE_SQL = {
     "tfidf_similar_docs": TFIDF_SQL,
     "label_centroids": CENTROID_SQL,
     "curation_pipeline": CURATION_SQL,
+    "q13_customer_distribution": Q13_SQL,
+    "q15_top_supplier": Q15_SQL,
+    "q17_small_quantity_revenue": Q17_SQL,
+    "q22_idle_customers": Q22_SQL,
+    "q7_nation_volume": Q7_SQL,
+    "viewers_without_purchase": EXCEPT_SQL,
+    "events_moving_avg": MOVING_AVG_SQL,
+    "user_first_last_event": FIRST_LAST_SQL,
+    "nation_supplier_rank": NATION_RANK_SQL,
 }
