@@ -3799,6 +3799,106 @@ FROM c ORDER BY n_name
 """
 
 
+def domain_stats(sf_dir: str):
+    """Per-domain corpus profile (the `source` column stands in for
+    the URL host): doc count, total whitespace tokens, mean length,
+    distinct languages. Token counts pre-aggregate per batch; the lang
+    cardinality rides a distinct-pairs reduction — both shuffles move
+    only (source, partial) rows."""
+    from ..stages.analysis import token_stats_batch
+    from ray.data.aggregate import Count, Sum
+
+    docs = _read(sf_dir, "documents", ["source", "lang", "text", "n_chars"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        s = token_stats_batch(b)
+        part = pd.DataFrame({"source": b["source"],
+                             "n_tokens": s["n_tokens"],
+                             "n_chars": b["n_chars"]})
+        g = part.groupby("source", as_index=False).agg(
+            n_docs=("n_tokens", "size"), total_tokens=("n_tokens", "sum"),
+            sum_chars=("n_chars", "sum"))
+        return g
+
+    agg = (docs.map_batches(lambda b: arrow_out(partial(b)),
+                            batch_format="pandas")
+           .groupby("source")
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("total_tokens", alias_name="total_tokens"),
+                      Sum("sum_chars", alias_name="sum_chars"))
+           .to_pandas())
+    langs = (docs.map_batches(
+        lambda t: t.select(["source", "lang"]), batch_format="pyarrow")
+        .groupby(["source", "lang"]).count()
+        .groupby("source").aggregate(Count(alias_name="n_langs"))
+        .to_pandas())
+    out = agg.merge(langs, on="source")
+    out["avg_chars"] = round2(out["sum_chars"] / out["n_docs"])
+    for c in ("n_docs", "total_tokens", "n_langs"):
+        out[c] = out[c].astype("int64")
+    return (out[["source", "n_docs", "total_tokens", "avg_chars",
+                 "n_langs"]]
+            .sort_values("source").reset_index(drop=True))
+
+
+DOMAIN_STATS_SQL = r"""
+WITH s AS (
+  SELECT source, lang, n_chars,
+         CASE WHEN trim(coalesce(text,'')) = '' THEN 0
+              ELSE length(regexp_split_to_array(trim(text), '[ \t\r\n\f\v]+'))
+         END::BIGINT AS n_tokens
+  FROM documents)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(n_tokens)::BIGINT AS total_tokens,
+       round(sum(n_chars)::DOUBLE / count(*), 2) AS avg_chars,
+       count(DISTINCT lang)::BIGINT AS n_langs
+FROM s GROUP BY source ORDER BY source
+"""
+
+
+def semdedup_keep_docs(sf_dir: str):
+    """SemDeDup over the embeddings table (rows-only — k-means is not
+    SQL-expressible; pytest asserts parity with a brute-force
+    restatement of the keep rule). Kept = no lower-id neighbor at
+    cosine ≥ 0.95 within the item's cluster."""
+    from ..stages.similarity import semdedup_keep
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = semdedup_keep(ds, n_clusters=16, threshold=0.95).to_pandas()
+    out["kept"] = out["kept"].astype(bool)
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def bloom_eval_overlap(sf_dir: str):
+    """Bloom-filter decontamination screen (rows-only; pytest bounds
+    false-positive rate against the exact probe): a mergeable bloom of
+    ALL corpus word 13-grams (per-batch packed bitmaps, OR-merge —
+    no gram ever shuffles), probed by an eval set of 5 in-corpus docs
+    (every gram must hit) and 5 synthetic out-of-corpus texts (hits
+    are bloom false positives only)."""
+    from ..stages.analysis import _gram_hashes
+    from ..stages.sketches import bloom_contains, bloom_corpus_ngrams
+
+    M, K = 1 << 23, 3
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    bloom = bloom_corpus_ngrams(ds, n=13, m_bits=M, k=K)
+
+    probes = (ds.map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], pa.scalar(5))),
+        batch_format="pyarrow").to_pandas()
+        .sort_values("doc_id"))
+    texts = [(f"pos_{d}", t) for d, t in zip(probes["doc_id"],
+                                             probes["text"])]
+    texts += [(f"neg_{i}", " ".join(f"oov{i}w{j}" for j in range(40)))
+              for i in range(5)]
+    rows = []
+    for pid, text in texts:
+        hs = np.unique(_gram_hashes((text or "").lower().split(), 13))
+        hits = bloom_contains(bloom, hs, m_bits=M, k=K)
+        rows.append((pid, len(hs), int(hits.sum())))
+    return pd.DataFrame(rows, columns=["probe_id", "n_grams", "n_hits"])
+
+
 QUERIES = {
     # relational
     "q1_pricing_summary": q1_pricing_summary,
@@ -3917,6 +4017,9 @@ QUERIES = {
     "events_moving_avg": events_moving_avg,
     "user_first_last_event": user_first_last_event,
     "nation_supplier_rank": nation_supplier_rank,
+    "domain_stats": domain_stats,
+    "semdedup_keep_docs": semdedup_keep_docs,
+    "bloom_eval_overlap": bloom_eval_overlap,
 }
 
 ORACLE_SQL = {
@@ -4017,4 +4120,5 @@ ORACLE_SQL = {
     "events_moving_avg": MOVING_AVG_SQL,
     "user_first_last_event": FIRST_LAST_SQL,
     "nation_supplier_rank": NATION_RANK_SQL,
+    "domain_stats": DOMAIN_STATS_SQL,
 }

@@ -838,3 +838,65 @@ def pq_topk(ds, query_ids: list[int], k: int = 10, *, m: int = 8,
         for rank, pos in enumerate(order, 1):
             rows.append((int(qid), int(ids_q[pos]), rank))
     return pd.DataFrame(rows, columns=["query_id", id_col, "rank"])
+
+
+# ── SemDeDup: semantic dedup via k-means + within-cluster cosine ─────
+
+def semdedup_keep(ds, *, id_col: str = "vec_id",
+                  vec_col: str = "embedding", n_clusters: int = 16,
+                  threshold: float = 0.95, n_iters: int = 8):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means cluster
+    the embedding space, then within each cluster drop every item that
+    has a LOWER-id neighbor at cosine ≥ threshold (deterministic — no
+    greedy-order ambiguity). Returns (id, cluster, kept).
+
+    Scale shape: centroids train distributed (one partial pass per
+    Lloyd iteration — ``ivf_centroids_distributed``); assignment is a
+    per-batch matmul against the broadcast codebook; the O(|cluster|²)
+    similarity check runs inside a hash-bucketed shuffle keyed on
+    cluster id. Partitioning assumption: n_clusters scales with the
+    corpus (SemDeDup uses ~100k clusters at web scale) so per-cluster
+    cost stays bounded; a skewed giant cluster needs a higher
+    n_clusters, not a bigger worker."""
+    import ray
+
+    from pdf_to_text_ray.stages.groups import bucketed_group_apply
+
+    cents = ivf_centroids_distributed(ds, n_clusters, n_iters=n_iters,
+                                      vec_col=vec_col)
+    ref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        m = _normalize(list_column_to_matrix(batch[vec_col]))
+        if len(m) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int64()),
+                             vec_col: pa.array([], pa.list_(pa.float64()))})
+        cid = np.argmax(m @ c.T, axis=1).astype(np.int64)
+        return pa.table({id_col: batch[id_col],
+                         "cluster": pa.array(cid, pa.int64()),
+                         vec_col: batch[vec_col]})
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for cid, g in df.groupby("cluster", sort=True):
+            ids = g[id_col].to_numpy()
+            order = np.argsort(ids)
+            ids = ids[order]
+            m = _normalize(np.stack(
+                [np.asarray(v, np.float64) for v in g[vec_col]]))[order]
+            # dup[j] := ∃ i<j with cos(i,j) ≥ τ  (strict upper triangle)
+            sims = np.triu(m @ m.T >= threshold, 1)
+            out.append(pd.DataFrame({
+                id_col: ids, "cluster": cid, "kept": ~sims.any(axis=0)}))
+        if not out:
+            return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                                 "cluster": pd.Series([], dtype="int64"),
+                                 "kept": pd.Series([], dtype=bool)})
+        return pd.concat(out, ignore_index=True)
+
+    return bucketed_group_apply(assigned, "cluster", per_bucket,
+                                num_buckets=min(16, n_clusters))

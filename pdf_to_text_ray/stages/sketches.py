@@ -215,3 +215,73 @@ def approx_quantiles(ds, col: str, qs: list[float], *,
     if pdf.empty:
         return [float("nan")] * len(qs)
     return merged_quantile(pdf["v"].to_numpy(), pdf["w"].to_numpy(), qs)
+
+
+# ── Bloom filter (mergeable membership sketch) ───────────────────────
+#
+# Per-batch packed bitmaps OR-merge associatively — the same
+# shuffle-free shape as the HLL above. k probe positions per element
+# via double hashing (Kirsch & Mitzenmacher 2006, "Less hashing, same
+# performance"): pos_i = (h + i·h2) mod m with h2 forced odd.
+
+_BLOOM_C1 = np.uint64(0x9E3779B97F4A7C15)
+
+
+def bloom_positions(h: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """(k, n) probe positions for stable 64-bit element hashes ``h``.
+    ``m_bits`` must be a power of two (mask, not modulo)."""
+    h = np.asarray(h, dtype=np.uint64)
+    h2 = (h * _BLOOM_C1) | np.uint64(1)
+    mask = np.uint64(m_bits - 1)
+    out = np.empty((k, len(h)), np.uint64)
+    for i in range(k):
+        out[i] = (h + np.uint64(i) * h2) & mask
+    return out
+
+
+def bloom_add(words: np.ndarray, h: np.ndarray, *, m_bits: int,
+              k: int) -> None:
+    """Set the probe bits of hashes ``h`` in the packed uint64 bitmap
+    ``words`` (in place)."""
+    if len(h) == 0:
+        return
+    pos = bloom_positions(h, m_bits, k).ravel()
+    np.bitwise_or.at(words, (pos >> np.uint64(6)).astype(np.int64),
+                     np.uint64(1) << (pos & np.uint64(63)))
+
+
+def bloom_contains(words: np.ndarray, h: np.ndarray, *, m_bits: int,
+                   k: int) -> np.ndarray:
+    """Membership verdicts for hashes ``h``: True = maybe present
+    (false positives possible), False = definitely absent."""
+    if len(h) == 0:
+        return np.zeros(0, dtype=bool)
+    pos = bloom_positions(h, m_bits, k)
+    bits = (words[(pos >> np.uint64(6)).astype(np.int64)]
+            >> (pos & np.uint64(63))) & np.uint64(1)
+    return bits.all(axis=0)
+
+
+def bloom_corpus_ngrams(ds, *, text_col: str = "text", n: int = 13,
+                        m_bits: int = 1 << 23, k: int = 3) -> np.ndarray:
+    """Distributed bloom build over ALL word n-grams of a corpus: each
+    batch emits ONE packed bitmap (m_bits/8 bytes); the driver
+    OR-reduces B bitmaps. The gram stream itself never shuffles —
+    traffic is B × m/8 bytes regardless of corpus size. Size m to the
+    expected distinct-gram count (load factor k·n_grams/m ≪ 1)."""
+    import pyarrow as pa
+
+    from pdf_to_text_ray.stages.analysis import _gram_hashes
+
+    def partial(t: pa.Table) -> pa.Table:
+        words = np.zeros(m_bits // 64, np.uint64)
+        for text in t[text_col].to_pylist():
+            bloom_add(words, _gram_hashes((text or "").lower().split(), n),
+                      m_bits=m_bits, k=k)
+        return pa.table({"bloom": pa.array([words.tobytes()], pa.binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    acc = np.zeros(m_bits // 64, np.uint64)
+    for buf in parts["bloom"]:
+        acc |= np.frombuffer(buf, dtype=np.uint64)
+    return acc

@@ -1042,3 +1042,79 @@ def test_pq_topk_recall_and_compression(ray_session):
     # determinism: a second run returns the identical frame
     pq2 = pq_topk(ds, qids, k=10, m=8, ks=32, rerank=10)
     pd.testing.assert_frame_equal(pq, pq2)
+
+
+# ── SemDeDup ─────────────────────────────────────────────────────────
+
+def test_semdedup_matches_bruteforce_rule(ray_session):
+    import ray.data as rd
+
+    from pdf_to_text_ray.stages.similarity import (
+        ivf_centroids_distributed, semdedup_keep)
+
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+    out = semdedup_keep(ds, n_clusters=8, threshold=0.95,
+                        n_iters=4).to_pandas()
+    pdf = ds.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    assert len(out) == len(pdf)
+    assert set(out["vec_id"]) == set(pdf["vec_id"])
+
+    # brute-force restatement: same centroids, plain numpy keep rule
+    cents = ivf_centroids_distributed(ds, 8, n_iters=4)
+    mat = np.stack([np.asarray(v, np.float64) for v in pdf["embedding"]])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cid = np.argmax(mat @ cents.T, axis=1)
+    expect_kept = {}
+    for c in np.unique(cid):
+        idx = np.where(cid == c)[0]  # pdf is vec_id-sorted already
+        sub = mat[idx]
+        dup = np.triu(sub @ sub.T >= 0.95, 1).any(axis=0)
+        for i, d in zip(idx, dup):
+            expect_kept[int(pdf["vec_id"][i])] = not d
+    got = dict(zip(out["vec_id"].astype(int), out["kept"].astype(bool)))
+    assert got == expect_kept
+
+    # synthetic near-dups: 3 clones of one vector + distinct others —
+    # exactly the two higher-id clones drop, lowest id survives
+    rng = np.random.RandomState(7)
+    base = rng.randn(6, 16)
+    base[1] = base[0] + 1e-3 * rng.randn(16)
+    base[2] = base[0] - 1e-3 * rng.randn(16)
+    syn = rd.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(6, dtype=np.int64),
+        "embedding": [list(map(float, v)) for v in base]}))
+    kept = (semdedup_keep(syn, n_clusters=2, threshold=0.99, n_iters=4)
+            .to_pandas().sort_values("vec_id"))
+    assert kept["kept"].tolist() == [True, False, False, True, True, True]
+
+
+# ── Bloom filter ─────────────────────────────────────────────────────
+
+def test_bloom_no_false_negatives_and_low_fp(ray_session):
+    import ray.data as rd
+
+    from pdf_to_text_ray.stages.analysis import _gram_hashes
+    from pdf_to_text_ray.stages.sketches import (
+        bloom_add, bloom_contains, bloom_corpus_ngrams)
+
+    M, K = 1 << 23, 3
+    # unit: everything added is found
+    words = np.zeros(M // 64, np.uint64)
+    h = np.arange(1000, dtype=np.uint64) * np.uint64(2654435761)
+    bloom_add(words, h, m_bits=M, k=K)
+    assert bloom_contains(words, h, m_bits=M, k=K).all()
+    # absent keys: near-zero fp at this load factor
+    absent = np.arange(100_000, dtype=np.uint64) + np.uint64(1 << 40)
+    fp = bloom_contains(words, absent, m_bits=M, k=K).mean()
+    assert fp < 1e-3
+
+    # distributed build over the documents corpus: every in-corpus
+    # gram hits (OR-merge loses nothing); out-of-corpus gram fp bounded
+    ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+    bloom = bloom_corpus_ngrams(ds, n=13, m_bits=M, k=K)
+    texts = ds.to_pandas()["text"].fillna("").tolist()
+    some = np.unique(np.concatenate(
+        [_gram_hashes(t.lower().split(), 13) for t in texts[:20]]))
+    assert bloom_contains(bloom, some, m_bits=M, k=K).all()
+    oov = _gram_hashes([f"oovtok{i}" for i in range(200)], 13)
+    assert bloom_contains(bloom, oov, m_bits=M, k=K).mean() < 0.01
