@@ -3899,6 +3899,275 @@ def bloom_eval_overlap(sf_dir: str):
     return pd.DataFrame(rows, columns=["probe_id", "n_grams", "n_hits"])
 
 
+def doc_ngram_novelty(sf_dir: str, n: int = 8):
+    """Per-doc n-gram novelty: the fraction of a doc's DISTINCT word
+    8-grams that occur nowhere else in the corpus (corpus count equals
+    the doc's own count). Same two-payload-free-shuffle shape as the
+    jaccard blocker: the text never moves — only (gram_hash, doc_id,
+    count) triples shuffle to the gram bucket, then (doc_id, partial)
+    rows to the doc reduce."""
+    from pdf_to_text_ray.stages.analysis import _gram_hashes
+    from pdf_to_text_ray.stages.groups import bucketed_group_apply
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids, grams, counts = [], [], []
+        for did, text in zip(t["doc_id"].to_pylist(),
+                             t["text"].to_pylist()):
+            hs = _gram_hashes((text or "").lower().split(), n)
+            if len(hs) == 0:
+                continue
+            u, c = np.unique(hs, return_counts=True)
+            ids.append(np.full(len(u), did, np.int64))
+            grams.append(u)
+            counts.append(c.astype(np.int64))
+        if not ids:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "gram": pa.array([], pa.uint64()),
+                             "c": pa.array([], pa.int64())})
+        return pa.table({"doc_id": pa.array(np.concatenate(ids)),
+                         "gram": pa.array(np.concatenate(grams)),
+                         "c": pa.array(np.concatenate(counts))})
+
+    def per_gram_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        total = df.groupby("gram")["c"].transform("sum")
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "novel": (df["c"] == total).astype("int64"),
+            "one": np.ones(len(df), np.int64)})
+
+    out = (bucketed_group_apply(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        "gram", per_gram_bucket)
+        .groupby("doc_id")
+        .aggregate(Sum("novel", alias_name="n_novel"),
+                   Sum("one", alias_name="n_grams"))
+        .to_pandas())
+    out["n_novel"] = out["n_novel"].astype("int64")
+    out["n_grams"] = out["n_grams"].astype("int64")
+    out["novelty"] = out["n_novel"] / out["n_grams"]  # int/int: exact
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+NGRAM_NOVELTY_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+  FROM documents WHERE trim(coalesce(text, '')) <> ''
+),
+g AS (
+  SELECT doc_id, array_to_string(t[i:i+7], ' ') AS gram
+  FROM toks CROSS JOIN LATERAL
+    (SELECT unnest(range(1, greatest(len(t) - 7, 0) + 1)) AS i) _
+),
+dg AS (SELECT doc_id, gram, count(*)::BIGINT AS c FROM g GROUP BY 1, 2),
+tot AS (SELECT gram, sum(c)::BIGINT AS n FROM dg GROUP BY 1)
+SELECT dg.doc_id,
+       sum(CASE WHEN dg.c = tot.n THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+       count(*)::BIGINT AS n_grams,
+       sum(CASE WHEN dg.c = tot.n THEN 1 ELSE 0 END)::DOUBLE / count(*)
+         AS novelty
+FROM dg JOIN tot USING (gram)
+GROUP BY dg.doc_id ORDER BY dg.doc_id
+"""
+
+
+def session_stats_per_user(sf_dir: str, gap_minutes: int = 30):
+    """Two-level session analytics composed on the sessionize shape:
+    session ids from the gap rule (cumsum inside the user bucket),
+    per-session counts/spans, then per-user stats — all inside ONE
+    bucketed shuffle."""
+    from pdf_to_text_ray.stages.groups import bucketed_group_apply
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        gaps = g.groupby("user_id", sort=False)["ts"].diff()
+        new_s = ((gaps.dt.total_seconds() * 1_000_000 > gap_us)
+                 .fillna(False))
+        g = g.assign(_sid=new_s.groupby(g["user_id"]).cumsum())
+        per_sess = g.groupby(["user_id", "_sid"], sort=False).agg(
+            n_events=("event_id", "size"),
+            span_sec=("ts", lambda s: (s.max() - s.min()).total_seconds()))
+        out = per_sess.groupby("user_id").agg(
+            n_sessions=("n_events", "size"),
+            max_session_events=("n_events", "max"),
+            avg_span_sec=("span_sec", "mean")).reset_index()
+        out["n_sessions"] = out["n_sessions"].astype("int64")
+        out["max_session_events"] = out["max_session_events"].astype("int64")
+        out["avg_span_sec"] = round2(out["avg_span_sec"])
+        return out
+
+    return (bucketed_group_apply(ds, "user_id", per_bucket)
+            .to_pandas().sort_values("user_id").reset_index(drop=True))
+
+
+SESSION_STATS_SQL = """
+WITH gaps AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM gaps
+), per_sess AS (
+  SELECT user_id, sid, count(*)::BIGINT AS n_events,
+         epoch(max(ts)) - epoch(min(ts)) AS span_sec
+  FROM sess GROUP BY user_id, sid
+)
+SELECT user_id, count(*)::BIGINT AS n_sessions,
+       max(n_events)::BIGINT AS max_session_events,
+       round(avg(span_sec), 2) AS avg_span_sec
+FROM per_sess GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q8_market_share(sf_dir: str):
+    """TPC-H Q8 shape — a nation's revenue share of a filtered market
+    per order year: part filter and supplier→nation ship as broadcast
+    sorted arrays; orders⋈customer (region-filtered) and
+    lineitem⋈orders are bucketed fact-fact joins; each batch emits
+    (year, nation_rev, total_rev) partials so the share division runs
+    on a handful of year rows."""
+    import ray
+
+    from pdf_to_text_ray.stages.joins import bucketed_hash_join
+
+    nation = _read(sf_dir, "nation").to_pandas()
+    region = _read(sf_dir, "region").to_pandas()
+    am_keys = region.loc[region["r_name"] == "AMERICA", "r_regionkey"]
+    am_nations = set(nation.loc[nation["n_regionkey"].isin(am_keys),
+                                "n_nationkey"])
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
+    pkeys = np.sort(part.loc[part["p_type"] == "STANDARD",
+                             "p_partkey"].to_numpy())
+    supp = (_read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+            .to_pandas().sort_values("s_suppkey"))
+    bref = ray.put((pkeys, supp["s_suppkey"].to_numpy(),
+                    supp["s_nationkey"].to_numpy()))
+
+    def orders_prep(t: pa.Table) -> pa.Table:
+        yr = pc.year(t["o_orderdate"])
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "c_custkey": t["o_custkey"],
+                         "o_year": yr})
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]
+                   ).map_batches(orders_prep, batch_format="pyarrow")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    o_c = bucketed_hash_join(orders, cust, on="c_custkey",
+                             left_cols=["o_orderkey", "o_year"],
+                             right_cols=["c_nationkey"])
+    o_c = o_c.map_batches(
+        lambda t: t.filter(pc.is_in(
+            t["c_nationkey"],
+            value_set=pa.array(sorted(am_nations), pa.int64())))
+        .select(["o_orderkey", "o_year"]),
+        batch_format="pyarrow")
+
+    li = _lineitem(sf_dir, ["l_orderkey", "l_partkey", "l_suppkey",
+                            "l_extendedprice", "l_discount"]).map_batches(
+        lambda t: t.rename_columns(["o_orderkey", "l_partkey", "l_suppkey",
+                                    "l_extendedprice", "l_discount"]),
+        batch_format="pyarrow")
+    joined = bucketed_hash_join(
+        li, o_c, on="o_orderkey",
+        left_cols=["l_partkey", "l_suppkey", "l_extendedprice",
+                   "l_discount"],
+        right_cols=["o_year"])
+
+    def share_partial(t: pa.Table) -> pa.Table:
+        keys, sk, sn = ray.get(bref)
+        b = t.to_pandas()
+        lp = b["l_partkey"].to_numpy()
+        idx = np.clip(np.searchsorted(keys, lp), 0, max(len(keys) - 1, 0))
+        inpart = (keys[idx] == lp) if len(keys) else np.zeros(len(lp), bool)
+        b = b[inpart]
+        if not len(b):
+            return pa.table({"o_year": pa.array([], pa.int64()),
+                             "nation_rev": pa.array([], pa.float64()),
+                             "total_rev": pa.array([], pa.float64())})
+        ls = b["l_suppkey"].to_numpy()
+        sidx = np.clip(np.searchsorted(sk, ls), 0, len(sk) - 1)
+        s_nat = np.where(sk[sidx] == ls, sn[sidx], -1)
+        rev = (b["l_extendedprice"] * (1 - b["l_discount"])).to_numpy()
+        part_df = pd.DataFrame({
+            "o_year": b["o_year"].to_numpy(),
+            "nation_rev": np.where(s_nat == 3, rev, 0.0),
+            "total_rev": rev})
+        return arrow_out(part_df.groupby("o_year", as_index=False).sum())
+
+    from ray.data.aggregate import Sum
+
+    agg = (joined.map_batches(share_partial, batch_format="pyarrow")
+           .groupby("o_year")
+           .aggregate(Sum("nation_rev", alias_name="nation_rev"),
+                      Sum("total_rev", alias_name="total_rev"))
+           .to_pandas())
+    if agg.empty:
+        return pd.DataFrame({"o_year": pd.Series([], dtype="int64"),
+                             "mkt_share": pd.Series([], dtype="float64")})
+    agg["o_year"] = agg["o_year"].astype("int64")
+    agg["mkt_share"] = round2(agg["nation_rev"] / agg["total_rev"])
+    return (agg[["o_year", "mkt_share"]]
+            .sort_values("o_year").reset_index(drop=True))
+
+
+Q8_SQL = """
+SELECT year(o_orderdate)::BIGINT AS o_year,
+       round(sum(CASE WHEN s_nationkey = 3
+                      THEN l_extendedprice * (1 - l_discount)
+                      ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 2) AS mkt_share
+FROM lineitem, orders, customer, supplier, part, nation, region
+WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+  AND l_suppkey = s_suppkey AND l_partkey = p_partkey
+  AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'AMERICA' AND p_type = 'STANDARD'
+GROUP BY o_year ORDER BY o_year
+"""
+
+
+def nation_presence_counts(sf_dir: str):
+    """FULL OUTER join coverage — per-nation customer and supplier
+    counts merged with outer semantics (a nation missing from either
+    side keeps the other's count, absents are 0). Both inputs are
+    distributed grouped counts; the outer merge runs on the two tiny
+    per-nation results."""
+    cust = (_read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+            .groupby("c_nationkey").count().to_pandas()
+            .rename(columns={"count()": "n_customers",
+                             "c_nationkey": "nationkey"}))
+    supp = (_read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+            .groupby("s_nationkey").count().to_pandas()
+            .rename(columns={"count()": "n_suppliers",
+                             "s_nationkey": "nationkey"}))
+    out = cust.merge(supp, on="nationkey", how="outer")
+    out["n_customers"] = out["n_customers"].fillna(0).astype("int64")
+    out["n_suppliers"] = out["n_suppliers"].fillna(0).astype("int64")
+    out["nationkey"] = out["nationkey"].astype("int64")
+    return out.sort_values("nationkey").reset_index(drop=True)
+
+
+FULL_OUTER_SQL = """
+SELECT coalesce(c.k, s.k) AS nationkey,
+       coalesce(c.n, 0)::BIGINT AS n_customers,
+       coalesce(s.n, 0)::BIGINT AS n_suppliers
+FROM (SELECT c_nationkey AS k, count(*) AS n FROM customer GROUP BY 1) c
+FULL OUTER JOIN
+     (SELECT s_nationkey AS k, count(*) AS n FROM supplier GROUP BY 1) s
+  ON c.k = s.k
+ORDER BY nationkey
+"""
+
+
 QUERIES = {
     # relational
     "q1_pricing_summary": q1_pricing_summary,
@@ -4020,6 +4289,10 @@ QUERIES = {
     "domain_stats": domain_stats,
     "semdedup_keep_docs": semdedup_keep_docs,
     "bloom_eval_overlap": bloom_eval_overlap,
+    "doc_ngram_novelty": doc_ngram_novelty,
+    "session_stats_per_user": session_stats_per_user,
+    "q8_market_share": q8_market_share,
+    "nation_presence_counts": nation_presence_counts,
 }
 
 ORACLE_SQL = {
@@ -4121,4 +4394,8 @@ ORACLE_SQL = {
     "user_first_last_event": FIRST_LAST_SQL,
     "nation_supplier_rank": NATION_RANK_SQL,
     "domain_stats": DOMAIN_STATS_SQL,
+    "doc_ngram_novelty": NGRAM_NOVELTY_SQL,
+    "session_stats_per_user": SESSION_STATS_SQL,
+    "q8_market_share": Q8_SQL,
+    "nation_presence_counts": FULL_OUTER_SQL,
 }
