@@ -4168,6 +4168,152 @@ ORDER BY nationkey
 """
 
 
+def sample_weighted_docs(sf_dir: str, k: int = 20):
+    """Deterministic weighted sampling without replacement (Efraimidis
+    & Spirakis 2006, A-Res): key = u^(1/w) with w = n_chars and u an
+    engine-portable deterministic uniform (md5(doc_id) first 8 hex
+    digits / 2^32 — both engines compute the identical double). The
+    top-k by key IS the weighted sample. Per-batch partial top-k +
+    tiny driver merge (the knn partial-top-k shape)."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        w = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        u = np.array([int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+                      for i in ids], np.float64) / 4294967296.0
+        key = u ** (1.0 / np.maximum(w, 1.0))
+        order = np.argsort(-key)[:k]
+        return pa.table({
+            "doc_id": pa.array(np.asarray(ids, np.int64)[order]),
+            "wkey": pa.array(key[order], pa.float64())})
+
+    pdf = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    top = pdf.sort_values(["wkey", "doc_id"],
+                          ascending=[False, True]).head(k)
+    return top[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
+
+
+WEIGHTED_SAMPLE_SQL = """
+SELECT doc_id FROM (
+  SELECT doc_id,
+         pow(('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT
+               / 4294967296.0,
+             1.0 / greatest(n_chars, 1)) AS wkey
+  FROM documents ORDER BY wkey DESC, doc_id LIMIT 20)
+ORDER BY doc_id
+"""
+
+
+def approx_distinct_users_per_type(sf_dir: str):
+    """GROUPED HLL distinct sketch: each batch emits one 4 KiB register
+    array PER GROUP (not per value), merged per group — the mergeable-
+    sketch shape keyed. Oracle-checkable like approx_distinct_users:
+    the exact per-group count (SQL-verified) plus a within-5% flag for
+    each group's HLL estimate."""
+    from ray.data.aggregate import Count
+
+    from ..stages.sketches import hll_estimate, hll_merge, hll_sketch
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def batch_sketches(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False)})
+        types, bufs = [], []
+        for et, g in df.groupby("event_type", sort=True):
+            types.append(et)
+            bufs.append(hll_sketch(g["user_id"].to_numpy()).tobytes())
+        return pa.table({"event_type": pa.array(types, pa.string()),
+                         "sketch": pa.array(bufs, pa.binary())})
+
+    sk = ds.map_batches(batch_sketches, batch_format="pyarrow").to_pandas()
+    est = {et: hll_estimate(hll_merge(
+        [np.frombuffer(b, np.uint8) for b in g["sketch"]]))
+        for et, g in sk.groupby("event_type")}
+
+    exact = (ds.groupby(["event_type", "user_id"]).count()
+             .groupby("event_type").aggregate(Count(alias_name="n_users"))
+             .to_pandas())
+    exact["n_users"] = exact["n_users"].astype("int64")
+    exact["approx_within_5pct"] = [
+        bool(abs(est[et] - n) / max(n, 1) < 0.05)
+        for et, n in zip(exact["event_type"], exact["n_users"])]
+    return exact.sort_values("event_type").reset_index(drop=True)
+
+
+GROUPED_HLL_SQL = """
+SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users,
+       true AS approx_within_5pct
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def customer_supplier_pagerank(sf_dir: str):
+    """PageRank over the bipartite customer↔supplier trade graph
+    (edges = distinct (custkey, suppkey) pairs from lineitem⋈orders,
+    both directions so no dangling mass). Edge build is a bucketed
+    fact-fact join + distinct; ranks iterate via broadcast-vector
+    edge scans (`stages/graph.py::pagerank`). Oracle: the identical
+    5 damped iterations unrolled as DuckDB CTEs."""
+    from ..stages.graph import pagerank
+    from ..stages.joins import bucketed_hash_join
+
+    li = _lineitem(sf_dir, ["l_orderkey", "l_suppkey"]).map_batches(
+        lambda t: t.rename_columns(["o_orderkey", "l_suppkey"]),
+        batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    j = bucketed_hash_join(li, orders, on="o_orderkey",
+                           left_cols=["l_suppkey"],
+                           right_cols=["o_custkey"])
+    pairs = j.groupby(["o_custkey", "l_suppkey"]).count()
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        c = t["o_custkey"].to_numpy(zero_copy_only=False) * 2
+        s = t["l_suppkey"].to_numpy(zero_copy_only=False) * 2 + 1
+        return pa.table({
+            "src": pa.array(np.concatenate([c, s]), pa.int64()),
+            "dst": pa.array(np.concatenate([s, c]), pa.int64())})
+
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow")
+    pr = pagerank(edges, damping=0.85, iters=5)
+    pr["node_type"] = np.where(pr["node"] % 2 == 0, "customer",
+                               "supplier")
+    pr["key"] = (pr["node"] // 2).astype("int64")
+    return (pr[["node_type", "key", "rank"]]
+            .sort_values(["node_type", "key"]).reset_index(drop=True))
+
+
+def _pagerank_sql(iters: int = 5, d: float = 0.85) -> str:
+    sql = """
+WITH pairs AS (
+  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+edges AS (SELECT a AS src, b AS dst FROM pairs
+          UNION ALL SELECT b, a FROM pairs),
+deg AS (SELECT src AS v, count(*)::DOUBLE AS d FROM edges GROUP BY 1),
+nn AS (SELECT count(*)::DOUBLE AS n FROM deg),
+r0 AS (SELECT v, 1.0 / nn.n AS r FROM deg CROSS JOIN nn)"""
+    for i in range(1, iters + 1):
+        sql += f""",
+s{i} AS (SELECT e.dst AS v, sum(r{i-1}.r / deg.d) AS s
+  FROM edges e JOIN r{i-1} ON r{i-1}.v = e.src
+  JOIN deg ON deg.v = e.src GROUP BY e.dst),
+r{i} AS (SELECT deg.v,
+  (1.0 - {d}) / nn.n + {d} * coalesce(s{i}.s, 0.0) AS r
+  FROM deg CROSS JOIN nn LEFT JOIN s{i} ON s{i}.v = deg.v)"""
+    sql += f"""
+SELECT CASE WHEN v % 2 = 0 THEN 'customer' ELSE 'supplier' END
+         AS node_type,
+       (v // 2)::BIGINT AS key, r AS rank
+FROM r{iters} ORDER BY node_type, key
+"""
+    return sql
+
+
 QUERIES = {
     # relational
     "q1_pricing_summary": q1_pricing_summary,
@@ -4293,6 +4439,9 @@ QUERIES = {
     "session_stats_per_user": session_stats_per_user,
     "q8_market_share": q8_market_share,
     "nation_presence_counts": nation_presence_counts,
+    "sample_weighted_docs": sample_weighted_docs,
+    "approx_distinct_users_per_type": approx_distinct_users_per_type,
+    "customer_supplier_pagerank": customer_supplier_pagerank,
 }
 
 ORACLE_SQL = {
@@ -4398,4 +4547,7 @@ ORACLE_SQL = {
     "session_stats_per_user": SESSION_STATS_SQL,
     "q8_market_share": Q8_SQL,
     "nation_presence_counts": FULL_OUTER_SQL,
+    "sample_weighted_docs": WEIGHTED_SAMPLE_SQL,
+    "approx_distinct_users_per_type": GROUPED_HLL_SQL,
+    "customer_supplier_pagerank": _pagerank_sql(),
 }

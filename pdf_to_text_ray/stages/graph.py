@@ -1,0 +1,74 @@
+"""Iterative graph algorithms as repeated edge-scan rounds.
+
+PageRank (Page et al. 1999) in the broadcast-rank shape: the rank and
+out-degree vectors are bounded by the NODE count and ship once per
+iteration (``ray.put``); the EDGE list — the big side at web scale —
+stays a streaming Dataset that is scanned once per iteration with
+per-batch partial contribution aggregation, then one small groupby
+per round.
+
+Partitioning assumption: node count ≪ edge count, so the rank vector
+fits a broadcast array (10^9 nodes × 8 B = 8 GB is the practical
+ceiling). Beyond that, ranks become a keyed dataset and each round is
+a bucketed rank⋈edges join — same round structure, one extra shuffle
+per iteration (the components rounds in ``dedup.minlabel_components``
+already demonstrate that shape).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from pdf_to_text_ray.stages.groups import arrow_out
+
+
+def pagerank(edges, *, src_col: str = "src", dst_col: str = "dst",
+             damping: float = 0.85, iters: int = 5) -> pd.DataFrame:
+    """PageRank over a directed edge Dataset where every node has
+    out-degree ≥ 1 (feed an undirected graph as both edge directions —
+    then there is no dangling-mass term). Returns (node, rank).
+
+    Each iteration: map_batches over edges emits per-batch partial
+    (dst, Σ r[src]/deg[src]) rows; a groupby-sum reduces them; the
+    driver rebuilds the dense rank vector (O(N) work, N = #nodes).
+    Deterministic to float-summation order at ~1e-16 — callers
+    comparing across engines should round.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    # The edge list is scanned iters+1 times; pin its blocks in the
+    # object store once instead of re-executing the upstream plan
+    # (join + distinct) every iteration.
+    edges = edges.materialize()
+    deg_pdf = edges.groupby(src_col).count().to_pandas()
+    nodes = np.sort(deg_pdf[src_col].to_numpy())
+    deg = (deg_pdf.set_index(src_col)["count()"]
+           .reindex(nodes).to_numpy().astype(np.float64))
+    n = len(nodes)
+    if n == 0:
+        return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                             "rank": pd.Series([], dtype="float64")})
+    rank = np.full(n, 1.0 / n)
+
+    for _ in range(iters):
+        ref = ray.put((nodes, rank / deg))
+
+        def contrib(t: pa.Table) -> pa.Table:
+            nd, w = ray.get(ref)
+            s = t[src_col].to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(nd, s)  # every src is a known node
+            part = pd.DataFrame({"v": t[dst_col].to_numpy(
+                zero_copy_only=False), "s": w[idx]})
+            return arrow_out(part.groupby("v", as_index=False)["s"].sum())
+
+        parts = (edges.map_batches(contrib, batch_format="pyarrow")
+                 .groupby("v").aggregate(Sum("s", alias_name="s"))
+                 .to_pandas())
+        inflow = (parts.set_index("v")["s"]
+                  .reindex(nodes, fill_value=0.0).to_numpy())
+        rank = (1.0 - damping) / n + damping * inflow
+
+    return pd.DataFrame({"node": nodes.astype(np.int64), "rank": rank})

@@ -1118,3 +1118,30 @@ def test_bloom_no_false_negatives_and_low_fp(ray_session):
     assert bloom_contains(bloom, some, m_bits=M, k=K).all()
     oov = _gram_hashes([f"oovtok{i}" for i in range(200)], 13)
     assert bloom_contains(bloom, oov, m_bits=M, k=K).mean() < 0.01
+
+
+# ── PageRank ─────────────────────────────────────────────────────────
+
+def test_pagerank_matches_dense_iteration(ray_session):
+    import ray.data as rd
+
+    from pdf_to_text_ray.stages.graph import pagerank
+
+    # small undirected graph: path 0-1-2 plus isolated pair 3-4
+    und = [(0, 1), (1, 2), (3, 4)]
+    e = pd.DataFrame({"src": [a for a, b in und] + [b for a, b in und],
+                      "dst": [b for a, b in und] + [a for a, b in und]})
+    out = pagerank(rd.from_pandas(e), damping=0.85, iters=5)
+
+    nodes = np.arange(5)
+    deg = np.array([1, 2, 1, 1, 1], np.float64)
+    r = np.full(5, 1 / 5)
+    adj = np.zeros((5, 5))
+    for a, b in und:
+        adj[a, b] = adj[b, a] = 1.0
+    for _ in range(5):
+        r = 0.15 / 5 + 0.85 * (adj.T @ (r / deg))
+    got = out.set_index("node")["rank"].reindex(nodes).to_numpy()
+    assert np.allclose(got, r, atol=1e-12)
+    # ranks sum to ~1 on a dangling-free graph
+    assert abs(out["rank"].sum() - 1.0) < 1e-9
