@@ -4314,6 +4314,172 @@ FROM r{iters} ORDER BY node_type, key
     return sql
 
 
+def _merge_moments(a, b):
+    """Pairwise central-moment merge (Pébay 2008) — numerically stable
+    vs raw power sums, associative up to float rounding."""
+    na, ma, M2a, M3a, M4a = a
+    nb, mb, M2b, M3b, M4b = b
+    n = na + nb
+    if n == 0:
+        return (0, 0.0, 0.0, 0.0, 0.0)
+    d = mb - ma
+    m = ma + d * nb / n
+    M2 = M2a + M2b + d * d * na * nb / n
+    M3 = (M3a + M3b + d**3 * na * nb * (na - nb) / n**2
+          + 3.0 * d * (na * M2b - nb * M2a) / n)
+    M4 = (M4a + M4b
+          + d**4 * na * nb * (na * na - na * nb + nb * nb) / n**3
+          + 6.0 * d * d * (na * na * M2b + nb * nb * M2a) / n**2
+          + 4.0 * d * (na * M3b - nb * M3a) / n)
+    return (n, m, M2, M3, M4)
+
+
+def event_value_moments(sf_dir: str):
+    """Distributed higher-moment aggregate: per-batch per-group central
+    moments (n, mean, M2, M3, M4) merged pairwise (Pébay 2008) — the
+    mergeable generalization of Welford — then DuckDB-parity sample
+    skewness (G1) and excess kurtosis (G2). Partials are sorted before
+    merging so task completion order cannot change the float result."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+            "v": t["value"].to_numpy(zero_copy_only=False)})
+        rows = []
+        for et, g in df.groupby("event_type", sort=True):
+            v = g["v"].to_numpy()
+            mu = v.mean()
+            c = v - mu
+            rows.append((et, len(v), mu, (c**2).sum(), (c**3).sum(),
+                         (c**4).sum()))
+        return arrow_out(pd.DataFrame(
+            rows, columns=["event_type", "n", "mean", "m2", "m3", "m4"]))
+
+    parts = (ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+             .sort_values(["event_type", "n", "mean"], kind="stable"))
+    out = []
+    for et, g in parts.groupby("event_type", sort=True):
+        acc = (0, 0.0, 0.0, 0.0, 0.0)
+        for r in g.itertuples(index=False):
+            acc = _merge_moments(acc, (r.n, r.mean, r.m2, r.m3, r.m4))
+        n, mu, M2, M3, M4 = acc
+        m2, m3, m4 = M2 / n, M3 / n, M4 / n
+        g1 = m3 / m2**1.5
+        skew = g1 * np.sqrt(n * (n - 1.0)) / (n - 2.0)
+        g2 = m4 / m2**2 - 3.0
+        kurt = ((n + 1.0) * g2 + 6.0) * (n - 1.0) / ((n - 2.0) * (n - 3.0))
+        out.append((et, n, mu, skew, kurt))
+    pdf = pd.DataFrame(out, columns=["event_type", "n", "mean_value",
+                                     "skew", "kurt"])
+    pdf["n"] = pdf["n"].astype("int64")
+    for c in ("mean_value", "skew", "kurt"):
+        pdf[c] = round2(pdf[c])
+    return pdf.reset_index(drop=True)
+
+
+MOMENTS_SQL = """
+SELECT event_type, count(*)::BIGINT AS n,
+       round(avg(value), 2) AS mean_value,
+       round(skewness(value), 2) AS skew,
+       round(kurtosis(value), 2) AS kurt
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def lineitem_regression(sf_dir: str):
+    """Grouped least-squares regression (price on quantity per return
+    flag) from five distributed partial sums — the algebraic-aggregate
+    shape: each batch emits (n, Σx, Σy, Σxy, Σx²) per group, one tiny
+    groupby merges them, the slope/intercept division runs on G rows."""
+    from ray.data.aggregate import Sum
+
+    ds = _lineitem(sf_dir, ["l_returnflag", "l_quantity",
+                            "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "l_returnflag": t["l_returnflag"].to_numpy(
+                zero_copy_only=False),
+            "x": t["l_quantity"].to_numpy(zero_copy_only=False),
+            "y": t["l_extendedprice"].to_numpy(zero_copy_only=False)})
+        df["xy"] = df["x"] * df["y"]
+        df["xx"] = df["x"] * df["x"]
+        df["n"] = np.ones(len(df), np.int64)
+        return arrow_out(df.groupby("l_returnflag", as_index=False)
+                         [["n", "x", "y", "xy", "xx"]].sum())
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("l_returnflag")
+           .aggregate(Sum("n", alias_name="n"), Sum("x", alias_name="sx"),
+                      Sum("y", alias_name="sy"),
+                      Sum("xy", alias_name="sxy"),
+                      Sum("xx", alias_name="sxx"))
+           .to_pandas())
+    denom = agg["n"] * agg["sxx"] - agg["sx"] ** 2
+    agg["slope"] = round2((agg["n"] * agg["sxy"]
+                           - agg["sx"] * agg["sy"]) / denom)
+    agg["intercept"] = round2((agg["sy"] - (agg["n"] * agg["sxy"]
+                                            - agg["sx"] * agg["sy"])
+                               / denom * agg["sx"]) / agg["n"])
+    agg["n"] = agg["n"].astype("int64")
+    return (agg[["l_returnflag", "n", "slope", "intercept"]]
+            .sort_values("l_returnflag").reset_index(drop=True))
+
+
+REGRESSION_SQL = """
+SELECT l_returnflag, count(*)::BIGINT AS n,
+       round(regr_slope(l_extendedprice, l_quantity), 2) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def event_hourly_anomaly(sf_dir: str):
+    """Windowed anomaly scoring: hourly event counts per type
+    (distributed calendar-bucket groupby), z-scored against the type's
+    own hourly distribution; the z computation runs on the bounded
+    (type × hour) grouped result. Flags |z| > 2."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        hour_us = pc.multiply(pc.divide(us, pa.scalar(3_600_000_000,
+                                                      pa.int64())),
+                              pa.scalar(3_600_000_000, pa.int64()))
+        return pa.table({"event_type": t["event_type"],
+                         "bucket_us": hour_us})
+
+    counts = (ds.map_batches(bucket, batch_format="pyarrow")
+              .groupby(["event_type", "bucket_us"]).count()
+              .to_pandas().rename(columns={"count()": "n"}))
+    g = counts.groupby("event_type")["n"]
+    mu = g.transform("mean")
+    sd = g.transform(lambda s: s.std(ddof=1))
+    counts["z"] = round2((counts["n"] - mu) / sd)
+    counts["n"] = counts["n"].astype("int64")
+    out = counts[(counts["z"].abs() > 2.0)]
+    return (out[["event_type", "bucket_us", "n", "z"]]
+            .sort_values(["event_type", "bucket_us"])
+            .reset_index(drop=True))
+
+
+HOURLY_ANOMALY_SQL = """
+WITH c AS (
+  SELECT event_type,
+         (epoch_us(ts) // 3600000000) * 3600000000 AS bucket_us,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+), z AS (
+  SELECT event_type, bucket_us, n,
+         round((n - avg(n) OVER w) / stddev_samp(n) OVER w, 2) AS z
+  FROM c WINDOW w AS (PARTITION BY event_type)
+)
+SELECT event_type, bucket_us, n, z FROM z WHERE abs(z) > 2.0
+ORDER BY event_type, bucket_us
+"""
+
+
 QUERIES = {
     # relational
     "q1_pricing_summary": q1_pricing_summary,
@@ -4442,6 +4608,9 @@ QUERIES = {
     "sample_weighted_docs": sample_weighted_docs,
     "approx_distinct_users_per_type": approx_distinct_users_per_type,
     "customer_supplier_pagerank": customer_supplier_pagerank,
+    "event_value_moments": event_value_moments,
+    "lineitem_regression": lineitem_regression,
+    "event_hourly_anomaly": event_hourly_anomaly,
 }
 
 ORACLE_SQL = {
@@ -4550,4 +4719,7 @@ ORACLE_SQL = {
     "sample_weighted_docs": WEIGHTED_SAMPLE_SQL,
     "approx_distinct_users_per_type": GROUPED_HLL_SQL,
     "customer_supplier_pagerank": _pagerank_sql(),
+    "event_value_moments": MOMENTS_SQL,
+    "lineitem_regression": REGRESSION_SQL,
+    "event_hourly_anomaly": HOURLY_ANOMALY_SQL,
 }
