@@ -4480,6 +4480,210 @@ ORDER BY event_type, bucket_us
 """
 
 
+def tfidf_top_terms(sf_dir: str, k: int = 3):
+    """Per-doc keyword extraction: top-k terms by tf·ln(N/df) (stop
+    terms pruned at df > 0.9·N — the corpus vocabulary is dense, a
+    TPC-H-style half-N cutoff would stop nearly every term; ties broken
+    by term). Two payload-free
+    shuffles — (doc_id, term, tf) triples to the term bucket for df,
+    weighted rows to the doc bucket for the top-k — the text itself
+    never moves. Weights rounded to 6 (ties are exact: equal (tf, df)
+    gives bit-identical weights in both engines)."""
+    import pyarrow.parquet as pq
+
+    from pdf_to_text_ray.stages.groups import bucketed_group_apply
+
+    n_docs = float(pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids, terms, tfs = [], [], []
+        for did, text in zip(t["doc_id"].to_pylist(),
+                             t["text"].to_pylist()):
+            toks = (text or "").lower().split()
+            if not toks:
+                continue
+            u, c = np.unique(np.asarray(toks, object), return_counts=True)
+            ids.append(np.full(len(u), did, np.int64))
+            terms.append(u)
+            tfs.append(c.astype(np.float64))
+        if not ids:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "term": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.float64())})
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(ids)),
+            "term": pa.array(np.concatenate(terms).astype(str)),
+            "tf": pa.array(np.concatenate(tfs))})
+
+    def weigh(df: pd.DataFrame) -> pd.DataFrame:
+        dfreq = df.groupby("term")["doc_id"].transform("size").to_numpy(
+            dtype=np.float64)
+        keep = dfreq <= 0.9 * n_docs
+        out = df[keep].copy()
+        out["w"] = out["tf"].to_numpy() * np.log(n_docs / dfreq[keep])
+        return out[["doc_id", "term", "w"]]
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["doc_id", "w", "term"],
+                            ascending=[True, False, True], kind="stable")
+        out = df.groupby("doc_id").head(k).copy()
+        y = out["w"].to_numpy() * 1e6
+        out["w"] = np.copysign(np.floor(np.abs(y) + 0.5), y) / 1e6
+        return out
+
+    weighted = bucketed_group_apply(
+        ds.map_batches(explode, batch_format="pyarrow"), "term", weigh)
+    out = (bucketed_group_apply(weighted, "doc_id", topk)
+           .to_pandas()
+           .sort_values(["doc_id", "w", "term"],
+                        ascending=[True, False, True])
+           .reset_index(drop=True))
+    return out
+
+
+TFIDF_TOP_TERMS_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+             AS term
+  FROM documents WHERE trim(coalesce(text, '')) <> ''
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+       FROM tok GROUP BY doc_id, term),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+w AS (SELECT tf.doc_id, tf.term, tf.tf * ln(n.n / df.df) AS w
+      FROM tf, df, n
+      WHERE tf.term = df.term AND df.df <= 0.9 * n.n),
+r AS (SELECT doc_id, term, w,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY w DESC, term) AS rn
+      FROM w)
+SELECT doc_id, term, round(w, 6) AS w
+FROM r WHERE rn <= 3 ORDER BY doc_id, w DESC, term
+"""
+
+
+def events_partitioned_roundtrip(sf_dir: str):
+    """Hive-partitioned sink + partition-pruned read: events written
+    once per sf partitioned by event_type (write_parquet
+    partition_cols), then ONLY the purchase partition's directory is
+    read back — the other four partitions never leave disk — and
+    aggregated per user. The resumable-output layout (one dir per
+    partition value) the 100 TB pipeline writes."""
+    import hashlib
+    import shutil
+
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    fp = hashlib.md5(
+        f"{src}|{st.st_size}|{st.st_mtime_ns}|v1".encode()).hexdigest()[:12]
+    out_dir = f"/tmp/ptt_events_part/{fp}"
+    marker = os.path.join(out_dir, "_DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        (_read(sf_dir, "events", ["event_type", "user_id", "value"])
+         .write_parquet(out_dir, partition_cols=["event_type"]))
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    part = rd.read_parquet(os.path.join(out_dir, "event_type=purchase"))
+    out = (part.groupby("user_id")
+           .aggregate(Count(alias_name="n"),
+                      Sum("value", alias_name="total_value"))
+           .to_pandas())
+    out["n"] = out["n"].astype("int64")
+    out["total_value"] = round2(out["total_value"])
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+PARTITIONED_ROUNDTRIP_SQL = """
+SELECT user_id, count(*)::BIGINT AS n, round(sum(value), 2) AS total_value
+FROM events WHERE event_type = 'purchase'
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+_CMS_D, _CMS_W = 4, 1 << 14
+_CMS_SALTS = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                       0x165667B19E3779F9, 0x27D4EB2F165667C5],
+                      dtype=np.uint64)
+
+
+def cms_token_counts(sf_dir: str):
+    """Count-min sketch frequency estimation (Cormode & Muthukrishnan
+    2005): each batch emits ONE d×w count matrix over its token
+    stream; matrices SUM-merge (mergeable-sketch shape, no token ever
+    shuffles). Probe tokens are then estimated as min over d rows.
+    Oracle-checkable like the HLL queries: exact counts (SQL-verified)
+    plus the CMS guarantee flag est ≥ exact AND est ≤ exact + 2N/w."""
+    ds = _read(sf_dir, "documents", ["text"])
+    probes = ["the", "data", "merge", "row", "fast"]
+
+    def batch_cms(t: pa.Table) -> pa.Table:
+        cms = np.zeros((_CMS_D, _CMS_W), np.int64)
+        total = 0
+        for text in t["text"].to_pylist():
+            toks = (text or "").lower().split()
+            if not toks:
+                continue
+            total += len(toks)
+            h = pd.util.hash_array(np.asarray(toks, object))
+            for d in range(_CMS_D):
+                idx = ((h * _CMS_SALTS[d]) >> np.uint64(40)) % _CMS_W
+                np.add.at(cms[d], idx.astype(np.int64), 1)
+        return pa.table({"cms": pa.array([cms.tobytes()], pa.binary()),
+                         "total": pa.array([total], pa.int64())})
+
+    parts = ds.map_batches(batch_cms, batch_format="pyarrow").to_pandas()
+    cms = np.zeros((_CMS_D, _CMS_W), np.int64)
+    for buf in parts["cms"]:
+        cms += np.frombuffer(buf, np.int64).reshape(_CMS_D, _CMS_W)
+    n_total = int(parts["total"].sum())
+
+    hp = pd.util.hash_array(np.asarray(probes, object))
+    est = {}
+    for tok, h in zip(probes, hp):
+        idx = ((np.uint64(h) * _CMS_SALTS) >> np.uint64(40)) % _CMS_W
+        est[tok] = int(cms[np.arange(_CMS_D), idx.astype(np.int64)].min())
+
+    def exact_partial(t: pa.Table) -> pa.Table:
+        counts = dict.fromkeys(probes, 0)
+        for text in t["text"].to_pylist():
+            for tok in (text or "").lower().split():
+                if tok in counts:
+                    counts[tok] += 1
+        return pa.table({"token": pa.array(probes, pa.string()),
+                         "n": pa.array([counts[p] for p in probes],
+                                       pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    exact = (ds.map_batches(exact_partial, batch_format="pyarrow")
+             .groupby("token").aggregate(Sum("n", alias_name="n_exact"))
+             .to_pandas())
+    exact["n_exact"] = exact["n_exact"].astype("int64")
+    bound = 2.0 * n_total / _CMS_W
+    exact["cms_ok"] = [
+        bool(est[t] >= n and est[t] <= n + bound)
+        for t, n in zip(exact["token"], exact["n_exact"])]
+    return exact.sort_values("token").reset_index(drop=True)
+
+
+CMS_SQL = r"""
+SELECT term AS token, count(*)::BIGINT AS n_exact, true AS cms_ok
+FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+          AS term
+      FROM documents WHERE trim(coalesce(text, '')) <> '')
+WHERE term IN ('the', 'data', 'merge', 'row', 'fast')
+GROUP BY term ORDER BY token
+"""
+
+
 QUERIES = {
     # relational
     "q1_pricing_summary": q1_pricing_summary,
@@ -4611,6 +4815,9 @@ QUERIES = {
     "event_value_moments": event_value_moments,
     "lineitem_regression": lineitem_regression,
     "event_hourly_anomaly": event_hourly_anomaly,
+    "tfidf_top_terms": tfidf_top_terms,
+    "events_partitioned_roundtrip": events_partitioned_roundtrip,
+    "cms_token_counts": cms_token_counts,
 }
 
 ORACLE_SQL = {
@@ -4722,4 +4929,7 @@ ORACLE_SQL = {
     "event_value_moments": MOMENTS_SQL,
     "lineitem_regression": REGRESSION_SQL,
     "event_hourly_anomaly": HOURLY_ANOMALY_SQL,
+    "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,
+    "events_partitioned_roundtrip": PARTITIONED_ROUNDTRIP_SQL,
+    "cms_token_counts": CMS_SQL,
 }
