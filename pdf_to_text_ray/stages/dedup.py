@@ -286,7 +286,10 @@ def _verify_pairs_join(ds, cand_pdf: pd.DataFrame, key_col: str, text_col: str,
                          for x in sel[text_col].to_pylist()],
         })
 
-    sh = ds.map_batches(collect_shingles, batch_format="pyarrow")
+    # Consumed by BOTH join sides below — pin the (candidate-bounded)
+    # shingle rows once instead of re-deriving them per branch; lazy
+    # branches would each re-read the corpus and re-shingle.
+    sh = ds.map_batches(collect_shingles, batch_format="pyarrow").materialize()
     sh_a = sh.map_batches(
         lambda b: b.rename(columns={key_col: "id_a", "shingles": "sh_a"}),
         batch_format="pandas")

@@ -59,25 +59,19 @@ def bucketed_hash_join(left, right, on: str, *, num_buckets: int = 32,
     # float64 key hashes differently from the int64 it came from, so a
     # CHAINED bucketed join on this output would silently lose rows
     # (found via TPC-H Q5's orders⋈customer → ⋈lineitem chain).
-    # Capture both sides' original dtypes up front and restore them on
-    # the merged output (nulls from outer joins stay float).
+    # Integerness is recorded IN the tag prefix ("l::i::x" vs
+    # "l::o::x") by the per-batch tag maps themselves — calling
+    # ds.schema() here would EXECUTE a lazy upstream plan just to read
+    # dtypes (measured: a chained join re-ran its 4 s left-side plan as
+    # a limit-1 schema probe before running it again for real).
     import pyarrow as pa
-
-    def _int_cols(ds) -> dict:
-        try:
-            sch = ds.schema()
-            return {n: "int64" for n, t in zip(sch.names, sch.types)
-                    if pa.types.is_integer(t)}
-        except Exception:
-            return {}
-
-    restore = {**_int_cols(left), **_int_cols(right)}
 
     # Side membership is carried explicitly via column PREFIXES (not
     # inferred from all-null columns post-union, which silently drops a
     # genuine column whose values happen to be all null in a bucket):
-    # each side's non-key columns are renamed "l::x" / "r::x" before the
-    # union and stripped after the per-bucket merge.
+    # each side's non-key columns are renamed "l::i::x" / "l::o::x"
+    # (i = integer dtype, to restore after the NaN-pad coercion) before
+    # the union and stripped after the per-bucket merge.
     # Arrow-native, pyarrow-DECLARED tag maps: the declared format of
     # the map fused into the bucket exchange decides the exchange's
     # block type — pandas-declared maps force the sort onto the pandas
@@ -88,7 +82,9 @@ def bucketed_hash_join(left, right, on: str, *, num_buckets: int = 32,
     def tag(side: str):
         def fn_arrow(t: pa.Table) -> pa.Table:
             t = t.rename_columns(
-                [c if c == on else f"{side}::{c}" for c in t.column_names])
+                [c if c == on else
+                 f"{side}::{'i' if pa.types.is_integer(t.schema.field(c).type) else 'o'}::{c}"
+                 for c in t.column_names])
             h = (pd.util.hash_array(t[on].to_numpy(zero_copy_only=False))
                  % num_buckets).astype("int64")
             t = t.append_column("_bucket", pa.array(h, pa.int64()))
@@ -96,8 +92,9 @@ def bucketed_hash_join(left, right, on: str, *, num_buckets: int = 32,
                 "_side", pa.array([side] * t.num_rows, pa.string()))
 
         def fn_pandas(b: pd.DataFrame) -> pd.DataFrame:
-            b = b.rename(
-                columns={c: f"{side}::{c}" for c in b.columns if c != on})
+            b = b.rename(columns={
+                c: f"{side}::{'i' if pd.api.types.is_integer_dtype(b[c]) else 'o'}::{c}"
+                for c in b.columns if c != on})
             b["_bucket"] = _bucket_of(b[on], num_buckets)
             b["_side"] = side
             return b
@@ -114,10 +111,12 @@ def bucketed_hash_join(left, right, on: str, *, num_buckets: int = 32,
         g = t.to_pandas() if arrow_blocks else t
         lcols = [c for c in g.columns if c.startswith("l::")]
         rcols = [c for c in g.columns if c.startswith("r::")]
+        restore = {c[6:]: "int64" for c in g.columns
+                   if c.startswith(("l::i::", "r::i::"))}
         lg = g.loc[g["_side"] == "l", [on] + lcols].rename(
-            columns={c: c[3:] for c in lcols})
+            columns={c: c[6:] for c in lcols})
         rg = g.loc[g["_side"] == "r", [on] + rcols].rename(
-            columns={c: c[3:] for c in rcols})
+            columns={c: c[6:] for c in rcols})
         for cols, side in ((left_cols, lg), (right_cols, rg)):
             if cols:
                 for c in cols:
