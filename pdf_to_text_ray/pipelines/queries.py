@@ -4684,6 +4684,162 @@ GROUP BY term ORDER BY token
 """
 
 
+def embedding_outliers(sf_dir: str, k: int = 20):
+    """Semantic outlier detection for curation: the k vectors least
+    similar to their OWN label centroid. Centroids come from the
+    distributed partial-sum shape (label_centroids); each batch then
+    scores its vectors against the broadcast centroid matrix and emits
+    a bottom-k partial — the driver merges B×k rows."""
+    import ray
+
+    from pdf_to_text_ray.stages.similarity import (_normalize,
+                                                   list_column_to_matrix)
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+
+    def cent_partial(t: pa.Table) -> pa.Table:
+        m = list_column_to_matrix(t["embedding"])
+        labels = t["label"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), m.shape[1]), dtype=np.float64)
+        np.add.at(sums, inv, m)
+        return pa.table({
+            "label": pa.array(np.repeat(uniq, m.shape[1]), pa.int64()),
+            "idx": pa.array(np.tile(np.arange(m.shape[1]), len(uniq)),
+                            pa.int64()),
+            "s": pa.array(sums.ravel(), pa.float64()),
+            "n": pa.array(np.repeat(np.bincount(inv), m.shape[1])
+                          .astype("int64"), pa.int64())})
+
+    parts = (ds.map_batches(cent_partial, batch_format="pyarrow")
+             .to_pandas()
+             .groupby(["label", "idx"], as_index=False)[["s", "n"]].sum()
+             .sort_values(["label", "idx"]))
+    labels = parts["label"].unique()
+    dim = parts["idx"].max() + 1
+    cents = (parts["s"] / parts["n"]).to_numpy().reshape(len(labels), dim)
+    lab_pos = {int(l): i for i, l in enumerate(labels)}
+    ref = ray.put((lab_pos, cents / np.linalg.norm(cents, axis=1,
+                                                   keepdims=True)))
+
+    def bottomk(t: pa.Table) -> pa.Table:
+        pos, cn = ray.get(ref)
+        m = _normalize(list_column_to_matrix(t["embedding"]))
+        lab = t["label"].to_numpy(zero_copy_only=False)
+        rows = np.array([pos[int(x)] for x in lab], np.int64)
+        cos = np.einsum("ij,ij->i", m, cn[rows])
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, cos))[:k]
+        return pa.table({
+            "vec_id": pa.array(ids[order], pa.int64()),
+            "label": pa.array(lab[order].astype(np.int64), pa.int64()),
+            "cos_sim": pa.array(cos[order], pa.float64())})
+
+    pdf = ds.map_batches(bottomk, batch_format="pyarrow").to_pandas()
+    out = pdf.sort_values(["cos_sim", "vec_id"]).head(k).copy()
+    y = out["cos_sim"].to_numpy() * 1e6
+    out["cos_sim"] = np.copysign(np.floor(np.abs(y) + 0.5), y) / 1e6
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+EMB_OUTLIERS_SQL = """
+WITH e AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS idx,
+                  unnest(embedding)::DOUBLE AS v
+           FROM embeddings),
+c AS (SELECT label, idx, avg(v) AS cv FROM e GROUP BY label, idx),
+dot AS (SELECT e.vec_id, e.label,
+               sum(e.v * c.cv) AS d,
+               sqrt(sum(e.v * e.v)) AS nv, sqrt(sum(c.cv * c.cv)) AS nc
+        FROM e JOIN c USING (label, idx) GROUP BY e.vec_id, e.label),
+s AS (SELECT vec_id, label::BIGINT AS label, d / (nv * nc) AS cos
+      FROM dot)
+SELECT vec_id, label, round(cos, 6) AS cos_sim
+FROM (SELECT * FROM s ORDER BY cos, vec_id LIMIT 20)
+ORDER BY vec_id
+"""
+
+
+def zonemap_overlap_files(part_dir: str, lo, hi) -> tuple[list, int]:
+    """File-level zone-map pruning: read ONLY parquet footers, keep
+    files whose ts [min, max] interval overlaps [lo, hi). Returns
+    (overlapping file paths, total file count)."""
+    import pyarrow.parquet as pq
+
+    files = sorted(
+        os.path.join(part_dir, f) for f in os.listdir(part_dir)
+        if f.endswith(".parquet"))
+    keep = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        names = md.schema.to_arrow_schema().names
+        col = names.index("ts")
+        mn, mx = None, None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col).statistics
+            mn = st.min if mn is None else min(mn, st.min)
+            mx = st.max if mx is None else max(mx, st.max)
+        if mn is not None and mn < hi and mx >= lo:
+            keep.append(f)
+    return keep, len(files)
+
+
+def events_zonemap_range_query(sf_dir: str):
+    """Zone-map (footer min/max statistics) pruned range scan: events
+    are laid out ONCE per sf as 16 ts-sorted parquet files; a ts-range
+    aggregate then reads only the files whose footer [min, max]
+    overlaps the predicate — the rest never leave storage. This is the
+    file-skipping layer a 100 TB time-partitioned corpus relies on
+    (pytest asserts real pruning: files_read < files_total)."""
+    import hashlib
+    import shutil
+
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    fp = hashlib.md5(
+        f"{src}|{st.st_size}|{st.st_mtime_ns}|v1".encode()).hexdigest()[:12]
+    out_dir = f"/tmp/ptt_events_zoned/{fp}"
+    marker = os.path.join(out_dir, "_DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        (_read(sf_dir, "events", ["ts", "event_type", "value"])
+         .sort("ts").repartition(16).write_parquet(out_dir))
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    lo = pd.Timestamp("2024-01-08")
+    hi = pd.Timestamp("2024-01-15")
+    keep, _total = zonemap_overlap_files(out_dir, lo, hi)
+    if not keep:
+        return pd.DataFrame({
+            "event_type": pd.Series([], dtype=object),
+            "n": pd.Series([], dtype="int64"),
+            "total_value": pd.Series([], dtype="float64")})
+    ds = rd.read_parquet(keep).map_batches(
+        lambda t: t.filter(pc.and_(
+            pc.greater_equal(t["ts"], pa.scalar(lo)),
+            pc.less(t["ts"], pa.scalar(hi)))),
+        batch_format="pyarrow")
+    out = (ds.groupby("event_type")
+           .aggregate(Count(alias_name="n"),
+                      Sum("value", alias_name="total_value"))
+           .to_pandas())
+    out["n"] = out["n"].astype("int64")
+    out["total_value"] = round2(out["total_value"])
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+ZONEMAP_SQL = """
+SELECT event_type, count(*)::BIGINT AS n,
+       round(sum(value), 2) AS total_value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     # relational
     "q1_pricing_summary": q1_pricing_summary,
@@ -4818,6 +4974,8 @@ QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "events_partitioned_roundtrip": events_partitioned_roundtrip,
     "cms_token_counts": cms_token_counts,
+    "embedding_outliers": embedding_outliers,
+    "events_zonemap_range_query": events_zonemap_range_query,
 }
 
 ORACLE_SQL = {
@@ -4932,4 +5090,6 @@ ORACLE_SQL = {
     "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,
     "events_partitioned_roundtrip": PARTITIONED_ROUNDTRIP_SQL,
     "cms_token_counts": CMS_SQL,
+    "embedding_outliers": EMB_OUTLIERS_SQL,
+    "events_zonemap_range_query": ZONEMAP_SQL,
 }

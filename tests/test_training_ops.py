@@ -1145,3 +1145,24 @@ def test_pagerank_matches_dense_iteration(ray_session):
     assert np.allclose(got, r, atol=1e-12)
     # ranks sum to ~1 on a dangling-free graph
     assert abs(out["rank"].sum() - 1.0) < 1e-9
+
+
+def test_zonemap_pruning_skips_files(ray_session):
+    import pandas as _pd
+
+    from pdf_to_text_ray.pipelines.queries import (
+        events_zonemap_range_query, zonemap_overlap_files)
+
+    # builds (or reuses) the ts-sorted 16-file layout as a side effect
+    out = events_zonemap_range_query(SF)
+    assert set(out.columns) == {"event_type", "n", "total_value"}
+    import hashlib, os
+    src = f"{SF}/events.parquet"
+    st = os.stat(src)
+    fp = hashlib.md5(
+        f"{src}|{st.st_size}|{st.st_mtime_ns}|v1".encode()).hexdigest()[:12]
+    part_dir = f"/tmp/ptt_events_zoned/{fp}"
+    keep, total = zonemap_overlap_files(
+        part_dir, _pd.Timestamp("2024-01-08"), _pd.Timestamp("2024-01-15"))
+    # a one-week window over a month of ts-sorted files must prune
+    assert total == 16 and 0 < len(keep) < total
