@@ -4840,6 +4840,76 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+def events_schema_evolution(sf_dir: str):
+    """Schema-evolution read: a corpus written in two layout
+    generations — v1 files lack the event_type column (older writer),
+    v2 files carry it — is read as ONE dataset by defaulting the
+    missing column per batch before the union, then aggregated. The
+    default fill is a per-batch map (no rewrite of old files), the
+    union stays streaming. Split rule: even event_ids were written by
+    the v1 writer."""
+    import hashlib
+    import shutil
+
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    fp = hashlib.md5(
+        f"{src}|{st.st_size}|{st.st_mtime_ns}|v1".encode()).hexdigest()[:12]
+    root = f"/tmp/ptt_events_evo/{fp}"
+    marker = os.path.join(root, "_DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(root, ignore_errors=True)
+        ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type",
+                                      "value"])
+        (ev.map_batches(
+            lambda t: t.filter(pc.equal(
+                pc.bit_wise_and(t["event_id"], pa.scalar(1, pa.int64())),
+                pa.scalar(0, pa.int64())))
+            .select(["event_id", "user_id", "value"]),
+            batch_format="pyarrow")
+         .write_parquet(os.path.join(root, "v1")))
+        (ev.map_batches(
+            lambda t: t.filter(pc.equal(
+                pc.bit_wise_and(t["event_id"], pa.scalar(1, pa.int64())),
+                pa.scalar(1, pa.int64()))),
+            batch_format="pyarrow")
+         .write_parquet(os.path.join(root, "v2")))
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    def fill_v1(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"], "user_id": t["user_id"],
+            "event_type": pa.array(["unknown"] * t.num_rows, pa.string()),
+            "value": t["value"]})
+
+    def order_v2(t: pa.Table) -> pa.Table:
+        return t.select(["event_id", "user_id", "event_type", "value"])
+
+    v1 = rd.read_parquet(os.path.join(root, "v1")).map_batches(
+        fill_v1, batch_format="pyarrow")
+    v2 = rd.read_parquet(os.path.join(root, "v2")).map_batches(
+        order_v2, batch_format="pyarrow")
+    out = (v1.union(v2).groupby("event_type")
+           .aggregate(Count(alias_name="n"),
+                      Sum("value", alias_name="total_value"))
+           .to_pandas())
+    out["n"] = out["n"].astype("int64")
+    out["total_value"] = round2(out["total_value"])
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SCHEMA_EVOLUTION_SQL = """
+SELECT CASE WHEN event_id % 2 = 0 THEN 'unknown' ELSE event_type END
+         AS event_type,
+       count(*)::BIGINT AS n, round(sum(value), 2) AS total_value
+FROM events GROUP BY 1 ORDER BY event_type
+"""
+
+
 QUERIES = {
     # relational
     "q1_pricing_summary": q1_pricing_summary,
@@ -4976,6 +5046,7 @@ QUERIES = {
     "cms_token_counts": cms_token_counts,
     "embedding_outliers": embedding_outliers,
     "events_zonemap_range_query": events_zonemap_range_query,
+    "events_schema_evolution": events_schema_evolution,
 }
 
 ORACLE_SQL = {
@@ -5092,4 +5163,5 @@ ORACLE_SQL = {
     "cms_token_counts": CMS_SQL,
     "embedding_outliers": EMB_OUTLIERS_SQL,
     "events_zonemap_range_query": ZONEMAP_SQL,
+    "events_schema_evolution": SCHEMA_EVOLUTION_SQL,
 }

@@ -17,6 +17,8 @@ already demonstrate that shape).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -25,7 +27,8 @@ from pdf_to_text_ray.stages.groups import arrow_out
 
 
 def pagerank(edges, *, src_col: str = "src", dst_col: str = "dst",
-             damping: float = 0.85, iters: int = 5) -> pd.DataFrame:
+             damping: float = 0.85, iters: int = 5,
+             checkpoint_dir: str | None = None) -> pd.DataFrame:
     """PageRank over a directed edge Dataset where every node has
     out-degree ≥ 1 (feed an undirected graph as both edge directions —
     then there is no dangling-mass term). Returns (node, rank).
@@ -35,6 +38,12 @@ def pagerank(edges, *, src_col: str = "src", dst_col: str = "dst",
     driver rebuilds the dense rank vector (O(N) work, N = #nodes).
     Deterministic to float-summation order at ~1e-16 — callers
     comparing across engines should round.
+
+    ``checkpoint_dir``: write the rank vector after every iteration
+    (atomic rename) and resume from the newest complete checkpoint —
+    a killed 50-iteration job on 10^11 edges redoes only its current
+    iteration. Checkpoints are keyed by iteration index; a caller
+    changing the graph must use a fresh directory.
     """
     import ray
     from ray.data.aggregate import Sum
@@ -53,7 +62,20 @@ def pagerank(edges, *, src_col: str = "src", dst_col: str = "dst",
                              "rank": pd.Series([], dtype="float64")})
     rank = np.full(n, 1.0 / n)
 
-    for _ in range(iters):
+    start = 0
+    if checkpoint_dir:
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        done = sorted(
+            int(f.split("_")[1].split(".")[0])
+            for f in os.listdir(checkpoint_dir)
+            if f.startswith("iter_") and f.endswith(".npy"))
+        done = [i for i in done if i <= iters]
+        if done:
+            start = done[-1]
+            rank = np.load(os.path.join(checkpoint_dir,
+                                        f"iter_{start}.npy"))
+
+    for _it in range(start, iters):
         ref = ray.put((nodes, rank / deg))
 
         def contrib(t: pa.Table) -> pa.Table:
@@ -70,5 +92,10 @@ def pagerank(edges, *, src_col: str = "src", dst_col: str = "dst",
         inflow = (parts.set_index("v")["s"]
                   .reindex(nodes, fill_value=0.0).to_numpy())
         rank = (1.0 - damping) / n + damping * inflow
+        if checkpoint_dir:
+            tmp = os.path.join(checkpoint_dir, f".tmp_iter_{_it + 1}.npy")
+            np.save(tmp, rank)
+            os.replace(tmp, os.path.join(checkpoint_dir,
+                                         f"iter_{_it + 1}.npy"))
 
     return pd.DataFrame({"node": nodes.astype(np.int64), "rank": rank})

@@ -1166,3 +1166,25 @@ def test_zonemap_pruning_skips_files(ray_session):
         part_dir, _pd.Timestamp("2024-01-08"), _pd.Timestamp("2024-01-15"))
     # a one-week window over a month of ts-sorted files must prune
     assert total == 16 and 0 < len(keep) < total
+
+
+def test_pagerank_checkpoint_resume(ray_session, tmp_path):
+    import ray.data as rd
+
+    from pdf_to_text_ray.stages.graph import pagerank
+
+    und = [(0, 1), (1, 2), (2, 3), (3, 0), (1, 3)]
+    e = pd.DataFrame({"src": [a for a, b in und] + [b for a, b in und],
+                      "dst": [b for a, b in und] + [a for a, b in und]})
+    direct = pagerank(rd.from_pandas(e), iters=5)
+
+    ck = str(tmp_path / "pr_ck")
+    # simulate a kill after 2 iterations, then a fresh call to 5
+    pagerank(rd.from_pandas(e), iters=2, checkpoint_dir=ck)
+    resumed = pagerank(rd.from_pandas(e), iters=5, checkpoint_dir=ck)
+    assert np.allclose(direct["rank"], resumed["rank"], atol=1e-12)
+    assert (direct["node"] == resumed["node"]).all()
+    # checkpoints exist for every completed iteration
+    import os
+    assert sorted(f for f in os.listdir(ck) if f.startswith("iter_")) == \
+        [f"iter_{i}.npy" for i in range(1, 6)]
