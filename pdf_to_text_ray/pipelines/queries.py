@@ -4910,6 +4910,140 @@ FROM events GROUP BY 1 ORDER BY event_type
 """
 
 
+def events_window_distinct_users(sf_dir: str):
+    """Windowed COUNT DISTINCT (non-algebraic — needs the two-level
+    reduce): distinct (day, event_type, user) triples first (the wide
+    but payload-free shuffle), then the per-window distinct count over
+    the already-small grouped set."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "user_id"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        day = pc.multiply(pc.divide(us, pa.scalar(86_400_000_000,
+                                                  pa.int64())),
+                          pa.scalar(86_400_000_000, pa.int64()))
+        return pa.table({"event_type": t["event_type"], "day_us": day,
+                         "user_id": t["user_id"]})
+
+    out = (ds.map_batches(bucket, batch_format="pyarrow")
+           .groupby(["event_type", "day_us", "user_id"]).count()
+           .groupby(["event_type", "day_us"])
+           .aggregate(Count(alias_name="n_users"))
+           .to_pandas())
+    out["n_users"] = out["n_users"].astype("int64")
+    return (out.sort_values(["event_type", "day_us"])
+            .reset_index(drop=True))
+
+
+WINDOW_DISTINCT_SQL = """
+SELECT event_type,
+       (epoch_us(ts) // 86400000000) * 86400000000 AS day_us,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM events GROUP BY 1, 2 ORDER BY event_type, day_us
+"""
+
+
+def lineitem_covariance(sf_dir: str):
+    """Pairwise sample covariances among three measures from one pass
+    of partial sums (n, Σx, Σy, Σxy per pair) — the mergeable shape;
+    the cov division runs on 3 rows."""
+    from ray.data.aggregate import Sum
+
+    pairs = [("l_quantity", "l_extendedprice"),
+             ("l_quantity", "l_discount"),
+             ("l_extendedprice", "l_discount")]
+    ds = _lineitem(sf_dir, ["l_quantity", "l_extendedprice",
+                            "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        rows = []
+        for xc, yc in pairs:
+            x = t[xc].to_numpy(zero_copy_only=False)
+            y = t[yc].to_numpy(zero_copy_only=False)
+            rows.append((f"{xc}|{yc}", len(x), float(x.sum()),
+                         float(y.sum()), float((x * y).sum())))
+        return arrow_out(pd.DataFrame(
+            rows, columns=["pair", "n", "sx", "sy", "sxy"]))
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("pair")
+           .aggregate(Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+                      Sum("sy", alias_name="sy"),
+                      Sum("sxy", alias_name="sxy"))
+           .to_pandas())
+    agg["covar"] = round2((agg["sxy"] - agg["sx"] * agg["sy"] / agg["n"])
+                          / (agg["n"] - 1))
+    agg["n"] = agg["n"].astype("int64")
+    return (agg[["pair", "n", "covar"]]
+            .sort_values("pair").reset_index(drop=True))
+
+
+COVARIANCE_SQL = """
+SELECT 'l_quantity|l_extendedprice' AS pair, count(*)::BIGINT AS n,
+       round(covar_samp(l_quantity, l_extendedprice), 2) AS covar
+FROM lineitem
+UNION ALL
+SELECT 'l_quantity|l_discount', count(*)::BIGINT,
+       round(covar_samp(l_quantity, l_discount), 2) FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice|l_discount', count(*)::BIGINT,
+       round(covar_samp(l_extendedprice, l_discount), 2) FROM lineitem
+ORDER BY pair
+"""
+
+
+def winsorized_value_mean(sf_dir: str):
+    """Winsorized mean per group: clip at the group's exact p10/p90
+    (the distributed histogram-refinement quantile engine — discrete
+    definition, matching quantile_disc), then a second clipped-sum
+    pass with the tiny (group → bounds) map broadcast."""
+    import ray
+
+    from pdf_to_text_ray.stages.quantiles import exact_group_quantiles
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    q = exact_group_quantiles(ds, "event_type", "value", [0.1, 0.9],
+                              n_buckets=64, collect_cap=500)
+    bounds = {et: (lo, hi) for et, lo, hi in
+              zip(q["event_type"], q["q_10"], q["q_90"])}
+    ref = ray.put(bounds)
+
+    def clipped(t: pa.Table) -> pa.Table:
+        b = ray.get(ref)
+        df = pd.DataFrame({
+            "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+            "v": t["value"].to_numpy(zero_copy_only=False)})
+        lo = df["event_type"].map(lambda e: b[e][0]).to_numpy()
+        hi = df["event_type"].map(lambda e: b[e][1]).to_numpy()
+        df["v"] = np.clip(df["v"].to_numpy(), lo, hi)
+        df["n"] = np.ones(len(df), np.int64)
+        return arrow_out(df.groupby("event_type", as_index=False)
+                         [["v", "n"]].sum())
+
+    agg = (ds.map_batches(clipped, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("v", alias_name="s"), Sum("n", alias_name="n"))
+           .to_pandas())
+    agg["wmean"] = round2(agg["s"] / agg["n"])
+    agg["n"] = agg["n"].astype("int64")
+    return (agg[["event_type", "n", "wmean"]]
+            .sort_values("event_type").reset_index(drop=True))
+
+
+WINSORIZED_SQL = """
+WITH q AS (SELECT event_type, quantile_disc(value, 0.1) AS lo,
+                  quantile_disc(value, 0.9) AS hi
+           FROM events GROUP BY 1)
+SELECT e.event_type, count(*)::BIGINT AS n,
+       round(avg(least(greatest(value, lo), hi)), 2) AS wmean
+FROM events e JOIN q USING (event_type)
+GROUP BY e.event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     # relational
     "q1_pricing_summary": q1_pricing_summary,
@@ -5047,6 +5181,9 @@ QUERIES = {
     "embedding_outliers": embedding_outliers,
     "events_zonemap_range_query": events_zonemap_range_query,
     "events_schema_evolution": events_schema_evolution,
+    "events_window_distinct_users": events_window_distinct_users,
+    "lineitem_covariance": lineitem_covariance,
+    "winsorized_value_mean": winsorized_value_mean,
 }
 
 ORACLE_SQL = {
@@ -5164,4 +5301,7 @@ ORACLE_SQL = {
     "embedding_outliers": EMB_OUTLIERS_SQL,
     "events_zonemap_range_query": ZONEMAP_SQL,
     "events_schema_evolution": SCHEMA_EVOLUTION_SQL,
+    "events_window_distinct_users": WINDOW_DISTINCT_SQL,
+    "lineitem_covariance": COVARIANCE_SQL,
+    "winsorized_value_mean": WINSORIZED_SQL,
 }
