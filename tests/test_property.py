@@ -160,3 +160,76 @@ def test_bucketed_group_apply_matches_plain_groupby(ray_session, n, seed, bucket
     pd.testing.assert_frame_equal(
         got.astype({"k": "int64"}), expected.astype({"k": "int64"}),
         check_exact=False, rtol=1e-9)
+
+
+# ── mergeable-primitive properties (round-6 ops) ─────────────────────
+
+@given(st.lists(st.floats(min_value=-1e3, max_value=1e3,
+                          allow_nan=False), min_size=8, max_size=200),
+       st.integers(min_value=2, max_value=6))
+@settings(max_examples=40, deadline=None)
+def test_moments_merge_matches_direct(xs, n_parts):
+    import numpy as np
+
+    from pdf_to_text_ray.pipelines.queries import _merge_moments
+
+    v = np.asarray(xs, np.float64)
+    parts = np.array_split(v, n_parts)
+    acc = (0, 0.0, 0.0, 0.0, 0.0)
+    for p in parts:
+        if len(p) == 0:
+            continue
+        mu = p.mean()
+        c = p - mu
+        acc = _merge_moments(acc, (len(p), mu, (c**2).sum(),
+                                   (c**3).sum(), (c**4).sum()))
+    n, m, M2, M3, M4 = acc
+    c = v - v.mean()
+    scale = max(np.abs(c).max() ** 2, 1.0)
+    assert n == len(v)
+    assert math.isclose(m, v.mean(), rel_tol=1e-9, abs_tol=1e-9)
+    assert math.isclose(M2, (c**2).sum(), rel_tol=1e-7,
+                        abs_tol=1e-6 * scale)
+    assert math.isclose(M3, (c**3).sum(), rel_tol=1e-6,
+                        abs_tol=1e-5 * scale ** 1.5)
+    assert math.isclose(M4, (c**4).sum(), rel_tol=1e-6,
+                        abs_tol=1e-5 * scale ** 2)
+
+
+@given(st.lists(st.text(alphabet="abcdefgh", min_size=1, max_size=4),
+                min_size=1, max_size=400))
+@settings(max_examples=30, deadline=None)
+def test_cms_never_undercounts(tokens):
+    import numpy as np
+    import pandas as pd
+
+    from pdf_to_text_ray.pipelines.queries import _CMS_D, _CMS_SALTS, _CMS_W
+
+    cms = np.zeros((_CMS_D, _CMS_W), np.int64)
+    h = pd.util.hash_array(np.asarray(tokens, object))
+    for d in range(_CMS_D):
+        idx = ((h * _CMS_SALTS[d]) >> np.uint64(40)) % _CMS_W
+        np.add.at(cms[d], idx.astype(np.int64), 1)
+    exact = pd.Series(tokens).value_counts()
+    for tok, n in exact.items():
+        hh = pd.util.hash_array(np.asarray([tok], object))[0]
+        idx = ((np.uint64(hh) * _CMS_SALTS) >> np.uint64(40)) % _CMS_W
+        est = int(cms[np.arange(_CMS_D), idx.astype(np.int64)].min())
+        assert est >= n                      # CMS never undercounts
+        assert est <= len(tokens)            # and never exceeds the stream
+
+
+@given(st.integers(min_value=0, max_value=2**31))
+@settings(max_examples=50, deadline=None)
+def test_weighted_sample_uniform_is_engine_portable(doc_id):
+    """The md5-derived uniform must equal DuckDB's
+    ('0x' || substr(md5(id), 1, 8))::UBIGINT / 2^32 exactly."""
+    import hashlib
+
+    import duckdb
+
+    py = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+    (sql,) = duckdb.sql(
+        f"select ('0x' || substr(md5('{doc_id}'), 1, 8))::UBIGINT"
+    ).fetchone()
+    assert py == sql
