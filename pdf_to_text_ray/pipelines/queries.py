@@ -5044,6 +5044,116 @@ GROUP BY e.event_type ORDER BY event_type
 """
 
 
+def user_funnel(sf_dir: str):
+    """Ordered-funnel analysis: of the users who signed up, how many
+    later viewed, and of those how many later purchased — strict
+    temporal ordering on (ts, event_id). Per-user stage timestamps
+    reduce inside one bucketed shuffle; the funnel counts are three
+    scalars."""
+    from pdf_to_text_ray.stages.groups import bucketed_group_apply
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts",
+                                  "event_id"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # vectorized stage chain: per-user grouped mins + merges, no
+        # per-user python loop (the round-1 map_groups anti-pattern)
+        t0 = (df[df["event_type"] == "signup"]
+              .groupby("user_id")["ts"].min().rename("t0"))
+        vw = df[df["event_type"] == "view"].merge(
+            t0, left_on="user_id", right_index=True)
+        t1 = (vw[vw["ts"] > vw["t0"]]
+              .groupby("user_id")["ts"].min().rename("t1"))
+        pu = df[df["event_type"] == "purchase"].merge(
+            t1, left_on="user_id", right_index=True)
+        purchased = set(pu.loc[pu["ts"] > pu["t1"], "user_id"])
+        out = t0.reset_index()[["user_id"]]
+        out["signed_up"] = np.int64(1)
+        out["viewed_after"] = out["user_id"].isin(t1.index).astype("int64")
+        out["purchased_after"] = (out["user_id"].isin(purchased)
+                                  .astype("int64"))
+        return out
+
+    per_user = bucketed_group_apply(ds, "user_id", per_bucket).to_pandas()
+    return pd.DataFrame({
+        "n_signed_up": [int(per_user["signed_up"].sum())],
+        "n_viewed_after": [int(per_user["viewed_after"].sum())],
+        "n_purchased_after": [int(per_user["purchased_after"].sum())]})
+
+
+FUNNEL_SQL = """
+WITH s AS (SELECT user_id, min(ts) AS t0 FROM events
+           WHERE event_type = 'signup' GROUP BY user_id),
+v AS (SELECT e.user_id, min(e.ts) AS t1
+      FROM events e JOIN s USING (user_id)
+      WHERE e.event_type = 'view' AND e.ts > s.t0 GROUP BY e.user_id),
+p AS (SELECT e.user_id FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > v.t1
+      GROUP BY e.user_id)
+SELECT (SELECT count(*) FROM s)::BIGINT AS n_signed_up,
+       (SELECT count(*) FROM v)::BIGINT AS n_viewed_after,
+       (SELECT count(*) FROM p)::BIGINT AS n_purchased_after
+"""
+
+
+def retention_cohorts(sf_dir: str):
+    """Cohort retention: users grouped by first-seen day, counted as
+    active on each later day offset. First-seen reduces distributed
+    (groupby min), broadcasts as sorted arrays, and the (cohort,
+    offset) matrix comes from distinct (user, day) pairs — the
+    payload-free two-shuffle shape."""
+    import ray
+
+    from ray.data.aggregate import Count
+
+    DAY = 86_400_000_000
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def to_day(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        return pa.table({"user_id": t["user_id"],
+                         "day": pc.divide(us, pa.scalar(DAY, pa.int64()))})
+
+    days = ds.map_batches(to_day, batch_format="pyarrow")
+    first = (days.groupby("user_id").min("day").to_pandas()
+             .rename(columns={"min(day)": "cohort"}))
+    fref = ray.put((np.sort(first["user_id"].to_numpy()),
+                    first.sort_values("user_id")["cohort"].to_numpy()))
+
+    def tag(t: pa.Table) -> pa.Table:
+        users, coh = ray.get(fref)
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(users, u)
+        return pa.table({
+            "cohort": pa.array(coh[idx], pa.int64()),
+            "offset": pc.subtract(t["day"],
+                                  pa.array(coh[idx], pa.int64())),
+            "user_id": t["user_id"]})
+
+    out = (days.map_batches(tag, batch_format="pyarrow")
+           .groupby(["cohort", "offset", "user_id"]).count()
+           .groupby(["cohort", "offset"])
+           .aggregate(Count(alias_name="n_active"))
+           .to_pandas())
+    out = out[out["offset"].isin([0, 1, 7])]
+    for c in ("cohort", "offset", "n_active"):
+        out[c] = out[c].astype("int64")
+    return (out.sort_values(["cohort", "offset"])
+            .reset_index(drop=True))
+
+
+RETENTION_SQL = """
+WITH d AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day
+           FROM events),
+f AS (SELECT user_id, min(day) AS cohort FROM d GROUP BY user_id),
+a AS (SELECT DISTINCT f.cohort, d.day - f.cohort AS "offset", d.user_id
+      FROM d JOIN f USING (user_id))
+SELECT cohort, "offset", count(*)::BIGINT AS n_active
+FROM a WHERE "offset" IN (0, 1, 7)
+GROUP BY cohort, "offset" ORDER BY cohort, "offset"
+"""
+
+
 QUERIES = {
     # relational
     "q1_pricing_summary": q1_pricing_summary,
@@ -5184,6 +5294,8 @@ QUERIES = {
     "events_window_distinct_users": events_window_distinct_users,
     "lineitem_covariance": lineitem_covariance,
     "winsorized_value_mean": winsorized_value_mean,
+    "user_funnel": user_funnel,
+    "retention_cohorts": retention_cohorts,
 }
 
 ORACLE_SQL = {
@@ -5304,4 +5416,6 @@ ORACLE_SQL = {
     "events_window_distinct_users": WINDOW_DISTINCT_SQL,
     "lineitem_covariance": COVARIANCE_SQL,
     "winsorized_value_mean": WINSORIZED_SQL,
+    "user_funnel": FUNNEL_SQL,
+    "retention_cohorts": RETENTION_SQL,
 }
