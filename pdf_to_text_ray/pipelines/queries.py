@@ -5154,6 +5154,488 @@ GROUP BY cohort, "offset" ORDER BY cohort, "offset"
 """
 
 
+# ── TPC-H completion: the seven shapes needing partsupp / shipmode /
+# commit-date columns, adapted to the driver tables (lineitem is the
+# part↔supplier bridge; l_shipdate vs o_orderdate is the lateness
+# signal). With these the battery carries all 22 TPC-H query shapes. ──
+
+def q2_min_cost_supplier(sf_dir: str):
+    """TPC-H Q2 shape — correlated regional-minimum subquery: for each
+    STANDARD small part, the AFRICA supplier with the cheapest observed
+    unit price. The (part, supplier) min reduces distributed (per-batch
+    pandas partial → one grouped Min); everything after is bounded by
+    the catalog (|part|×|supplier| pairs, dimension tables) and
+    finishes driver-side. The equality filter compares mins produced
+    from identical IEEE divisions, so both engines agree exactly."""
+    from ray.data.aggregate import Min
+
+    def pair_min(t: pa.Table) -> pa.Table:
+        unit = (t["l_extendedprice"].to_numpy(zero_copy_only=False)
+                / t["l_quantity"].to_numpy(zero_copy_only=False))
+        part = pd.DataFrame({
+            "p_partkey": t["l_partkey"].to_numpy(zero_copy_only=False),
+            "s_suppkey": t["l_suppkey"].to_numpy(zero_copy_only=False),
+            "unit_cost": unit})
+        return arrow_out(part.groupby(["p_partkey", "s_suppkey"],
+                                      as_index=False).min())
+
+    cost = (_lineitem(sf_dir, ["l_partkey", "l_suppkey",
+                               "l_extendedprice", "l_quantity"])
+            .map_batches(pair_min, batch_format="pyarrow")
+            .groupby(["p_partkey", "s_suppkey"])
+            .aggregate(Min("unit_cost", alias_name="unit_cost"))
+            .to_pandas())
+
+    nation = _read(sf_dir, "nation",
+                   ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    region = _read(sf_dir, "region",
+                   ["r_regionkey", "r_name"]).to_pandas()
+    supp = _read(sf_dir, "supplier",
+                 ["s_suppkey", "s_name", "s_nationkey",
+                  "s_acctbal"]).to_pandas()
+    rs = (supp.merge(nation, left_on="s_nationkey", right_on="n_nationkey")
+          .merge(region, left_on="n_regionkey", right_on="r_regionkey"))
+    rs = rs[rs["r_name"] == "AFRICA"][
+        ["s_suppkey", "s_name", "s_acctbal", "n_name"]]
+    c2 = cost.merge(rs, on="s_suppkey")
+    mins = (c2.groupby("p_partkey", as_index=False)["unit_cost"].min()
+            .rename(columns={"unit_cost": "mc"}))
+    c2 = c2.merge(mins, on="p_partkey")
+    c2 = c2[c2["unit_cost"] == c2["mc"]]
+    part = _read(sf_dir, "part",
+                 ["p_partkey", "p_type", "p_size"]).to_pandas()
+    part = part[(part["p_type"] == "STANDARD") & (part["p_size"] <= 25)]
+    out = c2.merge(part[["p_partkey"]], on="p_partkey")
+    out["unit_cost"] = round2(out["unit_cost"])
+    return (out[["s_acctbal", "s_name", "n_name", "p_partkey", "unit_cost"]]
+            .sort_values(["s_acctbal", "n_name", "s_name", "p_partkey"],
+                         ascending=[False, True, True, True])
+            .head(100).reset_index(drop=True))
+
+
+Q2_SQL = """
+WITH cost AS (
+  SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey,
+         min(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem GROUP BY 1, 2),
+rs AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+       FROM supplier JOIN nation ON s_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       WHERE r_name = 'AFRICA'),
+c2 AS (SELECT cost.p_partkey, cost.unit_cost, rs.s_suppkey, rs.s_name,
+              rs.s_acctbal, rs.n_name
+       FROM cost JOIN rs USING (s_suppkey)),
+m AS (SELECT p_partkey, min(unit_cost) AS mc FROM c2 GROUP BY 1)
+SELECT c2.s_acctbal, c2.s_name, c2.n_name, c2.p_partkey,
+       round(c2.unit_cost, 2) AS unit_cost
+FROM c2 JOIN m ON c2.p_partkey = m.p_partkey AND c2.unit_cost = m.mc
+JOIN part p ON p.p_partkey = c2.p_partkey
+WHERE p.p_type = 'STANDARD' AND p.p_size <= 25
+ORDER BY s_acctbal DESC, n_name, s_name, c2.p_partkey LIMIT 100
+"""
+
+
+def q9_profit_by_nation_year(sf_dir: str):
+    """TPC-H Q9 shape — multi-dimension profit rollup: lineitem⋈orders
+    is the bucketed fact-fact edge; part (price + name predicate) and
+    supplier→nation ship once as broadcast sorted arrays (bounded by
+    catalog size — the Q5/Q7 dimension pattern); per-batch partials
+    keep the final groupby at |nation|×|year| rows."""
+    import ray
+
+    from pdf_to_text_ray.stages.joins import bucketed_hash_join
+
+    part = _read(sf_dir, "part",
+                 ["p_partkey", "p_name", "p_retailprice"]).to_pandas()
+    part = (part[part["p_name"].str.contains("widget")]
+            .sort_values("p_partkey"))
+    part_ref = ray.put((part["p_partkey"].to_numpy(),
+                        part["p_retailprice"].to_numpy()))
+    supp = (_read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+            .to_pandas().sort_values("s_suppkey"))
+    supp_ref = ray.put((supp["s_suppkey"].to_numpy(),
+                        supp["s_nationkey"].to_numpy()))
+
+    def pre(t: pa.Table) -> pa.Table:
+        pk, _ = ray.get(part_ref)
+        lp = t["l_partkey"].to_numpy(zero_copy_only=False)
+        idx = np.clip(np.searchsorted(pk, lp), 0, max(len(pk) - 1, 0))
+        hit = (pk[idx] == lp) if len(pk) else np.zeros(len(lp), bool)
+        t = t.filter(pa.array(hit))
+        return t.rename_columns(["o_orderkey", "l_partkey", "l_suppkey",
+                                 "l_quantity", "l_extendedprice",
+                                 "l_discount"])
+
+    li = _lineitem(sf_dir, ["l_orderkey", "l_partkey", "l_suppkey",
+                            "l_quantity", "l_extendedprice",
+                            "l_discount"]).map_batches(
+        pre, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    joined = bucketed_hash_join(
+        li, orders, on="o_orderkey",
+        left_cols=["l_partkey", "l_suppkey", "l_quantity",
+                   "l_extendedprice", "l_discount"],
+        right_cols=["o_orderdate"])
+
+    def profit_partial(t: pa.Table) -> pa.Table:
+        b = t.to_pandas()
+        pk, price = ray.get(part_ref)
+        sk, sn = ray.get(supp_ref)
+        lp = b["l_partkey"].to_numpy()
+        pidx = np.clip(np.searchsorted(pk, lp), 0, max(len(pk) - 1, 0))
+        ls = b["l_suppkey"].to_numpy()
+        sidx = np.clip(np.searchsorted(sk, ls), 0, len(sk) - 1)
+        profit = (b["l_extendedprice"].to_numpy()
+                  * (1.0 - b["l_discount"].to_numpy())
+                  - 0.01 * price[pidx] * b["l_quantity"].to_numpy())
+        part = pd.DataFrame({
+            "n_nationkey": sn[sidx],
+            "o_year": b["o_orderdate"].dt.year.to_numpy(),
+            "sum_profit": profit})
+        return arrow_out(part.groupby(["n_nationkey", "o_year"],
+                                      as_index=False).sum())
+
+    from ray.data.aggregate import Sum
+
+    agg = (joined.map_batches(profit_partial, batch_format="pyarrow")
+           .groupby(["n_nationkey", "o_year"])
+           .aggregate(Sum("sum_profit", alias_name="sum_profit"))
+           .to_pandas())
+    names = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    agg["nation"] = agg["n_nationkey"].map(
+        dict(zip(names["n_nationkey"], names["n_name"])))
+    agg["o_year"] = agg["o_year"].astype("int64")
+    agg["sum_profit"] = round2(agg["sum_profit"])
+    return (agg[["nation", "o_year", "sum_profit"]]
+            .sort_values(["nation", "o_year"]).reset_index(drop=True))
+
+
+Q9_SQL = """
+SELECT n_name AS nation, year(o_orderdate)::BIGINT AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)
+                 - 0.01 * p_retailprice * l_quantity), 2) AS sum_profit
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+JOIN part ON p_partkey = l_partkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, year(o_orderdate) ORDER BY nation, o_year
+"""
+
+
+def q11_important_parts(sf_dir: str):
+    """TPC-H Q11 shape — grouped value share with a global scalar gate:
+    per-part value sums reduce distributed behind a broadcast supplier
+    scope probe; the 2×mean threshold compares ROUNDED sums on both
+    engines so partial-order float noise cannot flip the cut."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    nation = _read(sf_dir, "nation",
+                   ["n_nationkey", "n_regionkey"]).to_pandas()
+    region = _read(sf_dir, "region",
+                   ["r_regionkey", "r_name"]).to_pandas()
+    afr = set(nation.merge(
+        region[region["r_name"] == "AFRICA"],
+        left_on="n_regionkey", right_on="r_regionkey")["n_nationkey"])
+    supp = _read(sf_dir, "supplier",
+                 ["s_suppkey", "s_nationkey"]).to_pandas()
+    scope_ref = ray.put(np.sort(
+        supp.loc[supp["s_nationkey"].isin(afr), "s_suppkey"].to_numpy()))
+
+    def value_partial(t: pa.Table) -> pa.Table:
+        keys = ray.get(scope_ref)
+        ls = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        idx = np.clip(np.searchsorted(keys, ls), 0, max(len(keys) - 1, 0))
+        hit = (keys[idx] == ls) if len(keys) else np.zeros(len(ls), bool)
+        part = pd.DataFrame({
+            "p_partkey": t["l_partkey"].to_numpy(zero_copy_only=False)[hit],
+            "value": t["l_extendedprice"].to_numpy(
+                zero_copy_only=False)[hit]})
+        return arrow_out(part.groupby("p_partkey", as_index=False).sum())
+
+    v = (_lineitem(sf_dir, ["l_partkey", "l_suppkey", "l_extendedprice"])
+         .map_batches(value_partial, batch_format="pyarrow")
+         .groupby("p_partkey")
+         .aggregate(Sum("value", alias_name="value"))
+         .to_pandas())
+    if v.empty:
+        return pd.DataFrame({"p_partkey": pd.Series([], dtype="int64"),
+                             "value": pd.Series([], dtype="float64")})
+    v["value"] = round2(v["value"])
+    out = v[v["value"] > 2.0 * v["value"].mean()]
+    return (out.sort_values(["value", "p_partkey"],
+                            ascending=[False, True])
+            .reset_index(drop=True))
+
+
+Q11_SQL = """
+WITH scope AS (SELECT s_suppkey FROM supplier
+               JOIN nation ON s_nationkey = n_nationkey
+               JOIN region ON n_regionkey = r_regionkey
+               WHERE r_name = 'AFRICA'),
+v AS (SELECT l_partkey AS p_partkey, round(sum(l_extendedprice), 2) AS value
+      FROM lineitem JOIN scope ON l_suppkey = s_suppkey GROUP BY 1)
+SELECT p_partkey, value FROM v
+WHERE value > 2.0 * (SELECT avg(value) FROM v)
+ORDER BY value DESC, p_partkey
+"""
+
+
+def q12_late_shipment_priority(sf_dir: str):
+    """TPC-H Q12 shape — join + conditional counts by category: late
+    lines (shipped >60 days after order) counted by priority class per
+    return flag. One bucketed fact-fact join; the CASE sums collapse
+    per batch before a |flags|-row groupby."""
+    from pdf_to_text_ray.stages.joins import bucketed_hash_join
+
+    li = _lineitem(sf_dir, ["l_orderkey", "l_returnflag",
+                            "l_shipdate"]).map_batches(
+        lambda t: t.rename_columns(["o_orderkey", "l_returnflag",
+                                    "l_shipdate"]),
+        batch_format="pyarrow")
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    joined = bucketed_hash_join(
+        li, orders, on="o_orderkey",
+        left_cols=["l_returnflag", "l_shipdate"],
+        right_cols=["o_orderdate", "o_orderpriority"])
+
+    def late_partial(t: pa.Table) -> pa.Table:
+        b = t.to_pandas()
+        late = b["l_shipdate"] > b["o_orderdate"] + pd.Timedelta(days=60)
+        b = b[late]
+        high = b["o_orderpriority"].isin(("1-URGENT", "2-HIGH"))
+        part = pd.DataFrame({
+            "l_returnflag": b["l_returnflag"],
+            "high_line_count": high.astype("int64"),
+            "low_line_count": (~high).astype("int64")})
+        return arrow_out(part.groupby("l_returnflag",
+                                      as_index=False).sum())
+
+    from ray.data.aggregate import Sum
+
+    out = (joined.map_batches(late_partial, batch_format="pyarrow")
+           .groupby("l_returnflag")
+           .aggregate(Sum("high_line_count", alias_name="high_line_count"),
+                      Sum("low_line_count", alias_name="low_line_count"))
+           .to_pandas())
+    for c in ("high_line_count", "low_line_count"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+Q12_SQL = """
+SELECT l_returnflag,
+  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q16_supplier_cnt(sf_dir: str):
+    """TPC-H Q16 shape — distinct-supplier counts per part attribute
+    with a NOT-IN supplier exclusion: part attributes and the excluded
+    supplier set broadcast (catalog-bounded); the distinct reduce and
+    the count are two payload-free shuffles over (brand, size, supp)
+    triples."""
+    import ray
+
+    from ray.data.aggregate import Count
+
+    part = _read(sf_dir, "part",
+                 ["p_partkey", "p_brand", "p_type", "p_size"]).to_pandas()
+    part = part[(part["p_type"] != "PROMO")
+                & part["p_size"].isin((1, 9, 17, 25, 33, 41, 49))]
+    part = part.sort_values("p_partkey")
+    supp = _read(sf_dir, "supplier",
+                 ["s_suppkey", "s_acctbal"]).to_pandas()
+    bad = np.sort(supp.loc[supp["s_acctbal"] < 1000.0,
+                           "s_suppkey"].to_numpy())
+    ref = ray.put((part["p_partkey"].to_numpy(),
+                   part["p_brand"].to_numpy(),
+                   part["p_size"].to_numpy(), bad))
+
+    def triples(t: pa.Table) -> pa.Table:
+        pk, brand, size, excl = ray.get(ref)
+        lp = t["l_partkey"].to_numpy(zero_copy_only=False)
+        idx = np.clip(np.searchsorted(pk, lp), 0, max(len(pk) - 1, 0))
+        hit = (pk[idx] == lp) if len(pk) else np.zeros(len(lp), bool)
+        ls = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        if len(excl):
+            eidx = np.clip(np.searchsorted(excl, ls), 0, len(excl) - 1)
+            hit &= excl[eidx] != ls
+        part = pd.DataFrame({"p_brand": brand[idx][hit],
+                             "p_size": size[idx][hit],
+                             "l_suppkey": ls[hit]}).drop_duplicates()
+        return arrow_out(part)
+
+    out = (_lineitem(sf_dir, ["l_partkey", "l_suppkey"])
+           .map_batches(triples, batch_format="pyarrow")
+           .groupby(["p_brand", "p_size", "l_suppkey"]).count()
+           .map_batches(lambda t: t.select(["p_brand", "p_size",
+                                            "l_suppkey"]),
+                        batch_format="pyarrow")
+           .groupby(["p_brand", "p_size"])
+           .aggregate(Count(alias_name="supplier_cnt"))
+           .to_pandas())
+    if out.empty:
+        return pd.DataFrame({"p_brand": pd.Series([], dtype=object),
+                             "p_size": pd.Series([], dtype="int64"),
+                             "supplier_cnt": pd.Series([], dtype="int64")})
+    out["p_size"] = out["p_size"].astype("int64")
+    out["supplier_cnt"] = out["supplier_cnt"].astype("int64")
+    return (out.sort_values(["supplier_cnt", "p_brand", "p_size"],
+                            ascending=[False, True, True])
+            .reset_index(drop=True))
+
+
+Q16_SQL = """
+SELECT p_brand, p_size, count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_type <> 'PROMO' AND p_size IN (1, 9, 17, 25, 33, 41, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                        WHERE s_acctbal < 1000.0)
+GROUP BY p_brand, p_size ORDER BY supplier_cnt DESC, p_brand, p_size
+"""
+
+
+def q20_excess_suppliers(sf_dir: str):
+    """TPC-H Q20 shape — nested semi-join through grouped thresholds:
+    AFRICA suppliers who shipped more than half of some contested
+    (≥4-supplier) part's 1997 volume. The (supplier, part) quantity
+    sums reduce distributed; the per-part totals and the dimension
+    probe finish on the catalog-bounded result driver-side. Quantities
+    are integral so the sums and the 0.5× threshold are exact."""
+    from ray.data.aggregate import Sum
+
+    lo, hi = pd.Timestamp("1997-01-01"), pd.Timestamp("1998-01-01")
+
+    def pair_qty(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(
+            pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+            pc.less(t["l_shipdate"], pa.scalar(hi))))
+        part = pd.DataFrame({
+            "l_suppkey": t["l_suppkey"].to_numpy(zero_copy_only=False),
+            "l_partkey": t["l_partkey"].to_numpy(zero_copy_only=False),
+            "q": t["l_quantity"].to_numpy(zero_copy_only=False)})
+        return arrow_out(part.groupby(["l_suppkey", "l_partkey"],
+                                      as_index=False).sum())
+
+    sp = (_lineitem(sf_dir, ["l_suppkey", "l_partkey", "l_quantity",
+                             "l_shipdate"])
+          .map_batches(pair_qty, batch_format="pyarrow")
+          .groupby(["l_suppkey", "l_partkey"])
+          .aggregate(Sum("q", alias_name="q"))
+          .to_pandas())
+    pt = sp.groupby("l_partkey", as_index=False).agg(
+        total=("q", "sum"), ns=("q", "size"))
+    sp = sp.merge(pt, on="l_partkey")
+    sp = sp[(sp["ns"] >= 4) & (sp["q"] > 0.5 * sp["total"])]
+
+    nation = _read(sf_dir, "nation",
+                   ["n_nationkey", "n_regionkey"]).to_pandas()
+    region = _read(sf_dir, "region",
+                   ["r_regionkey", "r_name"]).to_pandas()
+    afr = set(nation.merge(
+        region[region["r_name"] == "AFRICA"],
+        left_on="n_regionkey", right_on="r_regionkey")["n_nationkey"])
+    supp = _read(sf_dir, "supplier",
+                 ["s_suppkey", "s_name", "s_nationkey"]).to_pandas()
+    supp = supp[supp["s_nationkey"].isin(afr)]
+    out = (supp.merge(sp[["l_suppkey"]].drop_duplicates(),
+                      left_on="s_suppkey", right_on="l_suppkey"))
+    return (out[["s_suppkey", "s_name"]].sort_values("s_suppkey")
+            .reset_index(drop=True))
+
+
+Q20_SQL = """
+WITH sp AS (SELECT l_suppkey, l_partkey, sum(l_quantity) AS q
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1, 2),
+pt AS (SELECT l_partkey, sum(q) AS total, count(*) AS ns
+       FROM sp GROUP BY 1)
+SELECT DISTINCT s.s_suppkey, s.s_name
+FROM supplier s JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+JOIN sp ON sp.l_suppkey = s.s_suppkey
+JOIN pt ON pt.l_partkey = sp.l_partkey
+WHERE r_name = 'AFRICA' AND pt.ns >= 4 AND sp.q > 0.5 * pt.total
+ORDER BY 1
+"""
+
+
+def q21_waiting_suppliers(sf_dir: str):
+    """TPC-H Q21 shape — the EXISTS / NOT-EXISTS pair correlated on the
+    order: suppliers whose late line (shipped >60 days after an 'F'
+    order was placed) was the ONLY late one in a multi-supplier order.
+    One bucketed join for the order date, then per-order distinct
+    counts inside ONE bucketed shuffle on the order key."""
+    from pdf_to_text_ray.stages.groups import bucketed_group_apply
+    from pdf_to_text_ray.stages.joins import bucketed_hash_join
+
+    li = _lineitem(sf_dir, ["l_orderkey", "l_suppkey",
+                            "l_shipdate"]).map_batches(
+        lambda t: t.rename_columns(["o_orderkey", "l_suppkey",
+                                    "l_shipdate"]),
+        batch_format="pyarrow")
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate",
+                    "o_orderstatus"]).map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderstatus"], pa.scalar("F")))
+        .select(["o_orderkey", "o_orderdate"]),
+        batch_format="pyarrow")
+    joined = bucketed_hash_join(
+        li, orders, on="o_orderkey",
+        left_cols=["l_suppkey", "l_shipdate"],
+        right_cols=["o_orderdate"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        late = df["l_shipdate"] > df["o_orderdate"] + pd.Timedelta(days=60)
+        ns = df.groupby("o_orderkey")["l_suppkey"].nunique()
+        lt = df[late]
+        nl = lt.groupby("o_orderkey")["l_suppkey"].nunique()
+        culprit = lt.groupby("o_orderkey")["l_suppkey"].max()
+        sel = nl.index[(nl == 1) & (ns.reindex(nl.index) >= 2)]
+        return pd.DataFrame({"s_suppkey": culprit.reindex(sel)
+                             .astype("int64").to_numpy()})
+
+    waits = (bucketed_group_apply(joined, "o_orderkey", per_bucket)
+             .groupby("s_suppkey").count().to_pandas())
+    if waits.empty:
+        return pd.DataFrame({"s_name": pd.Series([], dtype=object),
+                             "numwait": pd.Series([], dtype="int64")})
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
+    out = waits.merge(supp, on="s_suppkey").rename(
+        columns={"count()": "numwait"})
+    out["numwait"] = out["numwait"].astype("int64")
+    return (out[["s_name", "numwait"]]
+            .sort_values(["numwait", "s_name"], ascending=[False, True])
+            .reset_index(drop=True))
+
+
+Q21_SQL = """
+WITH l AS (SELECT l_orderkey, l_suppkey,
+                  (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS late
+           FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+           WHERE o_orderstatus = 'F'),
+o AS (SELECT l_orderkey, count(DISTINCT l_suppkey) AS ns,
+             count(DISTINCT l_suppkey) FILTER (late) AS nl,
+             max(l_suppkey) FILTER (late) AS culprit
+      FROM l GROUP BY 1)
+SELECT s_name, count(*)::BIGINT AS numwait
+FROM o JOIN supplier ON s_suppkey = culprit
+WHERE ns >= 2 AND nl = 1 GROUP BY s_name ORDER BY numwait DESC, s_name
+"""
+
+
 QUERIES = {
     # relational
     "q1_pricing_summary": q1_pricing_summary,
@@ -5296,6 +5778,13 @@ QUERIES = {
     "winsorized_value_mean": winsorized_value_mean,
     "user_funnel": user_funnel,
     "retention_cohorts": retention_cohorts,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q9_profit_by_nation_year": q9_profit_by_nation_year,
+    "q11_important_parts": q11_important_parts,
+    "q12_late_shipment_priority": q12_late_shipment_priority,
+    "q16_supplier_cnt": q16_supplier_cnt,
+    "q20_excess_suppliers": q20_excess_suppliers,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
 }
 
 ORACLE_SQL = {
@@ -5418,4 +5907,11 @@ ORACLE_SQL = {
     "winsorized_value_mean": WINSORIZED_SQL,
     "user_funnel": FUNNEL_SQL,
     "retention_cohorts": RETENTION_SQL,
+    "q2_min_cost_supplier": Q2_SQL,
+    "q9_profit_by_nation_year": Q9_SQL,
+    "q11_important_parts": Q11_SQL,
+    "q12_late_shipment_priority": Q12_SQL,
+    "q16_supplier_cnt": Q16_SQL,
+    "q20_excess_suppliers": Q20_SQL,
+    "q21_waiting_suppliers": Q21_SQL,
 }
