@@ -5154,6 +5154,66 @@ GROUP BY cohort, "offset" ORDER BY cohort, "offset"
 """
 
 
+def page_links(sf_dir: str):
+    """Hyperlink-graph extraction (rows-only: HTML parsing is not
+    SQL-expressible): the pages corpus → sniff-routed link explode —
+    one edge row (src_url, dst_url, anchor, rel, is_nav, is_internal)
+    per resolved <a href>. flat_map-shaped map_batches; non-HTML rows
+    (PDF / plain text) contribute no edges."""
+    import ray.data as rd
+
+    from ..stages.html_links import links_batch
+
+    pages_dir, _ = _corpus_dirs(sf_dir)
+    ds = rd.read_parquet(pages_dir, columns=["url", "html"])
+    return ds.map_batches(links_batch, batch_format="pyarrow")
+
+
+def page_metadata(sf_dir: str):
+    """Per-page metadata extraction (rows-only): title, declared lang,
+    meta description, canonical URL, heading/link/script counts — one
+    row per HTML page, from the same single parse family as the
+    main-content extractor."""
+    import ray.data as rd
+
+    from ..stages.html_links import page_meta_batch
+
+    pages_dir, _ = _corpus_dirs(sf_dir)
+    ds = rd.read_parquet(pages_dir, columns=["url", "html"])
+    return ds.map_batches(page_meta_batch, batch_format="pyarrow")
+
+
+def host_link_summary(sf_dir: str):
+    """Host-level link-graph rollup (rows-only): edges → per-host
+    totals (outlinks, internal share, nav share). Hosts parse
+    vectorized (one regex pass per batch); per-batch partials keep the
+    final groupby at |hosts| rows."""
+    from ray.data.aggregate import Sum
+
+    edges = page_links(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        b = t.to_pandas()
+        host = b["src_url"].str.extract(r"^[a-z+]+://([^/]+)",
+                                        expand=False).fillna("")
+        part = pd.DataFrame({
+            "host": host.str.lower(),
+            "n_links": np.ones(len(b), np.int64),
+            "n_internal": b["is_internal"].to_numpy().astype(np.int64),
+            "n_nav": b["is_nav"].to_numpy().astype(np.int64)})
+        return arrow_out(part.groupby("host", as_index=False).sum())
+
+    out = (edges.map_batches(partial, batch_format="pyarrow")
+           .groupby("host")
+           .aggregate(Sum("n_links", alias_name="n_links"),
+                      Sum("n_internal", alias_name="n_internal"),
+                      Sum("n_nav", alias_name="n_nav"))
+           .to_pandas())
+    for c in ("n_links", "n_internal", "n_nav"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("host").reset_index(drop=True)
+
+
 # ── TPC-H completion: the seven shapes needing partsupp / shipmode /
 # commit-date columns, adapted to the driver tables (lineitem is the
 # part↔supplier bridge; l_shipdate vs o_orderdate is the lateness
@@ -5785,6 +5845,11 @@ QUERIES = {
     "q16_supplier_cnt": q16_supplier_cnt,
     "q20_excess_suppliers": q20_excess_suppliers,
     "q21_waiting_suppliers": q21_waiting_suppliers,
+    # extraction tier: hyperlink graph + page metadata (rows-only —
+    # HTML parsing is not SQL-expressible)
+    "page_links": page_links,
+    "page_metadata": page_metadata,
+    "host_link_summary": host_link_summary,
 }
 
 ORACLE_SQL = {
