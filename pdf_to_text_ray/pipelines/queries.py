@@ -5696,6 +5696,141 @@ WHERE ns >= 2 AND nl = 1 GROUP BY s_name ORDER BY numwait DESC, s_name
 """
 
 
+def orders_cube_volume(sf_dir: str):
+    """CUBE aggregate — all four grouping sets of (status, priority)
+    from ONE distributed pass: the finest-level sums reduce through a
+    per-batch partial + one small groupby (|statuses|×|priorities|
+    rows); the coarser levels re-aggregate that bounded result
+    driver-side from the RAW sums (rounding only at the end, so both
+    engines round once). Null group keys coalesce to 'ALL' on both
+    sides (sentinel-safe: no real status/priority is 'ALL')."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        part = pd.DataFrame({
+            "status": t["o_orderstatus"].to_numpy(zero_copy_only=False),
+            "priority": t["o_orderpriority"].to_numpy(
+                zero_copy_only=False),
+            "n_orders": np.ones(t.num_rows, np.int64),
+            "total": t["o_totalprice"].to_numpy(zero_copy_only=False)})
+        return arrow_out(part.groupby(["status", "priority"],
+                                      as_index=False).sum())
+
+    fine = (_read(sf_dir, "orders",
+                  ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(["status", "priority"])
+            .aggregate(Sum("n_orders", alias_name="n_orders"),
+                       Sum("total", alias_name="total"))
+            .to_pandas())
+
+    def roll(keys: list[str]) -> pd.DataFrame:
+        if keys:
+            g = fine.groupby(keys, as_index=False)[
+                ["n_orders", "total"]].sum()
+        else:
+            g = pd.DataFrame({"n_orders": [fine["n_orders"].sum()],
+                              "total": [fine["total"].sum()]})
+        for c in ("status", "priority"):
+            if c not in keys:
+                g[c] = "ALL"
+        return g[["status", "priority", "n_orders", "total"]]
+
+    out = pd.concat([roll(["status", "priority"]), roll(["status"]),
+                     roll(["priority"]), roll([])], ignore_index=True)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["total"] = round2(out["total"])
+    return (out.sort_values(["status", "priority"])
+            .reset_index(drop=True))
+
+
+CUBE_SQL = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*)::BIGINT AS n_orders, round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY status, priority
+"""
+
+
+def lineitem_unpivot_metrics(sf_dir: str):
+    """Unpivot / melt — three measure columns explode into long
+    (metric, val) rows INSIDE each batch (the wide→long reshape never
+    materializes: each batch emits only its per-metric partials), then
+    one |metrics|-row groupby merges sums/counts/extrema."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    measures = ("discount", "extendedprice", "quantity")
+
+    def partial(t: pa.Table) -> pa.Table:
+        cols = {"discount": t["l_discount"].to_numpy(zero_copy_only=False),
+                "extendedprice": t["l_extendedprice"].to_numpy(
+                    zero_copy_only=False),
+                "quantity": t["l_quantity"].to_numpy(zero_copy_only=False)}
+        return pa.table({
+            "metric": pa.array(list(measures), pa.string()),
+            "n": pa.array([len(cols[m]) for m in measures], pa.int64()),
+            "total": pa.array([float(cols[m].sum()) for m in measures]),
+            "vmin": pa.array([float(cols[m].min()) for m in measures]),
+            "vmax": pa.array([float(cols[m].max()) for m in measures]),
+        })
+
+    out = (_lineitem(sf_dir, ["l_quantity", "l_extendedprice",
+                              "l_discount"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("metric")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("total", alias_name="total"),
+                      Min("vmin", alias_name="vmin"),
+                      Max("vmax", alias_name="vmax"))
+           .to_pandas())
+    out["n"] = out["n"].astype("int64")
+    for c in ("total", "vmin", "vmax"):
+        out[c] = round2(out[c])
+    return out.sort_values("metric").reset_index(drop=True)
+
+
+UNPIVOT_SQL = """
+WITH u AS (
+  SELECT 'quantity' AS metric, l_quantity AS val FROM lineitem
+  UNION ALL SELECT 'extendedprice', l_extendedprice FROM lineitem
+  UNION ALL SELECT 'discount', l_discount FROM lineitem)
+SELECT metric, count(*)::BIGINT AS n, round(sum(val), 2) AS total,
+       round(min(val), 2) AS vmin, round(max(val), 2) AS vmax
+FROM u GROUP BY metric ORDER BY metric
+"""
+
+
+def event_value_mad_per_type(sf_dir: str):
+    """Grouped robust statistics — exact per-group median and median
+    absolute deviation. Holistic aggregates (need the whole group) →
+    ONE bucketed shuffle on the group key, vectorized pandas grouped
+    medians per bucket (verified bit-exact vs DuckDB mad/median)."""
+    from pdf_to_text_ray.stages.groups import bucketed_group_apply
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        med = df.groupby("event_type")["value"].median()
+        dev = (df["value"] - df["event_type"].map(med)).abs()
+        mad = dev.groupby(df["event_type"]).median()
+        out = pd.DataFrame({"event_type": med.index,
+                            "med_value": round2(med.to_numpy()),
+                            "mad_value": round2(mad.to_numpy())})
+        return out
+
+    return (bucketed_group_apply(ds, "event_type", per_bucket)
+            .to_pandas().sort_values("event_type")
+            .reset_index(drop=True))
+
+
+MAD_SQL = """
+SELECT event_type, round(median(value), 2) AS med_value,
+       round(mad(value), 2) AS mad_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     # relational
     "q1_pricing_summary": q1_pricing_summary,
@@ -5850,6 +5985,9 @@ QUERIES = {
     "page_links": page_links,
     "page_metadata": page_metadata,
     "host_link_summary": host_link_summary,
+    "orders_cube_volume": orders_cube_volume,
+    "lineitem_unpivot_metrics": lineitem_unpivot_metrics,
+    "event_value_mad_per_type": event_value_mad_per_type,
 }
 
 ORACLE_SQL = {
@@ -5979,4 +6117,7 @@ ORACLE_SQL = {
     "q16_supplier_cnt": Q16_SQL,
     "q20_excess_suppliers": Q20_SQL,
     "q21_waiting_suppliers": Q21_SQL,
+    "orders_cube_volume": CUBE_SQL,
+    "lineitem_unpivot_metrics": UNPIVOT_SQL,
+    "event_value_mad_per_type": MAD_SQL,
 }
