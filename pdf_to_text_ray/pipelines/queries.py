@@ -5831,6 +5831,113 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def doc_snippet_extract(sf_dir: str):
+    """Keyword-in-context snippet extraction: for every document
+    containing the term, a fixed 46-char window anchored 20 chars
+    before the FIRST occurrence (1-based substr parity with the SQL).
+    The find is a vectorized pandas str op per batch; the window slice
+    is per-matching-row only."""
+    term = "merge"
+
+    def snip(t: pa.Table) -> pa.Table:
+        texts = pd.Series(t["text"].to_pylist())
+        pos = texts.str.find(term)
+        hit = pos >= 0
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)[
+            hit.to_numpy()]
+        snippets = [s[max(0, p - 20):max(0, p - 20) + 46]
+                    for s, p in zip(texts[hit], pos[hit])]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "snippet": pa.array(snippets, pa.string())})
+
+    return (_read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(snip, batch_format="pyarrow")
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+
+SNIPPET_SQL = """
+SELECT doc_id,
+       substr(text, greatest(1, position('merge' IN text) - 20), 46)
+         AS snippet
+FROM documents WHERE position('merge' IN text) > 0 ORDER BY doc_id
+"""
+
+
+def doc_term_stats(sf_dir: str):
+    """Corpus term statistics for a fixed term list: per term, the
+    document frequency and the total (non-overlapping) occurrence
+    count. Vectorized str.contains / str.count partials per batch →
+    one |terms|-row groupby merge."""
+    from ray.data.aggregate import Sum
+
+    import re as _re
+
+    terms = ("join", "merge", "scan", "window")
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = pd.Series(t["text"].to_pylist())
+        rows = {"term": [], "n_docs": [], "n_occurrences": []}
+        for term in terms:
+            cnt = texts.str.count(_re.escape(term))
+            rows["term"].append(term)
+            rows["n_docs"].append(int((cnt > 0).sum()))
+            rows["n_occurrences"].append(int(cnt.sum()))
+        return pa.table({"term": pa.array(rows["term"], pa.string()),
+                         "n_docs": pa.array(rows["n_docs"], pa.int64()),
+                         "n_occurrences": pa.array(rows["n_occurrences"],
+                                                   pa.int64())})
+
+    out = (_read(sf_dir, "documents", ["text"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("term")
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("n_occurrences", alias_name="n_occurrences"))
+           .to_pandas())
+    for c in ("n_docs", "n_occurrences"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("term").reset_index(drop=True)
+
+
+TERM_STATS_SQL = """
+WITH t(term) AS (VALUES ('join'), ('merge'), ('scan'), ('window'))
+SELECT term,
+  sum(CASE WHEN position(term IN text) > 0 THEN 1 ELSE 0 END)::BIGINT
+    AS n_docs,
+  sum((len(text) - len(replace(text, term, ''))) // len(term))::BIGINT
+    AS n_occurrences
+FROM documents, t GROUP BY term ORDER BY term
+"""
+
+
+def anchor_text_index(sf_dir: str):
+    """Anchor-text aggregation per link target (rows-only — feeds on
+    the HTML link explode): for each dst_url, the inlink count and the
+    most common anchor text (ties → lexicographic min). The classic
+    web-search relevance signal; one bucketed shuffle on dst_url."""
+    from pdf_to_text_ray.stages.groups import bucketed_group_apply
+
+    edges = page_links(sf_dir)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        n = (df.groupby("dst_url", as_index=False)
+             .agg(n_refs=("src_url", "size")))
+        top = (df.groupby(["dst_url", "anchor"]).size()
+               .rename("c").reset_index()
+               .sort_values(["dst_url", "c", "anchor"],
+                            ascending=[True, False, True])
+               .drop_duplicates("dst_url")[["dst_url", "anchor"]]
+               .rename(columns={"anchor": "top_anchor"}))
+        return n.merge(top, on="dst_url")
+
+    out = (bucketed_group_apply(
+        edges.map_batches(
+            lambda t: t.select(["dst_url", "src_url", "anchor"]),
+            batch_format="pyarrow"),
+        "dst_url", per_bucket).to_pandas())
+    out["n_refs"] = out["n_refs"].astype("int64")
+    return out.sort_values("dst_url").reset_index(drop=True)
+
+
 QUERIES = {
     # relational
     "q1_pricing_summary": q1_pricing_summary,
@@ -5988,6 +6095,9 @@ QUERIES = {
     "orders_cube_volume": orders_cube_volume,
     "lineitem_unpivot_metrics": lineitem_unpivot_metrics,
     "event_value_mad_per_type": event_value_mad_per_type,
+    "doc_snippet_extract": doc_snippet_extract,
+    "doc_term_stats": doc_term_stats,
+    "anchor_text_index": anchor_text_index,
 }
 
 ORACLE_SQL = {
@@ -6120,4 +6230,6 @@ ORACLE_SQL = {
     "orders_cube_volume": CUBE_SQL,
     "lineitem_unpivot_metrics": UNPIVOT_SQL,
     "event_value_mad_per_type": MAD_SQL,
+    "doc_snippet_extract": SNIPPET_SQL,
+    "doc_term_stats": TERM_STATS_SQL,
 }
