@@ -195,11 +195,28 @@ def run_scaling() -> dict:
     # reported both raw and normalized to it.
     ceiling = None
     try:
+        # the ceiling must run the SAME workload as the legs it
+        # normalizes: same corpus, same doc count. Short legs on a
+        # small corpus overstate the ceiling (sustained bandwidth
+        # contention needs multi-second legs to show — measured 0.81
+        # at 12k docs vs 0.66 at 21k in one window).
+        from pdf_to_text_ray.fixtures.corpus import GENERATOR_VERSION
+
+        mult = int(os.environ.get("GRAFT_SCALING_MULT", "16"))
+        import pyarrow.parquet as pq
+
+        n_docs = pq.ParquetFile(
+            os.path.join(SF_DIR, "documents.parquet")).metadata.num_rows
+        n_scaling = max(500, n_docs * mult)
+        glob_pat = (f"/tmp/ptt_corpus/v{GENERATOR_VERSION}_n{n_scaling}"
+                    "_s42_heavy/pages/*.parquet")
+        env = dict(os.environ, CEILING_DOCS=str(n_scaling),
+                   CEILING_CORPUS_GLOB=glob_pat)
         out = subprocess.run(
             [sys.executable,
              os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "tools", "mp_ceiling.py")],
-            env=dict(os.environ), capture_output=True, text=True, check=True,
+            env=env, capture_output=True, text=True, check=True,
         ).stdout
         ceiling = json.loads(out.strip().splitlines()[-1])
     except Exception:

@@ -31,6 +31,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N_DOCS = int(os.environ.get("CEILING_DOCS", "12000"))
 REPS = int(os.environ.get("CEILING_REPS", "2"))
+# Override the corpus the ceiling reads (glob). Short legs on a small
+# corpus OVERSTATE the ceiling — sustained memory-bandwidth contention
+# only shows up once the hi leg runs for several seconds (measured:
+# eff 0.81 at 12k docs / 1.1 s legs vs 0.66 at 21k / 2.2 s legs in the
+# SAME window). For normalizing a scaling run, point this at the same
+# corpus the run used (bench.py --scaling does).
+CORPUS_GLOB = os.environ.get("CEILING_CORPUS_GLOB", "")
 
 _PAYLOADS: list[tuple[bytes, str | None]] = []  # fork-shared
 
@@ -42,7 +49,8 @@ def _load_payloads() -> None:
 
     from pdf_to_text_ray.fixtures.corpus import GENERATOR_VERSION
 
-    pat = f"/tmp/ptt_corpus/v{GENERATOR_VERSION}_n20000_s42_heavy/pages/*.parquet"
+    pat = (CORPUS_GLOB or
+           f"/tmp/ptt_corpus/v{GENERATOR_VERSION}_n20000_s42_heavy/pages/*.parquet")
     files = sorted(glob.glob(pat))
     if not files:
         raise SystemExit(
