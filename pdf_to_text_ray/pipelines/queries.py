@@ -5831,6 +5831,49 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def event_transition_matrix(sf_dir: str):
+    """Markov transition counts over per-user time-ordered event-type
+    sequences (prev → next, ordered by ts with event_id tiebreak).
+    Each user's whole sequence lands in one bucket (hash partitioning);
+    per bucket the lag is ONE vectorized grouped shift; the per-bucket
+    pair counts pre-aggregate before the tiny |types|² groupby."""
+    from ray.data.aggregate import Sum
+
+    from pdf_to_text_ray.stages.groups import bucketed_group_apply
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts",
+                                  "event_id"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="stable")
+        prev = df.groupby("user_id")["event_type"].shift(1)
+        pairs = pd.DataFrame({"from_type": prev,
+                              "to_type": df["event_type"]}).dropna()
+        out = pairs.groupby(["from_type", "to_type"],
+                            as_index=False).size()
+        return out.rename(columns={"size": "n"})
+
+    out = (bucketed_group_apply(ds, "user_id", per_bucket)
+           .groupby(["from_type", "to_type"])
+           .aggregate(Sum("n", alias_name="n"))
+           .to_pandas())
+    out["n"] = out["n"].astype("int64")
+    return (out.sort_values(["from_type", "to_type"])
+            .reset_index(drop=True))
+
+
+TRANSITION_SQL = """
+WITH s AS (SELECT user_id, event_type,
+                  lag(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS prev
+           FROM events)
+SELECT prev AS from_type, event_type AS to_type, count(*)::BIGINT AS n
+FROM s WHERE prev IS NOT NULL
+GROUP BY prev, event_type ORDER BY from_type, to_type
+"""
+
+
 def doc_snippet_extract(sf_dir: str):
     """Keyword-in-context snippet extraction: for every document
     containing the term, a fixed 46-char window anchored 20 chars
@@ -6098,6 +6141,7 @@ QUERIES = {
     "doc_snippet_extract": doc_snippet_extract,
     "doc_term_stats": doc_term_stats,
     "anchor_text_index": anchor_text_index,
+    "event_transition_matrix": event_transition_matrix,
 }
 
 ORACLE_SQL = {
@@ -6232,4 +6276,5 @@ ORACLE_SQL = {
     "event_value_mad_per_type": MAD_SQL,
     "doc_snippet_extract": SNIPPET_SQL,
     "doc_term_stats": TERM_STATS_SQL,
+    "event_transition_matrix": TRANSITION_SQL,
 }
