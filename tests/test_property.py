@@ -63,6 +63,32 @@ def test_html_fuzz_never_crashes(text):
     parse_html(text)  # tree builder is total too
 
 
+@given(st.text(max_size=4096))
+@settings(max_examples=60, deadline=None)
+def test_link_meta_fuzz_never_crashes(text):
+    from pdf_to_text_ray.stages.html_links import (
+        extract_links,
+        extract_page_meta,
+    )
+
+    links = extract_links(text, "https://ex0.test/p0")
+    assert all(l["dst_url"].startswith(("http://", "https://"))
+               for l in links)
+    meta = extract_page_meta(text)
+    assert isinstance(meta["title"], str) and meta["n_links"] >= 0
+
+
+@given(st.text(max_size=256))
+@settings(max_examples=80, deadline=None)
+def test_resolve_href_total(href):
+    from pdf_to_text_ray.stages.html_links import resolve_href
+
+    out = resolve_href("https://host.test/dir/page?q=1", href)
+    # total function: either a normalized absolute http(s) URL or None
+    assert out is None or (
+        out.startswith(("http://", "https://")) and "#" not in out)
+
+
 # ── segmenter invariants ─────────────────────────────────────────────
 
 @given(st.lists(st.sampled_from([
