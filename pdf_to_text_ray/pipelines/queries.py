@@ -1757,10 +1757,47 @@ def media_features(sf_dir: str):
 
 
 def neardup_minhash_docs(sf_dir: str):
+    """MinHash+LSH near-dup pairs, oracle-checked against the EXACT
+    char-5-gram Jaccard self-join: the engine verifies candidates with
+    exact Jaccard, so its output equals the exact pair set iff banding
+    recall is 1 — which the oracle therefore ASSERTS on every run (a
+    banding miss surfaces as a row-count mismatch). At threshold 0.7
+    with 16 bands × 4 rows, a pair is missed with p = (1-s⁴)^16 ≤
+    0.013 at s = 0.7 and ≤ 7e-6 at the s ≥ 0.87 the driver corpora
+    actually contain. Gram identity is 64-bit hashed on the engine
+    side (collision odds negligible, as for the word-gram oracle)."""
     from ..stages.dedup import minhash_neardup_pairs
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return minhash_neardup_pairs(ds, threshold=0.7)
+
+
+# Exact char-5-gram Jaccard over the SAME normalization the minhash
+# path uses (lowercase, whitespace collapsed to single spaces).
+NEARDUP_MINHASH_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
+  FROM documents WHERE trim(coalesce(text, '')) <> ''
+),
+g AS (
+  SELECT DISTINCT doc_id,
+         unnest([substr(s, i, 5)
+                 for i in range(1, greatest(len(s) - 4, 0) + 1)]) AS gram
+  FROM toks
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, c::DOUBLE / (sa.n + sb.n - c) AS jaccard_sim
+FROM inter
+JOIN sizes sa ON sa.doc_id = inter.id_a
+JOIN sizes sb ON sb.doc_id = inter.id_b
+WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.7
+"""
 
 
 def neardup_simhash_docs(sf_dir: str):
@@ -6277,4 +6314,5 @@ ORACLE_SQL = {
     "doc_snippet_extract": SNIPPET_SQL,
     "doc_term_stats": TERM_STATS_SQL,
     "event_transition_matrix": TRANSITION_SQL,
+    "neardup_minhash_docs": NEARDUP_MINHASH_SQL,
 }
