@@ -1756,6 +1756,34 @@ def media_features(sf_dir: str):
     return out.map_batches(norms, batch_format="pyarrow")
 
 
+def media_thumbnails(sf_dir: str):
+    """Image-resize pipeline (rows-only): media table → ImageResizer
+    actor pool (decode via in-repo stdlib codecs → nearest-neighbor
+    resize → PPM re-encode). Video/audio/undecodable rows degrade per
+    row (decodable=False, empty thumb)."""
+    import ray.data as rd
+
+    from ..fixtures.mediagen import ensure_media_parquet
+    from ..stages.multimodal import resize_images
+
+    media_dir = ensure_media_parquet(_corpus_rows_for(sf_dir), seed=42)
+    ds = rd.read_parquet(media_dir)
+    out = resize_images(ds, width=16, height=16, concurrency=(1, 4),
+                        batch_size=32)
+
+    def summarize(t: pa.Table) -> pa.Table:
+        lens = [len(x) for x in t["thumb"].to_pylist()]
+        return pa.table({
+            "media_id": t["media_id"],
+            "media_type": t["media_type"],
+            "decodable": t["decodable"],
+            "thumb_w": t["thumb_w"],
+            "thumb_h": t["thumb_h"],
+            "thumb_bytes": pa.array(lens, pa.int64())})
+
+    return out.map_batches(summarize, batch_format="pyarrow")
+
+
 def neardup_minhash_docs(sf_dir: str):
     """MinHash+LSH near-dup pairs, oracle-checked against the EXACT
     char-5-gram Jaccard self-join: the engine verifies candidates with
@@ -6179,6 +6207,7 @@ QUERIES = {
     "doc_term_stats": doc_term_stats,
     "anchor_text_index": anchor_text_index,
     "event_transition_matrix": event_transition_matrix,
+    "media_thumbnails": media_thumbnails,
 }
 
 ORACLE_SQL = {

@@ -558,6 +558,38 @@ def decode_png(payload: bytes) -> np.ndarray:
     return out.reshape(h, w, ch)
 
 
+def decode_image(payload: bytes) -> np.ndarray:
+    """Magic-byte dispatch → (H, W, 3) uint8 RGB for the stdlib image
+    codecs (BMP/PNM/PNG/GIF/baseline-JPEG); UnsupportedMediaError for
+    non-image or external-codec payloads."""
+    p = payload or b""
+    if p[:2] == b"BM":
+        img = decode_bmp(p)
+    elif p[:2] in (b"P5", b"P6"):
+        img = decode_ppm(p)
+    elif p[:8] == _PNG_SIG:
+        img = decode_png(p)
+        if img.shape[2] == 4:
+            img = img[:, :, :3]
+    elif p[:6] in (b"GIF87a", b"GIF89a"):
+        img = decode_gif(p)
+    elif p[:2] == b"\xff\xd8":
+        from .jpeg_codec import UnsupportedJpegError, decode_jpeg
+
+        try:
+            img = decode_jpeg(p)
+        except UnsupportedJpegError as e:
+            raise UnsupportedMediaError(str(e)) from e
+    else:
+        raise UnsupportedMediaError(
+            f"no stdlib image decoder for magic {p[:4]!r}")
+    if img.ndim == 2:
+        img = img[:, :, None]
+    if img.shape[2] == 1:
+        img = np.repeat(img, 3, axis=2)
+    return img
+
+
 def decode_features(payload: bytes, dim: int = 64) -> np.ndarray:
     """Magic-byte dispatch → REAL features for BMP/PNM/PNG/WAV
     payloads; raises UnsupportedMediaError for formats needing

@@ -169,6 +169,77 @@ def sample_video_frames(ds, *, concurrency=(1, 8), batch_size: int = 8,
     )
 
 
+class ImageResizer:
+    """Actor-pool resize stage: decode (in-repo stdlib codecs) →
+    nearest-neighbor resize → PPM re-encode, one thumbnail per image
+    row. Non-image and external-codec payloads degrade per row
+    (``decodable=False``, empty thumb) instead of failing the batch —
+    the Common-Crawl reality is a long tail of undecodable media.
+
+    ``decode_fn``: optional injected decoder tried FIRST (the hook for
+    PIL/ffmpeg-backed deployments); must return (H, W, 3) uint8 or
+    raise ``UnsupportedMediaError``."""
+
+    def __init__(self, width: int = 32, height: int = 32,
+                 decode_fn=None):
+        self.width = int(width)
+        self.height = int(height)
+        self.decode_fn = decode_fn
+
+    def _thumb(self, payload: bytes) -> bytes | None:
+        from .media_codecs import (
+            UnsupportedMediaError,
+            decode_image,
+            encode_ppm,
+            resize_nearest,
+        )
+
+        img = None
+        if self.decode_fn is not None:
+            try:
+                img = self.decode_fn(payload)
+            except UnsupportedMediaError:
+                img = None
+        if img is None:
+            try:
+                img = decode_image(payload)
+            except UnsupportedMediaError:
+                return None
+        return encode_ppm(resize_nearest(img, self.width, self.height))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        thumbs = [self._thumb(p) for p in payloads]
+        keep = [c for c in batch.column_names if c != "payload"]
+        out = batch.select(keep)
+        out = out.append_column(
+            "thumb", pa.array([t or b"" for t in thumbs], pa.binary()))
+        out = out.append_column(
+            "thumb_w", pa.array([self.width] * len(thumbs), pa.int32()))
+        out = out.append_column(
+            "thumb_h", pa.array([self.height] * len(thumbs), pa.int32()))
+        return out.append_column(
+            "decodable", pa.array([t is not None for t in thumbs],
+                                  pa.bool_()))
+
+
+def resize_images(ds, *, width: int = 32, height: int = 32,
+                  concurrency=(1, 8), batch_size: int = 16,
+                  decode_fn=None):
+    """Dataset[MEDIA_SCHEMA] → per-row PPM thumbnails via the
+    ImageResizer actor pool. Small batches: payload bytes ×
+    batch_size × concurrency must fit worker heaps."""
+    return ds.map_batches(
+        ImageResizer,
+        fn_constructor_kwargs={"width": width, "height": height,
+                               "decode_fn": decode_fn},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
 def extract_media_features(ds, *, concurrency=(1, 8), batch_size: int = 16):
     """Dataset[MEDIA_SCHEMA] → features dataset. Small batches: payload
     bytes × batch_size × concurrency must fit worker heaps."""

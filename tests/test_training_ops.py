@@ -893,6 +893,29 @@ def test_video_frame_sampler_pipeline(ray_session):
         assert (np.diff(ts) >= 0).all()
 
 
+def test_image_resizer_pipeline(ray_session):
+    import ray.data as rd
+
+    from pdf_to_text_ray.fixtures.mediagen import ensure_media_parquet
+    from pdf_to_text_ray.stages.media_codecs import decode_ppm
+    from pdf_to_text_ray.stages.multimodal import resize_images
+
+    media_dir = ensure_media_parquet(40, seed=42)
+    ds = rd.read_parquet(media_dir)
+    out = resize_images(ds, width=8, height=6,
+                        concurrency=(1, 2), batch_size=16).to_pandas()
+    assert len(out) == ds.count()
+    ok = out[out["decodable"]]
+    assert len(ok) > 0  # fixture has real BMP/PPM images
+    # every decodable row carries a parseable (6, 8, 3) PPM thumbnail
+    for t in ok["thumb"]:
+        img = decode_ppm(bytes(t))
+        assert img.shape[:2] == (6, 8)
+    # non-image rows (WAV audio, MP4 video) degrade, not fail
+    assert not out.loc[out["media_type"] == "audio", "decodable"].any()
+    assert (out.loc[~out["decodable"], "thumb"].map(len) == 0).all()
+
+
 def test_tfidf_cosine_pairs_matches_bruteforce(ray_session):
     import math
 
