@@ -5939,6 +5939,39 @@ GROUP BY prev, event_type ORDER BY from_type, to_type
 """
 
 
+def orders_dow_volume(sf_dir: str):
+    """Calendar-function rollup — order volume by ISO day-of-week
+    (Mon=1..Sun=7). The dow derivation is one vectorized dt accessor
+    per batch; partials collapse to ≤7 rows before the groupby."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        b = t.to_pandas()
+        part = pd.DataFrame({
+            "dow": (b["o_orderdate"].dt.dayofweek + 1).astype("int64"),
+            "n_orders": np.ones(len(b), np.int64),
+            "total": b["o_totalprice"].to_numpy()})
+        return arrow_out(part.groupby("dow", as_index=False).sum())
+
+    out = (_read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("dow")
+           .aggregate(Sum("n_orders", alias_name="n_orders"),
+                      Sum("total", alias_name="total"))
+           .to_pandas())
+    out["dow"] = out["dow"].astype("int64")
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["total"] = round2(out["total"])
+    return out.sort_values("dow").reset_index(drop=True)
+
+
+DOW_SQL = """
+SELECT isodow(o_orderdate)::BIGINT AS dow, count(*)::BIGINT AS n_orders,
+       round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY dow ORDER BY dow
+"""
+
+
 def doc_snippet_extract(sf_dir: str):
     """Keyword-in-context snippet extraction: for every document
     containing the term, a fixed 46-char window anchored 20 chars
@@ -6208,6 +6241,7 @@ QUERIES = {
     "anchor_text_index": anchor_text_index,
     "event_transition_matrix": event_transition_matrix,
     "media_thumbnails": media_thumbnails,
+    "orders_dow_volume": orders_dow_volume,
 }
 
 ORACLE_SQL = {
@@ -6344,4 +6378,5 @@ ORACLE_SQL = {
     "doc_term_stats": TERM_STATS_SQL,
     "event_transition_matrix": TRANSITION_SQL,
     "neardup_minhash_docs": NEARDUP_MINHASH_SQL,
+    "orders_dow_volume": DOW_SQL,
 }
