@@ -28,7 +28,7 @@ from ..schemas import DOC_TYPE_HTML, DOC_TYPE_PDF, DOC_TYPE_TEXT
 from .htmlgen import _WORDS, make_html_page, _sentence
 from .pdfgen import make_pdf
 
-GENERATOR_VERSION = 11  # bump to invalidate /tmp caches
+GENERATOR_VERSION = 12  # bump to invalidate /tmp caches
 _EPOCH_US = 1_600_000_000_000_000  # fixed base timestamp (µs)
 
 _LANGS = ["en", "es", "de", "zh", "fr"]

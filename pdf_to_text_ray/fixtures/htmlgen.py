@@ -128,8 +128,14 @@ def make_html_page(rng: random.Random, lang: str = "en",
     aside_links = "".join(
         f'<li><a href="/{w}">{w} {rng.randrange(100)}</a></li>'
         for w in rng.sample(words, 4))
+    # cross-host outlinks (boilerplate → never in golden text) give the
+    # extracted link graph real inter-host edges for host-level graph
+    # analytics (host_link_summary, host_pagerank)
+    partner_links = "".join(
+        f'<a href="https://ex{rng.randrange(40)}.test/{w}">{w} hub</a> '
+        for w in rng.sample(words, 2))
     footer = (
-        f'<p>© {rng.randrange(2010, 2026)} example — '
+        f'<p>© {rng.randrange(2010, 2026)} example — {partner_links}'
         f'<a href="/terms">terms</a> <a href="/privacy">privacy</a></p>')
     script_body = f"var x = {rng.randrange(1000)}; function f() {{ return '<p>leak</p>'; }}"
     style_body = "body { margin: 0; } .content p { color: #222; }"

@@ -5279,6 +5279,46 @@ def host_link_summary(sf_dir: str):
     return out.sort_values("host").reset_index(drop=True)
 
 
+def host_pagerank(sf_dir: str):
+    """Host-graph PageRank over the EXTRACTED hyperlink graph — the
+    crawl-analytics composition: parse pages → outlink edges → host
+    edge list → damped PageRank (rows-only: HTML parse upstream).
+    Host ids densify driver-side (bounded by |hosts|, catalog scale);
+    the undirected host graph feeds ``stages/graph.pagerank`` as both
+    edge directions so no node dangles."""
+    import ray.data as rd
+
+    from pdf_to_text_ray.stages.graph import pagerank
+
+    edges = page_links(sf_dir)
+
+    def host_pairs(t: pa.Table) -> pa.Table:
+        b = t.to_pandas()
+        pat = r"^[a-z+]+://([^/]+)"
+        return arrow_out(pd.DataFrame({
+            "src_host": b["src_url"].str.extract(pat, expand=False)
+            .fillna("").str.lower(),
+            "dst_host": b["dst_url"].str.extract(pat, expand=False)
+            .fillna("").str.lower()}).drop_duplicates())
+
+    pairs = (edges.map_batches(host_pairs, batch_format="pyarrow")
+             .groupby(["src_host", "dst_host"]).count().to_pandas())
+    pairs = pairs[(pairs["src_host"] != "") & (pairs["dst_host"] != "")]
+    hosts = sorted(set(pairs["src_host"]) | set(pairs["dst_host"]))
+    hid = {h: i for i, h in enumerate(hosts)}
+    sym = pd.DataFrame({
+        "src": [hid[h] for h in pairs["src_host"]] +
+               [hid[h] for h in pairs["dst_host"]],
+        "dst": [hid[h] for h in pairs["dst_host"]] +
+               [hid[h] for h in pairs["src_host"]]}).drop_duplicates()
+    ranks = pagerank(rd.from_pandas(sym), src_col="src", dst_col="dst",
+                     iters=5)
+    ranks["host"] = ranks["node"].map({i: h for h, i in hid.items()})
+    ranks["rank"] = np.round(ranks["rank"].to_numpy(), 9)
+    return (ranks[["host", "rank"]].sort_values("host")
+            .reset_index(drop=True))
+
+
 # ── TPC-H completion: the seven shapes needing partsupp / shipmode /
 # commit-date columns, adapted to the driver tables (lineitem is the
 # part↔supplier bridge; l_shipdate vs o_orderdate is the lateness
@@ -6233,6 +6273,7 @@ QUERIES = {
     "page_links": page_links,
     "page_metadata": page_metadata,
     "host_link_summary": host_link_summary,
+    "host_pagerank": host_pagerank,
     "orders_cube_volume": orders_cube_volume,
     "lineitem_unpivot_metrics": lineitem_unpivot_metrics,
     "event_value_mad_per_type": event_value_mad_per_type,

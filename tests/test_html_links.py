@@ -90,9 +90,11 @@ def test_fixture_pages_carry_footer_links():
     dsts = {l["dst_url"] for l in links}
     assert "https://ex3.test/terms" in dsts
     assert "https://ex3.test/privacy" in dsts
-    # every fixture link is relative → internal, and nav/aside/footer
-    # links are all flagged boilerplate
-    assert all(l["is_internal"] for l in links)
+    # relative links resolve internal; the footer carries two absolute
+    # cross-host partner links (the host-graph edges)
+    ext = [l for l in links if not l["is_internal"]]
+    assert len(ext) == 2
+    assert all(l["dst_url"].startswith("https://ex") for l in ext)
     assert all(l["is_nav"] for l in links
                if l["dst_url"].endswith(("terms", "privacy")))
     meta = extract_page_meta(html.decode("utf-8"))
@@ -130,9 +132,10 @@ def test_pipeline_end_to_end(ray_session):
     pages, _ = make_pages_table(40, seed=11)
     ds = rd.from_arrow(pages.select(["url", "html"]))
     edges = ds.map_batches(links_batch, batch_format="pyarrow").to_pandas()
-    # fixture HTML pages always carry header nav + footer links
+    # fixture HTML pages always carry header nav + footer links,
+    # including cross-host partner links
     assert len(edges) > 0
-    assert (edges["is_internal"]).all()
+    assert edges["is_internal"].any() and (~edges["is_internal"]).any()
     meta = ds.map_batches(page_meta_batch, batch_format="pyarrow").to_pandas()
     assert 0 < len(meta) <= len(pages)
     assert (meta["n_links"] >= 2).all()
