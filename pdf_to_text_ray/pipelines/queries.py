@@ -5319,6 +5319,155 @@ def host_pagerank(sf_dir: str):
             .reset_index(drop=True))
 
 
+def bigram_pmi_top(sf_dir: str, k: int = 25, min_count: int = 5):
+    """Top-k corpus bigrams by pointwise mutual information. ONE token
+    explode per batch emits unigram AND bigram partial counts in a
+    single union-shaped table (unigrams ride the ``w2=''`` sentinel —
+    the vocabulary never contains empty tokens), so one payload-free
+    shuffle aggregates both. The aggregated table is bounded by
+    |vocab|² (min_count floors it at web scale — rare pairs never
+    reach the driver); PMI = ln((c12/N) / ((c1/T)(c2/T))) with the
+    identical expression shape in the SQL twin (exact-int inputs →
+    identical doubles, no rounding needed)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ex = df["text"].fillna("").str.split(" ").explode()
+        w = ex.to_numpy(dtype=object)
+        doc = ex.index.to_numpy()
+        uni = pd.DataFrame({"w1": w}).groupby("w1").size().rename("c")
+        out = [uni.reset_index().assign(w2="")]
+        if len(w) > 1:
+            adj = doc[1:] == doc[:-1]
+            big = (pd.DataFrame({"w1": w[:-1][adj], "w2": w[1:][adj]})
+                   .groupby(["w1", "w2"]).size().rename("c").reset_index())
+            out.append(big)
+        return pd.concat(out, ignore_index=True)[["w1", "w2", "c"]]
+
+    counts = (ds.map_batches(lambda b: arrow_out(partial(b)),
+                             batch_format="pandas")
+              .groupby(["w1", "w2"])
+              .aggregate(Sum("c", alias_name="c"))
+              .to_pandas())
+    uni = counts[counts["w2"] == ""].set_index("w1")["c"]
+    big = counts[counts["w2"] != ""].copy()
+    T = float(uni.sum())
+    N = float(big["c"].sum())
+    big = big[big["c"] >= min_count]
+    c12 = big["c"].to_numpy(dtype=np.int64)
+    c1 = uni.reindex(big["w1"]).to_numpy(dtype=np.int64)
+    c2 = uni.reindex(big["w2"]).to_numpy(dtype=np.int64)
+    big["pair_count"] = c12
+    big["pmi"] = np.log((c12 / N) / ((c1 / T) * (c2 / T)))
+    return (big.sort_values(["pmi", "w1", "w2"],
+                            ascending=[False, True, True])
+            .head(k)[["w1", "w2", "pair_count", "pmi"]]
+            .reset_index(drop=True))
+
+
+BIGRAM_PMI_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents),
+uni AS (SELECT w, count(*)::BIGINT AS c FROM toks GROUP BY w),
+big AS (SELECT a.w AS w1, b.w AS w2, count(*)::BIGINT AS c12
+        FROM toks a JOIN toks b
+          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        GROUP BY 1, 2),
+tot AS (SELECT (SELECT sum(c)::DOUBLE FROM uni) AS t,
+               (SELECT sum(c12)::DOUBLE FROM big) AS n)
+SELECT w1, w2, c12 AS pair_count,
+       ln((c12 / n) / ((u1.c / t) * (u2.c / t))) AS pmi
+FROM big JOIN uni u1 ON big.w1 = u1.w JOIN uni u2 ON big.w2 = u2.w
+CROSS JOIN tot
+WHERE c12 >= 5
+ORDER BY pmi DESC, w1, w2 LIMIT 25
+"""
+
+
+def doc_vocab_richness(sf_dir: str):
+    """Per-document lexical richness: token count, distinct-token
+    count, type-token ratio. One C-level split/explode +
+    drop_duplicates per batch; every doc lives in one row so NOTHING
+    shuffles. int/int IEEE division → no rounding."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def richness(df: pd.DataFrame) -> pd.DataFrame:
+        ex = (df[["doc_id"]].assign(w=df["text"].fillna("").str.split(" "))
+              .explode("w"))
+        n = ex.groupby("doc_id", sort=False).size()
+        d = (ex.drop_duplicates(["doc_id", "w"])
+             .groupby("doc_id", sort=False).size())
+        return pd.DataFrame({
+            "doc_id": n.index.to_numpy(),
+            "n_tokens": n.to_numpy(dtype=np.int64),
+            "n_distinct": d.reindex(n.index).to_numpy(dtype=np.int64),
+            "ttr": d.reindex(n.index).to_numpy(dtype=np.float64)
+            / n.to_numpy(dtype=np.float64)})
+
+    return ds.map_batches(lambda b: arrow_out(richness(b)),
+                          batch_format="pandas")
+
+
+VOCAB_RICHNESS_SQL = """
+WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+           FROM documents)
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       count(DISTINCT w)::BIGINT AS n_distinct,
+       count(DISTINCT w)::DOUBLE / count(*) AS ttr
+FROM t GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def source_token_entropy(sf_dir: str):
+    """Per-source unigram Shannon entropy (distribution-shape signal
+    for corpus mixing): per-batch (source, token) partial counts →
+    one payload-free groupby-sum; entropy over the aggregated table —
+    bounded by |sources|×|vocab| (catalog scale). Summation order
+    differs between engines → round(6) both sides."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ex = (df[["source"]].assign(w=df["text"].fillna("").str.split(" "))
+              .explode("w"))
+        return (ex.groupby(["source", "w"], sort=False).size()
+                .rename("c").reset_index())
+
+    counts = (ds.map_batches(lambda b: arrow_out(partial(b)),
+                             batch_format="pandas")
+              .groupby(["source", "w"])
+              .aggregate(Sum("c", alias_name="c"))
+              .to_pandas())
+    tot = counts.groupby("source")["c"].transform("sum").astype(np.float64)
+    p = counts["c"].to_numpy(dtype=np.int64) / tot.to_numpy()
+    counts["h"] = p * np.log(p)
+    g = counts.groupby("source").agg(
+        vocab=("w", "size"), n_tokens=("c", "sum"), h=("h", "sum"))
+    out = pd.DataFrame({
+        "source": g.index.to_numpy(),
+        "vocab": g["vocab"].to_numpy(dtype=np.int64),
+        "n_tokens": g["n_tokens"].to_numpy(dtype=np.int64),
+        "entropy": np.round(-g["h"].to_numpy(), 6)})
+    return out.sort_values("source").reset_index(drop=True)
+
+
+SOURCE_ENTROPY_SQL = """
+WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS w
+           FROM documents),
+c AS (SELECT source, w, count(*)::BIGINT AS c FROM t GROUP BY 1, 2),
+s AS (SELECT source, sum(c)::DOUBLE AS tot FROM c GROUP BY 1)
+SELECT c.source, count(*)::BIGINT AS vocab, sum(c.c)::BIGINT AS n_tokens,
+       round(-sum((c.c / s.tot) * ln(c.c / s.tot)), 6) AS entropy
+FROM c JOIN s ON c.source = s.source
+GROUP BY c.source ORDER BY c.source
+"""
+
+
 # ── TPC-H completion: the seven shapes needing partsupp / shipmode /
 # commit-date columns, adapted to the driver tables (lineitem is the
 # part↔supplier bridge; l_shipdate vs o_orderdate is the lateness
@@ -6274,6 +6423,9 @@ QUERIES = {
     "page_metadata": page_metadata,
     "host_link_summary": host_link_summary,
     "host_pagerank": host_pagerank,
+    "bigram_pmi_top": bigram_pmi_top,
+    "doc_vocab_richness": doc_vocab_richness,
+    "source_token_entropy": source_token_entropy,
     "orders_cube_volume": orders_cube_volume,
     "lineitem_unpivot_metrics": lineitem_unpivot_metrics,
     "event_value_mad_per_type": event_value_mad_per_type,
@@ -6367,6 +6519,9 @@ ORACLE_SQL = {
     "neardup_editdist_docs": EDITDIST_SQL,
     "doc_normalize_text": NORMALIZE_SQL,
     "doc_gopher_repetition": GOPHER_SQL,
+    "bigram_pmi_top": BIGRAM_PMI_SQL,
+    "doc_vocab_richness": VOCAB_RICHNESS_SQL,
+    "source_token_entropy": SOURCE_ENTROPY_SQL,
     "sample_stratified_docs": STRATIFIED_SQL,
     "customers_above_nation_avg": ABOVE_AVG_SQL,
     "argmax_event_user": ARGMAX_SQL,

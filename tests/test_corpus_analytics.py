@@ -1,0 +1,70 @@
+"""Unit tests for the corpus-analytics queries (bigram PMI, per-doc
+lexical richness, per-source token entropy) against hand-computed
+values on a tiny constructed documents table."""
+import math
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pdf_to_text_ray.pipelines.queries import (
+    bigram_pmi_top,
+    doc_vocab_richness,
+    source_token_entropy,
+)
+
+
+@pytest.fixture()
+def tiny_docs(tmp_path):
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["a b a b c", "a a a a", "b c"], pa.string()),
+        "lang": pa.array(["en"] * 3, pa.string()),
+        "source": pa.array(["s0", "s0", "s1"], pa.string()),
+        "n_chars": pa.array([9, 7, 3], pa.int64()),
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+    return str(tmp_path)
+
+
+def test_doc_vocab_richness(ray_session, tiny_docs):
+    out = (doc_vocab_richness(tiny_docs).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out["n_tokens"].tolist() == [5, 4, 2]
+    assert out["n_distinct"].tolist() == [3, 1, 2]
+    assert out["ttr"].tolist() == [3 / 5, 1 / 4, 1.0]
+
+
+def test_bigram_pmi_values(ray_session, tiny_docs):
+    out = bigram_pmi_top(tiny_docs, k=10, min_count=1)
+    # bigrams: doc1 → ab, ba, ab, bc; doc2 → aa ×3; doc3 → bc.  N=8.
+    # unigrams: a=6 b=3 c=2, T=11.
+    got = {(r.w1, r.w2): (r.pair_count, r.pmi) for r in out.itertuples()}
+    assert got[("a", "b")][0] == 2
+    assert got[("a", "a")][0] == 3
+    assert got[("b", "c")][0] == 2
+    T, N = 11.0, 8.0
+    exp = math.log((2 / N) / ((6 / T) * (3 / T)))
+    assert got[("a", "b")][1] == pytest.approx(exp, rel=1e-12)
+    exp_bc = math.log((2 / N) / ((3 / T) * (2 / T)))
+    assert got[("b", "c")][1] == pytest.approx(exp_bc, rel=1e-12)
+    # ranked by pmi desc: bc (ln 5.04...) above aa and ab
+    assert out.iloc[0][["w1", "w2"]].tolist() == ["b", "c"]
+
+
+def test_bigram_min_count_floor(ray_session, tiny_docs):
+    out = bigram_pmi_top(tiny_docs, k=10, min_count=2)
+    pairs = set(zip(out["w1"], out["w2"]))
+    assert ("b", "a") not in pairs  # count 1 floored away
+    assert {("a", "b"), ("a", "a"), ("b", "c")} == pairs
+
+
+def test_source_token_entropy(ray_session, tiny_docs):
+    out = source_token_entropy(tiny_docs)
+    assert out["source"].tolist() == ["s0", "s1"]
+    assert out["vocab"].tolist() == [3, 2]
+    assert out["n_tokens"].tolist() == [9, 2]
+    # s0: a=6 b=2 c=1 of 9; s1: b,c uniform → ln 2
+    h0 = -sum(p * math.log(p) for p in (6 / 9, 2 / 9, 1 / 9))
+    assert out["entropy"][0] == pytest.approx(round(h0, 6), abs=1e-9)
+    assert out["entropy"][1] == pytest.approx(round(math.log(2), 6), abs=1e-9)
