@@ -5468,6 +5468,103 @@ GROUP BY c.source ORDER BY c.source
 """
 
 
+def doc_containment_pairs(sf_dir: str, threshold: float = 0.5):
+    """EXACT word-5-gram CONTAINMENT pairs — c/min(|A|,|B|), the
+    asymmetric inclusion signal (news-wire/boilerplate wrapping) that
+    Jaccard misses when doc sizes differ. Same inverted-index-blocked
+    two-shuffle pipeline as `neardup_jaccard_docs`; oracle is the
+    set-overlap self-join with least() in the denominator."""
+    from ..stages.dedup import jaccard_neardup_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = jaccard_neardup_pairs(ds, n=5, threshold=threshold,
+                                metric="containment").to_pandas()
+    return (out.sort_values(["id_a", "id_b"]).reset_index(drop=True))
+
+
+CONTAINMENT_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+  FROM documents WHERE trim(coalesce(text, '')) <> ''
+),
+g AS (
+  SELECT DISTINCT doc_id,
+         unnest([array_to_string(t[i:i+4], ' ')
+                 for i in range(1, greatest(len(t) - 4, 0) + 1)]) AS gram
+  FROM toks
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, c::DOUBLE / least(sa.n, sb.n) AS containment_sim
+FROM inter
+JOIN sizes sa ON sa.doc_id = inter.id_a
+JOIN sizes sb ON sb.doc_id = inter.id_b
+WHERE c::DOUBLE / least(sa.n, sb.n) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+def user_activity_rollup(sf_dir: str):
+    """DAU / WAU / stickiness per day — the product-analytics
+    headline. Payload-free throughout: distinct (day, user) pairs
+    first (two-level distinct), DAU by day; WAU via a bounded 7-way
+    day-offset explode of the distinct pairs (each pair contributes to
+    windows [day, day+6]) → second (day, user) distinct → count;
+    stickiness = dau/wau is int/int IEEE-exact. Day joins restrict to
+    days that actually occur."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t["ts"], pa.int64()),
+                        pa.scalar(86_400_000_000, pa.int64()))
+        out = pa.table({"day": day, "user_id": t["user_id"]})
+        return out.group_by(["day", "user_id"]).aggregate([])
+
+    du = (ds.map_batches(pairs, batch_format="pyarrow")
+          .groupby(["day", "user_id"]).count()
+          .drop_columns(["count()"]))
+    dau = du.groupby("day").aggregate(Count(alias_name="dau")).to_pandas()
+
+    def offsets(t: pa.Table) -> pa.Table:
+        day = t["day"].to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        k = np.arange(7, dtype=np.int64)
+        return pa.table({
+            "day": (day[:, None] + k[None, :]).ravel(),
+            "user_id": np.repeat(uid, 7)})
+
+    wau = (du.map_batches(offsets, batch_format="pyarrow")
+           .groupby(["day", "user_id"]).count()
+           .groupby("day").aggregate(Count(alias_name="wau"))
+           .to_pandas())
+    out = dau.merge(wau, on="day")  # inner: only days with own activity
+    out["stickiness"] = (out["dau"].to_numpy(dtype=np.float64)
+                         / out["wau"].to_numpy(dtype=np.float64))
+    for c in ("day", "dau", "wau"):
+        out[c] = out[c].astype("int64")
+    return (out[["day", "dau", "wau", "stickiness"]]
+            .sort_values("day").reset_index(drop=True))
+
+
+USER_ACTIVITY_SQL = """
+WITH du AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
+            FROM events),
+dau AS (SELECT day, count(*)::BIGINT AS dau FROM du GROUP BY day),
+wau AS (SELECT d.day, count(DISTINCT u.user_id)::BIGINT AS wau
+        FROM dau d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+        GROUP BY d.day)
+SELECT d.day::BIGINT AS day, d.dau, w.wau,
+       d.dau::DOUBLE / w.wau AS stickiness
+FROM dau d JOIN wau w ON d.day = w.day ORDER BY day
+"""
+
+
 # ── TPC-H completion: the seven shapes needing partsupp / shipmode /
 # commit-date columns, adapted to the driver tables (lineitem is the
 # part↔supplier bridge; l_shipdate vs o_orderdate is the lateness
@@ -6426,6 +6523,8 @@ QUERIES = {
     "bigram_pmi_top": bigram_pmi_top,
     "doc_vocab_richness": doc_vocab_richness,
     "source_token_entropy": source_token_entropy,
+    "doc_containment_pairs": doc_containment_pairs,
+    "user_activity_rollup": user_activity_rollup,
     "orders_cube_volume": orders_cube_volume,
     "lineitem_unpivot_metrics": lineitem_unpivot_metrics,
     "event_value_mad_per_type": event_value_mad_per_type,
@@ -6522,6 +6621,8 @@ ORACLE_SQL = {
     "bigram_pmi_top": BIGRAM_PMI_SQL,
     "doc_vocab_richness": VOCAB_RICHNESS_SQL,
     "source_token_entropy": SOURCE_ENTROPY_SQL,
+    "doc_containment_pairs": CONTAINMENT_SQL,
+    "user_activity_rollup": USER_ACTIVITY_SQL,
     "sample_stratified_docs": STRATIFIED_SQL,
     "customers_above_nation_avg": ABOVE_AVG_SQL,
     "argmax_event_user": ARGMAX_SQL,

@@ -421,7 +421,8 @@ def simhash_neardup_pairs(ds, *, key_col: str = "doc_id", text_col: str = "text"
 def jaccard_neardup_pairs(ds, *, key_col: str = "doc_id",
                           text_col: str = "text", n: int = 5,
                           threshold: float = 0.5, num_buckets: int = 32,
-                          max_posting: int | None = None):
+                          max_posting: int | None = None,
+                          metric: str = "jaccard"):
     """EXACT word-n-gram Jaccard near-duplicate pairs (no sketching).
 
     Inverted-index blocking: each doc explodes into its DISTINCT word
@@ -440,7 +441,12 @@ def jaccard_neardup_pairs(ds, *, key_col: str = "doc_id",
     standard recall/cost knob at corpus scale; a pruned pair must then
     reach t through rarer shared grams). Gram identity is a 64-bit
     hash of the full joined gram string — a within-doc collision would
-    shrink a set by one (probability ~grams²/2⁶⁴, negligible)."""
+    shrink a set by one (probability ~grams²/2⁶⁴, negligible).
+
+    ``metric="containment"`` scores ``c / min(|A|, |B|)`` instead (the
+    asymmetric news-wire-inclusion signal: one doc's grams mostly
+    inside the other — pairs Jaccard misses when sizes differ a lot);
+    output column becomes ``containment_sim``. Same two shuffles."""
     import pyarrow as pa
 
     from .analysis import _gram_hashes
@@ -475,14 +481,20 @@ def jaccard_neardup_pairs(ds, *, key_col: str = "doc_id",
     partials = bucketed_group_apply(grams, "gram", partial_pairs,
                                     num_buckets=num_buckets)
 
+    sim_col = "containment_sim" if metric == "containment" else "jaccard_sim"
+
     def finish(g: pd.DataFrame) -> pd.DataFrame:
         agg = g.groupby(["id_a", "id_b", "sz_a", "sz_b"], sort=False,
                         as_index=False)["c"].sum()
-        j = agg["c"].to_numpy(dtype=np.float64) / (
-            agg["sz_a"].to_numpy() + agg["sz_b"].to_numpy()
-            - agg["c"].to_numpy())
-        agg["jaccard_sim"] = j
-        return agg.loc[j >= threshold, ["id_a", "id_b", "jaccard_sim"]]
+        if metric == "containment":
+            j = agg["c"].to_numpy(dtype=np.float64) / np.minimum(
+                agg["sz_a"].to_numpy(), agg["sz_b"].to_numpy())
+        else:
+            j = agg["c"].to_numpy(dtype=np.float64) / (
+                agg["sz_a"].to_numpy() + agg["sz_b"].to_numpy()
+                - agg["c"].to_numpy())
+        agg[sim_col] = j
+        return agg.loc[j >= threshold, ["id_a", "id_b", sim_col]]
 
     return bucketed_group_apply(partials, ["id_a", "id_b"], finish,
                                 num_buckets=num_buckets)

@@ -11,6 +11,7 @@ from pdf_to_text_ray.pipelines.queries import (
     bigram_pmi_top,
     doc_vocab_richness,
     source_token_entropy,
+    user_activity_rollup,
 )
 
 
@@ -68,3 +69,43 @@ def test_source_token_entropy(ray_session, tiny_docs):
     h0 = -sum(p * math.log(p) for p in (6 / 9, 2 / 9, 1 / 9))
     assert out["entropy"][0] == pytest.approx(round(h0, 6), abs=1e-9)
     assert out["entropy"][1] == pytest.approx(round(math.log(2), 6), abs=1e-9)
+
+
+def test_containment_catches_inclusion_jaccard_misses(ray_session):
+    import ray.data as rd
+
+    from pdf_to_text_ray.stages.dedup import jaccard_neardup_pairs
+
+    inner = " ".join(f"w{i}" for i in range(8))          # 4 word-5-grams
+    outer = inner + " " + " ".join(f"x{i}" for i in range(40))
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array([inner, outer], pa.string())}))
+    cont = jaccard_neardup_pairs(docs, threshold=0.9,
+                                 metric="containment").to_pandas()
+    assert cont["containment_sim"].tolist() == [1.0]     # A fully inside B
+    jac = jaccard_neardup_pairs(docs, threshold=0.5).to_pandas()
+    assert len(jac) == 0                                  # Jaccard misses it
+
+
+def test_user_activity_rollup_window(ray_session, tmp_path):
+    # user 1 active on days 0 and 8; user 2 on day 1 only
+    days = [0, 8, 1]
+    users = [1, 1, 2]
+    t = pa.table({
+        "event_id": pa.array(range(3), pa.int64()),
+        "ts": pa.array([d * 86_400_000_000 for d in days],
+                       pa.timestamp("us")),
+        "user_id": pa.array(users, pa.int64()),
+        "event_type": pa.array(["view"] * 3, pa.string()),
+        "value": pa.array([1.0] * 3, pa.float64()),
+        "props": pa.array(["{}"] * 3, pa.string()),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = user_activity_rollup(str(tmp_path))
+    assert out["day"].tolist() == [0, 1, 8]
+    assert out["dau"].tolist() == [1, 1, 1]
+    # wau(0)={u1}; wau(1)={u1,u2}; wau(8)={u1} (day 1 is 7 days back,
+    # outside the [d-6, d] window)
+    assert out["wau"].tolist() == [1, 2, 1]
+    assert out["stickiness"].tolist() == [1.0, 0.5, 1.0]
