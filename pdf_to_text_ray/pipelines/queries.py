@@ -5565,6 +5565,23 @@ FROM dau d JOIN wau w ON d.day = w.day ORDER BY day
 """
 
 
+def embedding_pca_project(sf_dir: str, k: int = 2):
+    """Distributed PCA over the embeddings table (rows-only —
+    eigendecomposition is not SQL-expressible): one streaming
+    moment-partials pass → driver d×d eigh → broadcast components →
+    per-batch projection matmul. Output: vec_id, label, pc1..pck
+    (sign-pinned; values depend on float partial-sum order at the
+    1e-12 level, hence no hash oracle)."""
+    from ..stages.similarity import pca_fit, pca_project
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    mean, comps, _ = pca_fit(ds, k=k)
+    out = (pca_project(ds, mean, comps, keep_cols=("label",))
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    out["vec_id"] = out["vec_id"].astype("int64")
+    return out
+
+
 # ── TPC-H completion: the seven shapes needing partsupp / shipmode /
 # commit-date columns, adapted to the driver tables (lineitem is the
 # part↔supplier bridge; l_shipdate vs o_orderdate is the lateness
@@ -6525,6 +6542,7 @@ QUERIES = {
     "source_token_entropy": source_token_entropy,
     "doc_containment_pairs": doc_containment_pairs,
     "user_activity_rollup": user_activity_rollup,
+    "embedding_pca_project": embedding_pca_project,
     "orders_cube_volume": orders_cube_volume,
     "lineitem_unpivot_metrics": lineitem_unpivot_metrics,
     "event_value_mad_per_type": event_value_mad_per_type,

@@ -900,3 +900,71 @@ def semdedup_keep(ds, *, id_col: str = "vec_id",
 
     return bucketed_group_apply(assigned, "cluster", per_bucket,
                                 num_buckets=min(16, n_clusters))
+
+
+def pca_fit(ds, *, vec_col: str = "embedding", k: int = 2):
+    """Distributed PCA fit: ONE streaming pass emits per-batch moment
+    partials (n, Σx, ΣxxT — d + d² doubles per batch, payload never
+    concentrates), the driver combines them into the d×d covariance
+    and eigendecomposes (d is model-dimension scale, not data scale;
+    for d where d² breaks the driver you'd switch to randomized
+    sketching). Returns (mean, components (k, d), explained_var (k,)).
+
+    Eigenvector sign is pinned (largest-|coefficient| entry made
+    positive) so projections are reproducible across runs."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = list_column_to_matrix(t[vec_col])
+        if len(x) == 0:
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "d": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.large_binary()),
+                             "ss": pa.array([], pa.large_binary())})
+        return pa.table({
+            "n": pa.array([len(x)], pa.int64()),
+            "d": pa.array([x.shape[1]], pa.int64()),
+            "s": pa.array([x.sum(0).tobytes()], pa.large_binary()),
+            "ss": pa.array([(x.T @ x).tobytes()], pa.large_binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    if not parts:
+        raise ValueError("empty dataset")
+    d = int(parts[0]["d"])
+    n = sum(p["n"] for p in parts)
+    s = np.zeros(d)
+    ss = np.zeros((d, d))
+    for p in parts:
+        s += np.frombuffer(p["s"], np.float64)
+        ss += np.frombuffer(p["ss"], np.float64).reshape(d, d)
+    mean = s / n
+    cov = (ss - n * np.outer(mean, mean)) / max(n - 1, 1)
+    w, v = np.linalg.eigh(cov)           # ascending
+    idx = np.argsort(w)[::-1][:k]
+    comps = v[:, idx].T                  # (k, d)
+    flip = np.sign(comps[np.arange(k), np.abs(comps).argmax(axis=1)])
+    comps *= np.where(flip == 0, 1.0, flip)[:, None]
+    return mean, comps, w[idx]
+
+
+def pca_project(ds, mean: np.ndarray, comps: np.ndarray, *,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                keep_cols: tuple = ()):
+    """Project every vector onto the fitted components — per-batch
+    centered matmul against the broadcast (k, d) component matrix;
+    output columns pc1..pck."""
+    import ray
+
+    ref = ray.put((mean, comps))
+
+    def project(t: pa.Table) -> pa.Table:
+        m, c = ray.get(ref)
+        x = list_column_to_matrix(t[vec_col])
+        p = (x - m[None, :]) @ c.T if len(x) else np.zeros((0, len(c)))
+        cols = {id_col: t[id_col]}
+        for kc in keep_cols:
+            cols[kc] = t[kc]
+        for j in range(comps.shape[0]):
+            cols[f"pc{j + 1}"] = pa.array(p[:, j], pa.float64())
+        return pa.table(cols)
+
+    return ds.map_batches(project, batch_format="pyarrow")

@@ -88,6 +88,37 @@ def test_containment_catches_inclusion_jaccard_misses(ray_session):
     assert len(jac) == 0                                  # Jaccard misses it
 
 
+def test_pca_matches_dense_numpy(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from pdf_to_text_ray.stages.similarity import pca_fit, pca_project
+
+    rng = np.random.default_rng(7)
+    # anisotropic cloud: variance concentrated along two known axes
+    base = rng.normal(size=(300, 6))
+    x = base * np.array([5.0, 3.0, 1.0, 0.5, 0.2, 0.1])
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(300), pa.int64()),
+        "embedding": pa.array([r.tolist() for r in x],
+                              pa.list_(pa.float32()))})).repartition(5)
+    mean, comps, ev = pca_fit(ds, k=2)
+    xf = x.astype(np.float32).astype(np.float64)  # fixture round-trip
+    c = np.cov(xf, rowvar=False)
+    w, v = np.linalg.eigh(c)
+    dense = v[:, np.argsort(w)[::-1][:2]].T
+    # same subspace up to sign
+    for i in range(2):
+        assert abs(abs(dense[i] @ comps[i])) == pytest.approx(1.0, abs=1e-9)
+        assert ev[i] == pytest.approx(np.sort(w)[::-1][i], rel=1e-9)
+    # sign pin: largest-|coeff| entry positive
+    assert all(comps[i, np.abs(comps[i]).argmax()] > 0 for i in range(2))
+    proj = (pca_project(ds, mean, comps).to_pandas()
+            .sort_values("vec_id").reset_index(drop=True))
+    expect = (xf - xf.mean(0)) @ comps.T
+    assert np.allclose(proj[["pc1", "pc2"]].to_numpy(), expect, atol=1e-9)
+
+
 def test_user_activity_rollup_window(ray_session, tmp_path):
     # user 1 active on days 0 and 8; user 2 on day 1 only
     days = [0, 8, 1]
