@@ -5279,17 +5279,10 @@ def host_link_summary(sf_dir: str):
     return out.sort_values("host").reset_index(drop=True)
 
 
-def host_pagerank(sf_dir: str):
-    """Host-graph PageRank over the EXTRACTED hyperlink graph — the
-    crawl-analytics composition: parse pages → outlink edges → host
-    edge list → damped PageRank (rows-only: HTML parse upstream).
-    Host ids densify driver-side (bounded by |hosts|, catalog scale);
-    the undirected host graph feeds ``stages/graph.pagerank`` as both
-    edge directions so no node dangles."""
-    import ray.data as rd
-
-    from pdf_to_text_ray.stages.graph import pagerank
-
+def _host_edges(sf_dir: str):
+    """Distinct (src_host, dst_host) edge list from the extracted
+    hyperlink graph, plus the densified host→id map (bounded by
+    |hosts| — catalog scale)."""
     edges = page_links(sf_dir)
 
     def host_pairs(t: pa.Table) -> pa.Table:
@@ -5306,6 +5299,20 @@ def host_pagerank(sf_dir: str):
     pairs = pairs[(pairs["src_host"] != "") & (pairs["dst_host"] != "")]
     hosts = sorted(set(pairs["src_host"]) | set(pairs["dst_host"]))
     hid = {h: i for i, h in enumerate(hosts)}
+    return pairs, hid
+
+
+def host_pagerank(sf_dir: str):
+    """Host-graph PageRank over the EXTRACTED hyperlink graph — the
+    crawl-analytics composition: parse pages → outlink edges → host
+    edge list → damped PageRank (rows-only: HTML parse upstream).
+    The undirected host graph feeds ``stages/graph.pagerank`` as both
+    edge directions so no node dangles."""
+    import ray.data as rd
+
+    from pdf_to_text_ray.stages.graph import pagerank
+
+    pairs, hid = _host_edges(sf_dir)
     sym = pd.DataFrame({
         "src": [hid[h] for h in pairs["src_host"]] +
                [hid[h] for h in pairs["dst_host"]],
@@ -5317,6 +5324,72 @@ def host_pagerank(sf_dir: str):
     ranks["rank"] = np.round(ranks["rank"].to_numpy(), 9)
     return (ranks[["host", "rank"]].sort_values("host")
             .reset_index(drop=True))
+
+
+def host_hits(sf_dir: str):
+    """HITS hubs/authorities over the DIRECTED extracted host graph
+    (rows-only: HTML parse upstream) — `stages/graph.hits`, the
+    broadcast-vector + streaming-edge-scan shape. Hubs: hosts whose
+    outlinks point at well-cited hosts; authorities: the cited ones —
+    the direction-sensitive complement to `host_pagerank`."""
+    import ray.data as rd
+
+    from pdf_to_text_ray.stages.graph import hits
+
+    pairs, hid = _host_edges(sf_dir)
+    dir_edges = pd.DataFrame({
+        "src": [hid[h] for h in pairs["src_host"]],
+        "dst": [hid[h] for h in pairs["dst_host"]]}).drop_duplicates()
+    scores = hits(rd.from_pandas(dir_edges), iters=5)
+    scores["host"] = scores["node"].map({i: h for h, i in hid.items()})
+    scores["hub"] = np.round(scores["hub"].to_numpy(), 9)
+    scores["authority"] = np.round(scores["authority"].to_numpy(), 9)
+    return (scores[["host", "hub", "authority"]].sort_values("host")
+            .reset_index(drop=True))
+
+
+def rebalance_lang_docs(sf_dir: str):
+    """Data-mixing rebalance: downsample every language to the
+    minority language's count IN EXPECTATION via the engine-portable
+    md5 uniform (keep iff u(doc_id) < min_count/count(lang)) — the
+    training-mixture-balancing op, resumable because membership is a
+    pure function of the key. Per-lang counts are a catalog-scale
+    broadcast; the filter is one streaming pass. (At 100 TB the md5
+    hop becomes a vectorized 64-bit hash; md5 here is the documented
+    cross-engine determinism trick.)"""
+    import hashlib
+
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    counts = (ds.groupby("lang").aggregate(Count(alias_name="n"))
+              .to_pandas())
+    mn = float(counts["n"].min())
+    rate = {r.lang: mn / float(r.n) for r in counts.itertuples()}
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        langs = t["lang"].to_pylist()
+        u = np.array([int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+                      for i in ids], np.float64) / 4294967296.0
+        mask = u < np.array([rate[l] for l in langs], np.float64)
+        return t.filter(pa.array(mask))
+
+    out = ds.map_batches(keep, batch_format="pyarrow").to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+REBALANCE_LANG_SQL = """
+WITH c AS (SELECT lang, count(*)::DOUBLE AS n FROM documents
+           GROUP BY lang),
+m AS (SELECT min(n) AS mn FROM c)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN c ON d.lang = c.lang CROSS JOIN m
+WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::UBIGINT
+      / 4294967296.0 < m.mn / c.n
+ORDER BY doc_id
+"""
 
 
 def bigram_pmi_top(sf_dir: str, k: int = 25, min_count: int = 5):
@@ -6537,6 +6610,8 @@ QUERIES = {
     "page_metadata": page_metadata,
     "host_link_summary": host_link_summary,
     "host_pagerank": host_pagerank,
+    "host_hits": host_hits,
+    "rebalance_lang_docs": rebalance_lang_docs,
     "bigram_pmi_top": bigram_pmi_top,
     "doc_vocab_richness": doc_vocab_richness,
     "source_token_entropy": source_token_entropy,
@@ -6641,6 +6716,7 @@ ORACLE_SQL = {
     "source_token_entropy": SOURCE_ENTROPY_SQL,
     "doc_containment_pairs": CONTAINMENT_SQL,
     "user_activity_rollup": USER_ACTIVITY_SQL,
+    "rebalance_lang_docs": REBALANCE_LANG_SQL,
     "sample_stratified_docs": STRATIFIED_SQL,
     "customers_above_nation_avg": ABOVE_AVG_SQL,
     "argmax_event_user": ARGMAX_SQL,

@@ -99,3 +99,55 @@ def pagerank(edges, *, src_col: str = "src", dst_col: str = "dst",
                                          f"iter_{_it + 1}.npy"))
 
     return pd.DataFrame({"node": nodes.astype(np.int64), "rank": rank})
+
+
+def hits(edges, *, src_col: str = "src", dst_col: str = "dst",
+         iters: int = 5) -> pd.DataFrame:
+    """HITS hubs/authorities (Kleinberg 1999) in the same
+    broadcast-vector + streaming-edge-scan shape as ``pagerank``:
+    each iteration is two edge scans — auth(v) = Σ hub(u) over
+    in-edges, then hub(u) = Σ auth(v) over out-edges — each an
+    L2-normalized groupby-sum round. Returns (node, hub, authority).
+
+    Same partitioning assumption as pagerank: node vectors broadcast,
+    the edge list streams."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    edges = edges.materialize()
+    srcs = edges.groupby(src_col).count().to_pandas()[src_col].to_numpy()
+    dsts = edges.groupby(dst_col).count().to_pandas()[dst_col].to_numpy()
+    nodes = np.unique(np.concatenate([srcs, dsts]))
+    n = len(nodes)
+    if n == 0:
+        return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                             "hub": pd.Series([], dtype="float64"),
+                             "authority": pd.Series([], dtype="float64")})
+    hub = np.full(n, 1.0 / np.sqrt(n))
+    auth = np.full(n, 1.0 / np.sqrt(n))
+
+    def _push(vec: np.ndarray, key_col: str, out_col: str) -> np.ndarray:
+        ref = ray.put((nodes, vec))
+
+        def contrib(t: pa.Table) -> pa.Table:
+            nd, w = ray.get(ref)
+            idx = np.searchsorted(nd, t[key_col].to_numpy(
+                zero_copy_only=False))
+            part = pd.DataFrame({"v": t[out_col].to_numpy(
+                zero_copy_only=False), "s": w[idx]})
+            return arrow_out(part.groupby("v", as_index=False)["s"].sum())
+
+        parts = (edges.map_batches(contrib, batch_format="pyarrow")
+                 .groupby("v").aggregate(Sum("s", alias_name="s"))
+                 .to_pandas())
+        out = (parts.set_index("v")["s"]
+               .reindex(nodes, fill_value=0.0).to_numpy())
+        norm = np.sqrt((out * out).sum())
+        return out / norm if norm > 0 else out
+
+    for _ in range(iters):
+        auth = _push(hub, src_col, dst_col)
+        hub = _push(auth, dst_col, src_col)
+
+    return pd.DataFrame({"node": nodes.astype(np.int64),
+                         "hub": hub, "authority": auth})

@@ -119,6 +119,34 @@ def test_pca_matches_dense_numpy(ray_session):
     assert np.allclose(proj[["pc1", "pc2"]].to_numpy(), expect, atol=1e-9)
 
 
+def test_hits_matches_dense_power_iteration(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from pdf_to_text_ray.stages.graph import hits
+
+    edges = [(0, 1), (0, 2), (1, 2), (3, 2), (2, 4)]
+    out = hits(rd.from_pandas(pd.DataFrame(edges, columns=["src", "dst"])),
+               iters=5).set_index("node")
+    n = 5
+    A = np.zeros((n, n))
+    for s, d in edges:
+        A[s, d] = 1.0
+    hub = np.full(n, 1 / np.sqrt(n))
+    auth = np.full(n, 1 / np.sqrt(n))
+    for _ in range(5):
+        auth = A.T @ hub
+        auth /= np.linalg.norm(auth)
+        hub = A @ auth
+        hub /= np.linalg.norm(hub)
+    assert np.allclose(out["hub"].to_numpy(), hub, atol=1e-9)
+    assert np.allclose(out["authority"].to_numpy(), auth, atol=1e-9)
+    # node 2 is the authority (3 in-edges), node 0 the strongest hub
+    assert out["authority"].idxmax() == 2
+    assert out["hub"].idxmax() == 0
+
+
 def test_user_activity_rollup_window(ray_session, tmp_path):
     # user 1 active on days 0 and 8; user 2 on day 1 only
     days = [0, 8, 1]
