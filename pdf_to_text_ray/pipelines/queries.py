@@ -1828,6 +1828,54 @@ WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.7
 """
 
 
+# End-to-end MinHash dedup oracle: the exact char-5-gram Jaccard pair
+# set above (the engine verifies LSH candidates with exact Jaccard, so
+# its pair set equals this whenever banding recall is 1 — asserted by
+# neardup_minhash_docs' own green row) → transitive closure via the
+# recursive reach CTE → min-reachable-id root per node → every doc
+# keeps iff it is its own root (unpaired docs root themselves).
+NEARDUP_MINHASH_KEEP_SQL = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
+  FROM documents WHERE trim(coalesce(text, '')) <> ''
+),
+g AS (
+  SELECT DISTINCT doc_id,
+         unnest([substr(s, i, 5)
+                 for i in range(1, greatest(len(s) - 4, 0) + 1)]) AS gram
+  FROM toks
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = inter.id_a
+  JOIN sizes sb ON sb.doc_id = inter.id_b
+  WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.7
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(node, r) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node
+),
+comp AS (SELECT node, min(r) AS group_root FROM reach GROUP BY node)
+SELECT d.doc_id,
+       coalesce(c.group_root, d.doc_id) AS group_root,
+       coalesce(c.group_root, d.doc_id) = d.doc_id AS kept
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+"""
+
+
 def neardup_simhash_docs(sf_dir: str):
     from ..stages.dedup import simhash_neardup_pairs
 
@@ -6769,5 +6817,6 @@ ORACLE_SQL = {
     "doc_term_stats": TERM_STATS_SQL,
     "event_transition_matrix": TRANSITION_SQL,
     "neardup_minhash_docs": NEARDUP_MINHASH_SQL,
+    "neardup_keep_docs": NEARDUP_MINHASH_KEEP_SQL,
     "orders_dow_volume": DOW_SQL,
 }
