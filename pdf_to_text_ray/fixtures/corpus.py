@@ -28,7 +28,15 @@ from ..schemas import DOC_TYPE_HTML, DOC_TYPE_PDF, DOC_TYPE_TEXT
 from .htmlgen import _WORDS, make_html_page, _sentence
 from .pdfgen import make_pdf
 
-GENERATOR_VERSION = 12  # bump to invalidate /tmp caches
+GENERATOR_VERSION = 13  # bump to invalidate /tmp caches
+
+# HTML body charsets, weighted like a crawl's long tail: mostly utf-8,
+# a real minority of legacy single/multi-byte encodings + BOM'd bodies
+# (fixtures/htmlgen._CHARSETS carries label/codec/marker per entry)
+_HTML_CHARSETS = (
+    ["utf-8"] * 20
+    + ["cp1252", "iso8859-15", "shift_jis", "gbk", "utf-16-le", "utf-8-bom"]
+)
 _EPOCH_US = 1_600_000_000_000_000  # fixed base timestamp (µs)
 
 _LANGS = ["en", "es", "de", "zh", "fr"]
@@ -75,6 +83,7 @@ def make_page_row(i: int, seed: int, heavy: bool = False) -> tuple[dict, dict | 
             with_sucursal=rng.random() < 0.30,
             malformed=rng.random() < 0.15,
             heavy=heavy,
+            charset=rng.choice(_HTML_CHARSETS),
         )
         page = {"url": url, "warc_ts": warc_ts, "html": html,
                 "text": None, "lang": lang}

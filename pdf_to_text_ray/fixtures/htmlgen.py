@@ -67,14 +67,35 @@ def _escape_block(rng: random.Random, text: str) -> tuple[str, str]:
     return _htmlmod.escape(text), text
 
 
+# charset → (meta label, python codec, marker sentence whose chars are
+# encodable in that charset). The marker paragraph lands in the main
+# content, so the golden text proves the decode actually happened
+# (mojibake or U+FFFD would break byte-identity).
+_CHARSETS: dict[str, tuple[str, str, str]] = {
+    "utf-8": ("utf-8", "utf-8", ""),
+    "utf-8-bom": ("utf-8", "utf-8", "Ünïcode bøm marker — déjà vu."),
+    "cp1252": ("windows-1252", "cp1252", "Café déjà vu — naïve façade über niño."),
+    "iso8859-15": ("iso-8859-15", "iso8859-15", "Paiement de 10 € à Paris, idée reçue."),
+    "shift_jis": ("shift_jis", "shift_jis", "日本語のテキスト行です。"),
+    "gbk": ("gb2312", "gbk", "中文网页正文内容。"),
+    "utf-16-le": ("utf-16", "utf-16-le", "Úñïçødé テキスト 中文 body."),
+}
+
+
 def make_html_page(rng: random.Random, lang: str = "en",
                    with_sucursal: bool = False,
                    malformed: bool = False,
-                   heavy: bool = False) -> tuple[bytes, str]:
+                   heavy: bool = False,
+                   charset: str = "utf-8") -> tuple[bytes, str]:
     """Returns (html_bytes, expected_main_text). ``heavy`` pages carry
     ~10x the content (bench corpora, so per-doc work dominates
-    scheduling overhead in scaling measurements)."""
+    scheduling overhead in scaling measurements). ``charset`` encodes
+    the page in a legacy web encoding (declared via its WHATWG meta
+    label, or BOM for utf-16/utf-8-bom) — the golden text is the same
+    unicode either way, so extraction byte-identity proves the
+    WHATWG-ordered charset resolution (stages/charset.py)."""
     words = _ES_WORDS if lang == "es" else _WORDS
+    meta_label, codec, marker = _CHARSETS[charset]
 
     # 1) choose main-content blocks first (the golden truth)
     blocks_markup: list[str] = []
@@ -109,6 +130,10 @@ def make_html_page(rng: random.Random, lang: str = "en",
         blocks_markup.append(f"<p>{frag}</p>")  # stray '<' followed by space
         blocks_text.append(frag)
 
+    if marker:
+        blocks_markup.append(f"<p>{_htmlmod.escape(marker)}</p>")
+        blocks_text.append(marker)
+
     if with_sucursal:
         lines = make_sucursal_block_lines(rng, terminated=rng.random() > 0.15,
                                           mixed_case=rng.random() < 0.2)
@@ -140,11 +165,18 @@ def make_html_page(rng: random.Random, lang: str = "en",
     script_body = f"var x = {rng.randrange(1000)}; function f() {{ return '<p>leak</p>'; }}"
     style_body = "body { margin: 0; } .content p { color: #222; }"
 
+    # meta declaration style varies like the real web: plain charset
+    # attr or the older http-equiv content-type form
+    if rng.random() < 0.3:
+        meta = ('<meta http-equiv="Content-Type" '
+                f'content="text/html; charset={meta_label}">')
+    else:
+        meta = f'<meta charset="{meta_label}">'
     doc = (
         "<!DOCTYPE html>\n"
         f'<html lang="{lang}"><head>\n'
         f"<title>{_htmlmod.escape(title)} — site</title>\n"
-        '<meta charset="utf-8"><link rel="stylesheet" href="/s.css">\n'
+        f'{meta}<link rel="stylesheet" href="/s.css">\n'
         f"<style>{style_body}</style>\n"
         f"<script>{script_body}</script>\n"
         "</head><body>\n"
@@ -154,4 +186,13 @@ def make_html_page(rng: random.Random, lang: str = "en",
         f"<footer>{footer}</footer>\n"
         "</body></html>\n"
     )
-    return doc.encode("utf-8"), "\n".join(blocks_text)
+    if charset == "utf-16-le":
+        # BOM-prefixed UTF-16LE body: BOM wins over the meta label
+        # (WHATWG order), which is why the label above says utf-16
+        return b"\xff\xfe" + doc.encode("utf-16-le"), "\n".join(blocks_text)
+    if charset == "utf-8-bom":
+        return b"\xef\xbb\xbf" + doc.encode("utf-8"), "\n".join(blocks_text)
+    # unencodable chars (e.g. the em-dash in the title under shift_jis)
+    # become numeric character references, exactly like real legacy
+    # sites emitted them — the parser decodes them back, goldens hold
+    return doc.encode(codec, errors="xmlcharrefreplace"), "\n".join(blocks_text)

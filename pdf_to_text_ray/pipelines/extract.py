@@ -34,42 +34,14 @@ from typing import Any
 import pyarrow as pa
 import pyarrow.compute as pc
 
-import re as _re
-
 from ..schemas import DOC_TYPE_HTML, DOC_TYPE_PDF
+from ..stages.charset import decode_payload as decode_html_payload
 from ..stages.html_extract import extract_html_text
 from ..stages.pdf_extract import extract_pdf_text
 from ..stages.sniff import sniff_batch
 from ..state import manifest as mstate
 
 DEFAULT_BATCH_SIZE = 64
-
-_CHARSET_RE = _re.compile(
-    rb"""charset\s*=\s*["']?([A-Za-z0-9_\-]+)""", _re.IGNORECASE)
-_CHARSET_ALIASES = {
-    "iso-8859-1": "latin-1", "latin1": "latin-1", "windows-1252": "cp1252",
-    "gb2312": "gbk", "shift_jis": "shift_jis", "euc-jp": "euc_jp",
-    "big5": "big5", "koi8-r": "koi8_r", "windows-1251": "cp1251",
-}
-
-
-def decode_html_payload(payload: bytes) -> str:
-    """UTF-8 first; on replacement characters, honor an in-document
-    ``charset=`` declaration (meta / http-equiv) within the first 2 KiB
-    — the Common-Crawl reality is a long tail of legacy encodings."""
-    text = payload.decode("utf-8", errors="replace")
-    if "\ufffd" not in text[:65536]:
-        return text
-    m = _CHARSET_RE.search(payload[:2048])
-    if m:
-        enc = m.group(1).decode("ascii", "ignore").lower()
-        enc = _CHARSET_ALIASES.get(enc, enc)
-        if enc not in ("utf-8", "utf8"):
-            try:
-                return payload.decode(enc, errors="replace")
-            except LookupError:
-                pass
-    return text
 
 
 class ExtractDispatch:
@@ -113,7 +85,7 @@ class ExtractDispatch:
                         out_text.append(text)
                     else:
                         out_text.append(
-                            payload.decode("utf-8", errors="replace") if payload else "")
+                            decode_html_payload(payload) if payload else "")
                     out_pages.append(1)
                     out_fail.append(False)
                     out_fb.append(False)

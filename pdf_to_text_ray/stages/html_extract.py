@@ -388,7 +388,9 @@ class HtmlExtractor:
         out, fail = [], []
         for raw in payloads:
             try:
-                src = raw.decode("utf-8", errors="replace") if isinstance(raw, bytes) else (raw or "")
+                from .charset import decode_payload
+
+                src = decode_payload(raw)
                 out.append(extract_html_text(src))
                 fail.append(False)
             except Exception:

@@ -174,7 +174,9 @@ def _decode_html(payload: bytes) -> str | None:
             payload = gzip.decompress(payload)
         except OSError:
             return None
-    return payload.decode("utf-8", errors="replace")
+    from .charset import decode_payload
+
+    return decode_payload(payload)
 
 
 def links_batch(t: pa.Table, payload_col: str = "html") -> pa.Table:

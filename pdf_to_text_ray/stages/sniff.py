@@ -52,6 +52,13 @@ def sniff_doc_type(payload: bytes | None) -> tuple[str, bool]:
     if payload[:5] == b"%PDF-":
         return DOC_TYPE_PDF, is_gzip
     head = payload[:1024].lower()
+    # BOM'd UTF-16 bodies interleave NULs with the ASCII tag bytes —
+    # transcode the prefix so the tag hints still match (the extractor
+    # decodes the full payload via stages/charset BOM sniffing)
+    if payload[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        enc = "utf-16-le" if payload[:2] == b"\xff\xfe" else "utf-16-be"
+        head = (payload[2:1026].decode(enc, errors="replace")
+                .encode("utf-8", errors="replace").lower())
     if _HTML_HINT.search(head):
         return DOC_TYPE_HTML, is_gzip
     return DOC_TYPE_TEXT, is_gzip
