@@ -538,6 +538,118 @@ FROM events
 """
 
 
+def events_value_ewma(sf_dir: str, alpha: float = 1.0 / 3.0):
+    """Per-user exponentially-weighted moving average of event values
+    (streaming smoother — the stateful-op family's decaying cousin of
+    the running sum). Engine side runs the y = (1-α)y + αx recurrence
+    per user inside ONE bucketed shuffle — numerically stable at any
+    partition length; the oracle reproduces it in closed form (valid at
+    oracle scales; both sides round to 4 dp). α is 1/3 ON PURPOSE:
+    with 2-dp money inputs, a terminating α like 0.3 makes the exact
+    EWMA a short decimal that lands EXACTLY on rounding boundaries
+    (56.63975 → the two sides' ~1e-12-apart floats round oppositely);
+    a factor of 3 in the denominator never terminates, so boundary
+    collisions are measure-zero."""
+    from ..stages.groups import bucketed_group_apply
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        ew = (g.groupby("user_id", sort=False)["value"]
+              .transform(lambda s: s.ewm(alpha=alpha, adjust=False).mean()))
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "user_id": g["user_id"].to_numpy(),
+            "ewma_value": ew.round(4).to_numpy(),
+        })
+
+    return bucketed_group_apply(ds, "user_id", per_bucket)
+
+
+# closed form of the adjust=False recurrence: with rn the 1-based row
+# number per user and β = 1-α, y_rn = β^(rn-1)·x_1 + α·Σ_{j=2..rn}
+# β^(rn-j)·x_j — factored as a prefix sum of x_j·α/β^j so ONE window
+# sum covers every row (power-rescaling is exact enough at oracle
+# partition lengths; the engine runs the recurrence instead, stable at
+# any scale). β is spelled (1.0 - 1.0/3.0), matching the engine's
+# pandas ewm internals to the ulp — 2.0/3.0 rounds differently.
+EWMA_SQL = """
+WITH t AS (
+  SELECT event_id, user_id, value,
+         row_number() OVER w AS rn,
+         CASE WHEN row_number() OVER w = 1 THEN 0.0
+              ELSE value * (1.0/3.0) / pow(1.0 - 1.0/3.0, row_number() OVER w)
+         END AS term,
+         first_value(value) OVER w AS x1
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id, user_id,
+       round(pow(1.0 - 1.0/3.0, rn) * (x1 / (1.0 - 1.0/3.0) +
+             sum(term) OVER (PARTITION BY user_id ORDER BY rn)), 4)
+         AS ewma_value
+FROM t
+"""
+
+
+def bpe_learn_merges(sf_dir: str):
+    """Tokenizer training: learn a BPE merge table from the corpus
+    (Sennrich et al. 2016) — one distributed word-count, then per-round
+    pair-count partials over the (small) vocab table. rows-only: the
+    iterative argmax chain is not SQL-expressible; parity is pinned by
+    tests/test_bpe.py against a local reference implementation."""
+    from ..stages.bpe import learn_merges
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return learn_merges(ds, n_merges=8)
+
+
+def event_value_histogram(sf_dir: str, bins: int = 20):
+    """Equi-width histogram of event values: pass 1 is a tiny global
+    min/max aggregate, pass 2 emits per-batch nonzero bincount partials
+    (≤ ``bins`` rows per block) merged by ONE bins-sized groupby — the
+    values themselves never shuffle. The bin expression is the same
+    IEEE op sequence on both sides (subtract → divide → scale → floor),
+    so edge rows bin identically."""
+    import ray.data.aggregate as ragg
+
+    ds = _read(sf_dir, "events", ["value"])
+    mm = ds.aggregate(ragg.Min("value"), ragg.Max("value"))
+    mn, mx = float(mm["min(value)"]), float(mm["max(value)"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        v = v[~np.isnan(v)]
+        if mx > mn:
+            b = np.minimum(np.floor((v - mn) / (mx - mn) * float(bins)),
+                           bins - 1).astype("int64")
+        else:
+            b = np.zeros(len(v), dtype="int64")
+        cnt = np.bincount(b, minlength=bins)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"bin": nz.astype("int64"),
+                         "n": cnt[nz].astype("int64")})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    out = parts.groupby("bin").sum("n")
+    return out.map_batches(
+        lambda t: t.rename_columns(["bin", "n_events"]),
+        batch_format="pyarrow")
+
+
+HISTOGRAM_SQL = """
+WITH mm AS (SELECT min(value) AS mn, max(value) AS mx FROM events),
+b AS (
+  SELECT CASE WHEN mx > mn
+              THEN least(floor((value - mn) / (mx - mn) * 20.0), 19.0)
+              ELSE 0.0 END::BIGINT AS bin
+  FROM events, mm WHERE value IS NOT NULL
+)
+SELECT bin, count(*) AS n_events FROM b GROUP BY bin
+"""
+
+
 def point_lookup_event(sf_dir: str):
     """S5 parity (GET /file/:key → keyed point lookup, main.ts:266-287)."""
     ds = _read(sf_dir, "events")
@@ -6523,6 +6635,9 @@ QUERIES = {
     "embedding_norms": embedding_norms,
     "union_nation_region_names": union_nation_region_names,
     "events_running_sum": events_running_sum,
+    "events_value_ewma": events_value_ewma,
+    "event_value_histogram": event_value_histogram,
+    "bpe_learn_merges": bpe_learn_merges,
     "point_lookup_event": point_lookup_event,
     "sessionize_events": sessionize_events,
     "sessionize_events_stateful": sessionize_events_stateful,
@@ -6696,6 +6811,8 @@ ORACLE_SQL = {
     "embedding_norms": EMB_NORMS_SQL,
     "union_nation_region_names": UNION_SQL,
     "events_running_sum": RUNNING_SUM_SQL,
+    "events_value_ewma": EWMA_SQL,
+    "event_value_histogram": HISTOGRAM_SQL,
     "point_lookup_event": POINT_LOOKUP_SQL,
     "sessionize_events": SESSIONIZE_SQL,
     "sessionize_events_stateful": SESSIONIZE_SQL,
