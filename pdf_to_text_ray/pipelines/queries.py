@@ -593,6 +593,50 @@ FROM t
 """
 
 
+def copurchase_triangles(sf_dir: str):
+    """Exact triangle count over the part co-purchase graph (parts
+    sharing an order are adjacent) — graph analytics beyond the
+    broadcast-vector family (pagerank/HITS): degree-ordered-orientation
+    triangle counting, every shuffle a payload-free int-pair exchange
+    (stages/graph.triangle_count)."""
+    from ..stages.graph import triangle_count
+    from ..stages.groups import bucketed_group_apply
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, grp in g.groupby("l_orderkey", sort=False):
+            ps = np.unique(grp["l_partkey"].to_numpy())
+            if len(ps) < 2:
+                continue
+            ii, jj = np.triu_indices(len(ps), k=1)
+            out_a.append(ps[ii])
+            out_b.append(ps[jj])
+        if not out_a:
+            return pd.DataFrame({"u": pd.Series([], dtype="int64"),
+                                 "v": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"u": np.concatenate(out_a).astype("int64"),
+                             "v": np.concatenate(out_b).astype("int64")})
+
+    edges = bucketed_group_apply(ds, "l_orderkey", pairs_bucket)
+    return triangle_count(edges)
+
+
+TRIANGLES_SQL = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT count(*)::BIGINT AS n_triangles
+FROM e e1
+JOIN e e2 ON e2.u = e1.v
+JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+"""
+
+
 def bpe_learn_merges(sf_dir: str):
     """Tokenizer training: learn a BPE merge table from the corpus
     (Sennrich et al. 2016) — one distributed word-count, then per-round
@@ -6638,6 +6682,7 @@ QUERIES = {
     "events_value_ewma": events_value_ewma,
     "event_value_histogram": event_value_histogram,
     "bpe_learn_merges": bpe_learn_merges,
+    "copurchase_triangles": copurchase_triangles,
     "point_lookup_event": point_lookup_event,
     "sessionize_events": sessionize_events,
     "sessionize_events_stateful": sessionize_events_stateful,
@@ -6813,6 +6858,7 @@ ORACLE_SQL = {
     "events_running_sum": RUNNING_SUM_SQL,
     "events_value_ewma": EWMA_SQL,
     "event_value_histogram": HISTOGRAM_SQL,
+    "copurchase_triangles": TRIANGLES_SQL,
     "point_lookup_event": POINT_LOOKUP_SQL,
     "sessionize_events": SESSIONIZE_SQL,
     "sessionize_events_stateful": SESSIONIZE_SQL,

@@ -151,3 +151,120 @@ def hits(edges, *, src_col: str = "src", dst_col: str = "dst",
 
     return pd.DataFrame({"node": nodes.astype(np.int64),
                          "hub": hub, "authority": auth})
+
+
+def triangle_count(edges, *, u_col: str = "u", v_col: str = "v",
+                   num_buckets: int = 32) -> pd.DataFrame:
+    """Exact triangle count over an undirected edge Dataset (rows may
+    be in either vertex order; parallel duplicates are deduped here).
+    Returns a 1-row DataFrame (n_triangles).
+
+    The MapReduce-classic degree-ordered orientation (Suri & Vassilvitskii
+    2011, "Counting Triangles and the Curse of the Last Reducer"):
+    orient every edge from its lower-(degree, id) endpoint to the
+    higher one, so per-node out-degree is O(√m) and total wedge volume
+    is O(m^1.5) instead of Σ deg² — the hot-vertex (celebrity) skew
+    killer. Rounds, all payload-free int pairs:
+
+      1. one groupby to dedup/canonicalize edges,
+      2. one small groupby for degrees (node count ≪ edge count; the
+         (node, orientation-rank) arrays broadcast once via ray.put),
+      3. one bucketed shuffle by wedge-center to explode each node's
+         out-neighbor pairs (vectorized triu per center),
+      4. one bucketed shuffle joining wedges against oriented edges
+         (wedges pre-aggregated per batch to (a, b, cnt) — closure
+         check is a per-bucket merge; only per-bucket partial sums
+         return to the driver).
+    """
+    import ray
+    from pdf_to_text_ray.stages.groups import bucketed_group_apply
+
+    # canonicalize (min, max) + dedup: ONE payload-free groupby
+    def canon(t: pa.Table) -> pa.Table:
+        a = t[u_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t[v_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = a != b  # self-loops close no triangles
+        lo, hi = np.minimum(a[keep], b[keep]), np.maximum(a[keep], b[keep])
+        return pa.table({"u": lo, "v": hi})
+
+    e = (edges.map_batches(canon, batch_format="pyarrow")
+         .groupby(["u", "v"]).count()
+         .select_columns(["u", "v"]).materialize())
+
+    # degree → orientation rank (dense by (deg, id)); broadcast arrays
+    def endpoints(t: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays(
+            [t["u"].combine_chunks(), t["v"].combine_chunks()])})
+
+    deg_pdf = (e.map_batches(endpoints, batch_format="pyarrow")
+               .groupby("node").count().to_pandas())
+    nodes = deg_pdf["node"].to_numpy().astype(np.int64)
+    degs = deg_pdf["count()"].to_numpy().astype(np.int64)
+    order = np.argsort(nodes, kind="stable")
+    nodes, degs = nodes[order], degs[order]
+    rank = np.empty(len(nodes), dtype=np.int64)
+    rank[np.lexsort((nodes, degs))] = np.arange(len(nodes))
+    ref = ray.put((nodes, rank))
+
+    def orient(t: pa.Table) -> pa.Table:
+        nd, rk = ray.get(ref)
+        a = t["u"].to_numpy(zero_copy_only=False)
+        b = t["v"].to_numpy(zero_copy_only=False)
+        ra, rb = rk[np.searchsorted(nd, a)], rk[np.searchsorted(nd, b)]
+        swap = ra > rb
+        src = np.where(swap, b, a)
+        dst = np.where(swap, a, b)
+        return pa.table({"src": src.astype(np.int64),
+                         "dst": dst.astype(np.int64)})
+
+    oriented = e.map_batches(orient, batch_format="pyarrow")
+
+    # wedge explosion per center (vectorized pair gen; out-deg ≤ O(√m))
+    def wedges_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        nd, rk = ray.get(ref)
+        outs_a, outs_b = [], []
+        for _, grp in g.groupby("src", sort=False):
+            nb = grp["dst"].to_numpy()
+            if len(nb) < 2:
+                continue
+            nb = nb[np.argsort(rk[np.searchsorted(nd, nb)], kind="stable")]
+            ii, jj = np.triu_indices(len(nb), k=1)
+            outs_a.append(nb[ii])
+            outs_b.append(nb[jj])
+        if not outs_a:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64"),
+                                 "cnt": pd.Series([], dtype="int64"),
+                                 "kind": pd.Series([], dtype="int8")})
+        a = np.concatenate(outs_a)
+        b = np.concatenate(outs_b)
+        w = (pd.DataFrame({"a": a, "b": b})
+             .groupby(["a", "b"], sort=False, as_index=False).size()
+             .rename(columns={"size": "cnt"}))
+        w["cnt"] = w["cnt"].astype("int64")
+        w["kind"] = np.int8(0)
+        return w
+
+    wedge_ds = bucketed_group_apply(oriented, "src", wedges_bucket,
+                                    num_buckets=num_buckets)
+
+    def tag_edges(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({"a": t["src"], "b": t["dst"],
+                         "cnt": pa.array(np.ones(n, np.int64)),
+                         "kind": pa.array(np.zeros(n, np.int8) + 1)})
+
+    tagged = wedge_ds.union(oriented.map_batches(tag_edges,
+                                                 batch_format="pyarrow"))
+
+    # closure: wedge (a,b) is a triangle iff oriented edge (a,b) exists
+    def close_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ed = g[g["kind"] == 1][["a", "b"]]
+        wd = g[g["kind"] == 0]
+        tri = int(wd.merge(ed, on=["a", "b"], how="inner")["cnt"].sum())
+        return pd.DataFrame({"tri": pd.Series([tri], dtype="int64")})
+
+    parts = bucketed_group_apply(tagged, ["a", "b"], close_bucket,
+                                 num_buckets=num_buckets).to_pandas()
+    return pd.DataFrame({"n_triangles":
+                         pd.Series([int(parts["tri"].sum())], dtype="int64")})

@@ -1211,3 +1211,49 @@ def test_pagerank_checkpoint_resume(ray_session, tmp_path):
     import os
     assert sorted(f for f in os.listdir(ck) if f.startswith("iter_")) == \
         [f"iter_{i}.npy" for i in range(1, 6)]
+
+
+def test_triangle_count_known_graphs(ray_session):
+    import itertools
+
+    import ray.data as rd
+
+    from pdf_to_text_ray.stages.graph import triangle_count
+
+    def tri(edges):
+        e = pd.DataFrame({"u": [a for a, b in edges],
+                          "v": [b for a, b in edges]})
+        out = triangle_count(rd.from_pandas(e), num_buckets=4)
+        return int(out["n_triangles"].iloc[0])
+
+    # K4 has 4 triangles; duplicates / reversed rows / self-loops must
+    # not change the count
+    k4 = list(itertools.combinations(range(4), 2))
+    assert tri(k4) == 4
+    assert tri(k4 + [(b, a) for a, b in k4] + [(2, 2), (1, 2)]) == 4
+    # path graph: none; cycle of 4: none; cycle + chord: 2
+    assert tri([(0, 1), (1, 2), (2, 3)]) == 0
+    assert tri([(0, 1), (1, 2), (2, 3), (3, 0)]) == 0
+    assert tri([(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)]) == 2
+
+
+def test_triangle_count_random_vs_bruteforce(ray_session):
+    import itertools
+    import random
+
+    import ray.data as rd
+
+    from pdf_to_text_ray.stages.graph import triangle_count
+
+    rng = random.Random(5)
+    edges = {tuple(sorted(rng.sample(range(30), 2))) for _ in range(140)}
+    adj = {n: set() for n in range(30)}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    want = sum(1 for a, b, c in itertools.combinations(range(30), 3)
+               if b in adj[a] and c in adj[a] and c in adj[b])
+    e = pd.DataFrame({"u": [a for a, b in edges],
+                      "v": [b for a, b in edges]})
+    got = triangle_count(rd.from_pandas(e), num_buckets=8)
+    assert int(got["n_triangles"].iloc[0]) == want
