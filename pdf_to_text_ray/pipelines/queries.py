@@ -6659,6 +6659,220 @@ def anchor_text_index(sf_dir: str):
     return out.sort_values("dst_url").reset_index(drop=True)
 
 
+# ── training-data curation (stages/curation.py) ──────────────────────
+
+def doc_duplicate_spans(sf_dir: str):
+    """Exact duplicate-substring detection, gram-quantized (Lee et al.
+    2022): per doc, how many of its distinct strided 24-char grams
+    occur in ≥2 docs. Payload-free shuffles only (hash postings, then
+    (doc_id, flag) rollup)."""
+    from ..stages.curation import duplicate_gram_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return duplicate_gram_stats(ds)
+
+
+DUP_SPANS_SQL = r"""
+WITH pos AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, length(text) - 23, 12)) AS i
+  FROM documents WHERE length(text) >= 24),
+g AS (SELECT DISTINCT doc_id,
+             substr(md5(substr(text, i, 24)), 1, 16) AS gh FROM pos),
+nd AS (SELECT gh, count(*) AS ndocs FROM g GROUP BY gh)
+SELECT g.doc_id, count(*)::BIGINT AS n_grams,
+       sum(CASE WHEN nd.ndocs >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_grams,
+       sum(CASE WHEN nd.ndocs >= 2 THEN 1 ELSE 0 END)::DOUBLE / count(*)
+         AS dup_ratio
+FROM g JOIN nd USING (gh) GROUP BY g.doc_id
+"""
+
+
+def pii_redact_docs(sf_dir: str):
+    """PII redaction (emails → <EMAIL>, IPv4 → <IP>, phones →
+    <PHONE>): deterministic PII is synthesized from doc_id on BOTH
+    sides (the corpus itself is PII-free word salad), then the
+    sequential count-and-redact kernel runs; the oracle replays the
+    identical RE2 patterns in the identical order."""
+    from ..stages.curation import pii_redact_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def augment(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        texts = t["text"].to_pylist()
+        aug = [
+            f"{s or ''} contact u{d}@ex{d % 5}.org from "
+            f"{d % 223 + 1}.{d % 256}.0.{d % 254 + 1} call "
+            f"+1-555-{(d * 37) % 10000:04d}"
+            for d, s in zip(ids, texts)
+        ]
+        return pa.table({"doc_id": t["doc_id"],
+                         "text": pa.array(aug, pa.string())})
+
+    return ds.map_batches(augment, batch_format="pyarrow").map_batches(
+        pii_redact_batch, batch_format="pyarrow")
+
+
+def _sql_quote_re(pattern: str) -> str:
+    return pattern.replace("'", "''")
+
+
+def _pii_sql() -> str:
+    from ..stages.curation import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    em, ip, ph = (_sql_quote_re(p) for p in (EMAIL_RE, IPV4_RE, PHONE_RE))
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+         coalesce(text, '') || ' contact u' || doc_id || '@ex'
+           || (doc_id % 5) || '.org from ' || (doc_id % 223 + 1) || '.'
+           || (doc_id % 256) || '.0.' || (doc_id % 254 + 1)
+           || ' call +1-555-'
+           || lpad(((doc_id * 37) % 10000)::VARCHAR, 4, '0') AS t
+  FROM documents),
+r AS (
+  SELECT doc_id, t,
+         regexp_replace(t, '{em}', '<EMAIL>', 'g') AS t1
+  FROM aug),
+r2 AS (SELECT doc_id, t, t1,
+              regexp_replace(t1, '{ip}', '<IP>', 'g') AS t2 FROM r)
+SELECT doc_id,
+       length(regexp_extract_all(t, '{em}'))::BIGINT AS n_email,
+       length(regexp_extract_all(t1, '{ip}'))::BIGINT AS n_ip,
+       length(regexp_extract_all(t2, '{ph}'))::BIGINT AS n_phone,
+       regexp_replace(t2, '{ph}', '<PHONE>', 'g') AS redacted
+FROM r2
+"""
+
+
+def gopher_quality_docs(sf_dir: str):
+    """Gopher word-level quality rules (Rae et al. 2021 §A1.1): word
+    count bounds, mean word length band, ≥2 stop-word hits. Stateless
+    vectorized map; no shuffle."""
+    from ..stages.curation import gopher_stats_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(gopher_stats_batch, batch_format="pyarrow")
+
+
+def _gopher_sql() -> str:
+    from ..stages.curation import (GOPHER_MAX_MEAN_WLEN, GOPHER_MAX_WORDS,
+                                   GOPHER_MIN_MEAN_WLEN, GOPHER_MIN_STOP_HITS,
+                                   GOPHER_MIN_WORDS, GOPHER_STOPWORDS)
+
+    stops = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         CASE WHEN coalesce(text, '') = '' THEN 0
+              ELSE length(str_split(text, ' ')) END::BIGINT AS n_words,
+         CASE WHEN coalesce(text, '') = '' THEN 0.0
+              ELSE (length(text) - (length(str_split(text, ' ')) - 1))::DOUBLE
+                   / length(str_split(text, ' ')) END AS mean_word_len,
+         CASE WHEN coalesce(text, '') = '' THEN 0
+              ELSE length(list_filter(str_split(text, ' '),
+                          x -> list_contains([{stops}], x))) END::BIGINT
+           AS n_stop
+  FROM documents)
+SELECT doc_id, n_words, mean_word_len, n_stop,
+       (CASE WHEN n_words >= {GOPHER_MIN_WORDS}
+              AND n_words <= {GOPHER_MAX_WORDS}
+              AND mean_word_len >= {GOPHER_MIN_MEAN_WLEN}
+              AND mean_word_len <= {GOPHER_MAX_MEAN_WLEN}
+              AND n_stop >= {GOPHER_MIN_STOP_HITS}
+         THEN 1 ELSE 0 END)::BIGINT AS keep_flag
+FROM s
+"""
+
+
+PACK_BUDGET = 256
+
+
+def pack_doc_sequences(sf_dir: str):
+    """Sequence packing for training (sequential-fill): docs in doc_id
+    order fill fixed {PACK_BUDGET}-token sequences; a doc's sequence id
+    is its start offset // budget. The global running offset is a
+    distributed prefix sum (groups.ordered_prefix_sum — one
+    payload-free (doc_id, n_tokens) shuffle), NOT a driver loop."""
+    from ..stages.groups import ordered_prefix_sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tokens(t: pa.Table) -> pa.Table:
+        n = np.asarray([len((s or "").split(" ")) if s else 0
+                        for s in t["text"].to_pylist()], dtype=np.int64)
+        return pa.table({"doc_id": t["doc_id"], "n_tokens": pa.array(n)})
+
+    withn = ds.map_batches(tokens, batch_format="pyarrow")
+    scanned = ordered_prefix_sum(withn, order_col="doc_id",
+                                 value_col="n_tokens", out_col="cum")
+
+    def finish(t: pa.Table) -> pa.Table:
+        cum = t["cum"].to_numpy().astype(np.int64)
+        n = t["n_tokens"].to_numpy().astype(np.int64)
+        return pa.table({"doc_id": t["doc_id"], "n_tokens": pa.array(n),
+                         "seq_id": pa.array((cum - n) // PACK_BUDGET)})
+
+    return scanned.map_batches(finish, batch_format="pyarrow")
+
+
+PACK_SEQ_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN coalesce(text, '') = '' THEN 0
+              ELSE length(str_split(text, ' ')) END::BIGINT AS n_tokens
+  FROM documents)
+SELECT doc_id, n_tokens,
+       ((sum(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+         // {PACK_BUDGET})::BIGINT AS seq_id
+FROM t
+"""
+
+
+def contaminated_docs(sf_dir: str):
+    """Benchmark contamination check (GPT-3 appendix C style): word
+    trigrams of the held-out 'benchmark' docs (doc_id % 97 == 0) are
+    built distributed, collected (bounded by the benchmark, not the
+    corpus), broadcast via ray.put; every candidate doc counts matching
+    trigram positions."""
+    import ray
+
+    from ..stages.curation import benchmark_gram_set, contamination_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def split(flag: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            m = (t["doc_id"].to_numpy() % 97) == 0
+            return t.filter(pa.array(m if flag else ~m))
+        return fn
+
+    bench = ds.map_batches(split(True), batch_format="pyarrow")
+    cand = ds.map_batches(split(False), batch_format="pyarrow")
+    grams = benchmark_gram_set(bench, n=3)
+    ref = ray.put(grams)
+    return contamination_stats(cand, ref, n=3)
+
+
+CONTAMINATION_SQL = """
+WITH bw AS (SELECT str_split(text, ' ') AS w FROM documents
+            WHERE doc_id % 97 = 0 AND coalesce(text, '') <> ''),
+bpos AS (SELECT w, unnest(generate_series(1, length(w) - 2)) AS i
+         FROM bw WHERE length(w) >= 3),
+bg AS (SELECT DISTINCT array_to_string(w[i:i+2], ' ') AS g FROM bpos),
+cw AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents
+       WHERE doc_id % 97 <> 0 AND coalesce(text, '') <> ''),
+cpos AS (SELECT doc_id, w, unnest(generate_series(1, length(w) - 2)) AS i
+         FROM cw WHERE length(w) >= 3),
+cg AS (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS g FROM cpos)
+SELECT cg.doc_id, count(bg.g)::BIGINT AS n_contam,
+       (count(bg.g) > 0)::BIGINT AS contaminated
+FROM cg LEFT JOIN bg ON cg.g = bg.g GROUP BY cg.doc_id
+"""
+
+
 QUERIES = {
     # relational
     "q1_pricing_summary": q1_pricing_summary,
@@ -6696,6 +6910,12 @@ QUERIES = {
     "user_event_sequence": user_event_sequence,
     "orders_monthly_volume": orders_monthly_volume,
     "event_props_k_stats": event_props_k_stats,
+    # curation
+    "doc_duplicate_spans": doc_duplicate_spans,
+    "pii_redact_docs": pii_redact_docs,
+    "gopher_quality_docs": gopher_quality_docs,
+    "pack_doc_sequences": pack_doc_sequences,
+    "contaminated_docs": contaminated_docs,
     # text
     "doc_token_stats": doc_token_stats,
     "doc_quality_filter": doc_quality_filter,
@@ -6872,6 +7092,11 @@ ORACLE_SQL = {
     "user_event_sequence": STRING_AGG_SQL,
     "orders_monthly_volume": MONTHLY_VOLUME_SQL,
     "event_props_k_stats": PROPS_K_SQL,
+    "doc_duplicate_spans": DUP_SPANS_SQL,
+    "pii_redact_docs": _pii_sql(),
+    "gopher_quality_docs": _gopher_sql(),
+    "pack_doc_sequences": PACK_SEQ_SQL,
+    "contaminated_docs": CONTAMINATION_SQL,
     "doc_token_stats": DOC_TOKEN_STATS_SQL,
     "doc_quality_filter": DOC_QUALITY_SQL,
     "dedup_exact_docs": DEDUP_EXACT_SQL,

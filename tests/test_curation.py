@@ -1,0 +1,141 @@
+"""Curation tier: duplicate-substring grams, PII redaction, Gopher
+rules, contamination probe, sequence packing."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from pdf_to_text_ray.stages.curation import (
+    _gram_hashes,
+    _word_ngrams,
+    benchmark_gram_set,
+    contamination_stats,
+    duplicate_gram_stats,
+    gopher_stats_batch,
+    gram_pairs_batch,
+    pii_redact_batch,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _tbl(ids, texts):
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+
+
+# ── duplicate grams ───────────────────────────────────────────────────
+
+def test_gram_hashes_stride_and_short_docs():
+    assert _gram_hashes("", 24, 12) == set()
+    assert _gram_hashes("x" * 23, 24, 12) == set()
+    one = _gram_hashes("x" * 24, 24, 12)
+    assert len(one) == 1
+    # a 36-char text has grams at offsets 0 and 12 only
+    t = "abcdefghijklmnopqrstuvwxyz0123456789"
+    assert len(_gram_hashes(t, 24, 12)) == 2
+
+
+def test_gram_pairs_distinct_per_doc():
+    # repeated content inside ONE doc yields one posting per gram
+    t = _tbl([7], ["A" * 24 + "A" * 24])
+    out = gram_pairs_batch(t)
+    assert out.num_rows == 1
+    assert out["doc_id"].to_pylist() == [7]
+
+
+def test_duplicate_gram_stats_clones(ray_session):
+    import ray.data as rd
+
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    uniq = "zyxwvutsrqponmlkjihgfedcba 0987654321 qqq www eee rrr ttt"
+    ds = rd.from_arrow(_tbl([1, 2, 3], [base, base, uniq]))
+    out = duplicate_gram_stats(ds, num_buckets=4).to_pandas()
+    out = out.set_index("doc_id").sort_index()
+    # clones: every gram duplicated; unique doc: none
+    assert out.loc[1, "n_dup_grams"] == out.loc[1, "n_grams"]
+    assert out.loc[2, "dup_ratio"] == 1.0
+    assert out.loc[3, "n_dup_grams"] == 0
+
+
+# ── PII redaction ─────────────────────────────────────────────────────
+
+def test_pii_redact_counts_and_text():
+    t = _tbl([1, 2], [
+        "mail a.b+c@ex-1.org or d@e.io ip 10.0.0.1 call +1-555-0100",
+        "no pii here",
+    ])
+    out = pii_redact_batch(t).to_pandas().set_index("doc_id")
+    assert out.loc[1, "n_email"] == 2
+    assert out.loc[1, "n_ip"] == 1
+    assert out.loc[1, "n_phone"] == 1
+    assert out.loc[1, "redacted"] == \
+        "mail <EMAIL> or <EMAIL> ip <IP> call <PHONE>"
+    assert out.loc[2].tolist() == [0, 0, 0, "no pii here"]
+
+
+def test_pii_redact_email_before_ip():
+    # the numeric-ish email must be consumed by the email pass, not
+    # half-eaten by the IP pass
+    t = _tbl([1], ["1.2.3.4@mail.com then 1.2.3.4"])
+    out = pii_redact_batch(t).to_pandas()
+    assert out["redacted"][0] == "<EMAIL> then <IP>"
+    assert out["n_email"][0] == 1 and out["n_ip"][0] == 1
+
+
+# ── Gopher rules ──────────────────────────────────────────────────────
+
+def test_gopher_stats():
+    long_good = " ".join(["the", "and"] + ["word"] * 60)
+    short = "tiny doc the a"
+    no_stop = " ".join(["word"] * 60)
+    t = _tbl([1, 2, 3, 4], [long_good, short, no_stop, ""])
+    out = gopher_stats_batch(t).to_pandas().set_index("doc_id")
+    assert out.loc[1, "keep_flag"] == 1
+    assert out.loc[2, "keep_flag"] == 0          # too few words
+    assert out.loc[3, "keep_flag"] == 0          # no stopwords
+    assert out.loc[4, "n_words"] == 0 and out.loc[4, "keep_flag"] == 0
+    assert out.loc[1, "n_stop"] == 2
+    nw = out.loc[1, "n_words"]
+    assert out.loc[1, "mean_word_len"] == pytest.approx(
+        (len(long_good) - (nw - 1)) / nw)
+
+
+# ── contamination ─────────────────────────────────────────────────────
+
+def test_word_ngrams():
+    assert _word_ngrams("a b c d", 3) == ["a b c", "b c d"]
+    assert _word_ngrams("a b", 3) == []
+    assert _word_ngrams("", 3) == []
+
+
+def test_contamination_roundtrip(ray_session):
+    import ray
+    import ray.data as rd
+
+    bench = rd.from_arrow(_tbl([100], ["alpha beta gamma delta"]))
+    grams = benchmark_gram_set(bench, n=3)
+    assert grams == {"alpha beta gamma", "beta gamma delta"}
+    cand = rd.from_arrow(_tbl(
+        [1, 2, 3],
+        ["x alpha beta gamma y", "nothing shared here at all", "a b"]))
+    out = contamination_stats(cand, ray.put(grams), n=3).to_pandas()
+    out = out.set_index("doc_id")
+    assert out.loc[1, "n_contam"] == 1 and out.loc[1, "contaminated"] == 1
+    assert out.loc[2, "n_contam"] == 0
+    assert 3 not in out.index  # fewer than n words → absent
+
+
+# ── sequence packing ──────────────────────────────────────────────────
+
+def test_pack_sequences_invariants(ray_session):
+    from pdf_to_text_ray.pipelines.queries import PACK_BUDGET, pack_doc_sequences
+
+    out = pack_doc_sequences(SF).to_pandas().sort_values("doc_id")
+    cum = out["n_tokens"].cumsum().to_numpy()
+    start = cum - out["n_tokens"].to_numpy()
+    assert (out["seq_id"].to_numpy() == start // PACK_BUDGET).all()
+    # sequence ids are nondecreasing in doc order and start at 0
+    assert out["seq_id"].iloc[0] == 0
+    assert (np.diff(out["seq_id"].to_numpy()) >= 0).all()
