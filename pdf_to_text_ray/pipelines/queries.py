@@ -6714,14 +6714,10 @@ def pii_redact_docs(sf_dir: str):
         pii_redact_batch, batch_format="pyarrow")
 
 
-def _sql_quote_re(pattern: str) -> str:
-    return pattern.replace("'", "''")
-
-
-def _pii_sql() -> str:
+def _pii_redact_sql() -> str:
     from ..stages.curation import EMAIL_RE, IPV4_RE, PHONE_RE
 
-    em, ip, ph = (_sql_quote_re(p) for p in (EMAIL_RE, IPV4_RE, PHONE_RE))
+    em, ip, ph = (_sql_quote(p) for p in (EMAIL_RE, IPV4_RE, PHONE_RE))
     return f"""
 WITH aug AS (
   SELECT doc_id,
@@ -7093,7 +7089,7 @@ ORACLE_SQL = {
     "orders_monthly_volume": MONTHLY_VOLUME_SQL,
     "event_props_k_stats": PROPS_K_SQL,
     "doc_duplicate_spans": DUP_SPANS_SQL,
-    "pii_redact_docs": _pii_sql(),
+    "pii_redact_docs": _pii_redact_sql(),
     "gopher_quality_docs": _gopher_sql(),
     "pack_doc_sequences": PACK_SEQ_SQL,
     "contaminated_docs": CONTAMINATION_SQL,
