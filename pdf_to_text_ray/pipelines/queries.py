@@ -6827,6 +6827,75 @@ FROM t
 """
 
 
+def doc_top_bigram(sf_dir: str):
+    """Gopher repetition signal: each doc's most frequent word bigram
+    and its share of bigram positions. Doc-local, zero shuffle."""
+    from ..stages.curation import top_bigram_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(top_bigram_batch, batch_format="pyarrow")
+
+
+TOP_BIGRAM_SQL = """
+WITH w AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents
+           WHERE coalesce(text, '') <> ''
+             AND length(str_split(text, ' ')) >= 2),
+bi AS (SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g
+       FROM (SELECT doc_id, w,
+                    unnest(generate_series(1, length(w) - 1)) AS i FROM w)),
+c AS (SELECT doc_id, g, count(*) AS n FROM bi GROUP BY doc_id, g),
+tot AS (SELECT doc_id, sum(n) AS t FROM c GROUP BY doc_id),
+top AS (SELECT doc_id, g, n,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY n DESC, g) AS rk FROM c)
+SELECT top.doc_id, top.g AS top_bigram, top.n::BIGINT AS top_n,
+       top.n::DOUBLE / tot.t AS bigram_fraction
+FROM top JOIN tot USING (doc_id) WHERE rk = 1
+"""
+
+
+def dsir_doc_weights(sf_dir: str):
+    """DSIR importance weights (Xie et al. 2023): word unigram+bigram
+    feature distributions estimated for the target slice (doc_id % 97
+    == 0) vs the raw rest — ONE payload-free (feature, partials)
+    shuffle — then the smoothed log-ratio table is broadcast and every
+    doc sums its features' ratios. The paper's hashed-bucket variant
+    only changes the feature key, not the pipeline shape."""
+    import ray
+
+    from ..stages.curation import dsir_log_ratios, dsir_weights
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ratios = dsir_log_ratios(ds, target_expr=lambda ids: (ids % 97) == 0)
+    ref = ray.put(ratios)
+    return dsir_weights(ds, ref)
+
+
+DSIR_SQL = """
+WITH w AS (SELECT doc_id, str_split(text, ' ') AS w,
+                  (doc_id % 97 = 0) AS is_t
+           FROM documents WHERE coalesce(text, '') <> ''),
+uni AS (SELECT doc_id, is_t, unnest(w) AS f FROM w),
+bi AS (SELECT doc_id, is_t, array_to_string(w[i:i+1], ' ') AS f
+       FROM (SELECT doc_id, is_t, w,
+                    unnest(generate_series(1, length(w) - 1)) AS i
+             FROM w WHERE length(w) >= 2)),
+feats AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+counts AS (SELECT f,
+                  sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS nt,
+                  sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS nr
+           FROM feats GROUP BY f),
+tot AS (SELECT count(*) AS v, sum(nt) AS st, sum(nr) AS sr FROM counts),
+ratio AS (SELECT f, ln((nt + 1)::DOUBLE / (st + v))
+                    - ln((nr + 1)::DOUBLE / (sr + v)) AS r
+          FROM counts, tot),
+per_doc AS (SELECT feats.doc_id, sum(ratio.r) AS s
+            FROM feats JOIN ratio USING (f) GROUP BY feats.doc_id)
+SELECT d.doc_id, round(coalesce(per_doc.s, 0), 2) AS dsir_weight
+FROM documents d LEFT JOIN per_doc USING (doc_id)
+"""
+
+
 def contaminated_docs(sf_dir: str):
     """Benchmark contamination check (GPT-3 appendix C style): word
     trigrams of the held-out 'benchmark' docs (doc_id % 97 == 0) are
@@ -6912,6 +6981,8 @@ QUERIES = {
     "gopher_quality_docs": gopher_quality_docs,
     "pack_doc_sequences": pack_doc_sequences,
     "contaminated_docs": contaminated_docs,
+    "dsir_doc_weights": dsir_doc_weights,
+    "doc_top_bigram": doc_top_bigram,
     # text
     "doc_token_stats": doc_token_stats,
     "doc_quality_filter": doc_quality_filter,
@@ -7093,6 +7164,8 @@ ORACLE_SQL = {
     "gopher_quality_docs": _gopher_sql(),
     "pack_doc_sequences": PACK_SEQ_SQL,
     "contaminated_docs": CONTAMINATION_SQL,
+    "dsir_doc_weights": DSIR_SQL,
+    "doc_top_bigram": TOP_BIGRAM_SQL,
     "doc_token_stats": DOC_TOKEN_STATS_SQL,
     "doc_quality_filter": DOC_QUALITY_SQL,
     "dedup_exact_docs": DEDUP_EXACT_SQL,

@@ -209,6 +209,123 @@ def gopher_stats_batch(t: pa.Table, *, id_col: str = "doc_id",
     })
 
 
+# ── Gopher repetition rule: top-bigram mass ───────────────────────────
+
+def top_bigram_batch(t: pa.Table, *, id_col: str = "doc_id",
+                     text_col: str = "text") -> pa.Table:
+    """Per-doc most-frequent word bigram and its share of all bigram
+    positions (Gopher §A1.1 'fraction of characters in most common
+    n-gram' family, word-bigram variant). Ties break to the
+    lexicographically smallest bigram — deterministic on both sides.
+    Docs with <2 words emit nothing. Purely doc-local: no shuffle."""
+    from collections import Counter
+
+    ids = t[id_col].to_numpy(zero_copy_only=False)
+    out_id: list[int] = []
+    out_g: list[str] = []
+    out_n: list[int] = []
+    out_f: list[float] = []
+    for did, text in zip(ids, t[text_col].to_pylist()):
+        words = (text or "").split(" ") if text else []
+        if len(words) < 2:
+            continue
+        c = Counter(zip(words, words[1:]))
+        top_n = max(c.values())
+        top = min(g for g, n in c.items() if n == top_n)
+        total = len(words) - 1
+        out_id.append(did)
+        out_g.append(" ".join(top))
+        out_n.append(top_n)
+        out_f.append(top_n / total)
+    return pa.table({
+        id_col: pa.array(np.asarray(out_id, dtype=np.int64)),
+        "top_bigram": pa.array(out_g, pa.string()),
+        "top_n": pa.array(np.asarray(out_n, dtype=np.int64)),
+        "bigram_fraction": pa.array(np.asarray(out_f, dtype=np.float64)),
+    })
+
+
+# ── DSIR importance weights (Xie et al. 2023) ─────────────────────────
+
+def _uni_bi_grams(text: str) -> list[str]:
+    """Word unigram + bigram features (the paper hashes these into a
+    fixed-width bucket table; with a bounded vocabulary the raw grams
+    keep the oracle exact — at 100 TB swap in the md5-bucket variant
+    and the pipeline shape is unchanged)."""
+    words = text.split(" ") if text else []
+    feats = list(words)
+    feats.extend(f"{a} {b}" for a, b in zip(words, words[1:]))
+    return feats
+
+
+def _feature_counts_batch(t: pa.Table, *, text_col: str,
+                          target_expr) -> pa.Table:
+    """Per-batch partial feature counts, split target vs raw — the
+    pre-aggregation half of the DSIR distribution estimate. Only
+    (feature, nt, nr) partials leave the task."""
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    is_t = target_expr(ids)
+    nt: dict[str, int] = {}
+    nr: dict[str, int] = {}
+    for flag, text in zip(is_t, t[text_col].to_pylist()):
+        d = nt if flag else nr
+        for f in _uni_bi_grams(text or ""):
+            d[f] = d.get(f, 0) + 1
+    feats = sorted(set(nt) | set(nr))
+    return pa.table({
+        "f": pa.array(feats, pa.string()),
+        "nt": pa.array([nt.get(f, 0) for f in feats], pa.int64()),
+        "nr": pa.array([nr.get(f, 0) for f in feats], pa.int64()),
+    })
+
+
+def dsir_log_ratios(ds, *, text_col: str = "text",
+                    target_expr=None) -> "pd.DataFrame":
+    """Smoothed log-ratio table log(p̂_target(f)/p̂_raw(f)) over the
+    joint feature vocabulary (add-1 smoothing on both distributions).
+    One payload-free (feature, partial-count) shuffle; the result is
+    bounded by the feature vocabulary (paper: a FIXED hash-bucket
+    width), collected once and broadcast."""
+    from ray.data.aggregate import Sum
+
+    counts = (
+        ds.map_batches(
+            lambda t: _feature_counts_batch(t, text_col=text_col,
+                                            target_expr=target_expr),
+            batch_format="pyarrow")
+        .groupby("f")
+        .aggregate(Sum("nt", alias_name="nt"), Sum("nr", alias_name="nr"))
+        .to_pandas())
+    v = len(counts)
+    tt = counts["nt"].sum() + v
+    tr = counts["nr"].sum() + v
+    counts["ratio"] = (np.log((counts["nt"].to_numpy() + 1) / tt)
+                       - np.log((counts["nr"].to_numpy() + 1) / tr))
+    return counts[["f", "ratio"]]
+
+
+def dsir_weights(ds, ratios_ref, *, id_col: str = "doc_id",
+                 text_col: str = "text", ndigits: int = 2):
+    """Per-doc DSIR importance weight: Σ over the doc's feature
+    occurrences of the broadcast log ratio. Features absent from the
+    table (impossible here — the table is built from the same corpus)
+    contribute 0."""
+    import ray
+
+    def score(t: pa.Table) -> pa.Table:
+        tab: pd.DataFrame = ray.get(ratios_ref)
+        lut = dict(zip(tab["f"], tab["ratio"]))
+        w = np.empty(t.num_rows, dtype=np.float64)
+        for i, text in enumerate(t[text_col].to_pylist()):
+            w[i] = sum(lut.get(f, 0.0) for f in _uni_bi_grams(text or ""))
+        y = w * (10.0 ** ndigits)
+        w = np.copysign(np.floor(np.abs(y) + 0.5), y) / (10.0 ** ndigits)
+        return pa.table({id_col: t[id_col],
+                         "dsir_weight": pa.array(w)})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 # ── benchmark contamination ───────────────────────────────────────────
 
 def _word_ngrams(text: str, n: int) -> list[str]:

@@ -127,6 +127,48 @@ def test_contamination_roundtrip(ray_session):
     assert 3 not in out.index  # fewer than n words → absent
 
 
+# ── DSIR ──────────────────────────────────────────────────────────────
+
+def test_dsir_target_docs_score_higher(ray_session):
+    import ray
+    import ray.data as rd
+
+    from pdf_to_text_ray.stages.curation import dsir_log_ratios, dsir_weights
+
+    # target slice talks about cats, raw slice about dogs
+    ids = list(range(8))
+    texts = ["cat cat feline cat"] * 2 + ["dog dog canine dog bark"] * 6
+    ds = rd.from_arrow(_tbl(ids, texts))
+    ratios = dsir_log_ratios(ds, target_expr=lambda a: a < 2)
+    assert set(ratios.columns) == {"f", "ratio"}
+    out = dsir_weights(ds, ray.put(ratios)).to_pandas().set_index("doc_id")
+    # cat-docs carry target-favored features, dog-docs raw-favored
+    assert out.loc[0, "dsir_weight"] > out.loc[2, "dsir_weight"]
+    assert out.loc[2, "dsir_weight"] < 0 < out.loc[0, "dsir_weight"]
+
+
+# ── top-bigram repetition ─────────────────────────────────────────────
+
+def test_top_bigram():
+    from pdf_to_text_ray.stages.curation import top_bigram_batch
+
+    t = _tbl([1, 2, 3], ["a b a b a", "x y", "solo"])
+    out = top_bigram_batch(t).to_pandas().set_index("doc_id")
+    assert out.loc[1, "top_bigram"] == "a b"
+    assert out.loc[1, "top_n"] == 2
+    assert out.loc[1, "bigram_fraction"] == pytest.approx(0.5)
+    assert out.loc[2, "top_bigram"] == "x y"
+    assert 3 not in out.index  # single word → no bigrams
+
+
+def test_top_bigram_tie_lexicographic():
+    from pdf_to_text_ray.stages.curation import top_bigram_batch
+
+    out = top_bigram_batch(_tbl([1], ["b a c d"])).to_pandas()
+    # all bigrams occur once: tie breaks to the smallest string
+    assert out["top_bigram"][0] == "a c"
+
+
 # ── sequence packing ──────────────────────────────────────────────────
 
 def test_pack_sequences_invariants(ray_session):
