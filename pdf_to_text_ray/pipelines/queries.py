@@ -6827,6 +6827,17 @@ FROM t
 """
 
 
+def curation_pipeline(sf_dir: str):
+    """The composed curation flagship (pipelines/curate.py): Gopher
+    gate → exact dedup (bucketed payload shuffle) → MinHash near-dup
+    (component-label broadcast) → contamination filter → sequence
+    packing. Rows-only: the MinHash stage is not SQL-expressible; each
+    constituent has its own oracle-checked query."""
+    from .curate import curate_documents
+
+    return curate_documents(sf_dir)
+
+
 def doc_top_bigram(sf_dir: str):
     """Gopher repetition signal: each doc's most frequent word bigram
     and its share of bigram positions. Doc-local, zero shuffle."""
@@ -6983,6 +6994,7 @@ QUERIES = {
     "contaminated_docs": contaminated_docs,
     "dsir_doc_weights": dsir_doc_weights,
     "doc_top_bigram": doc_top_bigram,
+    "curation_pipeline": curation_pipeline,
     # text
     "doc_token_stats": doc_token_stats,
     "doc_quality_filter": doc_quality_filter,

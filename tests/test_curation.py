@@ -171,6 +171,46 @@ def test_top_bigram_tie_lexicographic():
 
 # ── sequence packing ──────────────────────────────────────────────────
 
+def test_curation_pipeline_invariants(ray_session):
+    from pdf_to_text_ray.pipelines.curate import curate_documents
+    from pdf_to_text_ray.pipelines.queries import (contaminated_docs,
+                                                   gopher_quality_docs)
+
+    out = curate_documents(SF).to_pandas().sort_values("doc_id")
+    assert len(out) > 0
+    assert set(out.columns) == {"doc_id", "lang", "source", "n_tokens",
+                                "seq_id"}
+    # every survivor passed the Gopher gate
+    g = gopher_quality_docs(SF).to_pandas().set_index("doc_id")
+    assert (g.loc[out["doc_id"], "keep_flag"] == 1).all()
+    # no survivor is contaminated
+    c = contaminated_docs(SF).to_pandas().set_index("doc_id")
+    hit = c.index.intersection(out["doc_id"])
+    assert (c.loc[hit, "contaminated"] == 0).all()
+    # benchmark docs share all their grams with the benchmark set, so
+    # the contamination stage always drops them
+    assert (out["doc_id"].to_numpy() % 97 != 0).all()
+    # packing invariant: seq ids reconstruct from the token cumsum
+    cum = out["n_tokens"].cumsum().to_numpy()
+    start = cum - out["n_tokens"].to_numpy()
+    assert (out["seq_id"].to_numpy() == start // 256).all()
+
+
+def test_exact_dedup_keep_drops_clones(ray_session):
+    import ray.data as rd
+
+    from pdf_to_text_ray.pipelines.curate import _exact_dedup_keep
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["same text", "same text", "different"], pa.string()),
+        "lang": pa.array(["en"] * 3, pa.string()),
+        "source": pa.array(["s"] * 3, pa.string()),
+    })
+    out = _exact_dedup_keep(rd.from_arrow(t), num_buckets=2).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 3]
+
+
 def test_pack_sequences_invariants(ray_session):
     from pdf_to_text_ray.pipelines.queries import PACK_BUDGET, pack_doc_sequences
 
