@@ -6827,12 +6827,89 @@ FROM t
 """
 
 
-def curation_pipeline(sf_dir: str):
-    """The composed curation flagship (pipelines/curate.py): Gopher
-    gate → exact dedup (bucketed payload shuffle) → MinHash near-dup
-    (component-label broadcast) → contamination filter → sequence
-    packing. Rows-only: the MinHash stage is not SQL-expressible; each
-    constituent has its own oracle-checked query."""
+def events_ntile_quartiles(sf_dir: str):
+    """NTILE(4) by value within each event_type (ANSI semantics: the
+    first n%4 tiles get the extra row), deterministic tie-break
+    (value, event_id). One bucketed shuffle on event_type; the tile
+    assignment is a vectorized searchsorted per group."""
+    from ..stages.groups import bucketed_group_apply
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["event_type", "value", "event_id"],
+                            kind="stable")
+
+        def tile(g: pd.DataFrame) -> pd.DataFrame:
+            n = len(g)
+            q, r = divmod(n, 4)
+            sizes = np.array([q + 1] * r + [q] * (4 - r))
+            bounds = np.cumsum(sizes)
+            g = g.copy()
+            g["quartile"] = (np.searchsorted(
+                bounds, np.arange(n), side="right") + 1).astype("int64")
+            return g
+
+        # one vectorized pass per group IN the bucket; groups per
+        # bucket are few (5 event types)
+        out = df.groupby("event_type", group_keys=False)[
+            ["event_id", "event_type", "value"]].apply(tile)
+        return out.reset_index(drop=True)
+
+    return bucketed_group_apply(ds, "event_type", per_bucket,
+                                num_buckets=8)
+
+
+NTILE_SQL = """
+SELECT event_id, event_type, value,
+       ntile(4) OVER (PARTITION BY event_type
+                      ORDER BY value, event_id) AS quartile
+FROM events
+"""
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def user_event_pivot(sf_dir: str):
+    """Long→wide pivot: per user, one count column per event type.
+    Distributed as a (user, type) groupby count (payload-free); the
+    widening runs vectorized on the small grouped result."""
+    from ray.data.aggregate import Count
+
+    counts = (_read(sf_dir, "events", ["user_id", "event_type"])
+              .groupby(["user_id", "event_type"])
+              .aggregate(Count(alias_name="n"))
+              .to_pandas())
+    wide = counts.pivot_table(index="user_id", columns="event_type",
+                              values="n", fill_value=0, aggfunc="sum")
+    for t in EVENT_TYPES:
+        if t not in wide.columns:
+            wide[t] = 0
+    out = wide.reset_index()[["user_id", *EVENT_TYPES]]
+    out.columns = ["user_id"] + [f"n_{t}" for t in EVENT_TYPES]
+    return out.astype({f"n_{t}": "int64" for t in EVENT_TYPES})
+
+
+PIVOT_SQL = """
+SELECT user_id,
+       count(*) FILTER (event_type = 'click')::BIGINT AS n_click,
+       count(*) FILTER (event_type = 'error')::BIGINT AS n_error,
+       count(*) FILTER (event_type = 'purchase')::BIGINT AS n_purchase,
+       count(*) FILTER (event_type = 'signup')::BIGINT AS n_signup,
+       count(*) FILTER (event_type = 'view')::BIGINT AS n_view
+FROM events GROUP BY user_id
+"""
+
+
+def training_corpus_pipeline(sf_dir: str):
+    """The composed training-corpus flagship (pipelines/curate.py):
+    Gopher gate → exact dedup (bucketed payload shuffle) → MinHash
+    near-dup (component-label broadcast) → benchmark-contamination
+    filter → sequence packing. Rows-only: the MinHash stage is not
+    SQL-expressible; each constituent has its own oracle-checked
+    query (gopher_quality_docs, dedup_exact_docs, neardup_minhash_docs,
+    contaminated_docs, pack_doc_sequences)."""
     from .curate import curate_documents
 
     return curate_documents(sf_dir)
@@ -6994,7 +7071,9 @@ QUERIES = {
     "contaminated_docs": contaminated_docs,
     "dsir_doc_weights": dsir_doc_weights,
     "doc_top_bigram": doc_top_bigram,
-    "curation_pipeline": curation_pipeline,
+    "training_corpus_pipeline": training_corpus_pipeline,
+    "events_ntile_quartiles": events_ntile_quartiles,
+    "user_event_pivot": user_event_pivot,
     # text
     "doc_token_stats": doc_token_stats,
     "doc_quality_filter": doc_quality_filter,
@@ -7178,6 +7257,8 @@ ORACLE_SQL = {
     "contaminated_docs": CONTAMINATION_SQL,
     "dsir_doc_weights": DSIR_SQL,
     "doc_top_bigram": TOP_BIGRAM_SQL,
+    "events_ntile_quartiles": NTILE_SQL,
+    "user_event_pivot": PIVOT_SQL,
     "doc_token_stats": DOC_TOKEN_STATS_SQL,
     "doc_quality_filter": DOC_QUALITY_SQL,
     "dedup_exact_docs": DEDUP_EXACT_SQL,
