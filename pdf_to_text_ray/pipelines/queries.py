@@ -6902,6 +6902,41 @@ FROM events GROUP BY user_id
 """
 
 
+BM25_TERMS = ["hash", "join"]
+
+
+def bm25_search_docs(sf_dir: str):
+    """BM25 top-20 for the query 'hash join': two streaming passes
+    (tiny stats partials, then broadcast-stats scoring with per-batch
+    partial top-k). Two query terms keep the per-doc score sum
+    commutative, so engine and oracle doubles are bit-identical."""
+    from ..stages.index import bm25_topk
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bm25_topk(ds, BM25_TERMS)
+
+
+BM25_SQL = """
+WITH w AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents
+           WHERE coalesce(text, '') <> ''),
+st AS (SELECT count(*) AS n,
+              sum(length(w))::DOUBLE / count(*) AS avgdl FROM w),
+q AS (SELECT unnest(['hash', 'join']) AS term),
+tf AS (SELECT doc_id, term,
+              length(list_filter(w, x -> x = term)) AS tf,
+              length(w) AS dl FROM w, q),
+df AS (SELECT term, count(*) FILTER (tf > 0) AS df FROM tf GROUP BY term),
+sc AS (SELECT tf.doc_id,
+              sum(ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1)
+                  * (tf.tf * 2.2)
+                  / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl)))
+                AS score
+       FROM tf JOIN df USING (term), st GROUP BY tf.doc_id)
+SELECT doc_id, round(score, 2) AS score FROM sc
+ORDER BY round(score, 2) DESC, doc_id LIMIT 20
+"""
+
+
 def training_corpus_pipeline(sf_dir: str):
     """The composed training-corpus flagship (pipelines/curate.py):
     Gopher gate → exact dedup (bucketed payload shuffle) → MinHash
@@ -7072,6 +7107,7 @@ QUERIES = {
     "dsir_doc_weights": dsir_doc_weights,
     "doc_top_bigram": doc_top_bigram,
     "training_corpus_pipeline": training_corpus_pipeline,
+    "bm25_search_docs": bm25_search_docs,
     "events_ntile_quartiles": events_ntile_quartiles,
     "user_event_pivot": user_event_pivot,
     # text
@@ -7259,6 +7295,7 @@ ORACLE_SQL = {
     "doc_top_bigram": TOP_BIGRAM_SQL,
     "events_ntile_quartiles": NTILE_SQL,
     "user_event_pivot": PIVOT_SQL,
+    "bm25_search_docs": BM25_SQL,
     "doc_token_stats": DOC_TOKEN_STATS_SQL,
     "doc_quality_filter": DOC_QUALITY_SQL,
     "dedup_exact_docs": DEDUP_EXACT_SQL,

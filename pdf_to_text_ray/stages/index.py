@@ -89,3 +89,90 @@ def lookup_postings(index_dir: str, terms: list[str], *,
            .to_pandas())
     return (out.sort_values(["token", key_col])
             .reset_index(drop=True))
+
+
+# ── BM25 ranked retrieval ─────────────────────────────────────────────
+
+def bm25_topk(ds, terms: list[str], *, id_col: str = "doc_id",
+              text_col: str = "text", k1: float = 1.2, b: float = 0.75,
+              topk: int = 20) -> pd.DataFrame:
+    """BM25 (Robertson/Spärck Jones probabilistic idf, the +1 variant)
+    top-k over space-separated docs for a small query.
+
+    Two streaming passes, both payload-free on the exchange: (1) a
+    one-row-per-block partial of (n_docs, Σdl, df per term) summed on
+    the driver (|blocks| rows); (2) a broadcast-stats score pass with
+    per-batch partial top-k and a |blocks|×topk driver merge — the
+    knn_bruteforce shape. Arithmetic mirrors the SQL oracle
+    operation-for-operation; ranking happens on the 2dp-rounded score
+    so a last-ulp ln() difference can never flip the top-k cut."""
+    import numpy as np
+    import ray
+
+    m = len(terms)
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        n = 0
+        sum_dl = 0
+        df = [0] * m
+        for s in texts:
+            if not s:
+                continue
+            words = s.split(" ")
+            n += 1
+            sum_dl += len(words)
+            for j, term in enumerate(terms):
+                if term in words:
+                    df[j] += 1
+        cols = {"n": pa.array([n], pa.int64()),
+                "sum_dl": pa.array([sum_dl], pa.int64())}
+        for j in range(m):
+            cols[f"df_{j}"] = pa.array([df[j]], pa.int64())
+        return pa.table(cols)
+
+    agg = (ds.map_batches(stats_partial, batch_format="pyarrow")
+           .to_pandas().sum())
+    n_docs = int(agg["n"])
+    avgdl = float(agg["sum_dl"]) / n_docs
+    idf = [float(np.log((n_docs - int(agg[f"df_{j}"]) + 0.5)
+                        / (int(agg[f"df_{j}"]) + 0.5) + 1.0))
+           for j in range(m)]
+    stats_ref = ray.put((avgdl, idf))
+
+    def score_partial(t: pa.Table) -> pa.Table:
+        av, idfs = ray.get(stats_ref)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        out_id: list[int] = []
+        out_s: list[float] = []
+        for did, s in zip(ids, t[text_col].to_pylist()):
+            if not s:
+                continue
+            words = s.split(" ")
+            dl = len(words)
+            score = 0.0
+            for j, term in enumerate(terms):
+                tf = words.count(term)
+                # identical op order to the SQL twin:
+                # idf * (tf*(k1+1)) / (tf + k1*(1 - b + b*dl/avgdl))
+                score += (idfs[j] * (tf * (k1 + 1.0))
+                          / (tf + k1 * (1.0 - b + b * dl / av)))
+            out_id.append(did)
+            out_s.append(score)
+        sc = np.asarray(out_s, dtype=np.float64)
+        di = np.asarray(out_id, dtype=np.int64)
+        # Rank on the ROUNDED score (2dp, half-away-from-zero like
+        # DuckDB round): raw doubles differ from the oracle's in the
+        # last ulp of ln(), which would flip the top-k cut; rounding
+        # first makes the (score desc, id asc) order — and the cut —
+        # deterministic on both sides.
+        sc = np.floor(sc * 100.0 + 0.5) / 100.0
+        order = np.lexsort((di, -sc))[:topk]
+        return pa.table({id_col: pa.array(di[order]),
+                         "score": pa.array(sc[order])})
+
+    parts = (ds.map_batches(score_partial, batch_format="pyarrow")
+             .to_pandas())
+    parts = parts.sort_values(["score", id_col],
+                              ascending=[False, True]).head(topk)
+    return parts.reset_index(drop=True)

@@ -169,6 +169,27 @@ def test_top_bigram_tie_lexicographic():
     assert out["top_bigram"][0] == "a c"
 
 
+# ── BM25 ──────────────────────────────────────────────────────────────
+
+def test_bm25_relevance_order(ray_session):
+    import ray.data as rd
+
+    from pdf_to_text_ray.stages.index import bm25_topk
+
+    docs = _tbl(
+        [1, 2, 3, 4],
+        ["hash join hash join hash",            # dense in both terms
+         "hash table scan merge sort",          # one term
+         "table scan merge sort filter",        # neither
+         "join order" + " filler" * 50])        # one term, long doc
+    out = bm25_topk(rd.from_arrow(docs), ["hash", "join"], topk=3)
+    assert out["doc_id"].tolist()[0] == 1
+    assert 3 not in out["doc_id"].tolist()
+    assert (out["score"].to_numpy() >= 0).all()
+    # scores are monotonically nonincreasing in rank order
+    assert (np.diff(out["score"].to_numpy()) <= 0).all()
+
+
 # ── sequence packing ──────────────────────────────────────────────────
 
 def test_curation_pipeline_invariants(ray_session):
