@@ -6860,7 +6860,7 @@ def events_ntile_quartiles(sf_dir: str):
                                 num_buckets=8)
 
 
-NTILE_SQL = """
+NTILE_QUARTILES_SQL = """
 SELECT event_id, event_type, value,
        ntile(4) OVER (PARTITION BY event_type
                       ORDER BY value, event_id) AS quartile
@@ -6891,7 +6891,7 @@ def user_event_pivot(sf_dir: str):
     return out.astype({f"n_{t}": "int64" for t in EVENT_TYPES})
 
 
-PIVOT_SQL = """
+USER_PIVOT_SQL = """
 SELECT user_id,
        count(*) FILTER (event_type = 'click')::BIGINT AS n_click,
        count(*) FILTER (event_type = 'error')::BIGINT AS n_error,
@@ -6902,7 +6902,7 @@ FROM events GROUP BY user_id
 """
 
 
-BM25_TERMS = ["hash", "join"]
+BM25_SEARCH_TERMS = ["hash", "join"]
 
 
 def bm25_search_docs(sf_dir: str):
@@ -6913,10 +6913,10 @@ def bm25_search_docs(sf_dir: str):
     from ..stages.index import bm25_topk
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return bm25_topk(ds, BM25_TERMS)
+    return bm25_topk(ds, BM25_SEARCH_TERMS)
 
 
-BM25_SQL = """
+BM25_SEARCH_SQL = """
 WITH w AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents
            WHERE coalesce(text, '') <> ''),
 st AS (SELECT count(*) AS n,
@@ -7293,9 +7293,9 @@ ORACLE_SQL = {
     "contaminated_docs": CONTAMINATION_SQL,
     "dsir_doc_weights": DSIR_SQL,
     "doc_top_bigram": TOP_BIGRAM_SQL,
-    "events_ntile_quartiles": NTILE_SQL,
-    "user_event_pivot": PIVOT_SQL,
-    "bm25_search_docs": BM25_SQL,
+    "events_ntile_quartiles": NTILE_QUARTILES_SQL,
+    "user_event_pivot": USER_PIVOT_SQL,
+    "bm25_search_docs": BM25_SEARCH_SQL,
     "doc_token_stats": DOC_TOKEN_STATS_SQL,
     "doc_quality_filter": DOC_QUALITY_SQL,
     "dedup_exact_docs": DEDUP_EXACT_SQL,

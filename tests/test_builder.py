@@ -50,3 +50,26 @@ def test_actor_stage_requires_concurrency():
 
     with pytest.raises(ValueError, match="concurrency"):
         Stage("c", C).apply(None)
+
+
+def test_no_shadowed_module_constants():
+    """Guard against the recurring shadowed-constant bug class
+    (_pii_sql, NTILE_SQL, BM25_SQL, BM25_TERMS): a later module-level
+    assignment silently repoints every earlier query's oracle at the
+    wrong SQL. Reject any duplicate top-level Name assignment in
+    queries.py."""
+    import ast
+    import collections
+    import pdf_to_text_ray.pipelines.queries as q
+
+    tree = ast.parse(open(q.__file__).read())
+    seen = collections.Counter()
+    for node in tree.body:
+        if isinstance(node, ast.Assign):
+            for t in node.targets:
+                if isinstance(t, ast.Name):
+                    seen[t.id] += 1
+        elif isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            seen[node.name] += 1
+    dupes = [n for n, c in seen.items() if c > 1]
+    assert not dupes, f"shadowed module-level names in queries.py: {dupes}"
