@@ -7061,6 +7061,158 @@ FROM cg LEFT JOIN bg ON cg.g = bg.g GROUP BY cg.doc_id
 """
 
 
+def event_value_percentiles(sf_dir: str):
+    """Exact interpolated per-group percentiles (SQL quantile_cont
+    semantics, linear interpolation at rank (n-1)·q): holistic
+    aggregate, so hash-bucketed shuffle co-locates each key's values,
+    then ONE pandas grouped-quantile kernel per bucket."""
+    from ..stages.groups import bucketed_group_apply
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    qs = [0.25, 0.50, 0.75, 0.90]
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        qt = (g.groupby("event_type", sort=False)["value"]
+              .quantile(qs, interpolation="linear").unstack())
+        out = pd.DataFrame({"event_type": qt.index.to_numpy()})
+        for q in qs:
+            out[f"p{int(q * 100)}"] = round2(qt[q].to_numpy())
+        return out
+
+    return bucketed_group_apply(ds, "event_type", per_bucket, num_buckets=8)
+
+
+PERCENTILES_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.25), 2) AS p25,
+       round(quantile_cont(value, 0.50), 2) AS p50,
+       round(quantile_cont(value, 0.75), 2) AS p75,
+       round(quantile_cont(value, 0.90), 2) AS p90
+FROM events GROUP BY event_type
+"""
+
+
+def event_value_zscore(sf_dir: str):
+    """Per-group z-score normalization (the window-function shape
+    ``(x - avg() OVER w) / stddev_samp() OVER w``) WITHOUT a window
+    sort or full shuffle: pass 1 reduces mergeable moments (n, Σx,
+    Σx²) per group — the only exchanged bytes — pass 2 broadcasts the
+    tiny (mean, std) table and normalizes each batch vectorized via
+    one ``pc.index_in`` gather."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def add_sq(t: pa.Table) -> pa.Table:
+        return t.append_column("value_sq", pc.multiply(t["value"], t["value"]))
+
+    stats = (ds.map_batches(add_sq, batch_format="pyarrow")
+             .groupby("event_type")
+             .aggregate(Sum("value", alias_name="s1"),
+                        Sum("value_sq", alias_name="s2"),
+                        Count(alias_name="n"))
+             .to_pandas())
+    n = stats["n"].to_numpy(dtype=np.float64)
+    mean = stats["s1"].to_numpy() / n
+    # sample variance from raw moments; n<2 → NULL (stddev_samp parity)
+    var = np.where(n > 1, (stats["s2"].to_numpy() - n * mean * mean)
+                   / np.maximum(n - 1, 1), np.nan)
+    std = np.sqrt(np.maximum(var, 0.0))
+    types = pa.array(stats["event_type"].tolist(), pa.string())
+
+    def normalize(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t["event_type"], value_set=types)\
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t["value"].to_numpy(zero_copy_only=False)
+        s = std[idx]
+        z = np.where(s > 0, (v - mean[idx]) / np.where(s > 0, s, 1.0), np.nan)
+        return pa.table({
+            "event_id": t["event_id"],
+            "event_type": t["event_type"],
+            "zscore": pa.array(round2(z), pa.float64()),
+        })
+
+    return ds.map_batches(normalize, batch_format="pyarrow")
+
+
+ZSCORE_SQL = """
+SELECT event_id, event_type,
+       round((value - avg(value) OVER w) / stddev_samp(value) OVER w, 2)
+         AS zscore
+FROM events WINDOW w AS (PARTITION BY event_type)
+"""
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Stable 64-bit int mix (SplitMix64 finalizer) — bloom probe
+    positions need high-entropy low bits, which raw sequential keys
+    lack."""
+    z = x.astype(np.uint64, copy=True)
+    z += np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def bloom_prune_orders(sf_dir: str):
+    """Bloom-pruned semi-join: the small side (BUILDING-segment
+    customer keys) builds a 2^17-bit bloom + a sorted key array, both
+    broadcast once via ``ray.put`` (~16 KB + keys, vs shipping the big
+    side through a shuffle). Each orders batch drops definitely-absent
+    custkeys with 3 bloom probes, then the surviving ~segment-share
+    runs the exact ``np.searchsorted`` probe — false positives are
+    removed, so the result is EXACTLY the semi-join and the oracle is
+    plain SQL. At 100 TB the bloom is what keeps the exact probe's
+    candidate set (and its memory) proportional to matches, not rows."""
+    import ray
+
+    from ..stages.sketches import bloom_add, bloom_contains
+
+    M_BITS, K = 1 << 17, 3
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def seg_keys(t: pa.Table) -> pa.Table:
+        m = pc.equal(t["c_mktsegment"], pa.scalar("BUILDING"))
+        return pa.table({"c_custkey": t.filter(m)["c_custkey"]})
+
+    keys = np.sort(cust.map_batches(seg_keys, batch_format="pyarrow")
+                   .to_pandas()["c_custkey"].to_numpy(dtype=np.int64))
+    words = np.zeros(M_BITS // 64, np.uint64)
+    bloom_add(words, _splitmix64(keys), m_bits=M_BITS, k=K)
+    bcast = ray.put((words, keys))
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def probe(t: pa.Table) -> pa.Table:
+        w, ks = ray.get(bcast)
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        maybe = bloom_contains(w, _splitmix64(ck), m_bits=M_BITS, k=K)
+        t = t.filter(pa.array(maybe))
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ks, ck)
+        pos = np.minimum(pos, len(ks) - 1)
+        exact = ks[pos] == ck if len(ks) else np.zeros(len(ck), bool)
+        t = t.filter(pa.array(exact))
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "o_custkey": t["o_custkey"],
+            "o_totalprice": pa.array(
+                round2(t["o_totalprice"].to_numpy(zero_copy_only=False)),
+                pa.float64()),
+        })
+
+    return orders.map_batches(probe, batch_format="pyarrow")
+
+
+BLOOM_PRUNE_SQL = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+FROM orders
+WHERE o_custkey IN
+      (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+"""
+
+
 QUERIES = {
     # relational
     "q1_pricing_summary": q1_pricing_summary,
@@ -7110,6 +7262,9 @@ QUERIES = {
     "bm25_search_docs": bm25_search_docs,
     "events_ntile_quartiles": events_ntile_quartiles,
     "user_event_pivot": user_event_pivot,
+    "event_value_percentiles": event_value_percentiles,
+    "event_value_zscore": event_value_zscore,
+    "bloom_prune_orders": bloom_prune_orders,
     # text
     "doc_token_stats": doc_token_stats,
     "doc_quality_filter": doc_quality_filter,
@@ -7295,6 +7450,9 @@ ORACLE_SQL = {
     "doc_top_bigram": TOP_BIGRAM_SQL,
     "events_ntile_quartiles": NTILE_QUARTILES_SQL,
     "user_event_pivot": USER_PIVOT_SQL,
+    "event_value_percentiles": PERCENTILES_SQL,
+    "event_value_zscore": ZSCORE_SQL,
+    "bloom_prune_orders": BLOOM_PRUNE_SQL,
     "bm25_search_docs": BM25_SEARCH_SQL,
     "doc_token_stats": DOC_TOKEN_STATS_SQL,
     "doc_quality_filter": DOC_QUALITY_SQL,
