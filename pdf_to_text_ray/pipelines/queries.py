@@ -7213,6 +7213,20 @@ WHERE o_custkey IN
 """
 
 
+def quality_classifier_docs(sf_dir: str):
+    """Model-based quality filter (stages/classifier.py): hashed-BoW
+    logistic regression trained distributed on a doc_id%2 hash-sample
+    (bit-deterministic — fixed-point partial gradients), then one
+    streaming scoring pass over the FULL corpus. Rows-only: iterative
+    GD training is not SQL-expressible; determinism + rule-agreement
+    are pytest-asserted (test_classifier.py)."""
+    from ..stages.classifier import lr_score_dataset, lr_train
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    w, b, _ = lr_train(ds, dim=256, n_iters=15, train_mod=2)
+    return lr_score_dataset(ds, w, b)
+
+
 QUERIES = {
     # relational
     "q1_pricing_summary": q1_pricing_summary,
@@ -7265,6 +7279,7 @@ QUERIES = {
     "event_value_percentiles": event_value_percentiles,
     "event_value_zscore": event_value_zscore,
     "bloom_prune_orders": bloom_prune_orders,
+    "quality_classifier_docs": quality_classifier_docs,
     # text
     "doc_token_stats": doc_token_stats,
     "doc_quality_filter": doc_quality_filter,
