@@ -1538,12 +1538,52 @@ SELECT 'pq' AS method, true AS recall_ok
 
 def doc_lm_perplexity(sf_dir: str):
     """Char-trigram LM perplexity per doc vs the corpus-trained model —
-    CCNet-style fluency/quality signal (rows-only: the LM is trained
-    in-pipeline, not SQL-expressible)."""
+    CCNet-style fluency/quality signal. FULL oracle: the hashed-bucket
+    LM is pure integer arithmetic over UTF-8 byte values, so DuckDB
+    replays training + scoring exactly (position explode → bucket ids
+    → grouped counts → per-doc mean log-prob); round(6) absorbs the
+    np.mean-vs-SQL-avg summation-order ulps."""
     from ..stages.analysis import lm_perplexity
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return lm_perplexity(ds)
+
+    def r6(t: pa.Table) -> pa.Table:
+        x = t["lm_perplexity"].to_numpy(zero_copy_only=False)
+        y = np.copysign(np.floor(np.abs(x * 1e6) + 0.5), x) / 1e6
+        return pa.table({"doc_id": t["doc_id"],
+                         "lm_perplexity": pa.array(y, pa.float64())})
+
+    return lm_perplexity(ds).map_batches(r6, batch_format="pyarrow")
+
+
+LM_PERPLEXITY_SQL = """
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), ' +', ' ', 'g')) AS s
+  FROM documents
+),
+pos AS (
+  SELECT doc_id,
+         ascii(substr(s, i, 1))     AS c0,
+         ascii(substr(s, i + 1, 1)) AS c1,
+         ascii(substr(s, i + 2, 1)) AS c2
+  FROM norm, LATERAL unnest(generate_series(1, length(s) - 2)) AS t(i)
+  WHERE length(s) >= 3
+),
+keyed AS (
+  SELECT doc_id,
+         ((c0::BIGINT * 1000003 + c1) * 1000003 + c2) % 1048576 AS tri_b,
+         (c0::BIGINT * 1000003 + c1) % 1048576 AS ctx_b
+  FROM pos
+),
+tri AS (SELECT tri_b, count(*) AS n FROM keyed GROUP BY tri_b),
+ctx AS (SELECT ctx_b, count(*) AS n FROM keyed GROUP BY ctx_b)
+SELECT k.doc_id,
+       round(exp(-avg(ln((t.n + 0.1) / (c.n + 25.6)))), 6) AS lm_perplexity
+FROM keyed k
+JOIN tri t ON k.tri_b = t.tri_b
+JOIN ctx c ON k.ctx_b = c.ctx_b
+GROUP BY k.doc_id
+"""
 
 
 def doc_pii_counts(sf_dir: str):
@@ -7468,6 +7508,7 @@ ORACLE_SQL = {
     "event_value_percentiles": PERCENTILES_SQL,
     "event_value_zscore": ZSCORE_SQL,
     "bloom_prune_orders": BLOOM_PRUNE_SQL,
+    "doc_lm_perplexity": LM_PERPLEXITY_SQL,
     "bm25_search_docs": BM25_SEARCH_SQL,
     "doc_token_stats": DOC_TOKEN_STATS_SQL,
     "doc_quality_filter": DOC_QUALITY_SQL,
