@@ -7253,6 +7253,71 @@ WHERE o_custkey IN
 """
 
 
+def _ensure_bucketed_store(sf_dir: str) -> tuple[str, str]:
+    """Write orders + customer storage-bucketed by custkey ONCE per sf
+    (hive dir per bucket, _DONE marker; stale partials rmtree'd) — the
+    ingest-time shuffle that later bucket-local joins amortize."""
+    import shutil
+
+    from ..stages.joins import write_bucketed
+
+    key = os.path.basename(os.path.normpath(sf_dir))
+    base = os.path.join("/tmp/ptt_bucketed", key)
+    orders_dir = os.path.join(base, "orders")
+    cust_dir = os.path.join(base, "customer")
+    done = os.path.join(base, "_DONE")
+    if not os.path.exists(done):
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        orders = _read(sf_dir, "orders",
+                       ["o_orderkey", "o_custkey", "o_totalprice"])
+        cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+
+        def rn_orders(t: pa.Table) -> pa.Table:
+            return t.rename_columns(["o_orderkey", "custkey", "o_totalprice"])
+
+        def rn_cust(t: pa.Table) -> pa.Table:
+            return t.rename_columns(["custkey", "c_name"])
+
+        write_bucketed(orders.map_batches(rn_orders, batch_format="pyarrow"),
+                       "custkey", orders_dir, num_buckets=8)
+        write_bucketed(cust.map_batches(rn_cust, batch_format="pyarrow"),
+                       "custkey", cust_dir, num_buckets=8)
+        with open(done, "w") as f:
+            f.write("ok")
+    return orders_dir, cust_dir
+
+
+def bucketed_storage_join_orders(sf_dir: str):
+    """Co-located bucket join (stages/joins.py::storage_bucketed_join):
+    both tables were bucketed by hash(custkey) at WRITE time, so the
+    join itself is a per-bucket local merge — zero query-time shuffle,
+    the small side's bucket read once per worker. At 100 TB this is
+    the pattern that makes repeated fact⋈dim joins affordable: the
+    all-to-all is paid once at ingest, not per query."""
+    from ..stages.joins import storage_bucketed_join
+
+    orders_dir, cust_dir = _ensure_bucketed_store(sf_dir)
+    out = storage_bucketed_join(
+        orders_dir, cust_dir, "custkey", num_buckets=8,
+        project=["o_orderkey", "custkey", "c_name", "o_totalprice"])
+
+    def r2(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("o_totalprice"), "o_totalprice",
+            pa.array(round2(t["o_totalprice"].to_numpy(zero_copy_only=False)),
+                     pa.float64()))
+
+    return out.map_batches(r2, batch_format="pyarrow")
+
+
+BUCKETED_STORE_JOIN_SQL = """
+SELECT o.o_orderkey, o.o_custkey AS custkey, c.c_name,
+       round(o.o_totalprice, 2) AS o_totalprice
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
 def quality_classifier_docs(sf_dir: str):
     """Model-based quality filter (stages/classifier.py): hashed-BoW
     logistic regression trained distributed on a doc_id%2 hash-sample
@@ -7319,6 +7384,7 @@ QUERIES = {
     "event_value_percentiles": event_value_percentiles,
     "event_value_zscore": event_value_zscore,
     "bloom_prune_orders": bloom_prune_orders,
+    "bucketed_storage_join_orders": bucketed_storage_join_orders,
     "quality_classifier_docs": quality_classifier_docs,
     # text
     "doc_token_stats": doc_token_stats,
@@ -7508,6 +7574,7 @@ ORACLE_SQL = {
     "event_value_percentiles": PERCENTILES_SQL,
     "event_value_zscore": ZSCORE_SQL,
     "bloom_prune_orders": BLOOM_PRUNE_SQL,
+    "bucketed_storage_join_orders": BUCKETED_STORE_JOIN_SQL,
     "doc_lm_perplexity": LM_PERPLEXITY_SQL,
     "bm25_search_docs": BM25_SEARCH_SQL,
     "doc_token_stats": DOC_TOKEN_STATS_SQL,

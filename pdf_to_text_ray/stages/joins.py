@@ -327,3 +327,74 @@ def temporal_band_count(left, right, *, left_ts: str, right_ts: str,
         count_bucket, batch_format="pyarrow")
     return partials.groupby(left_key).aggregate(
         Sum("_partial", alias_name=out_col))
+
+
+# ── storage-bucketed (co-located) join ────────────────────────────────
+
+def write_bucketed(ds, key: str, out_dir: str, *, num_buckets: int = 16,
+                   columns: list[str] | None = None) -> str:
+    """Bucket ``ds`` by ``hash(key) % num_buckets`` and write one hive
+    partition dir per bucket (``bucket=i/`` — NOT ``_bucket``: readers
+    following the Hadoop convention, Ray included, treat
+    underscore-prefixed paths as hidden). This is the ONE shuffle
+    — paid at ingest/write time. Every later join on ``key`` between
+    tables bucketed this way is bucket-local (Hive/Spark bucketed-table
+    pattern): at 100 TB the fact table never re-shuffles per query."""
+    import pyarrow.compute as pc
+
+    from .groups import stable_bucket
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        if columns is not None:
+            t = t.select(columns)
+        b = stable_bucket(t[key].to_numpy(zero_copy_only=False), num_buckets)
+        return t.append_column("bucket", pa.array(b, pa.int64()))
+
+    (ds.map_batches(add_bucket, batch_format="pyarrow")
+       .write_parquet(out_dir, partition_cols=["bucket"]))
+    return out_dir
+
+
+def storage_bucketed_join(big_dir: str, small_dir: str, on: str, *,
+                          num_buckets: int = 16,
+                          project: list[str] | None = None):
+    """Join two storage-bucketed tables with ZERO query-time shuffle:
+    read the big side's bucket files (blocks never span buckets), and
+    each task merges against ONLY its bucket's small-side partition —
+    a local parquet read, memoized per worker process. Requires both
+    sides written by ``write_bucketed`` with the same key/bucket count
+    (asserted per batch)."""
+    import ray.data as rd
+
+    def merge(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        # schema seed: an empty left⋈right merge keeps empty blocks'
+        # schema identical to populated ones (column names AND order)
+        out = [df.head(0).drop(columns=["bucket"])
+               .merge(_bucket_cache_read(small_dir, 0).head(0), on=on)]
+        for bucket, g in df.groupby("bucket", sort=False):
+            right = _bucket_cache_read(small_dir, int(bucket))
+            out.append(g.drop(columns=["bucket"]).merge(right, on=on))
+        merged = pd.concat(out, ignore_index=True)
+        if project is not None:
+            merged = merged[project]
+        return arrow_out(merged)
+
+    big = rd.read_parquet(big_dir)
+    return big.map_batches(merge, batch_format="pyarrow")
+
+
+# per-WORKER-PROCESS memo (module-level, so repeat tasks on the same
+# worker reuse the deserialized small-side bucket instead of re-reading)
+_BUCKET_CACHE: dict = {}
+
+
+def _bucket_cache_read(small_dir: str, bucket: int) -> pd.DataFrame:
+    key = (small_dir, bucket)
+    df = _BUCKET_CACHE.get(key)
+    if df is None:
+        import pyarrow.parquet as pq
+
+        df = pq.read_table(f"{small_dir}/bucket={bucket}").to_pandas()
+        _BUCKET_CACHE[key] = df
+    return df

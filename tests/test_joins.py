@@ -180,3 +180,57 @@ def test_chained_bucketed_join_preserves_int_keys(ray_session):
                              left_cols=["k1", "x"], right_cols=["name"])
     expect = a.merge(b, on="k1").merge(c, on="k2")
     assert abc.count() == len(expect)
+
+
+def test_storage_bucketed_join_matches_pandas(ray_session, tmp_path):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pdf_to_text_ray.stages.joins import (storage_bucketed_join,
+                                              write_bucketed)
+
+    rng = np.random.RandomState(11)
+    big = pd.DataFrame({"k": rng.randint(0, 50, 400),
+                        "v": np.arange(400, dtype="int64")})
+    small = pd.DataFrame({"k": np.arange(0, 50, dtype="int64"),
+                          "name": [f"n{i}" for i in range(50)]})
+    big_dir = str(tmp_path / "big")
+    small_dir = str(tmp_path / "small")
+    write_bucketed(rd.from_arrow(pa.Table.from_pandas(big)), "k", big_dir,
+                   num_buckets=4)
+    write_bucketed(rd.from_arrow(pa.Table.from_pandas(small)), "k",
+                   small_dir, num_buckets=4)
+    got = (storage_bucketed_join(big_dir, small_dir, "k", num_buckets=4)
+           .to_pandas().sort_values(["k", "v"]).reset_index(drop=True))
+    want = (big.merge(small, on="k").sort_values(["k", "v"])
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[["k", "v", "name"]], want[["k", "v", "name"]])
+
+
+def test_write_bucketed_partitions_are_key_disjoint(ray_session, tmp_path):
+    """Every key lands in exactly one bucket dir (the co-location
+    invariant the join relies on)."""
+    import glob
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from pdf_to_text_ray.stages.joins import write_bucketed
+
+    df = pd.DataFrame({"k": np.arange(200, dtype="int64") % 37,
+                       "v": np.arange(200, dtype="int64")})
+    d = str(tmp_path / "t")
+    write_bucketed(rd.from_arrow(pa.Table.from_pandas(df)), "k", d,
+                   num_buckets=5)
+    seen = {}
+    for bdir in glob.glob(f"{d}/bucket=*"):
+        b = int(bdir.rsplit("=", 1)[1])
+        for key in pq.read_table(bdir)["k"].to_pylist():
+            assert seen.setdefault(key, b) == b, (key, b, seen[key])
+    assert len(seen) == 37
