@@ -128,6 +128,9 @@ def run_bench() -> dict:
         "neardup_minhash_docs",
         "knn_cosine",
         "doc_token_stats",
+        "bm25_search_docs",
+        "bucketed_storage_join_orders",
+        "quality_classifier_docs",
     ):
         fn = Q.QUERIES[name]
         timed(name, lambda fn=fn: _consume(fn(SF_DIR)))
