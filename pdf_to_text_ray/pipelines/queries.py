@@ -7318,6 +7318,69 @@ FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 """
 
 
+def corpus_snapshot_diff(sf_dir: str):
+    """Incremental-refresh CDC (stages/joins.py::snapshot_diff): diff
+    two corpus snapshots by (key, md5-of-content). The new snapshot is
+    derived deterministically in-pipeline (doc_id%13 removed, %7 text
+    revised, %11 cloned under a new id), both sides reduce to
+    payload-free (doc_id, md5) before the single bucketed exchange.
+    Oracle replays the same derivation + FULL OUTER JOIN in SQL."""
+    import hashlib
+
+    from ..stages.joins import snapshot_diff
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def content_hash(t: pa.Table) -> pa.Table:
+        hs = [hashlib.md5((s or "").encode()).hexdigest()
+              for s in t["text"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"],
+                         "h": pa.array(hs, pa.string())})
+
+    def new_version(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        out_ids: list[int] = []
+        out_texts: list[str] = []
+        for i, s in zip(ids.tolist(), texts):
+            if i % 13 == 0:
+                continue
+            out_ids.append(i)
+            out_texts.append((s or "") + " [rev2]" if i % 7 == 0 else (s or ""))
+            if i % 11 == 0:
+                out_ids.append(i + 1000000)
+                out_texts.append(s or "")
+        return pa.table({"doc_id": pa.array(out_ids, pa.int64()),
+                         "text": pa.array(out_texts, pa.string())})
+
+    old_h = ds.map_batches(content_hash, batch_format="pyarrow")
+    new_h = (ds.map_batches(new_version, batch_format="pyarrow")
+             .map_batches(content_hash, batch_format="pyarrow"))
+    return snapshot_diff(old_h, new_h, key_col="doc_id")
+
+
+SNAPSHOT_DIFF_SQL = """
+WITH old AS (SELECT doc_id, md5(coalesce(text, '')) AS h FROM documents),
+newv AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 7 = 0
+                  THEN coalesce(text, '') || ' [rev2]'
+                  ELSE coalesce(text, '') END) AS h
+  FROM documents WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000, md5(coalesce(text, ''))
+  FROM documents WHERE doc_id % 13 <> 0 AND doc_id % 11 = 0
+),
+j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+             CASE WHEN o.doc_id IS NULL THEN 'added'
+                  WHEN n.doc_id IS NULL THEN 'removed'
+                  WHEN o.h <> n.h THEN 'changed'
+                  ELSE 'same' END AS change
+      FROM old o FULL OUTER JOIN newv n ON o.doc_id = n.doc_id)
+SELECT doc_id, change FROM j WHERE change <> 'same'
+"""
+
+
 def quality_classifier_docs(sf_dir: str):
     """Model-based quality filter (stages/classifier.py): hashed-BoW
     logistic regression trained distributed on a doc_id%2 hash-sample
@@ -7385,6 +7448,7 @@ QUERIES = {
     "event_value_zscore": event_value_zscore,
     "bloom_prune_orders": bloom_prune_orders,
     "bucketed_storage_join_orders": bucketed_storage_join_orders,
+    "corpus_snapshot_diff": corpus_snapshot_diff,
     "quality_classifier_docs": quality_classifier_docs,
     # text
     "doc_token_stats": doc_token_stats,
@@ -7575,6 +7639,7 @@ ORACLE_SQL = {
     "event_value_zscore": ZSCORE_SQL,
     "bloom_prune_orders": BLOOM_PRUNE_SQL,
     "bucketed_storage_join_orders": BUCKETED_STORE_JOIN_SQL,
+    "corpus_snapshot_diff": SNAPSHOT_DIFF_SQL,
     "doc_lm_perplexity": LM_PERPLEXITY_SQL,
     "bm25_search_docs": BM25_SEARCH_SQL,
     "doc_token_stats": DOC_TOKEN_STATS_SQL,

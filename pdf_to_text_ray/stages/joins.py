@@ -398,3 +398,44 @@ def _bucket_cache_read(small_dir: str, bucket: int) -> pd.DataFrame:
         df = pq.read_table(f"{small_dir}/bucket={bucket}").to_pandas()
         _BUCKET_CACHE[key] = df
     return df
+
+
+def snapshot_diff(old_ds, new_ds, *, key_col: str, hash_col: str = "h",
+                  num_buckets: int = 32):
+    """Corpus snapshot diff (CDC shape): classify every key as
+    added / removed / changed between two dataset versions.
+
+    Scale shape: each side is first reduced to payload-free
+    (key, content-hash) rows — the ONLY bytes that shuffle — then one
+    hash-bucketed exchange co-locates each key's two versions and a
+    vectorized outer index-join per bucket emits the changed set.
+    Unchanged keys (the overwhelming majority of an incremental
+    refresh) are dropped inside the bucket, never collected."""
+    from .groups import bucketed_group_apply
+
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({
+                key_col: t[key_col],
+                hash_col: t[hash_col],
+                "_side": pa.array(
+                    np.full(t.num_rows, side, np.int8), pa.int8()),
+            })
+        return fn
+
+    both = old_ds.map_batches(tag(0), batch_format="pyarrow").union(
+        new_ds.map_batches(tag(1), batch_format="pyarrow"))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        old = g.loc[g["_side"] == 0].set_index(key_col)[hash_col]
+        new = g.loc[g["_side"] == 1].set_index(key_col)[hash_col]
+        j = old.to_frame("h_old").join(new.to_frame("h_new"), how="outer")
+        change = np.where(
+            j["h_old"].isna(), "added",
+            np.where(j["h_new"].isna(), "removed",
+                     np.where(j["h_old"] != j["h_new"], "changed", "same")))
+        out = pd.DataFrame({key_col: j.index.to_numpy(), "change": change})
+        return out[out["change"] != "same"]
+
+    return bucketed_group_apply(both, key_col, per_bucket,
+                                num_buckets=num_buckets)

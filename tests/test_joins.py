@@ -234,3 +234,22 @@ def test_write_bucketed_partitions_are_key_disjoint(ray_session, tmp_path):
         for key in pq.read_table(bdir)["k"].to_pylist():
             assert seen.setdefault(key, b) == b, (key, b, seen[key])
     assert len(seen) == 37
+
+
+def test_snapshot_diff_classifies(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pdf_to_text_ray.stages.joins import snapshot_diff
+
+    old = pa.table({"k": pa.array([1, 2, 3, 4], pa.int64()),
+                    "h": ["a", "b", "c", "d"]})
+    new = pa.table({"k": pa.array([2, 3, 4, 5], pa.int64()),
+                    "h": ["b", "C", "d", "e"]})
+    out = (snapshot_diff(rd.from_arrow(old), rd.from_arrow(new),
+                         key_col="k", num_buckets=3)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    want = pd.DataFrame({"k": pd.Series([1, 3, 5], dtype="int64"),
+                         "change": ["removed", "changed", "added"]})
+    pd.testing.assert_frame_equal(out[["k", "change"]], want)
