@@ -2072,6 +2072,72 @@ FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
 """
 
 
+def neardup_keep_best_docs(sf_dir: str):
+    """Quality-ranked near-dup dedup (stages/dedup.py::
+    keep_best_from_pairs): per cluster keep the LONGEST doc (trimmed
+    char count, doc_id tiebreak) instead of the min id — the curation
+    policy of preserving the most complete near-duplicate. Oracle:
+    the recursive-closure components + a windowed argmax."""
+    from ..stages.dedup import keep_best_from_pairs, minhash_neardup_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = minhash_neardup_pairs(ds, threshold=0.7)
+    return keep_best_from_pairs(ds, pairs)
+
+
+NEARDUP_KEEP_BEST_SQL = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
+  FROM documents WHERE trim(coalesce(text, '')) <> ''
+),
+g AS (
+  SELECT DISTINCT doc_id,
+         unnest([substr(s, i, 5)
+                 for i in range(1, greatest(len(s) - 4, 0) + 1)]) AS gram
+  FROM toks
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = inter.id_a
+  JOIN sizes sb ON sb.doc_id = inter.id_b
+  WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.7
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(node, r) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node
+),
+comp AS (SELECT node, min(r) AS group_root FROM reach GROUP BY node),
+ranked AS (
+  SELECT comp.node, comp.group_root,
+         row_number() OVER (PARTITION BY comp.group_root
+                            ORDER BY length(trim(d.text)) DESC,
+                                     comp.node) AS rn
+  FROM comp JOIN documents d ON d.doc_id = comp.node
+),
+winners AS (SELECT group_root, node AS winner FROM ranked WHERE rn = 1)
+SELECT d.doc_id,
+       coalesce(c.group_root, d.doc_id) AS group_root,
+       CASE WHEN c.node IS NULL THEN TRUE
+            ELSE d.doc_id = w.winner END AS kept
+FROM documents d
+LEFT JOIN comp c ON c.node = d.doc_id
+LEFT JOIN winners w ON w.group_root = c.group_root
+"""
+
+
 def neardup_simhash_docs(sf_dir: str):
     from ..stages.dedup import simhash_neardup_pairs
 
@@ -7483,6 +7549,7 @@ QUERIES = {
     "ann_lsh_cosine": ann_lsh_cosine,
     "ivf_cosine": ivf_cosine,
     "neardup_keep_docs": neardup_keep_docs,
+    "neardup_keep_best_docs": neardup_keep_best_docs,
     "purchase_views_band_join": purchase_views_band_join,
     "neardup_jaccard_docs": neardup_jaccard_docs,
     "neardup_jaccard_keep_docs": neardup_jaccard_keep_docs,
@@ -7751,5 +7818,6 @@ ORACLE_SQL = {
     "event_transition_matrix": TRANSITION_SQL,
     "neardup_minhash_docs": NEARDUP_MINHASH_SQL,
     "neardup_keep_docs": NEARDUP_MINHASH_KEEP_SQL,
+    "neardup_keep_best_docs": NEARDUP_KEEP_BEST_SQL,
     "orders_dow_volume": DOW_SQL,
 }

@@ -1005,3 +1005,72 @@ def span_dedup(ds, *, key_col: str = "doc_id", text_col: str = "text",
                          "text_spanclean": pa.array(out_text, pa.string())})
 
     return ds.map_batches(clean, batch_format="pyarrow")
+
+
+def keep_best_from_pairs(ds, pairs: pd.DataFrame, *, key_col: str = "doc_id",
+                         text_col: str = "text",
+                         components: str = "minlabel"):
+    """Quality-ranked representative selection: like
+    ``keep_set_from_pairs`` but the kept doc per near-dup cluster is
+    the LONGEST (trimmed char count; key tiebreak) — the standard
+    curation policy of keeping the most complete near-duplicate rather
+    than an arbitrary one.
+
+    Scale shape: component labels are bounded by the candidate set
+    (≪ corpus); member scores arrive via ONE pruned filtered scan that
+    ships (key, score) for component nodes only; the per-group argmax
+    runs over that bounded frame on the driver; winners broadcast as
+    sorted arrays probed per batch."""
+    import pyarrow as pa
+    import ray
+
+    comp = (star_components(pairs) if components == "star"
+            else minlabel_components(pairs))
+    nodes = np.sort(comp["node"].to_numpy())
+    roots = comp.set_index("node")["group_root"]
+    nodes_ref = ray.put(nodes)
+
+    def node_scores(t) -> pd.DataFrame:
+        ns = ray.get(nodes_ref)
+        ids = t[key_col].to_numpy(zero_copy_only=False)
+        if len(ns):
+            idx = np.minimum(np.searchsorted(ns, ids), len(ns) - 1)
+            hit = ns[idx] == ids
+        else:
+            hit = np.zeros(len(ids), bool)
+        sel = t.filter(pa.array(hit))
+        score = np.asarray([len((s or "").strip())
+                            for s in sel[text_col].to_pylist()], np.int64)
+        return pd.DataFrame({key_col: sel[key_col].to_numpy(
+            zero_copy_only=False), "score": score})
+
+    scored = ds.map_batches(node_scores, batch_format="pyarrow").to_pandas()
+    scored["group_root"] = roots.reindex(scored[key_col]).to_numpy()
+    ranked = scored.sort_values(["group_root", "score", key_col],
+                                ascending=[True, False, True],
+                                kind="mergesort")
+    winners = ranked.drop_duplicates("group_root")
+    win_of_root = winners.set_index("group_root")[key_col]
+    node_sorted = np.sort(scored[key_col].to_numpy())
+    node_winner = win_of_root.reindex(
+        roots.reindex(node_sorted).to_numpy()).to_numpy()
+    ref = ray.put((node_sorted, node_winner,
+                   roots.reindex(node_sorted).to_numpy()))
+
+    def flag(b: pd.DataFrame) -> pd.DataFrame:
+        ns, ws, rs = ray.get(ref)
+        ids = b[key_col].to_numpy()
+        grp = ids.copy()
+        win = ids.copy()
+        if len(ns):
+            idx = np.minimum(np.searchsorted(ns, ids), len(ns) - 1)
+            hit = ns[idx] == ids
+            grp[hit] = rs[idx[hit]]
+            win[hit] = ws[idx[hit]]
+        return pd.DataFrame({
+            key_col: ids,
+            "group_root": grp,
+            "kept": ids == win,
+        })
+
+    return ds.map_batches(flag, batch_format="pandas")

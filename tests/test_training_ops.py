@@ -1257,3 +1257,22 @@ def test_triangle_count_random_vs_bruteforce(ray_session):
                       "v": [b for a, b in edges]})
     got = triangle_count(rd.from_pandas(e), num_buckets=8)
     assert int(got["n_triangles"].iloc[0]) == want
+
+
+def test_keep_best_from_pairs_keeps_longest(dup_docs_ds):
+    """Cluster {0, 1, 2, 5}: doc 5 is the longest (base*6 + ' tail'),
+    so the quality-ranked policy keeps 5 while min-id keeps 0."""
+    from pdf_to_text_ray.stages.dedup import (keep_best_from_pairs,
+                                              minhash_neardup_pairs)
+
+    pairs = minhash_neardup_pairs(dup_docs_ds, threshold=0.5)
+    out = (keep_best_from_pairs(dup_docs_ds, pairs)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert len(out) == 8
+    cluster = out[out["group_root"] == 0]
+    assert set(cluster["doc_id"]) >= {0, 1, 5}
+    kept_in_cluster = cluster[cluster["kept"]]["doc_id"].tolist()
+    assert kept_in_cluster == [5]
+    # unpaired docs keep themselves
+    for i in (3, 4, 7):
+        assert out[out["doc_id"] == i]["kept"].item()
