@@ -1318,6 +1318,44 @@ def events_tumbling_agg(sf_dir: str):
     return out
 
 
+def events_hourly_dense(sf_dir: str):
+    """Gap-filled hourly rollup (asfreq/densify shape): the grouped
+    count runs distributed; the dense hour calendar is generated over
+    the SMALL aggregated result (driver-side reindex — bounded by the
+    time span, not the row count) with missing hours as zero."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        return pa.table({
+            "hour_bucket": pc.divide(us, pa.scalar(3_600_000_000, pa.int64())),
+        })
+
+    out = (ds.map_batches(bucketize, batch_format="pyarrow")
+           .groupby("hour_bucket")
+           .aggregate(Count(alias_name="n"))
+           .to_pandas().set_index("hour_bucket"))
+    dense = out.reindex(range(int(out.index.min()), int(out.index.max()) + 1),
+                        fill_value=0)
+    return pd.DataFrame({
+        "hour_bucket": dense.index.to_numpy(dtype="int64"),
+        "n": dense["n"].to_numpy(dtype="int64"),
+    })
+
+
+HOURLY_DENSE_SQL = """
+WITH b AS (SELECT epoch_us(ts) // 3600000000 AS hour_bucket FROM events),
+agg AS (SELECT hour_bucket, count(*) AS n FROM b GROUP BY hour_bucket),
+cal AS (SELECT unnest(generate_series((SELECT min(hour_bucket) FROM agg),
+                                      (SELECT max(hour_bucket) FROM agg)))
+               AS hour_bucket)
+SELECT cal.hour_bucket, coalesce(agg.n, 0) AS n
+FROM cal LEFT JOIN agg USING (hour_bucket)
+"""
+
+
 TUMBLING_SQL = """
 SELECT (epoch_us(ts) // 3600000000) AS hour_bucket, count(*) AS n,
        round(sum(value), 2) AS total
@@ -7522,6 +7560,7 @@ QUERIES = {
     "dedup_exact_docs": dedup_exact_docs,
     "doc_bpe_token_count": doc_bpe_token_count,
     "events_tumbling_agg": events_tumbling_agg,
+    "events_hourly_dense": events_hourly_dense,
     "events_sliding_agg": events_sliding_agg,
     "doc_selfrepeat_ratio": doc_selfrepeat_ratio,
     "approx_distinct_users": approx_distinct_users,
@@ -7714,6 +7753,7 @@ ORACLE_SQL = {
     "dedup_exact_docs": DEDUP_EXACT_SQL,
     "doc_bpe_token_count": BPE_COUNT_SQL,
     "events_tumbling_agg": TUMBLING_SQL,
+    "events_hourly_dense": HOURLY_DENSE_SQL,
     "events_sliding_agg": SLIDING_SQL,
     "frequent_lines": FREQUENT_LINES_SQL,
     "top_docs_by_len": TOP_DOCS_SQL,
