@@ -427,6 +427,10 @@ def snapshot_diff(old_ds, new_ds, *, key_col: str, hash_col: str = "h",
         new_ds.map_batches(tag(1), batch_format="pyarrow"))
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty or key_col not in g.columns:
+            # a fully-empty input dataset delivers a column-less frame
+            return pd.DataFrame({key_col: pd.Series([], dtype="int64"),
+                                 "change": pd.Series([], dtype="object")})
         old = g.loc[g["_side"] == 0].set_index(key_col)[hash_col]
         new = g.loc[g["_side"] == 1].set_index(key_col)[hash_col]
         j = old.to_frame("h_old").join(new.to_frame("h_new"), how="outer")

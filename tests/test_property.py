@@ -259,3 +259,39 @@ def test_weighted_sample_uniform_is_engine_portable(doc_id):
         f"select ('0x' || substr(md5('{doc_id}'), 1, 8))::UBIGINT"
     ).fetchone()
     assert py == sql
+
+
+@given(st.lists(st.tuples(st.integers(0, 30), st.sampled_from("abc")),
+                max_size=40),
+       st.lists(st.tuples(st.integers(0, 30), st.sampled_from("abc")),
+                max_size=40))
+@settings(max_examples=30, deadline=None)
+def test_snapshot_diff_matches_dict_reference(old_rows, new_rows):
+    """snapshot_diff's bucketed classification equals the obvious
+    dict-based diff for any pair of (key → hash) snapshots."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pdf_to_text_ray.stages.joins import snapshot_diff
+
+    old = dict(old_rows)   # last write wins, mirrors unique-key input
+    new = dict(new_rows)
+    want = {}
+    for k in old.keys() | new.keys():
+        if k not in new:
+            want[k] = "removed"
+        elif k not in old:
+            want[k] = "added"
+        elif old[k] != new[k]:
+            want[k] = "changed"
+
+    def tbl(d):
+        return pa.table({
+            "k": pa.array(sorted(d), pa.int64()),
+            "h": pa.array([d[k] for k in sorted(d)], pa.string())})
+
+    out = snapshot_diff(rd.from_arrow(tbl(old)), rd.from_arrow(tbl(new)),
+                        key_col="k", num_buckets=4).to_pandas()
+    got = dict(zip(out["k"], out["change"])) if len(out) else {}
+    assert got == want
