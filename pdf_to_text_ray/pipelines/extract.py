@@ -475,8 +475,14 @@ def run_extract(
 ) -> dict[str, Any]:
     """Resumable wave-based run over every parquet file in ``in_dir``.
 
-    Completed waves (manifest present) are skipped on restart. Returns
-    the run summary (state/manifest.summarize).
+    Completed waves are skipped on restart — a wave counts as complete
+    only if its manifest's recorded ``input_files`` match the wave's
+    current composition, so INCREMENTAL CORPUS GROWTH (new input files
+    appearing between runs, wherever they sort) self-heals by
+    reprocessing exactly the shifted waves. Corpus SHRINK is not
+    reconciled: orphan wave dirs beyond the new wave count are left in
+    place — use a fresh out_dir when removing inputs. Returns the run
+    summary (state/manifest.summarize).
 
     ``winners_mode``: "broadcast" (default — winner arrays via ray.put,
     right up to ~10^8 urls) or "bucketed" (winner parquet partitioned by
@@ -497,7 +503,19 @@ def run_extract(
     if not files:
         raise ValueError(f"no parquet files in {in_dir}")
     waves = [files[i : i + files_per_wave] for i in range(0, len(files), files_per_wave)]
-    done = mstate.completed_waves(out_dir)
+    # Lineage-validated resume: a wave counts as done ONLY if its
+    # manifest's recorded input_files equal the wave's CURRENT
+    # composition. Appending input files that sort before existing ones
+    # shifts every later wave's membership — blind index-based skipping
+    # would then silently drop some files and double-process others.
+    # Mismatched waves reprocess (run_unit clears their dir first), so
+    # incremental corpus growth self-heals whatever the sort order.
+    manifests = mstate.load_manifests(out_dir)
+    done = {
+        i for i, wf in enumerate(waves)
+        if (m := manifests.get(i)) is not None
+        and m.get("input_files") == [os.path.basename(f) for f in wf]
+    }
     winners_ref = None
     winners_dir = None
     if dedup:
@@ -582,8 +600,13 @@ def run_extract(
             os.makedirs(wdir, exist_ok=True)
             sub_metrics: list[dict[str, Any]] = []
             for sub_idx, f in enumerate(wave_files):
-                if sub_idx in done_subs:  # mid-wave resume: skip done files
-                    sub_metrics.append(done_subs[sub_idx]["metrics"])
+                # mid-wave resume: skip done files — with the same
+                # lineage check as waves (the recorded file must be
+                # THIS file, or the sub-unit reruns)
+                sub = done_subs.get(sub_idx)
+                if sub is not None and sub.get("input_files") == \
+                        [os.path.basename(f)]:
+                    sub_metrics.append(sub["metrics"])
                     continue
                 if (fault_inject_after_files is not None
                         and files_ran >= fault_inject_after_files):

@@ -413,3 +413,40 @@ def test_sorted_output_rows_globally_ordered(ray_session, tmp_path, corpus):
                                       columns=["url"])["url"].to_pylist())
     assert urls == sorted(urls)
     assert sorted(urls) == sorted(golden["url"].to_pylist())
+
+
+def test_incremental_append_shifts_waves_and_self_heals(ray_session,
+                                                        tmp_path, corpus):
+    """Incremental corpus growth: a file appended AFTER a completed run
+    that sorts BEFORE the existing shards shifts every wave's
+    membership. The lineage check (manifest input_files vs current
+    composition) must reprocess the shifted waves — no dropped files,
+    no double-processed rows."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    pages, golden = corpus
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(in_dir)
+    n = pages.num_rows
+    # hold back the first quarter; write the rest as shards m..z
+    held = pages.slice(0, n // 4)
+    rest = pages.slice(n // 4)
+    m = rest.num_rows
+    for s in range(3):
+        lo = s * m // 3
+        pq.write_table(rest.slice(lo, (s + 1) * m // 3 - lo),
+                       os.path.join(in_dir, f"part-m{s}.parquet"))
+
+    run_extract(in_dir, out_dir, files_per_wave=2)
+    done_before = mstate.completed_waves(out_dir)
+
+    # append the held shard under a name that SORTS FIRST
+    pq.write_table(held, os.path.join(in_dir, "part-a0.parquet"))
+    summary = run_extract(in_dir, out_dir, files_per_wave=2)
+
+    out = rd.read_parquet(out_dir, columns=["url"]).to_pandas()
+    assert sorted(out["url"]) == sorted(golden["url"].to_pylist())
+    assert summary["metrics"]["rows"] == len(out)
+    assert len(done_before) >= 1  # first run did complete waves
