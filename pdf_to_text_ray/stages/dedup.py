@@ -743,9 +743,11 @@ def keep_set_from_pairs(ds, pairs: pd.DataFrame, *, key_col: str = "doc_id",
     roots = comp["group_root"].to_numpy()
     ref = ray.put((nodes, roots))
 
-    def flag(b: pd.DataFrame) -> pd.DataFrame:
+    def flag(b) -> pd.DataFrame:
+        # arrow-declared: only the key column is touched — a pandas
+        # block would copy the (large) text payload per batch
         ns, rs = ray.get(ref)
-        ids = b[key_col].to_numpy()
+        ids = b[key_col].to_numpy(zero_copy_only=False)
         grp = ids.copy()
         if len(ns):
             idx = np.minimum(np.searchsorted(ns, ids), len(ns) - 1)
@@ -757,7 +759,7 @@ def keep_set_from_pairs(ds, pairs: pd.DataFrame, *, key_col: str = "doc_id",
             "kept": ids == grp,
         })
 
-    return ds.map_batches(flag, batch_format="pandas")
+    return ds.map_batches(flag, batch_format="pyarrow")
 
 
 def jaccard_keep_set(ds, *, key_col: str = "doc_id", text_col: str = "text",
@@ -1057,9 +1059,11 @@ def keep_best_from_pairs(ds, pairs: pd.DataFrame, *, key_col: str = "doc_id",
     ref = ray.put((node_sorted, node_winner,
                    roots.reindex(node_sorted).to_numpy()))
 
-    def flag(b: pd.DataFrame) -> pd.DataFrame:
+    def flag(b) -> pd.DataFrame:
+        # arrow-declared for the same payload-copy reason as
+        # keep_set_from_pairs' flag
         ns, ws, rs = ray.get(ref)
-        ids = b[key_col].to_numpy()
+        ids = b[key_col].to_numpy(zero_copy_only=False)
         grp = ids.copy()
         win = ids.copy()
         if len(ns):
@@ -1073,4 +1077,4 @@ def keep_best_from_pairs(ds, pairs: pd.DataFrame, *, key_col: str = "doc_id",
             "kept": ids == win,
         })
 
-    return ds.map_batches(flag, batch_format="pandas")
+    return ds.map_batches(flag, batch_format="pyarrow")
