@@ -7422,6 +7422,37 @@ FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 """
 
 
+def join_native_customer_orders(sf_dir: str):
+    """Ray 2.49's NATIVE hash-shuffle ``Dataset.join`` (experimental) on
+    the same shape as the hand-rolled strategies (stages/joins.py) —
+    registered so the engine exercises the built-in operator too and a
+    regression in either path surfaces as an oracle mismatch."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice"])
+    j = orders.join(cust, "inner", 8, on=("o_custkey",),
+                    right_on=("c_custkey",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "o_custkey": t["o_custkey"],
+            "c_name": t["c_name"],
+            "o_totalprice": pa.array(
+                round2(t["o_totalprice"].to_numpy(zero_copy_only=False)),
+                pa.float64()),
+        })
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
+NATIVE_JOIN_SQL = """
+SELECT o.o_orderkey, o.o_custkey, c.c_name,
+       round(o.o_totalprice, 2) AS o_totalprice
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
 def corpus_snapshot_diff(sf_dir: str):
     """Incremental-refresh CDC (stages/joins.py::snapshot_diff): diff
     two corpus snapshots by (key, md5-of-content). The new snapshot is
@@ -7553,6 +7584,7 @@ QUERIES = {
     "bloom_prune_orders": bloom_prune_orders,
     "bucketed_storage_join_orders": bucketed_storage_join_orders,
     "corpus_snapshot_diff": corpus_snapshot_diff,
+    "join_native_customer_orders": join_native_customer_orders,
     "quality_classifier_docs": quality_classifier_docs,
     # text
     "doc_token_stats": doc_token_stats,
@@ -7746,6 +7778,7 @@ ORACLE_SQL = {
     "bloom_prune_orders": BLOOM_PRUNE_SQL,
     "bucketed_storage_join_orders": BUCKETED_STORE_JOIN_SQL,
     "corpus_snapshot_diff": SNAPSHOT_DIFF_SQL,
+    "join_native_customer_orders": NATIVE_JOIN_SQL,
     "doc_lm_perplexity": LM_PERPLEXITY_SQL,
     "bm25_search_docs": BM25_SEARCH_SQL,
     "doc_token_stats": DOC_TOKEN_STATS_SQL,
