@@ -1276,3 +1276,30 @@ def test_keep_best_from_pairs_keeps_longest(dup_docs_ds):
     # unpaired docs keep themselves
     for i in (3, 4, 7):
         assert out[out["doc_id"] == i]["kept"].item()
+
+
+def test_streaming_split_trainer_ingestion(ray_session):
+    """The feed-the-trainer surface: a curated corpus splits into K
+    equal streaming shards consumed CONCURRENTLY (one per trainer
+    rank) — together they cover every row exactly once."""
+    import threading
+
+    import ray.data as rd
+
+    ds = rd.range(4096).map_batches(
+        lambda t: pa.table({"id": t["id"]}), batch_format="pyarrow")
+    its = ds.streaming_split(2, equal=True)
+    seen: list[list[int]] = [[], []]
+
+    def consume(rank: int):
+        for b in its[rank].iter_batches(batch_size=256):
+            seen[rank].extend(b["id"].tolist())
+
+    threads = [threading.Thread(target=consume, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(seen[0]) == len(seen[1]) == 2048   # equal shards
+    assert set(seen[0]) | set(seen[1]) == set(range(4096))
+    assert not (set(seen[0]) & set(seen[1]))      # disjoint
