@@ -7422,6 +7422,54 @@ FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 """
 
 
+def doc_overlap_chunks(sf_dir: str):
+    """RAG-style chunking: explode each doc into fixed-width
+    token-window chunks with overlap (width 64, stride 48) — the
+    flat_map doc→chunks shape every embedding/retrieval pipeline needs.
+    Chunk boundaries are pure arithmetic over the doc's own token list
+    (zero shuffle); the oracle replays the same windows via
+    generate_series + list slicing."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    width, stride = 64, 48
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        out_id: list[int] = []
+        out_idx: list[int] = []
+        out_n: list[int] = []
+        out_text: list[str] = []
+        for i, s in zip(ids.tolist(), t["text"].to_pylist()):
+            toks = (s or "").split(" ")
+            for ci, start in enumerate(range(0, len(toks), stride)):
+                chunk = toks[start:start + width]
+                out_id.append(i)
+                out_idx.append(ci)
+                out_n.append(len(chunk))
+                out_text.append(" ".join(chunk))
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "chunk_idx": pa.array(out_idx, pa.int64()),
+            "n_tokens": pa.array(out_n, pa.int64()),
+            "chunk_text": pa.array(out_text, pa.string()),
+        })
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+OVERLAP_CHUNKS_SQL = """
+WITH w AS (SELECT doc_id, str_split(coalesce(text, ''), ' ') AS w
+           FROM documents),
+idx AS (SELECT doc_id, w,
+               unnest(generate_series(0, greatest(len(w) - 1, 0), 48)) AS s
+        FROM w)
+SELECT doc_id,
+       s // 48 AS chunk_idx,
+       least(s + 64, len(w)) - s AS n_tokens,
+       array_to_string(w[s + 1 : least(s + 64, len(w))], ' ') AS chunk_text
+FROM idx
+"""
+
+
 def join_native_customer_orders(sf_dir: str):
     """Ray 2.49's NATIVE hash-shuffle ``Dataset.join`` (experimental) on
     the same shape as the hand-rolled strategies (stages/joins.py) —
@@ -7585,6 +7633,7 @@ QUERIES = {
     "bucketed_storage_join_orders": bucketed_storage_join_orders,
     "corpus_snapshot_diff": corpus_snapshot_diff,
     "join_native_customer_orders": join_native_customer_orders,
+    "doc_overlap_chunks": doc_overlap_chunks,
     "quality_classifier_docs": quality_classifier_docs,
     # text
     "doc_token_stats": doc_token_stats,
@@ -7779,6 +7828,7 @@ ORACLE_SQL = {
     "bucketed_storage_join_orders": BUCKETED_STORE_JOIN_SQL,
     "corpus_snapshot_diff": SNAPSHOT_DIFF_SQL,
     "join_native_customer_orders": NATIVE_JOIN_SQL,
+    "doc_overlap_chunks": OVERLAP_CHUNKS_SQL,
     "doc_lm_perplexity": LM_PERPLEXITY_SQL,
     "bm25_search_docs": BM25_SEARCH_SQL,
     "doc_token_stats": DOC_TOKEN_STATS_SQL,
