@@ -4609,6 +4609,40 @@ def sample_weighted_docs(sf_dir: str, k: int = 20):
     return top[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
 
 
+def doc_split_assign(sf_dir: str):
+    """Deterministic train/val/test split (80/10/10) by the
+    engine-portable md5 uniform — the assignment is a pure function of
+    doc_id, so re-runs, other engines, and the SQL oracle all agree;
+    no shuffle, no RNG state."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        u = np.array([int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+                      for i in ids], np.float64) / 4294967296.0
+        split = np.where(u < 0.8, "train", np.where(u < 0.9, "val", "test"))
+        return pa.table({
+            "doc_id": pa.array(np.asarray(ids, np.int64)),
+            "split": pa.array(split, pa.string()),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+SPLIT_ASSIGN_SQL = """
+SELECT doc_id,
+       CASE WHEN u < 0.8 THEN 'train'
+            WHEN u < 0.9 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT
+               / 4294967296.0 AS u
+      FROM documents)
+"""
+
+
 WEIGHTED_SAMPLE_SQL = """
 SELECT doc_id FROM (
   SELECT doc_id,
@@ -7634,6 +7668,7 @@ QUERIES = {
     "corpus_snapshot_diff": corpus_snapshot_diff,
     "join_native_customer_orders": join_native_customer_orders,
     "doc_overlap_chunks": doc_overlap_chunks,
+    "doc_split_assign": doc_split_assign,
     "quality_classifier_docs": quality_classifier_docs,
     # text
     "doc_token_stats": doc_token_stats,
@@ -7829,6 +7864,7 @@ ORACLE_SQL = {
     "corpus_snapshot_diff": SNAPSHOT_DIFF_SQL,
     "join_native_customer_orders": NATIVE_JOIN_SQL,
     "doc_overlap_chunks": OVERLAP_CHUNKS_SQL,
+    "doc_split_assign": SPLIT_ASSIGN_SQL,
     "doc_lm_perplexity": LM_PERPLEXITY_SQL,
     "bm25_search_docs": BM25_SEARCH_SQL,
     "doc_token_stats": DOC_TOKEN_STATS_SQL,
