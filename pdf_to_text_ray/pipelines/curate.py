@@ -150,3 +150,58 @@ def curate_documents(sf_dir: str, *, pack_budget: int = 256,
         })
 
     return scanned.map_batches(finish, batch_format="pyarrow")
+
+
+def rag_index_pipeline(sf_dir: str, *, chunk_width: int = 64,
+                       chunk_stride: int = 48, embed_dim: int = 64):
+    """Second composed flagship: raw corpus → RAG chunk index, one lazy
+    flow. Gopher gate → exact dedup (bucketed) → overlapping
+    token-window chunk explode → per-chunk hashed embedding (the
+    deterministic stand-in for a model actor — identical actor-pool
+    shape, stages/classifier.py::hash_features) → portable md5 split
+    assignment. Returns (doc_id, chunk_idx, n_tokens, split,
+    emb_norm, embedding) — what an embedding/ANN indexer ingests.
+    Every stage is covered by its own oracle-checked query
+    (gopher_quality_docs, dedup_exact_docs, doc_overlap_chunks,
+    doc_split_assign); the composition itself is rows-only."""
+    import hashlib
+    import os
+
+    import ray.data as rd
+
+    from ..stages.classifier import hash_features
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    ds = rd.read_parquet(path, columns=["doc_id", "text"])
+    gated = ds.map_batches(_quality_gate, batch_format="pyarrow")
+    deduped = _exact_dedup_keep(gated)
+
+    def explode_embed(t: pa.Table) -> pa.Table:
+        out_id: list[int] = []
+        out_idx: list[int] = []
+        out_n: list[int] = []
+        chunks: list[str] = []
+        for i, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = (s or "").split(" ")
+            for ci, start in enumerate(range(0, len(toks), chunk_stride)):
+                chunk = toks[start:start + chunk_width]
+                out_id.append(i)
+                out_idx.append(ci)
+                out_n.append(len(chunk))
+                chunks.append(" ".join(chunk))
+        emb = hash_features(chunks, embed_dim).astype(np.float32)
+        u = np.array([int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+                      for i in out_id], np.float64) / 4294967296.0
+        split = np.where(u < 0.8, "train", np.where(u < 0.9, "val", "test"))
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "chunk_idx": pa.array(out_idx, pa.int64()),
+            "n_tokens": pa.array(out_n, pa.int64()),
+            "split": pa.array(split, pa.string()),
+            "emb_norm": pa.array(
+                np.linalg.norm(emb, axis=1).astype(np.float64), pa.float64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(emb.ravel(), pa.float32()), embed_dim),
+        })
+
+    return deduped.map_batches(explode_embed, batch_format="pyarrow")

@@ -4609,6 +4609,16 @@ def sample_weighted_docs(sf_dir: str, k: int = 20):
     return top[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
 
 
+def rag_index_docs(sf_dir: str):
+    """The composed RAG-index flagship (pipelines/curate.py::
+    rag_index_pipeline): gate → dedup → chunk → embed → split, one lazy
+    flow. Rows-only; constituents oracle-checked individually."""
+    from .curate import rag_index_pipeline
+
+    return rag_index_pipeline(sf_dir).select_columns(
+        ["doc_id", "chunk_idx", "n_tokens", "split", "emb_norm"])
+
+
 def doc_split_assign(sf_dir: str):
     """Deterministic train/val/test split (80/10/10) by the
     engine-portable md5 uniform — the assignment is a pure function of
@@ -7669,6 +7679,7 @@ QUERIES = {
     "join_native_customer_orders": join_native_customer_orders,
     "doc_overlap_chunks": doc_overlap_chunks,
     "doc_split_assign": doc_split_assign,
+    "rag_index_docs": rag_index_docs,
     "quality_classifier_docs": quality_classifier_docs,
     # text
     "doc_token_stats": doc_token_stats,

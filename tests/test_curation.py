@@ -242,3 +242,52 @@ def test_pack_sequences_invariants(ray_session):
     # sequence ids are nondecreasing in doc order and start at 0
     assert out["seq_id"].iloc[0] == 0
     assert (np.diff(out["seq_id"].to_numpy()) >= 0).all()
+
+
+def test_rag_index_pipeline_invariants(ray_session, tmp_path):
+    """gate → dedup → chunk → embed → split composition: clones chunk
+    once, chunk counts follow the stride arithmetic, splits are the
+    md5-portable assignment, embeddings are unit-norm."""
+    import hashlib
+    import math
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_to_text_ray.pipelines.curate import rag_index_pipeline
+    from pdf_to_text_ray.stages.curation import gopher_stats_batch
+
+    body = ("the quick brown fox jumps over a lazy dog and that should "
+            "be enough normal words to have the gate keep this text " * 4)
+    rows = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": [body, body,              # 2 = exact clone of 1
+                 "x " * 200,              # fails gopher (no stopwords)
+                 body + " tail tail"],
+    })
+    sf = str(tmp_path)
+    pq.write_table(rows, os.path.join(sf, "documents.parquet"))
+    out = rag_index_pipeline(sf).to_pandas()
+
+    # gopher gate drops 3; exact dedup drops the clone (keeps min id 1)
+    assert set(out["doc_id"]) == {1, 4}
+    s = gopher_stats_batch(rows)
+    assert s["keep_flag"].to_numpy().tolist() == [1, 1, 0, 1]
+
+    # chunk arithmetic: one window per stride start → ceil(n/stride)
+    for did in (1, 4):
+        n_toks = len(rows["text"][did - 1].as_py().split(" "))
+        want = max(math.ceil(n_toks / 48), 1)
+        got = (out["doc_id"] == did).sum()
+        assert got == want, (did, n_toks, got, want)
+
+    # split is the portable md5 uniform of doc_id
+    for did in (1, 4):
+        u = int(hashlib.md5(str(did).encode()).hexdigest()[:8], 16) / 2**32
+        want = "train" if u < 0.8 else ("val" if u < 0.9 else "test")
+        assert (out.loc[out["doc_id"] == did, "split"] == want).all()
+
+    # hashed embeddings are l2-normalized
+    assert np.allclose(out["emb_norm"], 1.0)
