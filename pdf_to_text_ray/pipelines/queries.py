@@ -2177,10 +2177,48 @@ LEFT JOIN winners w ON w.group_root = c.group_root
 
 
 def neardup_simhash_docs(sf_dir: str):
+    """SimHash near-dup pairs with a FULL oracle: the engine-portable
+    md5 token hash makes the 64-bit signature SQL-replayable, and the
+    4×16-band search is COMPLETE for Hamming ≤ 3, so the banded result
+    equals DuckDB's exact bit_count self-join — every run doubles as a
+    banding-completeness assertion."""
     from ..stages.dedup import simhash_neardup_pairs
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return simhash_neardup_pairs(ds, max_hamming=3)
+    return simhash_neardup_pairs(ds, max_hamming=3, token_hash="md5")
+
+
+NEARDUP_SIMHASH_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(coalesce(text, '')),
+                                               '\s+'), x -> x <> '')) AS tok
+  FROM documents
+),
+tc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok),
+th AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h, c
+       FROM tc),
+bits AS (
+  SELECT doc_id, b.b,
+         sum(CASE WHEN (h >> b.b) & 1 = 1 THEN c ELSE -c END) AS vote
+  FROM th, (SELECT unnest(generate_series(0, 63)) AS b) b
+  GROUP BY doc_id, b.b
+),
+sig AS (
+  SELECT doc_id,
+         sum(CASE WHEN vote > 0 THEN (1::UBIGINT << b) ELSE 0 END)::UBIGINT
+           AS sh
+  FROM bits GROUP BY doc_id
+),
+allsig AS (
+  SELECT d.doc_id, coalesce(s.sh, 0)::UBIGINT AS sh
+  FROM documents d LEFT JOIN sig s USING (doc_id)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.sh, b.sh))::BIGINT AS hamming
+FROM allsig a JOIN allsig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 3
+"""
 
 
 def langid_docs(sf_dir: str):
@@ -7989,5 +8027,6 @@ ORACLE_SQL = {
     "neardup_minhash_docs": NEARDUP_MINHASH_SQL,
     "neardup_keep_docs": NEARDUP_MINHASH_KEEP_SQL,
     "neardup_keep_best_docs": NEARDUP_KEEP_BEST_SQL,
+    "neardup_simhash_docs": NEARDUP_SIMHASH_SQL,
     "orders_dow_volume": DOW_SQL,
 }

@@ -333,12 +333,28 @@ def _verify_pairs_join(ds, cand_pdf: pd.DataFrame, key_col: str, text_col: str,
 
 # ── SimHash ───────────────────────────────────────────────────────────
 
-def simhash64(text: str) -> int:
-    """64-bit SimHash over whitespace tokens (hash-weighted bit votes)."""
+def _md5_token_hashes(toks: np.ndarray) -> np.ndarray:
+    """Engine-portable 64-bit token hashes: first 16 md5 hex digits —
+    DuckDB computes the identical value, so a SimHash built on these is
+    SQL-replayable. Hash unique tokens only (token streams repeat)."""
+    uniq, inv = np.unique(toks, return_inverse=True)
+    hu = np.fromiter(
+        (int(hashlib.md5(t.encode()).hexdigest()[:16], 16) for t in uniq),
+        dtype=np.uint64, count=len(uniq))
+    return hu[inv]
+
+
+def simhash64(text: str, token_hash: str = "sip") -> int:
+    """64-bit SimHash over whitespace tokens (hash-weighted bit votes).
+
+    ``token_hash``: "sip" (pd.util.hash_array — fastest, process-stable)
+    or "md5" (engine-portable: the DuckDB oracle replays it exactly)."""
     toks = (text or "").lower().split()
     if not toks:
         return 0
-    arr = pd.util.hash_array(np.asarray(toks, dtype=object))  # stable siphash
+    arr = np.asarray(toks, dtype=object)
+    arr = (_md5_token_hashes(arr) if token_hash == "md5"
+           else pd.util.hash_array(arr))
     bits = ((arr[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1))
     votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
     sh = np.uint64(0)
@@ -348,7 +364,8 @@ def simhash64(text: str) -> int:
 
 
 def simhash_batch(batch, key_col: str = "doc_id",
-                  text_col: str = "text") -> pd.DataFrame:
+                  text_col: str = "text",
+                  token_hash: str = "sip") -> pd.DataFrame:
     import pyarrow as pa
 
     if isinstance(batch, pa.Table):
@@ -361,18 +378,23 @@ def simhash_batch(batch, key_col: str = "doc_id",
         {
             key_col: keys,
             "simhash": np.array(
-                [simhash64(t or "") for t in texts], dtype=np.uint64
+                [simhash64(t or "", token_hash) for t in texts],
+                dtype=np.uint64
             ).astype(np.int64),
         }
     )
 
 
 def simhash_neardup_pairs(ds, *, key_col: str = "doc_id", text_col: str = "text",
-                          max_hamming: int = 3, max_bucket: int = 500):
+                          max_hamming: int = 3, max_bucket: int = 500,
+                          token_hash: str = "sip"):
     """Pairs with Hamming(simhash) ≤ max_hamming via 4×16-bit band tables
-    (pigeonhole: any pair within Hamming ≤ 3 collides in ≥ 1 band)."""
+    (pigeonhole: any pair within Hamming ≤ 3 collides in ≥ 1 band) —
+    COMPLETE for max_hamming ≤ 3, so with ``token_hash="md5"`` the
+    result set equals the exact SQL self-join the oracle runs."""
     sigs = ds.map_batches(
-        lambda b: simhash_batch(b, key_col, text_col), batch_format="pyarrow"
+        lambda b: simhash_batch(b, key_col, text_col, token_hash),
+        batch_format="pyarrow"
     )
 
     def explode_bands(b: pd.DataFrame) -> pd.DataFrame:
