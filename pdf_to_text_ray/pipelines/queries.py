@@ -2229,6 +2229,52 @@ def langid_docs(sf_dir: str):
     return out.select_columns(["doc_id", "lang_pred"])
 
 
+def doc_winnow_selection(sf_dir: str):
+    """Winnowing SELECTION SET (Schleimer et al. 2003) with a FULL
+    oracle: md5-portable k-gram hashes make the window-min selection
+    SQL-replayable (MIN() OVER 15-PRECEDING frame + distinct), so the
+    fingerprint algorithm itself — not just its digest — is
+    oracle-verified. Doc-local, zero shuffle."""
+    from ..stages.analysis import winnow_selection_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: winnow_selection_batch(t), batch_format="pyarrow")
+
+
+WINNOW_SELECTION_SQL = r"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(coalesce(text, '')),
+                                     ' +', ' ', 'g')) AS s
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, i, substr(md5(substr(s, i, 8)), 1, 16) AS gh
+  FROM norm, LATERAL unnest(generate_series(1, len(s) - 7)) AS t(i)
+  WHERE len(s) >= 8
+),
+counts AS (SELECT doc_id, count(*) AS n FROM pos GROUP BY doc_id),
+small AS (
+  SELECT p.doc_id, min(p.gh) AS sel_hash
+  FROM pos p JOIN counts c USING (doc_id)
+  WHERE c.n <= 16 GROUP BY p.doc_id
+),
+wmin AS (
+  SELECT p.doc_id, p.i, c.n,
+         min(p.gh) OVER (PARTITION BY p.doc_id ORDER BY p.i
+                         ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS m
+  FROM pos p JOIN counts c USING (doc_id)
+),
+big AS (
+  SELECT DISTINCT doc_id, m AS sel_hash
+  FROM wmin WHERE n > 16 AND i >= 16
+)
+SELECT doc_id, sel_hash FROM small
+UNION ALL
+SELECT doc_id, sel_hash FROM big
+"""
+
+
 def fingerprint_docs(sf_dir: str):
     from ..stages.analysis import fingerprint_batch
 
@@ -7750,6 +7796,7 @@ QUERIES = {
     "neardup_simhash_docs": neardup_simhash_docs,
     "langid_docs": langid_docs,
     "fingerprint_docs": fingerprint_docs,
+    "doc_winnow_selection": doc_winnow_selection,
     "ann_lsh_cosine": ann_lsh_cosine,
     "ivf_cosine": ivf_cosine,
     "neardup_keep_docs": neardup_keep_docs,
@@ -8028,5 +8075,6 @@ ORACLE_SQL = {
     "neardup_keep_docs": NEARDUP_MINHASH_KEEP_SQL,
     "neardup_keep_best_docs": NEARDUP_KEEP_BEST_SQL,
     "neardup_simhash_docs": NEARDUP_SIMHASH_SQL,
+    "doc_winnow_selection": WINNOW_SELECTION_SQL,
     "orders_dow_volume": DOW_SQL,
 }

@@ -516,3 +516,41 @@ def bm25_term_scores(ds, query_terms: list[str], *, key_col: str = "doc_id",
 
     out = ds.map_batches(score_batch, batch_format="pyarrow").to_pandas()
     return out.sort_values([key_col, "term"]).reset_index(drop=True)
+
+
+def winnow_selection_batch(batch, *, k: int = 8, window: int = 16,
+                           key_col: str = "doc_id",
+                           text_col: str = "text") -> pd.DataFrame:
+    """Winnowing SELECTION SET per doc (Schleimer et al. 2003) with
+    engine-portable gram hashes: sel = distinct per-window minima of
+    md5(k-gram)[:16]. Fixed-width hex compares lexicographically like
+    the underlying uint64, so the whole pipeline stays on strings and
+    the DuckDB oracle replays it with MIN() OVER a 15-PRECEDING frame.
+    Docs with no k-gram (normalized length < k) emit nothing."""
+    import pyarrow as pa
+
+    if isinstance(batch, pa.Table):
+        texts = batch[text_col].to_pylist()
+        keys = batch[key_col].to_pylist()
+    else:
+        texts = batch[text_col].fillna("").tolist()
+        keys = batch[key_col].tolist()
+    out_key: list = []
+    out_sel: list[str] = []
+    for key, text in zip(keys, texts):
+        norm = " ".join((text or "").lower().split())
+        n = len(norm) - k + 1
+        if n <= 0:
+            continue
+        hs = np.fromiter(
+            (int(hashlib.md5(norm[i:i + k].encode()).hexdigest()[:16], 16)
+             for i in range(n)), dtype=np.uint64, count=n)
+        if n <= window:
+            sel = hs.min(keepdims=True)
+        else:
+            sel = np.unique(
+                np.lib.stride_tricks.sliding_window_view(hs, window)
+                .min(axis=1))
+        out_key.extend([key] * len(sel))
+        out_sel.extend(f"{v:016x}" for v in sel.tolist())
+    return pd.DataFrame({key_col: out_key, "sel_hash": out_sel})
