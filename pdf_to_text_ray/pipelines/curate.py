@@ -164,12 +164,13 @@ def rag_index_pipeline(sf_dir: str, *, chunk_width: int = 64,
     Every stage is covered by its own oracle-checked query
     (gopher_quality_docs, dedup_exact_docs, doc_overlap_chunks,
     doc_split_assign); the composition itself is rows-only."""
-    import hashlib
     import os
 
     import ray.data as rd
 
     from ..stages.classifier import hash_features
+    from ..stages.curation import explode_token_chunks
+    from ..stages.sketches import assign_split
 
     path = os.path.join(sf_dir, "documents.parquet")
     ds = rd.read_parquet(path, columns=["doc_id", "text"])
@@ -177,22 +178,11 @@ def rag_index_pipeline(sf_dir: str, *, chunk_width: int = 64,
     deduped = _exact_dedup_keep(gated)
 
     def explode_embed(t: pa.Table) -> pa.Table:
-        out_id: list[int] = []
-        out_idx: list[int] = []
-        out_n: list[int] = []
-        chunks: list[str] = []
-        for i, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            toks = (s or "").split(" ")
-            for ci, start in enumerate(range(0, len(toks), chunk_stride)):
-                chunk = toks[start:start + chunk_width]
-                out_id.append(i)
-                out_idx.append(ci)
-                out_n.append(len(chunk))
-                chunks.append(" ".join(chunk))
+        out_id, out_idx, out_n, chunks = explode_token_chunks(
+            t["doc_id"].to_pylist(), t["text"].to_pylist(),
+            width=chunk_width, stride=chunk_stride)
         emb = hash_features(chunks, embed_dim).astype(np.float32)
-        u = np.array([int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
-                      for i in out_id], np.float64) / 4294967296.0
-        split = np.where(u < 0.8, "train", np.where(u < 0.9, "val", "test"))
+        split = assign_split(out_id)
         return pa.table({
             "doc_id": pa.array(out_id, pa.int64()),
             "chunk_idx": pa.array(out_idx, pa.int64()),

@@ -503,19 +503,7 @@ def run_extract(
     if not files:
         raise ValueError(f"no parquet files in {in_dir}")
     waves = [files[i : i + files_per_wave] for i in range(0, len(files), files_per_wave)]
-    # Lineage-validated resume: a wave counts as done ONLY if its
-    # manifest's recorded input_files equal the wave's CURRENT
-    # composition. Appending input files that sort before existing ones
-    # shifts every later wave's membership — blind index-based skipping
-    # would then silently drop some files and double-process others.
-    # Mismatched waves reprocess (run_unit clears their dir first), so
-    # incremental corpus growth self-heals whatever the sort order.
     manifests = mstate.load_manifests(out_dir)
-    done = {
-        i for i, wf in enumerate(waves)
-        if (m := manifests.get(i)) is not None
-        and m.get("input_files") == [os.path.basename(f) for f in wf]
-    }
     winners_ref = None
     winners_dir = None
     if dedup:
@@ -531,6 +519,70 @@ def run_extract(
             import ray
 
             winners_ref = ray.put(compute_latest_winners(files))
+
+    def unit_digest(unit_files: list[str]) -> str | None:
+        """Order-free digest of the unit's SURVIVING (url, warc_ts)
+        pairs — exactly what the unit's output depends on. Pruned
+        2-column scan through the same winner filter the unit itself
+        uses; per-batch partial = wrapping uint64 sum of mixed hashes,
+        so the digest is scheduling- and partitioning-independent."""
+        if not dedup:
+            return None
+        import numpy as np
+        import pandas as pd
+
+        proj = rd.read_parquet(unit_files, columns=["url", "warc_ts"])
+        if winners_dir is not None:
+            proj = filter_latest_bucketed(proj, winners_dir)
+        elif winners_ref is not None:
+            proj = filter_latest(proj, winners_ref)
+
+        def partial(t: pa.Table) -> pa.Table:
+            uh = pd.util.hash_array(
+                np.asarray(t["url"].to_pylist(), dtype=object))
+            ts = t["warc_ts"].to_numpy(zero_copy_only=False)\
+                .astype("datetime64[us]").view("uint64")
+            z = uh ^ ts
+            z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            z = z ^ (z >> np.uint64(31))
+            acc = np.bitwise_xor.reduce(z) if len(z) else np.uint64(0)
+            n = np.uint64(len(z))
+            return pa.table({"x": pa.array([int(acc)], pa.uint64()),
+                             "n": pa.array([int(n)], pa.uint64())})
+
+        parts = proj.map_batches(partial, batch_format="pyarrow").to_pandas()
+        acc = np.uint64(0)
+        n = np.uint64(0)
+        if len(parts):  # a fully-deduped unit yields an empty frame
+            for x, m in zip(parts["x"], parts["n"]):
+                acc ^= np.uint64(x)
+                n += np.uint64(m)
+        return f"{int(acc):016x}:{int(n)}"
+
+    # Lineage-validated resume: a wave counts as done ONLY if (a) its
+    # manifest's recorded input_files equal the wave's CURRENT
+    # composition — appending input files that sort before existing
+    # ones shifts every later wave's membership; blind index-based
+    # skipping would silently drop some files and double-process
+    # others — AND (b) under dedup, its recorded survivor digest still
+    # matches: a newer duplicate arriving in ANOTHER file demotes this
+    # wave's row from winner to loser, so the wave must re-run even
+    # though its own files are unchanged. Mismatched waves reprocess
+    # (run_unit clears their dir first) — incremental corpus growth
+    # self-heals whatever the sort order.
+    done = set()
+    wave_digests: dict[int, str | None] = {}
+    for i, wf in enumerate(waves):
+        m = manifests.get(i)
+        if m is None or m.get("input_files") != [os.path.basename(f) for f in wf]:
+            continue
+        if dedup:
+            dig = unit_digest(wf)
+            wave_digests[i] = dig
+            if m.get("survivor_digest") != dig:
+                continue
+        done.add(i)
     import shutil as _shutil
 
     _ZERO = {"rows": 0, "pdf_docs": 0, "html_docs": 0, "text_docs": 0,
@@ -599,14 +651,36 @@ def run_extract(
             done_subs = mstate.completed_subunits(out_dir, wave_idx)
             os.makedirs(wdir, exist_ok=True)
             sub_metrics: list[dict[str, Any]] = []
+            kept_sub_dirs: set[str] = set()
+            sub_plan: list[tuple[int, str, str | None, bool]] = []
             for sub_idx, f in enumerate(wave_files):
                 # mid-wave resume: skip done files — with the same
-                # lineage check as waves (the recorded file must be
-                # THIS file, or the sub-unit reruns)
+                # lineage checks as waves (the recorded file must be
+                # THIS file AND, under dedup, its survivor digest must
+                # be unchanged — a newer duplicate in another file
+                # demotes this file's row)
                 sub = done_subs.get(sub_idx)
-                if sub is not None and sub.get("input_files") == \
-                        [os.path.basename(f)]:
-                    sub_metrics.append(sub["metrics"])
+                sdig = unit_digest([f])
+                ok = (sub is not None
+                      and sub.get("input_files") == [os.path.basename(f)]
+                      and (not dedup or sub.get("survivor_digest") == sdig))
+                sub_plan.append((sub_idx, f, sdig, ok))
+                if ok:
+                    kept_sub_dirs.add(os.path.basename(
+                        mstate.sub_dir(out_dir, wave_idx, sub_idx)))
+            # purge stale wave-dir content a previous run/mode left
+            # behind (flat parquet from a non-granular attempt, or
+            # file=NNN dirs of an old composition) — run_unit only
+            # clears the sub dirs it is about to rewrite, so without
+            # this the old rows would merge into the re-run's output
+            for entry in os.listdir(wdir):
+                if entry not in kept_sub_dirs:
+                    p = os.path.join(wdir, entry)
+                    (_shutil.rmtree(p, ignore_errors=True)
+                     if os.path.isdir(p) else os.unlink(p))
+            for sub_idx, f, sdig, ok in sub_plan:
+                if ok:
+                    sub_metrics.append(done_subs[sub_idx]["metrics"])
                     continue
                 if (fault_inject_after_files is not None
                         and files_ran >= fault_inject_after_files):
@@ -617,6 +691,7 @@ def run_extract(
                 mstate.write_sub_manifest(out_dir, wave_idx, sub_idx, {
                     "wave": wave_idx, "file_idx": sub_idx,
                     "input_files": [os.path.basename(f)], "metrics": m,
+                    "survivor_digest": sdig,
                 })
                 sub_metrics.append(m)
                 files_ran += 1
@@ -629,14 +704,16 @@ def run_extract(
             metrics["docs_per_sec"] = round(metrics["rows"] / ws, 2) if ws else 0.0
         else:
             metrics = run_unit(wave_files, wdir)
-        mstate.write_manifest(
-            out_dir,
-            wave_idx,
-            {
-                "wave": wave_idx,
-                "input_files": [os.path.basename(f) for f in wave_files],
-                "metrics": metrics,
-            },
-        )
+        dig = wave_digests.get(wave_idx)
+        if dig is None and dedup:
+            dig = unit_digest(wave_files)
+        payload: dict[str, Any] = {
+            "wave": wave_idx,
+            "input_files": [os.path.basename(f) for f in wave_files],
+            "metrics": metrics,
+        }
+        if dedup:
+            payload["survivor_digest"] = dig
+        mstate.write_manifest(out_dir, wave_idx, payload)
         ran += 1
     return mstate.summarize(out_dir)

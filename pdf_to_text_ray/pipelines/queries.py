@@ -1337,6 +1337,9 @@ def events_hourly_dense(sf_dir: str):
            .groupby("hour_bucket")
            .aggregate(Count(alias_name="n"))
            .to_pandas().set_index("hour_bucket"))
+    if out.empty:  # empty input: oracle's generate_series is empty too
+        return pd.DataFrame({"hour_bucket": pd.Series([], dtype="int64"),
+                             "n": pd.Series([], dtype="int64")})
     dense = out.reindex(range(int(out.index.min()), int(out.index.max()) + 1),
                         fill_value=0)
     return pd.DataFrame({
@@ -1587,16 +1590,26 @@ def doc_lm_perplexity(sf_dir: str):
 
     def r6(t: pa.Table) -> pa.Table:
         x = t["lm_perplexity"].to_numpy(zero_copy_only=False)
+        # docs with <3 normalized chars score NaN; the SQL twin emits
+        # no row for them (its position explode is empty) — drop on
+        # this side too so row counts agree
+        keep = ~np.isnan(x)
+        x = x[keep]
         y = np.copysign(np.floor(np.abs(x * 1e6) + 0.5), x) / 1e6
-        return pa.table({"doc_id": t["doc_id"],
-                         "lm_perplexity": pa.array(y, pa.float64())})
+        return pa.table({
+            "doc_id": t["doc_id"].filter(pa.array(keep)),
+            "lm_perplexity": pa.array(y, pa.float64())})
 
     return lm_perplexity(ds).map_batches(r6, batch_format="pyarrow")
 
 
-LM_PERPLEXITY_SQL = """
+# ASCII-corpus assumption (byte == codepoint): the engine hashes UTF-8
+# bytes while ascii() yields codepoints; they agree only on ASCII,
+# which the driver corpora are.
+LM_PERPLEXITY_SQL = r"""
 WITH norm AS (
-  SELECT doc_id, trim(regexp_replace(lower(text), ' +', ' ', 'g')) AS s
+  SELECT doc_id, trim(regexp_replace(lower(coalesce(text, '')),
+                                     '\s+', ' ', 'g')) AS s
   FROM documents
 ),
 pos AS (
@@ -2181,11 +2194,15 @@ def neardup_simhash_docs(sf_dir: str):
     md5 token hash makes the 64-bit signature SQL-replayable, and the
     4×16-band search is COMPLETE for Hamming ≤ 3, so the banded result
     equals DuckDB's exact bit_count self-join — every run doubles as a
-    banding-completeness assertion."""
+    banding-completeness assertion. ``max_bucket`` is lifted (the
+    default 500-row degenerate-bucket guard would silently drop pairs
+    if >500 docs shared a band value, breaking the completeness
+    claim)."""
     from ..stages.dedup import simhash_neardup_pairs
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return simhash_neardup_pairs(ds, max_hamming=3, token_hash="md5")
+    return simhash_neardup_pairs(ds, max_hamming=3, token_hash="md5",
+                                 max_bucket=1 << 30)
 
 
 NEARDUP_SIMHASH_SQL = r"""
@@ -2245,7 +2262,7 @@ def doc_winnow_selection(sf_dir: str):
 WINNOW_SELECTION_SQL = r"""
 WITH norm AS (
   SELECT doc_id, trim(regexp_replace(lower(coalesce(text, '')),
-                                     ' +', ' ', 'g')) AS s
+                                     '\s+', ' ', 'g')) AS s
   FROM documents
 ),
 pos AS (
@@ -4708,18 +4725,15 @@ def doc_split_assign(sf_dir: str):
     engine-portable md5 uniform — the assignment is a pure function of
     doc_id, so re-runs, other engines, and the SQL oracle all agree;
     no shuffle, no RNG state."""
-    import hashlib
+    from ..stages.sketches import assign_split
 
     ds = _read(sf_dir, "documents", ["doc_id"])
 
     def assign(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_pylist()
-        u = np.array([int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
-                      for i in ids], np.float64) / 4294967296.0
-        split = np.where(u < 0.8, "train", np.where(u < 0.9, "val", "test"))
         return pa.table({
             "doc_id": pa.array(np.asarray(ids, np.int64)),
-            "split": pa.array(split, pa.string()),
+            "split": pa.array(assign_split(ids), pa.string()),
         })
 
     return ds.map_batches(assign, batch_format="pyarrow")
@@ -7486,21 +7500,30 @@ WHERE o_custkey IN
 
 
 def _ensure_bucketed_store(sf_dir: str) -> tuple[str, str]:
-    """Write orders + customer storage-bucketed by custkey ONCE per sf
-    (hive dir per bucket, _DONE marker; stale partials rmtree'd) — the
-    ingest-time shuffle that later bucket-local joins amortize."""
+    """Write orders + customer storage-bucketed by custkey ONCE per
+    source version — the ingest-time shuffle that later bucket-local
+    joins amortize. Cache keyed by the source parquets' (size, mtime)
+    so regenerated testdata invalidates it (and distinct worker caches
+    see a distinct small_dir path); the build lands via an atomic
+    rename, so a racing second process either sees the finished store
+    or re-builds in its own temp dir and loses the rename benignly."""
     import shutil
 
     from ..stages.joins import write_bucketed
 
-    key = os.path.basename(os.path.normpath(sf_dir))
+    sig = []
+    for name in ("orders", "customer"):
+        st = os.stat(os.path.join(sf_dir, f"{name}.parquet"))
+        sig.append(f"{st.st_size}_{int(st.st_mtime)}")
+    key = (os.path.basename(os.path.normpath(sf_dir))
+           + "-" + "-".join(sig))
     base = os.path.join("/tmp/ptt_bucketed", key)
     orders_dir = os.path.join(base, "orders")
     cust_dir = os.path.join(base, "customer")
-    done = os.path.join(base, "_DONE")
-    if not os.path.exists(done):
-        shutil.rmtree(base, ignore_errors=True)
-        os.makedirs(base, exist_ok=True)
+    if not os.path.isdir(base):
+        tmp = f"{base}.tmp.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
         orders = _read(sf_dir, "orders",
                        ["o_orderkey", "o_custkey", "o_totalprice"])
         cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
@@ -7512,11 +7535,14 @@ def _ensure_bucketed_store(sf_dir: str) -> tuple[str, str]:
             return t.rename_columns(["custkey", "c_name"])
 
         write_bucketed(orders.map_batches(rn_orders, batch_format="pyarrow"),
-                       "custkey", orders_dir, num_buckets=8)
+                       "custkey", os.path.join(tmp, "orders"), num_buckets=8)
         write_bucketed(cust.map_batches(rn_cust, batch_format="pyarrow"),
-                       "custkey", cust_dir, num_buckets=8)
-        with open(done, "w") as f:
-            f.write("ok")
+                       "custkey", os.path.join(tmp, "customer"),
+                       num_buckets=8)
+        try:
+            os.rename(tmp, base)
+        except OSError:  # another process won the race
+            shutil.rmtree(tmp, ignore_errors=True)
     return orders_dir, cust_dir
 
 
@@ -7557,28 +7583,18 @@ def doc_overlap_chunks(sf_dir: str):
     Chunk boundaries are pure arithmetic over the doc's own token list
     (zero shuffle); the oracle replays the same windows via
     generate_series + list slicing."""
+    from ..stages.curation import explode_token_chunks
+
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    width, stride = 64, 48
 
     def explode(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        out_id: list[int] = []
-        out_idx: list[int] = []
-        out_n: list[int] = []
-        out_text: list[str] = []
-        for i, s in zip(ids.tolist(), t["text"].to_pylist()):
-            toks = (s or "").split(" ")
-            for ci, start in enumerate(range(0, len(toks), stride)):
-                chunk = toks[start:start + width]
-                out_id.append(i)
-                out_idx.append(ci)
-                out_n.append(len(chunk))
-                out_text.append(" ".join(chunk))
+        ids, idxs, ns, txts = explode_token_chunks(
+            t["doc_id"].to_pylist(), t["text"].to_pylist())
         return pa.table({
-            "doc_id": pa.array(out_id, pa.int64()),
-            "chunk_idx": pa.array(out_idx, pa.int64()),
-            "n_tokens": pa.array(out_n, pa.int64()),
-            "chunk_text": pa.array(out_text, pa.string()),
+            "doc_id": pa.array(ids, pa.int64()),
+            "chunk_idx": pa.array(idxs, pa.int64()),
+            "n_tokens": pa.array(ns, pa.int64()),
+            "chunk_text": pa.array(txts, pa.string()),
         })
 
     return ds.map_batches(explode, batch_format="pyarrow")

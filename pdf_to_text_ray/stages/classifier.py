@@ -43,9 +43,6 @@ __all__ = [
     "default_label_batch",
 ]
 
-_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
-
-
 def hash_features(texts: list[str | None], dim: int) -> np.ndarray:
     """(n, dim) float64 l2-normalized hashed token counts."""
     out = np.zeros((len(texts), dim), np.float64)
@@ -63,25 +60,63 @@ def hash_features(texts: list[str | None], dim: int) -> np.ndarray:
 
 
 def default_label_batch(t: pa.Table, text_col: str = "text") -> np.ndarray:
-    """Deterministic weak-supervision labels (a Gopher-style rule:
-    20-50k words would be absurd at fixture scale, so: ≥30 tokens,
-    mean token length in [3, 10], ≥2 distinct stopword hits). The
-    classifier generalizes the rule into a soft score."""
+    """Deterministic weak-supervision labels: composite quality score
+    0.6·TTR + 0.4·min(n_tokens, 100)/100 ≥ 0.52 — high type-token
+    ratio (non-repetitive) AND reasonable length score well, the
+    Gopher-repetition family as a soft score. On a real corpus you'd
+    swap ``label_fn`` for source labels (wikipedia-vs-crawl, the GPT-3
+    recipe); the driver's synthetic corpora carry NO content signal
+    (one shared vocabulary across langs/sources — measured: a
+    fully-converged model predicting lang-from-text tops out at 0.6),
+    so the default label must be a shape rule for the training demo to
+    have anything to learn.
+
+    Returns {0.0, 1.0, nan}: nan marks docs within ±0.02 of the
+    threshold — ambiguous examples excluded from TRAINING (standard
+    confident-label practice; they are still SCORED)."""
     labels = np.zeros(t.num_rows, np.float64)
     for i, s in enumerate(t[text_col].to_pylist()):
         toks = tokenize_ascii(s or "")
-        if len(toks) < 30:
+        if not toks:
             continue
-        mean_len = sum(map(len, toks)) / len(toks)
-        if not (3.0 <= mean_len <= 10.0):
-            continue
-        if len(set(toks) & set(_STOPWORDS)) >= 2:
+        ttr = len(set(toks)) / len(toks)
+        score = 0.6 * ttr + 0.4 * min(len(toks), 100) / 100.0
+        if abs(score - 0.52) < 0.02:
+            labels[i] = float("nan")
+        elif score >= 0.52:
             labels[i] = 1.0
     return labels
 
 
 def _sigmoid(z: np.ndarray) -> np.ndarray:
     return 0.5 * (1.0 + np.tanh(0.5 * z))
+
+
+N_SHAPE = 4  # appended dense features beyond the hashed dims
+
+
+def feature_matrix(texts: list[str | None], dim: int) -> np.ndarray:
+    """(n, dim + N_SHAPE): l2-normalized hashed counts PLUS four dense
+    shape features a LINEAR model needs to express repetition/length
+    rules (a norm ratio is nonlinear in raw counts, so pure BoW cannot
+    learn a type-token-ratio gate): TTR, capped length share, mean
+    token length, and count concentration (l2/l1 — high = repetitive)."""
+    x = hash_features(texts, dim)
+    shape = np.zeros((len(texts), N_SHAPE), np.float64)
+    for i, s in enumerate(texts):
+        toks = tokenize_ascii(s or "")
+        n = len(toks)
+        if not n:
+            continue
+        counts: dict[str, int] = {}
+        for t in toks:
+            counts[t] = counts.get(t, 0) + 1
+        c = np.fromiter(counts.values(), np.float64, len(counts))
+        shape[i, 0] = len(counts) / n
+        shape[i, 1] = min(n, 100) / 100.0
+        shape[i, 2] = min(sum(map(len, toks)) / n / 10.0, 1.0)
+        shape[i, 3] = float(np.linalg.norm(c) / c.sum())
+    return np.hstack([x, shape])
 
 
 def lr_train(ds, *, dim: int = 256, n_iters: int = 20, lr: float = 2.0,
@@ -103,15 +138,20 @@ def lr_train(ds, *, dim: int = 256, n_iters: int = 20, lr: float = 2.0,
 
         ds = ds.map_batches(keep, batch_format="pyarrow")
 
-    # One materialization of the FEATURES (n × dim floats + label),
+    fdim = dim + N_SHAPE
+
+    # One materialization of the FEATURES (n × fdim floats + label),
     # not the text: n_iters passes then re-tokenize nothing.
     def featurize(t: pa.Table) -> pa.Table:
-        x = hash_features(t[text_col].to_pylist(), dim)
+        x = feature_matrix(t[text_col].to_pylist(), dim)
         y = label_fn(t, text_col)
+        conf = ~np.isnan(y)  # drop label_fn's ambiguous (nan) examples
+        x, y = x[conf], y[conf]
+        keys = t[key_col].to_numpy(zero_copy_only=False)[conf]
         return pa.table({
-            key_col: t[key_col],
+            key_col: pa.array(keys),
             "x": pa.FixedSizeListArray.from_arrays(
-                pa.array(x.ravel(), pa.float32()), dim),
+                pa.array(x.ravel(), pa.float32()), fdim),
             "y": pa.array(y, pa.float32()),
         })
 
@@ -121,7 +161,7 @@ def lr_train(ds, *, dim: int = 256, n_iters: int = 20, lr: float = 2.0,
     # 10^6 training docs stay ≪ 2^63 at 2^40.
     SCALE = float(1 << 40)
 
-    w = np.zeros(dim, np.float64)
+    w = np.zeros(fdim, np.float64)
     b = 0.0
     losses: list[float] = []
     for _ in range(n_iters):
@@ -131,8 +171,11 @@ def lr_train(ds, *, dim: int = 256, n_iters: int = 20, lr: float = 2.0,
             import ray as _ray
 
             wt, bt = _ray.get(ref)
-            x = np.asarray(t["x"].to_numpy(zero_copy_only=False).tolist(),
-                           np.float64).reshape(t.num_rows, dim)
+            # zero-copy read of the FixedSizeList buffer (a .tolist()
+            # round-trip here was the dominant per-iteration cost)
+            x = t["x"].combine_chunks().flatten().to_numpy(
+                zero_copy_only=False).astype(np.float64)\
+                .reshape(t.num_rows, fdim)
             y = t["y"].to_numpy(zero_copy_only=False).astype(np.float64)
             p = _sigmoid(x @ wt + bt)
             err = p - y
@@ -153,7 +196,7 @@ def lr_train(ds, *, dim: int = 256, n_iters: int = 20, lr: float = 2.0,
 
         parts = feats.map_batches(partial, batch_format="pyarrow").to_pandas()
         n = float(parts["n"].sum())
-        gw_int = np.zeros(dim, np.int64)
+        gw_int = np.zeros(fdim, np.int64)
         for buf in parts["gw"]:
             gw_int += np.frombuffer(buf, np.int64)
         gw = gw_int / SCALE / n + l2 * w
@@ -167,15 +210,16 @@ def lr_train(ds, *, dim: int = 256, n_iters: int = 20, lr: float = 2.0,
 def lr_score_dataset(ds, w: np.ndarray, b: float, *, dim: int | None = None,
                      key_col: str = "doc_id", text_col: str = "text"):
     """Score every row: (key, prob, pred) — one streaming pass,
-    weights broadcast once."""
+    weights broadcast once. ``dim`` is the HASHED dim (defaults to
+    len(w) - N_SHAPE; the shape features ride at the end)."""
     import ray
 
-    dim = dim if dim is not None else len(w)
+    dim = dim if dim is not None else len(w) - N_SHAPE
     ref = ray.put((np.asarray(w, np.float64), float(b)))
 
     def score(t: pa.Table) -> pa.Table:
         wt, bt = ray.get(ref)
-        x = hash_features(t[text_col].to_pylist(), dim)
+        x = feature_matrix(t[text_col].to_pylist(), dim)
         p = _sigmoid(x @ wt + bt)
         return pa.table({
             key_col: t[key_col],

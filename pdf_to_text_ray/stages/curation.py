@@ -377,3 +377,25 @@ def contamination_stats(ds, bench_grams_ref, *, id_col: str = "doc_id",
         })
 
     return ds.map_batches(probe, batch_format="pyarrow")
+
+
+def explode_token_chunks(ids, texts, *, width: int = 64, stride: int = 48):
+    """Overlapping token-window chunk explode shared by
+    queries.doc_overlap_chunks and curate.rag_index_pipeline (one
+    definition so the flagship stays consistent with the
+    oracle-checked constituent): returns parallel lists
+    (ids, chunk_idx, n_tokens, chunk_text). Tokenization is a plain
+    single-space split — the SQL twin's str_split."""
+    out_id: list = []
+    out_idx: list[int] = []
+    out_n: list[int] = []
+    out_text: list[str] = []
+    for i, s in zip(ids, texts):
+        toks = (s or "").split(" ")
+        for ci, start in enumerate(range(0, len(toks), stride)):
+            chunk = toks[start:start + width]
+            out_id.append(i)
+            out_idx.append(ci)
+            out_n.append(len(chunk))
+            out_text.append(" ".join(chunk))
+    return out_id, out_idx, out_n, out_text

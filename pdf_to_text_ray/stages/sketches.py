@@ -285,3 +285,22 @@ def bloom_corpus_ngrams(ds, *, text_col: str = "text", n: int = 13,
     for buf in parts["bloom"]:
         acc |= np.frombuffer(buf, dtype=np.uint64)
     return acc
+
+
+def md5_uniform(ids) -> np.ndarray:
+    """Engine-portable deterministic uniform in [0, 1) per id: first 8
+    md5 hex digits / 2^32 — DuckDB computes the identical double via
+    ('0x' || substr(md5(id::VARCHAR), 1, 8))::UBIGINT / 4294967296.0
+    (property-tested exact in test_property.py). THE single source for
+    every split/sample that needs a portable uniform."""
+    import hashlib
+
+    return np.array(
+        [int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+         for i in ids], np.float64) / 4294967296.0
+
+
+def assign_split(ids, train: float = 0.8, val: float = 0.9) -> np.ndarray:
+    """Deterministic train/val/test assignment on the md5 uniform."""
+    u = md5_uniform(ids)
+    return np.where(u < train, "train", np.where(u < val, "val", "test"))

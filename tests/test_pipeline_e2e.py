@@ -450,3 +450,71 @@ def test_incremental_append_shifts_waves_and_self_heals(ray_session,
     assert sorted(out["url"]) == sorted(golden["url"].to_pylist())
     assert summary["metrics"]["rows"] == len(out)
     assert len(done_before) >= 1  # first run did complete waves
+
+
+def test_incremental_append_newer_duplicate_demotes_old_winner(
+        ray_session, tmp_path, corpus):
+    """A file appended AFTER a completed run that sorts LAST (waves
+    unshifted) carrying a NEWER warc_ts for an existing url must demote
+    the already-written row: the survivor-digest lineage check reruns
+    exactly the affected wave, so the url appears ONCE with the new
+    timestamp."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    pages, golden = corpus
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(in_dir)
+    n = pages.num_rows
+    for s in range(2):
+        lo = s * n // 2
+        pq.write_table(pages.slice(lo, (s + 1) * n // 2 - lo),
+                       os.path.join(in_dir, f"part-{s}.parquet"))
+    run_extract(in_dir, out_dir, files_per_wave=1)
+
+    # newer duplicate of the first wave's first url, in a last-sorting
+    # file: wave composition is unchanged, only the winner set moves
+    victim = pages.slice(0, 1).to_pydict()
+    import pandas as pd
+    dup = pages.slice(0, 1)
+    tbl = dup.set_column(
+        dup.schema.get_field_index("warc_ts"), "warc_ts",
+        pa.array([pd.Timestamp(max(pages["warc_ts"].to_pylist()))
+                  + pd.Timedelta(days=1)], type=dup.schema.field("warc_ts").type))
+    pq.write_table(tbl, os.path.join(in_dir, "part-zzz.parquet"))
+
+    run_extract(in_dir, out_dir, files_per_wave=1)
+    out = rd.read_parquet(out_dir, columns=["url", "warc_ts"]).to_pandas()
+    url = victim["url"][0]
+    rows = out[out["url"] == url]
+    assert len(rows) == 1, f"duplicate url rows after append: {len(rows)}"
+    assert rows["warc_ts"].iloc[0] == tbl["warc_ts"][0].as_py()
+    # no other url duplicated either
+    assert out["url"].is_unique
+
+
+def test_granular_rerun_clears_stale_flat_wave_output(ray_session,
+                                                      tmp_path, corpus):
+    """Mode mix: run 1 (non-granular) leaves flat parquet in wave dirs;
+    a prepended file shifts compositions and run 2 (granular) reruns
+    the waves — stale flat output must be purged, not merged."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    pages, golden = corpus
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(in_dir)
+    n = pages.num_rows
+    held = pages.slice(0, n // 3)
+    rest = pages.slice(n // 3)
+    pq.write_table(rest, os.path.join(in_dir, "part-m.parquet"))
+    run_extract(in_dir, out_dir, files_per_wave=1)
+
+    pq.write_table(held, os.path.join(in_dir, "part-a.parquet"))
+    run_extract(in_dir, out_dir, files_per_wave=1,
+                file_granular_resume=True)
+    out = rd.read_parquet(out_dir, columns=["url"]).to_pandas()
+    assert out["url"].is_unique
+    assert sorted(out["url"]) == sorted(golden["url"].to_pylist())
