@@ -4710,6 +4710,66 @@ def sample_weighted_docs(sf_dir: str, k: int = 20):
     return top[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
 
 
+def events_ivm_counts(sf_dir: str):
+    """Incremental view maintenance: a per-type (count, sum) aggregate
+    is MAINTAINED by merging a delta aggregate instead of recomputed —
+    the lakehouse pattern that makes a 100 TB rollup affordable when
+    1% of rows change. The v2 snapshot is derived deterministically
+    (event_id%13 removed, %7 value+1, %11 cloned under a new id); the
+    delta (-1/-v for removes, Δv for changes, +1/+v for adds) is pure
+    per-batch arithmetic — ZERO extra shuffle beyond the two tiny
+    grouped partials. Oracle recomputes the v2 aggregate from scratch,
+    so any drift between maintained and true state hash-mismatches."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    base = (ds.groupby("event_type")
+            .aggregate(Count(alias_name="n"), Sum("value", alias_name="v"))
+            .to_pandas())
+
+    def delta(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy(zero_copy_only=False)
+        v = t["value"].to_numpy(zero_copy_only=False)
+        removed = ids % 13 == 0
+        changed = (~removed) & (ids % 7 == 0)
+        cloned = (~removed) & (ids % 11 == 0)
+        dn = np.where(removed, -1, 0) + cloned.astype(np.int64)
+        dv = (np.where(removed, -v, 0.0)
+              + np.where(changed, 1.0, 0.0)          # value+1 delta
+              + np.where(cloned, np.where(changed, v + 1.0, v), 0.0))
+        return pa.table({"event_type": t["event_type"],
+                         "dn": pa.array(dn, pa.int64()),
+                         "dv": pa.array(dv, pa.float64())})
+
+    d = (ds.map_batches(delta, batch_format="pyarrow")
+         .groupby("event_type")
+         .aggregate(Sum("dn", alias_name="dn"), Sum("dv", alias_name="dv"))
+         .to_pandas())
+    out = base.merge(d, on="event_type", how="outer").fillna(0.0)
+    return pd.DataFrame({
+        "event_type": out["event_type"],
+        "n": (out["n"] + out["dn"]).astype("int64"),
+        "total": round2(out["v"] + out["dv"]),
+    }).sort_values("event_type").reset_index(drop=True)
+
+
+IVM_SQL = """
+WITH newv AS (
+  SELECT event_type, value FROM events WHERE event_id % 13 <> 0 AND event_id % 7 <> 0
+  UNION ALL
+  SELECT event_type, value + 1.0 FROM events
+  WHERE event_id % 13 <> 0 AND event_id % 7 = 0
+  UNION ALL
+  SELECT event_type, CASE WHEN event_id % 7 = 0 THEN value + 1.0
+                          ELSE value END
+  FROM events WHERE event_id % 13 <> 0 AND event_id % 11 = 0
+)
+SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+FROM newv GROUP BY event_type
+"""
+
+
 def rag_index_docs(sf_dir: str):
     """The composed RAG-index flagship (pipelines/curate.py::
     rag_index_pipeline): gate → dedup → chunk → embed → split, one lazy
@@ -7780,6 +7840,7 @@ QUERIES = {
     "doc_overlap_chunks": doc_overlap_chunks,
     "doc_split_assign": doc_split_assign,
     "rag_index_docs": rag_index_docs,
+    "events_ivm_counts": events_ivm_counts,
     "quality_classifier_docs": quality_classifier_docs,
     # text
     "doc_token_stats": doc_token_stats,
@@ -7974,6 +8035,7 @@ ORACLE_SQL = {
     "bloom_prune_orders": BLOOM_PRUNE_SQL,
     "bucketed_storage_join_orders": BUCKETED_STORE_JOIN_SQL,
     "corpus_snapshot_diff": SNAPSHOT_DIFF_SQL,
+    "events_ivm_counts": IVM_SQL,
     "join_native_customer_orders": NATIVE_JOIN_SQL,
     "doc_overlap_chunks": OVERLAP_CHUNKS_SQL,
     "doc_split_assign": SPLIT_ASSIGN_SQL,
