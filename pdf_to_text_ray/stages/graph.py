@@ -198,6 +198,8 @@ def triangle_count(edges, *, u_col: str = "u", v_col: str = "v",
 
     deg_pdf = (e.map_batches(endpoints, batch_format="pyarrow")
                .groupby("node").count().to_pandas())
+    if deg_pdf.empty:  # no non-loop edges → no triangles
+        return pd.DataFrame({"n_triangles": pd.Series([0], dtype="int64")})
     nodes = deg_pdf["node"].to_numpy().astype(np.int64)
     degs = deg_pdf["count()"].to_numpy().astype(np.int64)
     order = np.argsort(nodes, kind="stable")
@@ -219,25 +221,50 @@ def triangle_count(edges, *, u_col: str = "u", v_col: str = "v",
 
     oriented = e.map_batches(orient, batch_format="pyarrow")
 
-    # wedge explosion per center (vectorized pair gen; out-deg ≤ O(√m))
+    # wedge explosion per center — vectorized ACROSS groups (one rank
+    # lookup + one lexsort for the whole bucket, pair indices built
+    # from per-group offsets; no per-center Python iteration, per
+    # groups.py's own contract)
     def wedges_bucket(g: pd.DataFrame) -> pd.DataFrame:
         nd, rk = ray.get(ref)
-        outs_a, outs_b = [], []
-        for _, grp in g.groupby("src", sort=False):
-            nb = grp["dst"].to_numpy()
-            if len(nb) < 2:
-                continue
-            nb = nb[np.argsort(rk[np.searchsorted(nd, nb)], kind="stable")]
-            ii, jj = np.triu_indices(len(nb), k=1)
-            outs_a.append(nb[ii])
-            outs_b.append(nb[jj])
-        if not outs_a:
+        src = g["src"].to_numpy()
+        dst = g["dst"].to_numpy()
+        # sort rows by (src, rank(dst)) so each center's neighbors are
+        # contiguous and orientation-ordered
+        rdst = rk[np.searchsorted(nd, dst)]
+        order = np.lexsort((rdst, src))
+        src, dst = src[order], dst[order]
+        # group boundaries over the sorted src column
+        change = np.flatnonzero(np.diff(src)) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(src)]))
+        sizes = ends - starts
+        keep = sizes >= 2
+        starts, sizes = starts[keep], sizes[keep]
+        if len(starts) == 0:
             return pd.DataFrame({"a": pd.Series([], dtype="int64"),
                                  "b": pd.Series([], dtype="int64"),
                                  "cnt": pd.Series([], dtype="int64"),
                                  "kind": pd.Series([], dtype="int8")})
-        a = np.concatenate(outs_a)
-        b = np.concatenate(outs_b)
+        # triu pair indices for every group at once: for group of size
+        # k, pairs (i, j) with i < j, both offset by the group start
+        n_pairs = sizes * (sizes - 1) // 2
+        grp_of_pair = np.repeat(np.arange(len(sizes)), n_pairs)
+        # within-group pair ordinal 0..n_pairs-1
+        pair_ord = (np.arange(len(grp_of_pair))
+                    - np.repeat(np.concatenate(([0],
+                                np.cumsum(n_pairs)[:-1])), n_pairs))
+        k = sizes[grp_of_pair].astype(np.float64)
+        # invert ordinal -> (i, j) of the upper triangle, row-major:
+        # ordinal = i*(2k-i-1)/2 + (j-i-1)
+        i = np.floor(((2 * k - 1)
+                      - np.sqrt((2 * k - 1) ** 2 - 8 * pair_ord)) / 2)\
+            .astype(np.int64)
+        before = (i * (2 * sizes[grp_of_pair] - i - 1)) // 2
+        j = (pair_ord - before) + i + 1
+        base = starts[grp_of_pair]
+        a = dst[base + i]
+        b = dst[base + j]
         w = (pd.DataFrame({"a": a, "b": b})
              .groupby(["a", "b"], sort=False, as_index=False).size()
              .rename(columns={"size": "cnt"}))

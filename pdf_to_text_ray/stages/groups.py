@@ -149,8 +149,14 @@ def ordered_prefix_sum(ds, *, order_col: str, value_col: str,
     import ray
     from ray.data.aggregate import Max, Min, Sum
 
+    # Pin the input ONCE: without this the upstream plan executes three
+    # times (min/max aggregate, totals pass, final scan) — measured on
+    # curate.py's gate→dedup→neardup chain feeding this scan.
+    ds = ds.materialize()
     mm = ds.aggregate(Min(order_col), Max(order_col))
     lo, hi = mm[f"min({order_col})"], mm[f"max({order_col})"]
+    if lo is None or hi is None:  # empty input → empty scan
+        return ds
     span = max(int(hi) - int(lo) + 1, 1)
     nb = min(num_buckets, span)
 

@@ -30,10 +30,9 @@ def _shard_of(token: str, num_shards: int) -> int:
 
 
 def _shard_array(tokens, num_shards: int):
-    import hashlib
-
-    return [int.from_bytes(hashlib.md5(t.encode()).digest()[:4],
-                           "little") % num_shards for t in tokens]
+    # single source of the shard formula: build and lookup sides must
+    # agree byte-for-byte
+    return [_shard_of(t, num_shards) for t in tokens]
 
 
 def build_inverted_index(ds, out_dir: str, *, key_col: str = "doc_id",
@@ -131,8 +130,13 @@ def bm25_topk(ds, terms: list[str], *, id_col: str = "doc_id",
             cols[f"df_{j}"] = pa.array([df[j]], pa.int64())
         return pa.table(cols)
 
-    agg = (ds.map_batches(stats_partial, batch_format="pyarrow")
-           .to_pandas().sum())
+    parts = ds.map_batches(stats_partial, batch_format="pyarrow").to_pandas()
+    if parts.empty or int(parts["n"].sum()) == 0:
+        # empty corpus / all-empty texts: the SQL twin (which filters
+        # coalesce(text,'') <> '') returns no rows
+        return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                             "score": pd.Series([], dtype="float64")})
+    agg = parts.sum()
     n_docs = int(agg["n"])
     avgdl = float(agg["sum_dl"]) / n_docs
     idf = [float(np.log((n_docs - int(agg[f"df_{j}"]) + 0.5)

@@ -9,10 +9,21 @@ materialized — each round is one streaming ``map_batches`` pass that
 bins values into per-spec histograms, a tiny ``groupby`` merges the
 partial counts, and the driver narrows each spec's value interval to
 the single bucket containing its rank. Rounds end when a bucket holds
-few enough values to collect exactly (or degenerates to a single
-float). With B buckets per round, r rounds resolve ranks over domains
-of B^r distinct values — 2 rounds at B=4096 cover 16M distinct values
-per interval; 100 TB columns take 3-4 passes.
+few enough DISTINCT values to collect exactly (or degenerates to a
+single float). With B buckets per round, r rounds resolve ranks over
+domains of B^r distinct values — 2 rounds at B=4096 cover 16M distinct
+values per interval; 100 TB columns take 3-4 passes.
+
+Membership across rounds is defined by the PARENT ROUND'S OWN BIN
+TEST (``min(floor((v - lo)/width), B-1) == b``), not by a re-derived
+float interval — the two can disagree by an ulp at bucket edges, and a
+value binned into bucket b but excluded from the next round's interval
+would silently shift every later rank.
+
+The final gather ships (value, count) DISTINCT partials through a Ray
+groupby, so the driver holds one row per distinct value in the target
+bucket — a value plateau of 10^9 identical floats costs one row, not
+10^9 (the raw-value gather this replaces was unbounded there).
 
 Grouped quantiles share the same rounds: every (group, q) pair is one
 spec in the combined histogram pass, so pass count stays O(rounds)
@@ -21,7 +32,8 @@ for few-hundred-group dimensions; beyond that, pre-shuffle by group
 and run per-partition).
 
 Matches DuckDB ``quantile_disc`` semantics: the element at 0-indexed
-rank ``ceil(q*n) - 1`` of the sorted column.
+rank ``ceil(q*n) - 1`` of the sorted NON-NULL column (NULL/NaN rows
+are excluded from n, as SQL does).
 """
 
 from __future__ import annotations
@@ -37,21 +49,39 @@ def _rank_for(q: float, n: int) -> int:
     return max(int(np.ceil(q * n)) - 1, 0)
 
 
+def _member_mask(v: np.ndarray, ok: np.ndarray, lo: float, hi: float,
+                 parent) -> np.ndarray:
+    """Spec membership: the parent round's exact bin test when a parent
+    exists (bit-consistent with how the histogram binned), else the
+    seed interval [lo, hi]."""
+    if parent is None:
+        return ok & (v >= lo) & (v <= hi)
+    plo, pwidth, pb, B = parent
+    if pwidth <= 0:  # parent interval was a single float
+        return ok & (v == plo)
+    idx = np.floor((v - plo) / pwidth)
+    m = idx == pb
+    if pb == B - 1:  # parent's last bucket was closed: min(floor, B-1)
+        m |= idx >= B
+    return ok & m & np.isfinite(v)
+
+
 def _refine(ds, col: str, state: dict, *, group_col: str | None,
             n_buckets: int, collect_cap: int, max_rounds: int) -> dict:
     """Core engine. ``state``: spec_id -> (group_value | None, lo, hi,
-    rank-within-interval). Returns spec_id -> exact value."""
+    rank-within-interval, parent_bin | None). Returns spec_id -> exact
+    value."""
     resolved: dict = {}
 
     for _ in range(max_rounds):
         live = {i: st for i, st in state.items() if i not in resolved}
-        for i, (gv, lo, hi, r) in list(live.items()):
+        for i, (gv, lo, hi, r, parent) in list(live.items()):
             if lo == hi or not np.isfinite(lo) or not np.isfinite(hi):
                 resolved[i] = lo
                 del live[i]
         if not live:
             break
-        specs = {i: st[:3] for i, st in live.items()}
+        specs = {i: (st[0], st[1], st[2], st[4]) for i, st in live.items()}
 
         def hist_batch(t: pa.Table, specs=specs, B=n_buckets) -> pa.Table:
             v = t[col].to_numpy(zero_copy_only=False).astype(np.float64,
@@ -60,16 +90,16 @@ def _refine(ds, col: str, state: dict, *, group_col: str | None,
             gcol = (t[group_col].to_numpy(zero_copy_only=False)
                     if group_col else None)
             si, bk, ct = [], [], []
-            for i, (gv, lo, hi) in specs.items():
-                m = ok & (v >= lo) & (v <= hi)
+            for i, (gv, lo, hi, parent) in specs.items():
+                m = _member_mask(v, ok, lo, hi, parent)
                 if gcol is not None:
                     m &= gcol == gv
                 mv = v[m]
                 if len(mv) == 0:
                     continue
                 width = (hi - lo) / B
-                idx = (np.minimum(np.floor((mv - lo) / width).astype(np.int64),
-                                  B - 1)
+                idx = (np.clip(np.floor((mv - lo) / width).astype(np.int64),
+                               0, B - 1)
                        if width > 0 else np.zeros(len(mv), np.int64))
                 buckets, counts = np.unique(idx, return_counts=True)
                 si.extend([i] * len(buckets))
@@ -88,34 +118,69 @@ def _refine(ds, col: str, state: dict, *, group_col: str | None,
         )
         to_gather: dict = {}
         for i in list(live.keys()):
-            gv, lo, hi, r = live[i]
+            gv, lo, hi, r, _parent = live[i]
             h = merged[merged["si"] == i].sort_values("bucket")
             counts = np.zeros(n_buckets, np.int64)
             counts[h["bucket"].to_numpy()] = h["cnt"].to_numpy()
             cum = np.cumsum(counts)
-            b = int(np.searchsorted(cum, r + 1))
+            b = min(int(np.searchsorted(cum, r + 1)), n_buckets - 1)
             prior = int(cum[b - 1]) if b > 0 else 0
             width = (hi - lo) / n_buckets
             new_lo = lo + b * width
             new_hi = hi if b == n_buckets - 1 else lo + (b + 1) * width
             in_bucket = int(counts[b])
             new_r = r - prior
-            if in_bucket <= collect_cap:
-                to_gather[i] = (gv, new_lo, new_hi, new_r,
-                                b < n_buckets - 1)
-            elif new_lo == lo and new_hi == hi:
-                # float-degenerate: every value equals one of ≤2 floats
-                to_gather[i] = (gv, new_lo, new_hi, new_r, False)
+            child = (lo, width, b, n_buckets)
+            if in_bucket <= collect_cap or (new_lo == lo and new_hi == hi):
+                # small enough to gather exactly, or float-degenerate
+                # (≤2 distinct floats — the distinct-value gather is
+                # bounded either way)
+                to_gather[i] = (gv, new_lo, new_hi, new_r, child)
             else:
-                state[i] = (gv, new_lo, new_hi, new_r)
+                state[i] = (gv, new_lo, new_hi, new_r, child)
         resolved.update(_collect_ranks(ds, col, to_gather,
                                        group_col=group_col))
 
-    leftovers = {i: (gv, lo, hi, r, False)
-                 for i, (gv, lo, hi, r) in state.items()
+    leftovers = {i: (gv, lo, hi, r, parent)
+                 for i, (gv, lo, hi, r, parent) in state.items()
                  if i not in resolved}  # max_rounds exhausted
     resolved.update(_collect_ranks(ds, col, leftovers, group_col=group_col))
     return resolved
+
+
+def _nonnull_stats(ds, col: str, group_col: str | None = None) -> pd.DataFrame:
+    """(group?, min, max, n) over NON-NULL values — SQL quantile
+    semantics exclude NULLs from the rank base, while Ray's ``Count()``
+    counts rows. One streaming partial pass + tiny driver merge."""
+    def partial(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64,
+                                                         copy=False)
+        ok = ~np.isnan(v)
+        if group_col is None:
+            mv = v[ok]
+            if len(mv) == 0:
+                return pa.table({"g": pa.array([], pa.string()),
+                                 "lo": pa.array([], pa.float64()),
+                                 "hi": pa.array([], pa.float64()),
+                                 "n": pa.array([], pa.int64())})  # typed empty
+            return pa.table({"g": pa.array([""], pa.string()),
+                             "lo": pa.array([float(mv.min())], pa.float64()),
+                             "hi": pa.array([float(mv.max())], pa.float64()),
+                             "n": pa.array([len(mv)], pa.int64())})
+        df = pd.DataFrame({"g": t[group_col].to_numpy(zero_copy_only=False),
+                           "v": v})[ok]
+        agg = df.groupby("g", sort=False)["v"].agg(["min", "max", "count"])
+        return pa.table({"g": pa.array(agg.index.to_numpy(),
+                                       type=t[group_col].type),
+                         "lo": pa.array(agg["min"].to_numpy(), pa.float64()),
+                         "hi": pa.array(agg["max"].to_numpy(), pa.float64()),
+                         "n": pa.array(agg["count"].to_numpy(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return parts
+    return (parts.groupby("g", as_index=False)
+            .agg(lo=("lo", "min"), hi=("hi", "max"), n=("n", "sum")))
 
 
 def exact_quantiles(ds, col: str, qs: list[float], *,
@@ -124,20 +189,17 @@ def exact_quantiles(ds, col: str, qs: list[float], *,
     """Exact ``quantile_disc`` values for every q in ``qs`` →
     DataFrame(q, value), computed in O(rounds) streaming passes.
 
-    ``collect_cap`` bounds the driver-side final gather per quantile;
-    intervals above it keep refining. Skewed value plateaus terminate
-    via the degenerate-interval rule (lo == hi ⇒ every value in the
-    interval equals lo).
-    """
-    from ray.data.aggregate import Count, Max, Min
-
-    stats = ds.aggregate(Min(col), Max(col), Count())
-    n = int(stats["count()"])
-    if n == 0:
+    ``collect_cap`` bounds when an interval switches from refinement to
+    the exact distinct-value gather (whose driver volume is one row per
+    DISTINCT value, so plateaus stay cheap)."""
+    stats = _nonnull_stats(ds, col)
+    if stats.empty or int(stats["n"].iloc[0]) == 0:
         return pd.DataFrame({"q": pd.Series(qs, dtype="float64"),
                              "value": pd.Series([np.nan] * len(qs))})
-    glo, ghi = float(stats[f"min({col})"]), float(stats[f"max({col})"])
-    state = {i: (None, glo, ghi, _rank_for(q, n)) for i, q in enumerate(qs)}
+    n = int(stats["n"].iloc[0])
+    glo, ghi = float(stats["lo"].iloc[0]), float(stats["hi"].iloc[0])
+    state = {i: (None, glo, ghi, _rank_for(q, n), None)
+             for i, q in enumerate(qs)}
     resolved = _refine(ds, col, state, group_col=None, n_buckets=n_buckets,
                        collect_cap=collect_cap, max_rounds=max_rounds)
     return pd.DataFrame({"q": pd.Series(qs, dtype="float64"),
@@ -149,22 +211,22 @@ def exact_group_quantiles(ds, group_col: str, col: str, qs: list[float], *,
                           max_rounds: int = 8) -> pd.DataFrame:
     """Per-group exact quantile_disc → wide DataFrame(group, q_<nn>...).
 
-    One (Min, Max, Count) groupby pass seeds per-(group, q) interval
+    One non-null (min, max, count) pass seeds per-(group, q) interval
     specs; all specs then share each refinement round's single
     histogram pass. Designed for small-to-moderate group dimensions
     (specs = groups × quantiles live in every batch task)."""
-    from ray.data.aggregate import Count, Max, Min
-
-    gstats = (ds.groupby(group_col)
-              .aggregate(Min(col), Max(col), Count())
-              .to_pandas().sort_values(group_col))
+    names = [f"q_{round(q * 100):02d}" for q in qs]
+    if len(set(names)) != len(names):
+        raise ValueError(f"quantile column names collide: {names} "
+                         f"(qs within 0.005 share a q_<nn> name)")
+    gstats = _nonnull_stats(ds, col, group_col).sort_values("g")
     state, meta = {}, {}
     sid = 0
     for _, row in gstats.iterrows():
-        gv, n = row[group_col], int(row["count()"])
+        gv, n = row["g"], int(row["n"])
         for q in qs:
-            state[sid] = (gv, float(row[f"min({col})"]),
-                          float(row[f"max({col})"]), _rank_for(q, n))
+            state[sid] = (gv, float(row["lo"]), float(row["hi"]),
+                          _rank_for(q, n), None)
             meta[sid] = (gv, q)
             sid += 1
     resolved = _refine(ds, col, state, group_col=group_col,
@@ -174,7 +236,7 @@ def exact_group_quantiles(ds, group_col: str, col: str, qs: list[float], *,
     for i, (gv, q) in meta.items():
         rows.setdefault(gv, {})[q] = resolved[i]
     out = pd.DataFrame([
-        {group_col: gv, **{f"q_{round(q * 100):02d}": v[q] for q in qs}}
+        {group_col: gv, **{names[j]: v[qs[j]] for j in range(len(qs))}}
         for gv, v in sorted(rows.items())
     ])
     return out.reset_index(drop=True)
@@ -182,12 +244,12 @@ def exact_group_quantiles(ds, group_col: str, col: str, qs: list[float], *,
 
 def _collect_ranks(ds, col: str, specs: dict, *,
                    group_col: str | None) -> dict:
-    """ONE combined gather pass for every spec in ``specs``
-    (spec_id -> (gv, lo, hi, rank, open_hi)): each batch emits
-    (si, value) for values inside each spec's interval ([lo, hi) for
-    inner buckets, [lo, hi] for the last one, so the group max is not
-    dropped); the driver selects each spec's rank. Gathered volume is
-    bounded by |specs| × collect_cap."""
+    """ONE combined exact gather for every spec
+    (spec_id -> (gv, lo, hi, rank, parent_bin)): each batch emits
+    DISTINCT (si, value, count) partials for values in the spec's
+    parent bin; a Ray groupby merges them, so the driver holds one row
+    per distinct value — bounded by the bucket's distinct count, NOT
+    its row count (a 10^9-row plateau is one row)."""
     if not specs:
         return {}
 
@@ -197,20 +259,31 @@ def _collect_ranks(ds, col: str, specs: dict, *,
         ok = ~np.isnan(v)
         gcol = (t[group_col].to_numpy(zero_copy_only=False)
                 if group_col else None)
-        si, out = [], []
-        for i, (gv, lo, hi, _r, open_hi) in specs.items():
-            m = ok & (v >= lo) & ((v < hi) if open_hi else (v <= hi))
+        si, out, cnt = [], [], []
+        for i, (gv, lo, hi, _r, parent) in specs.items():
+            m = _member_mask(v, ok, lo, hi, parent)
             if gcol is not None:
                 m &= gcol == gv
-            mv = v[m]
-            si.extend([i] * len(mv))
-            out.extend(mv.tolist())
+            vals, counts = np.unique(v[m], return_counts=True)
+            si.extend([i] * len(vals))
+            out.extend(vals.tolist())
+            cnt.extend(counts.tolist())
         return pa.table({"si": pa.array(si, pa.int64()),
-                         "val": pa.array(out, pa.float64())})
+                         "val": pa.array(out, pa.float64()),
+                         "cnt": pa.array(cnt, pa.int64())})
 
-    pdf = ds.map_batches(keep, batch_format="pyarrow").to_pandas()
+    from ray.data.aggregate import Sum
+
+    pdf = (ds.map_batches(keep, batch_format="pyarrow")
+           .groupby(["si", "val"]).aggregate(Sum("cnt", alias_name="cnt"))
+           .to_pandas())
     resolved = {}
-    for i, (gv, lo, hi, r, open_hi) in specs.items():
-        vals = np.sort(pdf.loc[pdf["si"] == i, "val"].to_numpy())
-        resolved[i] = float(vals[min(r, len(vals) - 1)])
+    for i, (gv, lo, hi, r, parent) in specs.items():
+        g = pdf[pdf["si"] == i].sort_values("val")
+        if g.empty:
+            resolved[i] = lo
+            continue
+        cum = g["cnt"].to_numpy().cumsum()
+        j = min(int(np.searchsorted(cum, r + 1)), len(cum) - 1)
+        resolved[i] = float(g["val"].to_numpy()[j])
     return resolved

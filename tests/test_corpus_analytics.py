@@ -168,3 +168,30 @@ def test_user_activity_rollup_window(ray_session, tmp_path):
     # outside the [d-6, d] window)
     assert out["wau"].tolist() == [1, 2, 1]
     assert out["stickiness"].tolist() == [1.0, 0.5, 1.0]
+
+
+def test_triangle_count_empty_and_selfloop_edges(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pdf_to_text_ray.stages.graph import triangle_count
+
+    empty = rd.from_arrow(pa.table({"u": pa.array([], pa.int64()),
+                                    "v": pa.array([], pa.int64())}))
+    assert triangle_count(empty)["n_triangles"].item() == 0
+    loops = rd.from_arrow(pa.table({"u": pa.array([1, 2], pa.int64()),
+                                    "v": pa.array([1, 2], pa.int64())}))
+    assert triangle_count(loops)["n_triangles"].item() == 0
+
+
+def test_bm25_topk_empty_corpus(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pdf_to_text_ray.stages.index import bm25_topk
+
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                                 "text": pa.array(["", None], pa.string())}))
+    out = bm25_topk(ds, ["hash"])
+    assert len(out) == 0
