@@ -7008,10 +7008,12 @@ def anchor_text_index(sf_dir: str):
 # ── training-data curation (stages/curation.py) ──────────────────────
 
 def doc_duplicate_spans(sf_dir: str):
-    """Exact duplicate-substring detection, gram-quantized (Lee et al.
-    2022): per doc, how many of its distinct strided 24-char grams
-    occur in ≥2 docs. Payload-free shuffles only (hash postings, then
-    (doc_id, flag) rollup)."""
+    """Exact duplicate-substring detection, gram-sampled (Lee et al.
+    2022 goal; mod-p content-keyed sampling per Manber 1994 so shared
+    spans select the SAME grams whatever their offsets): per doc, how
+    many of its distinct sampled 24-char grams occur in ≥2 docs.
+    Payload-free shuffles only (hash postings, then (doc_id, flag)
+    rollup)."""
     from ..stages.curation import duplicate_gram_stats
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -7021,10 +7023,12 @@ def doc_duplicate_spans(sf_dir: str):
 DUP_SPANS_SQL = r"""
 WITH pos AS (
   SELECT doc_id, text,
-         unnest(generate_series(1, length(text) - 23, 12)) AS i
+         unnest(generate_series(1, length(text) - 23)) AS i
   FROM documents WHERE length(text) >= 24),
-g AS (SELECT DISTINCT doc_id,
-             substr(md5(substr(text, i, 24)), 1, 16) AS gh FROM pos),
+gall AS (SELECT doc_id,
+                substr(md5(substr(text, i, 24)), 1, 16) AS gh FROM pos),
+g AS (SELECT DISTINCT doc_id, gh FROM gall
+      WHERE ('0x' || substr(gh, 1, 4))::UBIGINT % 12 = 0),
 nd AS (SELECT gh, count(*) AS ndocs FROM g GROUP BY gh)
 SELECT g.doc_id, count(*)::BIGINT AS n_grams,
        sum(CASE WHEN nd.ndocs >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_grams,

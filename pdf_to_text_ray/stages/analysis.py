@@ -480,16 +480,26 @@ def bm25_term_scores(ds, query_terms: list[str], *, key_col: str = "doc_id",
             for q in terms:
                 if q in tok_set:
                     df[q] += 1
-        keys = [*terms, "__docs__", "__len__"]
+        # "t:" prefix keeps term keys out of the counters' keyspace
+        # (a literal query term "__docs__" must not corrupt n_docs)
+        keys = [*(f"t:{q}" for q in terms), "__docs__", "__len__"]
         vals = [*(df[q] for q in terms), docs, len_sum]
         return pa.table({"k": pa.array(keys, pa.string()),
                          "v": pa.array(vals, pa.int64())})
 
     agg = ds.map_batches(partials, batch_format="pyarrow").to_pandas()
+    if agg.empty:
+        return pd.DataFrame({key_col: pd.Series([], dtype="int64"),
+                             "term": pd.Series([], dtype="object"),
+                             "score": pd.Series([], dtype="float64")})
     sums = agg.groupby("k")["v"].sum()
-    n_docs = int(sums["__docs__"])
+    n_docs = int(sums.get("__docs__", 0))
+    if n_docs == 0:
+        return pd.DataFrame({key_col: pd.Series([], dtype="int64"),
+                             "term": pd.Series([], dtype="object"),
+                             "score": pd.Series([], dtype="float64")})
     avgdl = float(sums["__len__"]) / n_docs
-    df_map = {q: int(sums.get(q, 0)) for q in terms}
+    df_map = {q: int(sums.get(f"t:{q}", 0)) for q in terms}
     bcast = ray.put((terms, df_map, n_docs, avgdl))
 
     def score_batch(t: pa.Table) -> pa.Table:

@@ -40,30 +40,41 @@ from .groups import arrow_out, bucketed_group_apply
 
 # ── exact duplicate-substring detection (gram-quantized) ─────────────
 
-#: gram length / stride in CHARS. k spans ~4 words of web text; stride
-#: k/2 guarantees any duplicated run ≥ 2k-1 chars contains a sampled
-#: gram on both sides (Lee et al. use suffix arrays for exact spans;
-#: gram quantization is the shuffle-friendly approximation — a
-#: duplicated span is detected iff one of its strided grams repeats).
+#: gram length in CHARS (spans ~4 words of web text) and sampling rate
+#: (~1/rate of positions kept). Sampling is CONTENT-KEYED — a gram is
+#: kept iff its own hash ≡ 0 (mod rate), the classic mod-p
+#: fingerprinting (Manber 1994) — so two copies of a span select the
+#: SAME grams regardless of where the span starts in each doc. (The
+#: earlier doc-absolute stride sampling missed duplicates whose start
+#: offsets differed mod stride.) Expected detection: a duplicated run
+#: of g grams is caught unless all g hash-selections miss,
+#: p_miss = (1-1/rate)^(len-k+1) — <2% for runs ≥ 2k chars at rate 12.
+#: Cost: one md5 per position; at corpus scale screen positions first
+#: with the vectorized rolling hash (analysis.kgram_hashes) and md5
+#: only the survivors.
 DUP_K = 24
-DUP_STRIDE = 12
+DUP_RATE = 12
 
 
-def _gram_hashes(text: str, k: int, stride: int) -> set[str]:
-    """Distinct 16-hex-char md5 hashes of the strided k-char grams.
+def _gram_hashes(text: str, k: int, rate: int) -> set[str]:
+    """Distinct 16-hex-char md5 hashes of the content-sampled k-char
+    grams: keep gram at position i iff
+    ``int(md5(gram)[:4], 16) % rate == 0``.
 
-    md5 (not the repo's polynomial hash) so the DuckDB oracle can
-    compute the identical value with ``substr(md5(substr(text,i,k)),
-    1, 16)``."""
+    md5 (not the repo's polynomial hash) so the DuckDB oracle computes
+    the identical value AND the identical selection with
+    ``substr(md5(substr(text,i,k)), 1, 16)``."""
     out: set[str] = set()
-    for i in range(0, len(text) - k + 1, stride):
-        out.add(hashlib.md5(text[i:i + k].encode("utf-8")).hexdigest()[:16])
+    for i in range(0, len(text) - k + 1):
+        h = hashlib.md5(text[i:i + k].encode("utf-8")).hexdigest()[:16]
+        if int(h[:4], 16) % rate == 0:
+            out.add(h)
     return out
 
 
 def gram_pairs_batch(t: pa.Table, *, id_col: str = "doc_id",
                      text_col: str = "text", k: int = DUP_K,
-                     stride: int = DUP_STRIDE) -> pa.Table:
+                     stride: int = DUP_RATE) -> pa.Table:
     """(gram hash, doc id) postings, distinct per doc. Docs shorter
     than k emit nothing (mirrored by the oracle's WHERE length>=k)."""
     ids = t[id_col].to_numpy(zero_copy_only=False)
@@ -80,9 +91,9 @@ def gram_pairs_batch(t: pa.Table, *, id_col: str = "doc_id",
 
 def duplicate_gram_stats(ds, *, id_col: str = "doc_id",
                          text_col: str = "text", k: int = DUP_K,
-                         stride: int = DUP_STRIDE, num_buckets: int = 32):
+                         stride: int = DUP_RATE, num_buckets: int = 32):
     """Per-doc duplicated-substring stats: of the doc's distinct
-    strided k-grams, how many occur in ≥2 distinct docs.
+    content-sampled k-grams, how many occur in ≥2 distinct docs.
 
     Returns a Dataset with columns (doc_id, n_grams, n_dup_grams,
     dup_ratio). Two payload-free shuffles: gram-hash postings, then

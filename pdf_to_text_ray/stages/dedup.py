@@ -805,7 +805,9 @@ def _encode_heads(texts, max_chars: int):
     codes = np.zeros((n, max_chars), dtype=np.uint32)
     lens = np.empty(n, dtype=np.int32)
     for i, t in enumerate(texts):
-        t = (t or "")[:max_chars]
+        # null text arrives as NaN from pandas .str ops — NaN is truthy,
+        # so `t or ""` alone would try to slice a float
+        t = (t if isinstance(t, str) else "")[:max_chars]
         lens[i] = len(t)
         if t:
             codes[i, : len(t)] = np.frombuffer(

@@ -82,9 +82,15 @@ def knn_bruteforce(ds, query_ids: list[int], k: int = 10,
     def partial_topk(batch: pa.Table) -> pa.Table:
         qids, qm = ray.get(ref)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
+        out_q, out_v, out_s = [], [], []
+        if len(ids) == 0:  # empty block: (0, 0) matmul would raise
+            return pa.table({
+                "query_id": pa.array([], pa.int64()),
+                id_col: pa.array([], pa.int64()),
+                "sim": pa.array([], pa.float64()),
+            })
         m = _normalize(list_column_to_matrix(batch[vec_col]))
         sims = m @ qm.T  # (n, Q)
-        out_q, out_v, out_s = [], [], []
         for j, qid in enumerate(qids):
             col = sims[:, j]
             mask = ids != qid
@@ -93,7 +99,11 @@ def knn_bruteforce(ds, query_ids: list[int], k: int = 10,
             take = min(k, len(cand))
             if take == 0:
                 continue
-            idx = np.argpartition(-cand, take - 1)[:take]
+            # deterministic boundary: full (-sim, id) order — a bare
+            # argpartition keeps an ARBITRARY candidate among ties at
+            # the k-th score, so a tied lower id could never reach the
+            # driver merge that promises (-sim, id) ranking
+            idx = np.lexsort((cand_ids, -cand))[:take]
             out_q.extend([qid] * take)
             out_v.extend(cand_ids[idx].tolist())
             out_s.extend(cand[idx].tolist())
@@ -139,6 +149,9 @@ def embedding_neardup_pairs(ds, threshold: float = 0.95,
     def batch_pairs(batch: pa.Table) -> pa.Table:
         all_ids, all_mat = ray.get(ref)
         bids = batch[id_col].to_numpy(zero_copy_only=False)
+        if len(bids) == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64())})
         bm = _normalize(list_column_to_matrix(batch[vec_col]))
         sims = bm @ all_mat.T
         rows_a, rows_b = [], []
@@ -290,56 +303,37 @@ def ann_lsh_topk(ds, query_ids: list[int], k: int = 10,
     # pruned filter pass
     q_pdf = _fetch_rows_by_id(ds, id_col, qset)
     probes: dict[int, set[int]] = {}
+    qvecs_all: dict[int, np.ndarray] = {}
     for _, row in q_pdf.iterrows():
         qv = _normalize(np.asarray(row[vec_col], np.float64)[None, :])[0]
         planes = _hyperplanes(len(qv), n_bits)
         probes[int(row[id_col])] = _probe_buckets(qv, planes, n_probe)
-    probes_ref = ray.put(probes)
+        qvecs_all[int(row[id_col])] = qv
+    # ONE broadcast for probes AND query vectors: a closure capture of
+    # q_pdf would pickle the query payload into every per-bucket task
+    probes_ref = ray.put((probes, qvecs_all))
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        pr = ray.get(probes_ref)
+        pr, qvecs = ray.get(probes_ref)
         bucket_val = int(g["bucket"].iloc[0]) if len(g) else -1
-        probe_qids = [q for q, bs in pr.items() if bucket_val in bs]
-        qs = g[g[id_col].isin(qset)] if not probe_qids else None
-        # a query searches every bucket it probes, not only its own
-        if probe_qids:
-            qvecs = {int(r[id_col]): np.asarray(r[vec_col], np.float64)
-                     for _, r in q_pdf.iterrows() if int(r[id_col]) in probe_qids}
-            mat = _normalize(np.stack([np.asarray(v, np.float64) for v in g[vec_col]]))
-            ids = g[id_col].to_numpy()
-            out = []
-            for qid, qv_raw in sorted(qvecs.items()):
-                qv = _normalize(qv_raw[None, :])[0]
-                sims = mat @ qv
-                order = np.lexsort((ids, -sims))
-                cnt = 0
-                for idx in order:
-                    if ids[idx] == qid:
-                        continue
-                    cnt += 1
-                    out.append((qid, ids[idx], float(sims[idx])))
-                    if cnt >= k:
-                        break
-            return pd.DataFrame({
-                "query_id": [o[0] for o in out],
-                id_col: [o[1] for o in out],
-                "sim": [o[2] for o in out],
-            })
-        if qs is None or len(qs) == 0:
+        # a query searches every bucket it probes, not only its own —
+        # and its own bucket is always in its probe set
+        probe_qids = sorted(q for q, bs in pr.items() if bucket_val in bs)
+        if not probe_qids or len(g) == 0:
             return pd.DataFrame({"query_id": [], id_col: [], "sim": []})
-        mat = _normalize(np.stack([np.asarray(v, np.float64) for v in g[vec_col]]))
+        mat = _normalize(np.stack([np.asarray(v, np.float64)
+                                   for v in g[vec_col]]))
         ids = g[id_col].to_numpy()
         out = []
-        for _, qrow in qs.iterrows():
-            qv = _normalize(np.asarray(qrow[vec_col], np.float64)[None, :])[0]
-            sims = mat @ qv
+        for qid in probe_qids:
+            sims = mat @ qvecs[qid]
             order = np.lexsort((ids, -sims))
             cnt = 0
             for idx in order:
-                if ids[idx] == qrow[id_col]:
+                if ids[idx] == qid:
                     continue
                 cnt += 1
-                out.append((qrow[id_col], ids[idx], float(sims[idx])))
+                out.append((qid, ids[idx], float(sims[idx])))
                 if cnt >= k:
                     break
         return pd.DataFrame({
@@ -476,6 +470,10 @@ def ivf_topk(ds, query_ids: list[int], k: int = 10, *, n_lists: int = 16,
     partial-assign per batch + tiny driver merge per iteration)."""
     import ray
 
+    # pin once: k-means iterations + assign + query fetch would each
+    # re-execute a lazy upstream plan (the repo's multi-pass rule, see
+    # groups.ordered_prefix_sum)
+    ds = ds.materialize()
     cents = ivf_centroids_distributed(ds, n_lists, vec_col=vec_col)
     cents_ref = ray.put(cents)
     # queries fetched via a pruned filter pass
@@ -507,6 +505,10 @@ def ivf_topk(ds, query_ids: list[int], k: int = 10, *, n_lists: int = 16,
     def search_batch(batch: pa.Table) -> pa.Table:
         pr, qvecs = ray.get(probes_ref)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
         lists = batch["list_id"].to_numpy(zero_copy_only=False)
         m = _normalize(list_column_to_matrix(batch[vec_col]))
         out_q, out_v, out_s = [], [], []
@@ -518,7 +520,9 @@ def ivf_topk(ds, query_ids: list[int], k: int = 10, *, n_lists: int = 16,
             sims = m[mask] @ qv
             cand = ids[mask]
             take = min(k, len(cand))
-            idx = np.argpartition(-sims, take - 1)[:take]
+            # (-sim, id) lexsort: ties at the boundary resolve the same
+            # way the driver merge does (see knn partial_topk)
+            idx = np.lexsort((cand, -sims))[:take]
             out_q.extend([qid] * take)
             out_v.extend(cand[idx].tolist())
             out_s.extend(sims[idx].tolist())
@@ -638,7 +642,11 @@ def tfidf_cosine_pairs(ds, *, key_col: str = "doc_id",
         return pa.table({
             f"{key_col}1": pa.array(ia[keep], pa.int64()),
             f"{key_col}2": pa.array(ib[keep], pa.int64()),
-            "cosine_sim": pa.array(np.round(sim[keep], 6), pa.float64()),
+            # half-away-from-zero (DuckDB round parity — np.round's
+            # half-to-even flips exact .5 boundaries the other way)
+            "cosine_sim": pa.array(
+                np.copysign(np.floor(np.abs(sim[keep] * 1e6) + 0.5),
+                            sim[keep]) / 1e6, pa.float64()),
         })
 
     return combined.filter(expr="ib != -1").map_batches(
@@ -747,6 +755,9 @@ def pq_encode(ds, codebooks: np.ndarray, *, id_col: str = "vec_id",
     def encode(batch: pa.Table) -> pa.Table:
         cb = ray.get(ref)
         mm, kk, dd = cb.shape
+        if batch.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "code": pa.array([], pa.binary())})
         mat = _normalize(list_column_to_matrix(batch[vec_col]))
         codes = np.empty((len(mat), mm), np.uint8)
         for j in range(mm):
@@ -776,6 +787,9 @@ def pq_topk(ds, query_ids: list[int], k: int = 10, *, m: int = 8,
     (-sim, id) ordering as ``knn_bruteforce``."""
     import ray
 
+    # pin once: codebook training (n_iters passes), encoding, and two
+    # candidate-fetch scans all consume ds
+    ds = ds.materialize()
     books = pq_train_codebooks(ds, m=m, ks=ks, vec_col=vec_col)
     codes = pq_encode(ds, books, id_col=id_col, vec_col=vec_col)
 
@@ -804,7 +818,7 @@ def pq_topk(ds, query_ids: list[int], k: int = 10, *, m: int = 8,
             take = min(r, len(cand))
             if take == 0:
                 continue
-            idx = np.argpartition(-cs, take - 1)[:take]
+            idx = np.lexsort((cand, -cs))[:take]
             out_q.extend([qid] * take)
             out_v.extend(cand[idx].tolist())
             out_s.extend(cs[idx].tolist())

@@ -27,20 +27,44 @@ def _tbl(ids, texts):
 
 # ── duplicate grams ───────────────────────────────────────────────────
 
-def test_gram_hashes_stride_and_short_docs():
+def test_gram_hashes_selection_and_short_docs():
+    import hashlib
+
     assert _gram_hashes("", 24, 12) == set()
     assert _gram_hashes("x" * 23, 24, 12) == set()
-    one = _gram_hashes("x" * 24, 24, 12)
-    assert len(one) == 1
-    # a 36-char text has grams at offsets 0 and 12 only
-    t = "abcdefghijklmnopqrstuvwxyz0123456789"
-    assert len(_gram_hashes(t, 24, 12)) == 2
+    # selection is content-keyed: a gram is kept iff its own md5
+    # satisfies the mod-rate rule, independent of position
+    t = "abcdefghijklmnopqrstuvwxyz0123456789" * 4
+    got = _gram_hashes(t, 24, 12)
+    want = set()
+    for i in range(len(t) - 23):
+        h = hashlib.md5(t[i:i + 24].encode()).hexdigest()[:16]
+        if int(h[:4], 16) % 12 == 0:
+            want.add(h)
+    assert got == want and len(got) > 0
+
+
+def test_gram_sampling_is_alignment_independent():
+    """The property the content-keyed sampling exists for: a shared
+    span selects the SAME grams in both docs even when its start
+    offsets differ (the old doc-absolute stride missed these)."""
+    span = "the quick brown fox jumps over the lazy dog repeatedly " * 4
+    a = _gram_hashes(span, 24, 12)
+    b = _gram_hashes("Xy! " + span, 24, 12)  # shifted by 4 (≠ 0 mod 12)
+    assert a and a <= b
 
 
 def test_gram_pairs_distinct_per_doc():
-    # repeated content inside ONE doc yields one posting per gram
-    t = _tbl([7], ["A" * 24 + "A" * 24])
+    # repeated content inside ONE doc yields one posting per gram;
+    # build a 24-char gram the content-keyed sampler definitely keeps
+    import hashlib
+
+    gram = next(
+        c * 24 for c in "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+        if int(hashlib.md5((c * 24).encode()).hexdigest()[:4], 16) % 12 == 0)
+    t = _tbl([7], [gram + gram])
     out = gram_pairs_batch(t)
+    assert gram * 2 == (gram + gram)  # the doc is one repeated gram
     assert out.num_rows == 1
     assert out["doc_id"].to_pylist() == [7]
 
@@ -49,7 +73,10 @@ def test_duplicate_gram_stats_clones(ray_session):
     import ray.data as rd
 
     base = "the quick brown fox jumps over the lazy dog " * 3
-    uniq = "zyxwvutsrqponmlkjihgfedcba 0987654321 qqq www eee rrr ttt"
+    # varied (non-repeating) text so the content-keyed sampler keeps
+    # some grams — a repeated short unit has few DISTINCT grams and may
+    # select none
+    uniq = " ".join(f"u{i}x{i * 7 % 97}" for i in range(60))
     ds = rd.from_arrow(_tbl([1, 2, 3], [base, base, uniq]))
     out = duplicate_gram_stats(ds, num_buckets=4).to_pandas()
     out = out.set_index("doc_id").sort_index()
