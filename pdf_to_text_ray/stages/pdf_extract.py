@@ -1030,9 +1030,15 @@ class PdfDocument:
     def page_fonts(self, page: dict) -> dict:
         """Font-name → FontDecoder for a page's /Resources /Font dict
         (decoders cached per font object)."""
-        fonts: dict[str, FontDecoder] = {}
         try:
             res = self.resolve(page.get("Resources"))
+        except PdfError:
+            return {}
+        return self._fonts_from_resources(res)
+
+    def _fonts_from_resources(self, res) -> dict:
+        fonts: dict[str, FontDecoder] = {}
+        try:
             if not isinstance(res, dict):
                 return fonts
             fdict = self.resolve(res.get("Font"))
@@ -1052,6 +1058,58 @@ class PdfDocument:
         except PdfError:
             pass  # fonts are best-effort; Latin-1 fallback applies
         return fonts
+
+    def page_xobjects(self, page: dict, *, _depth: int = 0,
+                      _seen: frozenset = frozenset()) -> dict:
+        """Form-XObject name → (content bytes, fonts, nested xobjects,
+        matrix) for a page or form's /Resources /XObject dict (spec
+        §8.10) — the text-bearing containers the ``Do`` operator paints.
+        pdf.js renders these transparently (reference main.ts:149-154
+        via getDocumentProxy), so skipping them would silently drop any
+        text a producer routed through a form. Image XObjects are
+        ignored; recursion is depth-capped and cycle-guarded by object
+        number."""
+        out: dict = {}
+        if _depth >= 8:
+            return out
+        try:
+            res = self.resolve(page.get("Resources"))
+            if not isinstance(res, dict):
+                return out
+            xdict = self.resolve(res.get("XObject"))
+            if not isinstance(xdict, dict):
+                return out
+            for name, xref in xdict.items():
+                num = xref.num if isinstance(xref, Ref) else None
+                if num is not None and num in _seen:
+                    continue  # cycle
+                xo = self.resolve(xref)
+                if not isinstance(xo, Stream):
+                    continue
+                sub = self.resolve(xo.dict.get("Subtype"))
+                if sub != "Form":
+                    continue
+                try:
+                    content = xo.data()
+                except PdfError:
+                    continue
+                # a form usually carries its own /Resources; fall back
+                # to the parent's when absent (spec allows inheritance)
+                xres = self.resolve(xo.dict.get("Resources"))
+                holder = {"Resources": xres if isinstance(xres, dict)
+                          else res}
+                fonts = self._fonts_from_resources(holder["Resources"])
+                seen = _seen | ({num} if num is not None else set())
+                nested = self.page_xobjects(holder, _depth=_depth + 1,
+                                            _seen=seen)
+                mtx = self.resolve(xo.dict.get("Matrix"))
+                matrix = (tuple(float(v) for v in mtx)
+                          if isinstance(mtx, list) and len(mtx) == 6
+                          else None)
+                out[name] = (content, fonts, nested, matrix)
+        except PdfError:
+            pass
+        return out
 
     def page_content(self, page: dict) -> bytes:
         contents = self.resolve(page.get("Contents"))
@@ -1537,17 +1595,21 @@ _CT_RE = re.compile(
 )
 
 
-def interpret_content(content: bytes, fonts: dict | None = None) -> list[Run]:
+def interpret_content(content: bytes, fonts: dict | None = None,
+                      xobjects: dict | None = None, *,
+                      ctm0: tuple = _ID, _depth: int = 0) -> list[Run]:
     """Execute the text-relevant subset of the content stream, returning
     positioned runs. Unknown operators clear the operand stack (lenient,
     spec-conformant for an extractor). ``fonts`` maps resource font
-    names to FontDecoders (Tf switches the active decoder)."""
+    names to FontDecoders (Tf switches the active decoder); ``xobjects``
+    maps names to Form-XObject tuples (``Do`` recurses into them with
+    the form's matrix composed onto the current CTM, spec §8.10.1)."""
     stack: list[Any] = []
     decoder = _LATIN1_DECODER
     runs: list[Run] = []
     tm = _ID
     tlm = _ID
-    ctm = _ID
+    ctm = ctm0
     ctm_stack: list[tuple] = []
     leading = 0.0
     size = 1.0
@@ -1709,6 +1771,15 @@ def interpret_content(content: bytes, fonts: dict | None = None) -> list[Run]:
             elif op == b"cm":
                 m = tuple(float(v) for v in stack[-6:])
                 ctm = _mat_mul(m, ctm)
+            elif op == b"Do":
+                name = stack[-1] if stack else None
+                if (xobjects and isinstance(name, str)
+                        and name in xobjects and _depth < 8):
+                    xc, xfonts, xnested, xmatrix = xobjects[name]
+                    inner = xmatrix if xmatrix is not None else _ID
+                    runs.extend(interpret_content(
+                        xc, xfonts, xnested,
+                        ctm0=_mat_mul(inner, ctm), _depth=_depth + 1))
             elif op == b"BI":
                 # inline image (spec §8.9.7): skip past EI. The image
                 # data is raw binary and may contain the bytes "EI", so
@@ -1742,7 +1813,9 @@ def extract_pdf_text(data: bytes) -> PdfResult:
     doc = PdfDocument(data)
     pages = doc.pages()
     page_runs = [
-        interpret_content(doc.page_content(p), doc.page_fonts(p)) for p in pages
+        interpret_content(doc.page_content(p), doc.page_fonts(p),
+                          doc.page_xobjects(p))
+        for p in pages
     ]
     return PdfResult(document_text(page_runs), len(pages), doc.fallback)
 

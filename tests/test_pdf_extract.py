@@ -747,3 +747,51 @@ def test_utf16_predefined_codespaces_surrogates():
     pairs = dec._codes_len(raw)
     assert [nb for _, nb in pairs] == [2, 4, 2]
     assert pairs[1][0] == 0xD83DDE00
+
+
+def test_form_xobject_text_extracted():
+    """Text painted via /XObject /Form + Do must extract (pdf.js does
+    this transparently; spec §8.10). The form carries its own
+    /Resources and a /Matrix translation; reading order should place
+    the form's line between the page lines per its y position."""
+    from pdf_to_text_ray.stages.pdf_extract import extract_pdf_text
+
+    def obj(n, body):
+        return f"{n} 0 obj\n".encode() + body + b"\nendobj\n"
+
+    font = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    page_content = (b"BT /F1 12 Tf 72 700 Td (Top line) Tj ET\n"
+                    b"q 1 0 0 1 0 0 cm /Fm1 Do Q\n"
+                    b"BT /F1 12 Tf 72 600 Td (Bottom line) Tj ET")
+    form_content = b"BT /F1 12 Tf 0 0 Td (Inside the form) Tj ET"
+    # form Matrix translates to y=650 → between the two page lines
+    parts = [b"%PDF-1.7\n"]
+    parts.append(obj(1, b"<< /Type /Catalog /Pages 2 0 R >>"))
+    parts.append(obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"))
+    parts.append(obj(
+        3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+           b"/Resources << /Font << /F1 4 0 R >> "
+           b"/XObject << /Fm1 6 0 R >> >> /Contents 5 0 R >>"))
+    parts.append(obj(4, font))
+    parts.append(obj(5, f"<< /Length {len(page_content)} >>\nstream\n"
+                  .encode() + page_content + b"\nendstream"))
+    parts.append(obj(
+        6, f"<< /Type /XObject /Subtype /Form /Matrix [1 0 0 1 72 650] "
+           f"/Resources << /Font << /F1 4 0 R >> >> "
+           f"/Length {len(form_content)} >>\nstream\n".encode()
+           + form_content + b"\nendstream"))
+    offsets = []
+    pdf = b""
+    for part in parts:
+        if part != parts[0]:
+            offsets.append(len(pdf))
+        pdf += part
+    xref_pos = len(pdf)
+    xref = b"xref\n0 7\n0000000000 65535 f \n" + b"".join(
+        f"{off:010d} 00000 n \n".encode() for off in offsets)
+    pdf += xref + (b"trailer\n<< /Size 7 /Root 1 0 R >>\nstartxref\n"
+                   + str(xref_pos).encode() + b"\n%%EOF\n")
+
+    r = extract_pdf_text(pdf)
+    assert r.text == "Top line\nInside the form\nBottom line", repr(r.text)
+    assert r.n_pages == 1 and not r.fallback
