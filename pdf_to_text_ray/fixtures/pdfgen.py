@@ -457,6 +457,7 @@ def make_pdf(rng: random.Random, n_pages: int = 1, *,
              with_sucursal: bool = False,
              lines_per_page: int | None = None,
              font_variant: str = "standard",
+             with_form: bool = False,
              encrypt: str | None = None) -> tuple[bytes, str, int]:
     """Returns (pdf_bytes, expected_text, n_pages)."""
     b = _PdfBuilder()
@@ -517,6 +518,27 @@ def make_pdf(rng: random.Random, n_pages: int = 1, *,
                     pc.line_hex(LEFT_X, 770.0 - 14 * k, payload, expected)
                 else:
                     pc.line_raw(LEFT_X, 770.0 - 14 * k, payload, expected)
+        form_refs = b""
+        if with_form and p == 0:
+            # route three lines through a /Form XObject painted via Do
+            # (spec §8.10) — placed LOW on the page so reading order is
+            # deterministic; expected runs carry the Matrix translation
+            pcf = _PageCompose()
+            form_lines = _rand_lines(rng, 3)
+            pcf.lines_tm(0.0, form_lines, y0=0.0)
+            fx, fy = LEFT_X, 180.0
+            fnum = b.add_stream(
+                (b"/Type /XObject /Subtype /Form "
+                 + f"/Matrix [1 0 0 1 {fx:.1f} {fy:.1f}] ".encode()
+                 + b"/Resources << /Font << /F1 "
+                 + str(font).encode() + b" 0 R >> >> "),
+                pcf.content(), compress)
+            pc.ops.append(b"ET")  # Do outside the text object
+            pc.ops.append(f"q /FmA Do Q".encode())
+            pc.ops.append(b"BT")  # content() appends the final ET
+            pc.runs.extend(Run(r.x + fx, r.y + fy, r.text)
+                           for r in pcf.runs)
+            form_refs = b"/XObject << /FmA " + str(fnum).encode() + b" 0 R >> "
         all_runs.append(pc.runs)
         content = pc.content()
         if rng.random() < 0.25 and len(content) > 40:
@@ -535,8 +557,8 @@ def make_pdf(rng: random.Random, n_pages: int = 1, *,
             fonts_dict += f" /{fname} {fnum} 0 R".encode()
         pg = b.add(
             b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-            b"/Resources << /Font << " + fonts_dict + b" >> >> "
-            b"/Contents " + contents_ref + b" >>"
+            b"/Resources << /Font << " + fonts_dict + b" >> " + form_refs
+            + b">> /Contents " + contents_ref + b" >>"
         )
         page_nums.append(pg)
 

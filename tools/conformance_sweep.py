@@ -39,6 +39,7 @@ def main() -> int:
             compress=rng.choice([True, False, "lzw"]),
             two_column=rng.random() < 0.2,
             with_sucursal=rng.random() < 0.3,
+            with_form=rng.random() < 0.3,
             font_variant=rng.choice(["standard", "differences", "winansi",
                                      "tounicode", "cid", "cid_cmap"]),
             encrypt=rng.choice(enc_modes),
