@@ -14,6 +14,9 @@ public knowledge only (PDF 1.7 spec, ISO 32000-1):
 - page-tree walk with cycle/depth guards              (spec §7.7.3)
 - content-stream text interpreter: BT/ET, Tf, Td, TD, TL, T*, Tm,
   Tj, TJ, ', ", q/Q/cm, BI..EI skip                   (spec §9.4)
+- Form XObjects: ``name Do`` recurses into /Subtype/Form streams with
+  the form /Matrix composed onto the CTM, own /Resources (parent
+  fallback), depth-capped + cycle-guarded                (spec §8.10)
 - broken-xref salvage: scan for "N G obj" markers (last occurrence
   wins, as incremental updates imply), recover the catalog — sets the
   ``fallback`` flag instead of crashing (unlike the reference's
