@@ -518,3 +518,42 @@ def test_granular_rerun_clears_stale_flat_wave_output(ray_session,
     out = rd.read_parquet(out_dir, columns=["url"]).to_pandas()
     assert out["url"].is_unique
     assert sorted(out["url"]) == sorted(golden["url"].to_pylist())
+
+
+def test_incremental_demotion_bucketed_winners(ray_session, tmp_path,
+                                               corpus):
+    """The survivor-digest lineage check must also work in
+    winners_mode='bucketed' (the ≥10^9-url path): appending a newer
+    duplicate reruns the affected wave there too."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    pages, golden = corpus
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(in_dir)
+    n = pages.num_rows
+    for s in range(2):
+        lo = s * n // 2
+        pq.write_table(pages.slice(lo, (s + 1) * n // 2 - lo),
+                       os.path.join(in_dir, f"part-{s}.parquet"))
+    run_extract(in_dir, out_dir, files_per_wave=1,
+                winners_mode="bucketed")
+
+    dup = pages.slice(0, 1)
+    tbl = dup.set_column(
+        dup.schema.get_field_index("warc_ts"), "warc_ts",
+        pa.array([pd.Timestamp(max(pages["warc_ts"].to_pylist()))
+                  + pd.Timedelta(days=1)],
+                 type=dup.schema.field("warc_ts").type))
+    pq.write_table(tbl, os.path.join(in_dir, "part-zzz.parquet"))
+
+    run_extract(in_dir, out_dir, files_per_wave=1,
+                winners_mode="bucketed")
+    out = rd.read_parquet(
+        out_dir, columns=["url", "warc_ts"]).to_pandas()
+    url = dup["url"][0].as_py()
+    rows = out[out["url"] == url]
+    assert len(rows) == 1 and out["url"].is_unique
+    assert rows["warc_ts"].iloc[0] == tbl["warc_ts"][0].as_py()
