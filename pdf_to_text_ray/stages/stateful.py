@@ -10,9 +10,12 @@ against the batch groupby implementation (queries.sessionize_events).
 
 Ordering assumption (explicit): the input stream is consumed in global
 ts order (``ds.sort(ts)``); each actor owns ``hash(key) % N`` and sees
-its keys' events in order. At cluster scale the sort is the usual
-range-partitioned all-to-all; the driver streams sorted batches and
-fans slices out to the actor pool without materializing the dataset.
+its keys' events in order — guaranteed WITHOUT per-batch barriers
+because Ray executes an actor's tasks in submission order, so the
+fan-out is pipelined (a bounded ``ray.wait`` window is backpressure
+only). At cluster scale the sort is the usual range-partitioned
+all-to-all; the driver streams sorted batches and fans slices out to
+the actor pool without materializing the dataset.
 """
 
 from __future__ import annotations
@@ -36,11 +39,21 @@ def stateful_sessionize(ds, *, key_col: str = "user_id", ts_col: str = "ts",
             self.sessions: dict = {}
 
         def consume(self, keys, tss) -> None:
-            for k, t in zip(keys, tss):
+            # vectorized within the slice: per-key in-slice gap counts
+            # via one pandas groupby; dict traffic is one get/set per
+            # DISTINCT key in the slice, not per row
+            df = pd.DataFrame({"k": keys, "t": tss})
+            g = df.groupby("k", sort=False)["t"]
+            inc = (g.diff() > gap_us).groupby(df["k"], sort=False).sum()
+            firsts = g.first()
+            lasts = g.last()
+            for k, n_in in inc.items():
                 last = self.last_ts.get(k)
-                if last is None or t - last > gap_us:
-                    self.sessions[k] = self.sessions.get(k, 0) + 1
-                self.last_ts[k] = t
+                boundary = 1 if (last is None
+                                 or firsts[k] - last > gap_us) else 0
+                self.sessions[k] = (self.sessions.get(k, 0)
+                                    + int(n_in) + boundary)
+                self.last_ts[k] = int(lasts[k])
 
         def result(self) -> dict:
             return dict(self.sessions)
@@ -58,15 +71,17 @@ def stateful_sessionize(ds, *, key_col: str = "user_id", ts_col: str = "ts",
         else:
             tss = batch[ts_col].to_numpy()
         buckets = pd.util.hash_array(keys) % num_actors
-        # in-order fan-out: wait for the previous round before sending
-        # the next so each actor sees its keys' events in ts order
-        if pending:
-            ray.get(pending)
-        pending = [
-            actors[b].consume.remote(keys[buckets == b].tolist(),
-                                     tss[buckets == b].tolist())
-            for b in range(num_actors)
-        ]
+        # PIPELINED fan-out: Ray executes an actor's tasks in
+        # SUBMISSION order, so per-actor event order is preserved
+        # without a per-round barrier (the old ray.get per batch was a
+        # serial driver floor); a bounded ray.wait window provides
+        # backpressure only
+        while len(pending) > 4 * num_actors:
+            _, pending = ray.wait(pending, num_returns=1)
+        for b in range(num_actors):
+            m = buckets == b
+            if m.any():
+                pending.append(actors[b].consume.remote(keys[m], tss[m]))
     if pending:
         ray.get(pending)
     merged: dict = {}
