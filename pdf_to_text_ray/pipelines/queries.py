@@ -7012,6 +7012,8 @@ def doc_duplicate_spans(sf_dir: str):
     2022 goal; mod-p content-keyed sampling per Manber 1994 so shared
     spans select the SAME grams whatever their offsets): per doc, how
     many of its distinct sampled 24-char grams occur in ≥2 docs.
+    Docs whose every gram position misses the 1/12 sample emit NO row
+    (both sides agree — absence means "no sample", not "unique").
     Payload-free shuffles only (hash postings, then (doc_id, flag)
     rollup)."""
     from ..stages.curation import duplicate_gram_stats

@@ -46,12 +46,15 @@ from .groups import arrow_out, bucketed_group_apply
 #: fingerprinting (Manber 1994) — so two copies of a span select the
 #: SAME grams regardless of where the span starts in each doc. (The
 #: earlier doc-absolute stride sampling missed duplicates whose start
-#: offsets differed mod stride.) Expected detection: a duplicated run
-#: of g grams is caught unless all g hash-selections miss,
-#: p_miss = (1-1/rate)^(len-k+1) — <2% for runs ≥ 2k chars at rate 12.
-#: Cost: one md5 per position; at corpus scale screen positions first
-#: with the vectorized rolling hash (analysis.kgram_hashes) and md5
-#: only the survivors.
+#: offsets differed mod stride.) Detection probability: a duplicated
+#: run with g gram positions is missed with p = (1-1/rate)^g — ~11% at
+#: g=25 (a 48-char run), <2% from g≈45 (runs ≥ ~68 chars) at rate 12.
+#: A doc can emit NO grams at all (every position missed) — absent
+#: rows mean "no sample", not "no duplication". Cost: one md5 per
+#: position — inherent to selection being keyed on the SAME portable
+#: hash the SQL twin computes (a cheaper rolling-hash pre-screen
+#: cannot predict md5 % rate; keying selection on the rolling hash
+#: would need that hash replayed in SQL too).
 DUP_K = 24
 DUP_RATE = 12
 
@@ -74,7 +77,7 @@ def _gram_hashes(text: str, k: int, rate: int) -> set[str]:
 
 def gram_pairs_batch(t: pa.Table, *, id_col: str = "doc_id",
                      text_col: str = "text", k: int = DUP_K,
-                     stride: int = DUP_RATE) -> pa.Table:
+                     rate: int = DUP_RATE) -> pa.Table:
     """(gram hash, doc id) postings, distinct per doc. Docs shorter
     than k emit nothing (mirrored by the oracle's WHERE length>=k)."""
     ids = t[id_col].to_numpy(zero_copy_only=False)
@@ -82,7 +85,7 @@ def gram_pairs_batch(t: pa.Table, *, id_col: str = "doc_id",
     ghs: list[str] = []
     dids: list[int] = []
     for did, text in zip(ids, texts):
-        hs = _gram_hashes(text or "", k, stride)
+        hs = _gram_hashes(text or "", k, rate)
         ghs.extend(hs)
         dids.extend([did] * len(hs))
     return pa.table({"gh": pa.array(ghs, pa.string()),
@@ -91,7 +94,7 @@ def gram_pairs_batch(t: pa.Table, *, id_col: str = "doc_id",
 
 def duplicate_gram_stats(ds, *, id_col: str = "doc_id",
                          text_col: str = "text", k: int = DUP_K,
-                         stride: int = DUP_RATE, num_buckets: int = 32):
+                         rate: int = DUP_RATE, num_buckets: int = 32):
     """Per-doc duplicated-substring stats: of the doc's distinct
     content-sampled k-grams, how many occur in ≥2 distinct docs.
 
@@ -102,7 +105,7 @@ def duplicate_gram_stats(ds, *, id_col: str = "doc_id",
 
     pairs = ds.map_batches(
         lambda t: gram_pairs_batch(t, id_col=id_col, text_col=text_col,
-                                   k=k, stride=stride),
+                                   k=k, rate=rate),
         batch_format="pyarrow")
 
     def mark_dups(df: pd.DataFrame) -> pd.DataFrame:
