@@ -740,6 +740,111 @@ FROM (
 """
 
 
+def events_watermark_late(sf_dir: str, delay_minutes: int = 10):
+    """Streaming late-data accounting (§2.8): watermark at arrival i =
+    max event-time over STRICTLY earlier arrivals (arrival order =
+    event_id) minus the allowed delay; an event is late iff its
+    event-time is below the watermark. The exclusive prefix max runs
+    as the two-level ordered scan (groups.ordered_prefix_max) — rows
+    shuffle once by arrival-order range, nothing serial. Output:
+    per-type late counts."""
+    from ..stages.groups import ordered_prefix_max
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "ts"])
+    delay_us = delay_minutes * 60 * 1_000_000
+
+    def to_us(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"],
+            "event_type": t["event_type"],
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+        })
+
+    scanned = ordered_prefix_max(
+        ds.map_batches(to_us, batch_format="pyarrow"),
+        order_col="event_id", value_col="ts_us", out_col="wm")
+
+    def flag(t: pa.Table) -> pa.Table:
+        wm = t["wm"].to_numpy(zero_copy_only=False)
+        ts = t["ts_us"].to_numpy(zero_copy_only=False).astype(np.float64)
+        late = (~np.isnan(wm)) & (ts < wm - delay_us)
+        return pa.table({"event_type": t["event_type"],
+                         "late": pa.array(late.astype(np.int64))})
+
+    from ray.data.aggregate import Count, Sum
+
+    out = (scanned.map_batches(flag, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Count(alias_name="n"), Sum("late", alias_name="n_late"))
+           .to_pandas())
+    out["n"] = out["n"].astype("int64")
+    out["n_late"] = out["n_late"].astype("int64")
+    return out
+
+
+WATERMARK_LATE_SQL = """
+SELECT event_type, count(*) AS n,
+       sum(CASE WHEN late THEN 1 ELSE 0 END)::BIGINT AS n_late
+FROM (
+  SELECT event_type,
+         epoch_us(ts) < max(epoch_us(ts)) OVER (ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             - 600000000 AS late
+  FROM events)
+GROUP BY event_type
+"""
+
+
+def source_epoch_plan(sf_dir: str, *, alpha: float = 0.5,
+                      budget_tokens: int = 1_000_000):
+    """Temperature-based mixture plan (the GPT-3/PaLM data-mixing
+    recipe): per-source sampling weight ∝ share^alpha (alpha < 1
+    upweights small sources), then epochs = tokens the plan draws from
+    a source / tokens it has. One grouped token count; the plan math
+    runs on the SMALL per-source frame."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def toks(t: pa.Table) -> pa.Table:
+        n = np.asarray([len((s or "").split()) for s in
+                        t["text"].to_pylist()], dtype=np.int64)
+        return pa.table({"source": t["source"], "n_tokens": pa.array(n)})
+
+    agg = (ds.map_batches(toks, batch_format="pyarrow")
+           .groupby("source")
+           .aggregate(Sum("n_tokens", alias_name="n_tokens"),
+                      Count(alias_name="n_docs"))
+           .to_pandas())
+    share = agg["n_tokens"] / agg["n_tokens"].sum()
+    w = share ** alpha
+    w = w / w.sum()
+    agg["weight"] = round2(w * 100.0)         # percent, rounded
+    agg["epochs"] = round2(budget_tokens * w / agg["n_tokens"])
+    agg["n_tokens"] = agg["n_tokens"].astype("int64")
+    agg["n_docs"] = agg["n_docs"].astype("int64")
+    return agg.sort_values("source").reset_index(drop=True)
+
+
+SOURCE_EPOCH_SQL = """
+WITH tok AS (
+  SELECT source,
+         sum(length(list_filter(string_split_regex(coalesce(text, ''),
+                                                   '\\s+'), x -> x <> '')))
+           ::BIGINT AS n_tokens,
+         count(*) AS n_docs
+  FROM documents GROUP BY source
+),
+w AS (SELECT *, pow(n_tokens / (SELECT sum(n_tokens) FROM tok), 0.5) AS rw
+      FROM tok)
+SELECT source, n_tokens, n_docs,
+       round(rw / (SELECT sum(rw) FROM w) * 100, 2) AS weight,
+       round(1000000.0 * rw / (SELECT sum(rw) FROM w) / n_tokens, 2)
+         AS epochs
+FROM w
+"""
+
+
 def sessionize_events_stateful(sf_dir: str):
     """Incremental keyed-state sessionization via the raw-actor escape
     hatch (stages/stateful.py) — same semantics as sessionize_events,
@@ -7815,6 +7920,8 @@ QUERIES = {
     "point_lookup_event": point_lookup_event,
     "sessionize_events": sessionize_events,
     "sessionize_events_stateful": sessionize_events_stateful,
+    "events_watermark_late": events_watermark_late,
+    "source_epoch_plan": source_epoch_plan,
     "join_orders_lineitem": join_orders_lineitem,
     "asof_prev_view": asof_prev_view,
     "q3_shipping_priority": q3_shipping_priority,
@@ -8017,6 +8124,8 @@ ORACLE_SQL = {
     "point_lookup_event": POINT_LOOKUP_SQL,
     "sessionize_events": SESSIONIZE_SQL,
     "sessionize_events_stateful": SESSIONIZE_SQL,
+    "events_watermark_late": WATERMARK_LATE_SQL,
+    "source_epoch_plan": SOURCE_EPOCH_SQL,
     "join_orders_lineitem": JOIN_ORDERS_LINEITEM_SQL,
     "asof_prev_view": ASOF_SQL,
     "q3_shipping_priority": Q3_SQL,

@@ -190,3 +190,67 @@ def ordered_prefix_sum(ds, *, order_col: str, value_col: str,
 
     return withb.groupby("_rbucket").map_groups(scan_bucket,
                                                 batch_format="pyarrow")
+
+
+def ordered_prefix_max(ds, *, order_col: str, value_col: str,
+                       out_col: str = "wm", num_buckets: int = 32):
+    """Distributed EXCLUSIVE prefix max of ``value_col`` in
+    ``order_col`` order — the streaming-watermark shape (watermark at
+    row i = max over STRICTLY earlier rows). Same two-level scan as
+    ``ordered_prefix_sum``; max is associative so bucket totals
+    compose the same way. Rows with no earlier row get NULL."""
+    import ray
+    from ray.data.aggregate import Max, Min
+
+    ds = ds.materialize()  # consumed three times (see prefix_sum note)
+    mm = ds.aggregate(Min(order_col), Max(order_col))
+    lo, hi = mm[f"min({order_col})"], mm[f"max({order_col})"]
+    if lo is None or hi is None:
+        return ds
+    span = max(int(hi) - int(lo) + 1, 1)
+    nb = min(num_buckets, span)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        v = t[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = (v - int(lo)) * nb // span
+        return t.append_column("_rbucket", pa.array(b, pa.int64()))
+
+    withb = ds.map_batches(add_bucket, batch_format="pyarrow")
+
+    def bucket_partial(t: pa.Table) -> pa.Table:
+        b = pd.DataFrame({
+            "_rbucket": t["_rbucket"].to_numpy(zero_copy_only=False),
+            "m": t[value_col].to_numpy(zero_copy_only=False)})
+        return arrow_out(b.groupby("_rbucket", as_index=False)
+                         .agg(m=("m", "max")))
+
+    totals = (withb.map_batches(bucket_partial, batch_format="pyarrow")
+              .groupby("_rbucket").aggregate(Max("m", alias_name="m"))
+              .to_pandas().sort_values("_rbucket"))
+    # exclusive running max over the B bucket maxima (None before any)
+    offsets: dict = {}
+    running = None
+    for _, row in totals.iterrows():
+        offsets[int(row["_rbucket"])] = running
+        running = row["m"] if running is None else max(running, row["m"])
+    off_ref = ray.put(offsets)
+
+    def scan_bucket(t: pa.Table):
+        g = t.to_pandas().sort_values(order_col)
+        base = ray.get(off_ref).get(int(g["_rbucket"].iloc[0])) \
+            if len(g) else None
+        v = g[value_col].to_numpy()
+        # exclusive cummax: shift the inclusive cummax right by one
+        inc = np.maximum.accumulate(v)
+        exc = np.empty(len(v), dtype="float64")
+        exc[0] = np.nan
+        if len(v) > 1:
+            exc[1:] = inc[:-1]
+        if base is not None:
+            exc = np.where(np.isnan(exc), float(base),
+                           np.maximum(exc, float(base)))
+        g[out_col] = exc
+        return arrow_out(g.drop(columns=["_rbucket"]))
+
+    return withb.groupby("_rbucket").map_groups(scan_bucket,
+                                                batch_format="pyarrow")
