@@ -1303,3 +1303,23 @@ def test_streaming_split_trainer_ingestion(ray_session):
     assert len(seen[0]) == len(seen[1]) == 2048   # equal shards
     assert set(seen[0]) | set(seen[1]) == set(range(4096))
     assert not (set(seen[0]) & set(seen[1]))      # disjoint
+
+
+def test_ordered_prefix_max_matches_numpy(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pdf_to_text_ray.stages.groups import ordered_prefix_max
+
+    rng = np.random.RandomState(3)
+    order = np.arange(500, dtype="int64")
+    vals = rng.randint(0, 10_000, 500).astype("int64")
+    ds = rd.from_arrow(pa.table({"o": order, "v": vals})).repartition(7)
+    out = (ordered_prefix_max(ds, order_col="o", value_col="v")
+           .to_pandas().sort_values("o"))
+    got = out["wm"].to_numpy()
+    want = np.empty(500)
+    want[0] = np.nan
+    want[1:] = np.maximum.accumulate(vals)[:-1]
+    assert np.isnan(got[0]) and np.allclose(got[1:], want[1:])
