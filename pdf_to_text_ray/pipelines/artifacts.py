@@ -59,8 +59,11 @@ def write_artifacts(text_ds, records_ds, out_dir: str,
 
     csv_lines = records_ds.map_batches(to_csv_rows, batch_format="pyarrow")
     os.makedirs(paths["records_csv"], exist_ok=True)
-    # header + rows, one shard per block (the reference emits one CSV
-    # string per document set, main.ts:55; sharded files scale instead)
+    # ONE header+rows file, streamed through the driver — exact parity
+    # with the reference's single CSV string (main.ts:55). This is the
+    # right shape for the records artifact (records ≪ corpus); a
+    # corpus-sized CSV export would instead shard per block via
+    # map_batches writers.
     with open(os.path.join(paths["records_csv"], "part-00000.csv"), "w") as f:
         f.write(CSV_HEADERS + "\n")
         for batch in csv_lines.iter_batches(batch_size=8192, batch_format="pyarrow"):

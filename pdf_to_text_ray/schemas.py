@@ -60,7 +60,7 @@ RECORDS_SCHEMA = pa.schema(
         ("record_idx", pa.int32()),
         ("sucursal_name", pa.string()),
         ("ean", pa.string()),
-        ("cantidad", pa.int32()),        # parseInt(x,10)||0 parity (main.ts:44)
+        ("cantidad", pa.int64()),        # parseInt(x,10)||0 parity (main.ts:44; JS ints are doubles — int64, not int32)
         ("importe", pa.float64()),       # parseFloat(x)||0 parity (main.ts:45)
     ]
 )

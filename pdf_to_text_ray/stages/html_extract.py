@@ -72,7 +72,9 @@ BLOCK_TAGS = {
 # subtrees never emitted as content
 PRUNE_TAGS = {"script", "style", "noscript", "template", "head", "title",
               "nav", "footer", "aside", "form", "iframe", "svg", "select",
-              "button"}
+              "button", "textarea", "xmp"}  # textarea/xmp are rawtext:
+# their content bypasses entity decoding, so leaking them would emit
+# raw "&amp;" into blocks (they are form-widget/obsolete content anyway)
 
 CANDIDATE_TAGS = {"article", "main", "section", "div", "td", "body"}
 _TAG_BOOST = {"article": 2.0, "main": 2.0, "section": 1.2, "div": 1.0,
@@ -195,7 +197,11 @@ def parse_html(src: str) -> Element:
                 open_tags.pop()
             el = Element(tag, attrs)
             stack[-1].children.append(el)
-            if tag not in VOID_TAGS and not self_closing:
+            # HTML5: the trailing "/" is IGNORED on non-void elements
+            # (browsers treat <a .../> as an open <a>); honoring it
+            # emptied anchors and warped block structure on real crawl
+            # markup
+            if tag not in VOID_TAGS:
                 stack.append(el)
                 open_tags.append(tag)
         elif kind == "end":
@@ -384,12 +390,28 @@ class HtmlExtractor:
     def __call__(self, batch):
         import pyarrow as pa
 
-        payloads = batch[self.payload_col].to_pylist()
-        out, fail = [], []
-        for raw in payloads:
-            try:
-                from .charset import decode_payload
+        from .charset import decode_payload
 
+        payloads = batch[self.payload_col].to_pylist()
+        gzips = (batch["is_gzip"].to_pylist()
+                 if "is_gzip" in batch.column_names
+                 else [False] * len(payloads))
+        dts = (batch["doc_type"].to_pylist()
+               if "doc_type" in batch.column_names
+               else [None] * len(payloads))
+        out, fail = [], []
+        for raw, gz, dt in zip(payloads, gzips, dts):
+            try:
+                if dt is not None and dt != "html":
+                    # routed batch containing non-HTML rows: pass
+                    # through empty rather than decoding binary as text
+                    out.append("")
+                    fail.append(False)
+                    continue
+                if gz and raw:
+                    import gzip as _gzip
+
+                    raw = _gzip.decompress(raw)
                 src = decode_payload(raw)
                 out.append(extract_html_text(src))
                 fail.append(False)

@@ -17,6 +17,7 @@ the edge rows and the metadata row.
 from __future__ import annotations
 
 import html as _htmlmod
+import zlib
 from urllib.parse import urljoin, urlsplit, urlunsplit
 
 import pyarrow as pa
@@ -172,7 +173,9 @@ def _decode_html(payload: bytes) -> str | None:
 
         try:
             payload = gzip.decompress(payload)
-        except OSError:
+        except (OSError, EOFError, zlib.error):
+            # truncated members raise EOFError, corrupt deflate
+            # zlib.error — neither is an OSError subclass
             return None
     from .charset import decode_payload
 
@@ -191,7 +194,11 @@ def links_batch(t: pa.Table, payload_col: str = "html") -> pa.Table:
         src = _decode_html(payload)
         if src is None:
             continue
-        for e in extract_links(src, url):
+        try:
+            edges = list(extract_links(src, url))
+        except RecursionError:
+            continue  # pathological nesting: skip the page, not the task
+        for e in edges:
             cols["src_url"].append(url)
             cols["dst_url"].append(e["dst_url"])
             cols["anchor"].append(e["anchor"])
@@ -219,7 +226,10 @@ def page_meta_batch(t: pa.Table, payload_col: str = "html") -> pa.Table:
         src = _decode_html(payload)
         if src is None:
             continue
-        m = extract_page_meta(src)
+        try:
+            m = extract_page_meta(src)
+        except RecursionError:
+            continue  # pathological nesting: skip the page, not the task
         rows["url"].append(url)
         for k in ("title", "html_lang", "meta_description", "canonical"):
             rows[k].append(m[k])

@@ -223,7 +223,9 @@ def records_batch(batch: pa.Table) -> pa.Table:
             "record_idx": pa.array(cols["record_idx"], pa.int32()),
             "sucursal_name": pa.array(cols["sucursal_name"], pa.string()),
             "ean": pa.array(cols["ean"], pa.string()),
-            "cantidad": pa.array(cols["cantidad"], pa.int32()),
+            # int64: JS parseInt returns doubles (exact ints to 2^53), so
+            # a >2^31 quantity must not crash the batch (ArrowInvalid)
+            "cantidad": pa.array(cols["cantidad"], pa.int64()),
             "importe": pa.array(np.asarray(cols["importe"], dtype=np.float64)),
         }
     )

@@ -27,8 +27,11 @@ import tempfile
 from typing import Any
 
 MANIFEST_DIR = "_manifests"
-_WAVE_RE = re.compile(r"^wave-(\d{5})\.json$")
-_SUB_RE = re.compile(r"^wave-(\d{5})\.f(\d{3})\.json$")
+# {5,}/{3,}: the :05d/:03d writers GROW past their pad at scale
+# (>100k waves / >1k files per wave) — a fixed width would make
+# completed_waves silently unload them and resume re-run forever
+_WAVE_RE = re.compile(r"^wave-(\d{5,})\.json$")
+_SUB_RE = re.compile(r"^wave-(\d{5,})\.f(\d{3,})\.json$")
 
 
 def manifest_path(out_dir: str, wave_idx: int) -> str:
@@ -44,9 +47,9 @@ def sub_dir(out_dir: str, wave_idx: int, sub_idx: int) -> str:
     return os.path.join(wave_dir(out_dir, wave_idx), f"file={sub_idx:03d}")
 
 
-def write_sub_manifest(out_dir: str, wave_idx: int, sub_idx: int,
-                       payload: dict[str, Any]) -> str:
-    path = sub_manifest_path(out_dir, wave_idx, sub_idx)
+def _atomic_write_json(path: str, payload: dict[str, Any]) -> str:
+    """Temp file + rename: a partially-written manifest can never mark
+    a unit as complete (shared by wave and sub-unit writers)."""
     os.makedirs(os.path.dirname(path), exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
     try:
@@ -57,6 +60,12 @@ def write_sub_manifest(out_dir: str, wave_idx: int, sub_idx: int,
         if os.path.exists(tmp):
             os.unlink(tmp)
     return path
+
+
+def write_sub_manifest(out_dir: str, wave_idx: int, sub_idx: int,
+                       payload: dict[str, Any]) -> str:
+    return _atomic_write_json(
+        sub_manifest_path(out_dir, wave_idx, sub_idx), payload)
 
 
 def completed_subunits(out_dir: str, wave_idx: int) -> dict[int, dict[str, Any]]:
@@ -78,19 +87,7 @@ def wave_dir(out_dir: str, wave_idx: int) -> str:
 
 
 def write_manifest(out_dir: str, wave_idx: int, payload: dict[str, Any]) -> str:
-    """Atomic write: temp file + rename, so a partially-written manifest
-    can never mark a wave as complete."""
-    path = manifest_path(out_dir, wave_idx)
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
-    try:
-        with os.fdopen(fd, "w") as f:
-            json.dump(payload, f, indent=2, sort_keys=True)
-        os.replace(tmp, path)
-    finally:
-        if os.path.exists(tmp):
-            os.unlink(tmp)
-    return path
+    return _atomic_write_json(manifest_path(out_dir, wave_idx), payload)
 
 
 def load_manifests(out_dir: str) -> dict[int, dict[str, Any]]:

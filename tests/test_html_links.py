@@ -146,3 +146,38 @@ def test_pipeline_end_to_end(ray_session):
     n_html = sum(_decode_html(p) is not None
                  for p in pages["html"].to_pylist())
     assert len(meta) == n_html
+
+
+def test_truncated_gzip_and_deep_nesting_do_not_crash_batch():
+    """Crash-robustness: a gzip payload cut mid-stream (EOFError, not
+    OSError) and a pathologically nested page (RecursionError in the
+    tree walk) must each skip the ROW, not kill the task."""
+    import gzip
+
+    import pyarrow as pa
+
+    from pdf_to_text_ray.stages.html_links import links_batch, page_meta_batch
+
+    good = b"<html><body><a href='/x'>ok</a></body></html>"
+    truncated = gzip.compress(good * 50)[:40]  # mid-member cut
+    deep = (b"<html><body>" + b"<div>" * 5000 + b"hi" + b"</div>" * 5000
+            + b"</body></html>")
+    t = pa.table({
+        "url": ["http://a.example/1", "http://a.example/2",
+                "http://a.example/3"],
+        "html": pa.array([good, truncated, deep], pa.binary()),
+    })
+    links = links_batch(t)
+    assert set(links["src_url"].to_pylist()) == {"http://a.example/1"}
+    meta = page_meta_batch(t)
+    assert "http://a.example/2" not in meta["url"].to_pylist()
+
+
+def test_self_closing_non_void_anchor_keeps_text():
+    """HTML5: '<a .../>' is an OPEN anchor — its following text is the
+    anchor text (honoring the slash emptied anchors on real markup)."""
+    from pdf_to_text_ray.stages.html_links import extract_links
+
+    out = extract_links("<html><body><a href='/x'/>anchor text</a>"
+                        "</body></html>", "http://h.example/")
+    assert len(out) == 1 and out[0]["anchor"] == "anchor text"
