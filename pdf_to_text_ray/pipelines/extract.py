@@ -44,6 +44,14 @@ from ..state import manifest as mstate
 DEFAULT_BATCH_SIZE = 64
 
 
+def _file_sig(path: str) -> str:
+    """Lineage signature for a resume unit's input file: basename plus
+    size and mtime, so two different files sharing a basename (a run
+    re-pointed at another in_dir) can't false-match a manifest."""
+    st = os.stat(path)
+    return f"{os.path.basename(path)}:{st.st_size}:{st.st_mtime_ns}"
+
+
 class ExtractDispatch:
     """Single-pass router+extractor actor: per row, dispatch on doc_type.
 
@@ -575,7 +583,10 @@ def run_extract(
     wave_digests: dict[int, str | None] = {}
     for i, wf in enumerate(waves):
         m = manifests.get(i)
-        if m is None or m.get("input_files") != [os.path.basename(f) for f in wf]:
+        # Basenames alone can false-match when the run is re-pointed at
+        # a DIFFERENT in_dir whose files share names — the signature
+        # (basename:size:mtime) catches changed content too.
+        if m is None or m.get("input_sigs") != [_file_sig(f) for f in wf]:
             continue
         if dedup:
             dig = unit_digest(wf)
@@ -662,7 +673,7 @@ def run_extract(
                 sub = done_subs.get(sub_idx)
                 sdig = unit_digest([f])
                 ok = (sub is not None
-                      and sub.get("input_files") == [os.path.basename(f)]
+                      and sub.get("input_sigs") == [_file_sig(f)]
                       and (not dedup or sub.get("survivor_digest") == sdig))
                 sub_plan.append((sub_idx, f, sdig, ok))
                 if ok:
@@ -690,7 +701,8 @@ def run_extract(
                 m = run_unit([f], mstate.sub_dir(out_dir, wave_idx, sub_idx))
                 mstate.write_sub_manifest(out_dir, wave_idx, sub_idx, {
                     "wave": wave_idx, "file_idx": sub_idx,
-                    "input_files": [os.path.basename(f)], "metrics": m,
+                    "input_files": [os.path.basename(f)],
+                    "input_sigs": [_file_sig(f)], "metrics": m,
                     "survivor_digest": sdig,
                 })
                 sub_metrics.append(m)
@@ -710,6 +722,7 @@ def run_extract(
         payload: dict[str, Any] = {
             "wave": wave_idx,
             "input_files": [os.path.basename(f) for f in wave_files],
+            "input_sigs": [_file_sig(f) for f in wave_files],
             "metrics": metrics,
         }
         if dedup:

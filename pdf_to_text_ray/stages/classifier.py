@@ -195,7 +195,12 @@ def lr_train(ds, *, dim: int = 256, n_iters: int = 20, lr: float = 2.0,
             })
 
         parts = feats.map_batches(partial, batch_format="pyarrow").to_pandas()
-        n = float(parts["n"].sum())
+        n = float(parts["n"].sum()) if len(parts) else 0.0
+        if n == 0.0:
+            raise ValueError(
+                "lr_train: empty effective training set — every example "
+                "was filtered out (label_fn returned all-ambiguous NaN "
+                "labels, or train_mod excluded every row)")
         gw_int = np.zeros(fdim, np.int64)
         for buf in parts["gw"]:
             gw_int += np.frombuffer(buf, np.int64)

@@ -129,6 +129,25 @@ def _count_agg(alias: str):
     return Count(alias_name=alias)
 
 
+def _cumsum_dtype(ds, value_col: str):
+    """Arrow dtype a pandas cumsum over ``value_col`` would produce."""
+    sch = ds.schema()
+    try:
+        vt = dict(zip(sch.names, sch.types))[value_col]
+    except (KeyError, AttributeError):
+        return pa.int64()
+    return pa.float64() if pa.types.is_floating(vt) else pa.int64()
+
+
+def _append_null_col(ds, out_col: str, dtype) -> "object":
+    """map_batches an all-null typed ``out_col`` onto ``ds`` so an
+    empty dataset keeps schema parity with the populated code path."""
+    def add(t: pa.Table) -> pa.Table:
+        return t.append_column(out_col, pa.nulls(t.num_rows, dtype))
+
+    return ds.map_batches(add, batch_format="pyarrow")
+
+
 def ordered_prefix_sum(ds, *, order_col: str, value_col: str,
                        out_col: str = "cum", num_buckets: int = 32):
     """Distributed inclusive prefix sum of ``value_col`` in
@@ -155,8 +174,11 @@ def ordered_prefix_sum(ds, *, order_col: str, value_col: str,
     ds = ds.materialize()
     mm = ds.aggregate(Min(order_col), Max(order_col))
     lo, hi = mm[f"min({order_col})"], mm[f"max({order_col})"]
-    if lo is None or hi is None:  # empty input → empty scan
-        return ds
+    if lo is None or hi is None:
+        # empty input → empty scan, but the out_col must still exist so
+        # downstream t[out_col] reads don't KeyError on zero-row blocks
+        return _append_null_col(ds, out_col,
+                                _cumsum_dtype(ds, value_col))
     span = max(int(hi) - int(lo) + 1, 1)
     nb = min(num_buckets, span)
 
@@ -206,7 +228,8 @@ def ordered_prefix_max(ds, *, order_col: str, value_col: str,
     mm = ds.aggregate(Min(order_col), Max(order_col))
     lo, hi = mm[f"min({order_col})"], mm[f"max({order_col})"]
     if lo is None or hi is None:
-        return ds
+        # schema parity with the non-empty path (exc scan is float64)
+        return _append_null_col(ds, out_col, pa.float64())
     span = max(int(hi) - int(lo) + 1, 1)
     nb = min(num_buckets, span)
 

@@ -395,7 +395,33 @@ def _bucket_cache_read(small_dir: str, bucket: int) -> pd.DataFrame:
     if df is None:
         import pyarrow.parquet as pq
 
-        df = pq.read_table(f"{small_dir}/bucket={bucket}").to_pandas()
+        try:
+            df = pq.read_table(f"{small_dir}/bucket={bucket}").to_pandas()
+        except (FileNotFoundError, OSError):
+            # write_parquet(partition_cols=...) only creates directories
+            # for NON-EMPTY buckets: a missing bucket is zero small-side
+            # rows (zero join rows), not an error.
+            df = _empty_bucket_frame(small_dir)
+        _BUCKET_CACHE[key] = df
+    return df
+
+
+def _empty_bucket_frame(small_dir: str) -> pd.DataFrame:
+    """Empty frame carrying the small side's schema, seeded from ANY
+    bucket that does exist (schema is identical across buckets)."""
+    key = (small_dir, "__schema__")
+    df = _BUCKET_CACHE.get(key)
+    if df is None:
+        import glob
+
+        import pyarrow.parquet as pq
+
+        files = sorted(glob.glob(f"{small_dir}/bucket=*/*.parquet"))
+        if not files:
+            raise FileNotFoundError(
+                f"no bucketed parquet under {small_dir!r} — was the "
+                "small side written by write_bucketed?")
+        df = pq.read_schema(files[0]).empty_table().to_pandas()
         _BUCKET_CACHE[key] = df
     return df
 

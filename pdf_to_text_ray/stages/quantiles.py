@@ -14,11 +14,13 @@ single float). With B buckets per round, r rounds resolve ranks over
 domains of B^r distinct values — 2 rounds at B=4096 cover 16M distinct
 values per interval; 100 TB columns take 3-4 passes.
 
-Membership across rounds is defined by the PARENT ROUND'S OWN BIN
-TEST (``min(floor((v - lo)/width), B-1) == b``), not by a re-derived
-float interval — the two can disagree by an ulp at bucket edges, and a
-value binned into bucket b but excluded from the next round's interval
-would silently shift every later rank.
+Membership across rounds is defined by the CHAIN OF ANCESTOR BIN
+TESTS (``clip(floor((v - lo)/width), 0, B-1) == b`` at every level),
+not by a re-derived float interval — the two can disagree by an ulp at
+bucket edges, and a value binned into bucket b but excluded from the
+next round's interval would silently shift every later rank. The whole
+chain is kept because the clip's edge cases (floor of -1 or B by an
+ulp) are only bounded by the levels above them.
 
 The final gather ships (value, count) DISTINCT partials through a Ray
 groupby, so the driver holds one row per distinct value in the target
@@ -50,20 +52,29 @@ def _rank_for(q: float, n: int) -> int:
 
 
 def _member_mask(v: np.ndarray, ok: np.ndarray, lo: float, hi: float,
-                 parent) -> np.ndarray:
-    """Spec membership: the parent round's exact bin test when a parent
-    exists (bit-consistent with how the histogram binned), else the
-    seed interval [lo, hi]."""
-    if parent is None:
+                 chain) -> np.ndarray:
+    """Spec membership: the conjunction of EVERY ancestor round's exact
+    bin test (bit-consistent with how each histogram binned, including
+    the ``np.clip`` at BOTH edge buckets — a value flooring to -1 by an
+    ulp was counted in bucket 0, one flooring to B in bucket B-1), else
+    the seed interval [lo, hi]. The full chain is required: a single
+    level's ``idx < 0`` would admit values below the whole ancestor
+    bucket, not just the clipped ulp stragglers inside it."""
+    if not chain:
         return ok & (v >= lo) & (v <= hi)
-    plo, pwidth, pb, B = parent
-    if pwidth <= 0:  # parent interval was a single float
-        return ok & (v == plo)
-    idx = np.floor((v - plo) / pwidth)
-    m = idx == pb
-    if pb == B - 1:  # parent's last bucket was closed: min(floor, B-1)
-        m |= idx >= B
-    return ok & m & np.isfinite(v)
+    m = ok & np.isfinite(v)
+    for plo, pwidth, pb, B in chain:
+        if pwidth <= 0:  # that interval was a single float
+            m &= v == plo
+            continue
+        idx = np.floor((v - plo) / pwidth)
+        mm = idx == pb
+        if pb == B - 1:  # last bucket was closed: min(floor, B-1)
+            mm |= idx >= B
+        if pb == 0:  # first bucket was clipped: max(floor, 0)
+            mm |= idx < 0
+        m &= mm
+    return m
 
 
 def _refine(ds, col: str, state: dict, *, group_col: str | None,
@@ -130,7 +141,7 @@ def _refine(ds, col: str, state: dict, *, group_col: str | None,
             new_hi = hi if b == n_buckets - 1 else lo + (b + 1) * width
             in_bucket = int(counts[b])
             new_r = r - prior
-            child = (lo, width, b, n_buckets)
+            child = (_parent or ()) + ((lo, width, b, n_buckets),)
             if in_bucket <= collect_cap or (new_lo == lo and new_hi == hi):
                 # small enough to gather exactly, or float-degenerate
                 # (≤2 distinct floats — the distinct-value gather is

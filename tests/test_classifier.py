@@ -69,3 +69,15 @@ def test_train_mod_samples_training_slice(ray_session):
     w, b, _ = lr_train(ds, dim=64, n_iters=10, train_mod=2)
     out = lr_score_dataset(ds, w, b).to_pandas()
     assert len(out) == 120  # scoring still covers the full corpus
+
+
+def test_lr_train_empty_training_set_raises(ray_session):
+    """All-ambiguous labels (or an over-aggressive train_mod) must raise
+    a named error, not silently train NaN weights that then score the
+    whole corpus as NaN."""
+    import ray.data as rd
+
+    ds = rd.from_arrow(_docs_table(24))
+    with pytest.raises(ValueError, match="empty effective training set"):
+        lr_train(ds, dim=16, n_iters=2,
+                 label_fn=lambda t, c="text": np.full(t.num_rows, np.nan))

@@ -253,3 +253,34 @@ def test_snapshot_diff_classifies(ray_session):
     want = pd.DataFrame({"k": pd.Series([1, 3, 5], dtype="int64"),
                          "change": ["removed", "changed", "added"]})
     pd.testing.assert_frame_equal(out[["k", "change"]], want)
+
+
+def test_storage_bucketed_join_missing_small_buckets(ray_session, tmp_path):
+    """write_parquet(partition_cols=...) only creates dirs for NON-EMPTY
+    buckets: a big-side bucket with no small-side partition (including
+    bucket 0, which merge() reads for its schema seed) must produce zero
+    join rows, not FileNotFoundError."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pdf_to_text_ray.stages.joins import (storage_bucketed_join,
+                                              write_bucketed)
+
+    big = pd.DataFrame({"k": np.arange(64, dtype="int64"),
+                        "v": np.arange(64, dtype="int64") * 10})
+    # ONE small-side key → 7 of 8 bucket dirs (usually incl. 0) missing
+    small = pd.DataFrame({"k": np.array([5], dtype="int64"),
+                          "name": ["only"]})
+    big_dir, small_dir = str(tmp_path / "big"), str(tmp_path / "small")
+    write_bucketed(rd.from_arrow(pa.Table.from_pandas(big)), "k", big_dir,
+                   num_buckets=8)
+    write_bucketed(rd.from_arrow(pa.Table.from_pandas(small)), "k",
+                   small_dir, num_buckets=8)
+    got = (storage_bucketed_join(big_dir, small_dir, "k", num_buckets=8)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    want = (big.merge(small, on="k").sort_values("k")
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[["k", "v", "name"]],
+                                  want[["k", "v", "name"]])

@@ -557,3 +557,27 @@ def test_incremental_demotion_bucketed_winners(ray_session, tmp_path,
     rows = out[out["url"] == url]
     assert len(rows) == 1 and out["url"].is_unique
     assert rows["warc_ts"].iloc[0] == tbl["warc_ts"][0].as_py()
+
+
+def test_repointed_in_dir_same_basenames_reruns(ray_session, tmp_path):
+    """Lineage must compare CONTENT signatures, not basenames: two
+    different corpora whose shards share file names must not false-match
+    a previous run's manifests (ADVICE r02 — the survivor digest only
+    guards the dedup path, so this is tested with dedup OFF)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    pages_a, _ = make_pages_table(n_rows=40, seed=7)
+    pages_b, golden_b = make_pages_table(n_rows=24, seed=99)
+    out_dir = str(tmp_path / "out")
+    for name, pages in (("a", pages_a), ("b", pages_b)):
+        d = str(tmp_path / name)
+        os.makedirs(d)
+        pq.write_table(pages, os.path.join(d, "part-0.parquet"))
+
+    run_extract(str(tmp_path / "a"), out_dir, files_per_wave=1, dedup=False)
+    # re-point at corpus B — same basename, different content
+    run_extract(str(tmp_path / "b"), out_dir, files_per_wave=1, dedup=False)
+    out_urls = sorted(
+        rd.read_parquet(out_dir, columns=["url"]).to_pandas()["url"])
+    assert out_urls == sorted(pages_b["url"].to_pylist())

@@ -156,3 +156,33 @@ def test_bm25_term_scores_reference(ray_session):
         "score": [score(2, 2, 3), score(1, 2, 4), score(3, 1, 4)],
     })
     pd.testing.assert_frame_equal(out, expect, check_dtype=False)
+
+
+def test_member_mask_matches_clip_binning_at_edges():
+    """Refinement membership must equal the set each histogram COUNTED:
+    np.clip puts an ulp-below-lo value in bucket 0 and an ulp-above-hi
+    value in bucket B-1, so the mask must include both edge cases —
+    bounded by the full ancestor chain, not admitted globally."""
+    import numpy as np
+
+    from pdf_to_text_ray.stages.quantiles import _member_mask
+
+    plo = 0.1 + 0.2              # 0.30000000000000004
+    width = (1.0 - plo) / 4
+    v = np.array([0.3, plo, 0.5, 1.0 - 1e-17, 2.0])
+    ok = np.ones(len(v), bool)
+    idx_clip = np.clip(np.floor((v - plo) / width), 0, 3)
+    for pb in range(4):
+        m = _member_mask(v, ok, plo, 1.0, ((plo, width, pb, 4),))
+        assert m.tolist() == (idx_clip == pb).tolist(), pb
+    # chained: the idx<0 case of an inner level must stay bounded by
+    # the outer level's bucket — a value below BOTH levels is excluded
+    outer = (0.0, 0.25, 1, 4)    # bucket [0.25, 0.5)
+    inner_lo = np.nextafter(0.25, 1.0)
+    inner = (inner_lo, 0.0625, 0, 4)
+    vv = np.array([0.05, 0.25, 0.26, 0.4])
+    m = _member_mask(vv, np.ones(4, bool), 0.0, 1.0, (outer, inner))
+    # 0.05 is below the outer bucket → excluded even though its inner
+    # idx is negative; 0.25 floors to -1 inside the inner level by an
+    # ulp but was clip-counted in inner bucket 0 → included
+    assert m.tolist() == [False, True, True, False]

@@ -1323,3 +1323,33 @@ def test_ordered_prefix_max_matches_numpy(ray_session):
     want[0] = np.nan
     want[1:] = np.maximum.accumulate(vals)[:-1]
     assert np.isnan(got[0]) and np.allclose(got[1:], want[1:])
+
+
+def test_ordered_prefix_scans_empty_input_keep_out_col(ray_session):
+    """Zero-row input must still carry the scan's out_col so downstream
+    unconditional t[out_col] reads don't KeyError on empty blocks."""
+    import ray.data as rd
+
+    from pdf_to_text_ray.stages.groups import (ordered_prefix_max,
+                                               ordered_prefix_sum)
+
+    empty = pd.DataFrame({"k": pd.Series([], dtype="int64"),
+                          "v": pd.Series([], dtype="int64")})
+    ds = rd.from_pandas(empty)
+    def reader(col):
+        # the ADVICE failure shape: a consumer that unconditionally
+        # indexes the scan's out_col (events_watermark_late reads
+        # t["wm"], pack/curate reads t["cum"]) on EVERY block delivered
+        def fn(t):
+            _ = t[col]
+            return t
+        return fn
+
+    got_sum = ordered_prefix_sum(ds, order_col="k", value_col="v",
+                                 out_col="cum")
+    assert got_sum.map_batches(reader("cum"),
+                               batch_format="pyarrow").count() == 0
+    got_max = ordered_prefix_max(ds, order_col="k", value_col="v",
+                                 out_col="wm")
+    assert got_max.map_batches(reader("wm"),
+                               batch_format="pyarrow").count() == 0
