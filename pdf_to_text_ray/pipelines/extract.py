@@ -63,9 +63,16 @@ class ExtractDispatch:
     def __call__(self, batch: pa.Table) -> pa.Table:
         import gzip as _gzip
 
+        from ..stages.zerocopy import binary_views
+
         doc_types = batch["doc_type"].to_pylist()
-        payloads = batch["html"].to_pylist()
-        texts = batch["text"].to_pylist() if "text" in batch.column_names else [None] * len(doc_types)
+        # zero-copy memoryviews into the Arrow buffer — to_pylist here
+        # memcpy'd every payload byte into Python heap per batch, the
+        # single biggest memory-traffic line on the hot path (VERDICT
+        # r02 #1); parsers take bytes-like, the PDF lexer owns the one
+        # remaining copy at its boundary
+        payloads = binary_views(batch["html"])
+        text_col = batch["text"] if "text" in batch.column_names else None
         gzips = (batch["is_gzip"].to_pylist() if "is_gzip" in batch.column_names
                  else [False] * len(doc_types))
 
@@ -73,7 +80,7 @@ class ExtractDispatch:
         out_pages: list[int] = []
         out_fail: list[bool] = []
         out_fb: list[bool] = []
-        for dt, payload, text, gz in zip(doc_types, payloads, texts, gzips):
+        for i, (dt, payload, gz) in enumerate(zip(doc_types, payloads, gzips)):
             try:
                 if gz and payload:
                     payload = _gzip.decompress(payload)
@@ -89,6 +96,8 @@ class ExtractDispatch:
                     out_fail.append(False)
                     out_fb.append(False)
                 else:  # passthrough (FIXTURES.md row kind 3)
+                    text = (text_col[i].as_py()
+                            if text_col is not None else None)
                     if text is not None:
                         out_text.append(text)
                     else:

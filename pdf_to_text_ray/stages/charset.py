@@ -111,20 +111,23 @@ def resolve_charset(payload: bytes) -> tuple[str, int]:
     if enc is not None:
         return enc, 0
     try:
-        payload.decode("utf-8", errors="strict")
+        # str(buf, enc, errors) accepts any bytes-like object — the
+        # zero-copy memoryview path must not force a bytes copy here
+        str(payload, "utf-8", "strict")
         return "utf-8", 0
-    except (UnicodeDecodeError, AttributeError):
+    except (UnicodeDecodeError, TypeError, AttributeError):
         return "cp1252", 0
 
 
-def decode_payload(payload: bytes | str | None) -> str:
+def decode_payload(payload: bytes | memoryview | str | None) -> str:
     """Payload bytes → text via the resolution order above. Total:
     never raises on byte content (errors="replace" after resolution —
     a replacement character here means genuinely corrupt bytes, not a
-    missed charset)."""
+    missed charset). Accepts any bytes-like object (the extract hot
+    path hands zero-copy Arrow-buffer memoryviews)."""
     if payload is None:
         return ""
     if isinstance(payload, str):
         return payload
     enc, blen = resolve_charset(payload)
-    return payload[blen:].decode(enc, errors="replace")
+    return str(payload[blen:] if blen else payload, enc, "replace")

@@ -391,8 +391,9 @@ class HtmlExtractor:
         import pyarrow as pa
 
         from .charset import decode_payload
+        from .zerocopy import binary_views
 
-        payloads = batch[self.payload_col].to_pylist()
+        payloads = binary_views(batch[self.payload_col])
         gzips = (batch["is_gzip"].to_pylist()
                  if "is_gzip" in batch.column_names
                  else [False] * len(payloads))

@@ -1812,7 +1812,12 @@ class PdfResult(NamedTuple):
 
 
 def extract_pdf_text(data: bytes) -> PdfResult:
-    """bytes → (text, n_pages, fallback). Raises PdfError on failure."""
+    """bytes → (text, n_pages, fallback). Raises PdfError on failure.
+    Accepts any bytes-like input (the dispatch stage hands zero-copy
+    Arrow memoryviews); the lexer needs an owned contiguous buffer, so
+    the one payload copy on the whole extract path happens here."""
+    if not isinstance(data, (bytes, bytearray)):
+        data = bytes(data)
     doc = PdfDocument(data)
     pages = doc.pages()
     page_runs = [
@@ -1840,7 +1845,9 @@ class PdfExtractor:
     def __call__(self, batch):
         import pyarrow as pa
 
-        payloads = batch[self.payload_col].to_pylist()
+        from .zerocopy import binary_views
+
+        payloads = binary_views(batch[self.payload_col])
         texts, n_pages, fail, fb = [], [], [], []
         for raw in payloads:
             try:
