@@ -1658,6 +1658,31 @@ UNION ALL SELECT 'lsh', true
 """
 
 
+def ann_lsh_exhaustive(sf_dir: str):
+    """LSH ANN machinery under a FULL-VALUE oracle: with ``n_bits=3``
+    every bucket lies within the 3-bit multiprobe radius, so
+    ``n_probe=8`` searches the entire corpus and the output must EQUAL
+    exact brute force rank-for-rank (oracle = KNN_SQL). This
+    hash-checks the bucketing, candidate dedup, and deterministic
+    (-sim, id) merge end to end; the approximate configs' recall
+    floors stay in ``ann_recall_floor``."""
+    from ..stages.similarity import ann_lsh_topk
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ann_lsh_topk(ds, KNN_QUERY_IDS, k=10, n_bits=3, n_probe=8)
+
+
+def ann_ivf_exhaustive(sf_dir: str):
+    """IVF ANN machinery under a FULL-VALUE oracle: probing every list
+    (``n_probe = n_lists``) makes the search exact, so the k-means
+    assignment, per-list exact scoring, and top-k merge must reproduce
+    brute force rank-for-rank (oracle = KNN_SQL)."""
+    from ..stages.similarity import ivf_topk
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ivf_topk(ds, KNN_QUERY_IDS, k=10, n_lists=16, n_probe=16)
+
+
 def ann_pq_recall(sf_dir: str):
     """PQ-ADC quality gate: recall@10 of the product-quantized path
     (32-bit→40-bit codes + exact re-rank; `similarity.py::pq_topk`)
@@ -7996,6 +8021,8 @@ QUERIES = {
     "neardup_jaccard_keep_docs": neardup_jaccard_keep_docs,
     "ann_recall_floor": ann_recall_floor,
     "ann_pq_recall": ann_pq_recall,
+    "ann_lsh_exhaustive": ann_lsh_exhaustive,
+    "ann_ivf_exhaustive": ann_ivf_exhaustive,
     "media_features": media_features,
     "video_frames": video_frames,
     "doc_lines_exploded": doc_lines_exploded,
@@ -8172,6 +8199,8 @@ ORACLE_SQL = {
     "docs_line_deduped": LINE_DEDUP_SQL,
     "ann_recall_floor": ANN_RECALL_SQL,
     "ann_pq_recall": ANN_PQ_SQL,
+    "ann_lsh_exhaustive": KNN_SQL,
+    "ann_ivf_exhaustive": KNN_SQL,
     "approx_distinct_users": APPROX_DISTINCT_SQL,
     "doc_lines_exploded": DOC_LINES_SQL,
     "doc_pii_counts": _pii_sql(),

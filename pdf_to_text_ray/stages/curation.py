@@ -50,11 +50,11 @@ from .groups import arrow_out, bucketed_group_apply
 #: run with g gram positions is missed with p = (1-1/rate)^g — ~11% at
 #: g=25 (a 48-char run), <2% from g≈45 (runs ≥ ~68 chars) at rate 12.
 #: A doc can emit NO grams at all (every position missed) — absent
-#: rows mean "no sample", not "no duplication". Cost: one md5 per
-#: position — inherent to selection being keyed on the SAME portable
-#: hash the SQL twin computes (a cheaper rolling-hash pre-screen
-#: cannot predict md5 % rate; keying selection on the rolling hash
-#: would need that hash replayed in SQL too).
+#: rows mean "no sample", not "no duplication". Selection is keyed on
+#: the SAME portable hash the SQL twin computes (a cheaper rolling-hash
+#: pre-screen cannot predict md5 % rate); the md5-per-position cost is
+#: paid vectorized — stages/md5np runs the single-block MD5 compression
+#: across all window positions in numpy, bit-identical to hashlib.
 DUP_K = 24
 DUP_RATE = 12
 
@@ -66,7 +66,17 @@ def _gram_hashes(text: str, k: int, rate: int) -> set[str]:
 
     md5 (not the repo's polynomial hash) so the DuckDB oracle computes
     the identical value AND the identical selection with
-    ``substr(md5(substr(text,i,k)), 1, 16)``."""
+    ``substr(md5(substr(text,i,k)), 1, 16)``.
+
+    ASCII docs (char windows == byte windows, single MD5 block at
+    k ≤ 55) take the numpy-vectorized single-block MD5
+    (``stages/md5np``, bit-identical, ~7× fewer ns/position); the
+    scalar hashlib loop remains for the non-ASCII / long-gram tail."""
+    if text.isascii() and k <= 55:
+        from .md5np import gram_select_hexes
+
+        data = np.frombuffer(text.encode("ascii"), np.uint8)
+        return set(gram_select_hexes(data, k, rate))
     out: set[str] = set()
     for i in range(0, len(text) - k + 1):
         h = hashlib.md5(text[i:i + k].encode("utf-8")).hexdigest()[:16]

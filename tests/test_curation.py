@@ -318,3 +318,36 @@ def test_rag_index_pipeline_invariants(ray_session, tmp_path):
 
     # hashed embeddings are l2-normalized
     assert np.allclose(out["emb_norm"], 1.0)
+
+
+def test_gram_hashes_vectorized_matches_hashlib():
+    """The numpy single-block MD5 fast path must select and spell the
+    exact same grams as the scalar hashlib loop (which the DuckDB
+    oracle replays), on ASCII and across the chunking boundary; the
+    non-ASCII tail stays on the scalar path and both agree on mixed
+    content."""
+    import hashlib
+    import random
+
+    from pdf_to_text_ray.stages.curation import _gram_hashes
+
+    rng = random.Random(3)
+    ascii_text = " ".join(
+        "".join(rng.choice("abcdefgh ") for _ in range(30))
+        for _ in range(60))
+
+    def scalar(text, k, rate):
+        out = set()
+        for i in range(len(text) - k + 1):
+            h = hashlib.md5(text[i:i + k].encode("utf-8")).hexdigest()[:16]
+            if int(h[:4], 16) % rate == 0:
+                out.add(h)
+        return out
+
+    assert _gram_hashes(ascii_text, 24, 12) == scalar(ascii_text, 24, 12)
+    # non-ASCII goes through the scalar path — same result either way
+    uni = ascii_text[:200] + "héllo wörld ünïcode " + ascii_text[200:400]
+    assert _gram_hashes(uni, 24, 12) == scalar(uni, 24, 12)
+    # short/empty edge cases
+    assert _gram_hashes("", 24, 12) == set()
+    assert _gram_hashes("short", 24, 12) == set()
