@@ -144,26 +144,35 @@ def extract_pages(ds, *, concurrency=None, batch_size: int = DEFAULT_BATCH_SIZE,
             num_cpus=num_cpus,
         )
     if compute == "split-oversized":
-        # explicit size routing (SURVEY §4.2): payloads ≥ threshold go
-        # through a batch_size=1 path with extra memory reservation so
-        # one giant document cannot inflate a multi-row batch. Costs a
-        # second pass over the sniffed input (both branches re-execute
-        # the read) — use for payload-heavy corpora where that beats
-        # memory pressure; the default path relies on Ray block
-        # splitting instead.
+        # explicit size routing (SURVEY §4.2), SINGLE-PASS: each batch
+        # splits into its small and oversized rows inside ONE stage —
+        # small rows extract as the usual vector, oversized rows are
+        # sliced out and dispatched one row at a time so a giant
+        # document's transient parser state never multiplies across a
+        # multi-row batch. (The round-2 form ran two filter branches
+        # off the same upstream, which re-executed ReadParquet + sniff
+        # once PER BRANCH.) Isolating giants into their own BLOCKS
+        # stays Ray's job via target_max_block_size; this mode bounds
+        # per-task parse state only.
         threshold = 4 * 1024 * 1024
         dispatch = ExtractDispatch()
-        small = ds.map_batches(
-            lambda t: t.filter(pc.less(pc.binary_length(t["html"]), threshold)),
-            batch_format="pyarrow",
-        ).map_batches(dispatch.__call__, batch_format="pyarrow",
-                      batch_size=batch_size, num_cpus=num_cpus)
-        big = ds.map_batches(
-            lambda t: t.filter(pc.greater_equal(pc.binary_length(t["html"]), threshold)),
-            batch_format="pyarrow",
-        ).map_batches(dispatch.__call__, batch_format="pyarrow",
-                      batch_size=1, num_cpus=max(num_cpus, 2.0))
-        return small.union(big)
+
+        def split_dispatch(t: pa.Table) -> pa.Table:
+            big_mask = pc.greater_equal(pc.binary_length(t["html"]),
+                                        threshold)
+            if not pc.any(big_mask).as_py():
+                return dispatch(t)
+            parts = []
+            small_t = t.filter(pc.invert(big_mask))
+            if small_t.num_rows:
+                parts.append(dispatch(small_t))
+            big_t = t.filter(big_mask)
+            for i in range(big_t.num_rows):  # one giant row at a time
+                parts.append(dispatch(big_t.slice(i, 1)))
+            return pa.concat_tables(parts)
+
+        return ds.map_batches(split_dispatch, batch_format="pyarrow",
+                              batch_size=batch_size, num_cpus=num_cpus)
     if concurrency is None:
         import ray
 

@@ -151,8 +151,9 @@ def jaccard(a: np.ndarray, b: np.ndarray) -> float:
 def minhash_neardup_pairs(ds, *, key_col: str = "doc_id", text_col: str = "text",
                           k: int = 5, threshold: float = 0.7,
                           max_bucket: int = 200, verify: str = "auto",
-                          join_verify_above: int = 50_000):
-    """Full near-dup pipeline → (id_a, id_b, jaccard_sim) pandas.
+                          join_verify_above: int = 50_000,
+                          output: str = "pandas"):
+    """Full near-dup pipeline → (id_a, id_b, jaccard_sim).
 
     Stages: signature+bands (map_batches, vectorized) → shuffle on
     (band, band_hash) → per-bucket candidate pairs → exact-Jaccard
@@ -166,6 +167,15 @@ def minhash_neardup_pairs(ds, *, key_col: str = "doc_id", text_col: str = "text"
     nothing corpus-sized ever lands on one node. "auto" switches to the
     join path when the candidate-pair count exceeds
     ``join_verify_above``.
+
+    ``output``: "pandas" (default — sorted DataFrame; bounds the pair
+    set by driver memory, fine for duplicate-sparse corpora) or
+    "dataset" — the mirror-heavy-crawl path: candidates are deduped
+    DISTRIBUTED, verification is forced onto the join path with the
+    pair list kept as a Dataset end to end, and the verified pairs come
+    back as an (unsorted) Dataset — the driver never holds a pair row.
+    The one remaining driver-side object is the sorted candidate-ID
+    array broadcast to the shingle collectors (8 B/id).
 
     ``max_bucket`` guards degenerate buckets (e.g. empty docs all
     hashing equal).
@@ -198,6 +208,26 @@ def minhash_neardup_pairs(ds, *, key_col: str = "doc_id", text_col: str = "text"
 
     cand = bucketed_group_apply(bands, ["band", "band_hash"], pairs_bucket,
                                 num_buckets=32)
+
+    if output == "dataset":
+        # distributed pair dedup (same band pair can surface from
+        # several bands) — per-pair-bucket drop_duplicates, never on
+        # the driver
+        cand = bucketed_group_apply(
+            cand, ["id_a", "id_b"],
+            lambda g: g.drop_duplicates(["id_a", "id_b"]), num_buckets=32)
+        id_arr = _distinct_pair_ids(cand)
+        if len(id_arr) == 0:
+            import ray.data as rd
+
+            return rd.from_pandas(pd.DataFrame({
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+                "jaccard_sim": pd.Series([], dtype="float64")}))
+        return _verify_pairs_join(ds, cand, key_col, text_col, k,
+                                  threshold, id_arr=id_arr,
+                                  as_dataset=True)
+
     cand_pdf = cand.to_pandas().drop_duplicates()  # candidates ≪ corpus
     if len(cand_pdf) == 0:
         return pd.DataFrame({"id_a": [], "id_b": [], "jaccard_sim": []})
@@ -209,6 +239,20 @@ def minhash_neardup_pairs(ds, *, key_col: str = "doc_id", text_col: str = "text"
     else:
         verified = _verify_pairs_broadcast(ds, cand_pdf, key_col, text_col, k, threshold)
     return verified.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def _distinct_pair_ids(pairs_ds) -> np.ndarray:
+    """Sorted distinct ids touched by a pair Dataset — per-batch
+    np.unique partials merged on the driver (8 B/id; the documented
+    broadcast bound of the dataset-output path)."""
+    parts = pairs_ds.map_batches(
+        lambda b: pd.DataFrame({"id": np.unique(np.concatenate(
+            [b["id_a"].to_numpy(), b["id_b"].to_numpy()]))})
+        if len(b) else pd.DataFrame({"id": []}),
+        batch_format="pandas").to_pandas()
+    if parts.empty:
+        return np.empty(0, np.int64)
+    return np.unique(parts["id"].to_numpy())
 
 
 def _verify_pairs_broadcast(ds, cand_pdf: pd.DataFrame, key_col: str,
@@ -255,21 +299,26 @@ def _verify_pairs_broadcast(ds, cand_pdf: pd.DataFrame, key_col: str,
     )
 
 
-def _verify_pairs_join(ds, cand_pdf: pd.DataFrame, key_col: str, text_col: str,
-                       k: int, threshold: float, num_buckets: int = 32) -> pd.DataFrame:
+def _verify_pairs_join(ds, cand, key_col: str, text_col: str,
+                       k: int, threshold: float, num_buckets: int = 32,
+                       id_arr: np.ndarray | None = None,
+                       as_dataset: bool = False):
     """Jaccard verify via hash-partitioned joins: shingles are derived
     for candidate ids only (a small broadcast id SET, not content) and
     attached to the pair list by two bucketed joins — no node ever
     holds more than one bucket of shingle content. The 10^12-doc
-    path."""
+    path. ``cand`` is a pandas pair list or a pair Dataset;
+    ``as_dataset=True`` returns the verified pairs as a Dataset
+    (nothing pair-shaped ever lands on the driver)."""
     import ray
     import ray.data as rd
 
     from .joins import bucketed_hash_join
 
-    id_arr = np.unique(np.concatenate([cand_pdf["id_a"].to_numpy(),
-                                       cand_pdf["id_b"].to_numpy()]))
-    ids_ref = ray.put(id_arr)  # sorted by np.unique
+    if id_arr is None:
+        id_arr = np.unique(np.concatenate([cand["id_a"].to_numpy(),
+                                           cand["id_b"].to_numpy()]))
+    ids_ref = ray.put(id_arr)  # sorted
 
     def collect_shingles(t) -> pd.DataFrame:
         import pyarrow as _pa
@@ -296,7 +345,7 @@ def _verify_pairs_join(ds, cand_pdf: pd.DataFrame, key_col: str, text_col: str,
     sh_b = sh.map_batches(
         lambda b: b.rename(columns={key_col: "id_b", "shingles": "sh_b"}),
         batch_format="pandas")
-    pairs_ds = rd.from_pandas(cand_pdf)
+    pairs_ds = cand if not isinstance(cand, pd.DataFrame) else rd.from_pandas(cand)
     # block_format="pandas": the shingle columns are multi-KB blobs —
     # Arrow boundaries copy the bytes at every conversion, pandas
     # object blocks move pointers (measured 2-3x on this join chain)
@@ -323,7 +372,10 @@ def _verify_pairs_join(ds, cand_pdf: pd.DataFrame, key_col: str, text_col: str,
         })
         return out[out["jaccard_sim"] >= threshold]
 
-    out = j2.map_batches(score, batch_format="pandas").to_pandas()
+    scored = j2.map_batches(score, batch_format="pandas")
+    if as_dataset:
+        return scored
+    out = scored.to_pandas()
     if out.empty:
         out = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                             "id_b": pd.Series([], dtype="int64"),
@@ -387,11 +439,16 @@ def simhash_batch(batch, key_col: str = "doc_id",
 
 def simhash_neardup_pairs(ds, *, key_col: str = "doc_id", text_col: str = "text",
                           max_hamming: int = 3, max_bucket: int = 500,
-                          token_hash: str = "sip"):
+                          token_hash: str = "sip", output: str = "pandas"):
     """Pairs with Hamming(simhash) ≤ max_hamming via 4×16-bit band tables
     (pigeonhole: any pair within Hamming ≤ 3 collides in ≥ 1 band) —
     COMPLETE for max_hamming ≤ 3, so with ``token_hash="md5"`` the
-    result set equals the exact SQL self-join the oracle runs."""
+    result set equals the exact SQL self-join the oracle runs.
+
+    ``output="dataset"`` dedups the pair set DISTRIBUTED (per-pair-hash
+    bucket) and returns it as an unsorted Dataset — the mirror-heavy
+    path where the pair count is corpus-shaped and must never
+    materialize on the driver."""
     sigs = ds.map_batches(
         lambda b: simhash_batch(b, key_col, text_col, token_hash),
         batch_format="pyarrow"
@@ -434,6 +491,10 @@ def simhash_neardup_pairs(ds, *, key_col: str = "doc_id", text_col: str = "text"
 
     pairs = bucketed_group_apply(bands, ["band", "band_val"], pairs_bucket,
                                  num_buckets=32)
+    if output == "dataset":
+        return bucketed_group_apply(
+            pairs, ["id_a", "id_b"],
+            lambda g: g.drop_duplicates(["id_a", "id_b"]), num_buckets=32)
     pdf = pairs.to_pandas().drop_duplicates()
     return pdf.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 

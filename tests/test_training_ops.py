@@ -1353,3 +1353,41 @@ def test_ordered_prefix_scans_empty_input_keep_out_col(ray_session):
                                  out_col="wm")
     assert got_max.map_batches(reader("wm"),
                                batch_format="pyarrow").count() == 0
+
+
+def test_pair_apis_dataset_output_mirror_heavy(ray_session):
+    """output="dataset" on the pair-producing dedup APIs: a corpus
+    where EVERYTHING is duplicated (pair count is corpus-shaped) must
+    come back as a distributed Dataset matching the pandas path's pair
+    set — no pair row materializes on the driver inside the API."""
+    import ray.data as rd
+
+    sents = [
+        f"document number {i} about {w} with plenty of shared filler "
+        "words running long enough to shingle properly and then some"
+        for i, w in enumerate(
+            ["parquet", "arrow", "shuffle", "actor", "lineage",
+             "backlog", "codec", "charset"])
+    ]
+    # every text appears twice → every doc is in some duplicate pair
+    rows = {"doc_id": list(range(16)), "text": sents + sents}
+    ds = rd.from_arrow(pa.table(rows))
+
+    want_mh = minhash_neardup_pairs(ds, threshold=0.9)
+    got_mh_ds = minhash_neardup_pairs(ds, threshold=0.9, output="dataset")
+    assert not isinstance(got_mh_ds, pd.DataFrame)
+    got_mh = (got_mh_ds.to_pandas().sort_values(["id_a", "id_b"])
+              .reset_index(drop=True))
+    assert (set(zip(got_mh["id_a"], got_mh["id_b"]))
+            == set(zip(want_mh["id_a"], want_mh["id_b"])))
+    assert len(got_mh) == len(want_mh)  # distributed dedup is exact
+    assert {(i, i + 8) for i in range(8)} <= set(
+        zip(got_mh["id_a"], got_mh["id_b"]))
+
+    want_sh = simhash_neardup_pairs(ds, max_hamming=3)
+    got_sh_ds = simhash_neardup_pairs(ds, max_hamming=3, output="dataset")
+    assert not isinstance(got_sh_ds, pd.DataFrame)
+    got_sh = got_sh_ds.to_pandas()
+    assert (set(zip(got_sh["id_a"], got_sh["id_b"]))
+            == set(zip(want_sh["id_a"], want_sh["id_b"])))
+    assert len(got_sh) == len(want_sh)
