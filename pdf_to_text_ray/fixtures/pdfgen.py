@@ -212,10 +212,15 @@ class _PdfBuilder:
 
         objstm_nums: object numbers to pack into one /ObjStm (xref-stream
         style only). broken: corrupt the startxref offset.
-        encrypt: None, "rc4-40", "rc4-128", or "aes-128" — standard
-        security handler with EMPTY user/owner passwords (spec §7.6);
-        every stream payload is encrypted with its per-object key
-        (deterministic IVs for AES so fixtures are byte-reproducible).
+        encrypt: None, "rc4-40", "rc4-128", "aes-128" (or "aes-256") —
+        standard security handler with EMPTY user/owner passwords
+        (spec §7.6); every stream payload is encrypted with its
+        per-object key (deterministic IVs for AES so fixtures are
+        byte-reproducible). A "+owner" suffix (e.g. "rc4-128+owner")
+        locks the document with a NON-EMPTY owner password while the
+        user password stays empty — spec §7.6.3: such documents must
+        still decrypt with the empty user password (pdf.js does; so
+        must we).
         """
         out = bytearray(b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n")
         offsets: dict[int, int] = {}
@@ -231,7 +236,10 @@ class _PdfBuilder:
 
             file_id = hashlib.md5(
                 f"fixture-id:{encrypt}:{len(self.objects)}".encode()).digest()
-            enc_dict, handler = pdf_crypto.make_encrypt_dict(file_id, mode=encrypt)
+            mode, _, owner_flag = encrypt.partition("+")
+            opw = b"fixture-owner-secret" if owner_flag == "owner" else b""
+            enc_dict, handler = pdf_crypto.make_encrypt_dict(
+                file_id, mode=mode, owner_password=opw)
             body = (
                 b"<< /Filter /Standard /V " + str(enc_dict["V"]).encode()
                 + b" /R " + str(enc_dict["R"]).encode()

@@ -453,9 +453,13 @@ class StandardSecurityHandler:
 
 
 def make_encrypt_dict(file_id: bytes, *, mode: str = "rc4-128",
-                      p: int = -4) -> tuple[dict, "StandardSecurityHandler"]:
-    """Fixture-side: build an /Encrypt dict (empty user AND owner
-    password) plus a handler keyed for it. ``mode``: "rc4-40"
+                      p: int = -4, owner_password: bytes = b"",
+                      ) -> tuple[dict, "StandardSecurityHandler"]:
+    """Fixture-side: build an /Encrypt dict (EMPTY user password,
+    ``owner_password`` as the owner password — spec §7.6.3: a document
+    locked with only an owner password must still open, and decrypt,
+    with the empty user password, which is exactly what pdf.js does in
+    the reference) plus a handler keyed for it. ``mode``: "rc4-40"
     (V1/R2), "rc4-128" (V2/R3), "aes-128" (V4/R4 AESV2), "aes-256"
     (V5/R6 AESV3 per ISO 32000-2 Algorithms 8/9/10)."""
     if mode == "aes-256":
@@ -468,8 +472,9 @@ def make_encrypt_dict(file_id: bytes, *, mode: str = "rc4-128",
         ue = aes_cbc_encrypt_nopad(hash_2b(b"", uks), bytes(16), file_key)
         rnd2 = hashlib.sha512(b"fixture-v5-o:" + file_id).digest()
         ovs, oks = rnd2[:8], rnd2[8:16]
-        o = hash_2b(b"", ovs, u) + ovs + oks                    # Alg 9
-        oe = aes_cbc_encrypt_nopad(hash_2b(b"", oks, u), bytes(16), file_key)
+        opw = owner_password[:127]
+        o = hash_2b(opw, ovs, u) + ovs + oks                    # Alg 9
+        oe = aes_cbc_encrypt_nopad(hash_2b(opw, oks, u), bytes(16), file_key)
         perms_plain = (struct.pack("<i", p) + b"\xff\xff\xff\xff"
                        + b"T" + b"adb" + rnd2[16:20])           # Alg 10
         perms = AES128(file_key).encrypt_block(perms_plain)
@@ -496,8 +501,11 @@ def make_encrypt_dict(file_id: bytes, *, mode: str = "rc4-128",
         raise ValueError(f"unknown mode {mode}")
     n = 5 if r == 2 else length // 8
 
-    # Algorithm 3: the /O entry from the (empty) owner password
-    okey = hashlib.md5(_PAD).digest()  # empty owner password, padded
+    # Algorithm 3: the /O entry from the owner password (empty unless
+    # the fixture asks for an owner-locked document; the USER password
+    # stays empty either way, so the reader-side handler authenticates
+    # identically)
+    okey = hashlib.md5((owner_password + _PAD)[:32]).digest()
     if r >= 3:
         for _ in range(50):
             okey = hashlib.md5(okey[:n]).digest()

@@ -1513,6 +1513,12 @@ def build_font_decoder(doc: "PdfDocument", font: dict) -> FontDecoder:
         # from the code-keyed ToUnicode CMap. Fallbacks: the ToUnicode
         # CMap's own codespaces, then 2-byte.
         cs = _predefined_codespaces(str(enc)) if isinstance(enc, str) else None
+        if not tu_overrides and isinstance(enc, str) and enc:
+            # predefined CMap AND no ToUnicode: codes segment correctly
+            # but cannot be mapped to Unicode without the registry
+            # tables — extraction degrades (codes drop); count it as a
+            # fallback doc instead of crashing (VERDICT r02 item 7)
+            doc.fallback = True
         if not cs and isinstance(tu0, Stream):
             try:
                 cs = parse_codespace_ranges(tu0.data())

@@ -368,7 +368,11 @@ class TestEncryption:
             msg = bytes(range(256))[:n]
             assert aes_cbc_decrypt(key, aes_cbc_encrypt(key, iv, msg)) == msg
 
-    @pytest.mark.parametrize("mode", ["rc4-40", "rc4-128", "aes-128"])
+    # "+owner" = owner-password-locked, empty USER password: spec
+    # §7.6.3 — the document must still decrypt (the round-2 verdict's
+    # untested tail); pdf.js opens these transparently, so do we
+    @pytest.mark.parametrize("mode", ["rc4-40", "rc4-128", "aes-128",
+                                      "rc4-128+owner", "aes-128+owner"])
     @pytest.mark.parametrize("xref_style", ["table", "stream"])
     def test_encrypted_byte_identity(self, mode, xref_style):
         import random
@@ -628,6 +632,20 @@ class TestAes256:
             r = extract_pdf_text(data)
             assert r.text == expected
 
+    def test_v5_owner_locked_empty_user_decrypts(self):
+        """V5/R6 owner-password-only document (non-empty owner, empty
+        user): /O and /OE differ but the empty-user path via /U + /UE
+        must still unwrap the file key (spec §7.6.3)."""
+        import random
+
+        from pdf_to_text_ray.fixtures.pdfgen import make_pdf
+
+        rng = random.Random(7)
+        data, expected, _ = make_pdf(rng, n_pages=1,
+                                     encrypt="aes-256+owner")
+        r = extract_pdf_text(data)
+        assert r.text == expected
+
     def test_v5_tampered_u_rejected(self):
         import random
 
@@ -795,3 +813,35 @@ def test_form_xobject_text_extracted():
     r = extract_pdf_text(pdf)
     assert r.text == "Top line\nInside the form\nBottom line", repr(r.text)
     assert r.n_pages == 1 and not r.fallback
+
+
+def test_predefined_cmap_without_tounicode_degrades_not_crashes():
+    """A Type0 font naming a predefined CMap with NO ToUnicode: the
+    registry CID tables aren't shipped, so Unicode can't be derived —
+    the document must extract without crashing and be COUNTED as a
+    fallback (r02 verdict item 7), never raise."""
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>"),
+        5: (b"<< /Type /Font /Subtype /Type0 /BaseFont /Fake "
+            b"/Encoding /UniJIS-UCS2-H >>"),
+    }
+    content = b"BT /F1 12 Tf 1 0 0 1 50 700 Tm <4e2d6587> Tj ET\n"
+    objs[4] = (b"<< /Length " + str(len(content)).encode()
+               + b" >>\nstream\n" + content + b"\nendstream")
+    out = bytearray(b"%PDF-1.7\n")
+    offsets = {}
+    for nn in sorted(objs):
+        offsets[nn] = len(out)
+        out += f"{nn} 0 obj\n".encode() + objs[nn] + b"\nendobj\n"
+    xref_off = len(out)
+    out += b"xref\n0 6\n0000000000 65535 f \n"
+    for nn in range(1, 6):
+        out += f"{offsets[nn]:010d} 00000 n \n".encode()
+    out += (b"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n"
+            + str(xref_off).encode() + b"\n%%EOF\n")
+    r = extract_pdf_text(bytes(out))
+    assert r.fallback  # degraded, counted
+    assert r.n_pages == 1
