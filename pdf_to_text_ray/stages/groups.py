@@ -33,8 +33,24 @@ def arrow_out(df: pd.DataFrame):
     dataset, so one pandas empty among Arrow blocks aborts the
     exchange. Empty object columns become Arrow ``null`` type, which
     Ray's permissive schema promotion unifies with the non-empty
-    blocks' concrete types."""
-    return pa.Table.from_pandas(df, preserve_index=False)
+    blocks' concrete types.
+
+    The pandas metadata blob ``from_pandas`` attaches is stripped: it
+    makes the schema UNHASHABLE, which defeats Ray's schema-dedup
+    early exit in every exchange and spams 'Failed to hash the
+    schemas' warnings from reduce workers; nothing downstream reads
+    it."""
+    return pa.Table.from_pandas(df, preserve_index=False) \
+        .replace_schema_metadata(None)
+
+
+def _meta_free(t: pa.Table) -> pa.Table:
+    """Strip schema metadata before an exchange: parquet written by
+    pandas carries a ``b'pandas'`` blob that makes block schemas
+    UNHASHABLE, defeating Ray's schema-dedup early exit in every
+    sort/aggregate and spamming 'Failed to hash the schemas' from
+    reduce workers. Zero-copy; nothing downstream reads the blob."""
+    return t.replace_schema_metadata(None) if t.schema.metadata else t
 
 
 def stable_bucket(values: pd.Series | np.ndarray, num_buckets: int) -> np.ndarray:
@@ -74,7 +90,7 @@ def bucketed_group_apply(ds, keys: list[str] | str, per_bucket_fn,
                     arr = np.asarray(arr, dtype=object)
                 h = h * np.uint64(0x9E3779B97F4A7C15) + pd.util.hash_array(arr)
             h = (h % num_buckets).astype("int64")
-        return t.append_column("_bucket", pa.array(h, pa.int64()))
+        return _meta_free(t).append_column("_bucket", pa.array(h, pa.int64()))
 
     def run_bucket(g: pa.Table):
         df = g.drop_columns(["_bucket"]).to_pandas()
@@ -185,7 +201,7 @@ def ordered_prefix_sum(ds, *, order_col: str, value_col: str,
     def add_bucket(t: pa.Table) -> pa.Table:
         v = t[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
         b = (v - int(lo)) * nb // span
-        return t.append_column("_rbucket", pa.array(b, pa.int64()))
+        return _meta_free(t).append_column("_rbucket", pa.array(b, pa.int64()))
 
     withb = ds.map_batches(add_bucket, batch_format="pyarrow")
 
@@ -236,7 +252,7 @@ def ordered_prefix_max(ds, *, order_col: str, value_col: str,
     def add_bucket(t: pa.Table) -> pa.Table:
         v = t[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
         b = (v - int(lo)) * nb // span
-        return t.append_column("_rbucket", pa.array(b, pa.int64()))
+        return _meta_free(t).append_column("_rbucket", pa.array(b, pa.int64()))
 
     withb = ds.map_batches(add_bucket, batch_format="pyarrow")
 
