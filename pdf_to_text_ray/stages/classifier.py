@@ -119,15 +119,46 @@ def feature_matrix(texts: list[str | None], dim: int) -> np.ndarray:
     return np.hstack([x, shape])
 
 
+def _grad_partials(x: np.ndarray, y: np.ndarray, w: np.ndarray,
+                   b: float) -> tuple[np.ndarray, int, int, int]:
+    """Fixed-point gradient/loss partials (int64) for one chunk — the
+    ONE quantization site the distributed and local training paths
+    share, so their results are BIT-IDENTICAL: per-doc contributions
+    quantize to int64 and integer sums are associative across any
+    chunking/partitioning."""
+    p = _sigmoid(x @ w + b)
+    err = p - y
+    gw = np.round(x * (err[:, None] * _SCALE)).astype(np.int64).sum(axis=0)
+    gb = int(np.round(err * _SCALE).astype(np.int64).sum())
+    eps = 1e-12
+    pl = -(y * np.log(p + eps) + (1 - y) * np.log(1 - p + eps))
+    loss = int(np.round(pl * _SCALE).astype(np.int64).sum())
+    return gw, gb, loss, len(y)
+
+
+# Fixed-point scale: per-doc |contribution| ≤ 1 per dim, so even
+# 10^6 training docs stay ≪ 2^63 at 2^40.
+_SCALE = float(1 << 40)
+
+
 def lr_train(ds, *, dim: int = 256, n_iters: int = 20, lr: float = 2.0,
              l2: float = 1e-4, key_col: str = "doc_id",
              text_col: str = "text", label_fn=default_label_batch,
-             train_mod: int = 1) -> tuple[np.ndarray, float, list[float]]:
+             train_mod: int = 1, local_train_below: int = 100_000,
+             ) -> tuple[np.ndarray, float, list[float]]:
     """Train and return (weights[dim], bias, per-iter mean losses).
 
     ``train_mod > 1`` hash-samples the training slice
     (``doc_id % train_mod == 0``) — corpus-scale runs train on a
     sliver and score everything.
+
+    A training set of ≤ ``local_train_below`` rows is gathered ONCE
+    (after the one distributed featurize pass) and the GD loop runs on
+    the driver: per-iteration Ray task launches were the dominant cost
+    for small samples (15 × ~100 ms ≫ the matmul). The fixed-point
+    quantization makes the two paths bit-identical (``_grad_partials``
+    is shared; int sums are associative), so the switch is invisible
+    to results — pytest asserts equality across the threshold.
     """
     import ray
 
@@ -157,13 +188,41 @@ def lr_train(ds, *, dim: int = 256, n_iters: int = 20, lr: float = 2.0,
 
     feats = ds.map_batches(featurize, batch_format="pyarrow").materialize()
 
-    # Fixed-point scale: per-doc |contribution| ≤ 1 per dim, so even
-    # 10^6 training docs stay ≪ 2^63 at 2^40.
-    SCALE = float(1 << 40)
+    n_train = feats.count()
+    if n_train == 0:
+        raise ValueError(
+            "lr_train: empty effective training set — every example "
+            "was filtered out (label_fn returned all-ambiguous NaN "
+            "labels, or train_mod excluded every row)")
+
+    def _x_matrix(t: pa.Table) -> np.ndarray:
+        # zero-copy read of the FixedSizeList buffer (a .tolist()
+        # round-trip here was the dominant per-iteration cost)
+        return t["x"].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False).astype(np.float64).reshape(t.num_rows,
+                                                             fdim)
 
     w = np.zeros(fdim, np.float64)
     b = 0.0
     losses: list[float] = []
+
+    if n_train <= local_train_below:
+        xs, ys = [], []
+        for t in feats.iter_batches(batch_size=8192,
+                                    batch_format="pyarrow"):
+            xs.append(_x_matrix(t))
+            ys.append(t["y"].to_numpy(zero_copy_only=False)
+                      .astype(np.float64))
+        x_all = np.concatenate(xs)
+        y_all = np.concatenate(ys)
+        for _ in range(n_iters):
+            gw_int, gb_int, loss_int, _ = _grad_partials(x_all, y_all, w, b)
+            n = float(n_train)
+            w = w - lr * (gw_int / _SCALE / n + l2 * w)
+            b = b - lr * (float(gb_int) / _SCALE / n)
+            losses.append(float(loss_int) / _SCALE / n)
+        return w, b, losses
+
     for _ in range(n_iters):
         ref = ray.put((w, b))
 
@@ -171,44 +230,27 @@ def lr_train(ds, *, dim: int = 256, n_iters: int = 20, lr: float = 2.0,
             import ray as _ray
 
             wt, bt = _ray.get(ref)
-            # zero-copy read of the FixedSizeList buffer (a .tolist()
-            # round-trip here was the dominant per-iteration cost)
-            x = t["x"].combine_chunks().flatten().to_numpy(
-                zero_copy_only=False).astype(np.float64)\
-                .reshape(t.num_rows, fdim)
-            y = t["y"].to_numpy(zero_copy_only=False).astype(np.float64)
-            p = _sigmoid(x @ wt + bt)
-            err = p - y
-            # per-DOC fixed-point quantization, then exact int sums —
-            # the batch boundary cannot change the result
-            gw = np.round(x * (err[:, None] * SCALE)).astype(np.int64)\
-                .sum(axis=0)
-            gb = int(np.round(err * SCALE).astype(np.int64).sum())
-            eps = 1e-12
-            pl = -(y * np.log(p + eps) + (1 - y) * np.log(1 - p + eps))
-            loss = int(np.round(pl * SCALE).astype(np.int64).sum())
+            gw, gb, loss, n_rows = _grad_partials(
+                _x_matrix(t),
+                t["y"].to_numpy(zero_copy_only=False).astype(np.float64),
+                wt, bt)
             return pa.table({
                 "gw": pa.array([gw.tobytes()], pa.binary()),
                 "gb": pa.array([gb], pa.int64()),
                 "loss": pa.array([loss], pa.int64()),
-                "n": pa.array([t.num_rows], pa.int64()),
+                "n": pa.array([n_rows], pa.int64()),
             })
 
         parts = feats.map_batches(partial, batch_format="pyarrow").to_pandas()
-        n = float(parts["n"].sum()) if len(parts) else 0.0
-        if n == 0.0:
-            raise ValueError(
-                "lr_train: empty effective training set — every example "
-                "was filtered out (label_fn returned all-ambiguous NaN "
-                "labels, or train_mod excluded every row)")
+        n = float(parts["n"].sum())
         gw_int = np.zeros(fdim, np.int64)
         for buf in parts["gw"]:
             gw_int += np.frombuffer(buf, np.int64)
-        gw = gw_int / SCALE / n + l2 * w
-        gb = float(parts["gb"].sum()) / SCALE / n
+        gw = gw_int / _SCALE / n + l2 * w
+        gb = float(parts["gb"].sum()) / _SCALE / n
         w = w - lr * gw
         b = b - lr * gb
-        losses.append(float(parts["loss"].sum()) / SCALE / n)
+        losses.append(float(parts["loss"].sum()) / _SCALE / n)
     return w, b, losses
 
 

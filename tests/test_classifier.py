@@ -81,3 +81,18 @@ def test_lr_train_empty_training_set_raises(ray_session):
     with pytest.raises(ValueError, match="empty effective training set"):
         lr_train(ds, dim=16, n_iters=2,
                  label_fn=lambda t, c="text": np.full(t.num_rows, np.nan))
+
+
+def test_local_and_distributed_training_bit_identical(ray_session):
+    """The small-sample local GD loop and the distributed partials path
+    share _grad_partials' fixed-point quantization, so crossing the
+    local_train_below threshold must not change a single bit."""
+    import ray.data as rd
+
+    ds = rd.from_arrow(_docs_table()).repartition(5)
+    w_loc, b_loc, l_loc = lr_train(ds, dim=64, n_iters=5,
+                                   local_train_below=10_000)
+    w_dist, b_dist, l_dist = lr_train(ds, dim=64, n_iters=5,
+                                      local_train_below=0)
+    assert np.array_equal(w_loc, w_dist)
+    assert b_loc == b_dist and l_loc == l_dist
