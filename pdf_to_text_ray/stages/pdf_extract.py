@@ -1286,7 +1286,8 @@ class FontDecoder:
     the CMap's codespace ranges, then mapped through ToUnicode."""
 
     __slots__ = ("trans", "two_byte", "widths", "codespaces",
-                 "cids", "cid_widths", "default_width")
+                 "cids", "cid_widths", "default_width",
+                 "unicode_identity")
 
     def __init__(self, overrides: dict[int, str] | None = None,
                  two_byte: bool = False,
@@ -1294,7 +1295,8 @@ class FontDecoder:
                  codespaces: list[tuple[int, bytes, bytes]] | None = None,
                  cids: dict[int, int] | None = None,
                  cid_widths: dict[int, float] | None = None,
-                 default_width: float | None = None):
+                 default_width: float | None = None,
+                 unicode_identity: bool = False):
         self.trans = dict(overrides) if overrides else None
         self.two_byte = two_byte
         self.widths = widths  # byte code → glyph width in em units
@@ -1302,6 +1304,11 @@ class FontDecoder:
         self.cids = cids  # code → CID (embedded CMap; None ⇒ identity)
         self.cid_widths = cid_widths  # CID → width in em units (/W)
         self.default_width = default_width  # /DW in em units
+        # Uni*-UCS2 / Uni*-UTF16 predefined CMaps: the character CODE
+        # is the UCS-2 value / UTF-16BE unit(s) — that is the whole
+        # point of those CMaps — so extraction maps codes to Unicode
+        # directly; an explicit ToUnicode still wins per code.
+        self.unicode_identity = unicode_identity
 
     def _codes_len(self, raw: bytes) -> list[tuple[int, int]]:
         """Variable-length code segmentation per the codespace ranges →
@@ -1329,6 +1336,24 @@ class FontDecoder:
         interpreter segment ONCE per show op instead of re-running the
         per-byte codespace walk for decode/advance/word-spacing."""
         trans = self.trans or {}
+        if self.unicode_identity:
+            out = []
+            for c in codes:
+                ch = trans.get(c)
+                if ch is not None:  # explicit ToUnicode wins
+                    out.append(ch)
+                elif 0 <= c < 0xD800 or 0xE000 <= c <= 0xFFFF:
+                    out.append(chr(c))
+                elif c > 0xFFFF:  # 4-byte UTF-16 surrogate-pair code
+                    hi, lo = c >> 16, c & 0xFFFF
+                    if 0xD800 <= hi <= 0xDBFF and 0xDC00 <= lo <= 0xDFFF:
+                        out.append(chr(0x10000 + ((hi - 0xD800) << 10)
+                                       + (lo - 0xDC00)))
+                    else:
+                        out.append("�")
+                else:  # lone surrogate / unmatched byte
+                    out.append("�")
+            return "".join(out)
         return "".join(trans.get(c, "�") for c in codes)
 
     def advance_from_codes(self, codes: list[int]) -> float:
@@ -1513,11 +1538,18 @@ def build_font_decoder(doc: "PdfDocument", font: dict) -> FontDecoder:
         # from the code-keyed ToUnicode CMap. Fallbacks: the ToUnicode
         # CMap's own codespaces, then 2-byte.
         cs = _predefined_codespaces(str(enc)) if isinstance(enc, str) else None
-        if not tu_overrides and isinstance(enc, str) and enc:
-            # predefined CMap AND no ToUnicode: codes segment correctly
-            # but cannot be mapped to Unicode without the registry
-            # tables — extraction degrades (codes drop); count it as a
-            # fallback doc instead of crashing (VERDICT r02 item 7)
+        # Uni*-UCS2 / Uni*-UTF16: the code IS the Unicode value (the
+        # published purpose of those CMaps) — decode identity, exact
+        # even with no ToUnicode. pdf.js ships the full registry and
+        # lands on the same mapping for these families.
+        uni_identity = isinstance(enc, str) and ("-UCS2" in enc
+                                                 or "-UTF16" in enc)
+        if not tu_overrides and not uni_identity \
+                and isinstance(enc, str) and enc:
+            # NON-Unicode predefined CMap AND no ToUnicode: codes
+            # segment correctly but cannot be mapped to Unicode without
+            # the registry tables — extraction degrades (codes drop);
+            # count it as a fallback doc instead of crashing
             doc.fallback = True
         if not cs and isinstance(tu0, Stream):
             try:
@@ -1526,7 +1558,8 @@ def build_font_decoder(doc: "PdfDocument", font: dict) -> FontDecoder:
                 cs = None
         return FontDecoder(
             tu_overrides, codespaces=cs or [(2, b"\x00\x00", b"\xff\xff")],
-            cid_widths=cid_widths, default_width=default_width)
+            cid_widths=cid_widths, default_width=default_width,
+            unicode_identity=uni_identity)
     widths = None
     warr = doc.resolve(font.get("Widths"))
     if isinstance(warr, list) and warr:

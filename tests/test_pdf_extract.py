@@ -815,22 +815,16 @@ def test_form_xobject_text_extracted():
     assert r.n_pages == 1 and not r.fallback
 
 
-def test_predefined_cmap_without_tounicode_degrades_not_crashes():
-    """A Type0 font naming a predefined CMap with NO ToUnicode: the
-    registry CID tables aren't shipped, so Unicode can't be derived —
-    the document must extract without crashing and be COUNTED as a
-    fallback (r02 verdict item 7), never raise."""
+def _one_page_pdf(font_body: bytes, content: bytes) -> bytes:
     objs = {
         1: b"<< /Type /Catalog /Pages 2 0 R >>",
         2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
         3: (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
             b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>"),
-        5: (b"<< /Type /Font /Subtype /Type0 /BaseFont /Fake "
-            b"/Encoding /UniJIS-UCS2-H >>"),
+        4: (b"<< /Length " + str(len(content)).encode()
+            + b" >>\nstream\n" + content + b"\nendstream"),
+        5: font_body,
     }
-    content = b"BT /F1 12 Tf 1 0 0 1 50 700 Tm <4e2d6587> Tj ET\n"
-    objs[4] = (b"<< /Length " + str(len(content)).encode()
-               + b" >>\nstream\n" + content + b"\nendstream")
     out = bytearray(b"%PDF-1.7\n")
     offsets = {}
     for nn in sorted(objs):
@@ -842,6 +836,43 @@ def test_predefined_cmap_without_tounicode_degrades_not_crashes():
         out += f"{offsets[nn]:010d} 00000 n \n".encode()
     out += (b"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n"
             + str(xref_off).encode() + b"\n%%EOF\n")
-    r = extract_pdf_text(bytes(out))
+    return bytes(out)
+
+
+def test_predefined_cmap_without_tounicode_degrades_not_crashes():
+    """A Type0 font naming a NON-Unicode predefined CMap with NO
+    ToUnicode: the registry CID tables aren't shipped, so Unicode can't
+    be derived — the document must extract without crashing and be
+    COUNTED as a fallback (r02 verdict item 7), never raise."""
+    pdf = _one_page_pdf(
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /Fake "
+        b"/Encoding /GBK-EUC-H >>",
+        b"BT /F1 12 Tf 1 0 0 1 50 700 Tm <8140b0a1> Tj ET\n")
+    r = extract_pdf_text(pdf)
     assert r.fallback  # degraded, counted
     assert r.n_pages == 1
+
+
+def test_ucs2_predefined_cmap_identity_decodes():
+    """Uni*-UCS2 CMaps: the character code IS the UCS-2 value, so text
+    extracts exactly with no ToUnicode at all (and is NOT counted as a
+    fallback — nothing degraded)."""
+    pdf = _one_page_pdf(
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /Fake "
+        b"/Encoding /UniJIS-UCS2-H >>",
+        b"BT /F1 12 Tf 1 0 0 1 50 700 Tm <4e2d658700200041> Tj ET\n")
+    r = extract_pdf_text(pdf)
+    assert r.text == "中文 A"
+    assert not r.fallback
+
+
+def test_utf16_predefined_cmap_surrogate_pairs_decode():
+    """Uni*-UTF16 CMaps: 4-byte surrogate-pair codes decode to their
+    supplementary-plane character (U+20BB7 here)."""
+    pdf = _one_page_pdf(
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /Fake "
+        b"/Encoding /UniJIS2004-UTF16-H >>",
+        b"BT /F1 12 Tf 1 0 0 1 50 700 Tm <0041d842dfb70042> Tj ET\n")
+    r = extract_pdf_text(pdf)
+    assert r.text == "A\U00020BB7B"
+    assert not r.fallback
