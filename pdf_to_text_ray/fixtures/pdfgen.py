@@ -439,6 +439,19 @@ def _font_objects(b: "_PdfBuilder", variant: str) -> tuple[int, list[tuple[str, 
         # "mix " in 1-byte codes, then CJK 中文字 in 2-byte codes, then "!"
         codes = b"mix " + b"\x81\x40\x81\x41\x81\x42" + b"!"
         return font, [("hex", codes, "mix 中文字!")], {"F2": cid_font}
+    if variant == "ucs2_cmap":
+        # /F2 names the PREDEFINED /UniJIS-UCS2-H CMap with NO
+        # ToUnicode: codes are UCS-2 values by definition, so the
+        # extractor's identity decode must recover the text exactly
+        # (spec §9.7.5.2; pdf.js resolves these via its shipped
+        # registry and lands on the same mapping)
+        cid_font = b.add(
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /FakeUCS2 "
+            b"/Encoding /UniJIS-UCS2-H >>")
+        font = b.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+        text = "Ucs2 text 中文 here"
+        codes = b"".join(ord(c).to_bytes(2, "big") for c in text)
+        return font, [("hex", codes, text)], {"F2": cid_font}
     if variant == "tounicode":
         cmap = (
             b"/CIDInit /ProcSet findresource begin\n"

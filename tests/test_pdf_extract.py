@@ -876,3 +876,14 @@ def test_utf16_predefined_cmap_surrogate_pairs_decode():
     r = extract_pdf_text(pdf)
     assert r.text == "A\U00020BB7B"
     assert not r.fallback
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_roundtrip_ucs2_cmap_variant(seed):
+    """Corpus font variant 'ucs2_cmap': a predefined /UniJIS-UCS2-H
+    Type0 font with NO ToUnicode round-trips byte-identically via the
+    identity decode."""
+    rng = random.Random(seed)
+    pdf, expected, _ = make_pdf(rng, n_pages=2, font_variant="ucs2_cmap")
+    r = extract_pdf_text(pdf)
+    assert r.text == expected and not r.fallback
