@@ -7772,6 +7772,73 @@ FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 """
 
 
+_PRUNED_DAYS = ("2024-01-05", "2024-01-06", "2024-01-07")
+
+
+def _ensure_events_by_day(sf_dir: str) -> str:
+    """Hive-partition the events table by calendar day ONCE per source
+    (cache keyed by the file's size+mtime), via a streaming Ray write
+    with ``partition_cols`` — the ingest-time layout that lets every
+    later time-ranged query read only its days' directories."""
+    import hashlib
+    import shutil
+
+    import ray.data as rd
+
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    key = (hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:8]
+           + f"_v1_{st.st_size}_{st.st_mtime_ns}")
+    out = os.path.join("/tmp/ptt_events_byday", key)
+    if os.path.exists(os.path.join(out, "_DONE")):
+        return out
+
+    def add_day(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "day", pc.strftime(t["ts"], format="%Y-%m-%d"))
+
+    tmp = out + ".__tmp__"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+    (rd.read_parquet(src)
+     .map_batches(add_day, batch_format="pyarrow")
+     .write_parquet(tmp, partition_cols=["day"]))
+    os.replace(tmp, out)
+    with open(os.path.join(out, "_DONE"), "w"):
+        pass
+    return out
+
+
+def events_partition_pruned_counts(sf_dir: str):
+    """Partition-PRUNED scan over day-partitioned storage: the query
+    lists only the three wanted ``day=`` directories (plus the
+    ``event_type`` column projection), so at 100 TB a 3-day query
+    reads 3 days of files — never the month. The oracle replays the
+    same day predicate over the unpartitioned table."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    import glob
+
+    part_dir = _ensure_events_by_day(sf_dir)
+    paths = [f for d in _PRUNED_DAYS
+             for f in sorted(glob.glob(
+                 os.path.join(part_dir, f"day={d}", "*.parquet")))]
+    if not paths:  # no events in the window at this sf
+        return pd.DataFrame({"event_type": pd.Series([], dtype="object"),
+                             "n_events": pd.Series([], dtype="int64")})
+    ds = rd.read_parquet(paths, columns=["event_type"])
+    return ds.groupby("event_type").aggregate(Count(alias_name="n_events"))
+
+
+PARTITION_PRUNED_SQL = f"""
+SELECT event_type, count(*)::BIGINT AS n_events
+FROM events
+WHERE strftime(ts, '%Y-%m-%d') IN {_PRUNED_DAYS!r}
+GROUP BY event_type
+"""
+
+
 def doc_overlap_chunks(sf_dir: str):
     """RAG-style chunking: explode each doc into fixed-width
     token-window chunks with overlap (width 64, stride 48) — the
@@ -8023,6 +8090,7 @@ QUERIES = {
     "ann_pq_recall": ann_pq_recall,
     "ann_lsh_exhaustive": ann_lsh_exhaustive,
     "ann_ivf_exhaustive": ann_ivf_exhaustive,
+    "events_partition_pruned_counts": events_partition_pruned_counts,
     "media_features": media_features,
     "video_frames": video_frames,
     "doc_lines_exploded": doc_lines_exploded,
@@ -8201,6 +8269,7 @@ ORACLE_SQL = {
     "ann_pq_recall": ANN_PQ_SQL,
     "ann_lsh_exhaustive": KNN_SQL,
     "ann_ivf_exhaustive": KNN_SQL,
+    "events_partition_pruned_counts": PARTITION_PRUNED_SQL,
     "approx_distinct_users": APPROX_DISTINCT_SQL,
     "doc_lines_exploded": DOC_LINES_SQL,
     "doc_pii_counts": _pii_sql(),
