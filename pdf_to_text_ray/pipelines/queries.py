@@ -649,6 +649,21 @@ def bpe_learn_merges(sf_dir: str):
     return learn_merges(ds, n_merges=8)
 
 
+def bpe_encode_docs(sf_dir: str):
+    """Tokenizer SERVING: apply the learned merge table corpus-wide —
+    merges broadcast once, per-batch word-memoized encode, token count
+    per doc (stages/bpe.py::bpe_token_counts). rows-only: greedy
+    merge-order tokenization is not SQL-expressible; the stage is
+    pinned against the local reference encoder in tests/test_bpe.py."""
+    from ..stages.bpe import bpe_token_counts, learn_merges
+
+    train = _read(sf_dir, "documents", ["text"])
+    merges = [tuple(r) for r in learn_merges(train, n_merges=8)
+              [["left", "right"]].itertuples(index=False)]
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bpe_token_counts(ds, merges)
+
+
 def event_value_histogram(sf_dir: str, bins: int = 20):
     """Equi-width histogram of event values: pass 1 is a tiny global
     min/max aggregate, pass 2 emits per-batch nonzero bincount partials
@@ -8091,6 +8106,7 @@ QUERIES = {
     "ann_lsh_exhaustive": ann_lsh_exhaustive,
     "ann_ivf_exhaustive": ann_ivf_exhaustive,
     "events_partition_pruned_counts": events_partition_pruned_counts,
+    "bpe_encode_docs": bpe_encode_docs,
     "media_features": media_features,
     "video_frames": video_frames,
     "doc_lines_exploded": doc_lines_exploded,

@@ -149,3 +149,37 @@ def apply_merges_to_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
     for left, right in merges:
         sym = _merge_sym(sym, left + SEP + right, left + right)
     return sym.split(SEP)
+
+
+def bpe_token_counts(ds, merges: list[tuple[str, str]], *,
+                     key_col: str = "doc_id", text_col: str = "text"):
+    """Apply a LEARNED merge table corpus-wide → (key, n_bpe_tokens).
+
+    The serving half of the BPE loop (learn_merges is the training
+    half): the merge table — tiny by construction — is broadcast once
+    via ray.put; each batch tokenizes its DISTINCT words once (word
+    memo: web text repeats words heavily) and sums token counts per
+    document. One streaming pass, no shuffle."""
+    import ray
+
+    ref = ray.put(list(merges))
+
+    def encode(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        ms = _ray.get(ref)
+        memo: dict[str, int] = {}
+        counts = []
+        for s in t[text_col].to_pylist():
+            n = 0
+            for w in (s or "").lower().split():
+                c = memo.get(w)
+                if c is None:
+                    c = len(apply_merges_to_word(w, ms))
+                    memo[w] = c
+                n += c
+            counts.append(n)
+        return pa.table({key_col: t[key_col],
+                         "n_bpe_tokens": pa.array(counts, pa.int64())})
+
+    return ds.map_batches(encode, batch_format="pyarrow")

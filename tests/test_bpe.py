@@ -86,3 +86,28 @@ def test_empty_and_degenerate(ray_session):
     got = learn_merges(ds, n_merges=4)
     # single word "x" → the only pair (x, </w>) has count 1 < 2 → no merges
     assert got.empty
+
+
+def test_bpe_token_counts_applies_learned_merges(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pdf_to_text_ray.stages.bpe import (apply_merges_to_word,
+                                            bpe_token_counts, learn_merges)
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["low lower lowest", "low low newer", ""],
+                         pa.string()),
+    })
+    ds = rd.from_arrow(docs)
+    merges = [tuple(r) for r in learn_merges(ds, n_merges=4)
+              [["left", "right"]].itertuples(index=False)]
+    out = (bpe_token_counts(ds, merges).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    # reference: encode each word with the helper the stage broadcasts
+    def n_tokens(s):
+        return sum(len(apply_merges_to_word(w, merges))
+                   for w in s.lower().split())
+    assert out["n_bpe_tokens"].tolist() == [
+        n_tokens("low lower lowest"), n_tokens("low low newer"), 0]
