@@ -180,15 +180,30 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = 8, 32
-    # interleave legs (lo, hi, lo, hi): host noise is time-correlated on
-    # this shared VM, so paired sampling + per-leg best keeps the ratio
-    # honest (each bench.py child already does best-of-REPS internally)
+    # PAIRED sampling: host noise on this shared VM is time-correlated
+    # and large (same-leg reps have swung 26 s ↔ 40 s within minutes),
+    # so an efficiency built from the fastest lo leg of one window and
+    # the fastest hi leg of another is dominated by which window each
+    # min landed in. Each adjacent (lo, hi) pair instead shares a
+    # window — contention inflates both legs and mostly cancels in the
+    # ratio — and the MEDIAN over pairs rejects the odd window that
+    # turns over mid-pair. (Each bench.py child still does
+    # best-of-REPS internally.)
+    import statistics
+
+    pairs = int(os.environ.get("GRAFT_SCALING_PAIRS", "3"))
     runs = {lo: [], hi: []}
-    for ncpu in (lo, hi, lo, hi):
-        runs[ncpu].append(one(ncpu))
+    pair_eff = []
+    for _ in range(pairs):
+        r_lo_i = one(lo)
+        r_hi_i = one(hi)
+        runs[lo].append(r_lo_i)
+        runs[hi].append(r_hi_i)
+        pair_eff.append(
+            (r_hi_i["docs_per_sec"] / r_lo_i["docs_per_sec"]) / (hi / lo))
+    eff = statistics.median(pair_eff)
     r_lo = min(runs[lo], key=lambda r: r["value"])
     r_hi = min(runs[hi], key=lambda r: r["value"])
-    eff = (r_hi["docs_per_sec"] / r_lo["docs_per_sec"]) / (hi / lo)
 
     # Host-ceiling normalization (round-1 verdict item 2): the same
     # extraction code under plain multiprocessing (no Ray) caps below
@@ -237,6 +252,7 @@ def run_scaling() -> dict:
         "pages_per_sec_hi": r_hi["pages_per_sec"],
         "corpus_rows": r_hi["corpus_rows"],
         "scaling_efficiency": round(eff, 3),
+        "pair_efficiencies": [round(e, 3) for e in pair_eff],
     }
     if ceiling:
         result["mp_ceiling_efficiency"] = ceiling["eff_extract"]
