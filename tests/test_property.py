@@ -295,3 +295,25 @@ def test_snapshot_diff_matches_dict_reference(old_rows, new_rows):
                         key_col="k", num_buckets=4).to_pandas()
     got = dict(zip(out["k"], out["change"])) if len(out) else {}
     assert got == want
+
+
+@given(st.lists(st.one_of(st.none(), st.binary(max_size=64)), max_size=40),
+       st.integers(0, 10), st.integers(0, 10),
+       st.booleans())
+@settings(max_examples=150, deadline=None)
+def test_binary_views_property(vals, off, length, large):
+    """Zero-copy views == to_pylist for ANY value mix, slice offsets,
+    and both 32/64-bit offset widths (stages/zerocopy.py)."""
+    import pyarrow as pa
+
+    from pdf_to_text_ray.stages.zerocopy import binary_views
+
+    arr = pa.array(vals, pa.large_binary() if large else pa.binary())
+    sl = arr.slice(min(off, len(arr)),
+                   min(length, max(len(arr) - off, 0)))
+    got = [None if v is None else bytes(v) for v in binary_views(sl)]
+    assert got == sl.to_pylist()
+    # high-byte equality semantics survive the cast (the BOM gotcha)
+    for v, ref in zip(binary_views(sl), sl.to_pylist()):
+        if v is not None and len(ref) >= 2:
+            assert (v[:2] == ref[:2]) is True
