@@ -585,7 +585,7 @@ def jaccard_neardup_pairs(ds, *, key_col: str = "doc_id",
 
 # ── near-dup groups → canonical keep set ─────────────────────────────
 
-def minlabel_components(pairs: pd.DataFrame, *, num_buckets: int = 16,
+def minlabel_components(pairs, *, num_buckets: int = 16,
                         max_rounds: int = 50) -> pd.DataFrame:
     """(node, group_root) for every node in ``pairs`` via DISTRIBUTED
     min-label propagation: per round, every node takes the min of its
@@ -595,35 +595,73 @@ def minlabel_components(pairs: pd.DataFrame, *, num_buckets: int = 16,
     stops changing. O(component-diameter) rounds; no driver-side
     union-find, so component state never concentrates on one node.
 
-    The pair list itself is the output of LSH banding (≪ corpus); the
-    per-round working set is 2·|pairs| (node, label) rows."""
+    ``pairs`` is a pandas pair list (the LSH-banded candidate set,
+    ≪ corpus) or a pair DATASET (``minhash_neardup_pairs(
+    output="dataset")`` — the mirror-heavy path, where edges are
+    factorized and deduped in-cluster and only the sorted id
+    vocabulary touches the driver). Per-round working set is
+    2·|pairs| (node, label) rows either way."""
+    import ray
     import ray.data as rd
 
     from ray.data.aggregate import Min
 
     from .joins import bucketed_hash_join
 
-    if len(pairs) == 0:
-        return pd.DataFrame({"node": pd.Series([], dtype="int64"),
-                             "group_root": pd.Series([], dtype="int64")})
-    # factorize keys through a SORTED vocabulary so integer-code min ==
-    # key min — propagation then runs on int64 codes regardless of the
-    # caller's key type (int ids, urls, uuids, ...)
-    raw_a = pairs["id_a"].to_numpy()
-    raw_b = pairs["id_b"].to_numpy()
-    vocab = np.unique(np.concatenate([raw_a, raw_b]))
-    a = np.searchsorted(vocab, raw_a).astype("int64")
-    b = np.searchsorted(vocab, raw_b).astype("int64")
-    sym = pd.DataFrame({"src": np.concatenate([a, b]),
-                        "dst": np.concatenate([b, a])}).drop_duplicates()
     import pyarrow as pa
 
-    # Arrow blocks from the seed: union() requires homogeneous block
-    # types, and every derived dataset in the loop is Arrow now
-    edges = rd.from_arrow(pa.table({
-        "src": pa.array(sym["src"].to_numpy(), pa.int64()),
-        "dst": pa.array(sym["dst"].to_numpy(), pa.int64())}))
-    nodes = np.unique(sym["src"].to_numpy())
+    if isinstance(pairs, pd.DataFrame):
+        if len(pairs) == 0:
+            return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                                 "group_root": pd.Series([], dtype="int64")})
+        # factorize keys through a SORTED vocabulary so integer-code
+        # min == key min — propagation then runs on int64 codes
+        # regardless of the caller's key type (int ids, urls, ...)
+        raw_a = pairs["id_a"].to_numpy()
+        raw_b = pairs["id_b"].to_numpy()
+        vocab = np.unique(np.concatenate([raw_a, raw_b]))
+        a = np.searchsorted(vocab, raw_a).astype("int64")
+        b = np.searchsorted(vocab, raw_b).astype("int64")
+        sym = pd.DataFrame({"src": np.concatenate([a, b]),
+                            "dst": np.concatenate([b, a])}).drop_duplicates()
+        # Arrow blocks from the seed: union() requires homogeneous
+        # block types, and every derived dataset in the loop is Arrow
+        edges = rd.from_arrow(pa.table({
+            "src": pa.array(sym["src"].to_numpy(), pa.int64()),
+            "dst": pa.array(sym["dst"].to_numpy(), pa.int64())}))
+        nodes = np.unique(sym["src"].to_numpy())
+    else:
+        # pairs as a DATASET (the mirror-heavy path): edges are
+        # factorized and deduped distributed; the only driver-side
+        # object is the sorted id vocabulary (8 B/id — the same
+        # documented bound the keep-set broadcast already carries)
+        from .groups import bucketed_group_apply
+
+        vocab = _distinct_pair_ids(pairs)
+        if len(vocab) == 0:
+            return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                                 "group_root": pd.Series([], dtype="int64")})
+        vref = ray.put(vocab)
+
+        def factorize(t: pa.Table) -> pa.Table:
+            import ray as _ray
+
+            voc = _ray.get(vref)
+            ra = t["id_a"].to_numpy(zero_copy_only=False)
+            rb = t["id_b"].to_numpy(zero_copy_only=False)
+            fa = np.searchsorted(voc, ra).astype("int64")
+            fb = np.searchsorted(voc, rb).astype("int64")
+            return pa.table({
+                "src": pa.array(np.concatenate([fa, fb]), pa.int64()),
+                "dst": pa.array(np.concatenate([fb, fa]), pa.int64())})
+
+        edges = bucketed_group_apply(
+            pairs.map_batches(factorize, batch_format="pyarrow"),
+            ["src", "dst"],
+            lambda g: g.drop_duplicates(["src", "dst"]),
+            num_buckets=num_buckets,
+        ).materialize()  # consumed once per propagation round
+        nodes = np.arange(len(vocab), dtype="int64")
     labels = rd.from_arrow(pa.table({
         "node": pa.array(nodes, pa.int64()),
         "label": pa.array(nodes, pa.int64())}))
@@ -807,7 +845,7 @@ def neardup_keep_set(ds, *, key_col: str = "doc_id", text_col: str = "text",
     return keep_set_from_pairs(ds, pairs, key_col=key_col)
 
 
-def keep_set_from_pairs(ds, pairs: pd.DataFrame, *, key_col: str = "doc_id",
+def keep_set_from_pairs(ds, pairs, *, key_col: str = "doc_id",
                         components: str = "minlabel"):
     """Near-dup pairs → (key, group_root, kept) over the full corpus:
     components of the pair graph, broadcast as sorted (nodes, roots)
@@ -816,8 +854,9 @@ def keep_set_from_pairs(ds, pairs: pd.DataFrame, *, key_col: str = "doc_id",
     unpaired doc roots itself).
 
     ``components``: "minlabel" (O(diameter) rounds — near-dup graphs
-    are shallow) or "star" (large-star/small-star, O(log²) rounds —
-    for adversarial chain-shaped graphs)."""
+    are shallow; also accepts a pair DATASET) or "star"
+    (large-star/small-star, O(log²) rounds — for adversarial
+    chain-shaped graphs; pandas pairs only)."""
     import ray
 
     comp = (star_components(pairs) if components == "star"

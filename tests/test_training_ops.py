@@ -1391,3 +1391,16 @@ def test_pair_apis_dataset_output_mirror_heavy(ray_session):
     assert (set(zip(got_sh["id_a"], got_sh["id_b"]))
             == set(zip(want_sh["id_a"], want_sh["id_b"])))
     assert len(got_sh) == len(want_sh)
+
+    # components straight from the pair DATASET (in-cluster edge build)
+    # must match the pandas-pairs propagation
+    from pdf_to_text_ray.stages.dedup import (keep_set_from_pairs,
+                                              minlabel_components)
+
+    comp_ds = minlabel_components(got_mh_ds)
+    comp_pd = minlabel_components(want_mh)
+    pd.testing.assert_frame_equal(comp_ds, comp_pd)
+    keep = (keep_set_from_pairs(ds, got_mh_ds).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    # every mirrored doc pairs with its twin: exactly 8 roots kept
+    assert int(keep["kept"].sum()) == 8
