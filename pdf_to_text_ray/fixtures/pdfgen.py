@@ -452,6 +452,41 @@ def _font_objects(b: "_PdfBuilder", variant: str) -> tuple[int, list[tuple[str, 
         text = "Ucs2 text 中文 here"
         codes = b"".join(ord(c).to_bytes(2, "big") for c in text)
         return font, [("hex", codes, text)], {"F2": cid_font}
+    if variant == "type3":
+        # /F2 is a Type3 glyph-procedure font (spec §9.6.5): no base
+        # encoding exists — text comes ONLY from /Encoding/Differences
+        # glyph names resolved by the AGL algorithm (including the
+        # uniXXXX and uXXXX forms) — and /Widths are in GLYPH SPACE,
+        # scaled to text space by /FontMatrix (here 0.01, width 50 →
+        # 0.5 em; a /1000 assumption would misplace every glyph)
+        text = "Type3 font works 中文 ok"
+        _name_for = {" ": "space", "3": "three",
+                     "中": "uni4E2D", "文": "u6587"}
+        code_for: dict[str, int] = {}
+        for ch in dict.fromkeys(text):
+            code_for[ch] = ord(ch) if ord(ch) < 0x80 else 0x80 + len(
+                [c for c in code_for.values() if c >= 0x80])
+        glyph = b.add_stream(b"", b"50 0 d0\n", compress=False)
+        names = {ch: _name_for.get(ch, ch) for ch in code_for}
+        charprocs = b"<< " + b"".join(
+            f"/{n} {glyph} 0 R ".encode() for n in sorted(set(names.values()))
+        ) + b">>"
+        diffs = b" ".join(
+            f"{code} /{names[ch]}".encode()
+            for ch, code in sorted(code_for.items(), key=lambda kv: kv[1]))
+        first = min(code_for.values())
+        last = max(code_for.values())
+        widths = b" ".join(b"50" for _ in range(first, last + 1))
+        t3 = b.add(
+            b"<< /Type /Font /Subtype /Type3 /FontBBox [0 0 100 100] "
+            b"/FontMatrix [0.01 0 0 0.01 0 0] "
+            b"/CharProcs " + charprocs + b" "
+            b"/Encoding << /Type /Encoding /Differences [ " + diffs + b" ] >> "
+            + f"/FirstChar {first} /LastChar {last} ".encode()
+            + b"/Widths [ " + widths + b" ] >>")
+        font = b.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+        codes = bytes(code_for[ch] for ch in text)
+        return font, [("hex", codes, text)], {"F2": t3}
     if variant == "tounicode":
         cmap = (
             b"/CIDInit /ProcSet findresource begin\n"

@@ -27,8 +27,14 @@ Positioned runs go through the frozen reading-order spec in
 main.ts:152-154).
 
 Simple-font decoding (spec §9.6.6, §9.10.3): Latin-1 base overridden by
-WinAnsiEncoding tables, /Differences glyph names (AGL subset), and
-ToUnicode CMaps (bfchar/bfrange, multi-code-unit targets).
+WinAnsiEncoding tables, /Differences glyph names (Adobe's full
+glyph-name-to-Unicode algorithm: AGL subset + ``uniXXXX``/``uXXXX``
+forms, ``.suffix`` strip, ``_`` ligatures), and ToUnicode CMaps
+(bfchar/bfrange, multi-code-unit targets). Type3 glyph-procedure fonts
+(spec §9.6.5) decode through the same /Differences + ToUnicode path
+with /Widths scaled by /FontMatrix instead of the /1000 convention;
+a Type3 font with no derivable text mapping degrades to
+charcode-identity and counts the document as a fallback.
 
 Composite Type0 fonts with Identity-H/V encoding decode 2-byte codes
 through their ToUnicode CMap (spec §9.7.4).
@@ -1169,6 +1175,41 @@ for _c in "abcdefghijklmnopqrstuvwxyz":
     _AGL[_c] = _c
     _AGL[_c.upper()] = _c.upper()
 
+_HEX_DIGITS = set("0123456789ABCDEFabcdef")
+
+
+def glyph_name_to_unicode(name: str) -> str | None:
+    """Glyph name → Unicode per Adobe's published "Unicode and Glyph
+    Names" algorithm (the same rules pdf.js applies): strip any
+    ``.suffix``, split ``_`` ligature components, then map each
+    component through the AGL table, the ``uniXXXX[XXXX…]`` form
+    (UTF-16BE code units, 4 hex digits per unit) or the ``uXXXX`` –
+    ``uXXXXXX`` form (one code point, 4-6 hex digits). None when any
+    component has no mapping."""
+    base = name.split(".", 1)[0]
+    if not base:
+        return None
+    out: list[str] = []
+    for part in base.split("_"):
+        ch = _AGL.get(part)
+        if ch is None and part.startswith("uni") and len(part) >= 7 \
+                and (len(part) - 3) % 4 == 0 \
+                and all(c in _HEX_DIGITS for c in part[3:]):
+            units = bytes.fromhex(part[3:])
+            try:
+                ch = units.decode("utf-16-be")
+            except UnicodeDecodeError:
+                ch = None
+        elif ch is None and part.startswith("u") and 5 <= len(part) <= 7 \
+                and all(c in _HEX_DIGITS for c in part[1:]):
+            cp = int(part[1:], 16)
+            if cp <= 0x10FFFF and not (0xD800 <= cp <= 0xDFFF):
+                ch = chr(cp)
+        if ch is None:
+            return None
+        out.append(ch)
+    return "".join(out)
+
 _BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.DOTALL)
 _BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.DOTALL)
 _HEXPAIR_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
@@ -1560,12 +1601,23 @@ def build_font_decoder(doc: "PdfDocument", font: dict) -> FontDecoder:
             tu_overrides, codespaces=cs or [(2, b"\x00\x00", b"\xff\xff")],
             cid_widths=cid_widths, default_width=default_width,
             unicode_identity=uni_identity)
+    # /Widths scale: simple fonts declare glyph widths in thousandths
+    # of an em (spec §9.2.4); Type3 fonts declare them in GLYPH SPACE,
+    # mapped to text space by /FontMatrix (spec §9.6.5) — the
+    # horizontal scale is the matrix's `a` coefficient.
+    w_scale = 0.001
+    if subtype == "Type3":
+        fm = doc.resolve(font.get("FontMatrix"))
+        if isinstance(fm, list) and len(fm) == 6:
+            a = doc.resolve(fm[0])
+            if isinstance(a, (int, float)) and a != 0:
+                w_scale = float(a)
     widths = None
     warr = doc.resolve(font.get("Widths"))
     if isinstance(warr, list) and warr:
         first = int(doc.resolve(font.get("FirstChar", 0)) or 0)
         widths = {
-            first + i: float(w) / 1000.0
+            first + i: float(w) * w_scale
             for i, w in enumerate(warr)
             if isinstance(w, (int, float))
         }
@@ -1577,7 +1629,7 @@ def build_font_decoder(doc: "PdfDocument", font: dict) -> FontDecoder:
             if isinstance(item, (int, float)):
                 code = int(item)
             elif isinstance(item, str):  # a Name
-                ch = _AGL.get(item)
+                ch = glyph_name_to_unicode(item)
                 if ch is not None:
                     overrides[code] = ch
                 code += 1
@@ -1587,6 +1639,13 @@ def build_font_decoder(doc: "PdfDocument", font: dict) -> FontDecoder:
             overrides.update(parse_tounicode_cmap(tu.data()))
         except PdfError:
             pass  # unparseable CMap: keep encoding-level mapping
+    if subtype == "Type3" and not overrides:
+        # glyph-procedure font with NO /Differences-derivable names and
+        # no ToUnicode: true text would require rendering /CharProcs.
+        # Unmapped codes ride the charcode-identity (Latin-1) path —
+        # the same fallback pdf.js applies when a glyph has no unicode
+        # — but the document is COUNTED as degraded.
+        doc.fallback = True
     if overrides or widths:
         return FontDecoder(overrides, widths=widths)
     return _LATIN1_DECODER

@@ -887,3 +887,80 @@ def test_roundtrip_ucs2_cmap_variant(seed):
     pdf, expected, _ = make_pdf(rng, n_pages=2, font_variant="ucs2_cmap")
     r = extract_pdf_text(pdf)
     assert r.text == expected and not r.fallback
+
+
+# ── Type3 glyph-procedure fonts (spec §9.6.5) ─────────────────────────
+
+def test_glyph_name_to_unicode_algorithm():
+    """Adobe 'Unicode and Glyph Names' algorithm: AGL lookup, uniXXXX
+    (multi-unit UTF-16BE), uXXXX-uXXXXXX, .suffix strip, _ ligatures;
+    unknown names and lone surrogates map to None."""
+    from pdf_to_text_ray.stages.pdf_extract import glyph_name_to_unicode as g
+    assert g("eacute") == "é"
+    assert g("three") == "3"
+    assert g("uni4E2D") == "中"
+    assert g("uni00480065") == "He"      # two UTF-16BE units
+    assert g("u6587") == "文"
+    assert g("u1F600") == "\U0001F600"   # 5-hex-digit code point
+    assert g("eacute.sc") == "é"         # variant suffix stripped
+    assert g("f_i") == "fi"              # ligature components
+    assert g("uniD800") is None          # lone surrogate
+    assert g("glyph42") is None          # private name: no mapping
+    assert g("uni4E2") is None           # not a multiple of 4 hex digits
+    assert g("") is None
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_roundtrip_type3_variant(seed):
+    """Corpus font variant 'type3': text recovered purely from
+    /Differences glyph names (AGL + uniXXXX/uXXXX forms), widths in
+    glyph space scaled by /FontMatrix."""
+    rng = random.Random(seed)
+    pdf, expected, _ = make_pdf(rng, n_pages=2, font_variant="type3")
+    r = extract_pdf_text(pdf)
+    assert "Type3 font works 中文 ok" in r.text
+    assert r.text == expected and not r.fallback
+
+
+def test_type3_variant_through_objstm_and_encryption():
+    rng = random.Random(31)
+    pdf, expected, _ = make_pdf(rng, n_pages=1, font_variant="type3",
+                                xref_style="stream", use_objstm=True,
+                                encrypt="aes-128")
+    r = extract_pdf_text(pdf)
+    assert r.text == expected and not r.fallback
+
+
+def test_type3_fontmatrix_scales_widths():
+    """Type3 /Widths are glyph-space values mapped by /FontMatrix
+    (0.01 here → width 50 = 0.5 em); the /1000 convention of simple
+    fonts must NOT apply."""
+    from pdf_to_text_ray.stages.pdf_extract import (PdfDocument,
+                                                    build_font_decoder)
+    pdf = _one_page_pdf(
+        b"<< /Type /Font /Subtype /Type3 /FontBBox [0 0 100 100] "
+        b"/FontMatrix [0.01 0 0 0.01 0 0] /CharProcs << >> "
+        b"/Encoding << /Differences [ 65 /A ] >> "
+        b"/FirstChar 65 /LastChar 66 /Widths [ 50 75 ] >>",
+        b"BT /F1 12 Tf 1 0 0 1 50 700 Tm (A) Tj ET\n")
+    doc = PdfDocument(pdf)
+    font = doc.resolve(doc.resolve(doc.resolve(
+        doc.pages()[0]["Resources"])["Font"])["F1"])
+    dec = build_font_decoder(doc, font)
+    assert dec.widths == {65: 0.5, 66: 0.75}
+    assert dec.decode(b"A") == "A"
+
+
+def test_type3_without_text_mapping_degrades_not_crashes():
+    """A Type3 font with no /Differences-derivable names and no
+    ToUnicode cannot yield true text without rendering /CharProcs: the
+    document extracts via the charcode-identity fallback (what pdf.js
+    emits for unicode-less glyphs) and is COUNTED as a fallback."""
+    pdf = _one_page_pdf(
+        b"<< /Type /Font /Subtype /Type3 /FontBBox [0 0 100 100] "
+        b"/FontMatrix [0.001 0 0 0.001 0 0] /CharProcs << >> "
+        b"/Encoding << /Differences [ 65 /g1 /g2 ] >> >>",
+        b"BT /F1 12 Tf 1 0 0 1 50 700 Tm (AB) Tj ET\n")
+    r = extract_pdf_text(pdf)
+    assert r.fallback
+    assert "AB" in r.text  # charcode identity, flagged as degraded
