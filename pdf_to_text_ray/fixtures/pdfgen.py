@@ -452,6 +452,18 @@ def _font_objects(b: "_PdfBuilder", variant: str) -> tuple[int, list[tuple[str, 
         text = "Ucs2 text 中文 here"
         codes = b"".join(ord(c).to_bytes(2, "big") for c in text)
         return font, [("hex", codes, text)], {"F2": cid_font}
+    if variant == "rksj_cmap":
+        # /F2 names the PREDEFINED /90ms-RKSJ-H CMap (Microsoft
+        # Shift-JIS) with NO ToUnicode: codes are cp932 byte sequences,
+        # decoded via the charset-backed predefined-CMap path — mixed
+        # 1-byte ASCII, 1-byte halfwidth katakana and 2-byte kanji
+        cid_font = b.add(
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /FakeRKSJ "
+            b"/Encoding /90ms-RKSJ-H >>")
+        font = b.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+        text = "Rksj 日本語 ｶﾀｶﾅ here"
+        codes = text.encode("cp932")
+        return font, [("hex", codes, text)], {"F2": cid_font}
     if variant == "type3":
         # /F2 is a Type3 glyph-procedure font (spec §9.6.5): no base
         # encoding exists — text comes ONLY from /Encoding/Differences

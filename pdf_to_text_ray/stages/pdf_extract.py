@@ -48,10 +48,15 @@ ISO 32000-2 §7.6.4, stages/pdf_crypto).
 unsupported-revision documents.
 
 Stream filters implemented: Flate (+PNG predictors), ASCIIHex, ASCII85,
-RunLength, LZW, DCT (baseline JFIF via ``jpeg_codec``). Known
+RunLength, LZW, DCT (baseline JFIF via ``jpeg_codec``). Predefined
+CMaps (spec §9.7.5.2): Uni*-UCS2/UTF16 families decode by identity;
+charset-backed families (90ms-RKSJ, GBK-EUC, GBK2K, ETen-B5, KSCms-UHC,
+KSC/EUC, …) decode each code's bytes through the matching stdlib codec
+(the Adobe-registry code→CID→Unicode chain lands on the same
+assignments for those charsets); remaining print-variant families
+(90pv/83pv-RKSJ, GBpc/B5pc) degrade and count as fallback. Known
 limitations (documented, fail-safe): no JBIG2/JPX filters (image-only
-codecs), no predefined CID CMap tables (embedded CMap streams are
-supported). Rows that hit these raise ``PdfError`` →
+codecs). Rows that hit these raise ``PdfError`` →
 ``parse_failure=True``.
 """
 
@@ -1328,7 +1333,7 @@ class FontDecoder:
 
     __slots__ = ("trans", "two_byte", "widths", "codespaces",
                  "cids", "cid_widths", "default_width",
-                 "unicode_identity")
+                 "unicode_identity", "charset_codec")
 
     def __init__(self, overrides: dict[int, str] | None = None,
                  two_byte: bool = False,
@@ -1337,7 +1342,8 @@ class FontDecoder:
                  cids: dict[int, int] | None = None,
                  cid_widths: dict[int, float] | None = None,
                  default_width: float | None = None,
-                 unicode_identity: bool = False):
+                 unicode_identity: bool = False,
+                 charset_codec: str | None = None):
         self.trans = dict(overrides) if overrides else None
         self.two_byte = two_byte
         self.widths = widths  # byte code → glyph width in em units
@@ -1350,17 +1356,29 @@ class FontDecoder:
         # point of those CMaps — so extraction maps codes to Unicode
         # directly; an explicit ToUnicode still wins per code.
         self.unicode_identity = unicode_identity
+        # Non-Unicode predefined CMaps (90ms-RKSJ, GBK-EUC, ETen-B5,
+        # KSCms-UHC, …) are defined over a legacy charset's byte
+        # sequences: the code's Unicode is the stdlib codec decode of
+        # its bytes (code→CID→Unicode through the Adobe registry lands
+        # on the same assignments for these charsets' assigned codes).
+        self.charset_codec = charset_codec
 
     def _codes_len(self, raw: bytes) -> list[tuple[int, int]]:
         """Variable-length code segmentation per the codespace ranges →
         (code, n_bytes) pairs; an unmatched byte consumes one byte and
-        yields (-1, 1) (fail-safe)."""
+        yields (-1, 1) (fail-safe). A code matches a range only if EACH
+        byte lies between the corresponding bound bytes (spec §9.7.6.2)
+        — per-byte, NOT lexicographic: in GB18030, <95 32 82 36> is a
+        4-byte code precisely because its second byte 0x32 falls
+        outside the 2-byte range's 0x40-0xFE second-byte band, even
+        though <95 32> sorts inside <81 40>-<FE FE>."""
         out: list[tuple[int, int]] = []
         i, n = 0, len(raw)
         while i < n:
             for nb, lo, hi in self.codespaces:
                 seg = raw[i:i + nb]
-                if len(seg) == nb and lo <= seg <= hi:
+                if len(seg) == nb and all(
+                        lo[j] <= seg[j] <= hi[j] for j in range(nb)):
                     out.append((int.from_bytes(seg, "big"), nb))
                     i += nb
                     break
@@ -1372,14 +1390,15 @@ class FontDecoder:
     def _codes(self, raw: bytes) -> list[int]:
         return [c for c, _ in self._codes_len(raw)]
 
-    def decode_codes(self, codes: list[int]) -> str:
-        """Map already-segmented codes through ToUnicode — lets the
-        interpreter segment ONCE per show op instead of re-running the
-        per-byte codespace walk for decode/advance/word-spacing."""
+    def decode_codes(self, codes_len: list[tuple[int, int]]) -> str:
+        """Map already-segmented (code, n_bytes) pairs through ToUnicode
+        — lets the interpreter segment ONCE per show op instead of
+        re-running the per-byte codespace walk for decode/advance/
+        word-spacing."""
         trans = self.trans or {}
         if self.unicode_identity:
             out = []
-            for c in codes:
+            for c, _ in codes_len:
                 ch = trans.get(c)
                 if ch is not None:  # explicit ToUnicode wins
                     out.append(ch)
@@ -1395,7 +1414,18 @@ class FontDecoder:
                 else:  # lone surrogate / unmatched byte
                     out.append("�")
             return "".join(out)
-        return "".join(trans.get(c, "�") for c in codes)
+        if self.charset_codec:
+            out = []
+            for c, nb in codes_len:
+                ch = trans.get(c)  # explicit ToUnicode wins per code
+                if ch is None and c >= 0:
+                    try:
+                        ch = c.to_bytes(nb, "big").decode(self.charset_codec)
+                    except UnicodeDecodeError:
+                        ch = "�"  # unassigned code in the charset
+                out.append(ch if ch is not None else "�")
+            return "".join(out)
+        return "".join(trans.get(c, "�") for c, _ in codes_len)
 
     def advance_from_codes(self, codes: list[int]) -> float:
         if self.cid_widths is None and self.default_width is None:
@@ -1432,8 +1462,7 @@ class FontDecoder:
 
     def decode(self, raw: bytes) -> str:
         if self.codespaces is not None:
-            trans = self.trans or {}
-            return "".join(trans.get(c, "�") for c in self._codes(raw))
+            return self.decode_codes(self._codes_len(raw))
         if self.two_byte:
             trans = self.trans or {}
             if len(raw) % 2:
@@ -1465,9 +1494,10 @@ _CS_RKSJ = [(1, b"\x00", b"\x80"), (1, b"\xa0", b"\xdf"),
             (2, b"\x81\x40", b"\x9f\xfc"), (2, b"\xe0\x40", b"\xfc\xfc")]
 _CS_EUC_JP = [(1, b"\x00", b"\x80"), (2, b"\x8e\xa0", b"\x8e\xdf"),
               (2, b"\xa1\xa1", b"\xfe\xfe")]
+_CS_GB18030 = _CS_GBK + [(4, b"\x81\x30\x81\x30", b"\xfe\x39\xfe\x39")]
 _PREDEFINED_CODESPACES = {
     "GB-EUC": _CS_GBK, "GBpc-EUC": _CS_GBK, "GBK-EUC": _CS_GBK,
-    "GBKp-EUC": _CS_GBK, "GBK2K": _CS_GBK,
+    "GBKp-EUC": _CS_GBK, "GBK2K": _CS_GB18030,
     "B5pc": _CS_BIG5, "ETen-B5": _CS_BIG5, "ETenms-B5": _CS_BIG5,
     "HKscs-B5": _CS_BIG5,
     "90ms-RKSJ": _CS_RKSJ, "90msp-RKSJ": _CS_RKSJ, "90pv-RKSJ": _CS_RKSJ,
@@ -1476,6 +1506,27 @@ _PREDEFINED_CODESPACES = {
     "KSC-EUC": _CS_UHC, "KSCms-UHC": _CS_UHC, "KSCms-UHC-HW": _CS_UHC,
     "KSCpc-EUC": _CS_UHC,
 }
+
+
+# Legacy charset behind each non-Unicode predefined CMap family
+# (spec §9.7.5.2 names them by their source charset): the CMap's code
+# IS a byte sequence of that charset, so code→Unicode is the stdlib
+# codec decode. Only families whose charset equivalence is exact are
+# listed — Mac/NEC print variants (90pv/83pv-RKSJ, GBpc/B5pc) keep the
+# degrade-and-count path.
+_PREDEFINED_CHARSETS = {
+    "90ms-RKSJ": "cp932", "90msp-RKSJ": "cp932",   # Microsoft Shift-JIS
+    "EUC": "euc_jp",
+    "GB-EUC": "gb2312", "GBK-EUC": "gbk", "GBKp-EUC": "gbk",
+    "GBK2K": "gb18030",
+    "ETen-B5": "big5", "ETenms-B5": "big5", "HKscs-B5": "big5hkscs",
+    "KSC-EUC": "euc_kr", "KSCms-UHC": "cp949", "KSCms-UHC-HW": "cp949",
+}
+
+
+def _predefined_charset(cmap_name: str) -> str | None:
+    base = cmap_name[:-2] if cmap_name.endswith(("-H", "-V")) else cmap_name
+    return _PREDEFINED_CHARSETS.get(base)
 
 
 def _predefined_codespaces(cmap_name: str):
@@ -1585,12 +1636,16 @@ def build_font_decoder(doc: "PdfDocument", font: dict) -> FontDecoder:
         # lands on the same mapping for these families.
         uni_identity = isinstance(enc, str) and ("-UCS2" in enc
                                                  or "-UTF16" in enc)
-        if not tu_overrides and not uni_identity \
+        # charset-backed families (RKSJ/GBK/Big5/UHC/EUC): the code's
+        # bytes decode through the stdlib codec — real text, no
+        # registry tables needed
+        codec = _predefined_charset(enc) if isinstance(enc, str) else None
+        if not tu_overrides and not uni_identity and codec is None \
                 and isinstance(enc, str) and enc:
-            # NON-Unicode predefined CMap AND no ToUnicode: codes
-            # segment correctly but cannot be mapped to Unicode without
-            # the registry tables — extraction degrades (codes drop);
-            # count it as a fallback doc instead of crashing
+            # predefined CMap outside the known families AND no
+            # ToUnicode: codes segment correctly but cannot be mapped
+            # to Unicode — extraction degrades (codes drop); count it
+            # as a fallback doc instead of crashing
             doc.fallback = True
         if not cs and isinstance(tu0, Stream):
             try:
@@ -1600,7 +1655,7 @@ def build_font_decoder(doc: "PdfDocument", font: dict) -> FontDecoder:
         return FontDecoder(
             tu_overrides, codespaces=cs or [(2, b"\x00\x00", b"\xff\xff")],
             cid_widths=cid_widths, default_width=default_width,
-            unicode_identity=uni_identity)
+            unicode_identity=uni_identity, charset_codec=codec)
     # /Widths scale: simple fonts declare glyph widths in thousandths
     # of an em (spec §9.2.4); Type3 fonts declare them in GLYPH SPACE,
     # mapped to text space by /FontMatrix (spec §9.6.5) — the
@@ -1729,7 +1784,7 @@ def interpret_content(content: bytes, fonts: dict | None = None,
             # show op; decode / advance / Tw all reuse the segmentation
             codes_len = decoder._codes_len(text_bytes)
             codes = [c for c, _ in codes_len]
-            text = decoder.decode_codes(codes)
+            text = decoder.decode_codes(codes_len)
             n_glyphs = len(codes)
             adv = decoder.advance_from_codes(codes) * size \
                 + char_spacing * n_glyphs

@@ -839,17 +839,18 @@ def _one_page_pdf(font_body: bytes, content: bytes) -> bytes:
     return bytes(out)
 
 
-def test_predefined_cmap_without_tounicode_degrades_not_crashes():
-    """A Type0 font naming a NON-Unicode predefined CMap with NO
-    ToUnicode: the registry CID tables aren't shipped, so Unicode can't
-    be derived — the document must extract without crashing and be
-    COUNTED as a fallback (r02 verdict item 7), never raise."""
+def test_predefined_cmap_without_tounicode_decodes_via_charset():
+    """A Type0 font naming /GBK-EUC-H with NO ToUnicode: the CMap's
+    codes are GBK byte sequences, so the charset-backed path recovers
+    the exact text (it used to degrade-and-count before the charset
+    mapping landed); never raises."""
     pdf = _one_page_pdf(
         b"<< /Type /Font /Subtype /Type0 /BaseFont /Fake "
         b"/Encoding /GBK-EUC-H >>",
         b"BT /F1 12 Tf 1 0 0 1 50 700 Tm <8140b0a1> Tj ET\n")
     r = extract_pdf_text(pdf)
-    assert r.fallback  # degraded, counted
+    assert r.text == b"\x81\x40\xb0\xa1".decode("gbk")  # 丂啊
+    assert not r.fallback
     assert r.n_pages == 1
 
 
@@ -887,6 +888,79 @@ def test_roundtrip_ucs2_cmap_variant(seed):
     pdf, expected, _ = make_pdf(rng, n_pages=2, font_variant="ucs2_cmap")
     r = extract_pdf_text(pdf)
     assert r.text == expected and not r.fallback
+
+
+# ── charset-backed predefined CMaps (spec §9.7.5.2) ───────────────────
+
+@pytest.mark.parametrize("cmap,codec,text", [
+    ("90ms-RKSJ-H", "cp932", "Mix 日本語テキスト ｶﾀｶﾅ ok"),
+    ("90msp-RKSJ-V", "cp932", "縦書き text"),
+    ("GBK-EUC-H", "gbk", "mix 中文字 ok"),
+    ("ETen-B5-H", "big5", "mix 中文字 ok"),
+    ("HKscs-B5-H", "big5hkscs", "mix 中文 ok"),
+    ("KSCms-UHC-H", "cp949", "mix 한국어 ok"),
+    ("KSC-EUC-H", "euc_kr", "mix 한국어 ok"),
+    ("EUC-H", "euc_jp", "mix 日本語 ｶﾅ ok"),
+    ("GB-EUC-H", "gb2312", "mix 中文 ok"),
+    ("GBK2K-H", "gb18030", "mix 中文𠀀 ok"),  # incl. a 4-byte code
+])
+def test_charset_backed_predefined_cmaps(cmap, codec, text):
+    """Non-Unicode predefined CMaps over a legacy charset (RKSJ → cp932,
+    GBK-EUC → gbk, ETen-B5 → big5, KSCms-UHC → cp949, …) with NO
+    ToUnicode decode exactly: each code's bytes ARE a charset sequence,
+    so the stdlib codec reproduces the registry code→CID→Unicode
+    assignment. No fallback counting for these families."""
+    codes = text.encode(codec)
+    pdf = _one_page_pdf(
+        ("<< /Type /Font /Subtype /Type0 /BaseFont /Fake "
+         f"/Encoding /{cmap} >>").encode(),
+        b"BT /F1 12 Tf 1 0 0 1 50 700 Tm <" + codes.hex().encode()
+        + b"> Tj ET\n")
+    r = extract_pdf_text(pdf)
+    assert r.text == text
+    assert not r.fallback
+
+
+def test_codespace_match_is_per_byte_not_lexicographic():
+    """Spec §9.7.6.2: a code matches a codespace range only if EACH
+    byte is between the corresponding bound bytes. <95 32 82 36> in
+    GB18030 must segment as ONE 4-byte code (second byte 0x32 is
+    outside the 2-byte range's 0x40-0xFE band) even though <95 32>
+    sorts lexicographically inside <81 40>-<FE FE>."""
+    from pdf_to_text_ray.stages.pdf_extract import FontDecoder
+    dec = FontDecoder(codespaces=[
+        (1, b"\x00", b"\x80"),
+        (2, b"\x81\x40", b"\xfe\xfe"),
+        (4, b"\x81\x30\x81\x30", b"\xfe\x39\xfe\x39"),
+    ])
+    assert dec._codes_len(b"\x95\x32\x82\x36") == [(0x95328236, 4)]
+    assert dec._codes_len(b"\x81\x40") == [(0x8140, 2)]
+    # second byte below the 2-byte band and not a valid 4-byte shape:
+    # fail-safe single-byte consumption, not a bogus 2-byte match
+    assert dec._codes_len(b"\x82\x20") == [(-1, 1), (0x20, 1)]
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_roundtrip_rksj_cmap_variant(seed):
+    """Corpus font variant 'rksj_cmap': predefined /90ms-RKSJ-H with no
+    ToUnicode round-trips byte-identically via the cp932 decode."""
+    rng = random.Random(seed)
+    pdf, expected, _ = make_pdf(rng, n_pages=2, font_variant="rksj_cmap")
+    r = extract_pdf_text(pdf)
+    assert "日本語" in r.text
+    assert r.text == expected and not r.fallback
+
+
+def test_print_variant_cmap_still_degrades_and_counts():
+    """Mac/NEC print-variant families (90pv-RKSJ, GBpc-EUC, B5pc) have
+    no exact stdlib charset twin: they keep the degrade-and-count
+    path."""
+    pdf = _one_page_pdf(
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /Fake "
+        b"/Encoding /90pv-RKSJ-H >>",
+        b"BT /F1 12 Tf 1 0 0 1 50 700 Tm <8140> Tj ET\n")
+    r = extract_pdf_text(pdf)
+    assert r.fallback
 
 
 # ── Type3 glyph-procedure fonts (spec §9.6.5) ─────────────────────────
