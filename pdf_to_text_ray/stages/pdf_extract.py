@@ -1333,7 +1333,8 @@ class FontDecoder:
 
     __slots__ = ("trans", "two_byte", "widths", "codespaces",
                  "cids", "cid_widths", "default_width",
-                 "unicode_identity", "charset_codec")
+                 "unicode_identity", "charset_codec",
+                 "_ok1", "_ok2", "_long_ranges")
 
     def __init__(self, overrides: dict[int, str] | None = None,
                  two_byte: bool = False,
@@ -1362,6 +1363,32 @@ class FontDecoder:
         # its bytes (code→CID→Unicode through the Adobe registry lands
         # on the same assignments for these charsets' assigned codes).
         self.charset_codec = charset_codec
+        # Segmentation lookup tables: per-byte range membership (spec
+        # §9.7.6.2) folded into one 256-entry table for 1-byte codes
+        # and one 65536-entry table for 2-byte codes — two probes per
+        # glyph instead of a per-range per-byte Python loop on the
+        # show-op hot path. Rare 3-/4-byte ranges stay on a slow path.
+        if codespaces is not None:
+            ok1 = bytearray(256)
+            ok2 = bytearray(65536)
+            long_ranges = []
+            for nb, lo, hi in codespaces:
+                if nb == 1:
+                    ok1[lo[0]:hi[0] + 1] = b"\x01" * (hi[0] - lo[0] + 1)
+                elif nb == 2:
+                    w = hi[1] - lo[1] + 1
+                    row = b"\x01" * w
+                    for b0 in range(lo[0], hi[0] + 1):
+                        base = (b0 << 8) + lo[1]
+                        ok2[base:base + w] = row
+                else:
+                    long_ranges.append((nb, lo, hi))
+            self._ok1 = bytes(ok1)
+            self._ok2 = bytes(ok2)
+            self._long_ranges = long_ranges
+        else:
+            self._ok1 = self._ok2 = None
+            self._long_ranges = []
 
     def _codes_len(self, raw: bytes) -> list[tuple[int, int]]:
         """Variable-length code segmentation per the codespace ranges →
@@ -1373,9 +1400,21 @@ class FontDecoder:
         outside the 2-byte range's 0x40-0xFE second-byte band, even
         though <95 32> sorts inside <81 40>-<FE FE>."""
         out: list[tuple[int, int]] = []
+        ok1, ok2 = self._ok1, self._ok2
         i, n = 0, len(raw)
         while i < n:
-            for nb, lo, hi in self.codespaces:
+            b0 = raw[i]
+            if ok1[b0]:
+                out.append((b0, 1))
+                i += 1
+                continue
+            if i + 1 < n:
+                c2 = (b0 << 8) | raw[i + 1]
+                if ok2[c2]:
+                    out.append((c2, 2))
+                    i += 2
+                    continue
+            for nb, lo, hi in self._long_ranges:
                 seg = raw[i:i + nb]
                 if len(seg) == nb and all(
                         lo[j] <= seg[j] <= hi[j] for j in range(nb)):
