@@ -4515,6 +4515,88 @@ FROM s GROUP BY source ORDER BY source
 """
 
 
+def canonical_url_dedup(sf_dir: str):
+    """URL canonicalization → exact dedup by canonical key
+    (stages/urls.py): messy URL variants — scheme/host case, default
+    :443 port, utm_*/gclid/fbclid tracking params, param order,
+    fragments — are synthesized DETERMINISTICALLY from doc_id (both
+    sides of the oracle build the same strings; testdata has no URL
+    column), canonicalized with the reusable batch kernel, and grouped
+    to (canonical url, duplicate count, first doc). At crawl scale the
+    groupby moves only the canonical-key column — payloads never ride
+    the shuffle."""
+    from ray.data.aggregate import Count, Min
+
+    from ..stages.urls import canonicalize_batch
+
+    def mk(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["doc_id"]
+        url = ("HTTPS://Host" + (d % 7).astype(str) + ".Example.COM"
+               + np.select([d % 3 == 0, d % 3 == 1], [":443", ":8080"], "")
+               + "/Path/" + (d % 11).astype(str)
+               + np.select([d % 4 == 0, d % 4 == 1, d % 4 == 2],
+                           ["?utm_source=x&b=2&a=1", "?a=1&b=2",
+                            "?b=2&a=1&fbclid=zz"], "")
+               + np.where(d % 5 == 0, "#frag", ""))
+        return pd.DataFrame({"doc_id": d, "url": url})
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    out = (docs.map_batches(lambda b: arrow_out(mk(b)),
+                            batch_format="pandas")
+           .map_batches(canonicalize_batch, batch_format="pyarrow")
+           .groupby("url_canon")
+           .aggregate(Count(alias_name="n_docs"),
+                      Min("doc_id", alias_name="first_doc"))
+           .to_pandas())
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["first_doc"] = out["first_doc"].astype("int64")
+    return out.sort_values("url_canon").reset_index(drop=True)
+
+
+CANONICAL_URL_SQL = r"""
+WITH u AS (
+  SELECT doc_id,
+         'HTTPS://Host' || (doc_id % 7)::VARCHAR || '.Example.COM'
+         || CASE WHEN doc_id % 3 = 0 THEN ':443'
+                 WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END
+         || '/Path/' || (doc_id % 11)::VARCHAR
+         || CASE WHEN doc_id % 4 = 0 THEN '?utm_source=x&b=2&a=1'
+                 WHEN doc_id % 4 = 1 THEN '?a=1&b=2'
+                 WHEN doc_id % 4 = 2 THEN '?b=2&a=1&fbclid=zz'
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END AS url
+  FROM documents),
+parts AS (
+  SELECT doc_id,
+         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+           AS scheme,
+         lower(regexp_extract(url, '^[^:]+://([^/?#]*)', 1)) AS host,
+         regexp_extract(url, '^[^:]+://[^/?#]*([^?#]*)', 1) AS path,
+         regexp_extract(url, '\?([^#]*)', 1) AS query
+  FROM u),
+canon AS (
+  SELECT doc_id,
+         scheme || '://'
+         || CASE WHEN scheme = 'https' AND host LIKE '%:443'
+                 THEN left(host, length(host) - 4)
+                 WHEN scheme = 'http' AND host LIKE '%:80'
+                 THEN left(host, length(host) - 3)
+                 ELSE host END
+         || path
+         || CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS url_canon
+  FROM (
+    SELECT doc_id, scheme, host, path,
+           array_to_string(list_sort(list_filter(str_split(query, '&'),
+             p -> p <> '' AND NOT (starts_with(p, 'utm_')
+                   OR p = 'gclid' OR starts_with(p, 'gclid=')
+                   OR p = 'fbclid' OR starts_with(p, 'fbclid=')))), '&')
+             AS qs
+    FROM parts))
+SELECT url_canon, count(*)::BIGINT AS n_docs, min(doc_id) AS first_doc
+FROM canon GROUP BY url_canon ORDER BY url_canon
+"""
+
+
 def semdedup_keep_docs(sf_dir: str):
     """SemDeDup over the embeddings table (rows-only — k-means is not
     SQL-expressible; pytest asserts parity with a brute-force
@@ -8155,6 +8237,7 @@ QUERIES = {
     "user_first_last_event": user_first_last_event,
     "nation_supplier_rank": nation_supplier_rank,
     "domain_stats": domain_stats,
+    "canonical_url_dedup": canonical_url_dedup,
     "semdedup_keep_docs": semdedup_keep_docs,
     "bloom_eval_overlap": bloom_eval_overlap,
     "doc_ngram_novelty": doc_ngram_novelty,
@@ -8344,6 +8427,7 @@ ORACLE_SQL = {
     "user_first_last_event": FIRST_LAST_SQL,
     "nation_supplier_rank": NATION_RANK_SQL,
     "domain_stats": DOMAIN_STATS_SQL,
+    "canonical_url_dedup": CANONICAL_URL_SQL,
     "doc_ngram_novelty": NGRAM_NOVELTY_SQL,
     "session_stats_per_user": SESSION_STATS_SQL,
     "q8_market_share": Q8_SQL,

@@ -1,0 +1,72 @@
+"""URL canonicalization — the crawl-curation primitive that collapses
+syntactic URL variants (case, default ports, fragments, tracking
+params, query-param order) to one canonical key before host-level
+stats and exact URL dedup.
+
+The reference keys artifacts by the raw request url (main.ts uses the
+uploaded name verbatim); at crawl scale the same page arrives under
+``HTTP://Example.com:80/a?utm_source=x&b=1`` and
+``http://example.com/a?b=1`` — canonicalization is what makes
+last-write-wins dedup (pipelines/extract.py) and per-host aggregation
+(``domain_stats``, ``host_pagerank``) see them as one page.
+
+Rules (RFC 3986 §6 normalization + common crawl practice, each
+replayable in ANSI SQL so the op stays oracle-checkable):
+  1. scheme and host lowercase
+  2. default port dropped (``:80`` http, ``:443`` https)
+  3. fragment dropped
+  4. tracking params dropped (``utm_*``, ``gclid``, ``fbclid``)
+  5. remaining query params sorted bytewise; empty query dropped
+Path case and percent-escapes are left untouched — unreserved-escape
+decoding is NOT applied because it cannot be replayed portably in SQL
+and differs across crawler implementations.
+
+Per-batch kernel: the regex split runs per row over Python strings
+(URL grammar is not an Arrow kernel), but the batch loop is the only
+Python loop — compiled patterns are module-level, output is rebuilt as
+one Arrow array per batch.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+
+_URL_RE = re.compile(
+    r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.\-]*)://(?P<host>[^/?#]*)"
+    r"(?P<path>[^?#]*)(?:\?(?P<query>[^#]*))?(?:#.*)?$")
+_DEFAULT_PORTS = {"http": ":80", "https": ":443"}
+_TRACKING_RE = re.compile(r"^(?:utm_[^=]*|gclid|fbclid)(?:=|$)")
+
+
+def canonicalize_url(url: str) -> str:
+    """One URL → its canonical form; non-URL strings pass through
+    unchanged (fail-safe: a malformed crawl url still gets a stable
+    dedup key — itself)."""
+    m = _URL_RE.match(url)
+    if m is None:
+        return url
+    scheme = m.group("scheme").lower()
+    host = m.group("host").lower()
+    default = _DEFAULT_PORTS.get(scheme)
+    if default and host.endswith(default):
+        host = host[: -len(default)]
+    out = scheme + "://" + host + m.group("path")
+    query = m.group("query")
+    if query:
+        params = sorted(
+            p for p in query.split("&") if not _TRACKING_RE.match(p))
+        if params:
+            out += "?" + "&".join(params)
+    return out
+
+
+def canonicalize_batch(tbl: pa.Table, col: str = "url",
+                       out: str = "url_canon") -> pa.Table:
+    """map_batches kernel: append the canonical form of ``col``."""
+    canon = pa.array(
+        [None if u is None else canonicalize_url(u)
+         for u in tbl[col].to_pylist()],
+        pa.string())
+    return tbl.append_column(out, canon)

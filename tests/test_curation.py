@@ -351,3 +351,35 @@ def test_gram_hashes_vectorized_matches_hashlib():
     # short/empty edge cases
     assert _gram_hashes("", 24, 12) == set()
     assert _gram_hashes("short", 24, 12) == set()
+
+
+# ── URL canonicalization (stages/urls.py) ─────────────────────────────
+
+def test_canonicalize_url_rules():
+    from pdf_to_text_ray.stages.urls import canonicalize_url as c
+    # scheme/host lowercase, default port, fragment
+    assert c("HTTPS://Example.COM:443/Path#frag") == "https://example.com/Path"
+    assert c("HTTP://a.b:80/x") == "http://a.b/x"
+    # non-default port kept; path case kept
+    assert c("https://a.b:8080/CaSe") == "https://a.b:8080/CaSe"
+    # tracking params dropped, rest sorted, empty query dropped
+    assert c("http://h/p?utm_source=x&b=2&a=1") == "http://h/p?a=1&b=2"
+    assert c("http://h/p?fbclid=z&gclid=1&utm_medium=m") == "http://h/p"
+    assert c("http://h/p?") == "http://h/p"
+    assert c("http://h/p?z=1&y=2&z=0") == "http://h/p?y=2&z=0&z=1"
+    # utm prefix with and without '='
+    assert c("http://h/p?utm_x&k=v") == "http://h/p?k=v"
+    # malformed / schemeless: stable passthrough
+    assert c("not a url") == "not a url"
+    assert c("example.com/x") == "example.com/x"
+    # :80 on https is NOT a default port
+    assert c("https://h:80/p") == "https://h:80/p"
+
+
+def test_canonicalize_batch_null_safe():
+    import pyarrow as pa
+    from pdf_to_text_ray.stages.urls import canonicalize_batch
+    t = pa.table({"url": pa.array(
+        ["HTTP://A:80/x", None, "https://b/?utm_a=1"], pa.string())})
+    out = canonicalize_batch(t)
+    assert out["url_canon"].to_pylist() == ["http://a/x", None, "https://b/"]
