@@ -28,7 +28,7 @@ from ..schemas import DOC_TYPE_HTML, DOC_TYPE_PDF, DOC_TYPE_TEXT
 from .htmlgen import _WORDS, make_html_page, _sentence
 from .pdfgen import make_pdf
 
-GENERATOR_VERSION = 17  # bump to invalidate /tmp caches
+GENERATOR_VERSION = 18  # bump to invalidate /tmp caches
 
 # HTML body charsets, weighted like a crawl's long tail: mostly utf-8,
 # a real minority of legacy single/multi-byte encodings + BOM'd bodies
@@ -52,7 +52,8 @@ def make_page_row(i: int, seed: int, heavy: bool = False) -> tuple[dict, dict | 
     lang = rng.choice(_LANGS)
     kind_roll = rng.random()
     if kind_roll < 0.20:
-        style = rng.choice(["table", "table", "stream", "stream_pred"])
+        style = rng.choice(["table", "table", "stream", "stream_pred",
+                            "hybrid"])
         broken = rng.random() < 0.05
         pdf, expected, n_pages = make_pdf(
             rng,

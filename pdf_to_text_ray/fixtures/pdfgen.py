@@ -337,6 +337,48 @@ class _PdfBuilder:
                 + b" /Root " + str(root).encode() + b" 0 R"
                 + enc_trailer + b" >>\n"
             )
+        elif xref_style == "hybrid":
+            # hybrid-reference file (spec §7.5.8.4): a PDF-1.4-style
+            # xref TABLE whose trailer points at an xref STREAM via
+            # /XRefStm. ObjStm-compressed objects are marked FREE in
+            # the table — only the stream's type-2 entries reach them,
+            # so a reader ignoring /XRefStm loses the catalog.
+            assert objstm_num is not None, "hybrid requires use_objstm"
+            size = self.next_num + 1  # + the xref stream object
+            xref_num = self.next_num
+            rows = [(0, 0, 65535)]
+            for num in range(1, size - 1):
+                if num in in_objstm:
+                    rows.append((2, objstm_num, in_objstm[num]))
+                else:
+                    rows.append((1, offsets.get(num, 0), 0))
+            xrs_off = len(out)
+            rows.append((1, xrs_off, 0))  # the xref stream itself
+            raw = b"".join(
+                bytes([t]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
+                for t, f2, f3 in rows)
+            data = zlib.compress(raw)
+            out += f"{xref_num} 0 obj\n".encode()
+            out += (b"<< /Type /XRef /Size " + str(size).encode()
+                    + b" /W [1 4 2] /Root " + str(root).encode() + b" 0 R"
+                    + enc_trailer
+                    + b" /Filter /FlateDecode /Length "
+                    + str(len(data)).encode()
+                    + b" >>\nstream\n" + data + b"\nendstream\nendobj\n")
+            xref_off = len(out)
+            out += b"xref\n" + f"0 {size}\n".encode()
+            out += b"0000000000 65535 f \n"
+            for num in range(1, size):
+                if num in in_objstm or num == xref_num:
+                    out += b"0000000000 65535 f \n"
+                else:
+                    out += f"{offsets.get(num, 0):010d} 00000 n \n".encode()
+            out += (
+                b"trailer\n<< /Size " + str(size).encode()
+                + b" /Root " + str(root).encode() + b" 0 R"
+                + enc_trailer
+                + b" /XRefStm " + str(xrs_off).encode() + b" >>\n"
+            )
         else:  # xref stream (PDF 1.5+, spec §7.5.8)
             size = self.next_num + 1  # + the xref stream object itself
             xref_num = self.next_num
@@ -636,6 +678,8 @@ def make_pdf(rng: random.Random, n_pages: int = 1, *,
         + str(n_pages).encode() + b" >>"
     )
 
+    if xref_style == "hybrid":
+        use_objstm = True  # hybrid exists to hide ObjStm members
     objstm_nums = [catalog, pages_num, font] if use_objstm else None
     style = "table" if xref_style == "table" else xref_style
     if use_objstm and style == "table":

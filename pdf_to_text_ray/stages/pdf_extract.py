@@ -10,6 +10,9 @@ public knowledge only (PDF 1.7 spec, ISO 32000-1):
 - cross-reference streams /Type/XRef incl. PNG
   predictors (/DecodeParms /Predictor 10-15)          (spec §7.5.8)
 - object streams /Type/ObjStm                         (spec §7.5.7)
+- hybrid-reference files: table trailer /XRefStm →
+  xref stream loaded before /Prev (stream entries reach
+  the ObjStm members the table marks free)            (spec §7.5.8.4)
 - stream filters: FlateDecode (zlib), ASCIIHexDecode  (spec §7.4)
 - page-tree walk with cycle/depth guards              (spec §7.7.3)
 - content-stream text interpreter: BT/ET, Tf, Td, TD, TL, T*, Tm,
@@ -782,6 +785,19 @@ class PdfDocument:
                     raise PdfError("bad trailer")
                 for k, v in trailer.items():
                     self.trailer.setdefault(k, v)
+                xrs = trailer.get("XRefStm")
+                if xrs is not None:
+                    # hybrid-reference file (spec §7.5.8.4): objects
+                    # living in object streams are marked free in (or
+                    # absent from) the table section and described
+                    # only by this xref STREAM; load it before walking
+                    # /Prev so the hybrid section is complete. Its own
+                    # /Prev is ignored per spec — the table trailer's
+                    # /Prev drives the chain.
+                    try:
+                        self._load_xref_stream(int(xrs))
+                    except (PdfError, TypeError, ValueError):
+                        pass  # degrade to the table view of the file
                 prev = trailer.get("Prev")
                 return int(prev) if prev is not None else None
             if tok.kind != "num":

@@ -890,6 +890,46 @@ def test_roundtrip_ucs2_cmap_variant(seed):
     assert r.text == expected and not r.fallback
 
 
+# ── hybrid-reference files (spec §7.5.8.4) ────────────────────────────
+
+@pytest.mark.parametrize("seed", range(3))
+def test_hybrid_reference_file_roundtrip(seed):
+    """Corpus xref style 'hybrid': a PDF-1.4-style table whose trailer
+    points at an xref STREAM via /XRefStm; the catalog/pages/font live
+    in an ObjStm and are FREE in the table — only the stream's type-2
+    entries reach them. Must resolve via /XRefStm, not salvage."""
+    rng = random.Random(seed)
+    pdf, expected, _ = make_pdf(rng, n_pages=2, xref_style="hybrid")
+    tbl = pdf[pdf.rfind(b"\nxref\n"):]
+    assert b"/XRefStm" in pdf
+    assert tbl.count(b"65535 f") >= 4  # obj 0 + the hidden members
+    r = extract_pdf_text(pdf)
+    assert r.text == expected
+    assert not r.fallback
+
+
+def test_hybrid_reference_file_encrypted():
+    rng = random.Random(9)
+    pdf, expected, _ = make_pdf(rng, n_pages=1, xref_style="hybrid",
+                                encrypt="aes-128", font_variant="cid")
+    r = extract_pdf_text(pdf)
+    assert r.text == expected and not r.fallback
+
+
+def test_hybrid_bogus_xrefstm_degrades_to_salvage():
+    """A corrupt /XRefStm offset must not crash: the table alone cannot
+    reach the ObjStm members, so extraction recovers via the salvage
+    scan and counts the fallback."""
+    import re as _re
+    rng = random.Random(11)
+    pdf, expected, _ = make_pdf(rng, n_pages=1, xref_style="hybrid")
+    pdf2 = _re.sub(rb"/XRefStm \d+", b"/XRefStm 999999999", pdf)
+    assert pdf2 != pdf
+    r = extract_pdf_text(pdf2)
+    assert r.text == expected  # salvage finds the same objects
+    assert r.fallback
+
+
 # ── charset-backed predefined CMaps (spec §9.7.5.2) ───────────────────
 
 @pytest.mark.parametrize("cmap,codec,text", [
