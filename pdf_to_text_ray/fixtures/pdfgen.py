@@ -109,6 +109,22 @@ class _PageCompose:
         self.ops.append(b"/F1 12 Tf")
         self._show(x, y, expected)
 
+    def lines_hex_vertical(self, x: float, y: float,
+                           code_texts: list[tuple[bytes, str]],
+                           font: str = "F2", size: float = 12.0):
+        """Consecutive vertical shows in ONE text object: writing mode
+        1 advances the pen DOWN by n_glyphs × size (the /DW2 default of
+        one em per glyph), so each subsequent show starts below the
+        previous — the recorded run positions encode that advance."""
+        self.ops.append(f"/{font} {size:g} Tf".encode())
+        self.ops.append(f"1 0 0 1 {x:.1f} {y:.1f} Tm".encode())
+        yy = y
+        for codes, text in code_texts:
+            self.ops.append(b"<" + codes.hex().encode() + b"> Tj")
+            self._show(x, yy, text)
+            yy -= size * len(text)
+        self.ops.append(b"/F1 12 Tf")
+
     def line_quote(self, x: float, y: float, text: str):
         # aw ac (s) " — set word/char spacing, T*, show
         self.ops.append(f"{LEADING:.0f} TL".encode())
@@ -494,6 +510,31 @@ def _font_objects(b: "_PdfBuilder", variant: str) -> tuple[int, list[tuple[str, 
         text = "Ucs2 text 中文 here"
         codes = b"".join(ord(c).to_bytes(2, "big") for c in text)
         return font, [("hex", codes, text)], {"F2": cid_font}
+    if variant == "vertical_cid":
+        # /F2 is an Identity-V composite font (writing mode 1, spec
+        # §9.7.4.1): two consecutive shows in one text object stack
+        # DOWN the page by one em per glyph — reading order must put
+        # the upper show first
+        cmap = (
+            b"begincmap\n"
+            b"1 beginbfrange\n<0020> <007e> <0020>\nendbfrange\n"
+            b"2 beginbfchar\n<7e05> <7e26>\n<7e06> <66f8>\nendbfchar\n"
+            b"endcmap\n"
+        )
+        tu = b.add_stream(b"", cmap, compress=True)
+        cid_font = b.add(
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /FakeV "
+            b"/Encoding /Identity-V /ToUnicode " + str(tu).encode()
+            + b" 0 R >>")
+        font = b.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+        t1, t2 = "縦書 col", "second part"
+
+        def _codes(t: str) -> bytes:
+            rev = {"縦": 0x7E05, "書": 0x7E06}
+            return b"".join(
+                rev.get(c, ord(c)).to_bytes(2, "big") for c in t)
+        return font, [("vhex", [(_codes(t1), t1), (_codes(t2), t2)],
+                       None)], {"F2": cid_font}
     if variant == "rksj_cmap":
         # /F2 names the PREDEFINED /90ms-RKSJ-H CMap (Microsoft
         # Shift-JIS) with NO ToUnicode: codes are cp932 byte sequences,
@@ -626,6 +667,9 @@ def make_pdf(rng: random.Random, n_pages: int = 1, *,
             for k, (fkind, payload, expected) in enumerate(font_lines):
                 if fkind == "hex":
                     pc.line_hex(LEFT_X, 770.0 - 14 * k, payload, expected)
+                elif fkind == "vhex":
+                    # vertical column, clear of the horizontal grid
+                    pc.lines_hex_vertical(460.0, 690.0, payload)
                 else:
                     pc.line_raw(LEFT_X, 770.0 - 14 * k, payload, expected)
         form_refs = b""

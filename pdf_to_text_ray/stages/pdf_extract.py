@@ -40,7 +40,10 @@ a Type3 font with no derivable text mapping degrades to
 charcode-identity and counts the document as a fallback.
 
 Composite Type0 fonts with Identity-H/V encoding decode 2-byte codes
-through their ToUnicode CMap (spec §9.7.4).
+through their ToUnicode CMap (spec §9.7.4). Writing mode 1 (Identity-V,
+*-V predefined CMaps, embedded CMaps with /WMode 1) advances the pen
+DOWN the page by the /DW2 default of one em per glyph (§9.7.4.3), so
+vertical CJK columns come out top-to-bottom in reading order.
 
 Encrypted documents with the EMPTY user password (the common web case;
 the reference's pdf.js handles them via getDocumentProxy,
@@ -1349,7 +1352,7 @@ class FontDecoder:
 
     __slots__ = ("trans", "two_byte", "widths", "codespaces",
                  "cids", "cid_widths", "default_width",
-                 "unicode_identity", "charset_codec",
+                 "unicode_identity", "charset_codec", "vertical",
                  "_ok1", "_ok2", "_long_ranges")
 
     def __init__(self, overrides: dict[int, str] | None = None,
@@ -1360,7 +1363,8 @@ class FontDecoder:
                  cid_widths: dict[int, float] | None = None,
                  default_width: float | None = None,
                  unicode_identity: bool = False,
-                 charset_codec: str | None = None):
+                 charset_codec: str | None = None,
+                 vertical: bool = False):
         self.trans = dict(overrides) if overrides else None
         self.two_byte = two_byte
         self.widths = widths  # byte code → glyph width in em units
@@ -1379,6 +1383,12 @@ class FontDecoder:
         # its bytes (code→CID→Unicode through the Adobe registry lands
         # on the same assignments for these charsets' assigned codes).
         self.charset_codec = charset_codec
+        # Writing mode 1 (Identity-V / *-V CMaps / embedded CMap with
+        # /WMode 1, spec §9.7.4.1): glyphs advance DOWN the page by the
+        # /DW2 default of one em per glyph (§9.7.4.3) — the per-CID
+        # /W2 overrides are not consulted (documented limitation; the
+        # default governs virtually all vertical CJK text).
+        self.vertical = vertical
         # Segmentation lookup tables: per-byte range membership (spec
         # §9.7.6.2) folded into one 256-entry table for 1-byte codes
         # and one 65536-entry table for 2-byte codes — two probes per
@@ -1662,6 +1672,12 @@ def build_font_decoder(doc: "PdfDocument", font: dict) -> FontDecoder:
             except PdfError:
                 pass
         cid_widths, default_width = _cid_font_widths(doc, font)
+        # writing mode 1 (spec §9.7.4.1): a CMap NAME ending "-V", or
+        # an embedded CMap stream declaring /WMode 1
+        if isinstance(enc, Stream):
+            vert = int(doc.resolve(enc.dict.get("WMode", 0)) or 0) == 1
+        else:
+            vert = isinstance(enc, str) and enc.endswith("-V")
         if isinstance(enc, Stream):
             # embedded CMap encoding stream (spec §9.7.5.3)
             cids = None
@@ -1673,11 +1689,11 @@ def build_font_decoder(doc: "PdfDocument", font: dict) -> FontDecoder:
                 tu_overrides,
                 codespaces=cs or [(2, b"\x00\x00", b"\xff\xff")],
                 cids=cids or None, cid_widths=cid_widths,
-                default_width=default_width)
+                default_width=default_width, vertical=vert)
         if str(base or "").startswith("Identity"):
             return FontDecoder(tu_overrides, two_byte=True,
                                cid_widths=cid_widths,
-                               default_width=default_width)
+                               default_width=default_width, vertical=vert)
         # predefined non-identity CMap name: the Adobe registry CID
         # tables are not shipped here, but the published CODESPACE
         # ranges of the common CMaps are — they give correct
@@ -1710,7 +1726,8 @@ def build_font_decoder(doc: "PdfDocument", font: dict) -> FontDecoder:
         return FontDecoder(
             tu_overrides, codespaces=cs or [(2, b"\x00\x00", b"\xff\xff")],
             cid_widths=cid_widths, default_width=default_width,
-            unicode_identity=uni_identity, charset_codec=codec)
+            unicode_identity=uni_identity, charset_codec=codec,
+            vertical=vert)
     # /Widths scale: simple fonts declare glyph widths in thousandths
     # of an em (spec §9.2.4); Type3 fonts declare them in GLYPH SPACE,
     # mapped to text space by /FontMatrix (spec §9.6.5) — the
@@ -1861,7 +1878,13 @@ def interpret_content(content: bytes, fonts: dict | None = None,
         y = ctm[1] * tm[4] + ctm[3] * tm[5] + ctm[5]
         if text:
             runs.append(Run(x, y, text))
-        tm = _translate(adv, 0.0, tm)
+        if decoder.vertical:
+            # writing mode 1: the pen moves DOWN by the vertical
+            # displacement — /DW2 default of one em per glyph (spec
+            # §9.7.4.3); Tc applies along the writing direction
+            tm = _translate(0.0, -(size + char_spacing) * n_glyphs, tm)
+        else:
+            tm = _translate(adv, 0.0, tm)
 
     pos = 0
     n = len(content)

@@ -1003,6 +1003,67 @@ def test_print_variant_cmap_still_degrades_and_counts():
     assert r.fallback
 
 
+# ── vertical writing mode (spec §9.7.4.1 WMode 1) ─────────────────────
+
+@pytest.mark.parametrize("seed", range(3))
+def test_roundtrip_vertical_cid_variant(seed):
+    """Corpus font variant 'vertical_cid': an Identity-V font's
+    consecutive shows stack DOWN the page (one em per glyph, the /DW2
+    default) — the upper show must come first in reading order."""
+    rng = random.Random(seed)
+    pdf, expected, _ = make_pdf(rng, n_pages=2, font_variant="vertical_cid")
+    r = extract_pdf_text(pdf)
+    assert r.text == expected and not r.fallback
+    assert r.text.find("縦書 col") < r.text.find("second part")
+
+
+def test_vertical_wmode_from_embedded_cmap():
+    """An embedded CMap stream declaring /WMode 1 triggers vertical
+    advance just like a -V CMap name."""
+    import zlib
+    cmap = zlib.compress(
+        b"begincmap\n1 begincodespacerange\n<0000> <ffff>\n"
+        b"endcodespacerange\nendcmap\n")
+    tu = zlib.compress(
+        b"begincmap\n1 beginbfrange\n<0020> <007e> <0020>\nendbfrange\n"
+        b"endcmap\n")
+    objs = (
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /F "
+        b"/Encoding 6 0 R /ToUnicode 7 0 R >>")
+    # build via _one_page_pdf-style assembly with two extra streams
+    content = (b"BT /F1 12 Tf 1 0 0 1 300 700 Tm <00610062> Tj "
+               b"<0063> Tj ET\n")
+    body = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>"),
+        4: (b"<< /Length " + str(len(content)).encode()
+            + b" >>\nstream\n" + content + b"\nendstream"),
+        5: objs,
+        6: (b"<< /Type /CMap /WMode 1 /Filter /FlateDecode /Length "
+            + str(len(cmap)).encode() + b" >>\nstream\n" + cmap
+            + b"\nendstream"),
+        7: (b"<< /Filter /FlateDecode /Length " + str(len(tu)).encode()
+            + b" >>\nstream\n" + tu + b"\nendstream"),
+    }
+    out = bytearray(b"%PDF-1.7\n")
+    offsets = {}
+    for nn in sorted(body):
+        offsets[nn] = len(out)
+        out += f"{nn} 0 obj\n".encode() + body[nn] + b"\nendobj\n"
+    xref_off = len(out)
+    out += b"xref\n0 8\n0000000000 65535 f \n"
+    for nn in range(1, 8):
+        out += f"{offsets[nn]:010d} 00000 n \n".encode()
+    out += (b"trailer\n<< /Size 8 /Root 1 0 R >>\nstartxref\n"
+            + str(xref_off).encode() + b"\n%%EOF\n")
+    r = extract_pdf_text(bytes(out))
+    # "ab" at y=700, then "c" one show lower (2 glyphs × 12 = 24 below):
+    # separate lines, top-down order
+    assert r.text == "ab\nc"
+
+
 # ── Type3 glyph-procedure fonts (spec §9.6.5) ─────────────────────────
 
 def test_glyph_name_to_unicode_algorithm():
