@@ -1996,7 +1996,12 @@ def interpret_content(content: bytes, fonts: dict | None = None,
                 text_parts = [e for e in arr if isinstance(e, bytes)]
                 emit(b"".join(text_parts))
                 kern = sum(e for e in arr if isinstance(e, (int, float)))
-                tm = _translate(-kern / 1000.0 * size, 0.0, tm)
+                # the adjustment applies along the WRITING direction
+                # (spec §9.4.3): x in horizontal mode, y in vertical
+                if decoder.vertical:
+                    tm = _translate(0.0, -kern / 1000.0 * size, tm)
+                else:
+                    tm = _translate(-kern / 1000.0 * size, 0.0, tm)
             elif op == b"q":
                 ctm_stack.append(ctm)
             elif op == b"Q":

@@ -1064,6 +1064,43 @@ def test_vertical_wmode_from_embedded_cmap():
     assert r.text == "ab\nc"
 
 
+def test_vertical_tj_kern_moves_down_the_page():
+    """In writing mode 1, TJ kern numbers adjust the VERTICAL
+    coordinate (spec §9.4.3): a positive kern tightens the downward
+    advance; the column still reads top-to-bottom."""
+    import zlib
+    tu = zlib.compress(
+        b"begincmap\n1 beginbfrange\n<0020> <007e> <0020>\nendbfrange\n"
+        b"endcmap\n")
+    content = (b"BT /F1 12 Tf 1 0 0 1 300 700 Tm "
+               b"[<0061> -500 <0062>] TJ <0063> Tj ET\n")
+    body = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>"),
+        4: (b"<< /Length " + str(len(content)).encode()
+            + b" >>\nstream\n" + content + b"\nendstream"),
+        5: (b"<< /Type /Font /Subtype /Type0 /BaseFont /F "
+            b"/Encoding /Identity-V /ToUnicode 6 0 R >>"),
+        6: (b"<< /Filter /FlateDecode /Length " + str(len(tu)).encode()
+            + b" >>\nstream\n" + tu + b"\nendstream"),
+    }
+    out = bytearray(b"%PDF-1.7\n")
+    offsets = {}
+    for nn in sorted(body):
+        offsets[nn] = len(out)
+        out += f"{nn} 0 obj\n".encode() + body[nn] + b"\nendobj\n"
+    xref_off = len(out)
+    out += b"xref\n0 7\n0000000000 65535 f \n"
+    for nn in range(1, 7):
+        out += f"{offsets[nn]:010d} 00000 n \n".encode()
+    out += (b"trailer\n<< /Size 7 /Root 1 0 R >>\nstartxref\n"
+            + str(xref_off).encode() + b"\n%%EOF\n")
+    r = extract_pdf_text(bytes(out))
+    assert r.text == "ab\nc" and not r.fallback
+
+
 # ── Type3 glyph-procedure fonts (spec §9.6.5) ─────────────────────────
 
 def test_glyph_name_to_unicode_algorithm():
