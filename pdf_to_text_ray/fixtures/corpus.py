@@ -28,7 +28,7 @@ from ..schemas import DOC_TYPE_HTML, DOC_TYPE_PDF, DOC_TYPE_TEXT
 from .htmlgen import _WORDS, make_html_page, _sentence
 from .pdfgen import make_pdf
 
-GENERATOR_VERSION = 19  # bump to invalidate /tmp caches
+GENERATOR_VERSION = 20  # bump to invalidate /tmp caches
 
 # HTML body charsets, weighted like a crawl's long tail: mostly utf-8,
 # a real minority of legacy single/multi-byte encodings + BOM'd bodies
@@ -66,8 +66,8 @@ def make_page_row(i: int, seed: int, heavy: bool = False) -> tuple[dict, dict | 
             lines_per_page=rng.randrange(25, 45) if heavy else None,
             font_variant=rng.choice(
                 ["standard"] * 7
-                + ["differences", "winansi", "tounicode", "cid",
-                   "cid_cmap", "ucs2_cmap", "type3", "rksj_cmap",
+                + ["differences", "winansi", "macroman", "tounicode",
+                   "cid", "cid_cmap", "ucs2_cmap", "type3", "rksj_cmap",
                    "vertical_cid"]),
             # the Common-Crawl reality: a tail of empty-user-password
             # encrypted PDFs (pdf.js reads them transparently; so do

@@ -449,6 +449,14 @@ def _font_objects(b: "_PdfBuilder", variant: str) -> tuple[int, list[tuple[str, 
             b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
             b"/Encoding /WinAnsiEncoding >>")
         return font, [("raw", "\x93quoted\x94 dash \x97 here", "“quoted” dash — here")], {}
+    if variant == "macroman":
+        # MacRomanEncoding high range (spec Appendix D.2): 0x8E é,
+        # 0xA5 bullet, 0xD0/0xD1 en/em dash
+        font = b.add(
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            b"/Encoding /MacRomanEncoding >>")
+        return font, [("raw", "caf\x8e \xa5 \xd0\xd1 done",
+                       "café • –— done")], {}
     if variant == "cid":
         # /F1 stays a simple font; /F2 is the composite Type0 font
         # (Identity-H, 2-byte codes via ToUnicode)

@@ -1164,6 +1164,15 @@ class PdfDocument:
 # (spec §9.6.6 simple-font encodings, §9.10.3 ToUnicode CMaps)
 
 # WinAnsiEncoding codes that differ from Latin-1 (0x80-0x9F block)
+# MacRomanEncoding (spec Appendix D.2): the high range IS the Mac OS
+# Roman charset, which Python ships as the 'mac_roman' codec. One
+# deviation: PDF keeps the pre-Mac-OS-8.5 assignment of 0xDB as the
+# generic CURRENCY SIGN where the codec (post-8.5) gives the euro.
+_MACROMAN_OVERRIDES = {
+    b: bytes([b]).decode("mac_roman") for b in range(128, 256)
+}
+_MACROMAN_OVERRIDES[0xDB] = "¤"
+
 _WINANSI_OVERRIDES = {
     0x80: "€", 0x82: "‚", 0x83: "ƒ", 0x84: "„",
     0x85: "…", 0x86: "†", 0x87: "‡", 0x88: "ˆ",
@@ -1538,6 +1547,8 @@ class FontDecoder:
             )
         if raw[:2] == b"\xfe\xff":  # UTF-16BE BOM (PDF text strings, §7.9.2)
             return raw[2:].decode("utf-16-be", errors="replace")
+        if raw[:3] == b"\xef\xbb\xbf":  # UTF-8 BOM (PDF 2.0 §7.9.2.2)
+            return raw[3:].decode("utf-8", errors="replace")
         s = raw.decode("latin-1")
         if self.trans:
             return s.translate(self.trans)
@@ -1750,6 +1761,8 @@ def build_font_decoder(doc: "PdfDocument", font: dict) -> FontDecoder:
         }
     if base == "WinAnsiEncoding":
         overrides.update(_WINANSI_OVERRIDES)
+    elif base == "MacRomanEncoding":
+        overrides.update(_MACROMAN_OVERRIDES)
     if isinstance(diffs, list):
         code = 0
         for item in diffs:

@@ -238,6 +238,7 @@ def test_encrypted_pdf_rejected_not_salvaged():
 @pytest.mark.parametrize("variant,needle", [
     ("differences", "caf\xe9 ma\xf1ana"),
     ("winansi", "“quoted” dash — here"),
+    ("macroman", "café • –— done"),
     ("tounicode", "go → ①②③"),
 ])
 def test_font_encoding_variants(variant, needle):
