@@ -891,6 +891,39 @@ def test_roundtrip_ucs2_cmap_variant(seed):
     assert r.text == expected and not r.fallback
 
 
+def test_cross_feature_conformance_sweep():
+    """Randomized byte-identity sweep across the FULL feature cross
+    product — xref styles (incl. hybrid), ObjStm, every font variant
+    (Type3, RKSJ/GBK charset CMaps, vertical columns, MacRoman, …),
+    RC4/AES encryption incl. owner-locks, Flate/LZW/uncompressed,
+    two-column layouts and Form XObjects — the combinations the
+    per-feature tests don't pairwise-cover."""
+    import itertools
+    rng_master = random.Random(20260818)
+    styles = ["table", "stream", "stream_pred", "hybrid"]
+    variants = ["standard", "differences", "winansi", "macroman",
+                "tounicode", "cid", "cid_cmap", "ucs2_cmap", "type3",
+                "rksj_cmap", "vertical_cid"]
+    encrypts = [None, None, "rc4-40", "rc4-128", "aes-128",
+                "rc4-128+owner", "aes-128+owner"]
+    for i in range(48):
+        rng = random.Random(rng_master.randrange(1 << 30))
+        kwargs = dict(
+            n_pages=rng.randrange(1, 4),
+            xref_style=rng.choice(styles),
+            use_objstm=rng.random() < 0.5,
+            font_variant=rng.choice(variants),
+            encrypt=rng.choice(encrypts),
+            compress=rng.choice([True, True, "lzw", False]),
+            two_column=rng.random() < 0.3,
+            with_form=rng.random() < 0.3,
+        )
+        pdf, expected, _ = make_pdf(rng, **kwargs)
+        r = extract_pdf_text(pdf)
+        assert r.text == expected, f"sweep draw {i}: {kwargs}"
+        assert not r.fallback, f"sweep draw {i} fell back: {kwargs}"
+
+
 # ── hybrid-reference files (spec §7.5.8.4) ────────────────────────────
 
 @pytest.mark.parametrize("seed", range(3))
