@@ -4515,6 +4515,52 @@ FROM s GROUP BY source ORDER BY source
 """
 
 
+def user_big_value_outer(sf_dir: str):
+    """FULL OUTER bucketed hash join (§2.4): per-user sums of big
+    (value > 200) purchases vs big clicks — each side covers only a
+    sparse, partially overlapping user subset, so the result exercises
+    left-only, right-only and matched rows. Pre-aggregation happens
+    BEFORE the join, so the all-to-all moves one row per (user, side),
+    never raw events."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.joins import bucketed_hash_join
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def side(event_type: str, out_col: str):
+        return (ev.filter(
+            expr=f"event_type == '{event_type}' and value > 200.0")
+            .groupby("user_id")
+            .aggregate(Sum("value", alias_name=out_col)))
+
+    joined = bucketed_hash_join(
+        side("purchase", "purchase_sum"), side("click", "click_sum"),
+        on="user_id", how="outer", num_buckets=8,
+        left_cols=["purchase_sum"], right_cols=["click_sum"])
+    out = joined.to_pandas()
+    out["purchase_sum"] = round2(out["purchase_sum"].fillna(0.0))
+    out["click_sum"] = round2(out["click_sum"].fillna(0.0))
+    out["user_id"] = out["user_id"].astype("int64")
+    return (out[["user_id", "purchase_sum", "click_sum"]]
+            .sort_values("user_id").reset_index(drop=True))
+
+
+USER_BIG_VALUE_OUTER_SQL = r"""
+WITH p AS (
+  SELECT user_id, sum(value) AS purchase_sum FROM events
+  WHERE event_type = 'purchase' AND value > 200 GROUP BY user_id),
+c AS (
+  SELECT user_id, sum(value) AS click_sum FROM events
+  WHERE event_type = 'click' AND value > 200 GROUP BY user_id)
+SELECT coalesce(p.user_id, c.user_id) AS user_id,
+       round(coalesce(p.purchase_sum, 0), 2) AS purchase_sum,
+       round(coalesce(c.click_sum, 0), 2) AS click_sum
+FROM p FULL OUTER JOIN c ON p.user_id = c.user_id
+ORDER BY user_id
+"""
+
+
 def canonical_url_dedup(sf_dir: str):
     """URL canonicalization → exact dedup by canonical key
     (stages/urls.py): messy URL variants — scheme/host case, default
@@ -8238,6 +8284,7 @@ QUERIES = {
     "nation_supplier_rank": nation_supplier_rank,
     "domain_stats": domain_stats,
     "canonical_url_dedup": canonical_url_dedup,
+    "user_big_value_outer": user_big_value_outer,
     "semdedup_keep_docs": semdedup_keep_docs,
     "bloom_eval_overlap": bloom_eval_overlap,
     "doc_ngram_novelty": doc_ngram_novelty,
@@ -8428,6 +8475,7 @@ ORACLE_SQL = {
     "nation_supplier_rank": NATION_RANK_SQL,
     "domain_stats": DOMAIN_STATS_SQL,
     "canonical_url_dedup": CANONICAL_URL_SQL,
+    "user_big_value_outer": USER_BIG_VALUE_OUTER_SQL,
     "doc_ngram_novelty": NGRAM_NOVELTY_SQL,
     "session_stats_per_user": SESSION_STATS_SQL,
     "q8_market_share": Q8_SQL,

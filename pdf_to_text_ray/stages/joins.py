@@ -123,7 +123,12 @@ def bucketed_hash_join(left, right, on: str, *, num_buckets: int = 32,
                     if c not in side.columns:
                         side[c] = pd.Series([], dtype=object) if side.empty \
                             else pd.NA
-        if lg.empty or (rg.empty and how == "inner"):
+        # a bucket is empty-result only when the join type can't emit
+        # rows from the side(s) present: inner needs both, left needs
+        # the left side, right needs the right, outer needs either
+        if (lg.empty and rg.empty) \
+                or (lg.empty and how in ("inner", "left")) \
+                or (rg.empty and how in ("inner", "right")):
             return arrow_out(pd.DataFrame()) if arrow_blocks else pd.DataFrame()
         out = lg.merge(rg, on=on, how=how, suffixes=suffixes)
         for c, dt in restore.items():

@@ -284,3 +284,46 @@ def test_storage_bucketed_join_missing_small_buckets(ray_session, tmp_path):
             .reset_index(drop=True))
     pd.testing.assert_frame_equal(got[["k", "v", "name"]],
                                   want[["k", "v", "name"]])
+
+
+def test_bucketed_full_outer_emits_one_sided_buckets(ray_session):
+    """FULL OUTER join where some hash buckets contain ONLY one side:
+    left-only and right-only keys must all survive (the old empty-side
+    guard dropped a bucket whose left side was empty)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pdf_to_text_ray.stages.joins import bucketed_hash_join
+
+    left = pd.DataFrame({"k": [1, 2, 3], "a": [10, 20, 30]})
+    right = pd.DataFrame({"k": [3, 4, 5, 6], "b": [33, 44, 55, 66]})
+    got = bucketed_hash_join(
+        rd.from_arrow(pa.Table.from_pandas(left)),
+        rd.from_arrow(pa.Table.from_pandas(right)),
+        on="k", how="outer", num_buckets=7,
+        left_cols=["a"], right_cols=["b"],
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    want = left.merge(right, on="k", how="outer").sort_values("k") \
+        .reset_index(drop=True)
+    assert got["k"].tolist() == [1, 2, 3, 4, 5, 6]
+    pd.testing.assert_frame_equal(
+        got[["k", "a", "b"]].astype("float64"),
+        want[["k", "a", "b"]].astype("float64"))
+
+
+def test_bucketed_right_join_emits_right_only_buckets(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pdf_to_text_ray.stages.joins import bucketed_hash_join
+
+    left = pd.DataFrame({"k": [1], "a": [10]})
+    right = pd.DataFrame({"k": [1, 9], "b": [11, 99]})
+    got = bucketed_hash_join(
+        rd.from_arrow(pa.Table.from_pandas(left)),
+        rd.from_arrow(pa.Table.from_pandas(right)),
+        on="k", how="right", num_buckets=5,
+        left_cols=["a"], right_cols=["b"],
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    assert got["k"].tolist() == [1, 9]
+    assert got["b"].tolist() == [11, 99]
