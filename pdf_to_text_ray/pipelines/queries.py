@@ -4561,6 +4561,45 @@ ORDER BY user_id
 """
 
 
+def skew_join_user_events(sf_dir: str):
+    """Skew-defused join (stages/joins.skew_join): events ⋈ per-user
+    purchase totals on user_id — hot keys (from a bounded sample of the
+    left key column) ride a broadcast of THEIR right rows while the
+    cold remainder takes the bucketed hash join; the union equals the
+    plain join, which is exactly what the oracle replays. The split is
+    the mirror-heavy-crawl defence: a celebrity key no longer lands a
+    whole bucket on one reducer."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.joins import skew_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    dim = (_read(sf_dir, "events", ["user_id", "event_type", "value"])
+           .filter(expr="event_type == 'purchase'")
+           .groupby("user_id")
+           .aggregate(Sum("value", alias_name="purchase_total")))
+    out = skew_join(
+        ev, dim, on="user_id", how="inner",
+        left_cols=["event_id", "value"], right_cols=["purchase_total"],
+        sample_rows=5000, hot_share=0.005,
+    ).to_pandas()
+    out["purchase_total"] = round2(out["purchase_total"])
+    for c in ("event_id", "user_id"):
+        out[c] = out[c].astype("int64")
+    return (out[["event_id", "user_id", "value", "purchase_total"]]
+            .sort_values("event_id").reset_index(drop=True))
+
+
+SKEW_JOIN_SQL = r"""
+WITH dim AS (
+  SELECT user_id, round(sum(value), 2) AS purchase_total
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+SELECT e.event_id, e.user_id, e.value, d.purchase_total
+FROM events e JOIN dim d USING (user_id)
+ORDER BY e.event_id
+"""
+
+
 def canonical_url_dedup(sf_dir: str):
     """URL canonicalization → exact dedup by canonical key
     (stages/urls.py): messy URL variants — scheme/host case, default
@@ -8285,6 +8324,7 @@ QUERIES = {
     "domain_stats": domain_stats,
     "canonical_url_dedup": canonical_url_dedup,
     "user_big_value_outer": user_big_value_outer,
+    "skew_join_user_events": skew_join_user_events,
     "semdedup_keep_docs": semdedup_keep_docs,
     "bloom_eval_overlap": bloom_eval_overlap,
     "doc_ngram_novelty": doc_ngram_novelty,
@@ -8476,6 +8516,7 @@ ORACLE_SQL = {
     "domain_stats": DOMAIN_STATS_SQL,
     "canonical_url_dedup": CANONICAL_URL_SQL,
     "user_big_value_outer": USER_BIG_VALUE_OUTER_SQL,
+    "skew_join_user_events": SKEW_JOIN_SQL,
     "doc_ngram_novelty": NGRAM_NOVELTY_SQL,
     "session_stats_per_user": SESSION_STATS_SQL,
     "q8_market_share": Q8_SQL,

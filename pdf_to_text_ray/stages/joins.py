@@ -20,6 +20,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .groups import arrow_out
 
@@ -192,6 +193,72 @@ def auto_join(left, right, on: str, *,
     return bucketed_hash_join(left, right, on, num_buckets=num_buckets,
                               suffixes=suffixes, how=how,
                               left_cols=left_cols, right_cols=right_cols)
+
+
+def skew_join(left, right, on: str, *,
+              how: str = "inner",
+              num_buckets: int = 32,
+              suffixes: tuple[str, str] = ("_l", "_r"),
+              left_cols: list[str] | None = None,
+              right_cols: list[str] | None = None,
+              sample_rows: int = 100_000,
+              hot_share: float = 0.01,
+              hot_keys: list | None = None):
+    """Skew-defused join: HOT keys take the broadcast path — their
+    right-side rows ship to every task instead of hashing into one
+    overloaded bucket — while the cold remainder runs the normal
+    bucketed hash join; the two outputs union. Because the split
+    partitions rows BY KEY, the result equals the plain join for any
+    split choice (all ``how`` modes included), so hot-key detection
+    only needs to be cheap, not exact.
+
+    Detection (when ``hot_keys`` is not passed): a bounded
+    ``limit(sample_rows)`` scan of the left side's key column; keys
+    holding more than ``hot_share`` of the sample are hot. The limit
+    sample is first-blocks-biased — fine for the mirror/celebrity-key
+    shapes skew comes from (they dominate every prefix); pass
+    ``hot_keys`` explicitly when the hot set is known upstream.
+
+    ``left_cols``/``right_cols`` are REQUIRED (both branches must emit
+    one canonical column order for the union)."""
+    if left_cols is None or right_cols is None:
+        raise ValueError("skew_join requires left_cols and right_cols")
+    if how not in ("inner", "left"):
+        # the hot branch merges per left batch, so right-only rows
+        # would be emitted per-batch (outer) — use bucketed_hash_join
+        raise ValueError("skew_join supports how='inner'/'left' only")
+    if hot_keys is None:
+        sample = (left.select_columns([on]).limit(sample_rows)
+                  .to_pandas()[on])
+        counts = sample.value_counts()
+        hot_keys = counts[counts > max(1, int(len(sample) * hot_share))] \
+            .index.tolist()
+    out_cols = [on] + list(left_cols) + list(right_cols)
+    if not hot_keys:
+        return bucketed_hash_join(
+            left, right, on, num_buckets=num_buckets, suffixes=suffixes,
+            how=how, left_cols=left_cols, right_cols=right_cols,
+        ).map_batches(lambda t: t.select(out_cols), batch_format="pyarrow")
+    hot_arr = pa.array(sorted(hot_keys))
+
+    def split(ds, want_hot: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            m = pc.is_in(t[on], value_set=hot_arr)
+            return t.filter(m if want_hot else pc.invert(m))
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+    # hot right side is small by construction (few keys): one driver
+    # materialization, then ray.put inside broadcast_join
+    right_hot = split(right, True).to_pandas()
+    hot_joined = broadcast_join(split(left, True), right_hot, on,
+                                how=how, suffixes=suffixes)
+    cold_joined = bucketed_hash_join(
+        split(left, False), split(right, False), on,
+        num_buckets=num_buckets, suffixes=suffixes, how=how,
+        left_cols=left_cols, right_cols=right_cols)
+    canon = lambda t: t.select(out_cols)  # noqa: E731 — one union schema
+    return (hot_joined.map_batches(canon, batch_format="pyarrow")
+            .union(cold_joined.map_batches(canon, batch_format="pyarrow")))
 
 
 def asof_join(left, right, *, key: str, left_ts: str, right_ts: str,

@@ -327,3 +327,57 @@ def test_bucketed_right_join_emits_right_only_buckets(ray_session):
     ).to_pandas().sort_values("k").reset_index(drop=True)
     assert got["k"].tolist() == [1, 9]
     assert got["b"].tolist() == [11, 99]
+
+
+def test_skew_join_matches_plain_join_on_skewed_keys(ray_session):
+    """skew_join with a celebrity key (60% of left rows): detection
+    routes it to the broadcast branch, the tail stays bucketed, and
+    the union equals the plain pandas merge."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pdf_to_text_ray.stages.joins import skew_join
+
+    rng = np.random.default_rng(7)
+    keys = np.where(rng.random(4000) < 0.6, 1,
+                    rng.integers(2, 200, 4000)).astype("int64")
+    left = pd.DataFrame({"k": keys, "ev": np.arange(4000, dtype="int64")})
+    right = pd.DataFrame({"k": np.arange(1, 200, dtype="int64"),
+                          "name": [f"n{i}" for i in range(1, 200)]})
+    got = skew_join(
+        rd.from_arrow(pa.Table.from_pandas(left)),
+        rd.from_arrow(pa.Table.from_pandas(right)),
+        on="k", left_cols=["ev"], right_cols=["name"],
+        sample_rows=1000, hot_share=0.05,
+    ).to_pandas().sort_values("ev").reset_index(drop=True)
+    want = left.merge(right, on="k").sort_values("ev") \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["k", "ev", "name"]],
+                                  want[["k", "ev", "name"]])
+
+
+def test_skew_join_explicit_hot_keys_and_left_how(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pdf_to_text_ray.stages.joins import skew_join
+
+    left = pd.DataFrame({"k": [1, 1, 1, 2, 3], "ev": [0, 1, 2, 3, 4]})
+    right = pd.DataFrame({"k": [1, 2], "name": ["a", "b"]})
+    got = skew_join(
+        rd.from_arrow(pa.Table.from_pandas(left)),
+        rd.from_arrow(pa.Table.from_pandas(right)),
+        on="k", how="left", left_cols=["ev"], right_cols=["name"],
+        hot_keys=[1],
+    ).to_pandas().sort_values("ev").reset_index(drop=True)
+    want = left.merge(right, on="k", how="left").sort_values("ev") \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["k", "ev", "name"]],
+                                  want[["k", "ev", "name"]])
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        skew_join(rd.from_arrow(pa.Table.from_pandas(left)),
+                  rd.from_arrow(pa.Table.from_pandas(right)),
+                  on="k", how="outer", left_cols=["ev"],
+                  right_cols=["name"], hot_keys=[1])
