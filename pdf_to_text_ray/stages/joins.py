@@ -220,7 +220,15 @@ def skew_join(left, right, on: str, *,
     ``hot_keys`` explicitly when the hot set is known upstream.
 
     ``left_cols``/``right_cols`` are REQUIRED (both branches must emit
-    one canonical column order for the union)."""
+    one canonical column order for the union).
+
+    Execution shape: the right side is ``materialize()``d once (it is
+    split twice and its hot half driver-materialized anyway; a join's
+    small side is small by assumption). The LEFT side's plan executes
+    twice — once per split branch — deliberately: pinning a crawl-scale
+    left with materialize() would trade two streaming scans for object
+    store residency of the whole input, the wrong trade at 100 TB. The
+    detection sample is a bounded ``limit()`` scan (early-exit read)."""
     if left_cols is None or right_cols is None:
         raise ValueError("skew_join requires left_cols and right_cols")
     if how not in ("inner", "left"):
@@ -233,6 +241,7 @@ def skew_join(left, right, on: str, *,
         counts = sample.value_counts()
         hot_keys = counts[counts > max(1, int(len(sample) * hot_share))] \
             .index.tolist()
+    right = right.materialize()  # consumed by two splits below
     out_cols = [on] + list(left_cols) + list(right_cols)
     if not hot_keys:
         return bucketed_hash_join(

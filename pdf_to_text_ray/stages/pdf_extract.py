@@ -1686,7 +1686,8 @@ def build_font_decoder(doc: "PdfDocument", font: dict) -> FontDecoder:
         # writing mode 1 (spec §9.7.4.1): a CMap NAME ending "-V", or
         # an embedded CMap stream declaring /WMode 1
         if isinstance(enc, Stream):
-            vert = int(doc.resolve(enc.dict.get("WMode", 0)) or 0) == 1
+            wm = doc.resolve(enc.dict.get("WMode", 0))
+            vert = isinstance(wm, (int, float)) and int(wm) == 1
         else:
             vert = isinstance(enc, str) and enc.endswith("-V")
         if isinstance(enc, Stream):
@@ -1863,39 +1864,46 @@ def interpret_content(content: bytes, fonts: dict | None = None,
         nonlocal tm
         if not isinstance(text_bytes, bytes):
             return
-        # spec §9.4.4: tx = Σ(w_glyph·Tfs + Tc + (Tw if glyph==space))
+        # spec §9.4.4: tx = Σ(w_glyph·Tfs + Tc + (Tw if glyph==space));
+        # in writing mode 1 the same sum (with the /DW2 one-em default
+        # for w) applies to ty, downward
+        vertical = decoder.vertical
         if decoder.codespaces is not None:
             # variable-length CMap font: run the codespace walk ONCE per
             # show op; decode / advance / Tw all reuse the segmentation
             codes_len = decoder._codes_len(text_bytes)
-            codes = [c for c, _ in codes_len]
             text = decoder.decode_codes(codes_len)
-            n_glyphs = len(codes)
-            adv = decoder.advance_from_codes(codes) * size \
-                + char_spacing * n_glyphs
+            n_glyphs = len(codes_len)
+            if vertical:
+                adv = (size + char_spacing) * n_glyphs
+            else:
+                codes = [c for c, _ in codes_len]
+                adv = decoder.advance_from_codes(codes) * size \
+                    + char_spacing * n_glyphs
             if word_spacing:
                 # spec §9.3.3: Tw applies only to the SINGLE-BYTE code
                 # 32 — possible in mixed-length CMaps, never in 2-byte
-                # Identity encodings
+                # Identity encodings — in BOTH writing modes
                 n_sp = sum(1 for c, nb in codes_len if nb == 1 and c == 0x20)
                 adv += word_spacing * n_sp
         else:
             text = decoder.decode(text_bytes)
             multi = decoder.two_byte
             n_glyphs = len(text_bytes) // 2 if multi else len(text_bytes)
-            adv = decoder.advance_em(text_bytes) * size \
-                + char_spacing * n_glyphs
+            if vertical:
+                adv = (size + char_spacing) * n_glyphs
+            else:
+                adv = decoder.advance_em(text_bytes) * size \
+                    + char_spacing * n_glyphs
             if word_spacing and not multi:
                 adv += word_spacing * text_bytes.count(b" ")
         x = ctm[0] * tm[4] + ctm[2] * tm[5] + ctm[4]
         y = ctm[1] * tm[4] + ctm[3] * tm[5] + ctm[5]
         if text:
             runs.append(Run(x, y, text))
-        if decoder.vertical:
-            # writing mode 1: the pen moves DOWN by the vertical
-            # displacement — /DW2 default of one em per glyph (spec
-            # §9.7.4.3); Tc applies along the writing direction
-            tm = _translate(0.0, -(size + char_spacing) * n_glyphs, tm)
+        if vertical:
+            # writing mode 1: the pen moves DOWN the page (spec §9.7.4.3)
+            tm = _translate(0.0, -adv, tm)
         else:
             tm = _translate(adv, 0.0, tm)
 

@@ -19,7 +19,11 @@ replayable in ANSI SQL so the op stays oracle-checkable):
   5. remaining query params sorted bytewise; empty query dropped
 Path case and percent-escapes are left untouched — unreserved-escape
 decoding is NOT applied because it cannot be replayed portably in SQL
-and differs across crawler implementations.
+and differs across crawler implementations. Rule 1 lowercases the
+WHOLE authority component, userinfo included: RFC 3986 keeps userinfo
+case-sensitive, but splitting it out cannot be replayed in one SQL
+expression, and crawl pipelines drop credentialed URLs long before
+dedup — the uniform rule is the deliberate, replayable choice.
 
 Per-batch kernel: the regex split runs per row over Python strings
 (URL grammar is not an Arrow kernel), but the batch loop is the only
