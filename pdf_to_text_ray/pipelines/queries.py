@@ -4600,6 +4600,47 @@ ORDER BY e.event_id
 """
 
 
+def doc_chain_components(sf_dir: str):
+    """Distributed min-label connected components under a FULL-VALUE
+    oracle: edges are synthesized deterministically from doc_id —
+    (i-2, i) whenever (i-2) % 10 ∈ {0,2,4}, giving four-node chains
+    per decade — the components run through the SAME in-cluster
+    propagation the near-dup keep-set uses (stages/dedup.py:
+    minlabel_components, pairs-Dataset path), and DuckDB replays the
+    reachability closure with WITH RECURSIVE. Moves the component
+    machinery from internally-exercised to driver-checked."""
+    from ..stages.dedup import minlabel_components
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        src = ids - 2
+        m = (ids >= 2) & np.isin(src % 10, (0, 2, 4))
+        return pa.table({"id_a": pa.array(src[m], pa.int64()),
+                         "id_b": pa.array(ids[m], pa.int64())})
+
+    pairs = docs.map_batches(mk_edges, batch_format="pyarrow")
+    out = minlabel_components(pairs, num_buckets=8)
+    return out.reset_index(drop=True)
+
+
+DOC_CHAIN_COMPONENTS_SQL = r"""
+WITH RECURSIVE base AS (
+  SELECT doc_id - 2 AS a, doc_id AS b FROM documents
+  WHERE doc_id >= 2 AND (doc_id - 2) % 10 IN (0, 2, 4)),
+e AS (SELECT a, b FROM base UNION SELECT b, a FROM base),
+walk(node, lbl) AS (
+  SELECT a AS node, b AS lbl FROM e
+  UNION
+  SELECT w.node, e.b FROM walk w JOIN e ON w.lbl = e.a
+)
+SELECT node::BIGINT AS node,
+       least(node, min(lbl))::BIGINT AS group_root
+FROM walk GROUP BY node ORDER BY node
+"""
+
+
 def canonical_url_dedup(sf_dir: str):
     """URL canonicalization → exact dedup by canonical key
     (stages/urls.py): messy URL variants — scheme/host case, default
@@ -8325,6 +8366,7 @@ QUERIES = {
     "canonical_url_dedup": canonical_url_dedup,
     "user_big_value_outer": user_big_value_outer,
     "skew_join_user_events": skew_join_user_events,
+    "doc_chain_components": doc_chain_components,
     "semdedup_keep_docs": semdedup_keep_docs,
     "bloom_eval_overlap": bloom_eval_overlap,
     "doc_ngram_novelty": doc_ngram_novelty,
@@ -8517,6 +8559,7 @@ ORACLE_SQL = {
     "canonical_url_dedup": CANONICAL_URL_SQL,
     "user_big_value_outer": USER_BIG_VALUE_OUTER_SQL,
     "skew_join_user_events": SKEW_JOIN_SQL,
+    "doc_chain_components": DOC_CHAIN_COMPONENTS_SQL,
     "doc_ngram_novelty": NGRAM_NOVELTY_SQL,
     "session_stats_per_user": SESSION_STATS_SQL,
     "q8_market_share": Q8_SQL,
