@@ -4625,6 +4625,22 @@ def doc_chain_components(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def doc_chain_components_star(sf_dir: str):
+    """The same chain graph through the ALTERNATE component algorithm —
+    large-star/small-star rounds (Kiveris et al., SoCC 2014; O(log²)
+    rounds regardless of diameter, the pathological-chain scale path) —
+    against the same recursive-CTE oracle, so both component engines
+    are driver-checked."""
+    from ..stages.dedup import star_components
+
+    docs = _read(sf_dir, "documents", ["doc_id"]).to_pandas()
+    ids = docs["doc_id"].to_numpy()
+    src = ids - 2
+    m = (ids >= 2) & np.isin(src % 10, (0, 2, 4))
+    pairs = pd.DataFrame({"id_a": src[m], "id_b": ids[m]})
+    return star_components(pairs, num_buckets=8).reset_index(drop=True)
+
+
 DOC_CHAIN_COMPONENTS_SQL = r"""
 WITH RECURSIVE base AS (
   SELECT doc_id - 2 AS a, doc_id AS b FROM documents
@@ -8367,6 +8383,7 @@ QUERIES = {
     "user_big_value_outer": user_big_value_outer,
     "skew_join_user_events": skew_join_user_events,
     "doc_chain_components": doc_chain_components,
+    "doc_chain_components_star": doc_chain_components_star,
     "semdedup_keep_docs": semdedup_keep_docs,
     "bloom_eval_overlap": bloom_eval_overlap,
     "doc_ngram_novelty": doc_ngram_novelty,
@@ -8560,6 +8577,7 @@ ORACLE_SQL = {
     "user_big_value_outer": USER_BIG_VALUE_OUTER_SQL,
     "skew_join_user_events": SKEW_JOIN_SQL,
     "doc_chain_components": DOC_CHAIN_COMPONENTS_SQL,
+    "doc_chain_components_star": DOC_CHAIN_COMPONENTS_SQL,
     "doc_ngram_novelty": NGRAM_NOVELTY_SQL,
     "session_stats_per_user": SESSION_STATS_SQL,
     "q8_market_share": Q8_SQL,
