@@ -146,8 +146,18 @@ def broadcast_join(left, right, on: str, *,
                    suffixes: tuple[str, str] = ("_l", "_r")):
     """Small-side join: ``right`` (a Dataset or pandas frame) is
     materialized once, shipped via ``ray.put``, and merged per batch
-    of ``left`` — the big side never shuffles."""
+    of ``left`` — the big side never shuffles.
+
+    ``how`` is restricted to inner/left: the merge runs per LEFT
+    batch, so an outer/right join would re-emit every right-only row
+    once per batch — silently wrong output, not a performance issue.
+    Use ``bucketed_hash_join`` for those."""
     import ray
+
+    if how not in ("inner", "left"):
+        raise ValueError(
+            "broadcast_join supports how='inner'/'left' only (right-only "
+            "rows would duplicate per batch); use bucketed_hash_join")
 
     rdf = right if isinstance(right, pd.DataFrame) else right.to_pandas()
     right_ref = ray.put(rdf)
@@ -188,7 +198,11 @@ def auto_join(left, right, on: str, *,
         est = right.size_bytes()
     except Exception:
         est = None
-    if est is not None and est <= broadcast_limit_bytes:
+    if est is not None and est <= broadcast_limit_bytes \
+            and how in ("inner", "left"):
+        # outer/right joins always take the bucketed path: the
+        # broadcast merge runs per left batch and cannot emit
+        # right-only rows exactly once
         return broadcast_join(left, right, on, how=how, suffixes=suffixes)
     return bucketed_hash_join(left, right, on, num_buckets=num_buckets,
                               suffixes=suffixes, how=how,
