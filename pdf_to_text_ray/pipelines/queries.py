@@ -4657,6 +4657,79 @@ FROM walk GROUP BY node ORDER BY node
 """
 
 
+def events_time_travel(sf_dir: str):
+    """Versioned-table time travel (state/versioned.py): commit 1 =
+    the events base, commit 2 = value updates to event_id % 10 == 0,
+    commit 3 = tombstones for event_id % 7 == 0. Reads as-of versions
+    2 AND 3 must reconstruct exactly the right snapshots — v2 sees the
+    updates but not the deletes; v3 loses the tombstoned keys. Version
+    pruning happens at the commit-directory listing (an as-of-2 read
+    never opens commit 3's files); key resolution is a hash-bucketed
+    last-write-wins, no driver materialization. The SQL oracle replays
+    both snapshots from the flat table."""
+    import hashlib
+    import shutil
+
+    from ..state.versioned import commit, read_as_of
+
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    fp = hashlib.md5(
+        f"{src}|{st.st_size}|{st.st_mtime_ns}|v1".encode()).hexdigest()[:12]
+    root = f"/tmp/ptt_events_versioned/{fp}"
+    marker = os.path.join(root, "_DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(root, ignore_errors=True)
+        base = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+        commit(base, root, key="event_id")
+
+        def updates(t: pa.Table) -> pa.Table:
+            ids = t["event_id"].to_numpy(zero_copy_only=False)
+            t = t.filter(pa.array(ids % 10 == 0))
+            return t.set_column(
+                t.schema.get_field_index("value"), "value",
+                pc.add(t["value"], 1000.0))
+
+        commit(base.map_batches(updates, batch_format="pyarrow"),
+               root, key="event_id")
+
+        def deletes(t: pa.Table) -> pa.Table:
+            ids = t["event_id"].to_numpy(zero_copy_only=False)
+            t = t.filter(pa.array(ids % 7 == 0))
+            return t.append_column(
+                "_deleted", pa.array([True] * t.num_rows, pa.bool_()))
+
+        commit(base.map_batches(deletes, batch_format="pyarrow"),
+               root, key="event_id")
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    frames = []
+    for v in (2, 3):
+        snap = read_as_of(root, v, key="event_id").to_pandas()
+        snap["as_of"] = v
+        frames.append(snap)
+    out = pd.concat(frames, ignore_index=True)
+    for c in ("as_of", "event_id", "user_id"):
+        out[c] = out[c].astype("int64")
+    return (out[["as_of", "event_id", "user_id", "value"]]
+            .sort_values(["as_of", "event_id"]).reset_index(drop=True))
+
+
+EVENTS_TIME_TRAVEL_SQL = r"""
+WITH v2 AS (
+  SELECT event_id, user_id,
+         CASE WHEN event_id % 10 = 0 THEN value + 1000 ELSE value END
+           AS value
+  FROM events),
+v3 AS (SELECT * FROM v2 WHERE event_id % 7 <> 0)
+SELECT 2::BIGINT AS as_of, * FROM v2
+UNION ALL
+SELECT 3::BIGINT AS as_of, * FROM v3
+ORDER BY as_of, event_id
+"""
+
+
 def canonical_url_dedup(sf_dir: str):
     """URL canonicalization → exact dedup by canonical key
     (stages/urls.py): messy URL variants — scheme/host case, default
@@ -8384,6 +8457,7 @@ QUERIES = {
     "skew_join_user_events": skew_join_user_events,
     "doc_chain_components": doc_chain_components,
     "doc_chain_components_star": doc_chain_components_star,
+    "events_time_travel": events_time_travel,
     "semdedup_keep_docs": semdedup_keep_docs,
     "bloom_eval_overlap": bloom_eval_overlap,
     "doc_ngram_novelty": doc_ngram_novelty,
@@ -8578,6 +8652,7 @@ ORACLE_SQL = {
     "skew_join_user_events": SKEW_JOIN_SQL,
     "doc_chain_components": DOC_CHAIN_COMPONENTS_SQL,
     "doc_chain_components_star": DOC_CHAIN_COMPONENTS_SQL,
+    "events_time_travel": EVENTS_TIME_TRAVEL_SQL,
     "doc_ngram_novelty": NGRAM_NOVELTY_SQL,
     "session_stats_per_user": SESSION_STATS_SQL,
     "q8_market_share": Q8_SQL,

@@ -98,3 +98,52 @@ def test_schema_validation(ray_session):
     bad = pa.table({"url": ["x"]})
     with _pytest.raises(ValueError, match="missing column"):
         validate_schema(bad, TEXT_SCHEMA)
+
+
+def test_versioned_table_time_travel_and_orphan_commits(ray_session, tmp_path):
+    """state/versioned.py: per-version snapshots resolve last-write-wins
+    with tombstones; a crashed commit (data dir present, no log line)
+    is invisible to readers."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    import pandas as pd
+
+    from pdf_to_text_ray.state.versioned import (commit, latest_version,
+                                                 read_as_of)
+
+    root = str(tmp_path / "vt")
+    base = pd.DataFrame({"k": [1, 2, 3, 4], "v": [10, 20, 30, 40]})
+    assert latest_version(root) == 0
+    assert commit(rd.from_arrow(pa.Table.from_pandas(base)), root,
+                  key="k") == 1
+    upd = pd.DataFrame({"k": [2], "v": [99]})
+    assert commit(rd.from_arrow(pa.Table.from_pandas(upd)), root,
+                  key="k") == 2
+    dele = pd.DataFrame({"k": [3], "v": [0], "_deleted": [True]})
+    assert commit(rd.from_arrow(pa.Table.from_pandas(dele)), root,
+                  key="k") == 3
+
+    def snap(v):
+        df = read_as_of(root, v, key="k").to_pandas()
+        return dict(zip(df["k"].astype(int), df["v"].astype(int)))
+
+    assert snap(1) == {1: 10, 2: 20, 3: 30, 4: 40}
+    assert snap(2) == {1: 10, 2: 99, 3: 30, 4: 40}
+    assert snap(3) == {1: 10, 2: 99, 4: 40}
+
+    # simulate a crashed commit: data directory written, log line never
+    # appended — readers at any version must not see it
+    import os
+    orphan = os.path.join(root, "commit=4")
+    os.makedirs(orphan)
+    pa.parquet.write_table(
+        pa.Table.from_pandas(pd.DataFrame(
+            {"k": [1], "v": [777], "_deleted": [False], "_commit": [4]})),
+        os.path.join(orphan, "part-0.parquet"))
+    assert latest_version(root) == 3
+    assert snap(3) == {1: 10, 2: 99, 4: 40}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        read_as_of(root, 0, key="k")
