@@ -90,6 +90,30 @@ def commit(ds, root: str, *, key: str) -> int:
     return version
 
 
+def compact(root: str, *, key: str, num_buckets: int = 16) -> int:
+    """Rewrite the CURRENT resolved state (tombstones applied,
+    superseded rows dropped) as one fresh commit, and mark the older
+    commits compacted-away in the log: subsequent ``read_as_of`` calls
+    at or past the compaction version read ONLY the compacted files —
+    history cost stops accruing — while as-of reads BEFORE it keep
+    working from the original directories (which stay on disk).
+    Returns the compaction commit's version."""
+    current = latest_version(root)
+    if current == 0:
+        raise ValueError("nothing to compact: no commits")
+    state = read_as_of(root, current, key=key)
+    version = commit(state, root, key=key)
+    log = _read_log(root)
+    for e in log:
+        if e["version"] < version:
+            e["compacted_by"] = version
+    tmp = _log_path(root) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(log, f)
+    os.replace(tmp, _log_path(root))
+    return version
+
+
 def read_as_of(root: str, version: int, *, key: str,
                num_buckets: int = 16):
     """Dataset of the table's state as of ``version``: for every key,
@@ -97,8 +121,11 @@ def read_as_of(root: str, version: int, *, key: str,
     Only the commit directories ≤ version are read."""
     import ray.data as rd
 
-    dirs = [os.path.join(root, e["dir"]) for e in _read_log(root)
-            if e["version"] <= version]
+    log = _read_log(root)
+    dirs = [os.path.join(root, e["dir"]) for e in log
+            if e["version"] <= version
+            and not (e.get("compacted_by") is not None
+                     and e["compacted_by"] <= version)]
     if not dirs:
         raise ValueError(f"no commits at or before version {version}")
     # read_parquet expands a single directory but not directories

@@ -147,3 +147,43 @@ def test_versioned_table_time_travel_and_orphan_commits(ray_session, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         read_as_of(root, 0, key="k")
+
+
+def test_versioned_table_compaction(ray_session, tmp_path):
+    """compact() rewrites resolved state as a fresh commit: reads at or
+    past it open ONLY the compacted files, while as-of reads BEFORE the
+    compaction still reconstruct history from the original dirs."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pdf_to_text_ray.state.versioned import (commit, compact,
+                                                 read_as_of)
+
+    root = str(tmp_path / "vt")
+    base = pd.DataFrame({"k": [1, 2, 3], "v": [10, 20, 30]})
+    commit(rd.from_arrow(pa.Table.from_pandas(base)), root, key="k")
+    commit(rd.from_arrow(pa.Table.from_pandas(
+        pd.DataFrame({"k": [2], "v": [99]}))), root, key="k")
+    commit(rd.from_arrow(pa.Table.from_pandas(
+        pd.DataFrame({"k": [3], "v": [0], "_deleted": [True]}))),
+        root, key="k")
+    cv = compact(root, key="k")
+    assert cv == 4
+
+    def snap(v):
+        df = read_as_of(root, v, key="k").to_pandas()
+        return dict(zip(df["k"].astype(int), df["v"].astype(int)))
+
+    # post-compaction read == pre-compaction latest state
+    assert snap(cv) == {1: 10, 2: 99}
+    # history BEFORE the compaction is still reachable
+    assert snap(1) == {1: 10, 2: 20, 3: 30}
+    assert snap(2) == {1: 10, 2: 99, 3: 30}
+    # the as-of-cv read lists only the compacted commit's files
+    import json
+    log = json.load(open(os.path.join(root, "_commits.json")))
+    assert all(e.get("compacted_by") == cv
+               for e in log if e["version"] < cv)
