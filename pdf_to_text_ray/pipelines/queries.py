@@ -4730,6 +4730,75 @@ ORDER BY as_of, event_id
 """
 
 
+def events_zorder_box_query(sf_dir: str):
+    """Z-order (Morton-curve) clustered layout + two-dimensional
+    zone-map pruning (stages/zorder.py): events are laid out ONCE per
+    sf sorted by the bit-interleaved (user_id, ts) code, so every file
+    is local in BOTH dimensions; a box predicate (user range × time
+    range) then keeps only files whose footers overlap on BOTH columns
+    — a 1D sort can prune on one dimension only. One all-to-all paid
+    at write time buys selectivity-proportional box scans forever
+    after. Oracle replays the box on the flat table."""
+    import hashlib
+    import shutil
+
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.zorder import zonemap_box_files, zorder_layout
+
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    fp = hashlib.md5(
+        f"{src}|{st.st_size}|{st.st_mtime_ns}|v1".encode()).hexdigest()[:12]
+    out_dir = f"/tmp/ptt_events_zorder/{fp}"
+    marker = os.path.join(out_dir, "_DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        zorder_layout(
+            _read(sf_dir, "events", ["user_id", "ts", "event_type",
+                                     "value"]),
+            ("user_id", "ts"), out_dir, num_files=16)
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    u_lo, u_hi = 0, 8
+    t_lo = pd.Timestamp("2024-01-08")
+    t_hi = pd.Timestamp("2024-01-15")
+    keep, _total = zonemap_box_files(
+        out_dir, {"user_id": (u_lo, u_hi), "ts": (t_lo, t_hi)})
+    if not keep:
+        return pd.DataFrame({
+            "event_type": pd.Series([], dtype=object),
+            "n": pd.Series([], dtype="int64"),
+            "total_value": pd.Series([], dtype="float64")})
+    ds = rd.read_parquet(keep).map_batches(
+        lambda t: t.filter(pc.and_(
+            pc.and_(pc.greater_equal(t["user_id"], pa.scalar(u_lo)),
+                    pc.less(t["user_id"], pa.scalar(u_hi))),
+            pc.and_(pc.greater_equal(t["ts"], pa.scalar(t_lo)),
+                    pc.less(t["ts"], pa.scalar(t_hi))))),
+        batch_format="pyarrow")
+    out = (ds.groupby("event_type")
+           .aggregate(Count(alias_name="n"),
+                      Sum("value", alias_name="total_value"))
+           .to_pandas())
+    out["n"] = out["n"].astype("int64")
+    out["total_value"] = round2(out["total_value"])
+    return (out[["event_type", "n", "total_value"]]
+            .sort_values("event_type").reset_index(drop=True))
+
+
+EVENTS_ZORDER_BOX_SQL = r"""
+SELECT event_type, count(*)::BIGINT AS n,
+       round(sum(value), 2) AS total_value
+FROM events
+WHERE user_id >= 0 AND user_id < 8
+  AND ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 def canonical_url_dedup(sf_dir: str):
     """URL canonicalization → exact dedup by canonical key
     (stages/urls.py): messy URL variants — scheme/host case, default
@@ -8458,6 +8527,7 @@ QUERIES = {
     "doc_chain_components": doc_chain_components,
     "doc_chain_components_star": doc_chain_components_star,
     "events_time_travel": events_time_travel,
+    "events_zorder_box_query": events_zorder_box_query,
     "semdedup_keep_docs": semdedup_keep_docs,
     "bloom_eval_overlap": bloom_eval_overlap,
     "doc_ngram_novelty": doc_ngram_novelty,
@@ -8653,6 +8723,7 @@ ORACLE_SQL = {
     "doc_chain_components": DOC_CHAIN_COMPONENTS_SQL,
     "doc_chain_components_star": DOC_CHAIN_COMPONENTS_SQL,
     "events_time_travel": EVENTS_TIME_TRAVEL_SQL,
+    "events_zorder_box_query": EVENTS_ZORDER_BOX_SQL,
     "doc_ngram_novelty": NGRAM_NOVELTY_SQL,
     "session_stats_per_user": SESSION_STATS_SQL,
     "q8_market_share": Q8_SQL,
