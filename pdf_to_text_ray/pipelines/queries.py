@@ -8366,6 +8366,73 @@ def quality_classifier_docs(sf_dir: str):
     return lr_score_dataset(ds, w, b)
 
 
+def merge_into_events(sf_dir: str):
+    """Distributed MERGE INTO (stages/cdc.py): apply a CDC change feed
+    — updates, deletes, inserts tagged per row — to a base snapshot in
+    ONE hash-bucketed exchange; per-bucket key resolution is vectorized
+    pandas, nothing is materialized driver-side. Base = events with
+    event_id%10<8; the feed (derived deterministically so the oracle
+    replays it) deletes %13==0 keys, doubles matched values, inserts
+    the %10>=8 tail — and carries no-op rows (unmatched deletes) the
+    operator must ignore, per SQL MERGE semantics."""
+    from ..stages.cdc import merge_into
+
+    ev = _read(sf_dir, "events", ["event_id", "value"])
+
+    def mk_base(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(eid % 10 < 8))
+        return pa.table({"event_id": t["event_id"],
+                         "value": pa.array(round2(t["value"].to_numpy()),
+                                           pa.float64())})
+
+    def mk_chg(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(eid % 3 == 0))
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        op = np.where(eid % 13 == 0, "D",
+                      np.where(eid % 10 < 8, "U", "I"))
+        return pa.table({
+            "event_id": pa.array(eid, pa.int64()),
+            "value": pa.array(round2(t["value"].to_numpy() * 2.0),
+                              pa.float64()),
+            "op": pa.array(op, pa.string()),
+        })
+
+    base = ev.map_batches(mk_base, batch_format="pyarrow")
+    chg = ev.map_batches(mk_chg, batch_format="pyarrow")
+    out = merge_into(base, chg, key="event_id").to_pandas()
+    out["event_id"] = out["event_id"].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+MERGE_INTO_SQL = """
+WITH base AS (
+  SELECT event_id, round(value, 2) AS value
+  FROM events WHERE event_id % 10 < 8),
+chg AS (
+  SELECT event_id,
+         CASE WHEN event_id % 13 = 0 THEN 'D'
+              WHEN event_id % 10 < 8 THEN 'U' ELSE 'I' END AS op,
+         round(value * 2, 2) AS value
+  FROM events WHERE event_id % 3 = 0),
+kept AS (
+  SELECT b.event_id, b.value FROM base b
+  LEFT JOIN chg c ON b.event_id = c.event_id AND c.op IN ('U', 'D')
+  WHERE c.event_id IS NULL),
+upd AS (
+  SELECT c.event_id, c.value FROM chg c
+  JOIN base b ON b.event_id = c.event_id WHERE c.op = 'U'),
+ins AS (
+  SELECT c.event_id, c.value FROM chg c
+  LEFT JOIN base b ON b.event_id = c.event_id
+  WHERE c.op = 'I' AND b.event_id IS NULL)
+SELECT event_id, value FROM kept
+UNION ALL SELECT event_id, value FROM upd
+UNION ALL SELECT event_id, value FROM ins
+"""
+
+
 QUERIES = {
     # relational
     "q1_pricing_summary": q1_pricing_summary,
@@ -8528,6 +8595,7 @@ QUERIES = {
     "doc_chain_components_star": doc_chain_components_star,
     "events_time_travel": events_time_travel,
     "events_zorder_box_query": events_zorder_box_query,
+    "merge_into_events": merge_into_events,
     "semdedup_keep_docs": semdedup_keep_docs,
     "bloom_eval_overlap": bloom_eval_overlap,
     "doc_ngram_novelty": doc_ngram_novelty,
@@ -8724,6 +8792,7 @@ ORACLE_SQL = {
     "doc_chain_components_star": DOC_CHAIN_COMPONENTS_SQL,
     "events_time_travel": EVENTS_TIME_TRAVEL_SQL,
     "events_zorder_box_query": EVENTS_ZORDER_BOX_SQL,
+    "merge_into_events": MERGE_INTO_SQL,
     "doc_ngram_novelty": NGRAM_NOVELTY_SQL,
     "session_stats_per_user": SESSION_STATS_SQL,
     "q8_market_share": Q8_SQL,

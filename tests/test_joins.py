@@ -381,3 +381,31 @@ def test_skew_join_explicit_hot_keys_and_left_how(ray_session):
                   rd.from_arrow(pa.Table.from_pandas(right)),
                   on="k", how="outer", left_cols=["ev"],
                   right_cols=["name"], hot_keys=[1])
+
+
+def test_merge_into_semantics(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from pdf_to_text_ray.stages.cdc import merge_into
+
+    base = pa.table({"k": [1, 2, 3, 4], "v": [10.0, 20.0, 30.0, 40.0]})
+    # update matched (1), delete matched (2), insert unmatched (5),
+    # no-ops: unmatched delete (9), unmatched update (8), matched
+    # insert (3) — SQL MERGE ignores all three.
+    chg = pa.table({
+        "k": [1, 2, 5, 9, 8, 3],
+        "v": [11.0, None, 50.0, None, 99.0, 33.0],
+        "op": ["U", "D", "I", "D", "U", "I"],
+    })
+    out = (merge_into(rd.from_arrow(base), rd.from_arrow(chg), key="k",
+                      num_buckets=4)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    expect = pd.DataFrame({"k": [1, 3, 4, 5],
+                           "v": [11.0, 30.0, 40.0, 50.0]})
+    pd.testing.assert_frame_equal(out.astype({"k": "int64"}), expect)
+
+    dup = pa.table({"k": [1, 1], "v": [1.0, 2.0], "op": ["U", "U"]})
+    with pytest.raises(Exception, match="multiple change rows"):
+        merge_into(rd.from_arrow(base), rd.from_arrow(dup), key="k",
+                   num_buckets=2).to_pandas()
