@@ -8433,6 +8433,142 @@ UNION ALL SELECT event_id, value FROM ins
 """
 
 
+def url_blocklist_filter(sf_dir: str):
+    """robots.txt-style URL filtering (stages/urls.BlocklistFilter):
+    a broadcast disallow list of (host, path_prefix) rules flags pages
+    in one stateless vectorized pass — the crawl-ingest gate that runs
+    BEFORE extraction so disallowed payloads never enter the pipeline.
+    Rules are preprocessed once per actor (``__init__``), matching is
+    one ``startswith`` pass per rule over only that host's rows; the
+    aggregate moves two small columns. URLs are synthesized
+    deterministically from doc_id (testdata has no URL column; the
+    oracle builds identical strings)."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.urls import BlocklistFilter
+
+    RULES = [("host1.example.com", "/p3"),
+             ("host2.example.com", "/"),
+             ("host4.example.com", "/p7/q2"),
+             ("host5.example.com", "/p2"),
+             ("host5.example.com", "/p6"),
+             ("absent.example.com", "/")]
+
+    def mk(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["doc_id"]
+        return pd.DataFrame({
+            "host": "host" + (d % 7).astype(str) + ".example.com",
+            "path": "/p" + (d % 11).astype(str) + "/q" + (d % 5).astype(str),
+        })
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    flt = BlocklistFilter(RULES)
+    out = (docs.map_batches(lambda b: arrow_out(mk(b)),
+                            batch_format="pandas")
+           .map_batches(flt, batch_format="pyarrow")
+           .map_batches(lambda t: t.append_column(
+               "blocked_i",
+               pa.array(t["blocked"].to_numpy(zero_copy_only=False)
+                        .astype("int64"))).drop(["blocked", "path"]),
+               batch_format="pyarrow")
+           .groupby("host")
+           .aggregate(Count(alias_name="n_pages"),
+                      Sum("blocked_i", alias_name="n_blocked"))
+           .to_pandas())
+    out["n_pages"] = out["n_pages"].astype("int64")
+    out["n_blocked"] = out["n_blocked"].astype("int64")
+    out["n_allowed"] = out["n_pages"] - out["n_blocked"]
+    return out.sort_values("host").reset_index(drop=True)
+
+
+URL_BLOCKLIST_SQL = """
+WITH u AS (
+  SELECT 'host' || (doc_id % 7)::VARCHAR || '.example.com' AS host,
+         '/p' || (doc_id % 11)::VARCHAR || '/q' || (doc_id % 5)::VARCHAR
+           AS path
+  FROM documents),
+r(rhost, pre) AS (VALUES
+  ('host1.example.com', '/p3'), ('host2.example.com', '/'),
+  ('host4.example.com', '/p7/q2'), ('host5.example.com', '/p2'),
+  ('host5.example.com', '/p6'), ('absent.example.com', '/')),
+f AS (
+  SELECT host,
+         EXISTS (SELECT 1 FROM r
+                 WHERE r.rhost = u.host AND starts_with(u.path, r.pre))
+           AS blocked
+  FROM u)
+SELECT host,
+       count(*)                                           AS n_pages,
+       sum(CASE WHEN blocked THEN 1 ELSE 0 END)::BIGINT   AS n_blocked,
+       (count(*) - sum(CASE WHEN blocked THEN 1 ELSE 0 END))::BIGINT
+         AS n_allowed
+FROM f GROUP BY host
+"""
+
+
+def event_type_trend(sf_dir: str):
+    """Per-group OLS regression (value vs day) with MERGEABLE partials:
+    each batch contributes (n, Σx, Σy, Σxy, Σx²) per event_type — five
+    scalars per group ride the shuffle, never the rows — and the
+    closed-form slope/intercept is computed on the tiny grouped result.
+    x is centered (epoch day − 19723) so the n·Σx² − (Σx)² cancellation
+    keeps full precision; the oracle replays the identical raw-moment
+    formula (DuckDB's regr_slope uses a different single-pass update
+    order, so the formula — not the builtin — is the contract)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        x = np.floor((us / 1e6) / 86400.0) - 19723.0
+        y = t["value"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": t["event_type"],
+            "x": pa.array(x, pa.float64()),
+            "y": pa.array(y, pa.float64()),
+            "xy": pa.array(x * y, pa.float64()),
+            "x2": pa.array(x * x, pa.float64()),
+        })
+
+    g = (ds.map_batches(moments, batch_format="pyarrow")
+         .groupby("event_type")
+         .aggregate(Count(alias_name="n"),
+                    Sum("x", alias_name="sx"), Sum("y", alias_name="sy"),
+                    Sum("xy", alias_name="sxy"),
+                    Sum("x2", alias_name="sx2"))
+         .to_pandas())
+    n = g["n"].astype("float64")
+    denom = n * g["sx2"] - g["sx"] ** 2
+    slope = (n * g["sxy"] - g["sx"] * g["sy"]) / denom
+    intercept = (g["sy"] - slope * g["sx"]) / n
+    out = pd.DataFrame({
+        "event_type": g["event_type"],
+        "n": g["n"].astype("int64"),
+        "slope": slope.round(6),
+        "intercept": intercept.round(6),
+    })
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+EVENT_TYPE_TREND_SQL = """
+WITH m AS (
+  SELECT event_type,
+         floor(epoch(ts) / 86400.0) - 19723 AS x,
+         value AS y
+  FROM events),
+g AS (
+  SELECT event_type, count(*)::BIGINT AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sx2
+  FROM m GROUP BY event_type)
+SELECT event_type, n,
+       round((n * sxy - sx * sy) / (n * sx2 - sx * sx), 6) AS slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sx2 - sx * sx)) * sx) / n, 6)
+         AS intercept
+FROM g
+"""
+
+
 QUERIES = {
     # relational
     "q1_pricing_summary": q1_pricing_summary,
@@ -8596,6 +8732,8 @@ QUERIES = {
     "events_time_travel": events_time_travel,
     "events_zorder_box_query": events_zorder_box_query,
     "merge_into_events": merge_into_events,
+    "url_blocklist_filter": url_blocklist_filter,
+    "event_type_trend": event_type_trend,
     "semdedup_keep_docs": semdedup_keep_docs,
     "bloom_eval_overlap": bloom_eval_overlap,
     "doc_ngram_novelty": doc_ngram_novelty,
@@ -8793,6 +8931,8 @@ ORACLE_SQL = {
     "events_time_travel": EVENTS_TIME_TRAVEL_SQL,
     "events_zorder_box_query": EVENTS_ZORDER_BOX_SQL,
     "merge_into_events": MERGE_INTO_SQL,
+    "url_blocklist_filter": URL_BLOCKLIST_SQL,
+    "event_type_trend": EVENT_TYPE_TREND_SQL,
     "doc_ngram_novelty": NGRAM_NOVELTY_SQL,
     "session_stats_per_user": SESSION_STATS_SQL,
     "q8_market_share": Q8_SQL,

@@ -74,3 +74,48 @@ def canonicalize_batch(tbl: pa.Table, col: str = "url",
          for u in tbl[col].to_pylist()],
         pa.string())
     return tbl.append_column(out, canon)
+
+
+class BlocklistFilter:
+    """Stateful actor stage: flag pages whose (host, path) matches a
+    robots.txt-style disallow list of ``(host, path_prefix)`` rules.
+
+    The rule set is preprocessed ONCE per actor in ``__init__``
+    (host → sorted prefix list), not per batch — pass the class to
+    ``map_batches(BlocklistFilter, fn_constructor_kwargs=...,
+    concurrency=N)``. At crawl scale the rule list (a few million
+    rules for the full robots corpus) is broadcast via ``ray.put`` and
+    handed to the constructor as an object ref; here it arrives as a
+    plain list. Matching is vectorized per host group: one
+    ``str.startswith`` pass per distinct (host, prefix) rule over only
+    that host's rows — rules for absent hosts cost nothing."""
+
+    def __init__(self, rules: list[tuple[str, str]]):
+        import ray
+
+        if isinstance(rules, ray.ObjectRef):  # broadcast handoff
+            rules = ray.get(rules)
+        by_host: dict[str, list[str]] = {}
+        for host, prefix in rules:
+            by_host.setdefault(host, []).append(prefix)
+        self.by_host = {h: sorted(set(p)) for h, p in by_host.items()}
+
+    def __call__(self, tbl: pa.Table, host_col: str = "host",
+                 path_col: str = "path",
+                 out: str = "blocked") -> pa.Table:
+        import numpy as np
+        import pandas as pd
+
+        hosts = pd.Series(tbl[host_col].to_pylist(), dtype=object)
+        paths = pd.Series(tbl[path_col].to_pylist(), dtype=object)
+        blocked = np.zeros(len(hosts), dtype=bool)
+        for host, prefixes in self.by_host.items():
+            idx = (hosts == host).to_numpy()
+            if not idx.any():
+                continue
+            sub = paths[idx]
+            hit = np.zeros(len(sub), dtype=bool)
+            for pre in prefixes:
+                hit |= sub.str.startswith(pre, na=False).to_numpy()
+            blocked[idx] = hit
+        return tbl.append_column(out, pa.array(blocked, pa.bool_()))

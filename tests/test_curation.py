@@ -383,3 +383,32 @@ def test_canonicalize_batch_null_safe():
         ["HTTP://A:80/x", None, "https://b/?utm_a=1"], pa.string())})
     out = canonicalize_batch(t)
     assert out["url_canon"].to_pylist() == ["http://a/x", None, "https://b/"]
+
+
+def test_blocklist_filter_rules():
+    import pyarrow as pa
+
+    from pdf_to_text_ray.stages.urls import BlocklistFilter
+
+    flt = BlocklistFilter([("a.com", "/x"), ("a.com", "/y/z"),
+                           ("b.com", "/")])
+    t = pa.table({
+        "host": ["a.com", "a.com", "a.com", "b.com", "c.com", "a.com"],
+        "path": ["/x/1", "/y/1", "/y/z/2", "/anything", "/x/1", "/xy"],
+    })
+    out = flt(t)
+    # "/xy" IS blocked by prefix "/x" — robots prefix semantics are
+    # byte-prefix, not path-segment (documented, matches starts_with).
+    assert out["blocked"].to_pylist() == [True, False, True, True,
+                                          False, True]
+
+
+def test_blocklist_filter_null_and_empty():
+    import pyarrow as pa
+
+    from pdf_to_text_ray.stages.urls import BlocklistFilter
+
+    flt = BlocklistFilter([])
+    t = pa.table({"host": pa.array([None, "a.com"], pa.string()),
+                  "path": pa.array(["/x", None], pa.string())})
+    assert flt(t)["blocked"].to_pylist() == [False, False]
