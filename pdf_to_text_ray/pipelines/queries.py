@@ -8569,6 +8569,53 @@ FROM g
 """
 
 
+def bloom_point_lookup_events(sf_dir: str):
+    """Point lookup through a file-level Bloom index
+    (stages/fileindex.py) on a RANDOM layout — the case zone maps and
+    Z-order cannot prune: events are shuffled then written as 16 files
+    (every file spans the full key range), a per-file Bloom sidecar is
+    built in one bucketed-by-file pass, and the 4-key lookup opens only
+    maybe-files (~4/16; false negatives impossible, pytest asserts real
+    pruning). One key is absent — the filter proves absence without
+    touching data."""
+    import hashlib
+    import shutil
+
+    from ..stages.fileindex import bloom_point_lookup, build_bloom_index
+
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    fp = hashlib.md5(
+        f"{src}|{st.st_size}|{st.st_mtime_ns}|v1".encode()).hexdigest()[:12]
+    out_dir = f"/tmp/ptt_events_bloom/{fp}"
+    marker = os.path.join(out_dir, "_DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        (_read(sf_dir, "events", ["event_id", "user_id", "value"])
+         .random_shuffle(seed=7).repartition(16).write_parquet(out_dir))
+        build_bloom_index(out_dir, "event_id")
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    keys = [11, 404, 777, 1_000_000_000]
+    ds = bloom_point_lookup(out_dir, "event_id", keys)
+    if ds is None:
+        return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                             "user_id": pd.Series([], dtype="int64"),
+                             "value": pd.Series([], dtype="float64")})
+    out = ds.to_pandas()
+    out["event_id"] = out["event_id"].astype("int64")
+    out["user_id"] = out["user_id"].astype("int64")
+    out["value"] = round2(out["value"])
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+BLOOM_POINT_LOOKUP_SQL = """
+SELECT event_id, user_id, round(value, 2) AS value
+FROM events WHERE event_id IN (11, 404, 777, 1000000000)
+"""
+
+
 QUERIES = {
     # relational
     "q1_pricing_summary": q1_pricing_summary,
@@ -8734,6 +8781,7 @@ QUERIES = {
     "merge_into_events": merge_into_events,
     "url_blocklist_filter": url_blocklist_filter,
     "event_type_trend": event_type_trend,
+    "bloom_point_lookup_events": bloom_point_lookup_events,
     "semdedup_keep_docs": semdedup_keep_docs,
     "bloom_eval_overlap": bloom_eval_overlap,
     "doc_ngram_novelty": doc_ngram_novelty,
@@ -8933,6 +8981,7 @@ ORACLE_SQL = {
     "merge_into_events": MERGE_INTO_SQL,
     "url_blocklist_filter": URL_BLOCKLIST_SQL,
     "event_type_trend": EVENT_TYPE_TREND_SQL,
+    "bloom_point_lookup_events": BLOOM_POINT_LOOKUP_SQL,
     "doc_ngram_novelty": NGRAM_NOVELTY_SQL,
     "session_stats_per_user": SESSION_STATS_SQL,
     "q8_market_share": Q8_SQL,

@@ -187,3 +187,39 @@ def test_versioned_table_compaction(ray_session, tmp_path):
     log = json.load(open(os.path.join(root, "_commits.json")))
     assert all(e.get("compacted_by") == cv
                for e in log if e["version"] < cv)
+
+
+def test_bloom_file_index_prunes_without_false_negatives(ray_session,
+                                                         tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pdf_to_text_ray.stages.fileindex import (
+        bloom_candidate_files, bloom_point_lookup, build_bloom_index)
+
+    n = 4000
+    t = pa.table({"k": np.arange(n, dtype=np.int64),
+                  "v": np.arange(n, dtype=np.int64) * 2})
+    out = str(tmp_path / "bloomed")
+    # shuffled layout: every file spans the full key range, so only
+    # the bloom index (not zone maps) can prune
+    rd.from_arrow(t).random_shuffle(seed=3).repartition(8) \
+        .write_parquet(out)
+    build_bloom_index(out, "k", m_bits=1 << 13, k=4)
+
+    # every present key must be found (no false negatives), and the
+    # probe must not open every file
+    keys = [0, 1234, 3999]
+    keep, total = bloom_candidate_files(out, keys)
+    assert total == 8
+    assert len(keep) < total
+    got = bloom_point_lookup(out, "k", keys).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    assert got["k"].tolist() == keys
+    assert got["v"].tolist() == [k * 2 for k in keys]
+
+    # absent key: usually zero candidate files; never a wrong row
+    keep_absent, _ = bloom_candidate_files(out, [10**12])
+    ds = bloom_point_lookup(out, "k", [10**12])
+    assert ds is None or ds.count() == 0
