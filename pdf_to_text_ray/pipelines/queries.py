@@ -8616,6 +8616,118 @@ FROM events WHERE event_id IN (11, 404, 777, 1000000000)
 """
 
 
+def host_boilerplate_strip(sf_dir: str):
+    """Per-host boilerplate-line removal (CCNet/onion-style, but scoped
+    to the host — nav bars repeat within a SITE, not across the
+    corpus): lines appearing in ≥50% of a host's pages are detected
+    with one (host, line) grouped count, filtered to the tiny
+    boilerplate set IN-CLUSTER against broadcast host totals, and
+    stripped in a second vectorized pass. Pages are synthesized as
+    host-nav line (every page) + promo line (every 3rd page) + doc
+    text, so detection must keep the 100%-frequency nav, keep the
+    33%-frequency promo, and never touch unique text. Output: cleaned
+    char count per doc (join-by-newline length semantics, replayed
+    exactly in SQL)."""
+    from ray.data.aggregate import Count, Sum
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def mk(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["doc_id"]
+        h = "host" + (d % 7).astype(str) + ".example.com"
+        nav = "Home | About | " + h + " portal"
+        promo = np.where(d % 3 == 0, "Subscribe to " + h + " news\n", "")
+        return pd.DataFrame({
+            "doc_id": d, "host": h,
+            "page": nav + "\n" + promo + b["text"].fillna(""),
+        })
+
+    def explode(b: pd.DataFrame) -> pa.Table:
+        split = b["page"].str.split("\n")
+        lens = split.str.len()
+        return arrow_out(pd.DataFrame({
+            "doc_id": b["doc_id"].repeat(lens).to_numpy(),
+            "host": b["host"].repeat(lens).to_numpy(),
+            "line": np.concatenate(split.to_numpy()),
+        }))
+
+    pages = docs.map_batches(lambda b: arrow_out(mk(b)),
+                             batch_format="pandas")
+    lines = pages.map_batches(explode, batch_format="pandas")
+
+    # host totals (7 rows) → broadcast into the candidate filter so the
+    # corpus-sized (host, line) counts never reach the driver
+    totals = {r["host"]: r["n_docs"] for r in
+              pages.groupby("host").aggregate(
+                  Count(alias_name="n_docs")).take_all()}
+    hl = lines.groupby(["host", "line"]).aggregate(Count(alias_name="n"))
+
+    def keep_boiler(t: pa.Table) -> pa.Table:
+        host = t["host"].to_pylist()
+        n = t["n"].to_numpy(zero_copy_only=False)
+        need = np.array([0.5 * totals[h] for h in host])
+        return t.filter(pa.array(n >= need)).select(["host", "line"])
+
+    bp = hl.map_batches(keep_boiler, batch_format="pyarrow").to_pandas()
+    bp_keys = set(bp["host"] + "\x00" + bp["line"])
+
+    def strip(b: pd.DataFrame) -> pa.Table:
+        key = b["host"] + "\x00" + b["line"]
+        kept = b.loc[~key.isin(bp_keys)]
+        return arrow_out(pd.DataFrame({
+            "doc_id": kept["doc_id"],
+            "line_len": kept["line"].str.len().astype("int64"),
+        }))
+
+    per_doc = (lines.map_batches(strip, batch_format="pandas")
+               .groupby("doc_id")
+               .aggregate(Sum("line_len", alias_name="s"),
+                          Count(alias_name="c"))
+               .to_pandas())
+    per_doc["n_chars_clean"] = (per_doc["s"] + per_doc["c"] - 1) \
+        .astype("int64")
+    all_docs = docs.select_columns(["doc_id"]).to_pandas()
+    out = all_docs.merge(per_doc[["doc_id", "n_chars_clean"]],
+                         on="doc_id", how="left")
+    out["n_chars_clean"] = out["n_chars_clean"].fillna(0).astype("int64")
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+HOST_BOILERPLATE_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         'host' || (doc_id % 7)::VARCHAR || '.example.com' AS host,
+         'Home | About | host' || (doc_id % 7)::VARCHAR
+           || '.example.com portal' || chr(10)
+           || CASE WHEN doc_id % 3 = 0
+                   THEN 'Subscribe to host' || (doc_id % 7)::VARCHAR
+                        || '.example.com news' || chr(10)
+                   ELSE '' END
+           || coalesce(text, '') AS page
+  FROM documents),
+l AS (
+  SELECT doc_id, host, unnest(string_split(page, chr(10))) AS line
+  FROM p),
+hd AS (SELECT host, count(*) AS nd FROM p GROUP BY host),
+bp AS (
+  SELECT hl.host, hl.line
+  FROM (SELECT host, line, count(*) AS n FROM l GROUP BY host, line) hl
+  JOIN hd ON hd.host = hl.host
+  WHERE hl.n >= 0.5 * hd.nd),
+kept AS (
+  SELECT l.doc_id, length(l.line) AS line_len
+  FROM l LEFT JOIN bp ON bp.host = l.host AND bp.line = l.line
+  WHERE bp.line IS NULL),
+agg AS (
+  SELECT doc_id, sum(line_len)::BIGINT + count(*)::BIGINT - 1
+           AS n_chars_clean
+  FROM kept GROUP BY doc_id)
+SELECT p.doc_id, coalesce(agg.n_chars_clean, 0) AS n_chars_clean
+FROM p LEFT JOIN agg ON agg.doc_id = p.doc_id
+"""
+
+
 QUERIES = {
     # relational
     "q1_pricing_summary": q1_pricing_summary,
@@ -8782,6 +8894,7 @@ QUERIES = {
     "url_blocklist_filter": url_blocklist_filter,
     "event_type_trend": event_type_trend,
     "bloom_point_lookup_events": bloom_point_lookup_events,
+    "host_boilerplate_strip": host_boilerplate_strip,
     "semdedup_keep_docs": semdedup_keep_docs,
     "bloom_eval_overlap": bloom_eval_overlap,
     "doc_ngram_novelty": doc_ngram_novelty,
@@ -8982,6 +9095,7 @@ ORACLE_SQL = {
     "url_blocklist_filter": URL_BLOCKLIST_SQL,
     "event_type_trend": EVENT_TYPE_TREND_SQL,
     "bloom_point_lookup_events": BLOOM_POINT_LOOKUP_SQL,
+    "host_boilerplate_strip": HOST_BOILERPLATE_SQL,
     "doc_ngram_novelty": NGRAM_NOVELTY_SQL,
     "session_stats_per_user": SESSION_STATS_SQL,
     "q8_market_share": Q8_SQL,
