@@ -8728,6 +8728,51 @@ FROM p LEFT JOIN agg ON agg.doc_id = p.doc_id
 """
 
 
+def maintenance_window_events(sf_dir: str):
+    """Variable-width interval overlap join
+    (stages/joins.interval_count_join): per maintenance window
+    [ts, ts + 1..5 h] — one per every-50th event, widths varying by
+    row — the count of ALL events inside it. Points shuffle once to
+    their time bucket, each interval replicates only to the buckets it
+    overlaps, per-bucket sorted ``searchsorted`` answers every window,
+    partial counts Sum by window id. Generalizes the fixed-band range
+    join to per-row interval lengths; zero-match windows are kept."""
+    from ..stages.joins import interval_count_join
+
+    ev = _read(sf_dir, "events", ["event_id", "ts"])
+
+    def mk_intervals(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        m = eid % 50 == 0
+        t = t.filter(pa.array(m))
+        eid = eid[m]
+        lo = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hi = lo + (1 + eid % 5) * 3_600_000_000
+        return pa.table({"window_id": pa.array(eid, pa.int64()),
+                         "lo": pa.array(lo, pa.int64()),
+                         "hi": pa.array(hi, pa.int64())})
+
+    intervals = ev.map_batches(mk_intervals, batch_format="pyarrow")
+    out = interval_count_join(
+        intervals, ev, id_col="window_id", lo_col="lo", hi_col="hi",
+        ts_col="ts", bucket_us=6 * 3_600_000_000, out_col="n_events",
+    ).to_pandas()
+    out["window_id"] = out["window_id"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    return out.sort_values("window_id").reset_index(drop=True)
+
+
+MAINTENANCE_WINDOW_SQL = """
+WITH w AS (
+  SELECT event_id AS window_id, ts AS lo,
+         ts + to_hours(1 + (event_id % 5)) AS hi
+  FROM events WHERE event_id % 50 = 0)
+SELECT w.window_id, count(e.ts)::BIGINT AS n_events
+FROM w LEFT JOIN events e ON e.ts >= w.lo AND e.ts <= w.hi
+GROUP BY w.window_id
+"""
+
+
 QUERIES = {
     # relational
     "q1_pricing_summary": q1_pricing_summary,
@@ -8895,6 +8940,7 @@ QUERIES = {
     "event_type_trend": event_type_trend,
     "bloom_point_lookup_events": bloom_point_lookup_events,
     "host_boilerplate_strip": host_boilerplate_strip,
+    "maintenance_window_events": maintenance_window_events,
     "semdedup_keep_docs": semdedup_keep_docs,
     "bloom_eval_overlap": bloom_eval_overlap,
     "doc_ngram_novelty": doc_ngram_novelty,
@@ -9096,6 +9142,7 @@ ORACLE_SQL = {
     "event_type_trend": EVENT_TYPE_TREND_SQL,
     "bloom_point_lookup_events": BLOOM_POINT_LOOKUP_SQL,
     "host_boilerplate_strip": HOST_BOILERPLATE_SQL,
+    "maintenance_window_events": MAINTENANCE_WINDOW_SQL,
     "doc_ngram_novelty": NGRAM_NOVELTY_SQL,
     "session_stats_per_user": SESSION_STATS_SQL,
     "q8_market_share": Q8_SQL,

@@ -424,6 +424,97 @@ def temporal_band_count(left, right, *, left_ts: str, right_ts: str,
         Sum("_partial", alias_name=out_col))
 
 
+def interval_count_join(intervals, points, *, id_col: str, lo_col: str,
+                        hi_col: str, ts_col: str, bucket_us: int,
+                        out_col: str = "n_matches", max_reps: int = 256):
+    """VARIABLE-WIDTH interval overlap join: for each interval row
+    ``[lo, hi]`` (inclusive both ends), the COUNT of point rows with
+    ``lo ≤ ts ≤ hi`` — ``temporal_band_count`` generalized from a fixed
+    ±band around a probe to arbitrary per-row intervals (maintenance
+    windows, sessions, ad flights).
+
+    Distributed shape: the time axis splits into ``bucket_us`` buckets;
+    points shuffle ONCE to their single bucket, each interval is
+    replicated to every bucket it overlaps (``len/W + 1`` replicas —
+    choose W near the typical interval length), each bucket sorts its
+    points once and answers every interval with two ``searchsorted``
+    calls over the CLAMPED sub-range, and per-bucket partials Sum by
+    interval id. Intervals with zero matches still emit (their
+    partials are 0), so the result covers every interval.
+
+    Guard: an interval spanning > ``max_reps`` buckets raises — a
+    whole-axis interval would otherwise fan out to every bucket
+    (replicate such outliers via a broadcast side channel instead)."""
+    from ray.data.aggregate import Sum
+
+    def _us(col) -> np.ndarray:
+        arr = np.asarray(col.to_numpy(zero_copy_only=False))
+        if arr.dtype.kind == "M":  # any datetime64 unit → µs int64
+            return arr.astype("datetime64[us]").astype(np.int64)
+        return arr.astype(np.int64)
+
+    def prep_points(b: pa.Table) -> pa.Table:
+        ts = _us(b[ts_col])
+        return pa.table({
+            "_bucket": pa.array(ts // bucket_us, pa.int64()),
+            "_side": pa.array(np.repeat(np.int8(1), len(ts)), pa.int8()),
+            "_lo": pa.array(ts, pa.int64()),
+            "_hi": pa.array(np.zeros(len(ts), dtype=np.int64), pa.int64()),
+            id_col: pa.array(np.zeros(len(ts), dtype=np.int64), pa.int64()),
+        })
+
+    def prep_intervals(b: pa.Table) -> pa.Table:
+        lo = _us(b[lo_col])
+        hi = _us(b[hi_col])
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        lo_b = lo // bucket_us
+        hi_b = hi // bucket_us
+        reps = (hi_b - lo_b + 1).astype(np.int64)
+        if len(reps) and reps.max() > max_reps:
+            raise ValueError(
+                f"interval spans {reps.max()} buckets > max_reps="
+                f"{max_reps}; raise bucket_us or broadcast the outlier")
+        starts = np.cumsum(reps) - reps
+        offs = np.arange(int(reps.sum()), dtype=np.int64) \
+            - np.repeat(starts, reps)
+        return pa.table({
+            "_bucket": pa.array(np.repeat(lo_b, reps) + offs, pa.int64()),
+            "_side": pa.array(np.zeros(int(reps.sum()), dtype=np.int8),
+                              pa.int8()),
+            "_lo": pa.array(np.repeat(lo, reps), pa.int64()),
+            "_hi": pa.array(np.repeat(hi, reps), pa.int64()),
+            id_col: pa.array(np.repeat(ids, reps)),
+        })
+
+    both = intervals.map_batches(prep_intervals,
+                                 batch_format="pyarrow").union(
+        points.map_batches(prep_points, batch_format="pyarrow"))
+
+    def count_bucket(t: pa.Table):
+        g = t.to_pandas()
+        probes = g[g["_side"] == 0]
+        if probes.empty:
+            return arrow_out(
+                pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                              "_partial": pd.Series([], dtype="int64")}))
+        pts = np.sort(g.loc[g["_side"] == 1, "_lo"].to_numpy())
+        bucket = int(g["_bucket"].iloc[0])
+        # count THIS bucket's points only; other replicas cover the
+        # rest of the interval and the final Sum merges the partials
+        lo = np.maximum(probes["_lo"].to_numpy(), bucket * bucket_us)
+        hi = np.minimum(probes["_hi"].to_numpy(),
+                        (bucket + 1) * bucket_us - 1)
+        n = (np.searchsorted(pts, hi, side="right")
+             - np.searchsorted(pts, lo, side="left"))
+        return arrow_out(pd.DataFrame({id_col: probes[id_col].to_numpy(),
+                                       "_partial": n.astype("int64")}))
+
+    partials = both.groupby("_bucket").map_groups(
+        count_bucket, batch_format="pyarrow")
+    return partials.groupby(id_col).aggregate(
+        Sum("_partial", alias_name=out_col))
+
+
 # ── storage-bucketed (co-located) join ────────────────────────────────
 
 def write_bucketed(ds, key: str, out_dir: str, *, num_buckets: int = 16,

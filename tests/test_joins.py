@@ -409,3 +409,45 @@ def test_merge_into_semantics(ray_session):
     with pytest.raises(Exception, match="multiple change rows"):
         merge_into(rd.from_arrow(base), rd.from_arrow(dup), key="k",
                    num_buckets=2).to_pandas()
+
+
+def test_interval_count_join_variable_widths(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from pdf_to_text_ray.stages.joins import interval_count_join
+
+    rng = np.random.RandomState(11)
+    pts = np.sort(rng.randint(0, 10_000, size=500)).astype(np.int64)
+    ivl_lo = rng.randint(0, 9_000, size=40).astype(np.int64)
+    ivl_hi = ivl_lo + rng.randint(0, 3_000, size=40)  # widths 0..3000
+    ids = np.arange(40, dtype=np.int64)
+
+    out = interval_count_join(
+        rd.from_arrow(pa.table({"id": ids, "lo": ivl_lo, "hi": ivl_hi})),
+        rd.from_arrow(pa.table({"ts": pts})),
+        id_col="id", lo_col="lo", hi_col="hi", ts_col="ts",
+        bucket_us=1_000,  # intervals span up to 4 buckets
+    ).to_pandas().sort_values("id").reset_index(drop=True)
+
+    expect = [int(((pts >= lo) & (pts <= hi)).sum())
+              for lo, hi in zip(ivl_lo, ivl_hi)]
+    assert out["id"].tolist() == list(range(40))
+    assert out["n_matches"].tolist() == expect
+
+
+def test_interval_count_join_rejects_axis_spanning_interval(ray_session):
+    import numpy as np
+    import pytest
+    import ray.data as rd
+
+    from pdf_to_text_ray.stages.joins import interval_count_join
+
+    with pytest.raises(Exception, match="max_reps"):
+        interval_count_join(
+            rd.from_arrow(pa.table({"id": [0], "lo": [0],
+                                    "hi": [10_000_000]})),
+            rd.from_arrow(pa.table({"ts": np.arange(10, dtype=np.int64)})),
+            id_col="id", lo_col="lo", hi_col="hi", ts_col="ts",
+            bucket_us=100, max_reps=64,
+        ).to_pandas()
