@@ -8773,6 +8773,71 @@ GROUP BY w.window_id
 """
 
 
+def events_lsm_compact(sf_dir: str):
+    """LSM sorted-run ingest + range compaction (stages/lsm.py): events
+    arrive as 4 ingest waves (event_id%4), each written as its own
+    ts-sorted run — no global re-sort per wave — then compact() merges
+    all runs into 8 key-disjoint sorted files using exact-quantile
+    splitters (distributed refinement; R−1 scalars broadcast) and one
+    per-range worker-side write. Output = the level manifest's
+    per-range stats; the oracle replays the identical quantile_disc
+    splitters and strictly-less range rule in SQL. Zone-map pruning on
+    the compacted level is pytest-asserted."""
+    import hashlib
+    import shutil
+
+    import ray.data as rd
+
+    from ..stages.lsm import compact, write_run
+
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    fp = hashlib.md5(
+        f"{src}|{st.st_size}|{st.st_mtime_ns}|v1".encode()).hexdigest()[:12]
+    base = f"/tmp/ptt_events_lsm/{fp}"
+    runs_dir = os.path.join(base, "runs")
+    level_dir = os.path.join(base, "level0")
+    marker = os.path.join(base, "_DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(runs_dir, exist_ok=True)
+
+        def keyed(t: pa.Table, wave: int) -> pa.Table:
+            eid = t["event_id"].to_numpy(zero_copy_only=False)
+            t = t.filter(pa.array(eid % 4 == wave))
+            return pa.table({
+                "event_id": t["event_id"],
+                "key": t["ts"].cast(pa.int64()),
+                "value": t["value"],
+            })
+
+        for wave in range(4):
+            ev = _read(sf_dir, "events", ["event_id", "ts", "value"])
+            write_run(ev.map_batches(keyed, fn_kwargs={"wave": wave},
+                                     batch_format="pyarrow"),
+                      "key", runs_dir, wave)
+        with open(marker, "w") as f:
+            f.write("ok")
+    shutil.rmtree(level_dir, ignore_errors=True)
+    return compact(runs_dir, "key", level_dir, num_ranges=8)
+
+
+EVENTS_LSM_SQL = """
+WITH k AS (SELECT epoch_us(ts) AS key FROM events),
+s AS (
+  SELECT unnest(quantile_disc(key, [0.125, 0.25, 0.375, 0.5, 0.625,
+                                    0.75, 0.875])) AS v
+  FROM k),
+r AS (
+  SELECT key,
+         (SELECT count(*) FROM s WHERE s.v < k.key) AS range_idx
+  FROM k)
+SELECT range_idx, count(*)::BIGINT AS n,
+       min(key) AS min_key, max(key) AS max_key
+FROM r GROUP BY range_idx
+"""
+
+
 QUERIES = {
     # relational
     "q1_pricing_summary": q1_pricing_summary,
@@ -8941,6 +9006,7 @@ QUERIES = {
     "bloom_point_lookup_events": bloom_point_lookup_events,
     "host_boilerplate_strip": host_boilerplate_strip,
     "maintenance_window_events": maintenance_window_events,
+    "events_lsm_compact": events_lsm_compact,
     "semdedup_keep_docs": semdedup_keep_docs,
     "bloom_eval_overlap": bloom_eval_overlap,
     "doc_ngram_novelty": doc_ngram_novelty,
@@ -9143,6 +9209,7 @@ ORACLE_SQL = {
     "bloom_point_lookup_events": BLOOM_POINT_LOOKUP_SQL,
     "host_boilerplate_strip": HOST_BOILERPLATE_SQL,
     "maintenance_window_events": MAINTENANCE_WINDOW_SQL,
+    "events_lsm_compact": EVENTS_LSM_SQL,
     "doc_ngram_novelty": NGRAM_NOVELTY_SQL,
     "session_stats_per_user": SESSION_STATS_SQL,
     "q8_market_share": Q8_SQL,

@@ -223,3 +223,47 @@ def test_bloom_file_index_prunes_without_false_negatives(ray_session,
     keep_absent, _ = bloom_candidate_files(out, [10**12])
     ds = bloom_point_lookup(out, "k", [10**12])
     assert ds is None or ds.count() == 0
+
+
+def test_lsm_compaction_sorted_disjoint_and_prunable(ray_session,
+                                                     tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from pdf_to_text_ray.stages.lsm import compact, write_run
+
+    rng = np.random.RandomState(5)
+    runs_dir = str(tmp_path / "runs")
+    level = str(tmp_path / "level0")
+    import os
+    os.makedirs(runs_dir)
+    all_keys = []
+    for wave in range(3):
+        k = rng.randint(0, 100_000, size=2_000).astype(np.int64)
+        all_keys.append(k)
+        write_run(rd.from_arrow(pa.table({"key": k})), "key",
+                  runs_dir, wave)
+    stats = compact(runs_dir, "key", level, num_ranges=4)
+
+    assert stats["n"].sum() == 6_000
+    # quantile-balanced ranges: no range more than 2x the even share
+    assert stats["n"].max() <= 3_000
+    # files are key-disjoint and individually sorted -> globally sorted
+    parts = sorted(f for f in os.listdir(level) if f.endswith(".parquet"))
+    assert len(parts) == 4
+    prev_max = -1
+    seen = []
+    for p in parts:
+        t = pq.read_table(os.path.join(level, p))["key"].to_numpy()
+        assert (np.diff(t) >= 0).all()
+        assert t[0] > prev_max
+        prev_max = int(t[-1])
+        seen.append(t)
+    got = np.sort(np.concatenate(seen))
+    assert (got == np.sort(np.concatenate(all_keys))).all()
+    # zone maps on the compacted level prune: footer ranges disjoint
+    mins = [pq.ParquetFile(os.path.join(level, p)).metadata.row_group(0)
+            .column(0).statistics.min for p in parts]
+    assert mins == sorted(mins)
