@@ -8838,6 +8838,58 @@ FROM r GROUP BY range_idx
 """
 
 
+def data_quality_audit(sf_dir: str):
+    """Deequ-style constraint audit (stages/audit.py) — the ingest
+    gate a corpus wave passes before acceptance: not-null and range
+    rules count violations in one streaming pass (mergeable partials,
+    no shuffle), uniqueness reduces per-key counts over the key column
+    only, and the FK rule probes a broadcast sorted key set per batch
+    (semi-anti-join with zero shuffle). Output is one tiny row per
+    rule regardless of corpus size."""
+    from ..stages.audit import run_audit
+
+    rules = [
+        {"rule": "events_event_type_not_null", "kind": "not_null",
+         "ds": _read(sf_dir, "events", ["event_type"]),
+         "col": "event_type"},
+        {"rule": "lineitem_quantity_in_1_50", "kind": "in_range",
+         "ds": _lineitem(sf_dir, ["l_quantity"]),
+         "col": "l_quantity", "lo": 1, "hi": 50},
+        {"rule": "events_event_id_unique", "kind": "unique",
+         "ds": _read(sf_dir, "events", ["event_id"]),
+         "col": "event_id"},
+        {"rule": "orders_custkey_fk_customer", "kind": "foreign_key",
+         "ds": _read(sf_dir, "orders", ["o_custkey"]), "col": "o_custkey",
+         "ref_ds": _read(sf_dir, "customer", ["c_custkey"]),
+         "ref_col": "c_custkey"},
+    ]
+    return run_audit(rules)
+
+
+DATA_QUALITY_AUDIT_SQL = """
+SELECT 'events_event_id_unique' AS rule,
+       (SELECT count(*) FROM events)::BIGINT AS n_rows,
+       ((SELECT count(*) FROM events)
+        - (SELECT count(DISTINCT event_id) FROM events))::BIGINT
+         AS n_violations
+UNION ALL
+SELECT 'events_event_type_not_null',
+       (SELECT count(*) FROM events)::BIGINT,
+       (SELECT count(*) FROM events WHERE event_type IS NULL)::BIGINT
+UNION ALL
+SELECT 'lineitem_quantity_in_1_50',
+       (SELECT count(*) FROM lineitem)::BIGINT,
+       (SELECT count(*) FROM lineitem
+        WHERE l_quantity IS NULL
+           OR l_quantity < 1 OR l_quantity > 50)::BIGINT
+UNION ALL
+SELECT 'orders_custkey_fk_customer',
+       (SELECT count(*) FROM orders)::BIGINT,
+       (SELECT count(*) FROM orders
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))::BIGINT
+"""
+
+
 QUERIES = {
     # relational
     "q1_pricing_summary": q1_pricing_summary,
@@ -9007,6 +9059,7 @@ QUERIES = {
     "host_boilerplate_strip": host_boilerplate_strip,
     "maintenance_window_events": maintenance_window_events,
     "events_lsm_compact": events_lsm_compact,
+    "data_quality_audit": data_quality_audit,
     "semdedup_keep_docs": semdedup_keep_docs,
     "bloom_eval_overlap": bloom_eval_overlap,
     "doc_ngram_novelty": doc_ngram_novelty,
@@ -9210,6 +9263,7 @@ ORACLE_SQL = {
     "host_boilerplate_strip": HOST_BOILERPLATE_SQL,
     "maintenance_window_events": MAINTENANCE_WINDOW_SQL,
     "events_lsm_compact": EVENTS_LSM_SQL,
+    "data_quality_audit": DATA_QUALITY_AUDIT_SQL,
     "doc_ngram_novelty": NGRAM_NOVELTY_SQL,
     "session_stats_per_user": SESSION_STATS_SQL,
     "q8_market_share": Q8_SQL,

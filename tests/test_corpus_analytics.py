@@ -257,3 +257,31 @@ def test_zorder_layout_prunes_both_dimensions(ray_session, tmp_path):
     want = df.query("0 <= x < 256 and 0 <= y < 256")
     assert len(got) == len(want)
     assert got["v"].sum() == pytest.approx(want["v"].sum())
+
+
+def test_audit_rules_count_violations(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pdf_to_text_ray.stages.audit import run_audit
+
+    t = pa.table({
+        "k": [1, 2, 2, 3, None],
+        "v": [0.5, None, 5.0, 50.0, 51.0],
+        "fk": [10, 10, 11, 99, 98],
+    })
+    ref = pa.table({"rk": [10, 11, 12]})
+    ds = rd.from_arrow(t)
+    out = run_audit([
+        {"rule": "k_not_null", "kind": "not_null", "ds": ds, "col": "k"},
+        {"rule": "v_range", "kind": "in_range", "ds": ds, "col": "v",
+         "lo": 1, "hi": 50},
+        {"rule": "k_unique", "kind": "unique", "ds": ds, "col": "k"},
+        {"rule": "fk_ref", "kind": "foreign_key", "ds": ds, "col": "fk",
+         "ref_ds": rd.from_arrow(ref), "ref_col": "rk"},
+    ])
+    got = dict(zip(out["rule"], out["n_violations"]))
+    # v_range: 0.5 below, 51.0 above, None counts ONCE as a violation
+    assert got == {"k_not_null": 1, "v_range": 3, "k_unique": 1,
+                   "fk_ref": 2}
+    assert (out["n_rows"] == 5).all()
