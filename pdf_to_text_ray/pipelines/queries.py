@@ -8890,6 +8890,57 @@ SELECT 'orders_custkey_fk_customer',
 """
 
 
+# UTF-8-read-as-Latin-1 signature: 'Ã' (U+00C3) followed by a
+# continuation-byte codepoint U+0080–U+00BF — the two-char shadow every
+# mis-decoded Latin-accent character leaves ('café' → 'cafÃ©').
+_MOJIBAKE_RE_PY = "\u00c3[\u0080-\u00bf]"
+
+
+def mojibake_docs(sf_dir: str):
+    """Encoding-damage (mojibake) detection — the double-decode scars a
+    crawl picks up when UTF-8 bytes are read as Latin-1 (ftfy's core
+    signal). A compiled-regex vectorized count per doc; damaged text is
+    synthesized deterministically (every 4th doc gets the mis-decoded
+    suffix, others the clean one) so the oracle replays construction
+    AND detection with the same RE2 class. Stateless map — no shuffle;
+    at crawl scale this runs fused into the extraction pass."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def score(b: pd.DataFrame) -> pa.Table:
+        d = b["doc_id"]
+        bad = " caffÃ© crÃ¨me naÃ¯ve"
+        good = " caffé crème naïve"
+        page = b["text"].fillna("") + np.where(d % 4 == 0, bad, good)
+        n = page.str.count(_MOJIBAKE_RE_PY).astype("int64")
+        return arrow_out(pd.DataFrame({
+            "doc_id": d.astype("int64"),
+            "n_mojibake": n,
+            "damaged": (n > 0),
+        }))
+
+    return (docs.map_batches(score, batch_format="pandas")
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+
+MOJIBAKE_SQL = r"""
+WITH p AS (
+  SELECT doc_id,
+         coalesce(text, '') ||
+         CASE WHEN doc_id % 4 = 0
+              THEN ' caff' || chr(195) || chr(169) || ' cr'
+                   || chr(195) || chr(168) || 'me na'
+                   || chr(195) || chr(175) || 've'
+              ELSE ' caff' || chr(233) || ' cr' || chr(232)
+                   || 'me na' || chr(239) || 've' END AS page
+  FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(page, 'Ã[\x80-\xBF]'))::BIGINT
+         AS n_mojibake,
+       len(regexp_extract_all(page, 'Ã[\x80-\xBF]')) > 0 AS damaged
+FROM p
+"""
+
+
 QUERIES = {
     # relational
     "q1_pricing_summary": q1_pricing_summary,
@@ -9060,6 +9111,7 @@ QUERIES = {
     "maintenance_window_events": maintenance_window_events,
     "events_lsm_compact": events_lsm_compact,
     "data_quality_audit": data_quality_audit,
+    "mojibake_docs": mojibake_docs,
     "semdedup_keep_docs": semdedup_keep_docs,
     "bloom_eval_overlap": bloom_eval_overlap,
     "doc_ngram_novelty": doc_ngram_novelty,
@@ -9264,6 +9316,7 @@ ORACLE_SQL = {
     "maintenance_window_events": MAINTENANCE_WINDOW_SQL,
     "events_lsm_compact": EVENTS_LSM_SQL,
     "data_quality_audit": DATA_QUALITY_AUDIT_SQL,
+    "mojibake_docs": MOJIBAKE_SQL,
     "doc_ngram_novelty": NGRAM_NOVELTY_SQL,
     "session_stats_per_user": SESSION_STATS_SQL,
     "q8_market_share": Q8_SQL,
