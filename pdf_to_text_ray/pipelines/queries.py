@@ -8941,6 +8941,76 @@ FROM p
 """
 
 
+def orders_grouping_sets(sf_dir: str):
+    """GROUP BY GROUPING SETS ((year), (priority), (year, priority),
+    ()) with GROUPING() indicator columns — the arbitrary-sets OLAP
+    shape rollup/cube don't express (rollup drops suffixes, cube is
+    every subset; sets here are hand-picked). One distributed
+    aggregate at the finest grain; every set re-sums from that tiny
+    grouped frame, and g_year/g_pri disambiguate a genuine NULL key
+    from a grouped-out column exactly as SQL's GROUPING() does."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_orderpriority",
+                                  "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        yr = pc.year(t["o_orderdate"])
+        return pa.table({"o_year": pc.cast(yr, pa.int64()),
+                         "o_orderpriority": t["o_orderpriority"],
+                         "o_totalprice": t["o_totalprice"]})
+
+    fine = (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby(["o_year", "o_orderpriority"])
+            .aggregate(Count(alias_name="n"),
+                       Sum("o_totalprice", alias_name="total"))
+            .to_pandas())
+
+    def level(df, keys):
+        if keys:
+            g = df.groupby(keys, as_index=False).agg(
+                n=("n", "sum"), total=("total", "sum"))
+        else:
+            g = pd.DataFrame({"n": [int(df["n"].sum())],
+                              "total": [float(df["total"].sum())]})
+        for c in ("o_year", "o_orderpriority"):
+            if c not in g.columns:
+                g[c] = None
+        g["g_year"] = int("o_year" not in keys)
+        g["g_pri"] = int("o_orderpriority" not in keys)
+        return g
+
+    out = pd.concat([level(fine, ["o_year"]),
+                     level(fine, ["o_orderpriority"]),
+                     level(fine, ["o_year", "o_orderpriority"]),
+                     level(fine, [])], ignore_index=True)
+    out["n"] = out["n"].astype("int64")
+    out["total"] = round2(out["total"])
+    out["g_year"] = out["g_year"].astype("int64")
+    out["g_pri"] = out["g_pri"].astype("int64")
+    # float64, not nullable Int64: the NULLs in super-aggregate rows
+    # make DuckDB hand the column back as float, and the value-hash
+    # compares dtype-faithful representations
+    out["o_year"] = out["o_year"].astype("float64")
+    return (out[["o_year", "o_orderpriority", "g_year", "g_pri", "n",
+                 "total"]]
+            .sort_values(["g_year", "g_pri", "o_year", "o_orderpriority"],
+                         na_position="first")
+            .reset_index(drop=True))
+
+
+GROUPING_SETS_SQL = """
+SELECT year(o_orderdate)::BIGINT AS o_year, o_orderpriority,
+       grouping(year(o_orderdate))::BIGINT AS g_year,
+       grouping(o_orderpriority)::BIGINT AS g_pri,
+       count(*)::BIGINT AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY GROUPING SETS ((year(o_orderdate)), (o_orderpriority),
+                        (year(o_orderdate), o_orderpriority), ())
+"""
+
+
 QUERIES = {
     # relational
     "q1_pricing_summary": q1_pricing_summary,
@@ -9112,6 +9182,7 @@ QUERIES = {
     "events_lsm_compact": events_lsm_compact,
     "data_quality_audit": data_quality_audit,
     "mojibake_docs": mojibake_docs,
+    "orders_grouping_sets": orders_grouping_sets,
     "semdedup_keep_docs": semdedup_keep_docs,
     "bloom_eval_overlap": bloom_eval_overlap,
     "doc_ngram_novelty": doc_ngram_novelty,
@@ -9317,6 +9388,7 @@ ORACLE_SQL = {
     "events_lsm_compact": EVENTS_LSM_SQL,
     "data_quality_audit": DATA_QUALITY_AUDIT_SQL,
     "mojibake_docs": MOJIBAKE_SQL,
+    "orders_grouping_sets": GROUPING_SETS_SQL,
     "doc_ngram_novelty": NGRAM_NOVELTY_SQL,
     "session_stats_per_user": SESSION_STATS_SQL,
     "q8_market_share": Q8_SQL,

@@ -85,7 +85,12 @@ def compact(runs_dir: str, key: str, out_dir: str, *,
         rng = int(df["_range"].iloc[0])
         part = df.sort_values(key).drop(columns=["_range"])
         part_path = os.path.join(out_dir, f"part-{rng:05d}.parquet")
-        arrow_out(part).to_pandas().to_parquet(part_path, index=False)
+        import pyarrow.parquet as pq
+
+        # arrow_out strips the pandas schema-metadata blob — writing
+        # via DataFrame.to_parquet would reattach it and make the
+        # level's blocks unhashable on later reads (see groups.arrow_out)
+        pq.write_table(arrow_out(part), part_path)
         return arrow_out(pd.DataFrame({
             "range_idx": [rng],
             "n": [len(part)],
