@@ -9011,6 +9011,58 @@ GROUP BY GROUPING SETS ((year(o_orderdate)), (o_orderpriority),
 """
 
 
+def asof_next_purchase(sf_dir: str):
+    """FORWARD as-of join with tolerance (stages/joins.asof_join,
+    direction='forward'): for each view event, the value of the same
+    user's EARLIEST purchase within the next 24 h (absent → NaN) —
+    the attribution-window lookup, mirror-image of the backward
+    asof_prev_view. Same one-bucket-shuffle shape; the tolerance makes
+    an out-of-window match count as no match."""
+    from ..stages.joins import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                  "event_type", "value"])
+
+    def views(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "view"))
+        return t.select(["event_id", "user_id", "ts"])
+
+    def purchases(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "purchase"))
+        return pa.table({
+            "user_id": t["user_id"], "ts": t["ts"],
+            "next_value": pa.array(round2(t["value"].to_numpy()),
+                                   pa.float64()),
+        })
+
+    out = asof_join(
+        ev.map_batches(views, batch_format="pyarrow"),
+        ev.map_batches(purchases, batch_format="pyarrow"),
+        key="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["next_value"], direction="forward",
+        tolerance=pd.Timedelta(hours=24),
+    ).to_pandas()
+    out["event_id"] = out["event_id"].astype("int64")
+    out["next_value"] = out["next_value"].astype("float64")
+    return (out[["event_id", "next_value"]]
+            .sort_values("event_id").reset_index(drop=True))
+
+
+ASOF_NEXT_SQL = """
+WITH v AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+p AS (
+  SELECT user_id, ts, round(value, 2) AS value
+  FROM events WHERE event_type = 'purchase')
+SELECT v.event_id,
+       (SELECT p.value FROM p
+        WHERE p.user_id = v.user_id
+          AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 24 HOUR
+        ORDER BY p.ts LIMIT 1) AS next_value
+FROM v
+"""
+
+
 QUERIES = {
     # relational
     "q1_pricing_summary": q1_pricing_summary,
@@ -9183,6 +9235,7 @@ QUERIES = {
     "data_quality_audit": data_quality_audit,
     "mojibake_docs": mojibake_docs,
     "orders_grouping_sets": orders_grouping_sets,
+    "asof_next_purchase": asof_next_purchase,
     "semdedup_keep_docs": semdedup_keep_docs,
     "bloom_eval_overlap": bloom_eval_overlap,
     "doc_ngram_novelty": doc_ngram_novelty,
@@ -9389,6 +9442,7 @@ ORACLE_SQL = {
     "data_quality_audit": DATA_QUALITY_AUDIT_SQL,
     "mojibake_docs": MOJIBAKE_SQL,
     "orders_grouping_sets": GROUPING_SETS_SQL,
+    "asof_next_purchase": ASOF_NEXT_SQL,
     "doc_ngram_novelty": NGRAM_NOVELTY_SQL,
     "session_stats_per_user": SESSION_STATS_SQL,
     "q8_market_share": Q8_SQL,

@@ -285,11 +285,15 @@ def skew_join(left, right, on: str, *,
 
 
 def asof_join(left, right, *, key: str, left_ts: str, right_ts: str,
-              value_cols: list[str], num_buckets: int = 32):
-    """For each left row, the latest right row with the same ``key`` and
-    ``right_ts`` ≤ ``left_ts`` (backward as-of). Right value columns are
-    appended (NaN/NaT when no match). One bucket shuffle; per-bucket
-    ``pd.merge_asof`` over sorted frames."""
+              value_cols: list[str], num_buckets: int = 32,
+              direction: str = "backward", tolerance=None):
+    """For each left row, the nearest right row with the same ``key``:
+    ``direction="backward"`` (default) takes the latest ``right_ts`` ≤
+    ``left_ts``; ``"forward"`` the earliest ``right_ts`` ≥ ``left_ts``.
+    ``tolerance`` (``pd.Timedelta`` for datetime keys) bounds the gap —
+    a match farther than that is treated as absent. Right value columns
+    are appended (NaN/NaT when no match). One bucket shuffle;
+    per-bucket ``pd.merge_asof`` over sorted frames."""
 
     # side membership via column prefixes; arrow-native pyarrow-declared
     # tags (see bucketed_hash_join)
@@ -329,7 +333,8 @@ def asof_join(left, right, *, key: str, left_ts: str, right_ts: str,
             rg = rg.sort_values(["_ts", key], kind="stable")
             out = pd.merge_asof(
                 lg, rg[[key, "_ts"] + value_cols], on="_ts", by=key,
-                direction="backward", allow_exact_matches=True,
+                direction=direction, allow_exact_matches=True,
+                tolerance=tolerance,
             )
         return arrow_out(out.drop(columns=["_ts"]))
 

@@ -451,3 +451,33 @@ def test_interval_count_join_rejects_axis_spanning_interval(ray_session):
             id_col="id", lo_col="lo", hi_col="hi", ts_col="ts",
             bucket_us=100, max_reps=64,
         ).to_pandas()
+
+
+def test_asof_join_forward_with_tolerance(ray_session):
+    import ray.data as rd
+
+    left = pa.table({
+        "k": [1, 1, 2, 3],
+        "lts": pa.array(
+            pd.to_datetime([100, 200, 150, 500], unit="s")),
+        "lid": [10, 11, 20, 30],
+    })
+    right = pa.table({
+        "k": [1, 1, 2],
+        "rts": pa.array(pd.to_datetime([120, 900, 150], unit="s")),
+        "val": [7.0, 8.0, 9.0],
+    })
+    from pdf_to_text_ray.stages.joins import asof_join
+
+    out = asof_join(
+        rd.from_arrow(left), rd.from_arrow(right),
+        key="k", left_ts="lts", right_ts="rts", value_cols=["val"],
+        direction="forward", tolerance=pd.Timedelta(seconds=100),
+        num_buckets=4,
+    ).to_pandas().sort_values("lid").reset_index(drop=True)
+    got = dict(zip(out["lid"], out["val"]))
+    # lid=10: next right at 120 (within 100s) -> 7; lid=11: next right
+    # at 900, beyond tolerance -> NaN; lid=20: exact-match 150 -> 9;
+    # lid=30: no right rows for key 3 -> NaN
+    assert got[10] == 7.0 and got[20] == 9.0
+    assert pd.isna(got[11]) and pd.isna(got[30])
