@@ -9063,6 +9063,73 @@ FROM v
 """
 
 
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with"],
+    "de": ["der", "die", "und", "das", "ist", "mit", "von", "nicht"],
+    "fr": ["le", "la", "et", "les", "des", "est", "dans", "pour"],
+}
+
+
+def stopword_lang_scores(sf_dir: str):
+    """Stopword-fraction language scoring (CCNet's cheap lang signal,
+    here with a FULL value oracle — the n-gram ``langid_docs`` stays
+    rows-only): per doc, the count of tokens hitting each language's
+    broadcast stopword list and the argmax language with a
+    deterministic (count desc, lang asc) tie rule. One vectorized
+    isin pass per language over the token explode; no shuffle — the
+    output is per-doc, computed where the doc already is."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    sets = {k: frozenset(v) for k, v in _STOPWORDS.items()}
+
+    def score(b: pd.DataFrame) -> pa.Table:
+        toks = b["text"].fillna("").str.lower().str.split(" ")
+        out = {"doc_id": b["doc_id"].astype("int64")}
+        flat = toks.explode()
+        flat = flat[flat.notna() & (flat != "")]
+        counts = {}
+        for lang, sw in sets.items():
+            hit = flat[flat.isin(sw)].groupby(level=0).size()
+            counts[lang] = hit.reindex(b.index, fill_value=0) \
+                .astype("int64").to_numpy()
+            out[f"n_{lang}"] = counts[lang]
+        mat = np.stack([counts[k] for k in sorted(sets)], axis=1)
+        best = np.argmax(mat, axis=1)  # ties → lowest index = lang asc
+        langs = np.array(sorted(sets))
+        out["top_lang"] = np.where(mat.max(axis=1) > 0, langs[best], "und")
+        return arrow_out(pd.DataFrame(out))
+
+    return (docs.map_batches(score, batch_format="pandas")
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+
+STOPWORD_LANG_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         unnest(string_split(lower(coalesce(text, '')), ' ')) AS tok
+  FROM documents),
+c AS (
+  SELECT d.doc_id,
+         coalesce(sum(CASE WHEN tok IN ('the','and','of','to','in','is',
+                                        'that','with')
+                           THEN 1 ELSE 0 END), 0)::BIGINT AS n_en,
+         coalesce(sum(CASE WHEN tok IN ('der','die','und','das','ist',
+                                        'mit','von','nicht')
+                           THEN 1 ELSE 0 END), 0)::BIGINT AS n_de,
+         coalesce(sum(CASE WHEN tok IN ('le','la','et','les','des','est',
+                                        'dans','pour')
+                           THEN 1 ELSE 0 END), 0)::BIGINT AS n_fr
+  FROM documents d
+  LEFT JOIN t ON t.doc_id = d.doc_id AND tok <> ''
+  GROUP BY d.doc_id)
+SELECT doc_id, n_en, n_de, n_fr,
+       CASE WHEN greatest(n_en, n_de, n_fr) = 0 THEN 'und'
+            WHEN n_de >= n_en AND n_de >= n_fr THEN 'de'
+            WHEN n_en >= n_fr THEN 'en'
+            ELSE 'fr' END AS top_lang
+FROM c
+"""
+
+
 QUERIES = {
     # relational
     "q1_pricing_summary": q1_pricing_summary,
@@ -9236,6 +9303,7 @@ QUERIES = {
     "mojibake_docs": mojibake_docs,
     "orders_grouping_sets": orders_grouping_sets,
     "asof_next_purchase": asof_next_purchase,
+    "stopword_lang_scores": stopword_lang_scores,
     "semdedup_keep_docs": semdedup_keep_docs,
     "bloom_eval_overlap": bloom_eval_overlap,
     "doc_ngram_novelty": doc_ngram_novelty,
@@ -9443,6 +9511,7 @@ ORACLE_SQL = {
     "mojibake_docs": MOJIBAKE_SQL,
     "orders_grouping_sets": GROUPING_SETS_SQL,
     "asof_next_purchase": ASOF_NEXT_SQL,
+    "stopword_lang_scores": STOPWORD_LANG_SQL,
     "doc_ngram_novelty": NGRAM_NOVELTY_SQL,
     "session_stats_per_user": SESSION_STATS_SQL,
     "q8_market_share": Q8_SQL,
