@@ -9130,6 +9130,123 @@ FROM c
 """
 
 
+def view_to_purchase_latency(sf_dir: str):
+    """Conversion-latency distribution: forward as-of join (each view
+    → same user's next purchase ≤24 h) feeding the exact distributed
+    quantile refinement — converted count plus p50/p90 seconds-to-
+    convert, one row out. Composes two registered operators end to
+    end; the oracle replays the correlated lookup and quantile_disc."""
+    import ray.data as rd
+
+    from ..stages.joins import asof_join
+    from ..stages.quantiles import exact_quantiles
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                  "event_type"])
+
+    def views(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "view"))
+        return t.select(["event_id", "user_id", "ts"])
+
+    def purchases(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "purchase"))
+        return pa.table({"user_id": t["user_id"], "ts": t["ts"],
+                         "pts": t["ts"]})
+
+    joined = asof_join(
+        ev.map_batches(views, batch_format="pyarrow"),
+        ev.map_batches(purchases, batch_format="pyarrow"),
+        key="user_id", left_ts="ts", right_ts="ts", value_cols=["pts"],
+        direction="forward", tolerance=pd.Timedelta(hours=24))
+
+    def delta(t: pa.Table) -> pa.Table:
+        d = (t["pts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+             - t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False))
+        return pa.table({"delta_s": pa.array(d / 1e6, pa.float64())})
+
+    conv = (joined
+            .map_batches(lambda t: t.filter(pc.is_valid(t["pts"])),
+                         batch_format="pyarrow")
+            .map_batches(delta, batch_format="pyarrow"))
+    n = conv.count()
+    q = exact_quantiles(conv, "delta_s", [0.5, 0.9])
+    return pd.DataFrame({
+        "n_converted": pd.Series([n], dtype="int64"),
+        "p50_s": [round(float(q["value"].iloc[0]), 2)],
+        "p90_s": [round(float(q["value"].iloc[1]), 2)],
+    })
+
+
+VIEW_TO_PURCHASE_SQL = """
+WITH v AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+p AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+d AS (
+  SELECT epoch_us((SELECT min(p.ts) FROM p
+                   WHERE p.user_id = v.user_id AND p.ts >= v.ts
+                     AND p.ts <= v.ts + INTERVAL 24 HOUR)
+                  - v.ts) / 1000000.0 AS delta_s
+  FROM v)
+SELECT count(delta_s)::BIGINT AS n_converted,
+       round(quantile_disc(delta_s, 0.5), 2) AS p50_s,
+       round(quantile_disc(delta_s, 0.9), 2) AS p90_s
+FROM d WHERE delta_s IS NOT NULL
+"""
+
+
+def pattern_match_counts(sf_dir: str):
+    """Corpus grep as an operator: literal patterns broadcast once,
+    counted per doc with one vectorized non-overlapping substring scan
+    each — the 'how often does X appear across 100 TB' question that
+    is otherwise a cluster-wide ripgrep. Output: per pattern, docs
+    containing it and total occurrences (non-overlapping count
+    semantics on BOTH sides). No shuffle beyond the tiny final
+    aggregate."""
+    from ray.data.aggregate import Sum
+
+    import re as _re
+
+    PATTERNS = ["the", "data", "ray", "zzz_absent"]
+    escaped = {p: _re.escape(p) for p in PATTERNS}
+    docs = _read(sf_dir, "documents", ["text"])
+
+    def count(b: pd.DataFrame) -> pa.Table:
+        txt = b["text"].fillna("")
+        rows = {}
+        for p in PATTERNS:
+            n = txt.str.count(escaped[p]).astype("int64")
+            rows[f"occ::{p}"] = n
+            rows[f"doc::{p}"] = (n > 0).astype("int64")
+        return arrow_out(pd.DataFrame(rows))
+
+    agg = docs.map_batches(count, batch_format="pandas").aggregate(
+        *[Sum(f"occ::{p}", alias_name=f"o::{p}") for p in PATTERNS],
+        *[Sum(f"doc::{p}", alias_name=f"d::{p}") for p in PATTERNS])
+    out = pd.DataFrame({
+        "pattern": PATTERNS,
+        "n_docs": [int(agg[f"d::{p}"]) for p in PATTERNS],
+        "n_occurrences": [int(agg[f"o::{p}"]) for p in PATTERNS],
+    })
+    return out.sort_values("pattern").reset_index(drop=True)
+
+
+PATTERN_MATCH_SQL = """
+WITH p(pattern) AS (VALUES ('the'), ('data'), ('ray'), ('zzz_absent')),
+m AS (
+  SELECT p.pattern,
+         CASE WHEN length(coalesce(d.text, '')) = 0 THEN 0
+              ELSE (length(d.text)
+                    - length(replace(d.text, p.pattern, '')))
+                   // length(p.pattern) END AS occ
+  FROM p CROSS JOIN documents d)
+SELECT pattern,
+       sum(CASE WHEN occ > 0 THEN 1 ELSE 0 END)::BIGINT AS n_docs,
+       sum(occ)::BIGINT AS n_occurrences
+FROM m GROUP BY pattern
+"""
+
+
 QUERIES = {
     # relational
     "q1_pricing_summary": q1_pricing_summary,
@@ -9304,6 +9421,8 @@ QUERIES = {
     "orders_grouping_sets": orders_grouping_sets,
     "asof_next_purchase": asof_next_purchase,
     "stopword_lang_scores": stopword_lang_scores,
+    "view_to_purchase_latency": view_to_purchase_latency,
+    "pattern_match_counts": pattern_match_counts,
     "semdedup_keep_docs": semdedup_keep_docs,
     "bloom_eval_overlap": bloom_eval_overlap,
     "doc_ngram_novelty": doc_ngram_novelty,
@@ -9512,6 +9631,8 @@ ORACLE_SQL = {
     "orders_grouping_sets": GROUPING_SETS_SQL,
     "asof_next_purchase": ASOF_NEXT_SQL,
     "stopword_lang_scores": STOPWORD_LANG_SQL,
+    "view_to_purchase_latency": VIEW_TO_PURCHASE_SQL,
+    "pattern_match_counts": PATTERN_MATCH_SQL,
     "doc_ngram_novelty": NGRAM_NOVELTY_SQL,
     "session_stats_per_user": SESSION_STATS_SQL,
     "q8_market_share": Q8_SQL,
