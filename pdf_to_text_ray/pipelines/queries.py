@@ -9247,6 +9247,140 @@ FROM m GROUP BY pattern
 """
 
 
+def events_windowed_dedup(sf_dir: str):
+    """Time-windowed deduplication: a (user, event_type) pair is a
+    duplicate only within its UTC hour — the crawl-recency variant of
+    exact dedup where the same key is legitimate again later (re-crawl
+    policies, rate-limited counters). Key = (user, type, hour bucket);
+    the groupby moves only key columns; survivors = earliest event_id
+    per key. Output: per event_type, survivor count vs raw count."""
+    from ray.data.aggregate import Count, Min, Sum
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                  "event_type"])
+
+    def key(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": t["event_id"], "user_id": t["user_id"],
+            "event_type": t["event_type"],
+            "hour_b": pa.array(us // 3_600_000_000, pa.int64()),
+        })
+
+    keyed = ev.map_batches(key, batch_format="pyarrow")
+    surv = (keyed.groupby(["user_id", "event_type", "hour_b"])
+            .aggregate(Min("event_id", alias_name="keep_id"),
+                       Count(alias_name="n_raw")))
+    out = (surv.groupby("event_type")
+           .aggregate(Count(alias_name="n_kept"),
+                      Sum("n_raw", alias_name="n_raw"))
+           .to_pandas())
+    out["n_kept"] = out["n_kept"].astype("int64")
+    out["n_raw"] = out["n_raw"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+EVENTS_WINDOWED_DEDUP_SQL = """
+WITH k AS (
+  SELECT user_id, event_type, epoch_us(ts) // 3600000000 AS hour_b
+  FROM events),
+g AS (
+  SELECT event_type, count(*) AS n_raw
+  FROM k GROUP BY user_id, event_type, hour_b)
+SELECT event_type, count(*)::BIGINT AS n_kept,
+       sum(n_raw)::BIGINT AS n_raw
+FROM g GROUP BY event_type
+"""
+
+
+def nation_revenue_share(sf_dir: str):
+    """ratio_to_report window shape: each nation's share of ITS
+    region's customer account-balance total — one fine-grain
+    distributed aggregate, region totals derived from the tiny grouped
+    result and joined back without touching the fact table again."""
+    from ray.data.aggregate import Sum
+
+    cust = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+    nation = _read(sf_dir, "nation").to_pandas()
+    region = _read(sf_dir, "region").to_pandas()
+
+    per_nat = (cust.groupby("c_nationkey")
+               .aggregate(Sum("c_acctbal", alias_name="bal"))
+               .to_pandas())
+    per_nat = per_nat.merge(
+        nation[["n_nationkey", "n_name", "n_regionkey"]],
+        left_on="c_nationkey", right_on="n_nationkey")
+    per_nat = per_nat.merge(region[["r_regionkey", "r_name"]],
+                            left_on="n_regionkey",
+                            right_on="r_regionkey")
+    tot = per_nat.groupby("r_name")["bal"].transform("sum")
+    out = pd.DataFrame({
+        "r_name": per_nat["r_name"], "n_name": per_nat["n_name"],
+        "bal": round2(per_nat["bal"]),
+        "share": (per_nat["bal"] / tot).round(6),
+    })
+    return (out.sort_values(["r_name", "n_name"])
+            .reset_index(drop=True))
+
+
+NATION_REVENUE_SHARE_SQL = """
+WITH b AS (
+  SELECT r_name, n_name, sum(c_acctbal) AS raw_bal
+  FROM customer
+  JOIN nation ON n_nationkey = c_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  GROUP BY r_name, n_name)
+SELECT r_name, n_name, round(raw_bal, 2) AS bal,
+       round(raw_bal / sum(raw_bal) OVER (PARTITION BY r_name), 6)
+         AS share
+FROM b
+"""
+
+
+def events_column_profile(sf_dir: str):
+    """Column-completeness profile (profiler-lite): per column of
+    events — null count and exact distinct count, long-format. Null
+    counts are one streaming pass of mergeable partials; distinct is
+    one narrow single-column groupby per column (at 100 TB swap in the
+    HLL sketch from stages/sketches.py — exactness here keeps the
+    oracle byte-tight)."""
+    cols = ["event_id", "user_id", "event_type", "value"]
+    ds = _read(sf_dir, "events", cols)
+
+    def nulls(t: pa.Table) -> pa.Table:
+        return arrow_out(pd.DataFrame(
+            {f"n::{c}": [t[c].null_count] for c in cols}
+            | {"rows": [t.num_rows]}))
+
+    part = ds.map_batches(nulls, batch_format="pyarrow").to_pandas()
+    rows = []
+    for c in cols:
+        nd = (_read(sf_dir, "events", [c]).groupby(c).count().count())
+        rows.append({"column": c,
+                     "n_rows": int(part["rows"].sum()),
+                     "n_nulls": int(part[f"n::{c}"].sum()),
+                     "n_distinct": int(nd)})
+    return (pd.DataFrame(rows).astype(
+        {"n_rows": "int64", "n_nulls": "int64", "n_distinct": "int64"})
+        .sort_values("column").reset_index(drop=True))
+
+
+EVENTS_COLUMN_PROFILE_SQL = """
+SELECT 'event_id' AS column, count(*)::BIGINT AS n_rows,
+       (count(*) - count(event_id))::BIGINT AS n_nulls,
+       count(DISTINCT event_id)::BIGINT AS n_distinct FROM events
+UNION ALL
+SELECT 'event_type', count(*), (count(*) - count(event_type)),
+       count(DISTINCT event_type) FROM events
+UNION ALL
+SELECT 'user_id', count(*), (count(*) - count(user_id)),
+       count(DISTINCT user_id) FROM events
+UNION ALL
+SELECT 'value', count(*), (count(*) - count(value)),
+       count(DISTINCT value) FROM events
+"""
+
+
 QUERIES = {
     # relational
     "q1_pricing_summary": q1_pricing_summary,
@@ -9423,6 +9557,9 @@ QUERIES = {
     "stopword_lang_scores": stopword_lang_scores,
     "view_to_purchase_latency": view_to_purchase_latency,
     "pattern_match_counts": pattern_match_counts,
+    "events_windowed_dedup": events_windowed_dedup,
+    "nation_revenue_share": nation_revenue_share,
+    "events_column_profile": events_column_profile,
     "semdedup_keep_docs": semdedup_keep_docs,
     "bloom_eval_overlap": bloom_eval_overlap,
     "doc_ngram_novelty": doc_ngram_novelty,
@@ -9633,6 +9770,9 @@ ORACLE_SQL = {
     "stopword_lang_scores": STOPWORD_LANG_SQL,
     "view_to_purchase_latency": VIEW_TO_PURCHASE_SQL,
     "pattern_match_counts": PATTERN_MATCH_SQL,
+    "events_windowed_dedup": EVENTS_WINDOWED_DEDUP_SQL,
+    "nation_revenue_share": NATION_REVENUE_SHARE_SQL,
+    "events_column_profile": EVENTS_COLUMN_PROFILE_SQL,
     "doc_ngram_novelty": NGRAM_NOVELTY_SQL,
     "session_stats_per_user": SESSION_STATS_SQL,
     "q8_market_share": Q8_SQL,
