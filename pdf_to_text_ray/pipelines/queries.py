@@ -9381,6 +9381,108 @@ SELECT 'value', count(*), (count(*) - count(value)),
 """
 
 
+def event_trigram_paths(sf_dir: str):
+    """Sequential path mining: the top-10 most common 3-step event-type
+    paths per user journey — LEAD()×2 window semantics computed
+    distributed: users hash-bucket once, each bucket sorts its users'
+    events and builds trigrams with two vectorized shifts (no per-user
+    Python loop), then a tiny (path, n) aggregate. Ties break
+    deterministically (n desc, path asc)."""
+    from ray.data.aggregate import Count
+
+    from ..stages.groups import bucketed_group_apply
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type"])
+
+    def paths(df: pd.DataFrame) -> pd.DataFrame:
+        # deterministic order: (user, ts, event_id) — ts collisions
+        # break on event_id exactly like the ORDER BY in the oracle
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="stable")
+        u = df["user_id"].to_numpy()
+        t = df["event_type"].to_numpy()
+        same3 = (u[:-2] == u[1:-1]) & (u[1:-1] == u[2:])
+        if not same3.any():
+            return pd.DataFrame({"path": pd.Series([], dtype=object)})
+        a, b, c = t[:-2][same3], t[1:-1][same3], t[2:][same3]
+        path = pd.Series(a) + ">" + pd.Series(b) + ">" + pd.Series(c)
+        return pd.DataFrame({"path": path})
+
+    grams = bucketed_group_apply(ev, "user_id", paths, num_buckets=16)
+    out = (grams.groupby("path").aggregate(Count(alias_name="n"))
+           .to_pandas())
+    out["n"] = out["n"].astype("int64")
+    return (out.sort_values(["n", "path"], ascending=[False, True])
+            .head(10).reset_index(drop=True))
+
+
+EVENT_TRIGRAM_SQL = """
+WITH s AS (
+  SELECT user_id, event_type,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT event_type || '>' || e2 || '>' || e3 AS path,
+       count(*)::BIGINT AS n
+FROM s WHERE e3 IS NOT NULL
+GROUP BY 1 ORDER BY n DESC, path LIMIT 10
+"""
+
+
+def doc_accent_fold(sf_dir: str):
+    """Accent folding (Unicode NFD → drop combining marks → lower) —
+    the text normalization step before dedup/tokenization treats
+    'café' and 'cafe' as one. Accented suffixes are synthesized
+    deterministically; the oracle folds with strip_accents()+lower()
+    and both sides fingerprint the FOLDED STRING with md5, so the
+    check is parity of the actual normalized text, not a summary.
+    Stateless vectorized map, no shuffle."""
+    import hashlib
+    import unicodedata
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fold_one(s: str) -> str:
+        return "".join(
+            ch for ch in unicodedata.normalize("NFD", s)
+            if not unicodedata.combining(ch)).lower()
+
+    def fold(b: pd.DataFrame) -> pa.Table:
+        d = b["doc_id"]
+        suffix = np.select(
+            [d % 3 == 0, d % 3 == 1],
+            [" Café crème naïve Über", " São Paulo piñata"],
+            " plain ascii tail")
+        page = b["text"].fillna("") + suffix
+        folded = page.map(fold_one)
+        return arrow_out(pd.DataFrame({
+            "doc_id": d.astype("int64"),
+            "folded_len": folded.str.len().astype("int64"),
+            "folded_md5": folded.map(
+                lambda s: hashlib.md5(s.encode()).hexdigest()),
+        }))
+
+    return (docs.map_batches(fold, batch_format="pandas")
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+
+DOC_ACCENT_FOLD_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         coalesce(text, '') ||
+         CASE WHEN doc_id % 3 = 0 THEN ' Café crème naïve Über'
+              WHEN doc_id % 3 = 1 THEN ' São Paulo piñata'
+              ELSE ' plain ascii tail' END AS page
+  FROM documents),
+f AS (SELECT doc_id, lower(strip_accents(page)) AS folded FROM p)
+SELECT doc_id, length(folded)::BIGINT AS folded_len,
+       md5(folded) AS folded_md5
+FROM f
+"""
+
+
 QUERIES = {
     # relational
     "q1_pricing_summary": q1_pricing_summary,
@@ -9560,6 +9662,8 @@ QUERIES = {
     "events_windowed_dedup": events_windowed_dedup,
     "nation_revenue_share": nation_revenue_share,
     "events_column_profile": events_column_profile,
+    "event_trigram_paths": event_trigram_paths,
+    "doc_accent_fold": doc_accent_fold,
     "semdedup_keep_docs": semdedup_keep_docs,
     "bloom_eval_overlap": bloom_eval_overlap,
     "doc_ngram_novelty": doc_ngram_novelty,
@@ -9773,6 +9877,8 @@ ORACLE_SQL = {
     "events_windowed_dedup": EVENTS_WINDOWED_DEDUP_SQL,
     "nation_revenue_share": NATION_REVENUE_SHARE_SQL,
     "events_column_profile": EVENTS_COLUMN_PROFILE_SQL,
+    "event_trigram_paths": EVENT_TRIGRAM_SQL,
+    "doc_accent_fold": DOC_ACCENT_FOLD_SQL,
     "doc_ngram_novelty": NGRAM_NOVELTY_SQL,
     "session_stats_per_user": SESSION_STATS_SQL,
     "q8_market_share": Q8_SQL,
