@@ -9483,6 +9483,113 @@ FROM f
 """
 
 
+def hourly_value_p95(sf_dir: str):
+    """Windowed holistic aggregate — the observability query: exact
+    p50/p95 of event value per UTC hour-of-day, via the shared-pass
+    group-quantile refinement (every (hour, q) interval refines in the
+    SAME histogram sweep per round; no per-group sort, no full-column
+    gather). Oracle is quantile_disc per hour."""
+    from ..stages.quantiles import exact_group_quantiles
+
+    ev = _read(sf_dir, "events", ["ts", "value"])
+
+    def hod(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "hour": pa.array((us // 3_600_000_000) % 24, pa.int64()),
+            "value": t["value"],
+        })
+
+    g = exact_group_quantiles(ev.map_batches(hod, batch_format="pyarrow"),
+                              "hour", "value", [0.5, 0.95])
+    out = pd.DataFrame({
+        "hour": g["hour"].astype("int64"),
+        "p50": round2(g["q_50"]),
+        "p95": round2(g["q_95"]),
+    })
+    return out.sort_values("hour").reset_index(drop=True)
+
+
+HOURLY_P95_SQL = """
+SELECT ((epoch_us(ts) // 3600000000) % 24)::BIGINT AS hour,
+       round(quantile_disc(value, 0.5), 2) AS p50,
+       round(quantile_disc(value, 0.95), 2) AS p95
+FROM events GROUP BY 1
+"""
+
+
+def host_mirror_similarity(sf_dir: str):
+    """Host-level mirror detection: exact Jaccard similarity of word
+    SETS between every host pair, computed with the inverted-postings
+    pattern — distinct (host, word) postings shuffle once by word,
+    each word emits its host-pair combinations (hosts-per-word is
+    bounded), pair counts Sum into intersections, and unions come from
+    the tiny per-host distinct totals. The crawl question 'which sites
+    serve the same content under different names'; hosts synthesized
+    from doc_id as elsewhere."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.groups import bucketed_group_apply
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def postings(b: pd.DataFrame) -> pa.Table:
+        host = "host" + (b["doc_id"] % 7).astype(str)
+        toks = b["text"].fillna("").str.lower().str.split(" ")
+        df = pd.DataFrame({"host": host.repeat(toks.str.len()).to_numpy(),
+                           "word": np.concatenate(toks.to_numpy())})
+        df = df[df["word"] != ""].drop_duplicates()
+        return arrow_out(df)
+
+    # distinct (host, word) — batch-level dedup above shrinks the
+    # exchange; the groupby makes it global
+    hw = (docs.map_batches(postings, batch_format="pandas")
+          .groupby(["host", "word"]).aggregate(Count(alias_name="c")))
+
+    sizes = {r["host"]: r["n"] for r in
+             hw.groupby("host").aggregate(Count(alias_name="n"))
+             .take_all()}
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        # vectorized per-word combinations: self-merge on word, keep
+        # the ordered half (host count per word is bounded — 7 here —
+        # so the merge fan-out is ≤ C(7,2) per word)
+        hw_b = df[["word", "host"]]
+        m = hw_b.merge(hw_b, on="word", suffixes=("_a", "_b"))
+        m = m[m["host_a"] < m["host_b"]]
+        return m[["host_a", "host_b"]].reset_index(drop=True)
+
+    inter = (bucketed_group_apply(hw, "word", pairs, num_buckets=16)
+             .groupby(["host_a", "host_b"])
+             .aggregate(Count(alias_name="n_common"))
+             .to_pandas())
+    inter["n_common"] = inter["n_common"].astype("int64")
+    union = (inter["host_a"].map(sizes) + inter["host_b"].map(sizes)
+             - inter["n_common"])
+    inter["jaccard"] = (inter["n_common"] / union).round(6)
+    return (inter.sort_values(["host_a", "host_b"])
+            .reset_index(drop=True))
+
+
+HOST_MIRROR_SQL = """
+WITH hw AS (
+  SELECT DISTINCT 'host' || (doc_id % 7)::VARCHAR AS host,
+         unnest(string_split(lower(coalesce(text, '')), ' ')) AS word
+  FROM documents),
+hw2 AS (SELECT host, word FROM hw WHERE word <> ''),
+sz AS (SELECT host, count(*) AS n FROM hw2 GROUP BY host),
+inter AS (
+  SELECT a.host AS host_a, b.host AS host_b, count(*) AS n_common
+  FROM hw2 a JOIN hw2 b ON a.word = b.word AND a.host < b.host
+  GROUP BY 1, 2)
+SELECT host_a, host_b, n_common::BIGINT AS n_common,
+       round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+FROM inter
+JOIN sz sa ON sa.host = inter.host_a
+JOIN sz sb ON sb.host = inter.host_b
+"""
+
+
 QUERIES = {
     # relational
     "q1_pricing_summary": q1_pricing_summary,
@@ -9664,6 +9771,8 @@ QUERIES = {
     "events_column_profile": events_column_profile,
     "event_trigram_paths": event_trigram_paths,
     "doc_accent_fold": doc_accent_fold,
+    "hourly_value_p95": hourly_value_p95,
+    "host_mirror_similarity": host_mirror_similarity,
     "semdedup_keep_docs": semdedup_keep_docs,
     "bloom_eval_overlap": bloom_eval_overlap,
     "doc_ngram_novelty": doc_ngram_novelty,
@@ -9879,6 +9988,8 @@ ORACLE_SQL = {
     "events_column_profile": EVENTS_COLUMN_PROFILE_SQL,
     "event_trigram_paths": EVENT_TRIGRAM_SQL,
     "doc_accent_fold": DOC_ACCENT_FOLD_SQL,
+    "hourly_value_p95": HOURLY_P95_SQL,
+    "host_mirror_similarity": HOST_MIRROR_SQL,
     "doc_ngram_novelty": NGRAM_NOVELTY_SQL,
     "session_stats_per_user": SESSION_STATS_SQL,
     "q8_market_share": Q8_SQL,
