@@ -9590,6 +9590,96 @@ JOIN sz sb ON sb.host = inter.host_b
 """
 
 
+def second_event_per_user(sf_dir: str):
+    """Nth-ranked aggregate: each user's SECOND-most-frequent event
+    type (deterministic count-desc, type-asc rank; users with fewer
+    than two distinct types drop out). One (user, type) count, then a
+    per-user vectorized rank inside hash buckets — no global sort."""
+    from ray.data.aggregate import Count
+
+    from ..stages.groups import bucketed_group_apply
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    counts = ev.groupby(["user_id", "event_type"]).aggregate(
+        Count(alias_name="n"))
+
+    def rank2(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "n", "event_type"],
+                            ascending=[True, False, True],
+                            kind="stable")
+        r = df.groupby("user_id").cumcount()
+        out = df[r == 1]
+        return pd.DataFrame({
+            "user_id": out["user_id"].astype("int64"),
+            "second_event": out["event_type"],
+            "n": out["n"].astype("int64"),
+        })
+
+    out = (bucketed_group_apply(counts, "user_id", rank2,
+                                num_buckets=16).to_pandas())
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+SECOND_EVENT_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS n
+  FROM events GROUP BY user_id, event_type),
+r AS (
+  SELECT user_id, event_type AS second_event, n::BIGINT AS n,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY n DESC, event_type) AS rk
+  FROM c)
+SELECT user_id, second_event, n FROM r WHERE rk = 2
+"""
+
+
+def user_interarrival_stats(sf_dir: str):
+    """Per-user inter-arrival gaps — ordered per-group diff: users
+    hash-bucket once, each bucket sorts its users' events and takes
+    ONE vectorized diff (masked at user boundaries), then per-user
+    (n_gaps, mean, max) aggregate. The session-health metric behind
+    bot detection and sessionization thresholds."""
+    from ..stages.groups import bucketed_group_apply
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def gaps(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="stable")
+        u = df["user_id"].to_numpy()
+        t = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        d = np.diff(t) / 1e6
+        same = u[1:] == u[:-1]
+        g = pd.DataFrame({"user_id": u[1:][same], "gap_s": d[same]})
+        agg = g.groupby("user_id", as_index=False).agg(
+            n_gaps=("gap_s", "size"), mean_gap_s=("gap_s", "mean"),
+            max_gap_s=("gap_s", "max"))
+        return agg
+
+    out = (bucketed_group_apply(ev, "user_id", gaps, num_buckets=16)
+           .to_pandas())
+    out["user_id"] = out["user_id"].astype("int64")
+    out["n_gaps"] = out["n_gaps"].astype("int64")
+    out["mean_gap_s"] = out["mean_gap_s"].round(2)
+    out["max_gap_s"] = out["max_gap_s"].round(2)
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+USER_INTERARRIVAL_SQL = """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts - lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id)) / 1000000.0
+           AS gap_s
+  FROM events)
+SELECT user_id, count(gap_s)::BIGINT AS n_gaps,
+       round(avg(gap_s), 2) AS mean_gap_s,
+       round(max(gap_s), 2) AS max_gap_s
+FROM g WHERE gap_s IS NOT NULL
+GROUP BY user_id
+"""
+
+
 QUERIES = {
     # relational
     "q1_pricing_summary": q1_pricing_summary,
@@ -9773,6 +9863,8 @@ QUERIES = {
     "doc_accent_fold": doc_accent_fold,
     "hourly_value_p95": hourly_value_p95,
     "host_mirror_similarity": host_mirror_similarity,
+    "second_event_per_user": second_event_per_user,
+    "user_interarrival_stats": user_interarrival_stats,
     "semdedup_keep_docs": semdedup_keep_docs,
     "bloom_eval_overlap": bloom_eval_overlap,
     "doc_ngram_novelty": doc_ngram_novelty,
@@ -9990,6 +10082,8 @@ ORACLE_SQL = {
     "doc_accent_fold": DOC_ACCENT_FOLD_SQL,
     "hourly_value_p95": HOURLY_P95_SQL,
     "host_mirror_similarity": HOST_MIRROR_SQL,
+    "second_event_per_user": SECOND_EVENT_SQL,
+    "user_interarrival_stats": USER_INTERARRIVAL_SQL,
     "doc_ngram_novelty": NGRAM_NOVELTY_SQL,
     "session_stats_per_user": SESSION_STATS_SQL,
     "q8_market_share": Q8_SQL,
