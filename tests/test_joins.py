@@ -481,3 +481,34 @@ def test_asof_join_forward_with_tolerance(ray_session):
     # lid=30: no right rows for key 3 -> NaN
     assert got[10] == 7.0 and got[20] == 9.0
     assert pd.isna(got[11]) and pd.isna(got[30])
+
+
+def test_merge_into_matches_reference_randomized(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from pdf_to_text_ray.stages.cdc import merge_into
+
+    for seed in (0, 1, 2, 3, 4):
+        rng = np.random.RandomState(seed)
+        base_keys = np.unique(rng.randint(0, 300, size=150))
+        base = pd.DataFrame({"k": base_keys,
+                             "v": rng.rand(len(base_keys)).round(6)})
+        chg_keys = np.unique(rng.randint(0, 400, size=80))
+        ops = rng.choice(["I", "U", "D"], size=len(chg_keys))
+        chg = pd.DataFrame({"k": chg_keys, "v": rng.rand(
+            len(chg_keys)).round(6), "op": ops})
+
+        out = (merge_into(rd.from_pandas(base), rd.from_pandas(chg),
+                          key="k", num_buckets=8)
+               .to_pandas().sort_values("k").reset_index(drop=True))
+
+        in_base = np.isin(chg["k"], base["k"])
+        upd = chg[(chg["op"] == "U") & in_base]
+        ins = chg[(chg["op"] == "I") & ~in_base]
+        gone = set(chg.loc[in_base & chg["op"].isin(["U", "D"]), "k"])
+        kept = base[~base["k"].isin(gone)]
+        expect = (pd.concat([kept, upd[["k", "v"]], ins[["k", "v"]]])
+                  .sort_values("k").reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            out.astype({"k": "int64"}), expect.astype({"k": "int64"}))
