@@ -131,6 +131,13 @@ def run_bench() -> dict:
         "bm25_search_docs",
         "bucketed_storage_join_orders",
         "quality_classifier_docs",
+        # round-12 additions (new keys are ignored by cross-round
+        # comparisons on shared keys)
+        "merge_into_events",
+        "host_boilerplate_strip",
+        "maintenance_window_events",
+        "events_lsm_compact",
+        "host_mirror_similarity",
     ):
         fn = Q.QUERIES[name]
         timed(name, lambda fn=fn: _consume(fn(SF_DIR)))
