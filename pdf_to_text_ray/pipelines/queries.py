@@ -8653,7 +8653,11 @@ def host_boilerplate_strip(sf_dir: str):
 
     pages = docs.map_batches(lambda b: arrow_out(mk(b)),
                              batch_format="pandas")
-    lines = pages.map_batches(explode, batch_format="pandas")
+    # pin the explode once: detection AND strip consume it, and the
+    # object store spills oversized pins to disk — recomputing the
+    # read+synth+explode per pass costs more than the spill at scale
+    lines = pages.map_batches(explode, batch_format="pandas") \
+        .materialize()
 
     # host totals (7 rows) → broadcast into the candidate filter so the
     # corpus-sized (host, line) counts never reach the driver
