@@ -9684,6 +9684,145 @@ GROUP BY user_id
 """
 
 
+def catalog_consistent_join(sf_dir: str):
+    """Multi-table transactional snapshots (state/catalog.py): two
+    versioned tables (fact events, user-tier dim) each take TWO
+    commits, each catalog publish atomically pins a consistent
+    (fact, dim) version pair, and a THIRD dim commit is deliberately
+    left unpinned — reads through catalog v2 must not see it. The
+    query reads both snapshots via their catalog pins, joins fact to
+    dim (broadcast — the dim is small), and aggregates value per tier;
+    the oracle replays both snapshots' last-write-wins states from the
+    flat table."""
+    import hashlib
+    import shutil
+
+    import ray.data as rd
+
+    from ..stages.joins import broadcast_join
+    from ..state.catalog import publish, read_table, table_root
+    from ..state.versioned import commit
+
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    fp = hashlib.md5(
+        f"{src}|{st.st_size}|{st.st_mtime_ns}|v1".encode()).hexdigest()[:12]
+    root = f"/tmp/ptt_catalog/{fp}"
+    marker = os.path.join(root, "_DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        ev = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+        def fact_v1(t: pa.Table) -> pa.Table:
+            eid = t["event_id"].to_numpy(zero_copy_only=False)
+            t = t.filter(pa.array(eid % 5 < 4))
+            return pa.table({
+                "event_id": t["event_id"], "user_id": t["user_id"],
+                "v": pa.array(round2(t["value"].to_numpy()), pa.float64()),
+            })
+
+        def fact_v2_delta(t: pa.Table) -> pa.Table:
+            eid = t["event_id"].to_numpy(zero_copy_only=False)
+            changed = (eid % 5 < 4) & (eid % 7 == 0)
+            inserts = eid % 5 == 4
+            keep = changed | inserts
+            t2 = t.filter(pa.array(keep))
+            eid2 = t2["event_id"].to_numpy(zero_copy_only=False)
+            val = t2["value"].to_numpy()
+            v = np.where(eid2 % 5 < 4, round2(val * 2.0), round2(val))
+            return pa.table({
+                "event_id": t2["event_id"], "user_id": t2["user_id"],
+                "v": pa.array(v, pa.float64()),
+            })
+
+        def dim_v1(t: pa.Table) -> pa.Table:
+            u = np.unique(t["user_id"].to_numpy(zero_copy_only=False))
+            return pa.table({"user_id": pa.array(u, pa.int64()),
+                             "tier": pa.array(["bronze"] * len(u))})
+
+        def dim_v2_delta(t: pa.Table) -> pa.Table:
+            u = np.unique(t["user_id"].to_numpy(zero_copy_only=False))
+            u = u[u % 2 == 0]
+            return pa.table({"user_id": pa.array(u, pa.int64()),
+                             "tier": pa.array(["gold"] * len(u))})
+
+        froot, droot = table_root(root, "fact"), table_root(root, "dim")
+        commit(ev.map_batches(fact_v1, batch_format="pyarrow"),
+               froot, key="event_id")
+        # the dim derivations need the GLOBAL distinct user set — at
+        # this dim size a repartition(1) is the broadcast-build step
+        commit(ev.select_columns(["user_id"]).repartition(1)
+               .map_batches(dim_v1, batch_format="pyarrow"),
+               droot, key="user_id")
+        publish(root, {"fact": 1, "dim": 1})
+        commit(ev.map_batches(fact_v2_delta, batch_format="pyarrow"),
+               froot, key="event_id")
+        commit(ev.select_columns(["user_id"]).repartition(1)
+               .map_batches(dim_v2_delta, batch_format="pyarrow"),
+               droot, key="user_id")
+        publish(root, {"fact": 2, "dim": 2})
+        # unpinned third dim commit: no catalog blesses it, so no read
+        # below may observe 'silver'
+        commit(ev.select_columns(["user_id"]).repartition(1)
+               .map_batches(lambda t: pa.table({
+                   "user_id": pa.array(np.unique(
+                       t["user_id"].to_numpy(zero_copy_only=False)),
+                       pa.int64()),
+                   "tier": pa.array(["silver"] * len(np.unique(
+                       t["user_id"].to_numpy(zero_copy_only=False)))),
+               }), batch_format="pyarrow"), droot, key="user_id")
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    frames = []
+    for snap in (1, 2):
+        fact = read_table(root, snap, "fact", key="event_id")
+        dim = read_table(root, snap, "dim", key="user_id")
+        j = broadcast_join(fact, dim.to_pandas(), on="user_id")
+        agg = (j.groupby("tier")
+               .sum("v")
+               .to_pandas()
+               .rename(columns={"sum(v)": "total_value"}))
+        n = (j.groupby("tier").count().to_pandas()
+             .rename(columns={"count()": "n_events"}))
+        f = agg.merge(n, on="tier")
+        f.insert(0, "snapshot", snap)
+        frames.append(f)
+    out = pd.concat(frames, ignore_index=True)
+    out["snapshot"] = out["snapshot"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    out["total_value"] = round2(out["total_value"])
+    return (out[["snapshot", "tier", "n_events", "total_value"]]
+            .sort_values(["snapshot", "tier"]).reset_index(drop=True))
+
+
+CATALOG_JOIN_SQL = """
+WITH a1 AS (
+  SELECT event_id, user_id, round(value, 2) AS v
+  FROM events WHERE event_id % 5 < 4),
+b1 AS (SELECT DISTINCT user_id, 'bronze' AS tier FROM events),
+a2 AS (
+  SELECT event_id, user_id,
+         CASE WHEN event_id % 7 = 0 THEN round(value * 2, 2)
+              ELSE round(value, 2) END AS v
+  FROM events WHERE event_id % 5 < 4
+  UNION ALL
+  SELECT event_id, user_id, round(value, 2)
+  FROM events WHERE event_id % 5 = 4),
+b2 AS (
+  SELECT DISTINCT user_id,
+         CASE WHEN user_id % 2 = 0 THEN 'gold' ELSE 'bronze' END AS tier
+  FROM events)
+SELECT 1 AS snapshot, tier, count(*)::BIGINT AS n_events,
+       round(sum(v), 2) AS total_value
+FROM a1 JOIN b1 USING (user_id) GROUP BY tier
+UNION ALL
+SELECT 2, tier, count(*), round(sum(v), 2)
+FROM a2 JOIN b2 USING (user_id) GROUP BY tier
+"""
+
+
 QUERIES = {
     # relational
     "q1_pricing_summary": q1_pricing_summary,
@@ -9869,6 +10008,7 @@ QUERIES = {
     "host_mirror_similarity": host_mirror_similarity,
     "second_event_per_user": second_event_per_user,
     "user_interarrival_stats": user_interarrival_stats,
+    "catalog_consistent_join": catalog_consistent_join,
     "semdedup_keep_docs": semdedup_keep_docs,
     "bloom_eval_overlap": bloom_eval_overlap,
     "doc_ngram_novelty": doc_ngram_novelty,
@@ -10088,6 +10228,7 @@ ORACLE_SQL = {
     "host_mirror_similarity": HOST_MIRROR_SQL,
     "second_event_per_user": SECOND_EVENT_SQL,
     "user_interarrival_stats": USER_INTERARRIVAL_SQL,
+    "catalog_consistent_join": CATALOG_JOIN_SQL,
     "doc_ngram_novelty": NGRAM_NOVELTY_SQL,
     "session_stats_per_user": SESSION_STATS_SQL,
     "q8_market_share": Q8_SQL,

@@ -267,3 +267,63 @@ def test_lsm_compaction_sorted_disjoint_and_prunable(ray_session,
     mins = [pq.ParquetFile(os.path.join(level, p)).metadata.row_group(0)
             .column(0).statistics.min for p in parts]
     assert mins == sorted(mins)
+
+
+def test_vacuum_deletes_compacted_history(ray_session, tmp_path):
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from pdf_to_text_ray.state.versioned import (commit, compact,
+                                                 read_as_of, vacuum)
+
+    root = str(tmp_path / "vt")
+    commit(rd.from_arrow(pa.table({"k": [1, 2], "v": [10, 20]})),
+           root, key="k")
+    commit(rd.from_arrow(pa.table({"k": [2], "v": [21]})), root, key="k")
+    cv = compact(root, key="k")
+    assert sorted(vacuum(root)) == [1, 2]
+    # post-compaction reads still work from the compacted files
+    got = (read_as_of(root, cv, key="k").to_pandas()
+           .sort_values("k").reset_index(drop=True))
+    assert got["v"].tolist() == [10, 21]
+    # pre-compaction history is gone — loud failure, not partial data
+    with pytest.raises(ValueError, match="vacuumed"):
+        read_as_of(root, 1, key="k")
+    # idempotent: second vacuum finds nothing new
+    assert vacuum(root) == []
+
+
+def test_catalog_pins_are_atomic_and_validated(ray_session, tmp_path):
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from pdf_to_text_ray.state.catalog import (publish, read_table,
+                                               table_root)
+    from pdf_to_text_ray.state.versioned import commit
+
+    root = str(tmp_path / "cat")
+    commit(rd.from_arrow(pa.table({"k": [1], "v": [1.0]})),
+           table_root(root, "a"), key="k")
+    commit(rd.from_arrow(pa.table({"k": [1], "name": ["x"]})),
+           table_root(root, "b"), key="k")
+    cv1 = publish(root, {"a": 1, "b": 1})
+
+    # a pin referencing an unwritten version is rejected up front
+    with pytest.raises(ValueError, match="cannot pin"):
+        publish(root, {"a": 2, "b": 1})
+
+    # an unpinned later commit is invisible through the catalog
+    commit(rd.from_arrow(pa.table({"k": [1], "name": ["y"]})),
+           table_root(root, "b"), key="k")
+    got = read_table(root, cv1, "b", key="k").to_pandas()
+    assert got["name"].tolist() == ["x"]
+
+    cv2 = publish(root, {"a": 1, "b": 2})
+    got2 = read_table(root, cv2, "b", key="k").to_pandas()
+    assert got2["name"].tolist() == ["y"]
+
+    # a table the catalog does not pin cannot be read through it
+    with pytest.raises(ValueError, match="does not pin"):
+        read_table(root, cv1, "zzz", key="k")
