@@ -80,6 +80,7 @@ class ExtractDispatch:
         out_pages: list[int] = []
         out_fail: list[bool] = []
         out_fb: list[bool] = []
+        out_err: list[str | None] = []
         for i, (dt, payload, gz) in enumerate(zip(doc_types, payloads, gzips)):
             try:
                 if gz and payload:
@@ -106,11 +107,15 @@ class ExtractDispatch:
                     out_pages.append(1)
                     out_fail.append(False)
                     out_fb.append(False)
-            except Exception:
+                out_err.append(None)
+            except Exception as e:
                 out_text.append("")
                 out_pages.append(0)
                 out_fail.append(True)
                 out_fb.append(False)
+                # exception CLASS, not message: deterministic across
+                # runs/workers, and enough to route reprocessing
+                out_err.append(type(e).__name__)
         keep = [c for c in ("url", "warc_ts", "lang", "doc_type") if c in batch.column_names]
         result = batch.select(keep)
         return (
@@ -118,6 +123,7 @@ class ExtractDispatch:
             .append_column("n_pages", pa.array(out_pages, pa.int32()))
             .append_column("parse_failure", pa.array(out_fail, pa.bool_()))
             .append_column("fallback", pa.array(out_fb, pa.bool_()))
+            .append_column("error_kind", pa.array(out_err, pa.string()))
         )
 
 
@@ -444,6 +450,30 @@ def filter_latest_bucketed(ds, winners_dir: str, num_buckets: int = 64,
         batch_format="pyarrow",
         concurrency=concurrency,
     )
+
+
+def quarantine_failures(extracted, out_dir: str):
+    """Dead-letter sink: the parse-failure rows of an extraction
+    output, reduced to (url, warc_ts, doc_type, error_kind), written
+    to their own parquet. The payload is NOT copied — the url keys
+    back into the source corpus, so reprocessing is a semi-join read
+    of exactly the quarantined pages (the same broadcast-winners
+    machinery the dedup path uses) after the parser fix ships.
+    Returns the quarantined row count."""
+
+    def failed(t: pa.Table) -> pa.Table:
+        t = t.filter(t["parse_failure"])
+        keep = [c for c in ("url", "warc_ts", "doc_type", "error_kind")
+                if c in t.column_names]
+        return t.select(keep)
+
+    q = extracted.map_batches(failed, batch_format="pyarrow")
+    q.write_parquet(out_dir)
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.ParquetFile(os.path.join(out_dir, f)).metadata.num_rows
+        for f in os.listdir(out_dir) if f.endswith(".parquet"))
 
 
 def extract_corpus_pipeline(pages_dir: str, *, override_num_blocks: int | None = None,

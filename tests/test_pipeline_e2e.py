@@ -587,3 +587,46 @@ def test_repointed_in_dir_same_basenames_reruns(ray_session, tmp_path):
     out_urls = sorted(
         rd.read_parquet(out_dir, columns=["url"]).to_pandas()["url"])
     assert out_urls == sorted(pages_b["url"].to_pylist())
+
+
+def test_quarantine_failures_dead_letter(ray_session, tmp_path):
+    """Failed parses carry their exception CLASS into a dead-letter
+    parquet keyed by url; good rows never quarantine, and the
+    quarantined urls can drive a reprocessing semi-join."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from pdf_to_text_ray.fixtures.htmlgen import make_html_page
+    from pdf_to_text_ray.pipelines.extract import (extract_pages,
+                                                   quarantine_failures)
+    import random
+
+    html, _expected = make_html_page(random.Random(3), lang="en")
+    pages = pa.table({
+        "url": ["https://ok.test/1", "https://bad.test/pdf",
+                "https://bad.test/gzip"],
+        "warc_ts": pa.array([1, 2, 3], pa.int64()),
+        # a true-magic-bytes PDF whose body is garbage must FAIL (not
+        # salvage to empty success), and a gzip header with a truncated
+        # stream must fail during decompression
+        "html": [html, b"%PDF-1.4 garbage without any xref",
+                 b"\x1f\x8b\x08\x00trunc"],
+        "text": pa.array([None, None, None], pa.string()),
+        "lang": ["en", "en", "en"],
+    })
+    out = extract_pages(rd.from_arrow(pages)).to_pandas()
+    assert not out.loc[out["url"] == "https://ok.test/1",
+                       "parse_failure"].iloc[0]
+    assert out.loc[out["url"] == "https://ok.test/1",
+                   "error_kind"].isna().all()
+
+    qdir = str(tmp_path / "quarantine")
+    n = quarantine_failures(
+        extract_pages(rd.from_arrow(pages)), qdir)
+    q = pq.read_table(qdir).to_pandas().sort_values("url")
+    assert n == len(q) == out["parse_failure"].sum()
+    assert "https://ok.test/1" not in set(q["url"])
+    # error kinds are concrete exception class names, present per row
+    assert q["error_kind"].notna().all()
+    assert (q["error_kind"].str.len() > 0).all()
