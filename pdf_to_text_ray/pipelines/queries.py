@@ -9823,6 +9823,48 @@ FROM a2 JOIN b2 USING (user_id) GROUP BY tier
 """
 
 
+def quarantine_roundtrip(sf_dir: str):
+    """Dead-letter path e2e (rows-only — parser failure classes are
+    not SQL): a pages corpus with deliberately broken payloads (a
+    garbage-body PDF, a truncated gzip) runs the real extraction, the
+    failures land in a quarantine parquet with their exception class,
+    and the result is read back. Rows scale with sf via the documents
+    count."""
+    import random
+    import shutil
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..fixtures.htmlgen import make_html_page
+    from ..pipelines.extract import extract_pages, quarantine_failures
+
+    n_ok = max(10, _read(sf_dir, "documents", ["doc_id"]).count() // 50)
+    rng = random.Random(7)
+    urls, payloads = [], []
+    for i in range(n_ok):
+        html, _ = make_html_page(rng, lang="en")
+        urls.append(f"https://ok.test/{i}")
+        payloads.append(html)
+    urls += ["https://bad.test/pdf", "https://bad.test/gzip"]
+    payloads += [b"%PDF-1.4 garbage without any xref",
+                 b"\x1f\x8b\x08\x00trunc"]
+    pages = pa.table({
+        "url": urls,
+        "warc_ts": pa.array(range(len(urls)), pa.int64()),
+        "html": pa.array(payloads, pa.binary()),
+        "text": pa.array([None] * len(urls), pa.string()),
+        "lang": pa.array(["en"] * len(urls)),
+    })
+    qdir = "/tmp/ptt_quarantine_rt"
+    shutil.rmtree(qdir, ignore_errors=True)
+    n = quarantine_failures(extract_pages(rd.from_arrow(pages)), qdir)
+    out = pq.read_table(qdir).to_pandas().sort_values("url") \
+        .reset_index(drop=True)
+    assert n == len(out) == 2, (n, len(out))
+    return out[["url", "doc_type", "error_kind"]]
+
+
 QUERIES = {
     # relational
     "q1_pricing_summary": q1_pricing_summary,
@@ -10009,6 +10051,7 @@ QUERIES = {
     "second_event_per_user": second_event_per_user,
     "user_interarrival_stats": user_interarrival_stats,
     "catalog_consistent_join": catalog_consistent_join,
+    "quarantine_roundtrip": quarantine_roundtrip,
     "semdedup_keep_docs": semdedup_keep_docs,
     "bloom_eval_overlap": bloom_eval_overlap,
     "doc_ngram_novelty": doc_ngram_novelty,
