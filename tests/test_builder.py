@@ -73,3 +73,35 @@ def test_no_shadowed_module_constants():
             seen[node.name] += 1
     dupes = [n for n, c in seen.items() if c > 1]
     assert not dupes, f"shadowed module-level names in queries.py: {dupes}"
+
+
+def test_query_registry_integrity():
+    """Registration drift guards: every oracle key has a query, no
+    duplicate keys hide inside the QUERIES / ORACLE_SQL dict literals
+    (a duplicate silently overrides the earlier entry — the dict
+    builds fine), and every registered callable takes one positional
+    sf_dir argument."""
+    import ast
+    import inspect
+
+    import pdf_to_text_ray.pipelines.queries as Q
+
+    assert set(Q.ORACLE_SQL) <= set(Q.QUERIES), \
+        sorted(set(Q.ORACLE_SQL) - set(Q.QUERIES))
+
+    src = inspect.getsource(Q)
+    tree = ast.parse(src)
+    for node in tree.body:
+        if isinstance(node, ast.Assign) and \
+                getattr(node.targets[0], "id", "") in ("QUERIES",
+                                                       "ORACLE_SQL"):
+            keys = [k.value for k in node.value.keys]
+            dupes = {k for k in keys if keys.count(k) > 1}
+            assert not dupes, (node.targets[0].id, sorted(dupes))
+
+    for name, fn in Q.QUERIES.items():
+        params = [p for p in inspect.signature(fn).parameters.values()
+                  if p.default is inspect.Parameter.empty
+                  and p.kind in (p.POSITIONAL_ONLY,
+                                 p.POSITIONAL_OR_KEYWORD)]
+        assert len(params) == 1, (name, params)
