@@ -9359,11 +9359,16 @@ def events_column_profile(sf_dir: str):
     part = ds.map_batches(nulls, batch_format="pyarrow").to_pandas()
     rows = []
     for c in cols:
-        nd = (_read(sf_dir, "events", [c]).groupby(c).count().count())
+        nd = int(_read(sf_dir, "events", [c]).groupby(c).count().count())
+        n_nulls = int(part[f"n::{c}"].sum())
+        if n_nulls > 0:
+            # SQL count(DISTINCT c) excludes NULL; the groupby counts
+            # the null group as one extra key
+            nd -= 1
         rows.append({"column": c,
                      "n_rows": int(part["rows"].sum()),
-                     "n_nulls": int(part[f"n::{c}"].sum()),
-                     "n_distinct": int(nd)})
+                     "n_nulls": n_nulls,
+                     "n_distinct": nd})
     return (pd.DataFrame(rows).astype(
         {"n_rows": "int64", "n_nulls": "int64", "n_distinct": "int64"})
         .sort_values("column").reset_index(drop=True))

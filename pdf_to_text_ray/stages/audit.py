@@ -71,19 +71,32 @@ def audit_unique(ds, col: str) -> tuple[int, int]:
 
 
 def audit_foreign_key(ds, col: str, ref_ds, ref_col: str) -> tuple[int, int]:
-    """Rows whose key is absent from the referenced table's key set."""
+    """Rows whose key is absent from the referenced table's key set.
+
+    SQL-`NOT IN`-parity on nulls: a NULL probe value compares UNKNOWN
+    in SQL and is never counted, so nulls are dropped before the
+    searchsorted probe (and never counted as violations).  Null keys
+    on the referenced side are likewise dropped from the key set.
+    """
     import ray
 
-    keys = np.unique(np.concatenate([
-        b[ref_col].to_numpy(zero_copy_only=False)
+    chunks = [
+        b[ref_col].drop_null().to_numpy(zero_copy_only=False)
         for b in ref_ds.select_columns([ref_col]).iter_batches(
-            batch_format="pyarrow", batch_size=65536)] or
-        [np.array([], dtype=np.int64)]))
+            batch_format="pyarrow", batch_size=65536)]
+    chunks = [c for c in chunks if len(c)]
+    keys = (np.unique(np.concatenate(chunks)) if chunks
+            else np.array([], dtype=np.int64))
     ref = ray.put(keys)
 
     def bad(t: pa.Table) -> int:
         sorted_keys = ray.get(ref)
-        v = t[col].to_numpy(zero_copy_only=False)
+        v = t[col].drop_null().to_numpy(zero_copy_only=False)
+        if len(sorted_keys) == 0:
+            # empty/missing referenced table: every non-null probe row
+            # violates (the searchsorted path below would index [-1]
+            # into an empty array)
+            return len(v)
         pos = np.searchsorted(sorted_keys, v)
         hit = (pos < len(sorted_keys)) & (sorted_keys[
             np.minimum(pos, len(sorted_keys) - 1)] == v)

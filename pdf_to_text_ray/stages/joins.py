@@ -449,8 +449,18 @@ def interval_count_join(intervals, points, *, id_col: str, lo_col: str,
 
     Guard: an interval spanning > ``max_reps`` buckets raises — a
     whole-axis interval would otherwise fan out to every bucket
-    (replicate such outliers via a broadcast side channel instead)."""
+    (replicate such outliers via a broadcast side channel instead).
+
+    ``id_col`` may be any Arrow type (int, string window names, …):
+    the points side is padded with typed nulls matching the intervals'
+    id column so the union schema always lines up."""
     from ray.data.aggregate import Sum
+
+    # the points side never carries a real id — pad it with nulls of
+    # the INTERVALS' id type so union() sees one schema regardless of
+    # whether ids are int64 or string window names
+    _sch = intervals.schema()
+    id_type = dict(zip(_sch.names, _sch.types))[id_col]
 
     def _us(col) -> np.ndarray:
         arr = np.asarray(col.to_numpy(zero_copy_only=False))
@@ -465,13 +475,12 @@ def interval_count_join(intervals, points, *, id_col: str, lo_col: str,
             "_side": pa.array(np.repeat(np.int8(1), len(ts)), pa.int8()),
             "_lo": pa.array(ts, pa.int64()),
             "_hi": pa.array(np.zeros(len(ts), dtype=np.int64), pa.int64()),
-            id_col: pa.array(np.zeros(len(ts), dtype=np.int64), pa.int64()),
+            id_col: pa.nulls(len(ts), id_type),
         })
 
     def prep_intervals(b: pa.Table) -> pa.Table:
         lo = _us(b[lo_col])
         hi = _us(b[hi_col])
-        ids = b[id_col].to_numpy(zero_copy_only=False)
         lo_b = lo // bucket_us
         hi_b = hi // bucket_us
         reps = (hi_b - lo_b + 1).astype(np.int64)
@@ -482,13 +491,15 @@ def interval_count_join(intervals, points, *, id_col: str, lo_col: str,
         starts = np.cumsum(reps) - reps
         offs = np.arange(int(reps.sum()), dtype=np.int64) \
             - np.repeat(starts, reps)
+        rep_idx = np.repeat(np.arange(b.num_rows, dtype=np.int64), reps)
         return pa.table({
             "_bucket": pa.array(np.repeat(lo_b, reps) + offs, pa.int64()),
             "_side": pa.array(np.zeros(int(reps.sum()), dtype=np.int8),
                               pa.int8()),
             "_lo": pa.array(np.repeat(lo, reps), pa.int64()),
             "_hi": pa.array(np.repeat(hi, reps), pa.int64()),
-            id_col: pa.array(np.repeat(ids, reps)),
+            # arrow take preserves the id column's exact type
+            id_col: b[id_col].take(pa.array(rep_idx)).combine_chunks(),
         })
 
     both = intervals.map_batches(prep_intervals,
@@ -496,23 +507,26 @@ def interval_count_join(intervals, points, *, id_col: str, lo_col: str,
         points.map_batches(prep_points, batch_format="pyarrow"))
 
     def count_bucket(t: pa.Table):
-        g = t.to_pandas()
-        probes = g[g["_side"] == 0]
-        if probes.empty:
-            return arrow_out(
-                pd.DataFrame({id_col: pd.Series([], dtype="int64"),
-                              "_partial": pd.Series([], dtype="int64")}))
-        pts = np.sort(g.loc[g["_side"] == 1, "_lo"].to_numpy())
-        bucket = int(g["_bucket"].iloc[0])
+        # stay Arrow-native: to_pandas would promote the null-padded
+        # int id column to float64 and break the output schema
+        side = t["_side"].to_numpy(zero_copy_only=False)
+        probe_mask = side == 0
+        if not probe_mask.any():
+            return pa.table({id_col: pa.array([], id_type),
+                             "_partial": pa.array([], pa.int64())})
+        pts = np.sort(t["_lo"].to_numpy(zero_copy_only=False)[side == 1])
+        bucket = int(t["_bucket"][0].as_py())
         # count THIS bucket's points only; other replicas cover the
         # rest of the interval and the final Sum merges the partials
-        lo = np.maximum(probes["_lo"].to_numpy(), bucket * bucket_us)
-        hi = np.minimum(probes["_hi"].to_numpy(),
+        lo = np.maximum(t["_lo"].to_numpy(zero_copy_only=False)[probe_mask],
+                        bucket * bucket_us)
+        hi = np.minimum(t["_hi"].to_numpy(zero_copy_only=False)[probe_mask],
                         (bucket + 1) * bucket_us - 1)
         n = (np.searchsorted(pts, hi, side="right")
              - np.searchsorted(pts, lo, side="left"))
-        return arrow_out(pd.DataFrame({id_col: probes[id_col].to_numpy(),
-                                       "_partial": n.astype("int64")}))
+        ids = t[id_col].filter(pa.array(probe_mask)).combine_chunks()
+        return pa.table({id_col: ids,
+                         "_partial": pa.array(n.astype("int64"))})
 
     partials = both.groupby("_bucket").map_groups(
         count_bucket, batch_format="pyarrow")

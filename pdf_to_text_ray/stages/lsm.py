@@ -22,6 +22,13 @@ R-1 scalars, broadcast-cheap at any corpus size.
 
 Tie rule: a row goes to range ``#{splitters < key}`` (strictly-less
 count), replayable in SQL as ``count(*) FROM splitters WHERE v < key``.
+
+Key contract: the sort key must be NUMERIC (int or float). Integer
+keys stay int64 end-to-end through the range assignment (no float64
+round-trip), so 64-bit ids above 2^53 route correctly; the quantile
+SPLITTER search itself refines through float64 bounds, so integer keys
+with magnitude ≥ 2^53 are rejected with an error rather than risking a
+silently misplaced splitter.
 """
 
 from __future__ import annotations
@@ -69,12 +76,29 @@ def compact(runs_dir: str, key: str, out_dir: str, *,
 
     runs = list_runs(runs_dir)
     ds = rd.read_parquet(runs)
+    _sch = ds.schema()
+    key_type = dict(zip(_sch.names, _sch.types))[key]
+    key_is_int = pa.types.is_integer(key_type)
     qs = [i / num_ranges for i in range(1, num_ranges)]
     splitters = np.asarray(
         exact_quantiles(ds, key, qs)["value"].to_numpy(), dtype=np.float64)
+    if key_is_int:
+        # quantile refinement ran through float64; past 2^53 a splitter
+        # could have rounded onto the wrong side of a key, silently
+        # breaking range disjointness — refuse rather than risk it
+        if len(splitters) and np.abs(splitters).max() >= 2.0 ** 53:
+            raise ValueError(
+                f"integer key '{key}' has splitter magnitude ≥ 2^53; "
+                "float64 quantile refinement cannot guarantee exact "
+                "placement — remap ids below 2^53 first")
+        splitters = splitters.astype(np.int64)
 
     def assign(t: pa.Table) -> pa.Table:
-        k = t[key].to_numpy(zero_copy_only=False).astype(np.float64)
+        # integer keys stay int64 (searchsorted is exact on int vs int
+        # splitters); only genuinely-float keys touch float64
+        k = t[key].to_numpy(zero_copy_only=False)
+        if not key_is_int:
+            k = k.astype(np.float64)
         # range = #{splitters < key} == searchsorted side="left"
         rng = np.searchsorted(splitters, k, side="left")
         return t.append_column("_range", pa.array(rng, pa.int64()))
@@ -94,8 +118,10 @@ def compact(runs_dir: str, key: str, out_dir: str, *,
         return arrow_out(pd.DataFrame({
             "range_idx": [rng],
             "n": [len(part)],
-            "min_key": [int(part[key].iloc[0])],
-            "max_key": [int(part[key].iloc[-1])],
+            # floor/ceil keeps the manifest bounds CONSERVATIVE for
+            # float keys (a truncated max would wrongly prune the file)
+            "min_key": [int(np.floor(part[key].iloc[0]))],
+            "max_key": [int(np.ceil(part[key].iloc[-1]))],
         }))
 
     stats = (ds.map_batches(assign, batch_format="pyarrow")

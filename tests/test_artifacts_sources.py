@@ -269,6 +269,55 @@ def test_lsm_compaction_sorted_disjoint_and_prunable(ray_session,
     assert mins == sorted(mins)
 
 
+def test_lsm_compact_keeps_int64_keys_exact(ray_session, tmp_path):
+    """Integer keys must not round-trip through float64: ids above
+    2^31 (but below 2^53) route to ranges exactly, and ids at ≥2^53
+    are rejected loudly rather than silently misplaced."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+    import ray.data as rd
+
+    from pdf_to_text_ray.stages.lsm import compact, write_run
+
+    # keys clustered just below 2^53 where float64 spacing is 1.0 —
+    # adjacent int keys are still distinguishable, so compaction must
+    # keep them disjoint and complete
+    base = 2**52
+    keys = (base + np.arange(0, 4_000, dtype=np.int64))
+    rng = np.random.RandomState(7)
+    rng.shuffle(keys)
+    runs_dir = str(tmp_path / "runs")
+    os.makedirs(runs_dir)
+    write_run(rd.from_arrow(pa.table({"key": keys[:2000]})), "key",
+              runs_dir, 0)
+    write_run(rd.from_arrow(pa.table({"key": keys[2000:]})), "key",
+              runs_dir, 1)
+    level = str(tmp_path / "level")
+    stats = compact(runs_dir, "key", level, num_ranges=4)
+    assert stats["n"].sum() == 4_000
+    parts = sorted(f for f in os.listdir(level) if f.endswith(".parquet"))
+    seen, prev_max = [], -1
+    for p in parts:
+        t = pq.read_table(os.path.join(level, p))["key"].to_numpy()
+        assert t.dtype == np.int64 and (np.diff(t) >= 0).all()
+        assert t[0] > prev_max
+        prev_max = int(t[-1])
+        seen.append(t)
+    assert (np.sort(np.concatenate(seen)) == np.sort(keys)).all()
+
+    # ≥ 2^53: refuse (float64 splitter refinement can't be trusted)
+    runs2 = str(tmp_path / "runs2")
+    os.makedirs(runs2)
+    huge = 2**53 + np.arange(0, 100, dtype=np.int64)
+    write_run(rd.from_arrow(pa.table({"key": huge})), "key", runs2, 0)
+    with pytest.raises(ValueError, match="2\\^53"):
+        compact(runs2, "key", str(tmp_path / "level2"), num_ranges=2)
+
+
 def test_vacuum_deletes_compacted_history(ray_session, tmp_path):
     import pyarrow as pa
     import pytest
@@ -327,3 +376,30 @@ def test_catalog_pins_are_atomic_and_validated(ray_session, tmp_path):
     # a table the catalog does not pin cannot be read through it
     with pytest.raises(ValueError, match="does not pin"):
         read_table(root, cv1, "zzz", key="k")
+
+
+def test_catalog_concurrent_publishes_never_lost(ray_session, tmp_path):
+    """publish() is a read-modify-write of _catalog.json; the O_EXCL
+    lock must serialize concurrent publishers so every publish lands
+    with a distinct version and none is silently dropped."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pdf_to_text_ray.state.catalog import (latest_catalog_version,
+                                               pins_as_of, publish,
+                                               table_root)
+    from pdf_to_text_ray.state.versioned import commit
+
+    root = str(tmp_path / "cat")
+    commit(rd.from_arrow(pa.table({"k": [1], "v": [1.0]})),
+           table_root(root, "a"), key="k")
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        versions = list(ex.map(lambda _: publish(root, {"a": 1}),
+                               range(16)))
+    assert sorted(versions) == list(range(1, 17))  # none lost, no dup
+    assert latest_catalog_version(root) == 16
+    for v in versions:
+        assert pins_as_of(root, v) == {"a": 1}

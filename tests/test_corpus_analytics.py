@@ -285,3 +285,26 @@ def test_audit_rules_count_violations(ray_session):
     assert got == {"k_not_null": 1, "v_range": 3, "k_unique": 1,
                    "fk_ref": 2}
     assert (out["n_rows"] == 5).all()
+
+
+def test_audit_foreign_key_empty_ref_and_null_probes(ray_session):
+    """An empty/missing referenced table must report every NON-NULL
+    probe row as a violation (not crash indexing an empty array), and
+    NULL probe values must match SQL NOT-IN semantics: never counted."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pdf_to_text_ray.stages.audit import audit_foreign_key
+
+    probe = rd.from_arrow(pa.table({"fk": [10, None, 11, None, 99]}))
+
+    # empty referenced table: 3 non-null probes violate, 2 nulls don't
+    empty_ref = rd.from_arrow(pa.table({"rk": pa.array([], pa.int64())}))
+    n, bad = audit_foreign_key(probe, "fk", empty_ref, "rk")
+    assert (n, bad) == (5, 3)
+
+    # non-empty ref with nulls on BOTH sides: null ref keys are
+    # dropped from the key set, null probes are never violations
+    ref = rd.from_arrow(pa.table({"rk": [10, None, 11]}))
+    n, bad = audit_foreign_key(probe, "fk", ref, "rk")
+    assert (n, bad) == (5, 1)  # only 99 misses

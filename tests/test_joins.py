@@ -436,6 +436,32 @@ def test_interval_count_join_variable_widths(ray_session):
     assert out["n_matches"].tolist() == expect
 
 
+def test_interval_count_join_string_interval_ids(ray_session):
+    """Non-integer interval ids (string window names) must survive the
+    union: the points side is padded with typed nulls from the
+    intervals' id column, not hardcoded int64 zeros."""
+    import numpy as np
+    import ray.data as rd
+
+    from pdf_to_text_ray.stages.joins import interval_count_join
+
+    pts = np.arange(0, 5_000, 7, dtype=np.int64)
+    names = ["alpha", "beta", "gamma"]
+    lo = np.array([0, 1_500, 900], dtype=np.int64)
+    hi = np.array([1_000, 3_200, 4_999], dtype=np.int64)
+
+    out = interval_count_join(
+        rd.from_arrow(pa.table({"win": names, "lo": lo, "hi": hi})),
+        rd.from_arrow(pa.table({"ts": pts})),
+        id_col="win", lo_col="lo", hi_col="hi", ts_col="ts",
+        bucket_us=1_000,
+    ).to_pandas().sort_values("win").reset_index(drop=True)
+
+    expect = {nm: int(((pts >= a) & (pts <= b)).sum())
+              for nm, a, b in zip(names, lo, hi)}
+    assert dict(zip(out["win"], out["n_matches"])) == expect
+
+
 def test_interval_count_join_rejects_axis_spanning_interval(ray_session):
     import numpy as np
     import pytest
