@@ -21,3 +21,7 @@ No stage calls ``ray.init()``; the caller owns the Ray session.
 """
 
 __version__ = "0.1.0"
+
+# normalize Ray's zero-column empty-partition bundles to the declared
+# operator schema (see _raypatch docstring) — safe no-op if internals move
+from . import _raypatch as _raypatch  # noqa: E402,F401

@@ -8586,7 +8586,7 @@ def bloom_point_lookup_events(sf_dir: str):
     src = os.path.join(sf_dir, "events.parquet")
     st = os.stat(src)
     fp = hashlib.md5(
-        f"{src}|{st.st_size}|{st.st_mtime_ns}|v1".encode()).hexdigest()[:12]
+        f"{src}|{st.st_size}|{st.st_mtime_ns}|v2".encode()).hexdigest()[:12]
     out_dir = f"/tmp/ptt_events_bloom/{fp}"
     marker = os.path.join(out_dir, "_DONE")
     if not os.path.exists(marker):
@@ -8659,11 +8659,14 @@ def host_boilerplate_strip(sf_dir: str):
     lines = pages.map_batches(explode, batch_format="pandas") \
         .materialize()
 
-    # host totals (7 rows) → broadcast into the candidate filter so the
-    # corpus-sized (host, line) counts never reach the driver
-    totals = {r["host"]: r["n_docs"] for r in
-              pages.groupby("host").aggregate(
-                  Count(alias_name="n_docs")).take_all()}
+    # host totals (7 rows) via per-batch partials — no shuffle, and no
+    # empty pandas partitions from an Aggregate whose output partitions
+    # outnumber its 7 keys; the corpus-sized (host, line) counts still
+    # never reach the driver
+    from ..stages.groups import small_key_counts
+
+    tot = small_key_counts(pages, "host", alias="n_docs")
+    totals = dict(zip(tot["host"], tot["n_docs"]))
     hl = lines.groupby(["host", "line"]).aggregate(Count(alias_name="n"))
 
     def keep_boiler(t: pa.Table) -> pa.Table:
@@ -9527,23 +9530,31 @@ FROM events GROUP BY 1
 """
 
 
-def host_mirror_similarity(sf_dir: str):
-    """Host-level mirror detection: exact Jaccard similarity of word
-    SETS between every host pair, computed with the inverted-postings
-    pattern — distinct (host, word) postings shuffle once by word,
-    each word emits its host-pair combinations (hosts-per-word is
-    bounded), pair counts Sum into intersections, and unions come from
-    the tiny per-host distinct totals. The crawl question 'which sites
-    serve the same content under different names'; hosts synthesized
-    from doc_id as elsewhere."""
-    from ray.data.aggregate import Count, Sum
+def host_mirror_frame(docs, *, n_hosts: int = 7,
+                      max_posting: int | None = 1024,
+                      num_buckets: int = 16):
+    """Core of :func:`host_mirror_similarity` — exact host-pair word-set
+    Jaccard via inverted postings, with the ``max_posting`` STOP-WORD
+    CAP that bounds the per-word pair fan-out at crawl scale.
+
+    A word shared by H hosts emits C(H, 2) pair rows in the self-merge;
+    a stop word present on every host of a real crawl (H ~ 10⁶) is an
+    all-pairs explosion — the same hazard
+    ``jaccard_neardup_pairs(max_posting=…)`` (stages/dedup.py) guards.
+    Words whose posting (distinct-host count) exceeds ``max_posting``
+    are dropped from the INTERSECTION counts (their contribution to the
+    per-host union sizes is kept, so capped similarities are lower
+    bounds — standard stop-word semantics). Dropped-word count is
+    logged and returned so callers can see the cap fire.
+
+    Returns ``(pairs DataFrame, n_dropped_hot_words)``. With
+    ``max_posting=None`` (or ≥ n_hosts) the result is exact."""
+    from ray.data.aggregate import Count
 
     from ..stages.groups import bucketed_group_apply
 
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
-
     def postings(b: pd.DataFrame) -> pa.Table:
-        host = "host" + (b["doc_id"] % 7).astype(str)
+        host = "host" + (b["doc_id"] % n_hosts).astype(str)
         toks = b["text"].fillna("").str.lower().str.split(" ")
         df = pd.DataFrame({"host": host.repeat(toks.str.len()).to_numpy(),
                            "word": np.concatenate(toks.to_numpy())})
@@ -9555,20 +9566,49 @@ def host_mirror_similarity(sf_dir: str):
     hw = (docs.map_batches(postings, batch_format="pandas")
           .groupby(["host", "word"]).aggregate(Count(alias_name="c")))
 
-    sizes = {r["host"]: r["n"] for r in
-             hw.groupby("host").aggregate(Count(alias_name="n"))
-             .take_all()}
+    # per-host distinct-word totals via per-batch partials over the
+    # already-distinct hw rows — no second Aggregate exchange (whose
+    # mostly-empty output partitions trip the RefBundle schema warning)
+    from ..stages.groups import small_key_counts
+
+    szs = small_key_counts(hw, "host")
+    sizes = dict(zip(szs["host"], szs["n"]))
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
         # vectorized per-word combinations: self-merge on word, keep
-        # the ordered half (host count per word is bounded — 7 here —
-        # so the merge fan-out is ≤ C(7,2) per word)
+        # the ordered half. The bucketed groupby co-locates ALL of a
+        # word's postings in one group, so the per-group size filter
+        # is the word's exact global host count.
         hw_b = df[["word", "host"]]
+        if max_posting is not None and len(hw_b):
+            plen = hw_b.groupby("word", sort=False)["word"] \
+                .transform("size")
+            hw_b = hw_b[plen <= max_posting]
         m = hw_b.merge(hw_b, on="word", suffixes=("_a", "_b"))
         m = m[m["host_a"] < m["host_b"]]
         return m[["host_a", "host_b"]].reset_index(drop=True)
 
-    inter = (bucketed_group_apply(hw, "word", pairs, num_buckets=16)
+    n_dropped = 0
+    if max_posting is not None:
+        # tiny (word → host count) aggregate counts the capped words so
+        # the drop is LOGGED, never silent; runs only when the cap is on
+        per_word = hw.groupby("word").aggregate(Count(alias_name="nh"))
+        n_dropped = int(per_word.map_batches(
+            lambda t: arrow_out(pd.DataFrame({"d": [int(
+                (t["nh"].to_numpy(zero_copy_only=False)
+                 > max_posting).sum())]})),
+            batch_format="pyarrow").to_pandas()["d"].sum())
+        if n_dropped:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "host_mirror_similarity: max_posting=%d dropped %d hot "
+                "word(s) from intersection counts (similarities are "
+                "lower bounds for pairs sharing them)",
+                max_posting, n_dropped)
+
+    inter = (bucketed_group_apply(hw, "word", pairs,
+                                  num_buckets=num_buckets)
              .groupby(["host_a", "host_b"])
              .aggregate(Count(alias_name="n_common"))
              .to_pandas())
@@ -9577,7 +9617,25 @@ def host_mirror_similarity(sf_dir: str):
              - inter["n_common"])
     inter["jaccard"] = (inter["n_common"] / union).round(6)
     return (inter.sort_values(["host_a", "host_b"])
-            .reset_index(drop=True))
+            .reset_index(drop=True)), n_dropped
+
+
+def host_mirror_similarity(sf_dir: str):
+    """Host-level mirror detection: exact Jaccard similarity of word
+    SETS between every host pair, computed with the inverted-postings
+    pattern — distinct (host, word) postings shuffle once by word,
+    each word emits its host-pair combinations, pair counts Sum into
+    intersections, and unions come from the tiny per-host distinct
+    totals. The crawl question 'which sites serve the same content
+    under different names'; hosts synthesized from doc_id as elsewhere.
+
+    The per-word fan-out is bounded by the ``max_posting`` stop-word
+    cap in :func:`host_mirror_frame` (default 1024 ≫ the 7 synthetic
+    hosts, so the cap is INACTIVE here and the result exact — the
+    oracle replays the uncapped semantics)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out, _ = host_mirror_frame(docs)
+    return out
 
 
 HOST_MIRROR_SQL = """

@@ -53,6 +53,29 @@ def _meta_free(t: pa.Table) -> pa.Table:
     return t.replace_schema_metadata(None) if t.schema.metadata else t
 
 
+def small_key_counts(ds, keys, alias: str = "n") -> pd.DataFrame:
+    """Grouped row counts for a SMALL key domain, without an
+    all-to-all exchange: each batch emits vectorized count partials
+    (≤ |keys| rows), the driver merges them.
+
+    Use this instead of ``groupby(key).aggregate(Count())`` when the
+    distinct-key count is small (hosts, languages, event types): the
+    Aggregate exchange shuffles everything only to land a handful of
+    groups — and when output partitions outnumber keys it emits empty
+    schema-less pandas blocks that trip the executor's RefBundle
+    schema-consistency warning. Driver volume here is
+    O(batches × keys) partial rows — fine while keys ≲ 10⁴."""
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+
+    def part(t: pa.Table) -> pa.Table:
+        g = (t.select(key_list).to_pandas()
+             .groupby(key_list, sort=False).size().reset_index(name=alias))
+        return arrow_out(g)
+
+    parts = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    return parts.groupby(key_list, as_index=False)[alias].sum()
+
+
 def stable_bucket(values: pd.Series | np.ndarray, num_buckets: int) -> np.ndarray:
     arr = values.to_numpy() if isinstance(values, pd.Series) else values
     if arr.dtype.kind not in "iu":

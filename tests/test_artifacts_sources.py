@@ -225,6 +225,72 @@ def test_bloom_file_index_prunes_without_false_negatives(ray_session,
     assert ds is None or ds.count() == 0
 
 
+def test_bloom_index_sharded_sidecars_bound_driver_loads(ray_session,
+                                                         tmp_path):
+    """Many-file / partitioned layout: per-file filters live in
+    per-directory shard sidecars written by workers; the driver loads
+    at most ONE sidecar per probed directory, and none at all for a
+    directory whose shard-aggregate filter prunes the probe."""
+    import json
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pdf_to_text_ray.stages.fileindex import (
+        bloom_candidate_files, bloom_point_lookup, build_bloom_index)
+
+    root = str(tmp_path / "parts")
+    # three partition directories with DISJOINT key ranges, each split
+    # into several files (shuffled inside, so zone maps can't help)
+    for p, lo in [("part=a", 0), ("part=b", 100_000), ("part=c", 200_000)]:
+        t = pa.table({"k": np.arange(lo, lo + 3_000, dtype=np.int64),
+                      "v": np.arange(3_000, dtype=np.int64)})
+        rd.from_arrow(t).random_shuffle(seed=1).repartition(6) \
+            .write_parquet(os.path.join(root, p))
+    build_bloom_index(root, "k", m_bits=1 << 13, k=4)
+
+    # manifest holds NO per-file filters — only shard rows
+    with open(os.path.join(root, "_bloom_index.json")) as f:
+        man = json.load(f)
+    assert "files" not in man
+    assert sum(s["n_files"] for s in man["shards"]) == 18
+
+    # probe keys living only in part=a and part=c
+    keys = [5, 200_005]
+    keep, total, stats = bloom_candidate_files(root, keys,
+                                               with_stats=True)
+    assert total == 18
+    assert 0 < len(keep) < total  # real pruning
+    # at most one sidecar load per probed directory; part=b's shard
+    # (aggregate filter misses both keys) is never opened
+    per_dir = {}
+    for s in stats["loaded_sidecars"]:
+        d = s  # one shard == one directory at this files_per_shard
+        per_dir[d] = per_dir.get(d, 0) + 1
+    assert all(v == 1 for v in per_dir.values())
+    assert stats["shards_loaded"] <= 2 < stats["shards_total"] == 3
+    assert not any("part=b" in p for p in keep)
+
+    got = bloom_point_lookup(root, "k", keys).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    assert got["k"].tolist() == keys
+
+    # a flat directory larger than files_per_shard splits into chunks,
+    # keeping any single shard (and so the driver) bounded
+    flat = str(tmp_path / "flat")
+    t = pa.table({"k": np.arange(1_000, dtype=np.int64)})
+    rd.from_arrow(t).repartition(10).write_parquet(flat)
+    build_bloom_index(flat, "k", m_bits=1 << 12, k=4, files_per_shard=3)
+    with open(os.path.join(flat, "_bloom_index.json")) as f:
+        man2 = json.load(f)
+    assert len(man2["shards"]) == 4  # ceil(10 / 3)
+    assert max(s["n_files"] for s in man2["shards"]) <= 3
+    keep2, total2 = bloom_candidate_files(flat, [999])
+    assert total2 == 10 and len(keep2) >= 1
+
+
 def test_lsm_compaction_sorted_disjoint_and_prunable(ray_session,
                                                      tmp_path):
     import numpy as np

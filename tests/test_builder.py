@@ -105,3 +105,62 @@ def test_query_registry_integrity():
                   and p.kind in (p.POSITIONAL_ONLY,
                                  p.POSITIONAL_OR_KEYWORD)]
         assert len(params) == 1, (name, params)
+
+
+def test_empty_partition_bundles_adopt_declared_schema(ray_session):
+    """Aggregates whose output partitions outnumber their keys emit
+    zero-column empty blocks; the _raypatch shim must normalize those
+    bundles to the operator's declared schema (no RefBundle-divergence
+    warning), while leaving GENUINE schema divergences warned."""
+    import logging
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from pdf_to_text_ray import _raypatch
+
+    assert _raypatch.install()  # idempotent; asserts shim is active
+
+    class Capture(logging.Handler):
+        def __init__(self):
+            super().__init__(level=logging.WARNING)
+            self.records = []
+
+        def emit(self, record):
+            self.records.append(record)
+
+    # ray.data's logger has propagate=False, so caplog can't see it —
+    # attach a handler directly
+    cap = Capture()
+    lg = logging.getLogger("ray.data")
+    lg.addHandler(cap)
+    try:
+        t = pa.table({"host": ["h" + str(i % 3) for i in range(600)]})
+        out = (rd.from_arrow(t).repartition(16)
+               .groupby("host").aggregate(Count(alias_name="c"))
+               .map_batches(lambda tt: tt.append_column(
+                   "_b", pa.array(np.zeros(tt.num_rows), pa.int64())),
+                   batch_format="pyarrow")
+               .to_pandas())
+        assert len(out) == 3
+        assert not [r for r in cap.records
+                    if "different schema" in r.getMessage()]
+
+        # a genuine divergence (two non-empty schemas) must still warn
+        cap.records.clear()
+
+        def two_schemas(tt: pa.Table) -> pa.Table:
+            if tt["i"][0].as_py() < 50:
+                return pa.table({"a": pa.array([1], pa.int64())})
+            return pa.table({"b": pa.array(["x"])})
+
+        rd.from_arrow(pa.table({"i": list(range(100))})) \
+            .repartition(4) \
+            .map_batches(two_schemas, batch_format="pyarrow") \
+            .materialize()
+        assert [r for r in cap.records
+                if "different schema" in r.getMessage()]
+    finally:
+        lg.removeHandler(cap)

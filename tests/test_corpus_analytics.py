@@ -287,6 +287,48 @@ def test_audit_rules_count_violations(ray_session):
     assert (out["n_rows"] == 5).all()
 
 
+def test_host_mirror_max_posting_caps_hot_words(ray_session):
+    """A stop word present on EVERY host must not explode into
+    C(n_hosts, 2) pair rows: the max_posting cap drops it from the
+    intersection counts (logged, returned), keeps it in the union
+    sizes (capped jaccard = lower bound), and leaves sub-cap words
+    exact."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pdf_to_text_ray.pipelines.queries import host_mirror_frame
+
+    n_hosts = 600  # uncapped, the hot word alone would emit 179,700 pairs
+    texts = ["zzcommon only" + str(i) for i in range(n_hosts)]
+    texts[0] += " shared01"
+    texts[1] += " shared01"
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(n_hosts), pa.int64()),
+        "text": texts}))
+
+    out, dropped = host_mirror_frame(docs, n_hosts=n_hosts, max_posting=4)
+    assert dropped == 1  # zzcommon (601 > 4); shared01 (2 hosts) survives
+    # only the genuinely-shared pair remains: C(600,2) hot-word pairs gone
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert (row["host_a"], row["host_b"]) == ("host0", "host1")
+    # union keeps the dropped word: |A|=|B|=3, inter=1 → 1/(3+3-1)
+    assert row["n_common"] == 1
+    assert row["jaccard"] == pytest.approx(0.2)
+
+    # uncapped on a small slice stays exact: pair (0,1) shares both words
+    small = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(3), pa.int64()),
+        "text": [texts[0], texts[1], texts[2]]}))
+    exact, dropped0 = host_mirror_frame(small, n_hosts=3,
+                                        max_posting=None)
+    assert dropped0 == 0
+    pair01 = exact[(exact["host_a"] == "host0")
+                   & (exact["host_b"] == "host1")].iloc[0]
+    assert pair01["n_common"] == 2  # zzcommon + shared01
+    assert pair01["jaccard"] == pytest.approx(2 / (3 + 3 - 2))
+
+
 def test_audit_foreign_key_empty_ref_and_null_probes(ray_session):
     """An empty/missing referenced table must report every NON-NULL
     probe row as a violation (not crash indexing an empty array), and
