@@ -229,7 +229,10 @@ class _PdfBuilder:
         objstm_nums: object numbers to pack into one /ObjStm (xref-stream
         style only). broken: corrupt the startxref offset.
         encrypt: None, "rc4-40", "rc4-128", "aes-128" (or "aes-256") —
-        standard security handler with EMPTY user/owner passwords
+        standard security handler with EMPTY user/owner passwords;
+        "pubsec" emits a certificate-handler /Encrypt dict
+        (/Adobe.PPKLite) with unencrypted bodies — extraction must
+        raise PdfPubSecError before touching content
         (spec §7.6); every stream payload is encrypted with its
         per-object key (deterministic IVs for AES so fixtures are
         byte-reproducible). A "+owner" suffix (e.g. "rc4-128+owner")
@@ -245,7 +248,25 @@ class _PdfBuilder:
         handler = None
         enc_num = None
         file_id = b""
-        if encrypt:
+        if encrypt == "pubsec":
+            # certificate (public-key) security handler (spec §7.6.4):
+            # a crawl pipeline has no recipient private key, so the
+            # extractor must raise PdfPubSecError at the trailer —
+            # bodies stay unencrypted (never reached) and handler stays
+            # None so encrypt_body is skipped
+            import hashlib
+
+            file_id = hashlib.md5(b"fixture-id:pubsec").digest()
+            enc_num = self.next_num
+            self.next_num += 1
+            self.objects[enc_num] = (
+                b"<< /Filter /Adobe.PPKLite /SubFilter /adbe.pkcs7.s5 "
+                b"/V 4 /Length 128 "
+                b"/Recipients [ <deadbeefcafef00d> ] "
+                b"/CF << /DefaultCryptFilter "
+                b"<< /CFM /AESV2 /Length 16 >> >> "
+                b"/StmF /DefaultCryptFilter /StrF /DefaultCryptFilter >>")
+        elif encrypt:
             import hashlib
 
             from ..stages import pdf_crypto
@@ -337,7 +358,7 @@ class _PdfBuilder:
 
         root = 1  # catalog is always object 1 by construction
         enc_trailer = b""
-        if handler is not None:
+        if enc_num is not None:
             hexid = b"<" + file_id.hex().encode() + b">"
             enc_trailer = (b" /Encrypt " + str(enc_num).encode() + b" 0 R"
                            + b" /ID [" + hexid + hexid + b"]")
@@ -553,6 +574,27 @@ def _font_objects(b: "_PdfBuilder", variant: str) -> tuple[int, list[tuple[str, 
             b"/Encoding /90ms-RKSJ-H >>")
         font = b.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
         text = "Rksj 日本語 ｶﾀｶﾅ here"
+        codes = text.encode("cp932")
+        return font, [("hex", codes, text)], {"F2": cid_font}
+    if variant == "rksj_msp_cmap":
+        # /90msp-RKSJ-H print variant (proportional forms): same cp932
+        # code assignments as 90ms — must decode byte-identically
+        cid_font = b.add(
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /FakeRKSJp "
+            b"/Encoding /90msp-RKSJ-H >>")
+        font = b.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+        text = "Msp 変種 ﾌｫﾝﾄ text"
+        codes = text.encode("cp932")
+        return font, [("hex", codes, text)], {"F2": cid_font}
+    if variant == "rksj_add_cmap":
+        # /Add-RKSJ-H NEC print variant: JIS X 0208 + NEC Row-13
+        # specials (①, ㈱, № — cp932 0x87xx), all inside cp932's
+        # superset, so the charset-backed decode stays byte-exact
+        cid_font = b.add(
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /FakeRKSJa "
+            b"/Encoding /Add-RKSJ-H >>")
+        font = b.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+        text = "Add ① ㈱ № 日本 ok"
         codes = text.encode("cp932")
         return font, [("hex", codes, text)], {"F2": cid_font}
     if variant == "type3":

@@ -7804,13 +7804,105 @@ def training_corpus_pipeline(sf_dir: str):
     """The composed training-corpus flagship (pipelines/curate.py):
     Gopher gate → exact dedup (bucketed payload shuffle) → MinHash
     near-dup (component-label broadcast) → benchmark-contamination
-    filter → sequence packing. Rows-only: the MinHash stage is not
-    SQL-expressible; each constituent has its own oracle-checked
-    query (gopher_quality_docs, dedup_exact_docs, neardup_minhash_docs,
-    contaminated_docs, pack_doc_sequences)."""
+    filter → sequence packing. Fully oracle-checked end-to-end: the
+    SQL twin replays every stage — the MinHash stage verifies LSH
+    candidates with exact char-5-gram Jaccard, so its pair set equals
+    the oracle's exact self-join whenever banding recall is 1 (the
+    same contract neardup_minhash_docs' own green row asserts), and
+    the component keep-set is the recursive-closure min-root."""
     from .curate import curate_documents
 
     return curate_documents(sf_dir)
+
+
+def _training_corpus_sql() -> str:
+    """SQL twin of curate_documents: gopher gate → exact md5 dedup →
+    exact char-5-gram Jaccard components (≥0.7) keep-root → benchmark
+    word-trigram contamination drop (bench = doc_id % 97 == 0 over the
+    FULL corpus; candidates = every survivor, bench members included)
+    → doc_id-ordered prefix-sum packing into 256-token sequences."""
+    from ..stages.curation import (GOPHER_MAX_MEAN_WLEN, GOPHER_MAX_WORDS,
+                                   GOPHER_MIN_MEAN_WLEN, GOPHER_MIN_STOP_HITS,
+                                   GOPHER_MIN_WORDS, GOPHER_STOPWORDS)
+
+    stops = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    return rf"""
+WITH RECURSIVE gop AS (
+  SELECT doc_id, text, lang, source FROM (
+    SELECT doc_id, text, lang, source,
+           CASE WHEN coalesce(text, '') = '' THEN 0
+                ELSE length(str_split(text, ' ')) END::BIGINT AS n_words,
+           CASE WHEN coalesce(text, '') = '' THEN 0.0
+                ELSE (length(text) - (length(str_split(text, ' ')) - 1))
+                     ::DOUBLE / length(str_split(text, ' ')) END AS mwl,
+           CASE WHEN coalesce(text, '') = '' THEN 0
+                ELSE length(list_filter(str_split(text, ' '),
+                            x -> list_contains([{stops}], x))) END AS n_stop
+    FROM documents)
+  WHERE n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
+    AND mwl >= {GOPHER_MIN_MEAN_WLEN} AND mwl <= {GOPHER_MAX_MEAN_WLEN}
+    AND n_stop >= {GOPHER_MIN_STOP_HITS}),
+ded AS (
+  SELECT doc_id, text, lang, source FROM (
+    SELECT *, min(doc_id) OVER (
+        PARTITION BY md5(coalesce(text, ''))) AS keep_id FROM gop)
+  WHERE doc_id = keep_id),
+toks AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
+  FROM ded WHERE trim(coalesce(text, '')) <> ''),
+grams AS (
+  SELECT DISTINCT doc_id,
+         unnest([substr(s, i, 5)
+                 for i in range(1, greatest(len(s) - 4, 0) + 1)]) AS gram
+  FROM toks),
+sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = inter.id_a
+  JOIN sizes sb ON sb.doc_id = inter.id_b
+  WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.7),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach(node, r) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node),
+comp AS (SELECT node, min(r) AS root FROM reach GROUP BY node),
+nd AS (
+  SELECT d.doc_id, d.text, d.lang, d.source FROM ded d
+  LEFT JOIN comp c ON c.node = d.doc_id
+  WHERE c.node IS NULL OR c.root = d.doc_id),
+bw AS (SELECT str_split(text, ' ') AS w FROM documents
+       WHERE doc_id % 97 = 0 AND coalesce(text, '') <> ''),
+bg AS (SELECT DISTINCT array_to_string(w[i:i+2], ' ') AS g3
+       FROM (SELECT w, unnest(generate_series(1, length(w) - 2)) AS i
+             FROM bw WHERE length(w) >= 3)),
+cg AS (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS g3
+       FROM (SELECT doc_id, w,
+                    unnest(generate_series(1, length(w) - 2)) AS i
+             FROM (SELECT doc_id, str_split(text, ' ') AS w FROM nd
+                   WHERE coalesce(text, '') <> '')
+             WHERE length(w) >= 3)),
+contam AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bg USING (g3)),
+clean AS (
+  SELECT doc_id, lang, source,
+         CASE WHEN coalesce(text, '') = '' THEN 0
+              ELSE length(str_split(text, ' ')) END::BIGINT AS n_tokens
+  FROM nd WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+packed AS (
+  SELECT doc_id, lang, source, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM clean)
+SELECT doc_id, lang, source, n_tokens,
+       ((cum - n_tokens) // 256)::BIGINT AS seq_id
+FROM packed ORDER BY doc_id
+"""
 
 
 def doc_top_bigram(sf_dir: str):
@@ -10294,6 +10386,7 @@ ORACLE_SQL = {
     "tfidf_similar_docs": TFIDF_SQL,
     "label_centroids": CENTROID_SQL,
     "curation_pipeline": CURATION_SQL,
+    "training_corpus_pipeline": _training_corpus_sql(),
     "q13_customer_distribution": Q13_SQL,
     "q15_top_supplier": Q15_SQL,
     "q17_small_quantity_revenue": Q17_SQL,

@@ -36,6 +36,20 @@ class PdfEncryptedError(Exception):
     too so the crypto layer has no import cycle."""
 
 
+class PdfPubSecError(PdfEncryptedError):
+    """Certificate (public-key) security handler (spec §7.6.4:
+    /Adobe.PubSec, /Adobe.PPKLite, /Adobe.PPKMS) — decryption needs a
+    recipient private key that a crawl pipeline cannot have, so these
+    documents quarantine under their OWN error_kind (the exception
+    class name), distinguishing 'needs a certificate' from
+    'password-protected' for reprocessing routers."""
+
+
+#: Known public-key (certificate) security handler /Filter names.
+PUBKEY_HANDLERS = frozenset({"Adobe.PubSec", "Adobe.PPKLite",
+                             "Adobe.PPKMS"})
+
+
 _PAD = bytes([
     0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E, 0x56,
     0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
@@ -319,9 +333,14 @@ class StandardSecurityHandler:
     """
 
     def __init__(self, enc: dict, file_id: bytes):
-        if str(enc.get("Filter", "")) != "Standard":
+        filt = str(enc.get("Filter", ""))
+        if filt != "Standard":
+            if filt in PUBKEY_HANDLERS or "Recipients" in enc:
+                raise PdfPubSecError(
+                    f"certificate security handler {filt!r} — needs a "
+                    "recipient private key")
             raise PdfEncryptedError(
-                f"unsupported security handler {enc.get('Filter')!r}")
+                f"unsupported security handler {filt!r}")
         self.v = int(enc.get("V", 0))
         self.r = int(enc.get("R", 2))
         self.length = int(enc.get("Length", 40))

@@ -56,11 +56,12 @@ unsupported-revision documents.
 Stream filters implemented: Flate (+PNG predictors), ASCIIHex, ASCII85,
 RunLength, LZW, DCT (baseline JFIF via ``jpeg_codec``). Predefined
 CMaps (spec §9.7.5.2): Uni*-UCS2/UTF16 families decode by identity;
-charset-backed families (90ms-RKSJ, GBK-EUC, GBK2K, ETen-B5, KSCms-UHC,
-KSC/EUC, …) decode each code's bytes through the matching stdlib codec
-(the Adobe-registry code→CID→Unicode chain lands on the same
-assignments for those charsets); remaining print-variant families
-(90pv/83pv-RKSJ, GBpc/B5pc) degrade and count as fallback. Known
+charset-backed families (90ms/90msp/Add/Ext-RKSJ, GBK-EUC, GBK2K,
+ETen-B5, KSCms-UHC, KSC/EUC, …) decode each code's bytes through the
+matching stdlib codec (the Adobe-registry code→CID→Unicode chain lands
+on the same assignments for those charsets; cp932 is the NEC/IBM
+superset covering the Add/Ext variants exactly); remaining Mac print
+variants (90pv/83pv-RKSJ, GBpc/B5pc) degrade and count as fallback. Known
 limitations (documented, fail-safe): no JBIG2/JPX filters (image-only
 codecs). Rows that hit these raise ``PdfError`` →
 ``parse_failure=True``.
@@ -86,6 +87,12 @@ class PdfError(Exception):
 class PdfEncryptedError(PdfError):
     """Encrypted documents are unsupported (no decryption keys in a
     batch pipeline); terminal — never falls back to salvage."""
+
+
+class PdfPubSecError(PdfEncryptedError):
+    """Certificate (public-key) security handler (spec §7.6.4) — its
+    own exception class so quarantine's error_kind distinguishes
+    'needs a recipient certificate' from 'password-protected'."""
 
 
 class Ref(NamedTuple):
@@ -734,7 +741,12 @@ class PdfDocument:
         try:
             self.decryptor = pdf_crypto.StandardSecurityHandler(enc, fid)
         except pdf_crypto.PdfEncryptedError as e:
-            raise PdfEncryptedError(str(e)) from e
+            # preserve the certificate-handler subclass so quarantine's
+            # error_kind (the class name) stays distinct
+            cls = (PdfPubSecError
+                   if isinstance(e, pdf_crypto.PdfPubSecError)
+                   else PdfEncryptedError)
+            raise cls(str(e)) from e
 
     def _decrypt_strings(self, value: Any, num: int, gen: int) -> Any:
         """Recursively decrypt literal/hex strings of a DIRECT object
@@ -1592,6 +1604,12 @@ _PREDEFINED_CODESPACES = {
 # degrade-and-count path.
 _PREDEFINED_CHARSETS = {
     "90ms-RKSJ": "cp932", "90msp-RKSJ": "cp932",   # Microsoft Shift-JIS
+    # NEC print variants: Add-RKSJ = JIS X 0208 + NEC Row-13 specials,
+    # Ext-RKSJ = + NEC-selected IBM extensions — every code either
+    # family defines decodes to the same character under cp932 (cp932
+    # is Microsoft's superset of exactly those NEC/IBM extensions), so
+    # the charset-backed path is byte-exact for them too
+    "Add-RKSJ": "cp932", "Ext-RKSJ": "cp932",
     "EUC": "euc_jp",
     "GB-EUC": "gb2312", "GBK-EUC": "gbk", "GBKp-EUC": "gbk",
     "GBK2K": "gb18030",

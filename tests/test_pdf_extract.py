@@ -903,7 +903,8 @@ def test_cross_feature_conformance_sweep():
     styles = ["table", "stream", "stream_pred", "hybrid"]
     variants = ["standard", "differences", "winansi", "macroman",
                 "tounicode", "cid", "cid_cmap", "ucs2_cmap", "type3",
-                "rksj_cmap", "vertical_cid"]
+                "rksj_cmap", "rksj_msp_cmap", "rksj_add_cmap",
+                "vertical_cid"]
     encrypts = [None, None, "rc4-40", "rc4-128", "aes-128",
                 "rc4-128+owner", "aes-128+owner"]
     for i in range(48):
@@ -1025,16 +1026,35 @@ def test_roundtrip_rksj_cmap_variant(seed):
     assert r.text == expected and not r.fallback
 
 
-def test_print_variant_cmap_still_degrades_and_counts():
-    """Mac/NEC print-variant families (90pv-RKSJ, GBpc-EUC, B5pc) have
-    no exact stdlib charset twin: they keep the degrade-and-count
-    path."""
-    pdf = _one_page_pdf(
-        b"<< /Type /Font /Subtype /Type0 /BaseFont /Fake "
-        b"/Encoding /90pv-RKSJ-H >>",
-        b"BT /F1 12 Tf 1 0 0 1 50 700 Tm <8140> Tj ET\n")
+@pytest.mark.parametrize("seed", range(2))
+@pytest.mark.parametrize("variant,needle", [
+    ("rksj_msp_cmap", "変種"),   # /90msp-RKSJ-H proportional variant
+    ("rksj_add_cmap", "①"),     # /Add-RKSJ-H NEC Row-13 specials
+])
+def test_roundtrip_rksj_print_variants(variant, needle, seed):
+    """NEC/proportional RKSJ print variants (90msp-RKSJ-H, Add-RKSJ-H)
+    decode byte-identically through the cp932 charset-backed path —
+    cp932 is Microsoft's superset of exactly the NEC Row-13 / IBM
+    extensions those variants add over JIS X 0208."""
+    rng = random.Random(seed)
+    pdf, expected, _ = make_pdf(rng, n_pages=2, font_variant=variant)
     r = extract_pdf_text(pdf)
-    assert r.fallback
+    assert needle in r.text
+    assert r.text == expected and not r.fallback
+
+
+def test_print_variant_cmap_still_degrades_and_counts():
+    """Mac print-variant families (90pv/83pv-RKSJ, GBpc-EUC, B5pc)
+    have no exact stdlib charset twin: they keep the degrade-and-count
+    path — no text invented, fallback flagged, never a crash."""
+    for enc in (b"/90pv-RKSJ-H", b"/83pv-RKSJ-H", b"/GBpc-EUC-H",
+                b"/B5pc-H"):
+        pdf = _one_page_pdf(
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /Fake "
+            b"/Encoding " + enc + b" >>",
+            b"BT /F1 12 Tf 1 0 0 1 50 700 Tm <8140> Tj ET\n")
+        r = extract_pdf_text(pdf)
+        assert r.fallback, enc
 
 
 # ── vertical writing mode (spec §9.7.4.1 WMode 1) ─────────────────────

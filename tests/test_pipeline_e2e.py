@@ -589,6 +589,57 @@ def test_repointed_in_dir_same_basenames_reruns(ray_session, tmp_path):
     assert out_urls == sorted(pages_b["url"].to_pylist())
 
 
+def test_pubsec_pdf_quarantines_with_distinct_error_kind(ray_session,
+                                                         tmp_path):
+    """A certificate-encrypted PDF (public-key handler, spec §7.6.4)
+    cannot be decrypted without a recipient private key: it must
+    quarantine CLEANLY under its own error_kind ('PdfPubSecError' —
+    distinct from password-protected 'PdfEncryptedError'), never crash
+    the wave, and never invent text."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+    import ray.data as rd
+
+    from pdf_to_text_ray.fixtures.pdfgen import make_pdf
+    from pdf_to_text_ray.pipelines.extract import (extract_pages,
+                                                   quarantine_failures)
+    from pdf_to_text_ray.stages.pdf_extract import (PdfEncryptedError,
+                                                    PdfPubSecError,
+                                                    extract_pdf_text)
+
+    rng = random.Random(17)
+    pub, _, _ = make_pdf(rng, n_pages=1, encrypt="pubsec")
+    ok, ok_text, _ = make_pdf(random.Random(18), n_pages=1)
+
+    # unit level: typed raise, subclass of the generic encrypted error
+    with pytest.raises(PdfPubSecError):
+        extract_pdf_text(pub)
+    assert issubclass(PdfPubSecError, PdfEncryptedError)
+
+    pages = pa.table({
+        "url": ["https://cert.test/doc", "https://ok.test/doc"],
+        "warc_ts": pa.array([1, 2], pa.int64()),
+        "html": [pub, ok],
+        "text": pa.array([None, None], pa.string()),
+        "lang": ["en", "en"],
+    })
+    out = extract_pages(rd.from_arrow(pages)).to_pandas() \
+        .set_index("url")
+    assert out.loc["https://cert.test/doc", "parse_failure"]
+    assert out.loc["https://cert.test/doc", "error_kind"] \
+        == "PdfPubSecError"
+    assert out.loc["https://cert.test/doc", "text_extracted"] == ""
+    assert out.loc["https://ok.test/doc", "text_extracted"] == ok_text
+
+    qdir = str(tmp_path / "q")
+    n = quarantine_failures(extract_pages(rd.from_arrow(pages)), qdir)
+    q = pq.read_table(qdir).to_pandas()
+    assert n == 1 and q["error_kind"].tolist() == ["PdfPubSecError"]
+
+
 def test_quarantine_failures_dead_letter(ray_session, tmp_path):
     """Failed parses carry their exception CLASS into a dead-letter
     parquet keyed by url; good rows never quarantine, and the
