@@ -10020,6 +10020,434 @@ def quarantine_roundtrip(sf_dir: str):
     return out[["url", "doc_type", "error_kind"]]
 
 
+def _skyline2d(price: np.ndarray, qty: np.ndarray):
+    """2-D skyline kernel (min price, max qty) over DISTINCT points:
+    sort (price asc, qty desc), keep rows whose qty strictly exceeds
+    the running max of every earlier row — a same-price row with lower
+    qty and any later row not beating the max are both dominated."""
+    order = np.lexsort((-qty, price))
+    p, q = price[order], qty[order]
+    if len(q) == 0:
+        return p, q
+    cm = np.maximum.accumulate(q)
+    keep = np.empty(len(q), dtype=bool)
+    keep[0] = True
+    keep[1:] = q[1:] > cm[:-1]
+    return p[keep], q[keep]
+
+
+def lineitem_skyline(sf_dir: str):
+    """Skyline / Pareto-frontier operator (min l_extendedprice, max
+    l_quantity) via the classic two-phase distributed plan: every
+    block computes its LOCAL skyline (dominance is subset-monotone —
+    a point dominated inside any subset is dominated globally, so
+    local pruning never drops a global skyline point), and only the
+    surviving candidates (expected O(log n) per block for continuous
+    value distributions) merge through the same kernel at the root.
+    Only the two skyline columns leave the scan."""
+    ds = _lineitem(sf_dir, ["l_extendedprice", "l_quantity"])
+
+    def local(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().drop_duplicates()
+        p, q = _skyline2d(df["l_extendedprice"].to_numpy(),
+                          df["l_quantity"].to_numpy())
+        return pa.table({"price": pa.array(p, pa.float64()),
+                         "qty": pa.array(q, pa.float64())})
+
+    cand = (ds.map_batches(local, batch_format="pyarrow")
+            .to_pandas().drop_duplicates())
+    p, q = _skyline2d(cand["price"].to_numpy(), cand["qty"].to_numpy())
+    return (pd.DataFrame({"price": p, "qty": q})
+            .sort_values("price").reset_index(drop=True))
+
+
+SKYLINE_SQL = """
+WITH d AS (
+  SELECT DISTINCT l_extendedprice AS price, l_quantity AS qty
+  FROM lineitem),
+s AS (
+  SELECT price, qty,
+         max(qty) OVER (ORDER BY price ASC, qty DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING) AS mq
+  FROM d)
+SELECT price, qty FROM s WHERE mq IS NULL OR qty > mq ORDER BY price
+"""
+
+
+def user_state_scd2(sf_dir: str):
+    """Gaps-and-islands → SCD2 dimension history: each user's event
+    stream compresses into runs of consecutive identical event_type;
+    every run becomes a dimension row (valid_from = the run's first
+    ts, valid_to = the NEXT run's valid_from, NULL ⇒ is_current) — the
+    slowly-changing-dimension build warehouses run on change feeds.
+    Users hash-bucket once; run detection is one vectorized
+    shift-compare + cumsum, never a per-row loop."""
+    from ..stages.groups import bucketed_group_apply
+
+    ev = _read(sf_dir, "events",
+               ["user_id", "event_type", "ts", "event_id"])
+
+    def scd2(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        u = df["user_id"].to_numpy()
+        s = df["event_type"].to_numpy()
+        new_run = np.empty(len(df), dtype=bool)
+        if len(df):
+            new_run[0] = True
+            new_run[1:] = (u[1:] != u[:-1]) | (s[1:] != s[:-1])
+        run = np.cumsum(new_run)
+        g = pd.DataFrame({"user_id": u, "state": s,
+                          "ts": df["ts"].to_numpy(), "_run": run})
+        agg = g.groupby(["user_id", "_run"], as_index=False, sort=True) \
+            .agg(state=("state", "first"), valid_from=("ts", "min"),
+                 n_events=("ts", "size"))
+        agg["run_id"] = agg.groupby("user_id").cumcount() + 1
+        agg["valid_to"] = agg.groupby("user_id")["valid_from"].shift(-1)
+        agg["is_current"] = agg["valid_to"].isna()
+        return agg[["user_id", "run_id", "state", "valid_from",
+                    "valid_to", "n_events", "is_current"]]
+
+    out = (bucketed_group_apply(ev, "user_id", scd2, num_buckets=16)
+           .to_pandas())
+    out["user_id"] = out["user_id"].astype("int64")
+    out["run_id"] = out["run_id"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    return (out.sort_values(["user_id", "run_id"])
+            .reset_index(drop=True))
+
+
+SCD2_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)
+                   IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+  FROM events),
+runs AS (
+  SELECT user_id, event_type, ts,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rid
+  FROM flagged),
+agg AS (
+  SELECT user_id, rid, min(event_type) AS state, min(ts) AS valid_from,
+         count(*)::BIGINT AS n_events
+  FROM runs GROUP BY user_id, rid)
+SELECT user_id, rid::BIGINT AS run_id, state, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY rid)
+         AS valid_to,
+       n_events,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY rid)
+         IS NULL AS is_current
+FROM agg ORDER BY user_id, run_id
+"""
+
+
+def part_copurchase_bfs(sf_dir: str, max_hops: int = 4):
+    """BFS hop distance (≤ ``max_hops``) from the smallest partkey
+    over the co-purchase graph (parts sharing an order). Edges build
+    distributed via one per-order self-merge inside orderkey hash
+    buckets; each hop is one vectorized membership scan of the edge
+    dataset against the broadcast frontier id set — driver state is
+    the dist map, bounded by |parts| exactly like pagerank's rank
+    vector, never the edges."""
+    import ray
+    from ray.data.aggregate import Min
+
+    from ..stages.groups import bucketed_group_apply
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def order_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates()
+        m = d.merge(d, on="l_orderkey")
+        m = m[m["l_partkey_x"] != m["l_partkey_y"]]
+        return (m[["l_partkey_x", "l_partkey_y"]]
+                .rename(columns={"l_partkey_x": "src",
+                                 "l_partkey_y": "dst"})
+                .drop_duplicates())
+
+    # pinned once: the edge set is scanned max_hops times (multi-pass
+    # input), and it is the pruned 2-column pair table, not lineitem
+    edges = bucketed_group_apply(li, "l_orderkey", order_pairs,
+                                 num_buckets=16).materialize()
+
+    src = int(li.aggregate(Min("l_partkey"))["min(l_partkey)"])
+    dist = {src: 0}
+    frontier = np.array([src], dtype=np.int64)
+    for hop in range(1, max_hops + 1):
+        f_ref = ray.put(np.sort(frontier))
+
+        def step(t: pa.Table, f_ref=f_ref) -> pa.Table:
+            f = ray.get(f_ref)
+            s = t["src"].to_numpy(zero_copy_only=False)
+            hit = f[np.searchsorted(f, s, side="left").clip(0, len(f) - 1)] == s
+            return pa.table({"dst": pa.array(
+                np.unique(t["dst"].to_numpy(zero_copy_only=False)[hit]),
+                pa.int64())})
+
+        reached = (edges.map_batches(step, batch_format="pyarrow")
+                   .to_pandas()["dst"].unique())
+        frontier = np.array(
+            [n for n in reached if n not in dist], dtype=np.int64)
+        if len(frontier) == 0:
+            break
+        for n in frontier:
+            dist[int(n)] = hop
+    out = pd.DataFrame({"node": list(dist.keys()),
+                        "dist": list(dist.values())})
+    out["node"] = out["node"].astype("int64")
+    out["dist"] = out["dist"].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)
+
+
+BFS_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey <> b.l_partkey),
+bfs(node, dist) AS (
+  SELECT (SELECT min(l_partkey) FROM lineitem), 0
+  UNION
+  SELECT e.dst, bfs.dist + 1
+  FROM bfs JOIN edges e ON e.src = bfs.node
+  WHERE bfs.dist < 4)
+SELECT node, min(dist)::BIGINT AS dist FROM bfs GROUP BY node
+ORDER BY node
+"""
+
+
+def events_rolling_median(sf_dir: str):
+    """Rolling-median monitor: per event type, the median of the
+    trailing 7 rows (6 preceding + current in (ts, event_id) order) —
+    the robust-smoothing window mean-based movers can't give. Types
+    hash-bucket once; each bucket computes every type's sliding
+    medians in ONE pandas grouped-rolling pass (skiplist kernel, exact
+    selection — no float-summation divergence to reconcile)."""
+    from ..stages.groups import bucketed_group_apply
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "ts", "value"])
+
+    def roll(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["event_type", "ts", "event_id"],
+                            kind="stable")
+        med = (df.groupby("event_type", sort=False)["value"]
+               .rolling(7, min_periods=1).median()
+               .reset_index(level=0, drop=True))
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(),
+            "event_type": df["event_type"].to_numpy(),
+            "rolling_median": med.to_numpy()})
+
+    out = (bucketed_group_apply(ev, "event_type", roll, num_buckets=8)
+           .to_pandas())
+    out["event_id"] = out["event_id"].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+ROLLING_MEDIAN_SQL = """
+SELECT event_id, event_type,
+       median(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+         AS rolling_median
+FROM events ORDER BY event_id
+"""
+
+
+def event_value_autocorr(sf_dir: str):
+    """Per-type lag-1 autocorrelation — the drift/seasonality detector
+    for metric streams. Types hash-bucket once; each bucket forms
+    adjacent (value, next value) pairs with one boundary-masked shift
+    and reduces them to Pearson r via mergeable raw moments (six
+    scalars per type ride the shuffle)."""
+    from ..stages.groups import bucketed_group_apply
+
+    ev = _read(sf_dir, "events", ["event_type", "ts", "event_id", "value"])
+
+    def ac(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["event_type", "ts", "event_id"],
+                            kind="stable")
+        s = df["event_type"].to_numpy()
+        v = df["value"].to_numpy()
+        same = s[1:] == s[:-1]
+        pairs = pd.DataFrame({"event_type": s[1:][same],
+                              "x": v[:-1][same], "y": v[1:][same]})
+        pairs["xy"] = pairs["x"] * pairs["y"]
+        pairs["xx"] = pairs["x"] ** 2
+        pairs["yy"] = pairs["y"] ** 2
+        g = pairs.groupby("event_type", as_index=False).agg(
+            n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+            sxy=("xy", "sum"), sxx=("xx", "sum"), syy=("yy", "sum"))
+        num = g["n"] * g["sxy"] - g["sx"] * g["sy"]
+        den = np.sqrt((g["n"] * g["sxx"] - g["sx"] ** 2)
+                      * (g["n"] * g["syy"] - g["sy"] ** 2))
+        return pd.DataFrame({
+            "event_type": g["event_type"],
+            "n_pairs": g["n"].astype("int64"),
+            "autocorr_lag1": (num / den).round(6)})
+
+    out = (bucketed_group_apply(ev, "event_type", ac, num_buckets=8)
+           .to_pandas())
+    out["n_pairs"] = out["n_pairs"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+AUTOCORR_SQL = """
+WITH s AS (
+  SELECT event_type, value,
+         lag(value) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+           AS pv
+  FROM events)
+SELECT event_type, count(pv)::BIGINT AS n_pairs,
+       round(corr(pv, value), 6) AS autocorr_lag1
+FROM s WHERE pv IS NOT NULL GROUP BY event_type ORDER BY event_type
+"""
+
+
+def _batch_levenshtein(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """Levenshtein distance over P pairs of equal-fixed-length byte
+    rows in ONE vectorized DP: L×L scalar iterations, each a length-P
+    numpy op — no per-pair Python. A, B: (P, L) uint8."""
+    P, L = A.shape
+    prev = np.tile(np.arange(L + 1, dtype=np.int32), (P, 1))
+    cur = np.empty((P, L + 1), dtype=np.int32)
+    for i in range(1, L + 1):
+        cur[:, 0] = i
+        ai = A[:, i - 1][:, None]  # (P, 1)
+        sub = prev[:, :-1] + (ai != B).astype(np.int32)  # (P, L)
+        dele = prev[:, 1:] + 1
+        best = np.minimum(sub, dele)
+        for j in range(1, L + 1):
+            cur[:, j] = np.minimum(best[:, j - 1], cur[:, j - 1] + 1)
+        prev, cur = cur, prev
+    return prev[:, L]
+
+
+_SN_KEYLEN = 16
+_SN_WINDOW = 5
+_SN_MAXDIST = 6
+
+
+def _sn_keys(t: pa.Table) -> pa.Table:
+    txt = t["text"].to_pandas().fillna("")
+    key = (txt.str.replace("[^a-zA-Z ]", "", regex=True)
+           .str.slice(0, _SN_KEYLEN).str.lower()
+           .str.ljust(_SN_KEYLEN))
+    return pa.table({"doc_id": t["doc_id"], "key": pa.array(key)})
+
+
+def _sn_pairs_from_run(ids, keys, ranks):
+    """All (i, j) pairs with rank_j − rank_i ≤ W inside one
+    contiguous-rank run, verified by the batch DP kernel."""
+    kb = np.frombuffer("".join(keys).encode("ascii"),
+                       dtype=np.uint8).reshape(len(keys), _SN_KEYLEN)
+    out = []
+    for k in range(1, _SN_WINDOW + 1):
+        if len(ids) <= k:
+            break
+        contiguous = ranks[k:] - ranks[:-k] <= _SN_WINDOW
+        if not contiguous.any():
+            continue
+        d = _batch_levenshtein(kb[:-k][contiguous], kb[k:][contiguous])
+        ok = d <= _SN_MAXDIST
+        out.append(pd.DataFrame({
+            "doc_a": ids[:-k][contiguous][ok],
+            "doc_b": ids[k:][contiguous][ok],
+            "dist": d[ok].astype("int64")}))
+    if not out:
+        return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                             "doc_b": pd.Series(dtype="int64"),
+                             "dist": pd.Series(dtype="int64")})
+    return pd.concat(out, ignore_index=True)
+
+
+def sorted_neighborhood_pairs(sf_dir: str):
+    """Sorted-neighborhood entity-resolution blocking (Hernández &
+    Stolfo 1995): docs sort globally by a normalized 16-char key;
+    candidate pairs are the w=5 nearest neighbors in sort order,
+    verified by edit distance ≤ 6 computed with a BATCH numpy DP over
+    all pairs at once. Within-block pairs compute distributed over the
+    range-partitioned sorted blocks; only each block's w-row boundary
+    strips (O(blocks × w) rows, tagged with their block's first key
+    for deterministic global ordering) meet on the driver to stitch
+    the cross-block pairs — the corpus itself never gathers."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    keyed = (docs.map_batches(_sn_keys, batch_format="pyarrow")
+             .sort(["key", "doc_id"]).materialize())  # two passes below
+
+    W = _SN_WINDOW
+
+    def inner_pairs(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        keys = t["key"].to_pylist()
+        df = _sn_pairs_from_run(ids, keys, np.arange(len(ids)))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def strips(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "key": pa.array([], pa.string()),
+                             "pos": pa.array([], pa.int64()),
+                             "blk_key": pa.array([], pa.string()),
+                             "blk_doc": pa.array([], pa.int64()),
+                             "blk_rows": pa.array([], pa.int64())})
+        idx = np.unique(np.concatenate(
+            [np.arange(min(W, n)), np.arange(max(0, n - W), n)]))
+        sub = t.take(idx)
+        return pa.table({
+            "doc_id": sub["doc_id"],
+            "key": sub["key"],
+            "pos": pa.array(idx, pa.int64()),
+            "blk_key": pa.array([t["key"][0].as_py()] * len(idx)),
+            "blk_doc": pa.array([t["doc_id"][0].as_py()] * len(idx),
+                                pa.int64()),
+            "blk_rows": pa.array([n] * len(idx), pa.int64())})
+
+    inner = (keyed.map_batches(inner_pairs, batch_format="pyarrow",
+                               batch_size=None).to_pandas())
+
+    st = (keyed.map_batches(strips, batch_format="pyarrow",
+                            batch_size=None).to_pandas())
+    # blocks are range-partitioned on (key, doc_id) → sorting by each
+    # block's first row reconstructs the global block order; prefix
+    # sums of block sizes give every strip row its exact global rank
+    blocks = (st[["blk_key", "blk_doc", "blk_rows"]].drop_duplicates()
+              .sort_values(["blk_key", "blk_doc"]).reset_index(drop=True))
+    blocks["offset"] = blocks["blk_rows"].cumsum().shift(fill_value=0)
+    st = st.merge(blocks[["blk_key", "blk_doc", "offset"]],
+                  on=["blk_key", "blk_doc"])
+    st["rank"] = st["offset"] + st["pos"]
+    st = st.sort_values("rank").reset_index(drop=True)
+    cross = _sn_pairs_from_run(st["doc_id"].to_numpy(),
+                               st["key"].tolist(),
+                               st["rank"].to_numpy())
+    # strips of short blocks overlap their own inner pairs — dedupe
+    out = (pd.concat([inner, cross], ignore_index=True)
+           .drop_duplicates(["doc_a", "doc_b"]))
+    out["doc_a"] = out["doc_a"].astype("int64")
+    out["doc_b"] = out["doc_b"].astype("int64")
+    return (out.sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True))
+
+
+SORTED_NEIGHBORHOOD_SQL = """
+WITH k AS (
+  SELECT doc_id,
+         rpad(lower(substr(regexp_replace(text, '[^a-zA-Z ]', '', 'g'),
+                           1, 16)), 16, ' ') AS key
+  FROM documents),
+r AS (SELECT doc_id, key,
+             row_number() OVER (ORDER BY key, doc_id) AS rn
+      FROM k)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       levenshtein(a.key, b.key)::BIGINT AS dist
+FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 5
+WHERE levenshtein(a.key, b.key) <= 6
+ORDER BY doc_a, doc_b
+"""
+
+
 QUERIES = {
     # relational
     "q1_pricing_summary": q1_pricing_summary,
@@ -10260,6 +10688,13 @@ QUERIES = {
     "event_transition_matrix": event_transition_matrix,
     "media_thumbnails": media_thumbnails,
     "orders_dow_volume": orders_dow_volume,
+    # round-13 additions
+    "lineitem_skyline": lineitem_skyline,
+    "user_state_scd2": user_state_scd2,
+    "part_copurchase_bfs": part_copurchase_bfs,
+    "events_rolling_median": events_rolling_median,
+    "event_value_autocorr": event_value_autocorr,
+    "sorted_neighborhood_pairs": sorted_neighborhood_pairs,
 }
 
 ORACLE_SQL = {
@@ -10468,4 +10903,11 @@ ORACLE_SQL = {
     "neardup_simhash_docs": NEARDUP_SIMHASH_SQL,
     "doc_winnow_selection": WINNOW_SELECTION_SQL,
     "orders_dow_volume": DOW_SQL,
+    # round-13 additions
+    "lineitem_skyline": SKYLINE_SQL,
+    "user_state_scd2": SCD2_SQL,
+    "part_copurchase_bfs": BFS_SQL,
+    "events_rolling_median": ROLLING_MEDIAN_SQL,
+    "event_value_autocorr": AUTOCORR_SQL,
+    "sorted_neighborhood_pairs": SORTED_NEIGHBORHOOD_SQL,
 }
