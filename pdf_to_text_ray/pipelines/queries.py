@@ -416,19 +416,26 @@ FROM events GROUP BY event_type
 
 def distinct_user_event_pairs(sf_dir: str):
     """Multi-column distinct: per-batch drop_duplicates pre-reduction,
-    then one groupby over the already-small pair set."""
-    from ray.data.aggregate import Count
+    then ONE hash-bucket exchange with a vectorized per-bucket
+    drop_duplicates — not ``groupby().aggregate()``, whose sort
+    aggregate walks every distinct pair group at Python speed
+    (measured 16 s vs <1 s on the same exchange at sf0.1)."""
+    from ..stages.groups import bucketed_group_apply
 
     ds = _read(sf_dir, "events", ["user_id", "event_type"])
     pre = ds.map_batches(
-        lambda b: b.drop_duplicates(["user_id", "event_type"]),
-        batch_format="pandas",
+        lambda t: pa.Table.from_pandas(
+            t.to_pandas().drop_duplicates(["user_id", "event_type"]),
+            preserve_index=False),
+        batch_format="pyarrow",
     )
-    out = pre.groupby(["user_id", "event_type"]).aggregate(Count(alias_name="_n"))
-    return out.map_batches(
-        lambda b: b[["user_id", "event_type"]].astype({"user_id": "int64"}),
-        batch_format="pandas",
-    )
+
+    def dedupe(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.drop_duplicates(["user_id", "event_type"])
+        return out.astype({"user_id": "int64"})
+
+    return bucketed_group_apply(pre, ["user_id", "event_type"], dedupe,
+                                num_buckets=16)
 
 
 DISTINCT_PAIRS_SQL = "SELECT DISTINCT user_id, event_type FROM events"
@@ -5395,7 +5402,15 @@ def customer_supplier_pagerank(sf_dir: str):
     j = bucketed_hash_join(li, orders, on="o_orderkey",
                            left_cols=["l_suppkey"],
                            right_cols=["o_custkey"])
-    pairs = j.groupby(["o_custkey", "l_suppkey"]).count()
+    # distinct via one bucketed exchange + vectorized drop_duplicates
+    # (Ray's sort aggregate walks the ~|pairs| one-row groups at
+    # Python speed)
+    from ..stages.groups import bucketed_group_apply
+
+    pairs = bucketed_group_apply(
+        j, "o_custkey",
+        lambda df: df.drop_duplicates(["o_custkey", "l_suppkey"]),
+        num_buckets=16)
 
     def to_edges(t: pa.Table) -> pa.Table:
         c = t["o_custkey"].to_numpy(zero_copy_only=False) * 2
@@ -6729,7 +6744,6 @@ def q2_min_cost_supplier(sf_dir: str):
     the catalog (|part|×|supplier| pairs, dimension tables) and
     finishes driver-side. The equality filter compares mins produced
     from identical IEEE divisions, so both engines agree exactly."""
-    from ray.data.aggregate import Min
 
     def pair_min(t: pa.Table) -> pa.Table:
         unit = (t["l_extendedprice"].to_numpy(zero_copy_only=False)
@@ -6741,12 +6755,20 @@ def q2_min_cost_supplier(sf_dir: str):
         return arrow_out(part.groupby(["p_partkey", "s_suppkey"],
                                       as_index=False).min())
 
-    cost = (_lineitem(sf_dir, ["l_partkey", "l_suppkey",
-                               "l_extendedprice", "l_quantity"])
-            .map_batches(pair_min, batch_format="pyarrow")
-            .groupby(["p_partkey", "s_suppkey"])
-            .aggregate(Min("unit_cost", alias_name="unit_cost"))
-            .to_pandas())
+    from ..stages.groups import bucketed_group_apply
+
+    def bucket_min(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["p_partkey", "s_suppkey"],
+                          as_index=False)["unit_cost"].min()
+
+    # grouped Min via one bucketed exchange + vectorized per-bucket
+    # reduce — Ray's sort aggregate walks the ~|part×supp| one-row
+    # groups at Python speed (was 10 s of the query's 11.8 at sf0.1)
+    cost = bucketed_group_apply(
+        _lineitem(sf_dir, ["l_partkey", "l_suppkey",
+                           "l_extendedprice", "l_quantity"])
+        .map_batches(pair_min, batch_format="pyarrow"),
+        "p_partkey", bucket_min, num_buckets=16).to_pandas()
 
     nation = _read(sf_dir, "nation",
                    ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
@@ -10448,6 +10470,283 @@ ORDER BY doc_a, doc_b
 """
 
 
+def event_value_boxplot(sf_dir: str):
+    """Tukey boxplot statistics per group — q1/median/q3/IQR, the
+    whiskers (most extreme values INSIDE the 1.5·IQR fences), and the
+    outlier count. Two passes: exact grouped quantiles (holistic →
+    one hash-bucket shuffle), then the tiny fence table broadcasts
+    and one vectorized scan reduces per-type (whisker_lo, whisker_hi,
+    n_outliers) partials — the full column never re-shuffles."""
+    import ray
+
+    from ..stages.groups import bucketed_group_apply
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def quart(g: pd.DataFrame) -> pd.DataFrame:
+        qt = (g.groupby("event_type", sort=False)["value"]
+              .quantile([0.25, 0.5, 0.75], interpolation="linear")
+              .unstack())
+        return pd.DataFrame({
+            "event_type": qt.index.to_numpy(),
+            "q1": qt[0.25].to_numpy(),
+            "median": qt[0.5].to_numpy(),
+            "q3": qt[0.75].to_numpy()})
+
+    q = (bucketed_group_apply(ds, "event_type", quart, num_buckets=8)
+         .to_pandas())
+    q["iqr"] = q["q3"] - q["q1"]
+    q["lo_fence"] = q["q1"] - 1.5 * q["iqr"]
+    q["hi_fence"] = q["q3"] + 1.5 * q["iqr"]
+    fences = ray.put(q.set_index("event_type")[["lo_fence", "hi_fence"]])
+
+    def fence_partial(t: pa.Table) -> pa.Table:
+        f = ray.get(fences)
+        df = pd.DataFrame({
+            "event_type": t["event_type"].to_pandas(),
+            "value": t["value"].to_numpy(zero_copy_only=False)})
+        df = df.join(f, on="event_type")
+        inside = ((df["value"] >= df["lo_fence"])
+                  & (df["value"] <= df["hi_fence"]))
+        agg = (df.assign(v_in=df["value"].where(inside),
+                         is_out=(~inside).astype("int64"))
+               .groupby("event_type", as_index=False)
+               .agg(whisker_lo=("v_in", "min"),
+                    whisker_hi=("v_in", "max"),
+                    n_outliers=("is_out", "sum")))
+        return arrow_out(agg)
+
+    parts = (ds.map_batches(fence_partial, batch_format="pyarrow")
+             .to_pandas())
+    w = parts.groupby("event_type", as_index=False).agg(
+        whisker_lo=("whisker_lo", "min"), whisker_hi=("whisker_hi", "max"),
+        n_outliers=("n_outliers", "sum"))
+    out = q.merge(w, on="event_type")
+    for c in ("q1", "median", "q3", "iqr", "whisker_lo", "whisker_hi"):
+        out[c] = round2(out[c])
+    out["n_outliers"] = out["n_outliers"].astype("int64")
+    cols = ["event_type", "q1", "median", "q3", "iqr",
+            "whisker_lo", "whisker_hi", "n_outliers"]
+    return out[cols].sort_values("event_type").reset_index(drop=True)
+
+
+BOXPLOT_SQL = """
+WITH q AS (
+  SELECT event_type,
+         quantile_cont(value, 0.25) AS q1,
+         quantile_cont(value, 0.50) AS med,
+         quantile_cont(value, 0.75) AS q3
+  FROM events GROUP BY event_type),
+f AS (
+  SELECT event_type, q1, med, q3, q3 - q1 AS iqr,
+         q1 - 1.5 * (q3 - q1) AS lo_fence,
+         q3 + 1.5 * (q3 - q1) AS hi_fence
+  FROM q)
+SELECT f.event_type,
+       round(q1, 2) AS q1, round(med, 2) AS median,
+       round(q3, 2) AS q3, round(iqr, 2) AS iqr,
+       round(min(CASE WHEN e.value >= lo_fence THEN e.value END), 2)
+         AS whisker_lo,
+       round(max(CASE WHEN e.value <= hi_fence THEN e.value END), 2)
+         AS whisker_hi,
+       count(CASE WHEN e.value < lo_fence OR e.value > hi_fence
+                  THEN 1 END)::BIGINT AS n_outliers
+FROM f JOIN events e ON e.event_type = f.event_type
+GROUP BY f.event_type, q1, med, q3, iqr
+ORDER BY f.event_type
+"""
+
+
+def event_user_chisq(sf_dir: str):
+    """χ² test of independence between event_type and a derived user
+    cohort (user_id mod 3): ONE distributed contingency-table count
+    (the only exchange — |types|·|cohorts| cells), expected counts and
+    the statistic assembled from the tiny table. The
+    feature-vs-label dependence screen for dataset curation."""
+    from ray.data.aggregate import Count
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def cohorted(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"event_type": t["event_type"],
+                         "cohort": pa.array(u % 3, pa.int64())})
+
+    cells = (ev.map_batches(cohorted, batch_format="pyarrow")
+             .groupby(["event_type", "cohort"])
+             .aggregate(Count(alias_name="n")).to_pandas())
+    pivot = (cells.pivot_table(index="event_type", columns="cohort",
+                               values="n", fill_value=0,
+                               aggfunc="sum").astype("float64"))
+    o = pivot.to_numpy()
+    row = o.sum(axis=1, keepdims=True)
+    col = o.sum(axis=0, keepdims=True)
+    e = row @ col / o.sum()
+    chi2 = float(((o - e) ** 2 / e).sum())
+    dof = (o.shape[0] - 1) * (o.shape[1] - 1)
+    return pd.DataFrame({"chi2": [round(chi2, 6)],
+                         "dof": [np.int64(dof)]})
+
+
+CHISQ_SQL = """
+WITH c AS (
+  SELECT event_type, user_id % 3 AS cohort, count(*)::DOUBLE AS n
+  FROM events GROUP BY event_type, cohort),
+keys AS (SELECT DISTINCT event_type FROM events),
+coh AS (SELECT DISTINCT user_id % 3 AS cohort FROM events),
+grid AS (
+  SELECT k.event_type, h.cohort, coalesce(c.n, 0) AS n
+  FROM keys k CROSS JOIN coh h
+  LEFT JOIN c ON c.event_type = k.event_type AND c.cohort = h.cohort),
+tot AS (SELECT sum(n) AS t FROM grid),
+m AS (
+  SELECT event_type, cohort, n,
+         sum(n) OVER (PARTITION BY event_type) AS row_n,
+         sum(n) OVER (PARTITION BY cohort) AS col_n
+  FROM grid)
+SELECT round(sum((n - row_n * col_n / t) ^ 2 / (row_n * col_n / t)),
+             6) AS chi2,
+       ((count(DISTINCT event_type) - 1)
+        * (count(DISTINCT cohort) - 1))::BIGINT AS dof
+FROM m, tot
+"""
+
+
+def lineitem_price_outliers(sf_dir: str):
+    """Model-based anomaly detection: per returnflag, OLS of
+    extendedprice on quantity from ONE pass of mergeable raw moments
+    (n, Σx, Σy, Σxy, Σx², Σy² — six scalars per group), residual σ in
+    closed form from the same moments, then a second vectorized scan
+    counts rows with |residual| > 2σ against the broadcast (slope,
+    intercept, σ) table. No row-level data ever gathers."""
+    import ray
+
+    li = _lineitem(sf_dir, ["l_returnflag", "l_quantity",
+                            "l_extendedprice"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "f": t["l_returnflag"].to_pandas(),
+            "x": t["l_quantity"].to_numpy(zero_copy_only=False),
+            "y": t["l_extendedprice"].to_numpy(zero_copy_only=False)})
+        df["xy"] = df["x"] * df["y"]
+        df["xx"] = df["x"] ** 2
+        df["yy"] = df["y"] ** 2
+        return arrow_out(df.groupby("f", as_index=False).agg(
+            n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+            sxy=("xy", "sum"), sxx=("xx", "sum"), syy=("yy", "sum")))
+
+    m = (li.map_batches(moments, batch_format="pyarrow").to_pandas()
+         .groupby("f", as_index=False).sum())
+    n, sx, sy = m["n"], m["sx"], m["sy"]
+    sxy, sxx, syy = m["sxy"], m["sxx"], m["syy"]
+    slope = (n * sxy - sx * sy) / (n * sxx - sx ** 2)
+    intercept = (sy - slope * sx) / n
+    # Σ resid² = Σy² − 2aΣy − 2bΣxy + na² + 2abΣx + b²Σx²
+    ss = (syy - 2 * intercept * sy - 2 * slope * sxy
+          + n * intercept ** 2 + 2 * intercept * slope * sx
+          + slope ** 2 * sxx)
+    sigma = np.sqrt(ss / (n - 1))
+    model = pd.DataFrame({"f": m["f"], "slope": slope,
+                          "intercept": intercept, "sigma": sigma})
+    mref = ray.put(model.set_index("f"))
+
+    def count_out(t: pa.Table) -> pa.Table:
+        mm = ray.get(mref)
+        df = pd.DataFrame({
+            "f": t["l_returnflag"].to_pandas(),
+            "x": t["l_quantity"].to_numpy(zero_copy_only=False),
+            "y": t["l_extendedprice"].to_numpy(zero_copy_only=False)})
+        df = df.join(mm, on="f")
+        resid = df["y"] - (df["intercept"] + df["slope"] * df["x"])
+        df["is_out"] = (resid.abs() > 2 * df["sigma"]).astype("int64")
+        return arrow_out(df.groupby("f", as_index=False).agg(
+            n_outliers=("is_out", "sum"), n=("is_out", "size")))
+
+    cnt = (li.map_batches(count_out, batch_format="pyarrow").to_pandas()
+           .groupby("f", as_index=False).sum())
+    out = model.merge(cnt, on="f").rename(columns={"f": "l_returnflag"})
+    # round(4): the raw-moment closed form and DuckDB's stable
+    # single-pass stddev agree to ~1e-6 absolute at Σy² ≈ 1e14 — the
+    # 6th decimal is inside the cancellation noise, the 4th is not
+    out["slope"] = out["slope"].round(4)
+    out["intercept"] = out["intercept"].round(4)
+    out["sigma"] = out["sigma"].round(4)
+    out["n_outliers"] = out["n_outliers"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return (out[["l_returnflag", "slope", "intercept", "sigma",
+                 "n_outliers", "n"]]
+            .sort_values("l_returnflag").reset_index(drop=True))
+
+
+PRICE_OUTLIERS_SQL = """
+WITH mdl AS (
+  SELECT l_returnflag,
+         regr_slope(l_extendedprice, l_quantity) AS slope,
+         regr_intercept(l_extendedprice, l_quantity) AS intercept
+  FROM lineitem GROUP BY l_returnflag),
+sig AS (
+  SELECT l.l_returnflag, m.slope, m.intercept,
+         stddev_samp(l.l_extendedprice
+                     - (m.intercept + m.slope * l.l_quantity)) AS sigma
+  FROM lineitem l JOIN mdl m USING (l_returnflag)
+  GROUP BY l.l_returnflag, m.slope, m.intercept)
+SELECT s.l_returnflag,
+       round(s.slope, 4) AS slope,
+       round(s.intercept, 4) AS intercept,
+       round(s.sigma, 4) AS sigma,
+       count(CASE WHEN abs(l.l_extendedprice
+                           - (s.intercept + s.slope * l.l_quantity))
+                       > 2 * s.sigma THEN 1 END)::BIGINT AS n_outliers,
+       count(*)::BIGINT AS n
+FROM sig s JOIN lineitem l USING (l_returnflag)
+GROUP BY s.l_returnflag, s.slope, s.intercept, s.sigma
+ORDER BY s.l_returnflag
+"""
+
+
+def events_key_skew_profile(sf_dir: str):
+    """Shuffle-skew profiler — the planning signal behind every
+    salting/bucketing decision in this repo: per-key counts (ONE
+    pre-aggregated groupby, the only exchange) reduce to the key
+    distribution's Gini coefficient, Shannon entropy (bits), top-key
+    share, and key count. Output is one row at any corpus size."""
+    from ray.data.aggregate import Count
+
+    ev = _read(sf_dir, "events", ["event_type"])
+    c = (ev.groupby("event_type").aggregate(Count(alias_name="n"))
+         .to_pandas())
+    x = np.sort(c["n"].to_numpy().astype("float64"))
+    n = len(x)
+    tot = x.sum()
+    gini = (2 * np.sum(np.arange(1, n + 1) * x)) / (n * tot) \
+        - (n + 1) / n
+    p = x / tot
+    entropy = float(-(p * np.log2(p)).sum())
+    return pd.DataFrame({
+        "n_keys": [np.int64(n)],
+        "gini": [round(float(gini), 6)],
+        "entropy_bits": [round(entropy, 6)],
+        "top_share": [round(float(x[-1] / tot), 6)]})
+
+
+KEY_SKEW_SQL = """
+WITH c AS (
+  SELECT event_type, count(*)::DOUBLE AS n FROM events
+  GROUP BY event_type),
+r AS (
+  SELECT n, row_number() OVER (ORDER BY n) AS i,
+         count(*) OVER () AS k, sum(n) OVER () AS tot
+  FROM c)
+SELECT max(k)::BIGINT AS n_keys,
+       round(2 * sum(i * n) / (max(k) * max(tot))
+             - (max(k) + 1.0) / max(k), 6) AS gini,
+       round(-sum((n / tot) * log2(n / tot)), 6) AS entropy_bits,
+       round(max(n) / max(tot), 6) AS top_share
+FROM r
+"""
+
+
 QUERIES = {
     # relational
     "q1_pricing_summary": q1_pricing_summary,
@@ -10695,6 +10994,10 @@ QUERIES = {
     "events_rolling_median": events_rolling_median,
     "event_value_autocorr": event_value_autocorr,
     "sorted_neighborhood_pairs": sorted_neighborhood_pairs,
+    "event_value_boxplot": event_value_boxplot,
+    "event_user_chisq": event_user_chisq,
+    "lineitem_price_outliers": lineitem_price_outliers,
+    "events_key_skew_profile": events_key_skew_profile,
 }
 
 ORACLE_SQL = {
@@ -10910,4 +11213,8 @@ ORACLE_SQL = {
     "events_rolling_median": ROLLING_MEDIAN_SQL,
     "event_value_autocorr": AUTOCORR_SQL,
     "sorted_neighborhood_pairs": SORTED_NEIGHBORHOOD_SQL,
+    "event_value_boxplot": BOXPLOT_SQL,
+    "event_user_chisq": CHISQ_SQL,
+    "lineitem_price_outliers": PRICE_OUTLIERS_SQL,
+    "events_key_skew_profile": KEY_SKEW_SQL,
 }

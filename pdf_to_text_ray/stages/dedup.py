@@ -1011,18 +1011,35 @@ def editdist_neardup_pairs(ds, *, key_col: str = "doc_id",
 # blocking + text verification, so the result is collision-exact.
 
 
+_SPAN_BASE = np.uint64(1099511628211)  # FNV prime (odd → unit mod 2^64)
+_SPAN_BASE_INV = np.uint64(pow(1099511628211, -1, 1 << 64))
+
+
 def _char_window_hashes(text: str, L: int) -> np.ndarray:
     """64-bit polynomial hashes of every L-CODEPOINT window (stride 1).
     Codepoint-level — not UTF-8 bytes — so window boundaries match SQL
-    ``substr`` / Python slicing on non-ASCII text."""
-    from .analysis import _poly_powers
+    ``substr`` / Python slicing on non-ASCII text.
 
+    O(n) prefix-scan formulation (was an O(n·L) sliding-window
+    multiply-add — 50× the work at L=50, the whole cost of
+    span_dedup at sf0.1): the base is odd, hence invertible mod 2^64,
+    so with P_k = Σ_{j<k} c_j·b⁻ʲ every window hash is
+    (P_{i+L} − P_i)·b^{i+L−1} — three cumulative passes over the
+    codepoints, bit-identical to the windowed sum."""
     codes = np.frombuffer((text or "").encode("utf-32-le"), dtype=np.uint32)
-    if len(codes) < L:
+    n = len(codes)
+    if n < L:
         return np.empty(0, np.uint64)
-    win = np.lib.stride_tricks.sliding_window_view(codes, L).astype(np.uint64)
     with np.errstate(over="ignore"):
-        return (win * _poly_powers(L)).sum(axis=1, dtype=np.uint64)
+        binv = np.full(n, _SPAN_BASE_INV, np.uint64)
+        binv[0] = 1
+        binv_pows = np.cumprod(binv)              # b^-j, j = 0..n-1
+        b = np.full(n, _SPAN_BASE, np.uint64)
+        b[0] = 1
+        b_pows = np.cumprod(b)                    # b^j,  j = 0..n-1
+        pref = np.zeros(n + 1, np.uint64)
+        np.cumsum(codes.astype(np.uint64) * binv_pows, out=pref[1:])
+        return (pref[L:] - pref[:n - L + 1]) * b_pows[L - 1:]
 
 
 def span_dup_candidate_hashes(ds, *, text_col: str = "text", L: int = 50,
@@ -1031,9 +1048,14 @@ def span_dup_candidate_hashes(ds, *, text_col: str = "text", L: int = 50,
 
     Per-batch ``np.unique`` partials mean the shuffle carries one
     (hash, count) row per DISTINCT hash per batch — never the text,
-    never one row per window."""
+    never one row per window. The merge is a bucketed exchange with a
+    vectorized per-bucket sum+filter, NOT ``groupby().aggregate()`` —
+    Ray's sort aggregate walks the millions of one-row hash groups at
+    Python speed (measured 26 s vs 1 s for the same exchange at
+    sf0.1)."""
     import pyarrow as pa
-    from ray.data.aggregate import Sum
+
+    from .groups import bucketed_group_apply
 
     def partial(t: pa.Table) -> pa.Table:
         hs = [_char_window_hashes(x, L) for x in t[text_col].to_pylist()]
@@ -1042,11 +1064,13 @@ def span_dup_candidate_hashes(ds, *, text_col: str = "text", L: int = 50,
         return pa.table({"gh": pa.array(u, pa.uint64()),
                          "n": pa.array(c.astype(np.int64), pa.int64())})
 
-    agg = (ds.map_batches(partial, batch_format="pyarrow")
-           .groupby("gh").aggregate(Sum("n", alias_name="n")))
-    return agg.map_batches(
-        lambda t: t.filter(pc.greater_equal(t["n"], pa.scalar(min_count))),
-        batch_format="pyarrow")
+    def bucket_sum(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("gh", as_index=False)["n"].sum()
+        return g[g["n"] >= min_count]
+
+    return bucketed_group_apply(
+        ds.map_batches(partial, batch_format="pyarrow"), "gh",
+        bucket_sum, num_buckets=32)
 
 
 def span_dedup(ds, *, key_col: str = "doc_id", text_col: str = "text",
@@ -1070,7 +1094,8 @@ def span_dedup(ds, *, key_col: str = "doc_id", text_col: str = "text",
     """
     import pyarrow as pa
     import ray
-    from ray.data.aggregate import Sum
+
+    from .groups import bucketed_group_apply
 
     cand = span_dup_candidate_hashes(
         ds, text_col=text_col, L=L, min_count=min_count).to_pandas()
@@ -1098,11 +1123,14 @@ def span_dedup(ds, *, key_col: str = "doc_id", text_col: str = "text",
         return pa.table({"gram": pa.array(list(counts), pa.string()),
                          "n": pa.array(list(counts.values()), pa.int64())})
 
-    verified = (ds.map_batches(gram_partial, batch_format="pyarrow")
-                .groupby("gram").aggregate(Sum("n", alias_name="n"))
-                .to_pandas())
-    dup_grams = frozenset(
-        verified.loc[verified["n"] >= min_count, "gram"]) if len(verified) \
+    def gram_sum(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("gram", as_index=False)["n"].sum()
+        return g[g["n"] >= min_count]
+
+    verified = bucketed_group_apply(
+        ds.map_batches(gram_partial, batch_format="pyarrow"), "gram",
+        gram_sum, num_buckets=16).to_pandas()
+    dup_grams = frozenset(verified["gram"]) if len(verified) \
         else frozenset()
     ver_ref = ray.put(dup_grams)
 

@@ -11,6 +11,10 @@ import pyarrow.parquet as pq
 import pytest
 
 from pdf_to_text_ray.pipelines.queries import (
+    event_user_chisq,
+    event_value_boxplot,
+    events_key_skew_profile,
+    lineitem_price_outliers,
     _batch_levenshtein,
     _skyline2d,
     _sn_keys,
@@ -209,3 +213,95 @@ def test_lineitem_skyline_small(ray_session, tmp_path):
     # (5,1) cheapest; (10,7) beats (10,3); (20,9) max qty; (30,9) dominated
     assert list(zip(out["price"], out["qty"])) == [
         (5.0, 1.0), (10.0, 7.0), (20.0, 9.0)]
+
+
+# ── analytics quartet ─────────────────────────────────────────────────
+
+def test_event_value_boxplot_hand_computed(ray_session, tmp_path):
+    # one type, values 1..12 plus a 100.0 outlier
+    vals = [float(v) for v in range(1, 13)] + [100.0]
+    d = _write_events(tmp_path, users=[1] * 13, types=["x"] * 13,
+                      values=vals)
+    out = event_value_boxplot(d)
+    assert len(out) == 1
+    r = out.iloc[0]
+    s = pd.Series(vals)
+    q1, med, q3 = s.quantile([0.25, 0.5, 0.75])
+    iqr = q3 - q1
+    assert r["q1"] == round(q1, 2) and r["median"] == round(med, 2)
+    assert r["iqr"] == round(iqr, 2)
+    inside = s[(s >= q1 - 1.5 * iqr) & (s <= q3 + 1.5 * iqr)]
+    assert r["whisker_lo"] == inside.min()
+    assert r["whisker_hi"] == inside.max()
+    assert r["n_outliers"] == 1  # the 100.0
+
+
+def test_event_user_chisq_independent(ray_session, tmp_path):
+    # perfectly balanced design → chi2 == 0
+    users, types = [], []
+    for u in range(6):
+        for t in ("a", "b"):
+            users.append(u)
+            types.append(t)
+    d = _write_events(tmp_path, users=users, types=types,
+                      values=[0.0] * len(users))
+    out = event_user_chisq(d)
+    assert out["chi2"].tolist() == [0.0]
+    assert out["dof"].tolist() == [(2 - 1) * (3 - 1)]
+
+
+def test_lineitem_price_outliers_planted(ray_session, tmp_path):
+    # y = 10x + noise(0) for flag A, with two planted gross outliers
+    rng = np.random.default_rng(5)
+    x = rng.uniform(1, 50, 400)
+    y = 10.0 * x + rng.normal(0, 5.0, 400)
+    y[10] += 500.0
+    y[20] -= 500.0
+    t = pa.table({
+        "l_returnflag": pa.array(["A"] * 400, pa.string()),
+        "l_quantity": pa.array(x, pa.float64()),
+        "l_extendedprice": pa.array(y, pa.float64()),
+    })
+    pq.write_table(t, tmp_path / "lineitem.parquet")
+    out = lineitem_price_outliers(str(tmp_path))
+    r = out.iloc[0]
+    assert abs(r["slope"] - 10.0) < 0.5
+    assert r["n"] == 400
+    assert r["n_outliers"] >= 2  # the planted pair must be flagged
+
+
+def test_events_key_skew_profile_uniform_vs_skewed(ray_session,
+                                                   tmp_path):
+    d = _write_events(tmp_path, users=[1] * 8,
+                      types=["a", "b", "c", "d"] * 2,
+                      values=[0.0] * 8)
+    out = events_key_skew_profile(d)
+    r = out.iloc[0]
+    assert r["n_keys"] == 4
+    assert r["gini"] == 0.0          # perfectly uniform
+    assert r["entropy_bits"] == 2.0  # log2(4)
+    assert r["top_share"] == 0.25
+
+    d2 = _write_events(tmp_path, users=[1] * 8,
+                       types=["a"] * 7 + ["b"],
+                       values=[0.0] * 8)
+    out2 = events_key_skew_profile(d2)
+    r2 = out2.iloc[0]
+    assert r2["gini"] > 0.3 and r2["top_share"] == 0.875
+
+
+def test_triangle_closure_paths_agree(ray_session):
+    """broadcast and join closure modes count identically on a random
+    graph (the auto switch must never change the answer)."""
+    import ray.data as rd
+
+    from pdf_to_text_ray.stages.graph import triangle_count
+
+    rng = np.random.default_rng(17)
+    e = pd.DataFrame({"u": rng.integers(0, 40, 400),
+                      "v": rng.integers(0, 40, 400)})
+    nb = triangle_count(rd.from_pandas(e), num_buckets=4,
+                        closure="broadcast")["n_triangles"].iloc[0]
+    nj = triangle_count(rd.from_pandas(e), num_buckets=4,
+                        closure="join")["n_triangles"].iloc[0]
+    assert int(nb) == int(nj) > 0
