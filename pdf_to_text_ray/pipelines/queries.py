@@ -1236,14 +1236,30 @@ def event_props_k_stats(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_type", "props"])
 
     def parse(t: pa.Table) -> pd.DataFrame:
-        ks = []
-        for p in t["props"].to_pylist():
-            try:
-                ks.append(float(json.loads(p or "{}").get("k", 0)))
-            except (ValueError, TypeError):
-                ks.append(0.0)
+        # vectorized fast path for the flat {"k": <number>} shape (one
+        # compiled-regex extract over the batch); rows with any other
+        # JSON shape fall back to a real json.loads — semantics
+        # identical, the per-row parser loop only runs on the rare tail
+        s = t["props"].to_pandas().fillna("")
+        k = pd.to_numeric(
+            s.str.extract(
+                r'^\{"k":\s*(-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)\s*\}$',
+                expand=False),
+            errors="coerce")
+        miss = k.isna().to_numpy()
+        if miss.any():
+            vals = []
+            for p in s.to_numpy()[miss]:
+                try:
+                    vals.append(float(json.loads(p or "{}").get("k", 0)))
+                except (ValueError, TypeError):
+                    vals.append(0.0)
+            k = k.to_numpy()
+            k[miss] = vals
+        else:
+            k = k.to_numpy()
         return pd.DataFrame({
-            "event_type": t["event_type"].to_pylist(), "k": ks})
+            "event_type": t["event_type"].to_pandas(), "k": k})
 
     out = (
         ds.map_batches(parse, batch_format="pyarrow")
@@ -3005,16 +3021,24 @@ def q18_large_orders(sf_dir: str):
     surviving key set is tiny → broadcast-joined to orders/customer."""
     import ray
 
-    from ray.data.aggregate import Sum
+    from ..stages.groups import bucketed_group_apply
 
-    big = (
+    def qty_partial(t: pa.Table) -> pa.Table:
+        b = pd.DataFrame({
+            "l_orderkey": t["l_orderkey"].to_numpy(zero_copy_only=False),
+            "sum_qty": t["l_quantity"].to_numpy(zero_copy_only=False)})
+        return arrow_out(b.groupby("l_orderkey", as_index=False).sum())
+
+    # per-order Sum + HAVING via one bucketed exchange of per-batch
+    # partials — |orders| one-row groups hit Ray's Python-speed sort
+    # aggregate otherwise
+    big = bucketed_group_apply(
         _lineitem(sf_dir, ["l_orderkey", "l_quantity"])
-        .groupby("l_orderkey")
-        .aggregate(Sum("l_quantity", alias_name="sum_qty"))
-        .map_batches(lambda b: b[b["sum_qty"] > 150.0],
-                     batch_format="pandas")
-        .to_pandas()
-    )
+        .map_batches(qty_partial, batch_format="pyarrow"),
+        "l_orderkey",
+        lambda df: df.groupby("l_orderkey", as_index=False).sum()
+        .query("sum_qty > 150.0"),
+        num_buckets=16).to_pandas()
     big_ref = ray.put(dict(zip(big["l_orderkey"], big["sum_qty"])))
 
     def attach(b: pd.DataFrame) -> pd.DataFrame:
@@ -3813,10 +3837,17 @@ def q4_order_priority(sf_dir: str):
         return arrow_out(b.groupby("o_orderkey", as_index=False)
                          .agg(ship_ns=("ship_ns", "max")))
 
-    maxship = (_lineitem(sf_dir, ["l_orderkey", "l_shipdate"])
-               .map_batches(ship_partial, batch_format="pyarrow")
-               .groupby("o_orderkey")
-               .aggregate(Max("ship_ns", alias_name="ship_ns")))
+    from ..stages.groups import bucketed_group_apply
+
+    # per-order max via a bucketed exchange + vectorized reduce —
+    # |orders| one-row groups hit Ray's Python-speed sort aggregate
+    maxship = bucketed_group_apply(
+        _lineitem(sf_dir, ["l_orderkey", "l_shipdate"])
+        .map_batches(ship_partial, batch_format="pyarrow"),
+        "o_orderkey",
+        lambda df: df.groupby("o_orderkey", as_index=False)
+        .agg(ship_ns=("ship_ns", "max")),
+        num_buckets=16)
 
     lo = pd.Timestamp("1996-01-01")
     hi = pd.Timestamp("1996-04-01")
@@ -6665,7 +6696,7 @@ def user_activity_rollup(sf_dir: str):
     windows [day, day+6]) → second (day, user) distinct → count;
     stickiness = dau/wau is int/int IEEE-exact. Day joins restrict to
     days that actually occur."""
-    from ray.data.aggregate import Count
+    from ..stages.groups import bucketed_group_apply, small_key_counts
 
     ds = _read(sf_dir, "events", ["ts", "user_id"])
 
@@ -6675,10 +6706,14 @@ def user_activity_rollup(sf_dir: str):
         out = pa.table({"day": day, "user_id": t["user_id"]})
         return out.group_by(["day", "user_id"]).aggregate([])
 
-    du = (ds.map_batches(pairs, batch_format="pyarrow")
-          .groupby(["day", "user_id"]).count()
-          .drop_columns(["count()"]))
-    dau = du.groupby("day").aggregate(Count(alias_name="dau")).to_pandas()
+    # distinct (day, user) via ONE bucketed exchange (bucketing on
+    # user co-locates every duplicate pair) + vectorized dedupe; day
+    # counts are small-domain partials — no sort aggregate anywhere
+    du = bucketed_group_apply(
+        ds.map_batches(pairs, batch_format="pyarrow"), "user_id",
+        lambda df: df.drop_duplicates(["day", "user_id"]),
+        num_buckets=16).materialize()  # scanned twice (dau + offsets)
+    dau = small_key_counts(du, "day", alias="dau")
 
     def offsets(t: pa.Table) -> pa.Table:
         day = t["day"].to_numpy(zero_copy_only=False)
@@ -6688,10 +6723,11 @@ def user_activity_rollup(sf_dir: str):
             "day": (day[:, None] + k[None, :]).ravel(),
             "user_id": np.repeat(uid, 7)})
 
-    wau = (du.map_batches(offsets, batch_format="pyarrow")
-           .groupby(["day", "user_id"]).count()
-           .groupby("day").aggregate(Count(alias_name="wau"))
-           .to_pandas())
+    wau_pairs = bucketed_group_apply(
+        du.map_batches(offsets, batch_format="pyarrow"), "user_id",
+        lambda df: df.drop_duplicates(["day", "user_id"]),
+        num_buckets=16)
+    wau = small_key_counts(wau_pairs, "day", alias="wau")
     out = dau.merge(wau, on="day")  # inner: only days with own activity
     out["stickiness"] = (out["dau"].to_numpy(dtype=np.float64)
                          / out["wau"].to_numpy(dtype=np.float64))
@@ -9373,9 +9409,14 @@ def events_windowed_dedup(sf_dir: str):
     duplicate only within its UTC hour — the crawl-recency variant of
     exact dedup where the same key is legitimate again later (re-crawl
     policies, rate-limited counters). Key = (user, type, hour bucket);
-    the groupby moves only key columns; survivors = earliest event_id
-    per key. Output: per event_type, survivor count vs raw count."""
-    from ray.data.aggregate import Count, Min, Sum
+    the exchange moves only key columns; survivors = earliest event_id
+    per key. Output: per event_type, survivor count vs raw count.
+
+    One bucketed exchange on user (every (user, type, hour) group is
+    bucket-local), per-bucket vectorized group count, reduced straight
+    to per-type partials — |keys| one-row groups would otherwise walk
+    Ray's Python-speed sort aggregate."""
+    from ..stages.groups import bucketed_group_apply
 
     ev = _read(sf_dir, "events", ["event_id", "user_id", "ts",
                                   "event_type"])
@@ -9388,14 +9429,16 @@ def events_windowed_dedup(sf_dir: str):
             "hour_b": pa.array(us // 3_600_000_000, pa.int64()),
         })
 
-    keyed = ev.map_batches(key, batch_format="pyarrow")
-    surv = (keyed.groupby(["user_id", "event_type", "hour_b"])
-            .aggregate(Min("event_id", alias_name="keep_id"),
-                       Count(alias_name="n_raw")))
-    out = (surv.groupby("event_type")
-           .aggregate(Count(alias_name="n_kept"),
-                      Sum("n_raw", alias_name="n_raw"))
-           .to_pandas())
+    def survivors(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["user_id", "event_type", "hour_b"])
+             .size().reset_index(name="n_raw"))
+        return (g.groupby("event_type", as_index=False)
+                .agg(n_kept=("n_raw", "size"), n_raw=("n_raw", "sum")))
+
+    parts = bucketed_group_apply(
+        ev.map_batches(key, batch_format="pyarrow"), "user_id",
+        survivors, num_buckets=16).to_pandas()
+    out = parts.groupby("event_type", as_index=False).sum()
     out["n_kept"] = out["n_kept"].astype("int64")
     out["n_raw"] = out["n_raw"].astype("int64")
     return out.sort_values("event_type").reset_index(drop=True)
@@ -9473,10 +9516,28 @@ def events_column_profile(sf_dir: str):
             {f"n::{c}": [t[c].null_count] for c in cols}
             | {"rows": [t.num_rows]}))
 
+    from ..stages.groups import bucketed_group_apply
+
     part = ds.map_batches(nulls, batch_format="pyarrow").to_pandas()
+
+    def distinct_count(col: str) -> int:
+        # per-batch unique partial → bucketed exchange → per-bucket
+        # nunique partial rows summed on the driver (one int per
+        # bucket) — never a sort aggregate over |distinct| groups
+        pre = _read(sf_dir, "events", [col]).map_batches(
+            lambda t, c=col: pa.table({c: pa.array(
+                pd.unique(t[c].to_pandas()))}),
+            batch_format="pyarrow")
+        parts = bucketed_group_apply(
+            pre, col,
+            lambda df, c=col: pd.DataFrame(
+                {"nd": [df[c].nunique(dropna=False)]}),
+            num_buckets=8).to_pandas()
+        return int(parts["nd"].sum())
+
     rows = []
     for c in cols:
-        nd = int(_read(sf_dir, "events", [c]).groupby(c).count().count())
+        nd = distinct_count(c)
         n_nulls = int(part[f"n::{c}"].sum())
         if n_nulls > 0:
             # SQL count(DISTINCT c) excludes NULL; the groupby counts
