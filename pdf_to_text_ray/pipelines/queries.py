@@ -6084,10 +6084,11 @@ FROM events GROUP BY 1 ORDER BY event_type
 
 def events_window_distinct_users(sf_dir: str):
     """Windowed COUNT DISTINCT (non-algebraic — needs the two-level
-    reduce): distinct (day, event_type, user) triples first (the wide
-    but payload-free shuffle), then the per-window distinct count over
-    the already-small grouped set."""
-    from ray.data.aggregate import Count
+    reduce): ONE bucketed exchange on user (every (type, day, user)
+    triple is bucket-local), per-bucket vectorized dedupe reduced
+    straight to (type, day, partial-distinct) rows — each window's
+    partials sum on the driver (bounded by |windows| × buckets)."""
+    from ..stages.groups import bucketed_group_apply
 
     ds = _read(sf_dir, "events", ["event_type", "ts", "user_id"])
 
@@ -6099,11 +6100,15 @@ def events_window_distinct_users(sf_dir: str):
         return pa.table({"event_type": t["event_type"], "day_us": day,
                          "user_id": t["user_id"]})
 
-    out = (ds.map_batches(bucket, batch_format="pyarrow")
-           .groupby(["event_type", "day_us", "user_id"]).count()
-           .groupby(["event_type", "day_us"])
-           .aggregate(Count(alias_name="n_users"))
-           .to_pandas())
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["event_type", "day_us", "user_id"])
+        return (d.groupby(["event_type", "day_us"])
+                .size().reset_index(name="n_users"))
+
+    parts = bucketed_group_apply(
+        ds.map_batches(bucket, batch_format="pyarrow"), "user_id",
+        per_bucket, num_buckets=16).to_pandas()
+    out = parts.groupby(["event_type", "day_us"], as_index=False).sum()
     out["n_users"] = out["n_users"].astype("int64")
     return (out.sort_values(["event_type", "day_us"])
             .reset_index(drop=True))
@@ -10808,6 +10813,60 @@ FROM r
 """
 
 
+def events_deletion_vectors(sf_dir: str):
+    """Positional deletion vectors (state/delvec.py — the Iceberg-v2
+    merge-on-read delete): events land as immutable parquet files, TWO
+    predicate deletes write per-file position bitmaps (the second
+    merges into the first, no data file rewritten), and the read
+    applies each file's vector in place. The aggregate proves the
+    surviving-row semantics; the oracle replays both predicates as a
+    WHERE NOT. Per-type partials merge on the driver (5 keys)."""
+    import shutil
+
+    import pyarrow.compute as _pc
+    import ray.data as rd
+
+    from ..state.delvec import delete_where, read_with_deletes
+
+    root = "/tmp/ptt_delvec_events"
+    shutil.rmtree(root, ignore_errors=True)
+    (rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                     override_num_blocks=8)
+     .write_parquet(root))
+
+    delete_where(root, lambda t: _pc.less(
+        t["value"], pa.scalar(10.0)).to_numpy(zero_copy_only=False),
+        columns=["value"])
+    delete_where(root, lambda t: (
+        t["event_id"].to_numpy(zero_copy_only=False) % 97 == 0),
+        columns=["event_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": t["event_type"].to_pandas(),
+            "value": t["value"].to_numpy(zero_copy_only=False)})
+        return arrow_out(df.groupby("event_type", as_index=False)
+                         .agg(n=("value", "size"),
+                              total_value=("value", "sum")))
+
+    parts = (read_with_deletes(root,
+                               columns=["event_type", "value"])
+             .map_batches(partial, batch_format="pyarrow").to_pandas())
+    out = parts.groupby("event_type", as_index=False).sum()
+    out["n"] = out["n"].astype("int64")
+    out["total_value"] = round2(out["total_value"])
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+DELETION_VECTORS_SQL = """
+SELECT event_type, count(*)::BIGINT AS n,
+       round(sum(value), 2) AS total_value
+FROM events
+WHERE NOT (value < 10.0 OR event_id % 97 = 0)
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     # relational
     "q1_pricing_summary": q1_pricing_summary,
@@ -11059,6 +11118,7 @@ QUERIES = {
     "event_user_chisq": event_user_chisq,
     "lineitem_price_outliers": lineitem_price_outliers,
     "events_key_skew_profile": events_key_skew_profile,
+    "events_deletion_vectors": events_deletion_vectors,
 }
 
 ORACLE_SQL = {
@@ -11278,4 +11338,5 @@ ORACLE_SQL = {
     "event_user_chisq": CHISQ_SQL,
     "lineitem_price_outliers": PRICE_OUTLIERS_SQL,
     "events_key_skew_profile": KEY_SKEW_SQL,
+    "events_deletion_vectors": DELETION_VECTORS_SQL,
 }

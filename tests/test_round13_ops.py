@@ -305,3 +305,42 @@ def test_triangle_closure_paths_agree(ray_session):
     nj = triangle_count(rd.from_pandas(e), num_buckets=4,
                         closure="join")["n_triangles"].iloc[0]
     assert int(nb) == int(nj) > 0
+
+
+def test_deletion_vectors_merge_and_purge(ray_session, tmp_path):
+    """Two deletes merge into one vector; purge rewrites files and
+    clears vectors without changing the visible rows."""
+    import ray.data as rd
+
+    from pdf_to_text_ray.state.delvec import (
+        delete_where,
+        purge_deletes,
+        read_with_deletes,
+    )
+
+    root = str(tmp_path / "tbl")
+    t = pa.table({"id": pa.array(range(100), pa.int64()),
+                  "v": pa.array([float(i % 10) for i in range(100)])})
+    rd.from_arrow(t).repartition(4).write_parquet(root)
+
+    n1 = delete_where(root, lambda b: b["v"].to_numpy() < 2.0,
+                      columns=["v"])
+    assert n1 == 20
+    # overlapping second delete: only the non-overlap counts as new
+    n2 = delete_where(
+        root, lambda b: b["id"].to_numpy(zero_copy_only=False) < 15,
+        columns=["id"])
+    assert 0 < n2 < 15
+    before = (read_with_deletes(root).to_pandas()
+              .sort_values("id").reset_index(drop=True))
+    assert set(before["id"]).isdisjoint(
+        {i for i in range(100) if i % 10 < 2 or i < 15})
+
+    assert purge_deletes(root) > 0
+    after = (read_with_deletes(root).to_pandas()
+             .sort_values("id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(before, after)
+    # vectors gone: a fresh read of the raw files matches too
+    raw = (rd.read_parquet(root).to_pandas()
+           .sort_values("id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(before, raw[before.columns.tolist()])
