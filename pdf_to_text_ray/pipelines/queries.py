@@ -49,19 +49,23 @@ def _blocks_for(path: str) -> int:
 
 
 def _lineitem(sf_dir: str, columns=None):
-    import ray.data as rd
-
-    path = os.path.join(sf_dir, "lineitem.parquet")
-    return rd.read_parquet(path, columns=columns,
-                           override_num_blocks=_blocks_for(path))
+    return _read(sf_dir, "lineitem", columns)
 
 
 def _read(sf_dir: str, name: str, columns=None):
     import ray.data as rd
 
+    from pdf_to_text_ray.stages.groups import _meta_free
+
     path = os.path.join(sf_dir, f"{name}.parquet")
-    return rd.read_parquet(path, columns=columns,
-                           override_num_blocks=_blocks_for(path))
+    # the testdata parquet carries a pandas metadata blob that makes
+    # block schemas unhashable — any aggregate/count/concat directly on
+    # the raw read then logs 'Failed to hash the schemas' per worker
+    # and defeats Ray's schema-dedup early exit. Strip it in a
+    # zero-copy map fused into the read.
+    return rd.read_parquet(
+        path, columns=columns, override_num_blocks=_blocks_for(path)
+    ).map_batches(_meta_free, batch_format="pyarrow")
 
 
 
@@ -10867,6 +10871,448 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+# ── round-14 additions: KMV intersection sketch, weighted SSSP,
+#    item-item recommender, hashed Naive Bayes ───────────────────────
+
+_KMV_K = 64
+_TWO64 = 18446744073709551616.0  # 2^64, exactly representable
+
+
+def kmv_user_overlap(sf_dir: str, k: int = _KMV_K):
+    """Theta/KMV set-INTERSECTION sketch (Beyer et al. 2007, Dasgupta
+    et al. 2016): the distinct-user overlap between the 'view' and
+    'purchase' audiences, estimated from mergeable k-minimum-values
+    sketches — the cross-set estimator HLL fundamentally cannot give
+    (HLL only merges unions; inclusion-exclusion compounds error).
+    Hashes are the first 16 md5 hex digits of the user id (the
+    engine-portable hash the SimHash oracle already uses), so the
+    ENTIRE estimator — k-min selection, θ = min(θ_a, θ_b), overlap =
+    |{h < θ in both}|·2⁶⁴/θ — replays exactly in SQL. Every batch
+    contributes at most k hashes per audience (a global k-minimum is
+    necessarily a batch k-minimum), so the exchange is payload-free
+    and the driver merge is bounded by k·types·blocks no matter the
+    corpus size. An audience with fewer than k distinct users degrades
+    to exact mode (θ = 2⁶⁴); both modes replay in the oracle, so the
+    sf0.001 (exact) and sf0.01 (estimating) gates exercise both."""
+    from ..stages.dedup import _md5_token_hashes
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    types = ("view", "purchase")
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+            "event_type": t["event_type"].to_pandas()})
+        df = df[df["event_type"].isin(types)].drop_duplicates()
+        frames = []
+        for et, g in df.groupby("event_type", sort=False):
+            h = np.unique(_md5_token_hashes(
+                g["user_id"].astype(str).to_numpy()))
+            frames.append(pd.DataFrame({"event_type": et, "h": h[:k]}))
+        if not frames:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "h": pa.array([], pa.uint64())})
+        return arrow_out(pd.concat(frames, ignore_index=True))
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+
+    sk = {}
+    for et in types:
+        h = np.unique(parts.loc[parts["event_type"] == et, "h"]
+                      .to_numpy(dtype=np.uint64))
+        sk[et] = h[:k]  # sorted ascending → global k smallest
+
+    def estimate(h: np.ndarray):
+        if len(h) >= k:
+            theta = int(h[k - 1])  # θ = h_(k); k-1 distinct hashes below
+            return (k - 1) * _TWO64 / float(theta), theta
+        return float(len(h)), None  # exact mode: sketch IS the set
+
+    est_v, th_v = estimate(sk["view"])
+    est_p, th_p = estimate(sk["purchase"])
+    both = np.intersect1d(sk["view"], sk["purchase"])
+    thetas = [t for t in (th_v, th_p) if t is not None]
+    if not thetas:
+        est_b = float(len(both))
+    else:
+        theta = min(thetas)
+        s = int((both < np.uint64(theta)).sum())
+        est_b = s * _TWO64 / float(theta)
+    return pd.DataFrame({"k": np.array([k], dtype=np.int64),
+                         "n_view_est": [est_v],
+                         "n_purchase_est": [est_p],
+                         "n_both_est": [est_b]})
+
+
+KMV_OVERLAP_SQL = """
+WITH uh AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))::UBIGINT AS h
+  FROM events WHERE event_type IN ('view', 'purchase')),
+ranked AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS r
+  FROM uh),
+sk AS (SELECT event_type, h, r FROM ranked WHERE r <= 64),
+st AS (SELECT event_type, count(*) AS n,
+              max(CASE WHEN r = 64 THEN h END) AS kth
+       FROM sk GROUP BY event_type),
+est AS (SELECT event_type,
+               CASE WHEN n >= 64 THEN
+                 63.0 * 18446744073709551616.0 / CAST(kth AS DOUBLE)
+               ELSE CAST(n AS DOUBLE) END AS e,
+               CASE WHEN n >= 64 THEN kth END AS theta
+        FROM st),
+th AS (SELECT min(theta) AS theta FROM est),
+inter AS (
+  SELECT count(*) AS s
+  FROM (SELECT h FROM sk WHERE event_type = 'view') a
+  JOIN (SELECT h FROM sk WHERE event_type = 'purchase') b USING (h)
+  CROSS JOIN th
+  WHERE th.theta IS NULL OR a.h < th.theta)
+SELECT 64::BIGINT AS k,
+       (SELECT e FROM est WHERE event_type = 'view') AS n_view_est,
+       (SELECT e FROM est WHERE event_type = 'purchase') AS n_purchase_est,
+       (SELECT CASE WHEN th.theta IS NULL THEN CAST(inter.s AS DOUBLE)
+               ELSE inter.s * 18446744073709551616.0
+                    / CAST(th.theta AS DOUBLE) END
+        FROM inter, th) AS n_both_est
+"""
+
+
+def _copurchase_pairs(li, num_buckets: int = 16):
+    """Distinct co-purchase pair counts (src, dst, c = shared orders):
+    per-order pair expansion inside orderkey hash buckets (each order
+    contributes a pair once — (order, part) rows dedupe first), then a
+    per-(src, dst) partial-count reduce. Two payload-free exchanges;
+    the pair table never gathers."""
+    from ..stages.groups import bucketed_group_apply
+
+    def order_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates()
+        m = d.merge(d, on="l_orderkey")
+        m = m[m["l_partkey_x"] != m["l_partkey_y"]]
+        p = (m.groupby(["l_partkey_x", "l_partkey_y"], sort=False)
+             .size().reset_index(name="c"))
+        return p.rename(columns={"l_partkey_x": "src",
+                                 "l_partkey_y": "dst"})
+
+    partials = bucketed_group_apply(li, "l_orderkey", order_pairs,
+                                    num_buckets=num_buckets)
+
+    def total(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["src", "dst"], as_index=False)["c"].sum()
+
+    return bucketed_group_apply(partials, ["src", "dst"], total,
+                                num_buckets=num_buckets)
+
+
+def part_copurchase_sssp(sf_dir: str, max_rounds: int = 6):
+    """Weighted single-source shortest paths over the co-purchase
+    graph — Bellman-Ford relaxation rounds, the label-correcting
+    scheme that distributes (Dijkstra's priority queue is inherently
+    serial). Edge weight = max(1, 10 − |shared orders|): strongly
+    co-purchased parts are cheap hops. Edges build distributed via
+    ``_copurchase_pairs``; each round broadcasts the bounded dist
+    vector (|parts|-sized, exactly like pagerank's rank vector) and
+    relaxes every edge in one vectorized searchsorted scan,
+    min-combining per batch so only candidate (dst, d) minima leave
+    workers. A converged round is a no-op, so the unrolled-CTE oracle
+    with the same round budget replays it exactly (integer weights —
+    no float-summation divergence to absorb)."""
+    import ray
+    from ray.data.aggregate import Min
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def weigh(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy(zero_copy_only=False)
+        w = np.maximum(1, 10 - c).astype(np.int64)
+        return pa.table({"src": t["src"], "dst": t["dst"],
+                         "w": pa.array(w, pa.int64())})
+
+    # pinned once: the edge set is scanned max_rounds times
+    edges = (_copurchase_pairs(li)
+             .map_batches(weigh, batch_format="pyarrow").materialize())
+
+    src = int(li.aggregate(Min("l_partkey"))["min(l_partkey)"])
+    dist: dict[int, int] = {src: 0}
+    for _ in range(max_rounds):
+        keys = np.fromiter(dist.keys(), dtype=np.int64, count=len(dist))
+        vals = np.fromiter(dist.values(), dtype=np.int64, count=len(dist))
+        order = np.argsort(keys)
+        ref = ray.put((keys[order], vals[order]))
+
+        def relax(t: pa.Table, ref=ref) -> pa.Table:
+            k, v = ray.get(ref)
+            s = t["src"].to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(k, s).clip(0, len(k) - 1)
+            hit = k[idx] == s
+            dst = t["dst"].to_numpy(zero_copy_only=False)[hit]
+            d = v[idx[hit]] + t["w"].to_numpy(zero_copy_only=False)[hit]
+            if len(dst) == 0:
+                return pa.table({"dst": pa.array([], pa.int64()),
+                                 "d": pa.array([], pa.int64())})
+            o = np.lexsort((d, dst))
+            dst, d = dst[o], d[o]
+            first = np.ones(len(dst), dtype=bool)
+            first[1:] = dst[1:] != dst[:-1]
+            return pa.table({"dst": pa.array(dst[first], pa.int64()),
+                             "d": pa.array(d[first], pa.int64())})
+
+        mins = (edges.map_batches(relax, batch_format="pyarrow")
+                .to_pandas().groupby("dst")["d"].min())
+        changed = False
+        for node, d in mins.items():
+            node, d = int(node), int(d)
+            if d < dist.get(node, 1 << 62):
+                dist[node] = d
+                changed = True
+        if not changed:
+            break
+    out = pd.DataFrame({
+        "node": np.fromiter(dist.keys(), dtype=np.int64, count=len(dist)),
+        "dist": np.fromiter(dist.values(), dtype=np.int64,
+                            count=len(dist))})
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def _sssp_sql(rounds: int = 6) -> str:
+    """Unrolled Bellman-Ford: dN = min(dN-1, min over edges of
+    dN-1(src) + w) — a recursive UNION ALL CTE would enumerate every
+    ≤N-hop path (combinatorial on a dense co-purchase graph)."""
+    prev = "d0"
+    steps = []
+    for i in range(1, rounds + 1):
+        steps.append(
+            f"d{i} AS (SELECT node, min(d)::BIGINT AS d FROM ("
+            f"SELECT node, d FROM {prev} UNION ALL "
+            f"SELECT e.dst, {prev}.d + e.w FROM {prev} "
+            f"JOIN edges e ON e.src = {prev}.node) GROUP BY node)")
+        prev = f"d{i}"
+    return f"""
+WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (SELECT a.l_partkey AS src, b.l_partkey AS dst,
+                 greatest(1, 10 - count(*))::BIGINT AS w
+          FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+                              AND a.l_partkey <> b.l_partkey
+          GROUP BY 1, 2),
+d0(node, d) AS (SELECT min(l_partkey), 0::BIGINT FROM lineitem),
+{",".join(steps)}
+SELECT node, d AS dist FROM {prev} ORDER BY node
+"""
+
+
+SSSP_SQL = _sssp_sql(6)
+
+
+def part_recommendations(sf_dir: str, topn: int = 3):
+    """Item-item collaborative-filtering recommender (the classic
+    co-occurrence cosine of Sarwar et al. 2001 / Amazon item-to-item):
+    sim(a, b) = |orders with both| / sqrt(|orders with a| · |orders
+    with b|), top-3 neighbors per part. Pair counts build distributed
+    (``_copurchase_pairs``); per-part order totals reduce in partkey
+    hash buckets and broadcast as one sorted array (bounded by
+    |parts|, like a rank vector); scoring is a vectorized searchsorted
+    gather + one sqrt per pair; ranking runs inside src-hash buckets.
+    The cosine is a single-expression double over exact integers —
+    deterministic bit-for-bit, so the oracle hash-checks scores, not
+    just ranks."""
+    import ray
+
+    from ..stages.groups import bucketed_group_apply
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    pairs = _copurchase_pairs(li)
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.drop_duplicates()
+                .groupby("l_partkey", as_index=False).size()
+                .rename(columns={"size": "n"}))
+
+    tot = bucketed_group_apply(li, "l_partkey", per_part,
+                               num_buckets=16).to_pandas()
+    keys = tot["l_partkey"].to_numpy(dtype=np.int64)
+    ns = tot["n"].to_numpy(dtype=np.int64)
+    o = np.argsort(keys)
+    ref = ray.put((keys[o], ns[o]))
+
+    def score(t: pa.Table, ref=ref) -> pd.DataFrame:
+        k, n = ray.get(ref)
+        src = t["src"].to_numpy(zero_copy_only=False)
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy(zero_copy_only=False)
+        na = n[np.searchsorted(k, src)]
+        nb = n[np.searchsorted(k, dst)]
+        sim = c / np.sqrt((na * nb).astype(np.float64))
+        return pa.table({"p_partkey": pa.array(src, pa.int64()),
+                         "rec_partkey": pa.array(dst, pa.int64()),
+                         "sim": pa.array(sim, pa.float64())})
+
+    scored = pairs.map_batches(score, batch_format="pyarrow")
+
+    def top(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["p_partkey", "sim", "rec_partkey"],
+                          ascending=[True, False, True], kind="stable")
+        g = g.assign(rank=g.groupby("p_partkey", sort=False).cumcount() + 1)
+        return g[g["rank"] <= topn]
+
+    out = bucketed_group_apply(scored, "p_partkey", top,
+                               num_buckets=16).to_pandas()
+    out = out.astype({"p_partkey": "int64", "rec_partkey": "int64",
+                      "rank": "int64"})
+    return (out[["p_partkey", "rec_partkey", "sim", "rank"]]
+            .sort_values(["p_partkey", "rank"]).reset_index(drop=True))
+
+
+PART_RECS_SQL = """
+WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+tot AS (SELECT l_partkey, count(*) AS n FROM lp GROUP BY l_partkey),
+co AS (SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS c
+       FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+                           AND a.l_partkey <> b.l_partkey
+       GROUP BY 1, 2),
+scored AS (
+  SELECT co.src AS p_partkey, co.dst AS rec_partkey,
+         co.c / sqrt(CAST(ta.n * tb.n AS DOUBLE)) AS sim
+  FROM co JOIN tot ta ON ta.l_partkey = co.src
+          JOIN tot tb ON tb.l_partkey = co.dst),
+ranked AS (
+  SELECT p_partkey, rec_partkey, sim,
+         row_number() OVER (PARTITION BY p_partkey
+                            ORDER BY sim DESC, rec_partkey) AS rank
+  FROM scored)
+SELECT p_partkey, rec_partkey, sim, rank::BIGINT AS rank
+FROM ranked WHERE rank <= 3 ORDER BY p_partkey, rank
+"""
+
+
+_NB_BUCKETS = 65536
+
+
+def nb_lang_classify(sf_dir: str):
+    """Multinomial Naive Bayes language classifier with the hashing
+    trick (Weinberger et al. 2009): tokens hash into 2¹⁶ buckets via
+    the portable md5-derived 64-bit hash, so the MODEL is a fixed
+    langs × 65536 count matrix regardless of corpus vocabulary — the
+    bound that lets the same code train on 100 TB (per-batch (lang,
+    bucket) partial counts; the driver merge and the broadcast
+    log-prob matrix are model-sized, never corpus-sized). Laplace
+    smoothing ln((c+1)/(t+B)); prediction is one vectorized gather +
+    grouped sum per language over each doc's bucket counts. Output is
+    the per-doc argmax label only (ties → lang asc): label decisions
+    are stable under the ~1-ulp ln/summation-order differences between
+    engines, unlike raw log-prob floats. Docs with no tokens are
+    excluded (matching the SQL inner join on the token explode)."""
+    import ray
+
+    from ..stages.dedup import _md5_token_hashes
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def count_partial(b: pd.DataFrame) -> pa.Table:
+        toks = b["text"].fillna("").str.lower().str.split(" ")
+        flat = toks.explode()
+        flat = flat[flat.notna() & (flat != "")]
+        if flat.empty:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "b": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        buckets = (_md5_token_hashes(flat.to_numpy(dtype=object))
+                   % np.uint64(_NB_BUCKETS)).astype(np.int64)
+        df = pd.DataFrame({"lang": b["lang"].reindex(flat.index).to_numpy(),
+                           "b": buckets})
+        out = df.groupby(["lang", "b"], as_index=False).size()
+        return arrow_out(out.rename(columns={"size": "c"}))
+
+    # driver merge bounded by langs × buckets × blocks (model-sized)
+    parts = (docs.map_batches(count_partial, batch_format="pandas")
+             .to_pandas())
+    counts = parts.groupby(["lang", "b"], as_index=False)["c"].sum()
+    langs = sorted(counts["lang"].unique())
+    totals = counts.groupby("lang")["c"].sum()
+
+    n_docs = docs.count()
+    lang_docs = (docs.map_batches(
+        lambda t: pd.DataFrame({"lang": t["lang"].to_pandas()})
+        .groupby("lang", as_index=False).size(),
+        batch_format="pyarrow").to_pandas()
+        .groupby("lang")["size"].sum())
+
+    logp = {}
+    priors = {}
+    for lang in langs:
+        vec = np.zeros(_NB_BUCKETS, dtype=np.float64)
+        sub = counts[counts["lang"] == lang]
+        vec[sub["b"].to_numpy()] = sub["c"].to_numpy(dtype=np.float64)
+        t = float(totals[lang])
+        logp[lang] = np.log((vec + 1.0) / (t + float(_NB_BUCKETS)))
+        priors[lang] = float(np.log(int(lang_docs[lang]) / float(n_docs)))
+    model_ref = ray.put((langs, priors, logp))
+
+    def predict(b: pd.DataFrame, ref=model_ref) -> pa.Table:
+        langs, priors, logp = ray.get(ref)
+        toks = b["text"].fillna("").str.lower().str.split(" ")
+        flat = toks.explode()
+        flat = flat[flat.notna() & (flat != "")]
+        if flat.empty:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "pred_lang": pa.array([], pa.string())})
+        buckets = (_md5_token_hashes(flat.to_numpy(dtype=object))
+                   % np.uint64(_NB_BUCKETS)).astype(np.int64)
+        db = (pd.DataFrame({"i": flat.index, "b": buckets})
+              .groupby(["i", "b"], as_index=False).size())
+        c = db["size"].to_numpy(dtype=np.float64)
+        bs = db["b"].to_numpy()
+        scores = np.stack([
+            pd.Series(c * logp[lang][bs]).groupby(db["i"].to_numpy()).sum()
+            .to_numpy() + priors[lang]
+            for lang in langs], axis=1)
+        idx = np.sort(db["i"].unique())
+        best = np.argmax(scores, axis=1)  # ties → lowest index = lang asc
+        return arrow_out(pd.DataFrame({
+            "doc_id": b["doc_id"].reindex(idx).to_numpy(dtype=np.int64),
+            "pred_lang": np.array(langs, dtype=object)[best]}))
+
+    out = (docs.map_batches(predict, batch_format="pandas").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+NB_LANG_SQL = """
+WITH toks AS (
+  SELECT doc_id, lang, tok FROM (
+    SELECT doc_id, lang,
+           unnest(string_split(lower(coalesce(text, '')), ' ')) AS tok
+    FROM documents) WHERE tok <> ''),
+tb AS (SELECT doc_id, lang,
+              ('0x' || substr(md5(tok), 1, 16))::UBIGINT % 65536 AS b
+       FROM toks),
+cb AS (SELECT lang, b, count(*) AS c FROM tb GROUP BY lang, b),
+tot AS (SELECT lang, count(*) AS t FROM tb GROUP BY lang),
+prior AS (SELECT lang,
+                 ln(count(*) / (SELECT count(*)::DOUBLE FROM documents))
+                   AS lp
+          FROM documents GROUP BY lang),
+docb AS (SELECT doc_id, b, count(*) AS c FROM tb GROUP BY doc_id, b),
+score AS (
+  SELECT d.doc_id, t.lang,
+         any_value(p.lp)
+         + sum(d.c * ln((coalesce(cb.c, 0) + 1)
+                        / (t.t + 65536)::DOUBLE)) AS s
+  FROM docb d
+  CROSS JOIN tot t
+  LEFT JOIN cb ON cb.lang = t.lang AND cb.b = d.b
+  JOIN prior p ON p.lang = t.lang
+  GROUP BY d.doc_id, t.lang, t.t)
+SELECT doc_id, lang AS pred_lang
+FROM (SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY s DESC, lang) AS r
+      FROM score)
+WHERE r = 1 ORDER BY doc_id
+"""
+
+
 QUERIES = {
     # relational
     "q1_pricing_summary": q1_pricing_summary,
@@ -11119,6 +11565,11 @@ QUERIES = {
     "lineitem_price_outliers": lineitem_price_outliers,
     "events_key_skew_profile": events_key_skew_profile,
     "events_deletion_vectors": events_deletion_vectors,
+    # round-14 additions
+    "kmv_user_overlap": kmv_user_overlap,
+    "part_copurchase_sssp": part_copurchase_sssp,
+    "part_recommendations": part_recommendations,
+    "nb_lang_classify": nb_lang_classify,
 }
 
 ORACLE_SQL = {
@@ -11339,4 +11790,9 @@ ORACLE_SQL = {
     "lineitem_price_outliers": PRICE_OUTLIERS_SQL,
     "events_key_skew_profile": KEY_SKEW_SQL,
     "events_deletion_vectors": DELETION_VECTORS_SQL,
+    # round-14 additions
+    "kmv_user_overlap": KMV_OVERLAP_SQL,
+    "part_copurchase_sssp": SSSP_SQL,
+    "part_recommendations": PART_RECS_SQL,
+    "nb_lang_classify": NB_LANG_SQL,
 }
