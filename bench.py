@@ -138,6 +138,28 @@ def run_bench() -> dict:
         "maintenance_window_events",
         "events_lsm_compact",
         "host_mirror_similarity",
+        # slow tier: the 20 slowest of the full 246-query sf0.1 survey
+        # (tools/time_queries.py, 2026-08-19) minus keys already pinned
+        # above — regressions in the non-extract tier show up here at
+        # 10x the correctness-gate scale.
+        "training_corpus_pipeline",
+        "catalog_consistent_join",
+        "copurchase_triangles",
+        "bigram_pmi_top",
+        "purchase_views_band_join",
+        "doc_chain_components",
+        "part_copurchase_sssp",
+        "hourly_value_p95",
+        "event_props_k_stats",
+        "session_stats_per_user",
+        "media_features",
+        "join_part_supplier_auto",
+        "events_deletion_vectors",
+        "events_key_skew_profile",
+        "docs_line_deduped",
+        "curation_pipeline",
+        "neardup_keep_best_docs",
+        "frequent_lines",
     ):
         fn = Q.QUERIES[name]
         timed(name, lambda fn=fn: _consume(fn(SF_DIR)))
