@@ -52,6 +52,21 @@ def _lineitem(sf_dir: str, columns=None):
     return _read(sf_dir, "lineitem", columns)
 
 
+_SCHEMA_CACHE: dict[str, "pa.Schema"] = {}
+
+
+def _clean_schema(path: str) -> "pa.Schema":
+    s = _SCHEMA_CACHE.get(path)
+    if s is None:
+        import pyarrow.parquet as pq
+
+        raw = pq.read_schema(path)
+        s = pa.schema([raw.field(i).remove_metadata()
+                       for i in range(len(raw))]).remove_metadata()
+        _SCHEMA_CACHE[path] = s
+    return s
+
+
 def _read(sf_dir: str, name: str, columns=None):
     import ray.data as rd
 
@@ -59,12 +74,18 @@ def _read(sf_dir: str, name: str, columns=None):
 
     path = os.path.join(sf_dir, f"{name}.parquet")
     # the testdata parquet carries a pandas metadata blob that makes
-    # block schemas unhashable — any aggregate/count/concat directly on
-    # the raw read then logs 'Failed to hash the schemas' per worker
-    # and defeats Ray's schema-dedup early exit. Strip it in a
-    # zero-copy map fused into the read.
+    # block schemas unhashable — any operator consuming the raw read
+    # then logs 'Failed to hash the schemas' per worker and defeats
+    # Ray's schema-dedup early exit. Passing a metadata-free schema=
+    # makes the READ ITSELF emit clean blocks (the fused _meta_free
+    # map alone can't silence the read operator's own schema hashing);
+    # the strip map stays as a belt-and-braces for file-level quirks.
+    full = _clean_schema(path)
+    schema = pa.schema([full.field(c) for c in columns]) \
+        if columns else full
     return rd.read_parquet(
-        path, columns=columns, override_num_blocks=_blocks_for(path)
+        path, columns=columns, schema=schema,
+        override_num_blocks=_blocks_for(path)
     ).map_batches(_meta_free, batch_format="pyarrow")
 
 
@@ -11313,6 +11334,359 @@ WHERE r = 1 ORDER BY doc_id
 """
 
 
+def event_value_auc(sf_dir: str):
+    """Distributed ROC-AUC of ``value`` as a purchase-vs-rest score —
+    the model-evaluation primitive (Mann-Whitney U). The rank-sum is
+    computed EXACTLY as integers, so the result hashes deterministically:
+    rows pre-aggregate per batch to (value, pos, neg) partials, range-
+    bucket by value, and each bucket reduces sorted distinct values to
+    ONE partial row (pairs won within the bucket + its pos/neg totals);
+    the driver stitches B scalars with an exclusive prefix of earlier
+    buckets' neg counts. No row-level sort, no driver loop over rows;
+    AUC = (2*Σ pos·neg_below + Σ pos·neg_tied) / (2·P·N)."""
+    from ray.data.aggregate import Max, Min
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    mm = ev.aggregate(Min("value"), Max("value"))
+    lo, hi = float(mm["min(value)"]), float(mm["max(value)"])
+    span = max(hi - lo, 1e-12)
+    nb = 32
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        pos = (t["event_type"].to_numpy(zero_copy_only=False)
+               == "purchase").astype("int64")
+        keep = ~np.isnan(v)
+        df = pd.DataFrame({"value": v[keep], "pos": pos[keep]})
+        df["neg"] = 1 - df["pos"]
+        g = df.groupby("value", as_index=False).agg(
+            pos=("pos", "sum"), neg=("neg", "sum"))
+        b = np.minimum(((g["value"].to_numpy() - lo) / span * nb)
+                       .astype(np.int64), nb - 1)
+        g["_rbucket"] = np.maximum(b, 0)
+        return arrow_out(g)
+
+    def reduce_bucket(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = (df.groupby("value", as_index=False)
+             .agg(pos=("pos", "sum"), neg=("neg", "sum"))
+             .sort_values("value"))
+        negb = g["neg"].cumsum().shift(fill_value=0)
+        contrib2 = int((2 * g["pos"] * negb + g["pos"] * g["neg"]).sum())
+        return arrow_out(pd.DataFrame({
+            "_rbucket": [int(df["_rbucket"].iloc[0])],
+            "pos": [int(g["pos"].sum())], "neg": [int(g["neg"].sum())],
+            "contrib2": [contrib2]}))
+
+    parts = (ev.map_batches(partial, batch_format="pyarrow")
+             .groupby("_rbucket")
+             .map_groups(reduce_bucket, batch_format="pyarrow")
+             .to_pandas().sort_values("_rbucket"))
+    negb_prior = parts["neg"].cumsum().shift(fill_value=0)
+    u2 = int(parts["contrib2"].sum()
+             + (2 * parts["pos"] * negb_prior).sum())
+    n_pos, n_neg = int(parts["pos"].sum()), int(parts["neg"].sum())
+    return pd.DataFrame({
+        "n_pos": pd.Series([n_pos], dtype="int64"),
+        "n_neg": pd.Series([n_neg], dtype="int64"),
+        "auc": [round(u2 / (2.0 * n_pos * n_neg), 6)]})
+
+
+AUC_SQL = """
+WITH l AS (
+  SELECT value AS s,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events WHERE value IS NOT NULL),
+g AS (SELECT s, sum(y)::BIGINT AS pos, sum(1 - y)::BIGINT AS neg
+      FROM l GROUP BY s),
+c AS (SELECT s, pos, neg,
+             coalesce(sum(neg) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS negb
+      FROM g),
+t AS (SELECT sum(pos)::BIGINT AS n_pos, sum(neg)::BIGINT AS n_neg,
+             sum(2 * pos * negb + pos * neg)::BIGINT AS u2
+      FROM c)
+SELECT n_pos, n_neg, round(u2 / (2.0 * n_pos * n_neg), 6) AS auc FROM t
+"""
+
+
+def event_value_cusum(sf_dir: str):
+    """Per-type one-sided CUSUM changepoint monitor (Page 1954): the
+    non-associative recurrence S_i = max(0, S_{i-1} + z_i - K) is
+    vectorized through the prefix-sum identity S_i = P_i - min(0,
+    cummin P) — one grouped cumsum + one grouped cummin per bucket, no
+    sequential loop. Per-type mean/std come from one mergeable-moments
+    pass (broadcast: 5 scalars per type) and are rounded to 9 dp so
+    the standardization is bit-identical to the SQL replay; alarms
+    compare round(S, 9) > h for the same reason. K = 0.5 sigma,
+    h = 4 sigma (standard ARL choices)."""
+    from ..stages.groups import bucketed_group_apply
+
+    ev = _read(sf_dir, "events", ["event_type", "ts", "event_id",
+                                  "value"])
+
+    def mom(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+            "v": t["value"].to_numpy(zero_copy_only=False)})
+        df["vv"] = df["v"] * df["v"]
+        return arrow_out(df.groupby("event_type", as_index=False).agg(
+            n=("v", "size"), s=("v", "sum"), ss=("vv", "sum")))
+
+    p = (ev.map_batches(mom, batch_format="pyarrow").to_pandas()
+         .groupby("event_type", as_index=False).sum())
+    m = p["s"] / p["n"]
+    sd = np.sqrt(p["ss"] / p["n"] - m * m)
+    stats = {t: (round(float(mu), 9), round(float(s), 9))
+             for t, mu, s in zip(p["event_type"], m, sd)}
+
+    def cusum(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["event_type", "ts", "event_id"],
+                            kind="stable")
+        ms = df["event_type"].map(lambda t: stats[t][0]).to_numpy()
+        sds = df["event_type"].map(lambda t: stats[t][1]).to_numpy()
+        a = (df["value"].to_numpy() - ms) / sds - 0.5
+        pv = pd.Series(a, index=df.index).groupby(
+            df["event_type"], sort=False).cumsum()
+        cmin = pv.groupby(df["event_type"], sort=False).cummin()
+        s = np.round(pv.to_numpy() - np.minimum(0.0, cmin.to_numpy()), 9)
+        alarm = s > 4.0
+        out = pd.DataFrame({"event_type": df["event_type"],
+                            "ts": df["ts"], "s": s, "alarm": alarm})
+        res = out.groupby("event_type", as_index=False).agg(
+            n=("s", "size"), max_cusum=("s", "max"))
+        al = (out[out["alarm"]].groupby("event_type", as_index=False)
+              .agg(n_alarms=("alarm", "sum"),
+                   first_alarm_ts=("ts", "min")))
+        res = res.merge(al, on="event_type", how="left")
+        res["n_alarms"] = res["n_alarms"].fillna(0).astype("int64")
+        res["n"] = res["n"].astype("int64")
+        res["max_cusum"] = res["max_cusum"].round(6)
+        # force datetime64 even when this bucket saw zero alarms, so
+        # every bucket's Arrow schema unifies to timestamp (an all-NaN
+        # float column would poison the exchange's type homogeneity)
+        res["first_alarm_ts"] = pd.to_datetime(res["first_alarm_ts"])
+        return res
+
+    out = (bucketed_group_apply(ev, "event_type", cusum, num_buckets=8)
+           .to_pandas())
+    out["n"] = out["n"].astype("int64")
+    out["n_alarms"] = out["n_alarms"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+CUSUM_SQL = """
+WITH st AS (
+  SELECT event_type, round(avg(value), 9) AS m,
+         round(stddev_pop(value), 9) AS sd
+  FROM events GROUP BY event_type),
+a AS (
+  SELECT e.event_type, ts, event_id, (value - m) / sd - 0.5 AS a
+  FROM events e JOIN st USING (event_type)),
+p AS (
+  SELECT event_type, ts, event_id,
+         sum(a) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+           AS pv
+  FROM a),
+s AS (
+  SELECT event_type, ts,
+         round(pv - least(0, min(pv) OVER (
+             PARTITION BY event_type ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 9)
+           AS s
+  FROM p)
+SELECT event_type, count(*)::BIGINT AS n,
+       round(max(s), 6) AS max_cusum,
+       coalesce(sum(CASE WHEN s > 4.0 THEN 1 ELSE 0 END), 0)::BIGINT
+         AS n_alarms,
+       min(ts) FILTER (WHERE s > 4.0) AS first_alarm_ts
+FROM s GROUP BY event_type ORDER BY event_type
+"""
+
+
+def ab_test_value_welch(sf_dir: str):
+    """Per-type Welch two-sample t-test between deterministic A/B arms
+    (arm = user_id % 2) — the experiment-analysis primitive. One
+    streaming pass of mergeable (n, Σx, Σx²) partials per (type, arm);
+    the t statistic and Welch–Satterthwaite df come from the ten-row
+    merged frame on the driver. No shuffle carries values."""
+    ev = _read(sf_dir, "events", ["event_type", "user_id", "value"])
+
+    def mom(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+            "arm": (t["user_id"].to_numpy(zero_copy_only=False) % 2)
+            .astype("int64"),
+            "v": t["value"].to_numpy(zero_copy_only=False)})
+        df["vv"] = df["v"] * df["v"]
+        return arrow_out(df.groupby(["event_type", "arm"],
+                                    as_index=False).agg(
+            n=("v", "size"), s=("v", "sum"), ss=("vv", "sum")))
+
+    p = (ev.map_batches(mom, batch_format="pyarrow").to_pandas()
+         .groupby(["event_type", "arm"], as_index=False).sum())
+    p["mean"] = p["s"] / p["n"]
+    p["var"] = (p["ss"] - p["s"] ** 2 / p["n"]) / (p["n"] - 1)
+    a = p[p["arm"] == 0].set_index("event_type")
+    b = p[p["arm"] == 1].set_index("event_type")
+    types = sorted(set(a.index) & set(b.index))
+    a, b = a.loc[types], b.loc[types]
+    se2 = a["var"] / a["n"] + b["var"] / b["n"]
+    t_stat = (a["mean"] - b["mean"]) / np.sqrt(se2)
+    df_w = se2 ** 2 / ((a["var"] / a["n"]) ** 2 / (a["n"] - 1)
+                       + (b["var"] / b["n"]) ** 2 / (b["n"] - 1))
+    return pd.DataFrame({
+        "event_type": types,
+        "n_a": a["n"].astype("int64").to_numpy(),
+        "n_b": b["n"].astype("int64").to_numpy(),
+        "mean_a": a["mean"].round(6).to_numpy(),
+        "mean_b": b["mean"].round(6).to_numpy(),
+        "t_stat": t_stat.round(4).to_numpy(),
+        "df_welch": df_w.round(2).to_numpy()})
+
+
+WELCH_SQL = """
+WITH g AS (SELECT event_type, user_id % 2 AS arm, value FROM events),
+m AS (SELECT event_type, arm, count(*)::BIGINT AS n,
+             sum(value) AS s, sum(value * value) AS ss
+      FROM g GROUP BY event_type, arm),
+v AS (SELECT event_type, arm, n, s / n AS mean,
+             (ss - s * s / n) / (n - 1) AS var
+      FROM m),
+w AS (SELECT a.event_type, a.n AS n_a, b.n AS n_b,
+             a.mean AS mean_a, b.mean AS mean_b,
+             a.var / a.n + b.var / b.n AS se2,
+             a.var / a.n AS va, b.var / b.n AS vb,
+             a.n AS na, b.n AS nb2
+      FROM v a JOIN v b ON a.event_type = b.event_type
+      WHERE a.arm = 0 AND b.arm = 1)
+SELECT event_type, n_a, n_b,
+       round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+       round((mean_a - mean_b) / sqrt(se2), 4) AS t_stat,
+       round(se2 * se2 / (va * va / (na - 1) + vb * vb / (nb2 - 1)), 2)
+         AS df_welch
+FROM w ORDER BY event_type
+"""
+
+
+def doc_fingerprint_clusters(sf_dir: str):
+    """OpenRefine-style key-collision clustering for data cleaning:
+    each doc's fingerprint is its unique lowercase [a-z0-9]+ tokens,
+    sorted and space-joined (order/casing/punctuation/duplication-
+    insensitive), md5'd so only a 32-char key shuffles — never the
+    text. The fingerprint is built VECTORIZED (explode → dedup → sort
+    → grouped join, all pandas kernels over the whole batch); clusters
+    with >= 2 members reduce in hash buckets."""
+    import hashlib
+
+    from ..stages.groups import bucketed_group_apply
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fp(b: pd.DataFrame) -> pa.Table:
+        s = b["text"].fillna("").str.lower()
+        ex = (s.str.findall("[a-z0-9]+").explode().dropna()
+              .rename("w").rename_axis("i").reset_index())
+        dd = ex.drop_duplicates().sort_values(["i", "w"])
+        joined = dd.groupby("i")["w"].agg(" ".join) \
+            .reindex(b.index, fill_value="")
+        return arrow_out(pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64"),
+            "fp_md5": joined.map(
+                lambda x: hashlib.md5(x.encode()).hexdigest()).to_numpy(),
+        }))
+
+    keyed = docs.map_batches(fp, batch_format="pandas")
+
+    def clusters(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("fp_md5", as_index=False).agg(
+            n_docs=("doc_id", "size"), min_doc_id=("doc_id", "min"))
+        g = g[g["n_docs"] >= 2]
+        # explicit dtypes so a bucket whose every group filters below
+        # n>=2 still emits a string-typed (not null-typed) empty block
+        return g.astype({"fp_md5": "string", "n_docs": "int64",
+                         "min_doc_id": "int64"})
+
+    out = (bucketed_group_apply(keyed, "fp_md5", clusters,
+                                num_buckets=16).to_pandas())
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out.sort_values("fp_md5").reset_index(drop=True)
+
+
+FINGERPRINT_CLUSTERS_SQL = """
+WITH f AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(
+             regexp_extract_all(lower(coalesce(text, '')),
+                                '[a-z0-9]+'))), ' ')) AS fp_md5
+  FROM documents)
+SELECT fp_md5, count(*)::BIGINT AS n_docs, min(doc_id) AS min_doc_id
+FROM f GROUP BY fp_md5 HAVING count(*) >= 2 ORDER BY fp_md5
+"""
+
+
+def langid_agreement_kappa(sf_dir: str):
+    """Cohen's kappa between the declared ``lang`` label and the
+    stopword-argmax language heuristic — the annotator-agreement
+    metric that corrects raw accuracy for chance. The confusion matrix
+    builds from distributed (actual, predicted) count partials (tiny:
+    |langs|² rows); po/pe/kappa are exact-integer ratios computed with
+    the same expression shapes as the SQL replay."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    sets = {k: frozenset(v) for k, v in _STOPWORDS.items()}
+    langs_sorted = np.array(sorted(sets))
+
+    def conf(b: pd.DataFrame) -> pa.Table:
+        toks = b["text"].fillna("").str.lower().str.split(" ")
+        flat = toks.explode()
+        flat = flat[flat.notna() & (flat != "")]
+        counts = []
+        for lang in sorted(sets):
+            hit = flat[flat.isin(sets[lang])].groupby(level=0).size()
+            counts.append(hit.reindex(b.index, fill_value=0).to_numpy())
+        mat = np.stack(counts, axis=1)
+        best = np.argmax(mat, axis=1)
+        pred = np.where(mat.max(axis=1) > 0, langs_sorted[best], "und")
+        df = pd.DataFrame({"a": b["lang"].to_numpy(), "b": pred})
+        return arrow_out(df.groupby(["a", "b"], as_index=False)
+                         .agg(c=("a", "size")))
+
+    cm = (docs.map_batches(conf, batch_format="pandas").to_pandas()
+          .groupby(["a", "b"], as_index=False).sum())
+    n = int(cm["c"].sum())
+    tr = int(cm.loc[cm["a"] == cm["b"], "c"].sum())
+    ra = cm.groupby("a")["c"].sum()
+    rb = cm.groupby("b")["c"].sum()
+    labs = sorted(set(ra.index) | set(rb.index))
+    sab = int(sum(int(ra.get(c, 0)) * int(rb.get(c, 0)) for c in labs))
+    po = tr / float(n)
+    pe = sab / (float(n) * n)
+    return pd.DataFrame({
+        "n_docs": pd.Series([n], dtype="int64"),
+        "po": [round(po, 6)], "pe": [round(pe, 6)],
+        "kappa": [round((po - pe) / (1.0 - pe), 6)]})
+
+
+KAPPA_SQL = f"""
+WITH pred AS ({STOPWORD_LANG_SQL.strip()}),
+j AS (SELECT d.lang AS a, p.top_lang AS b
+      FROM documents d JOIN pred p USING (doc_id)),
+c AS (SELECT count(*)::BIGINT AS n,
+             sum(CASE WHEN a = b THEN 1 ELSE 0 END)::BIGINT AS tr
+      FROM j),
+ma AS (SELECT a AS lab, count(*)::BIGINT AS ca FROM j GROUP BY a),
+mb AS (SELECT b AS lab, count(*)::BIGINT AS cb FROM j GROUP BY b),
+pe AS (SELECT sum(ca * cb)::BIGINT AS sab FROM ma JOIN mb USING (lab))
+SELECT c.n AS n_docs,
+       round(tr / c.n::DOUBLE, 6) AS po,
+       round(sab / (c.n::DOUBLE * c.n), 6) AS pe,
+       round((tr / c.n::DOUBLE - sab / (c.n::DOUBLE * c.n))
+             / (1.0 - sab / (c.n::DOUBLE * c.n)), 6) AS kappa
+FROM c, pe
+"""
+
+
 QUERIES = {
     # relational
     "q1_pricing_summary": q1_pricing_summary,
@@ -11570,6 +11944,12 @@ QUERIES = {
     "part_copurchase_sssp": part_copurchase_sssp,
     "part_recommendations": part_recommendations,
     "nb_lang_classify": nb_lang_classify,
+    # round-15 additions
+    "event_value_auc": event_value_auc,
+    "event_value_cusum": event_value_cusum,
+    "ab_test_value_welch": ab_test_value_welch,
+    "doc_fingerprint_clusters": doc_fingerprint_clusters,
+    "langid_agreement_kappa": langid_agreement_kappa,
 }
 
 ORACLE_SQL = {
@@ -11795,4 +12175,10 @@ ORACLE_SQL = {
     "part_copurchase_sssp": SSSP_SQL,
     "part_recommendations": PART_RECS_SQL,
     "nb_lang_classify": NB_LANG_SQL,
+    # round-15 additions
+    "event_value_auc": AUC_SQL,
+    "event_value_cusum": CUSUM_SQL,
+    "ab_test_value_welch": WELCH_SQL,
+    "doc_fingerprint_clusters": FINGERPRINT_CLUSTERS_SQL,
+    "langid_agreement_kappa": KAPPA_SQL,
 }
