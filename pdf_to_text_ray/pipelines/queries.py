@@ -99,6 +99,12 @@ def round2(x):
     return np.copysign(np.floor(np.abs(y) + 0.5), y) / 100.0
 
 
+def round6(x):
+    """DuckDB ``round(x, 6)`` parity (half-away-from-zero)."""
+    y = np.asarray(x, dtype=np.float64) * 1e6
+    return np.copysign(np.floor(np.abs(y) + 0.5), y) / 1e6
+
+
 # ── relational ops (SURVEY.md §2.5-2.6) ───────────────────────────────
 
 def q1_pricing_summary(sf_dir: str):
@@ -11687,6 +11693,510 @@ FROM c, pe
 """
 
 
+# ── round-15 additions: temporal PIT join, link prediction, model
+#    calibration, forecast backtest, local clustering, ranking eval ──
+
+def user_state_at_purchase(sf_dir: str):
+    """Point-in-time dimension lookup (the feature-store join): each
+    purchase event joins to the user's SCD2 state history built from
+    the NON-purchase stream — the run whose [valid_from, next
+    valid_from) interval contains the purchase ts; purchases before
+    any state row get 'none'. Users hash-bucket ONCE; the
+    gaps-and-islands dim build and the as-of probe (pd.merge_asof,
+    ties to the latest run like the oracle's valid_from DESC, rid
+    DESC) both run vectorized inside the bucket, so neither stream
+    crosses the exchange twice."""
+    from ..stages.groups import bucketed_group_apply
+
+    ev = _read(sf_dir, "events",
+               ["event_id", "user_id", "event_type", "ts"])
+
+    def pit(df: pd.DataFrame) -> pd.DataFrame:
+        fact = df[df["event_type"] == "purchase"]
+        if fact.empty:
+            return pd.DataFrame({
+                "event_id": pd.Series([], dtype="int64"),
+                "user_id": pd.Series([], dtype="int64"),
+                "state_at": pd.Series([], dtype="object")})
+        dim = (df[df["event_type"] != "purchase"]
+               .sort_values(["user_id", "ts", "event_id"], kind="stable"))
+        u = dim["user_id"].to_numpy()
+        s = dim["event_type"].to_numpy()
+        new_run = np.empty(len(dim), dtype=bool)
+        if len(dim):
+            new_run[0] = True
+            new_run[1:] = (u[1:] != u[:-1]) | (s[1:] != s[:-1])
+        runs = pd.DataFrame({"user_id": u, "state": s,
+                             "valid_from": dim["ts"].to_numpy(),
+                             "_run": np.cumsum(new_run)})
+        hist = (runs.groupby(["user_id", "_run"], as_index=False, sort=True)
+                .agg(state=("state", "first"),
+                     valid_from=("valid_from", "min"))
+                # merge_asof resolves valid_from ties to the LAST right
+                # row; sorting (valid_from, _run) makes that the later
+                # run — the oracle's (valid_from DESC, rid DESC) pick
+                .sort_values(["valid_from", "_run"], kind="stable"))
+        m = pd.merge_asof(
+            fact[["event_id", "user_id", "ts"]].sort_values(
+                "ts", kind="stable"),
+            hist[["user_id", "valid_from", "state"]],
+            left_on="ts", right_on="valid_from", by="user_id",
+            direction="backward")
+        return pd.DataFrame({
+            "event_id": m["event_id"].astype("int64"),
+            "user_id": m["user_id"].astype("int64"),
+            "state_at": m["state"].fillna("none"),
+        })
+
+    out = bucketed_group_apply(ev, "user_id", pit,
+                               num_buckets=16).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+PIT_STATE_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)
+              IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+  FROM events WHERE event_type <> 'purchase'),
+runs AS (
+  SELECT user_id, event_type, ts,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rid
+  FROM flagged),
+dim AS (
+  SELECT user_id, rid, min(event_type) AS state, min(ts) AS valid_from
+  FROM runs GROUP BY user_id, rid),
+p AS (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id, coalesce(d.state, 'none') AS state_at
+FROM p LEFT JOIN dim d ON d.user_id = p.user_id AND d.valid_from <= p.ts
+QUALIFY row_number() OVER (
+    PARTITION BY p.event_id
+    ORDER BY d.valid_from DESC NULLS LAST, d.rid DESC) = 1
+ORDER BY event_id
+"""
+
+
+def _copurchase_adj(sf_dir: str):
+    """Distinct directed co-purchase adjacency (both directions) as a
+    Dataset: per-order pair gen inside orderkey hash buckets, then a
+    src-bucketed vectorized drop_duplicates for the cross-order
+    repeats (NOT groupby(src,dst).aggregate — Ray's sort-aggregate
+    walks the ~10⁵ one-row groups at Python speed; the bucketed
+    pandas dedup is the measured 15-70× fix). Pinned by callers that
+    scan it multiply."""
+    from ..stages.groups import bucketed_group_apply
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def order_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates()
+        m = d.merge(d, on="l_orderkey")
+        m = m[m["l_partkey_x"] != m["l_partkey_y"]]
+        return (m[["l_partkey_x", "l_partkey_y"]]
+                .rename(columns={"l_partkey_x": "src",
+                                 "l_partkey_y": "dst"})
+                .drop_duplicates())
+
+    pairs = bucketed_group_apply(li, "l_orderkey", order_pairs,
+                                 num_buckets=16)
+    return bucketed_group_apply(
+        pairs, "src", lambda df: df.drop_duplicates(), num_buckets=16)
+
+
+def part_adamic_adar(sf_dir: str):
+    """Link prediction (Adamic–Adar) for the 50 smallest partkeys of
+    the co-purchase graph: candidates are 2-hop neighbors, scored
+    Σ 1/ln(deg(z)) over common neighbors z, direct edges excluded,
+    top-20 by rounded score. The wedge expansion is SEEDED — cost
+    |S|·deg², not |V|·deg² — and runs inside neighbor (z) hash
+    buckets against the broadcast seed adjacency; degrees travel as
+    one sorted array, never per batch. Partial (u,v) sums merge in a
+    bounded |S|·|V| frame."""
+    import ray
+
+    from ..stages.groups import small_key_counts
+
+    adj = _copurchase_adj(sf_dir).materialize()
+
+    # degrees via per-batch partials (|V| is pagerank-bounded driver
+    # state; groupby().aggregate here walks |V| one-row groups at
+    # Python speed — the measured sort-aggregate pathology)
+    deg_pd = small_key_counts(adj, "src", alias="d").sort_values("src")
+    nodes = deg_pd["src"].to_numpy(dtype=np.int64)
+    degs = deg_pd["d"].to_numpy(dtype=np.int64)
+    seeds = np.sort(nodes)[:50]
+
+    def seed_rows(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(seeds, src).clip(0, len(seeds) - 1)
+        return t.filter(pa.array(seeds[idx] == src))
+
+    seed_adj = (adj.map_batches(seed_rows, batch_format="pyarrow")
+                .to_pandas())
+    ref = ray.put((seed_adj.rename(columns={"src": "u", "dst": "z"}),
+                   nodes, degs))
+
+    def wedges(df: pd.DataFrame) -> pd.DataFrame:
+        sa, nd, dg = ray.get(ref)
+        m = sa.merge(df.rename(columns={"src": "z", "dst": "v"}), on="z")
+        m = m[m["u"] != m["v"]]
+        if m.empty:
+            return pd.DataFrame({"u": pd.Series([], dtype="int64"),
+                                 "v": pd.Series([], dtype="int64"),
+                                 "aa": pd.Series([], dtype="float64")})
+        zi = np.searchsorted(nd, m["z"].to_numpy())
+        w = 1.0 / np.log(dg[zi].astype(np.float64))
+        return (pd.DataFrame({"u": m["u"].to_numpy(),
+                              "v": m["v"].to_numpy(), "aa": w})
+                .groupby(["u", "v"], as_index=False)["aa"].sum())
+
+    from ..stages.groups import bucketed_group_apply
+    part = bucketed_group_apply(adj, "src", wedges,
+                                num_buckets=16).to_pandas()
+    sc = part.groupby(["u", "v"], as_index=False)["aa"].sum()
+    # exclude direct edges from the seeds (broadcast-scale: |S|·deg)
+    big = int(nodes.max()) + 1
+    excl = np.sort(seed_adj["src"].to_numpy(dtype=np.int64) * big
+                   + seed_adj["dst"].to_numpy(dtype=np.int64))
+    code = (sc["u"].to_numpy(dtype=np.int64) * big
+            + sc["v"].to_numpy(dtype=np.int64))
+    if len(excl):
+        idx = np.searchsorted(excl, code).clip(0, len(excl) - 1)
+        sc = sc[excl[idx] != code]
+    sc = sc.assign(aa_score=round2(sc["aa"].to_numpy()))
+    out = (sc.sort_values(["aa_score", "u", "v"],
+                          ascending=[False, True, True])
+           .head(20)[["u", "v", "aa_score"]].reset_index(drop=True))
+    out["u"] = out["u"].astype("int64")
+    out["v"] = out["v"].astype("int64")
+    return out
+
+
+ADAMIC_ADAR_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey <> b.l_partkey),
+deg AS (SELECT src AS node, count(*) AS d FROM pairs GROUP BY src),
+seeds AS (SELECT node FROM deg ORDER BY node LIMIT 50),
+cand AS (
+  SELECT su.src AS u, su.dst AS z, al.dst AS v
+  FROM pairs su JOIN pairs al ON al.src = su.dst
+  WHERE su.src IN (SELECT node FROM seeds) AND al.dst <> su.src),
+sc AS (
+  SELECT u, v, sum(1.0 / ln(d.d)) AS aa
+  FROM cand JOIN deg d ON d.node = cand.z GROUP BY u, v),
+pruned AS (
+  SELECT sc.u, sc.v, sc.aa FROM sc
+  LEFT JOIN pairs e ON e.src = sc.u AND e.dst = sc.v
+  WHERE e.src IS NULL)
+SELECT u, v, round(aa, 2) AS aa_score FROM pruned
+ORDER BY aa_score DESC, u, v LIMIT 20
+"""
+
+
+def part_clustering_coeff(sf_dir: str):
+    """Local clustering coefficient for the 50 smallest partkeys of
+    the co-purchase graph: coeff(u) = edges among N(u) / (d·(d−1))
+    over ordered pairs. The seed neighbor lists broadcast once as
+    sorted arrays; ONE streaming scan of the edge set emits per-batch
+    (seed, count) partials — closed-neighborhood membership is two
+    searchsorted probes per seed per batch, never a wedge
+    materialization. Exact-integer division keeps the oracle
+    bit-identical."""
+    import ray
+
+    from ..stages.groups import small_key_counts
+
+    adj = _copurchase_adj(sf_dir).materialize()
+    deg_pd = small_key_counts(adj, "src", alias="d").sort_values("src")
+    nodes = deg_pd["src"].to_numpy(dtype=np.int64)
+    degs = deg_pd["d"].to_numpy(dtype=np.int64)
+    seeds = nodes[:50]
+    seed_deg = degs[:50]
+
+    def seed_rows(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(seeds, src).clip(0, len(seeds) - 1)
+        return t.filter(pa.array(seeds[idx] == src))
+
+    sa = adj.map_batches(seed_rows, batch_format="pyarrow").to_pandas()
+    nbrs = {int(u): np.sort(g["dst"].to_numpy(dtype=np.int64))
+            for u, g in sa.groupby("src")}
+    ref = ray.put([(int(u), nbrs.get(int(u), np.empty(0, np.int64)))
+                   for u in seeds])
+
+    def tri_partial(t: pa.Table) -> pa.Table:
+        sl = ray.get(ref)
+        x = t["src"].to_numpy(zero_copy_only=False)
+        y = t["dst"].to_numpy(zero_copy_only=False)
+        out_n: list[int] = []
+        out_c: list[int] = []
+        for u, nb in sl:
+            if len(nb) == 0:
+                continue
+            ix = np.searchsorted(nb, x).clip(0, len(nb) - 1)
+            iy = np.searchsorted(nb, y).clip(0, len(nb) - 1)
+            c = int(np.count_nonzero((nb[ix] == x) & (nb[iy] == y)))
+            if c:
+                out_n.append(u)
+                out_c.append(c)
+        return pa.table({"node": pa.array(out_n, pa.int64()),
+                         "t2": pa.array(out_c, pa.int64())})
+
+    parts = (adj.map_batches(tri_partial, batch_format="pyarrow")
+             .to_pandas())
+    t2 = parts.groupby("node")["t2"].sum() if len(parts) else pd.Series(
+        dtype="int64")
+    coeff = np.array([
+        round6(float(t2.get(int(u), 0)) / (float(d) * (d - 1)))[()]
+        if d > 1 else 0.0
+        for u, d in zip(seeds, seed_deg)], dtype=np.float64)
+    return pd.DataFrame({"node": seeds.astype("int64"),
+                         "deg": seed_deg.astype("int64"),
+                         "coeff": coeff})
+
+
+CLUSTERING_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey <> b.l_partkey),
+deg AS (SELECT src AS node, count(*) AS d FROM pairs GROUP BY src),
+seeds AS (SELECT node, d FROM deg ORDER BY node LIMIT 50),
+tri AS (
+  SELECT a.src AS node, count(*) AS t2
+  FROM pairs a JOIN pairs e ON e.src = a.dst
+  JOIN pairs b ON b.src = a.src AND b.dst = e.dst
+  WHERE a.src IN (SELECT node FROM seeds)
+  GROUP BY a.src)
+SELECT s.node, s.d::BIGINT AS deg,
+       CASE WHEN s.d > 1
+            THEN round(coalesce(t.t2, 0) / (s.d::DOUBLE * (s.d - 1)), 6)
+            ELSE 0.0 END AS coeff
+FROM seeds s LEFT JOIN tri t ON t.node = s.node ORDER BY s.node
+"""
+
+
+def event_value_calibration(sf_dir: str):
+    """Calibration / reliability table for 'value predicts purchase':
+    score = global percent_rank of value (distributed value→count
+    histogram, broadcast + searchsorted — the orders_percent_rank
+    engine), binned into deciles; per bin the mergeable
+    (n, Σscore, n_purchase) partials come back |batches|×10 rows — no
+    all-to-all anywhere. frac_purchase is exact int/int division;
+    mean_score rounds at 6dp on both sides."""
+    import ray
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    vc = (ds.groupby("value").aggregate(Count(alias_name="c"))
+          .to_pandas().sort_values("value"))
+    vals = vc["value"].to_numpy()
+    below = np.concatenate([[0], np.cumsum(vc["c"].to_numpy())[:-1]])
+    n = int(vc["c"].sum())
+    ref = ray.put((vals, below))
+
+    def partials(t: pa.Table) -> pa.Table:
+        v, b = ray.get(ref)
+        x = t["value"].to_numpy(zero_copy_only=False)
+        pr = b[np.searchsorted(v, x)] / (n - 1) if n > 1 \
+            else np.zeros(len(x))
+        pr = np.floor(np.abs(pr) * 1e6 + 0.5) / 1e6
+        bins = np.minimum(np.floor(pr * 10.0), 9.0).astype(np.int64)
+        pos = pc.equal(t["event_type"], pa.scalar("purchase")) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        g = (pd.DataFrame({"bin": bins, "n": 1, "s": pr, "p": pos})
+             .groupby("bin", as_index=False).sum())
+        return arrow_out(g)
+
+    parts = (ds.map_batches(partials, batch_format="pyarrow")
+             .to_pandas().groupby("bin", as_index=False).sum())
+    nn = parts["n"].to_numpy(dtype=np.float64)
+    out = pd.DataFrame({
+        "bin": parts["bin"].astype("int64"),
+        "n": parts["n"].astype("int64"),
+        "mean_score": round6(parts["s"].to_numpy() / nn),
+        "frac_purchase": parts["p"].to_numpy(dtype=np.float64) / nn,
+    })
+    return out.sort_values("bin").reset_index(drop=True)
+
+
+CALIBRATION_SQL = """
+WITH pr AS (
+  SELECT event_type,
+         round(percent_rank() OVER (ORDER BY value), 6) AS score
+  FROM events),
+b AS (SELECT least(floor(score * 10), 9)::BIGINT AS bin, score,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      FROM pr)
+SELECT bin, count(*)::BIGINT AS n,
+       round(sum(score) / count(*), 6) AS mean_score,
+       sum(pos)::DOUBLE / count(*) AS frac_purchase
+FROM b GROUP BY bin ORDER BY bin
+"""
+
+
+def event_hourly_forecast_backtest(sf_dir: str):
+    """Seasonal-naive forecast backtest: per event_type the hourly
+    count series (dense over the corpus' GLOBAL hour span) is
+    forecast by its own value 24 hours earlier; MAE is exact integer
+    arithmetic over the evaluable hours, MASE divides by the lag-1
+    naive baseline (the standard scale-free benchmark). Only the
+    grouped count runs distributed; the calendar math runs on the
+    bounded types×hours grid (720 h × 5 types here)."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        return pa.table({
+            "event_type": t["event_type"],
+            "h": pc.divide(us, pa.scalar(3_600_000_000, pa.int64()))})
+
+    agg = (ds.map_batches(bucketize, batch_format="pyarrow")
+           .groupby(["event_type", "h"]).aggregate(Count(alias_name="n"))
+           .to_pandas())
+    if agg.empty:
+        return pd.DataFrame({"event_type": pd.Series([], dtype="object"),
+                             "n_eval": pd.Series([], dtype="int64"),
+                             "mae": pd.Series([], dtype="float64"),
+                             "mase": pd.Series([], dtype="float64")})
+    hours = np.arange(int(agg["h"].min()), int(agg["h"].max()) + 1,
+                      dtype=np.int64)
+    rows = []
+    for et in sorted(agg["event_type"].unique()):
+        s = (agg.loc[agg["event_type"] == et].set_index("h")["n"]
+             .reindex(hours, fill_value=0).to_numpy(dtype=np.int64))
+        ae = np.abs(s[24:] - s[:-24])
+        d1 = np.abs(s[1:] - s[:-1])
+        mae = float(ae.sum()) / len(ae)
+        naive = float(d1.sum()) / len(d1)
+        rows.append({"event_type": et, "n_eval": len(ae), "mae": mae,
+                     "mase": float(round6(mae / naive))})
+    out = pd.DataFrame(rows)
+    out["n_eval"] = out["n_eval"].astype("int64")
+    return out
+
+
+FORECAST_BACKTEST_SQL = """
+WITH b AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h
+           FROM events),
+agg AS (SELECT event_type, h, count(*) AS n FROM b
+        GROUP BY event_type, h),
+cal AS (SELECT unnest(generate_series((SELECT min(h) FROM b),
+                                      (SELECT max(h) FROM b))) AS h),
+types AS (SELECT DISTINCT event_type FROM events),
+grid AS (SELECT t.event_type, c.h, coalesce(a.n, 0)::BIGINT AS n
+         FROM types t CROSS JOIN cal c
+         LEFT JOIN agg a ON a.event_type = t.event_type AND a.h = c.h),
+lagd AS (SELECT event_type, n,
+                lag(n, 24) OVER (PARTITION BY event_type ORDER BY h)
+                  AS f,
+                lag(n, 1) OVER (PARTITION BY event_type ORDER BY h)
+                  AS p1
+         FROM grid)
+SELECT event_type,
+       count(f)::BIGINT AS n_eval,
+       sum(abs(n - f))::DOUBLE / count(f) AS mae,
+       round((sum(abs(n - f))::DOUBLE / count(f))
+             / (sum(abs(n - p1))::DOUBLE / count(p1)), 6) AS mase
+FROM lagd GROUP BY event_type ORDER BY event_type
+"""
+
+
+def bm25_ndcg_eval(sf_dir: str):
+    """NDCG@10 of the BM25 'hash join' ranking against a term-
+    frequency relevance label (rel = Σ exact-word tf of the query
+    terms): the ranking reuses the streaming bm25_topk engine; ONE
+    relevance pass emits per-batch partial top-10-by-rel (the ideal
+    DCG candidates — global top-10 is always inside the per-batch
+    top-10 union) plus the ranked docs' rel rows, so the driver sees
+    ≤ 11·|batches| rows. Rank-position discounts are fixed 10-term
+    sums; the final ratio rounds at 6dp on both sides."""
+    import ray
+
+    from ..stages.index import bm25_topk
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ranked = bm25_topk(ds, BM25_SEARCH_TERMS, topk=10)
+    rid = ranked["doc_id"].to_numpy(dtype=np.int64)
+    rid_ref = ray.put(np.sort(rid))
+
+    def rel_partial(t: pa.Table) -> pa.Table:
+        rs = ray.get(rid_ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        keep_ids: list[int] = []
+        rels: list[int] = []
+        for did, s in zip(ids, t["text"].to_pylist()):
+            if not s:
+                continue
+            words = s.split(" ")
+            keep_ids.append(int(did))
+            rels.append(sum(words.count(term)
+                            for term in BM25_SEARCH_TERMS))
+        if not keep_ids:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "rel": pa.array([], pa.int64())})
+        ri = np.asarray(keep_ids, np.int64)
+        rv = np.asarray(rels, np.int64)
+        keep = np.zeros(len(ri), dtype=bool)
+        keep[np.lexsort((ri, -rv))[:10]] = True
+        if len(rs):
+            ix = np.searchsorted(rs, ri).clip(0, len(rs) - 1)
+            keep |= rs[ix] == ri
+        return pa.table({"doc_id": pa.array(ri[keep]),
+                         "rel": pa.array(rv[keep])})
+
+    parts = (ds.map_batches(rel_partial, batch_format="pyarrow")
+             .to_pandas())
+    ideal = parts.sort_values(["rel", "doc_id"],
+                              ascending=[False, True]).head(10)
+    idcg = float((ideal["rel"].to_numpy(dtype=np.float64)
+                  / np.log2(np.arange(1, len(ideal) + 1) + 1.0)).sum())
+    relmap = dict(zip(parts["doc_id"].astype(int), parts["rel"]))
+    rvec = np.array([relmap.get(int(d), 0) for d in rid],
+                    dtype=np.float64)
+    dcg = float((rvec / np.log2(np.arange(1, len(rid) + 1) + 1.0)).sum())
+    ndcg = float(round6(dcg / idcg)) if idcg > 0 else 0.0
+    return pd.DataFrame({"ndcg_10": [ndcg]})
+
+
+NDCG_SQL = """
+WITH w AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents
+           WHERE coalesce(text, '') <> ''),
+st AS (SELECT count(*) AS n,
+              sum(length(w))::DOUBLE / count(*) AS avgdl FROM w),
+q AS (SELECT unnest(['hash', 'join']) AS term),
+tf AS (SELECT doc_id, term,
+              length(list_filter(w, x -> x = term)) AS tf,
+              length(w) AS dl FROM w, q),
+df AS (SELECT term, count(*) FILTER (tf > 0) AS df FROM tf GROUP BY term),
+sc AS (SELECT tf.doc_id,
+              sum(ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1)
+                  * (tf.tf * 2.2)
+                  / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl)))
+                AS score
+       FROM tf JOIN df USING (term), st GROUP BY tf.doc_id),
+ranked AS (SELECT doc_id,
+                  row_number() OVER (ORDER BY round(score, 2) DESC,
+                                     doc_id) AS rn
+           FROM sc QUALIFY rn <= 10),
+rel AS (SELECT doc_id, sum(tf)::BIGINT AS rel FROM tf GROUP BY doc_id),
+dcg AS (SELECT sum(r.rel / log2(rk.rn + 1)) AS dcg
+        FROM ranked rk JOIN rel r USING (doc_id)),
+ideal AS (SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id)
+                   AS rn
+          FROM rel QUALIFY rn <= 10),
+idcg AS (SELECT sum(rel / log2(rn + 1)) AS idcg FROM ideal)
+SELECT round(dcg.dcg / idcg.idcg, 6) AS ndcg_10 FROM dcg, idcg
+"""
+
+
 QUERIES = {
     # relational
     "q1_pricing_summary": q1_pricing_summary,
@@ -11930,6 +12440,12 @@ QUERIES = {
     # round-13 additions
     "lineitem_skyline": lineitem_skyline,
     "user_state_scd2": user_state_scd2,
+    "user_state_at_purchase": user_state_at_purchase,
+    "part_adamic_adar": part_adamic_adar,
+    "part_clustering_coeff": part_clustering_coeff,
+    "event_value_calibration": event_value_calibration,
+    "event_hourly_forecast_backtest": event_hourly_forecast_backtest,
+    "bm25_ndcg_eval": bm25_ndcg_eval,
     "part_copurchase_bfs": part_copurchase_bfs,
     "events_rolling_median": events_rolling_median,
     "event_value_autocorr": event_value_autocorr,
@@ -12161,6 +12677,12 @@ ORACLE_SQL = {
     # round-13 additions
     "lineitem_skyline": SKYLINE_SQL,
     "user_state_scd2": SCD2_SQL,
+    "user_state_at_purchase": PIT_STATE_SQL,
+    "part_adamic_adar": ADAMIC_ADAR_SQL,
+    "part_clustering_coeff": CLUSTERING_SQL,
+    "event_value_calibration": CALIBRATION_SQL,
+    "event_hourly_forecast_backtest": FORECAST_BACKTEST_SQL,
+    "bm25_ndcg_eval": NDCG_SQL,
     "part_copurchase_bfs": BFS_SQL,
     "events_rolling_median": ROLLING_MEDIAN_SQL,
     "event_value_autocorr": AUTOCORR_SQL,

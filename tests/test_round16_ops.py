@@ -1,0 +1,289 @@
+"""Round-16 operators: point-in-time SCD2 join, Adamic-Adar link
+prediction, seeded local clustering coefficient, calibration table,
+seasonal-naive forecast backtest, NDCG ranking eval — each checked
+against a naive brute-force reference on tiny constructed tables."""
+import collections
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from pdf_to_text_ray.pipelines.queries import (
+    BM25_SEARCH_TERMS,
+    bm25_ndcg_eval,
+    event_hourly_forecast_backtest,
+    event_value_calibration,
+    part_adamic_adar,
+    part_clustering_coeff,
+    round2,
+    round6,
+    user_state_at_purchase,
+)
+
+
+def _write_events(tmp_path, *, ts, users, types, values=None):
+    n = len(ts)
+    t = pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array(pd.to_datetime(ts), pa.timestamp("us")),
+        "user_id": pa.array(users, pa.int64()),
+        "event_type": pa.array(types, pa.string()),
+        "value": pa.array(values or [1.0] * n, pa.float64()),
+        "props": pa.array(["{}"] * n, pa.string()),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    return str(tmp_path)
+
+
+def _write_lineitem(tmp_path, order_parts):
+    """order_parts: list of (orderkey, [partkeys])."""
+    ok, pk = [], []
+    for o, parts in order_parts:
+        for p in parts:
+            ok.append(o)
+            pk.append(p)
+    n = len(ok)
+    t = pa.table({
+        "l_orderkey": pa.array(ok, pa.int64()),
+        "l_partkey": pa.array(pk, pa.int64()),
+        "l_suppkey": pa.array([1] * n, pa.int64()),
+        "l_linenumber": pa.array(range(n), pa.int32()),
+        "l_quantity": pa.array([1.0] * n, pa.float64()),
+        "l_extendedprice": pa.array([1.0] * n, pa.float64()),
+        "l_discount": pa.array([0.0] * n, pa.float64()),
+        "l_tax": pa.array([0.0] * n, pa.float64()),
+        "l_returnflag": pa.array(["N"] * n, pa.string()),
+        "l_linestatus": pa.array(["O"] * n, pa.string()),
+        "l_shipdate": pa.array(
+            pd.to_datetime(["2024-01-01"] * n), pa.timestamp("us")),
+    })
+    pq.write_table(t, tmp_path / "lineitem.parquet")
+    return str(tmp_path)
+
+
+def _write_docs(tmp_path, texts):
+    n = len(texts)
+    t = pa.table({
+        "doc_id": pa.array(range(1, n + 1), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * n, pa.string()),
+        "source": pa.array(["s"] * n, pa.string()),
+        "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+    return str(tmp_path)
+
+
+def _adj(order_parts):
+    adj = collections.defaultdict(set)
+    for _, parts in order_parts:
+        for a in set(parts):
+            for b in set(parts):
+                if a != b:
+                    adj[a].add(b)
+    return adj
+
+
+# ── user_state_at_purchase ───────────────────────────────────────────
+
+def test_pit_state_basic_none_and_boundary(tmp_path):
+    # user 1: view@0, click@10, purchase@10 (boundary: click run starts
+    # at 10, valid_from <= ts inclusive → 'click'), purchase@5 → 'view'
+    # user 2: purchase@0 before any state → 'none'
+    sf = _write_events(
+        tmp_path,
+        ts=["2024-01-01 00:00:00", "2024-01-01 00:00:10",
+            "2024-01-01 00:00:10", "2024-01-01 00:00:05",
+            "2024-01-01 00:00:00"],
+        users=[1, 1, 1, 1, 2],
+        types=["view", "click", "purchase", "purchase", "purchase"])
+    out = user_state_at_purchase(sf)
+    got = dict(zip(out["event_id"], out["state_at"]))
+    assert got == {2: "click", 3: "view", 4: "none"}
+
+
+def test_pit_state_tracks_latest_run(tmp_path):
+    # view→click→view runs; purchases probe each interval
+    sf = _write_events(
+        tmp_path,
+        ts=["2024-01-01 00:00:00", "2024-01-01 00:01:00",
+            "2024-01-01 00:02:00", "2024-01-01 00:00:30",
+            "2024-01-01 00:01:30", "2024-01-01 00:05:00"],
+        users=[7, 7, 7, 7, 7, 7],
+        types=["view", "click", "view", "purchase", "purchase",
+               "purchase"])
+    out = user_state_at_purchase(sf)
+    got = dict(zip(out["event_id"], out["state_at"]))
+    assert got == {3: "view", 4: "click", 5: "view"}
+
+
+# ── part_adamic_adar ─────────────────────────────────────────────────
+
+def _naive_aa(order_parts, topk=20):
+    adj = _adj(order_parts)
+    rows = []
+    for u in sorted(adj)[:50]:
+        scores = collections.defaultdict(float)
+        for z in adj[u]:
+            for v in adj[z]:
+                if v != u:
+                    scores[v] += 1.0 / math.log(len(adj[z]))
+        for v, s in scores.items():
+            if v not in adj[u]:
+                rows.append((u, v, float(round2(s))))
+    rows.sort(key=lambda r: (-r[2], r[0], r[1]))
+    return rows[:topk]
+
+
+def test_adamic_adar_matches_naive(tmp_path):
+    # path-ish graph with a hub: 1-2-3, 2-4, 3-4, 4-5 (orders = edges)
+    order_parts = [(1, [1, 2]), (2, [2, 3]), (3, [2, 4]), (4, [3, 4]),
+                   (5, [4, 5])]
+    sf = _write_lineitem(tmp_path, order_parts)
+    out = part_adamic_adar(sf)
+    got = list(zip(out["u"], out["v"], out["aa_score"]))
+    assert [(int(u), int(v), float(s)) for u, v, s in got] == \
+        _naive_aa(order_parts)
+
+
+def test_adamic_adar_excludes_direct_edges(tmp_path):
+    # triangle 1-2-3 plus pendant 4 on 3: (1,2) adjacent → never
+    # predicted even though they share neighbor 3
+    order_parts = [(1, [1, 2, 3]), (2, [3, 4])]
+    sf = _write_lineitem(tmp_path, order_parts)
+    out = part_adamic_adar(sf)
+    pairs = set(zip(out["u"].astype(int), out["v"].astype(int)))
+    assert (1, 2) not in pairs and (2, 1) not in pairs
+    assert (1, 4) in pairs and (4, 1) in pairs  # 2-hop via 3
+    assert list(zip(out["u"], out["v"], out["aa_score"])) == [
+        (u, v, float(s)) for u, v, s in _naive_aa(order_parts)]
+
+
+# ── part_clustering_coeff ────────────────────────────────────────────
+
+def test_clustering_coeff_matches_naive(tmp_path):
+    # K4 minus one edge plus a pendant
+    order_parts = [(1, [1, 2]), (2, [1, 3]), (3, [1, 4]), (4, [2, 3]),
+                   (5, [3, 4]), (6, [4, 5])]
+    sf = _write_lineitem(tmp_path, order_parts)
+    out = part_clustering_coeff(sf)
+    adj = _adj(order_parts)
+    for _, r in out.iterrows():
+        u = int(r["node"])
+        nb = adj[u]
+        d = len(nb)
+        assert int(r["deg"]) == d
+        t2 = sum(1 for x in nb for y in nb if x != y and y in adj[x])
+        want = float(round6(t2 / (d * (d - 1)))) if d > 1 else 0.0
+        assert float(r["coeff"]) == want
+
+
+def test_clustering_coeff_triangle_is_one(tmp_path):
+    sf = _write_lineitem(tmp_path, [(1, [1, 2, 3])])
+    out = part_clustering_coeff(sf)
+    assert (out["coeff"] == 1.0).all() and (out["deg"] == 2).all()
+
+
+# ── event_value_calibration ──────────────────────────────────────────
+
+def test_calibration_matches_naive(tmp_path):
+    rng = np.random.default_rng(7)
+    n = 400
+    vals = rng.normal(10, 3, n).round(3)
+    types = np.where(rng.random(n) < (vals - vals.min())
+                     / (vals.max() - vals.min()), "purchase", "view")
+    sf = _write_events(tmp_path, ts=["2024-01-01"] * n,
+                       users=list(range(n)), types=list(types),
+                       values=list(vals))
+    out = event_value_calibration(sf)
+    # naive: percent_rank = count(strictly smaller)/(n-1), 6dp
+    order = np.sort(vals)
+    below = np.searchsorted(order, vals, side="left")
+    pr = np.floor(np.abs(below / (n - 1)) * 1e6 + 0.5) / 1e6
+    bins = np.minimum(np.floor(pr * 10), 9).astype(int)
+    for _, r in out.iterrows():
+        m = bins == int(r["bin"])
+        assert int(r["n"]) == int(m.sum())
+        assert float(r["mean_score"]) == float(round6(pr[m].mean()))
+        assert float(r["frac_purchase"]) == \
+            (types[m] == "purchase").sum() / m.sum()
+    assert int(out["n"].sum()) == n
+
+
+# ── event_hourly_forecast_backtest ───────────────────────────────────
+
+def test_forecast_backtest_matches_naive(tmp_path):
+    # 50 hours of data, two types with different hourly patterns
+    ts, types = [], []
+    for h in range(50):
+        for _ in range(h % 3):
+            ts.append(pd.Timestamp("2024-01-01") + pd.Timedelta(hours=h))
+            types.append("view")
+        for _ in range(h % 2):
+            ts.append(pd.Timestamp("2024-01-01") + pd.Timedelta(hours=h))
+            types.append("click")
+    sf = _write_events(tmp_path, ts=ts, users=[1] * len(ts), types=types)
+    out = event_hourly_forecast_backtest(sf)
+
+    # hour 0 emits no events (0%2 = 0%3 = 0), so the global span the
+    # operator densifies over starts at hour 1
+    hours = np.arange(1, 50)
+    for et, mod in [("click", 2), ("view", 3)]:
+        s = np.array([h % mod for h in hours], dtype=np.int64)
+        ae = np.abs(s[24:] - s[:-24])
+        d1 = np.abs(s[1:] - s[:-1])
+        r = out[out["event_type"] == et].iloc[0]
+        assert int(r["n_eval"]) == len(ae)
+        assert float(r["mae"]) == ae.sum() / len(ae)
+        assert float(r["mase"]) == float(round6(
+            (ae.sum() / len(ae)) / (d1.sum() / len(d1))))
+
+
+# ── bm25_ndcg_eval ───────────────────────────────────────────────────
+
+def test_ndcg_perfect_ranking_is_one(tmp_path):
+    # rel strictly decreasing with bm25 score: identical doc lengths,
+    # tf decreasing → bm25 order == ideal order → NDCG = 1
+    texts = [("hash join " * (10 - i) + "filler " * i).strip()
+             for i in range(10)]
+    sf = _write_docs(tmp_path, texts)
+    out = bm25_ndcg_eval(sf)
+    assert float(out["ndcg_10"].iloc[0]) == 1.0
+
+
+def test_ndcg_matches_naive(tmp_path):
+    # mixed lengths so bm25 and raw-tf orders diverge
+    texts = [
+        "hash " * 3 + "x " * 40,           # high tf, long
+        "hash join",                        # low tf, tiny doc
+        "join " * 2 + "y " * 5,
+        "no match here at all",
+        "hash join hash join " + "z " * 60,
+    ]
+    sf = _write_docs(tmp_path, [t.strip() for t in texts])
+    out = bm25_ndcg_eval(sf)
+
+    # naive reference: serial bm25 + ndcg
+    docs = [t.strip().split(" ") for t in texts]
+    n = len(docs)
+    avgdl = sum(len(d) for d in docs) / n
+    scores = []
+    for i, d in enumerate(docs):
+        s = 0.0
+        for term in BM25_SEARCH_TERMS:
+            tf = d.count(term)
+            df = sum(1 for dd in docs if term in dd)
+            idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+            s += idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75
+                                                 * len(d) / avgdl))
+        scores.append((i + 1, float(round2(s))))
+    scores.sort(key=lambda r: (-r[1], r[0]))
+    rel = {i + 1: sum(d.count(t) for t in BM25_SEARCH_TERMS)
+           for i, d in enumerate(docs)}
+    ranked = [doc_id for doc_id, _ in scores[:10]]
+    dcg = sum(rel[d] / math.log2(i + 2) for i, d in enumerate(ranked))
+    ideal = sorted(rel.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    idcg = sum(r / math.log2(i + 2) for i, (_, r) in enumerate(ideal))
+    assert float(out["ndcg_10"].iloc[0]) == float(round6(dcg / idcg))
