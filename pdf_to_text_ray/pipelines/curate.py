@@ -119,7 +119,13 @@ def curate_documents(sf_dir: str, *, pack_budget: int = 256,
     ds = rd.read_parquet(path, columns=["doc_id", "text", "lang", "source"])
 
     gated = ds.map_batches(_quality_gate, batch_format="pyarrow")
-    deduped = _exact_dedup_keep(gated)
+    # Pin the deduped corpus ONCE (object-store blocks, spillable):
+    # it is consumed by the MinHash pair generation AND by the final
+    # filter→pack chain — unpinned, the read→gate→dedup shuffle
+    # re-executes per consumer (measured ~2× the whole pipeline's
+    # useful work at sf0.1; same tradeoff as the boilerplate explode
+    # pin).
+    deduped = _exact_dedup_keep(gated).materialize()
     neardeduped = _neardup_filter(deduped, threshold=neardup_threshold)
 
     def bench_split(t: pa.Table) -> pa.Table:
