@@ -12197,6 +12197,171 @@ SELECT round(dcg.dcg / idcg.idcg, 6) AS ndcg_10 FROM dcg, idcg
 """
 
 
+def user_event_gini(sf_dir: str):
+    """Gini coefficient of per-user event counts — the activity-
+    inequality metric (is traffic dominated by a few heavy users?).
+    Per-user counts come back as mergeable per-batch partials
+    (|users| driver state, the pagerank bound); the Gini numerator
+    Σ(2i−n−1)·cᵢ over the count-sorted array is EXACT integer
+    arithmetic, so the single int/int division is bit-identical to
+    the SQL window replay (ties in c are coefficient-sum invariant,
+    so the tiebreak order cannot matter)."""
+    from ..stages.groups import small_key_counts
+
+    counts = small_key_counts(_read(sf_dir, "events", ["user_id"]),
+                              "user_id", alias="c")
+    c = np.sort(counts["c"].to_numpy(dtype=np.int64))
+    n = len(c)
+    s = int(c.sum())
+    if n == 0 or s == 0:
+        return pd.DataFrame({"n_users": pd.Series([0], dtype="int64"),
+                             "gini": [0.0]})
+    i = np.arange(1, n + 1, dtype=np.int64)
+    num = int(((2 * i - n - 1) * c).sum())
+    return pd.DataFrame({"n_users": pd.Series([n], dtype="int64"),
+                         "gini": [float(num) / (float(n) * float(s))]})
+
+
+GINI_SQL = """
+WITH c AS (SELECT user_id, count(*)::BIGINT AS c FROM events
+           GROUP BY user_id),
+r AS (SELECT c, row_number() OVER (ORDER BY c, user_id) AS i,
+             count(*) OVER () AS n, sum(c) OVER () AS s
+      FROM c)
+SELECT max(n)::BIGINT AS n_users,
+       sum((2 * i - n - 1) * c)::DOUBLE / (max(n) * max(s)) AS gini
+FROM r
+"""
+
+
+KS_SOURCES = ("src0", "src1")
+
+
+def source_length_ks(sf_dir: str):
+    """Two-sample Kolmogorov–Smirnov statistic between two sources'
+    document-length distributions (the distribution-drift check a
+    corpus-mixing pipeline runs between ingests): D = max |ECDF_a −
+    ECDF_b| over the pooled support. The (source, n_chars) counts
+    come back as per-batch partials (support-bounded driver state);
+    every ECDF term is an exact int/int division, so D is
+    bit-identical to the SQL window replay."""
+    from ..stages.groups import small_key_counts
+
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t["source"],
+                     value_set=pa.array(list(KS_SOURCES)))
+        return t.filter(m)
+
+    c = small_key_counts(ds.map_batches(pick, batch_format="pyarrow"),
+                         ["source", "n_chars"], alias="k")
+    wide = (c.pivot_table(index="n_chars", columns="source", values="k",
+                          fill_value=0, aggfunc="sum")
+            .reindex(columns=list(KS_SOURCES), fill_value=0)
+            .sort_index())
+    ca = np.cumsum(wide[KS_SOURCES[0]].to_numpy(dtype=np.int64))
+    cb = np.cumsum(wide[KS_SOURCES[1]].to_numpy(dtype=np.int64))
+    na, nb = int(ca[-1]) if len(ca) else 0, int(cb[-1]) if len(cb) else 0
+    if na == 0 or nb == 0:
+        return pd.DataFrame({"n_a": pd.Series([na], dtype="int64"),
+                             "n_b": pd.Series([nb], dtype="int64"),
+                             "ks_d": [0.0]})
+    d = float(np.max(np.abs(ca / na - cb / nb)))
+    return pd.DataFrame({"n_a": pd.Series([na], dtype="int64"),
+                         "n_b": pd.Series([nb], dtype="int64"),
+                         "ks_d": [d]})
+
+
+KS_SQL = f"""
+WITH ab AS (SELECT source, n_chars FROM documents
+            WHERE source IN ('{KS_SOURCES[0]}', '{KS_SOURCES[1]}')),
+c AS (SELECT n_chars AS x,
+             count(*) FILTER (source = '{KS_SOURCES[0]}') AS a,
+             count(*) FILTER (source = '{KS_SOURCES[1]}') AS b
+      FROM ab GROUP BY n_chars),
+cum AS (SELECT sum(a) OVER (ORDER BY x) AS ca,
+               sum(b) OVER (ORDER BY x) AS cb FROM c),
+n AS (SELECT sum(a)::BIGINT AS na, sum(b)::BIGINT AS nb FROM c)
+SELECT n.na AS n_a, n.nb AS n_b,
+       (SELECT max(abs(ca::DOUBLE / n.na - cb::DOUBLE / n.nb))
+        FROM cum) AS ks_d
+FROM n
+"""
+
+
+def session_first_touch(sf_dir: str, gap_minutes: int = 30):
+    """First-touch attribution: sessions (gap > 30 min ⇒ new session)
+    are credited to their FIRST event type; per first-touch channel,
+    how many sessions, how many converted (contain a purchase), and
+    the attributed purchase value. One user hash bucket carries
+    sessionization AND the per-session reduce; per-bucket partials
+    are ≤ |event types| rows."""
+    from ..stages.groups import bucketed_group_apply
+
+    ds = _read(sf_dir, "events",
+               ["user_id", "event_type", "value", "ts", "event_id"])
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        gaps = df.groupby("user_id", sort=False)["ts"].diff()
+        brk = (gaps.dt.total_seconds() * 1_000_000 > gap_us) \
+            .fillna(False).astype("int64")
+        df = df.assign(_sid=brk.groupby(df["user_id"]).cumsum())
+        is_p = (df["event_type"] == "purchase")
+        agg = (df.assign(_conv=is_p.astype("int64"),
+                         _pv=np.where(is_p, df["value"], 0.0))
+               .groupby(["user_id", "_sid"], sort=False)
+               .agg(first_touch=("event_type", "first"),
+                    conv=("_conv", "max"), pv=("_pv", "sum")))
+        return (agg.groupby("first_touch", as_index=False)
+                .agg(n_sessions=("conv", "size"),
+                     n_converted=("conv", "sum"), pv=("pv", "sum")))
+
+    parts = (bucketed_group_apply(ds, "user_id", per_bucket,
+                                  num_buckets=16)
+             .to_pandas().groupby("first_touch", as_index=False).sum())
+    out = pd.DataFrame({
+        "first_touch": parts["first_touch"],
+        "n_sessions": parts["n_sessions"].astype("int64"),
+        "n_converted": parts["n_converted"].astype("int64"),
+        "purchase_value": round2(parts["pv"].to_numpy()),
+    })
+    return out.sort_values("first_touch").reset_index(drop=True)
+
+
+FIRST_TOUCH_SQL = """
+WITH g AS (
+  SELECT user_id, event_type, value, ts, event_id,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id)
+              > 1800000000 THEN 1 ELSE 0 END AS brk
+  FROM events),
+s AS (SELECT user_id, event_type, value, ts, event_id,
+             sum(brk) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS sid
+      FROM g),
+sess AS (
+  SELECT user_id, sid, event_type, value,
+         first_value(event_type) OVER (PARTITION BY user_id, sid
+                                       ORDER BY ts, event_id)
+           AS first_touch
+  FROM s),
+agg AS (
+  SELECT user_id, sid, min(first_touch) AS first_touch,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS conv,
+         sum(CASE WHEN event_type = 'purchase' THEN value
+                  ELSE 0 END) AS pv
+  FROM sess GROUP BY user_id, sid)
+SELECT first_touch, count(*)::BIGINT AS n_sessions,
+       sum(conv)::BIGINT AS n_converted,
+       round(sum(pv), 2) AS purchase_value
+FROM agg GROUP BY first_touch ORDER BY first_touch
+"""
+
+
 QUERIES = {
     # relational
     "q1_pricing_summary": q1_pricing_summary,
@@ -12441,6 +12606,9 @@ QUERIES = {
     "lineitem_skyline": lineitem_skyline,
     "user_state_scd2": user_state_scd2,
     "user_state_at_purchase": user_state_at_purchase,
+    "user_event_gini": user_event_gini,
+    "source_length_ks": source_length_ks,
+    "session_first_touch": session_first_touch,
     "part_adamic_adar": part_adamic_adar,
     "part_clustering_coeff": part_clustering_coeff,
     "event_value_calibration": event_value_calibration,
@@ -12678,6 +12846,9 @@ ORACLE_SQL = {
     "lineitem_skyline": SKYLINE_SQL,
     "user_state_scd2": SCD2_SQL,
     "user_state_at_purchase": PIT_STATE_SQL,
+    "user_event_gini": GINI_SQL,
+    "source_length_ks": KS_SQL,
+    "session_first_touch": FIRST_TOUCH_SQL,
     "part_adamic_adar": ADAMIC_ADAR_SQL,
     "part_clustering_coeff": CLUSTERING_SQL,
     "event_value_calibration": CALIBRATION_SQL,

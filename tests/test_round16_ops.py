@@ -18,6 +18,9 @@ from pdf_to_text_ray.pipelines.queries import (
     part_adamic_adar,
     part_clustering_coeff,
     round2,
+    session_first_touch,
+    source_length_ks,
+    user_event_gini,
     round6,
     user_state_at_purchase,
 )
@@ -287,3 +290,115 @@ def test_ndcg_matches_naive(tmp_path):
     ideal = sorted(rel.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     idcg = sum(r / math.log2(i + 2) for i, (_, r) in enumerate(ideal))
     assert float(out["ndcg_10"].iloc[0]) == float(round6(dcg / idcg))
+
+# ── user_event_gini ──────────────────────────────────────────────────
+
+def test_gini_uniform_zero_and_concentrated(tmp_path):
+    # equal counts → gini 0
+    sf = _write_events(tmp_path, ts=["2024-01-01"] * 6,
+                       users=[1, 1, 2, 2, 3, 3], types=["view"] * 6)
+    out = user_event_gini(sf)
+    assert float(out["gini"].iloc[0]) == 0.0
+    assert int(out["n_users"].iloc[0]) == 3
+
+
+def test_gini_matches_naive(tmp_path):
+    users = [1] * 10 + [2] * 3 + [3] * 1 + [4] * 6
+    sf = _write_events(tmp_path, ts=["2024-01-01"] * len(users),
+                       users=users, types=["view"] * len(users))
+    out = user_event_gini(sf)
+    c = np.sort(np.array([10, 3, 1, 6], dtype=np.int64))
+    n, s = len(c), c.sum()
+    i = np.arange(1, n + 1)
+    want = ((2 * i - n - 1) * c).sum() / (float(n) * float(s))
+    assert float(out["gini"].iloc[0]) == want
+
+
+# ── source_length_ks ─────────────────────────────────────────────────
+
+def test_ks_identical_zero_disjoint_one(tmp_path):
+    # identical distributions → D = 0
+    n = 6
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(["x"] * n, pa.string()),
+        "lang": pa.array(["en"] * n, pa.string()),
+        "source": pa.array(["src0", "src1"] * 3, pa.string()),
+        "n_chars": pa.array([10, 10, 20, 20, 30, 30], pa.int64()),
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = source_length_ks(str(tmp_path))
+    assert float(out["ks_d"].iloc[0]) == 0.0
+
+    # disjoint supports → D = 1
+    t2 = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(["x"] * n, pa.string()),
+        "lang": pa.array(["en"] * n, pa.string()),
+        "source": pa.array(["src0"] * 3 + ["src1"] * 3, pa.string()),
+        "n_chars": pa.array([1, 2, 3, 100, 200, 300], pa.int64()),
+    })
+    pq.write_table(t2, tmp_path / "documents.parquet")
+    out2 = source_length_ks(str(tmp_path))
+    assert float(out2["ks_d"].iloc[0]) == 1.0
+
+
+def test_ks_matches_naive(tmp_path):
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 40, 30)
+    b = rng.integers(10, 60, 20)
+    nch = np.concatenate([a, b])
+    src = ["src0"] * 30 + ["src1"] * 20
+    n = len(nch)
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(["x"] * n, pa.string()),
+        "lang": pa.array(["en"] * n, pa.string()),
+        "source": pa.array(src, pa.string()),
+        "n_chars": pa.array(nch, pa.int64()),
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = source_length_ks(str(tmp_path))
+    xs = np.unique(nch)
+    ca = np.array([(a <= x).sum() for x in xs]) / len(a)
+    cb = np.array([(b <= x).sum() for x in xs]) / len(b)
+    assert float(out["ks_d"].iloc[0]) == float(np.max(np.abs(ca - cb)))
+
+
+# ── session_first_touch ──────────────────────────────────────────────
+
+def test_first_touch_attribution(tmp_path):
+    base = pd.Timestamp("2024-01-01")
+    mins = lambda m: base + pd.Timedelta(minutes=m)  # noqa: E731
+    # user 1: session A starts with view, converts (value 5 + 7);
+    #         session B (gap 60m) starts with click, no purchase
+    # user 2: one session starting with purchase (value 3)
+    ts = [mins(0), mins(10), mins(20), mins(90), mins(95),
+          mins(0)]
+    users = [1, 1, 1, 1, 1, 2]
+    types = ["view", "purchase", "purchase", "click", "view",
+             "purchase"]
+    values = [0.0, 5.0, 7.0, 0.0, 0.0, 3.0]
+    sf = _write_events(tmp_path, ts=ts, users=users, types=types,
+                       values=values)
+    out = session_first_touch(sf).set_index("first_touch")
+    assert int(out.loc["view", "n_sessions"]) == 1
+    assert int(out.loc["view", "n_converted"]) == 1
+    assert float(out.loc["view", "purchase_value"]) == 12.0
+    assert int(out.loc["click", "n_sessions"]) == 1
+    assert int(out.loc["click", "n_converted"]) == 0
+    assert float(out.loc["click", "purchase_value"]) == 0.0
+    assert int(out.loc["purchase", "n_sessions"]) == 1
+    assert int(out.loc["purchase", "n_converted"]) == 1
+    assert float(out.loc["purchase", "purchase_value"]) == 3.0
+
+
+def test_first_touch_exact_30min_gap_same_session(tmp_path):
+    base = pd.Timestamp("2024-01-01")
+    ts = [base, base + pd.Timedelta(minutes=30)]
+    sf = _write_events(tmp_path, ts=ts, users=[1, 1],
+                       types=["view", "purchase"], values=[0.0, 2.0])
+    out = session_first_touch(sf)
+    # gap == 30min exactly is NOT > threshold → one session
+    assert len(out) == 1 and out["first_touch"].iloc[0] == "view"
+    assert int(out["n_sessions"].iloc[0]) == 1
