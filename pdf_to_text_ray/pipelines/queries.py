@@ -12362,6 +12362,129 @@ FROM agg GROUP BY first_touch ORDER BY first_touch
 """
 
 
+SHUFFLE_EPOCH = 7
+
+
+def epoch_shuffle_plan(sf_dir: str):
+    """Deterministic epoch shuffle WITHOUT a random_shuffle exchange:
+    each doc's position for epoch k is its rank under the portable
+    md5(doc_id:k) key — any worker can recompute any shard's read
+    order independently, which is how a 100-TB training run shuffles
+    (a materialized permutation would itself be corpus-sized). The
+    rank is the two-level ordered prefix sum over the 48-bit hash
+    prefix (rows shuffle once by hash range, nothing serial); the
+    48-bit key space makes collisions at corpus scale ~2⁻³⁰, the
+    documented distinctness assumption ordered_prefix_sum carries."""
+    import hashlib
+
+    from ..stages.groups import ordered_prefix_sum
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def key(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        h = np.fromiter(
+            (int(hashlib.md5(f"{i}:{SHUFFLE_EPOCH}".encode())
+                 .hexdigest()[:12], 16) for i in ids),
+            dtype=np.int64, count=len(ids))
+        return pa.table({"doc_id": t["doc_id"],
+                         "hk": pa.array(h, pa.int64()),
+                         "one": pa.array(np.ones(len(ids), np.int64))})
+
+    scanned = ordered_prefix_sum(
+        ds.map_batches(key, batch_format="pyarrow"),
+        order_col="hk", value_col="one", out_col="pos")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "pos": pc.cast(t["pos"], pa.int64()),
+        })
+
+    return scanned.map_batches(finish, batch_format="pyarrow")
+
+
+EPOCH_SHUFFLE_SQL = f"""
+WITH h AS (SELECT doc_id,
+                  substr(md5(doc_id::VARCHAR || ':{SHUFFLE_EPOCH}'),
+                         1, 12) AS hk
+           FROM documents)
+SELECT doc_id, row_number() OVER (ORDER BY hk, doc_id)::BIGINT AS pos
+FROM h
+"""
+
+
+def label_centroid_drift(sf_dir: str):
+    """Embedding-drift monitor: per label, cosine similarity between
+    the centroid of even vec_ids and the centroid of odd vec_ids (two
+    ingest halves) — the check a feature pipeline runs between model
+    refreshes. Per-batch (label, half) partial sums (one
+    labels×2×dim matrix per batch — vectors never shuffle) merge on
+    the driver; centroids round at 6dp BEFORE the cosine on both
+    sides so the oracle's avg() low bits can't leak into the dot
+    product."""
+    from pdf_to_text_ray.stages.similarity import list_column_to_matrix
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = list_column_to_matrix(t["embedding"])
+        labels = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        half = (t["vec_id"].to_numpy(zero_copy_only=False) % 2) \
+            .astype(np.int64)
+        key = labels * 2 + half
+        uniq, inv = np.unique(key, return_inverse=True)
+        sums = np.zeros((len(uniq), m.shape[1]), dtype=np.float64)
+        np.add.at(sums, inv, m)
+        counts = np.bincount(inv)
+        d = m.shape[1]
+        return pa.table({
+            "key": pa.array(np.repeat(uniq, d), pa.int64()),
+            "idx": pa.array(np.tile(np.arange(d), len(uniq)), pa.int64()),
+            "s": pa.array(sums.ravel(), pa.float64()),
+            "n": pa.array(np.repeat(counts, d).astype("int64"),
+                          pa.int64()),
+        })
+
+    parts = (ds.map_batches(partial, batch_format="pyarrow")
+             .to_pandas()
+             .groupby(["key", "idx"], as_index=False)[["s", "n"]].sum())
+    parts["c"] = round6(parts["s"].to_numpy() / parts["n"].to_numpy())
+    parts["label"] = parts["key"] // 2
+    parts["half"] = parts["key"] % 2
+    wide = parts.pivot_table(index=["label", "idx"], columns="half",
+                             values="c")
+    rows = []
+    for lab, g in wide.groupby(level="label"):
+        if g[0].isna().any() or 1 not in g.columns or g[1].isna().any():
+            continue  # a half with no vectors: the oracle's inner join
+            # drops the label too
+        a = g[0].to_numpy()
+        b = g[1].to_numpy()
+        rows.append({"label": int(lab), "cos_drift": float(round6(
+            float(a @ b) / np.sqrt(float(a @ a) * float(b @ b))))})
+    out = pd.DataFrame(rows)
+    out["label"] = out["label"].astype("int64")
+    return out.sort_values("label").reset_index(drop=True)
+
+
+CENTROID_DRIFT_SQL = """
+WITH e AS (SELECT label, vec_id % 2 AS half,
+                  generate_subscripts(embedding, 1) AS idx,
+                  unnest(embedding)::DOUBLE AS v
+           FROM embeddings),
+c AS (SELECT label, half, idx, round(avg(v), 6) AS c
+      FROM e GROUP BY label, half, idx),
+j AS (SELECT a.label, sum(a.c * b.c) AS dot,
+             sum(a.c * a.c) AS na, sum(b.c * b.c) AS nb
+      FROM c a JOIN c b ON a.label = b.label AND a.idx = b.idx
+      WHERE a.half = 0 AND b.half = 1
+      GROUP BY a.label)
+SELECT label::BIGINT AS label, round(dot / sqrt(na * nb), 6) AS cos_drift
+FROM j ORDER BY label
+"""
+
+
 QUERIES = {
     # relational
     "q1_pricing_summary": q1_pricing_summary,
@@ -12609,6 +12732,8 @@ QUERIES = {
     "user_event_gini": user_event_gini,
     "source_length_ks": source_length_ks,
     "session_first_touch": session_first_touch,
+    "epoch_shuffle_plan": epoch_shuffle_plan,
+    "label_centroid_drift": label_centroid_drift,
     "part_adamic_adar": part_adamic_adar,
     "part_clustering_coeff": part_clustering_coeff,
     "event_value_calibration": event_value_calibration,
@@ -12849,6 +12974,8 @@ ORACLE_SQL = {
     "user_event_gini": GINI_SQL,
     "source_length_ks": KS_SQL,
     "session_first_touch": FIRST_TOUCH_SQL,
+    "epoch_shuffle_plan": EPOCH_SHUFFLE_SQL,
+    "label_centroid_drift": CENTROID_DRIFT_SQL,
     "part_adamic_adar": ADAMIC_ADAR_SQL,
     "part_clustering_coeff": CLUSTERING_SQL,
     "event_value_calibration": CALIBRATION_SQL,

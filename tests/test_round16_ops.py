@@ -18,6 +18,9 @@ from pdf_to_text_ray.pipelines.queries import (
     part_adamic_adar,
     part_clustering_coeff,
     round2,
+    SHUFFLE_EPOCH,
+    epoch_shuffle_plan,
+    label_centroid_drift,
     session_first_touch,
     source_length_ks,
     user_event_gini,
@@ -402,3 +405,69 @@ def test_first_touch_exact_30min_gap_same_session(tmp_path):
     # gap == 30min exactly is NOT > threshold → one session
     assert len(out) == 1 and out["first_touch"].iloc[0] == "view"
     assert int(out["n_sessions"].iloc[0]) == 1
+
+# ── epoch_shuffle_plan ───────────────────────────────────────────────
+
+def test_epoch_shuffle_is_bijective_and_matches_md5_rank(tmp_path):
+    import hashlib
+
+    n = 137
+    sf = _write_docs(tmp_path, [f"doc {i}" for i in range(n)])
+    out = epoch_shuffle_plan(sf).to_pandas()
+    assert sorted(out["pos"]) == list(range(1, n + 1))  # bijection
+    ranks = sorted(
+        range(1, n + 1),
+        key=lambda i: (hashlib.md5(f"{i}:{SHUFFLE_EPOCH}".encode())
+                       .hexdigest()[:12], i))
+    want = {doc_id: pos + 1 for pos, doc_id in enumerate(ranks)}
+    got = dict(zip(out["doc_id"].astype(int), out["pos"].astype(int)))
+    assert got == want
+
+
+# ── label_centroid_drift ─────────────────────────────────────────────
+
+def _write_embeddings(tmp_path, vecs, labels):
+    t = pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array(labels, pa.int32()),
+    })
+    pq.write_table(t, tmp_path / "embeddings.parquet")
+    return str(tmp_path)
+
+
+def test_centroid_drift_identical_halves_is_one(tmp_path):
+    # even and odd vec_ids carry the same vector per label → cos = 1
+    vecs = [[1.0, 0.0], [1.0, 0.0], [0.0, 2.0], [0.0, 2.0]]
+    sf = _write_embeddings(tmp_path, vecs, [0, 0, 1, 1])
+    out = label_centroid_drift(sf)
+    assert list(out["label"]) == [0, 1]
+    assert (out["cos_drift"] == 1.0).all()
+
+
+def test_centroid_drift_matches_naive(tmp_path):
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(40, 8)).astype(np.float32)
+    labels = list(rng.integers(0, 3, 40))
+    sf = _write_embeddings(tmp_path, vecs, labels)
+    out = label_centroid_drift(sf)
+    labs = np.array(labels)
+    half = np.arange(40) % 2
+    for _, r in out.iterrows():
+        lab = int(r["label"])
+        a = round6(vecs[(labs == lab) & (half == 0)]
+                   .astype(np.float64).mean(axis=0))
+        b = round6(vecs[(labs == lab) & (half == 1)]
+                   .astype(np.float64).mean(axis=0))
+        want = float(round6(float(a @ b)
+                            / np.sqrt(float(a @ a) * float(b @ b))))
+        assert float(r["cos_drift"]) == want
+
+
+def test_centroid_drift_drops_single_half_labels(tmp_path):
+    # label 5 exists only at even vec_ids → dropped like the SQL join
+    vecs = [[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]]
+    sf = _write_embeddings(tmp_path, vecs, [5, 0, 0])
+    out = label_centroid_drift(sf)
+    assert list(out["label"]) == [0]
