@@ -12393,7 +12393,8 @@ def epoch_shuffle_plan(sf_dir: str):
 
     scanned = ordered_prefix_sum(
         ds.map_batches(key, batch_format="pyarrow"),
-        order_col="hk", value_col="one", out_col="pos")
+        order_col="hk", value_col="one", out_col="pos",
+        domain=(0, 16 ** 12 - 1))  # known hash space: skip min/max pass
 
     def finish(t: pa.Table) -> pa.Table:
         return pa.table({

@@ -188,7 +188,8 @@ def _append_null_col(ds, out_col: str, dtype) -> "object":
 
 
 def ordered_prefix_sum(ds, *, order_col: str, value_col: str,
-                       out_col: str = "cum", num_buckets: int = 32):
+                       out_col: str = "cum", num_buckets: int = 32,
+                       domain: tuple[int, int] | None = None):
     """Distributed inclusive prefix sum of ``value_col`` in
     ``order_col`` order — a SCAN, the one shape neither map_batches nor
     groupby expresses alone (each row depends on every earlier row).
@@ -203,6 +204,10 @@ def ordered_prefix_sum(ds, *, order_col: str, value_col: str,
     ``order_col`` must be numeric with distinct values (ties would make
     the scan order ambiguous). Skewed key ranges skew bucket sizes —
     acceptable for dense ids; use quantile boundaries for heavy skew.
+    ``domain=(lo, hi)``: pass the order key's known inclusive range
+    (e.g. a hash prefix's full space) to skip the min/max aggregate
+    pass — one fewer sequential execution; the caller guarantees every
+    key falls inside it.
     """
     import ray
     from ray.data.aggregate import Max, Min, Sum
@@ -211,8 +216,11 @@ def ordered_prefix_sum(ds, *, order_col: str, value_col: str,
     # times (min/max aggregate, totals pass, final scan) — measured on
     # curate.py's gate→dedup→neardup chain feeding this scan.
     ds = ds.materialize()
-    mm = ds.aggregate(Min(order_col), Max(order_col))
-    lo, hi = mm[f"min({order_col})"], mm[f"max({order_col})"]
+    if domain is not None:
+        lo, hi = domain
+    else:
+        mm = ds.aggregate(Min(order_col), Max(order_col))
+        lo, hi = mm[f"min({order_col})"], mm[f"max({order_col})"]
     if lo is None or hi is None:
         # empty input → empty scan, but the out_col must still exist so
         # downstream t[out_col] reads don't KeyError on zero-row blocks
