@@ -33,6 +33,20 @@ PAGE_TOP = 742.0
 LEFT_X = 50.0
 RIGHT_X = 340.0
 
+# Fixture recipient RSA keypair for the public-key (certificate)
+# security handler (spec §7.6.4) — 512-bit, deterministic, generated
+# once offline (Miller-Rabin over a seeded PRNG). Fixture-scale only:
+# the point is the PKCS#7/RSA parse+unwrap logic, not key strength.
+FIXTURE_RSA_N = int(
+    "9d906a212c57477ac38e784b3c36fd34def87c130fdb5572fb867c429f380352"
+    "391e2a1f2e94490d7fdd950ba301cdc95a2af3ea91fe44f874d6156075056d21",
+    16)
+FIXTURE_RSA_E = 65537
+FIXTURE_RSA_D = int(
+    "877b45c6807a0bdc638a7da5338194f78141e86dfb947d4501420256c6d14308"
+    "72e95502e40af5d934df410dc047121810ace5774e70171ef42876367cf2e081",
+    16)
+
 
 def _esc(s: str) -> bytes:
     out = []
@@ -266,6 +280,44 @@ class _PdfBuilder:
                 b"/CF << /DefaultCryptFilter "
                 b"<< /CFM /AESV2 /Length 16 >> >> "
                 b"/StmF /DefaultCryptFilter /StrF /DefaultCryptFilter >>")
+        elif encrypt == "pubsec-real":
+            # the same certificate handler with a REAL PKCS#7
+            # envelope: AESV2 bodies keyed by SHA-1(seed ‖ recipients)
+            # per §7.6.4, recipient CEK RSA-wrapped to the fixture
+            # keypair. Extraction succeeds iff FIXTURE_RSA (n, d) is
+            # registered (pdf_crypto.RECIPIENT_KEYS); otherwise it
+            # must raise PdfPubSecError exactly like "pubsec".
+            import hashlib
+
+            from ..stages import pdf_crypto, pkcs7
+
+            file_id = hashlib.md5(b"fixture-id:pubsec-real").digest()
+            seed20 = hashlib.sha1(b"fixture-pubsec-seed:"
+                                  + file_id).digest()
+            cek = hashlib.md5(b"fixture-pubsec-cek:" + file_id).digest()
+            env_iv = hashlib.md5(b"fixture-pubsec-iv:"
+                                 + file_id).digest()
+            blob = pkcs7.build_enveloped(
+                seed20 + b"\xff\xff\xff\xff",
+                [(FIXTURE_RSA_N, FIXTURE_RSA_E)],
+                iv=env_iv, cek=cek, seed=b"fixture-pubsec-ps:")
+            enc_num = self.next_num
+            self.next_num += 1
+            self.objects[enc_num] = (
+                b"<< /Filter /Adobe.PPKLite /SubFilter /adbe.pkcs7.s5 "
+                b"/V 4 "
+                b"/CF << /DefaultCryptFilter "
+                b"<< /CFM /AESV2 /Length 16 /Recipients [ <"
+                + blob.hex().encode() + b"> ] >> >> "
+                b"/StmF /DefaultCryptFilter /StrF /DefaultCryptFilter >>")
+            handler = object.__new__(pdf_crypto.StandardSecurityHandler)
+            handler.v, handler.r, handler.length = 4, 4, 128
+            handler.o = handler.u = b""
+            handler.p = 0
+            handler.encrypt_metadata = True
+            handler.cfm_stm = handler.cfm_str = "AESV2"
+            handler.file_id = file_id
+            handler.key = pkcs7.pubsec_file_key(seed20, [blob], 16)
         elif encrypt:
             import hashlib
 

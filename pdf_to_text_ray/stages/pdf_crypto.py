@@ -46,6 +46,13 @@ class PdfPubSecError(PdfEncryptedError):
 
 
 #: Known public-key (certificate) security handler /Filter names.
+# Recipient RSA private keys [(n, d), ...] for the public-key
+# (certificate) security handler — spec §7.6.4. A crawl pipeline has
+# none (documents quarantine as PdfPubSecError); a consumer holding
+# the recipient certificate registers its key here (or passes
+# recipient_keys=) and such documents decrypt like any other.
+RECIPIENT_KEYS: list[tuple[int, int]] = []
+
 PUBKEY_HANDLERS = frozenset({"Adobe.PubSec", "Adobe.PPKLite",
                              "Adobe.PPKMS"})
 
@@ -332,10 +339,23 @@ class StandardSecurityHandler:
     for password-protected or unsupported documents.
     """
 
-    def __init__(self, enc: dict, file_id: bytes):
+    def __init__(self, enc: dict, file_id: bytes,
+                 recipient_keys: list[tuple[int, int]] | None = None):
         filt = str(enc.get("Filter", ""))
         if filt != "Standard":
             if filt in PUBKEY_HANDLERS or "Recipients" in enc:
+                keys = (recipient_keys if recipient_keys is not None
+                        else list(RECIPIENT_KEYS))
+                if keys:
+                    try:
+                        self._init_pubsec(enc, file_id, keys)
+                        return
+                    except PdfEncryptedError:
+                        raise
+                    except Exception as e:
+                        raise PdfPubSecError(
+                            f"certificate handler decryption failed: {e}"
+                        ) from e
                 raise PdfPubSecError(
                     f"certificate security handler {filt!r} — needs a "
                     "recipient private key")
@@ -380,6 +400,69 @@ class StandardSecurityHandler:
             if not self._check_user_password():
                 raise PdfEncryptedError("password-protected (empty user "
                                         "password rejected)")
+
+    def _init_pubsec(self, enc: dict, file_id: bytes,
+                     keys: list[tuple[int, int]]) -> None:
+        """Public-key (certificate) security handler, spec §7.6.4:
+        unwrap the PKCS#7 envelope in /Recipients with a registered
+        RSA private key, derive the file key as SHA-1(seed ‖ every
+        recipient blob [‖ FFFFFFFF if !EncryptMetadata]), then reuse
+        the standard per-object derivation (§7.6.4 note: Algorithm 1
+        applies unchanged once the file key is known)."""
+        from . import pkcs7
+
+        self.v = int(enc.get("V", 4))
+        self.length = int(enc.get("Length", 128))
+        self.o = self.u = b""
+        self.p = 0
+        self.r = 4 if self.v >= 4 else 2
+        self.encrypt_metadata = True
+        self.cfm_stm = self.cfm_str = "V2"
+        recipients = enc.get("Recipients")
+        if self.v in (4, 5):
+            cf = enc.get("CF") or {}
+            for attr, which in (("cfm_stm", "StmF"), ("cfm_str", "StrF")):
+                name = str(enc.get(which, "Identity"))
+                if name == "Identity":
+                    setattr(self, attr, "Identity")
+                    continue
+                sub = cf.get(name) or {}
+                setattr(self, attr, str(sub.get("CFM", "None")))
+                if "Length" in sub:
+                    # CF /Length is in BYTES (spec table 25)
+                    self.length = int(sub["Length"]) * 8
+                if recipients is None and "Recipients" in sub:
+                    # adbe.pkcs7.s5 puts the envelopes on the filter
+                    recipients = sub["Recipients"]
+                self.encrypt_metadata = bool(
+                    sub.get("EncryptMetadata", True))
+        if recipients is None:
+            raise PdfPubSecError("certificate handler has no /Recipients")
+        if isinstance(recipients, bytes):
+            recipients = [recipients]
+        blobs = [bytes(r) for r in recipients if isinstance(r, bytes)]
+        if not blobs:
+            raise PdfPubSecError("empty /Recipients array")
+        for cfm in (self.cfm_stm, self.cfm_str):
+            if cfm not in ("V2", "AESV2", "Identity"):
+                raise PdfEncryptedError(
+                    f"unsupported pubsec crypt filter {cfm}")
+        content = None
+        for blob in blobs:
+            env = pkcs7.parse_enveloped(blob)
+            try:
+                content = env.decrypt_content(keys)
+                break
+            except ValueError:
+                continue
+        if content is None or len(content) < 24:
+            raise PdfPubSecError(
+                "no registered recipient key opens this document")
+        # content = 20-byte seed + 4-byte permissions
+        self.key = pkcs7.pubsec_file_key(
+            content[:20], blobs, min(16, max(5, self.length // 8)),
+            encrypt_metadata=self.encrypt_metadata)
+        self.file_id = file_id
 
     # ISO 32000-2 §7.6.4.4.10/11 (Algorithms 11/2.A): authenticate the
     # empty USER password against /U and unwrap the file key from /UE
