@@ -12290,6 +12290,79 @@ FROM n
 """
 
 
+def source_length_psi(sf_dir: str):
+    """Population stability index between the two sources' length
+    distributions — KS's sibling, THE production drift metric for
+    binned features: bins are the baseline source's deciles
+    (quantile_disc 0.1..0.9 over src0), PSI = Σ (pa−pb)·ln(pa/pb)
+    over bins where both sides are populated (the standard zero-bin
+    skip, stated rather than epsilon-fudged). The (source, n_chars)
+    counts come back as support-bounded per-batch partials; bin
+    probabilities are exact int/int, only the final sum rounds."""
+    from ..stages.groups import small_key_counts
+
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t["source"], value_set=pa.array(list(KS_SOURCES)))
+        return t.filter(m)
+
+    c = small_key_counts(ds.map_batches(pick, batch_format="pyarrow"),
+                         ["source", "n_chars"], alias="k")
+    a = (c[c["source"] == KS_SOURCES[0]]
+         .sort_values("n_chars")[["n_chars", "k"]])
+    b = (c[c["source"] == KS_SOURCES[1]]
+         .sort_values("n_chars")[["n_chars", "k"]])
+    na, nb = int(a["k"].sum()), int(b["k"].sum())
+    # decile edges via the shared 0-indexed quantile_disc rank rule
+    # (stages/quantiles._rank_for — DuckDB parity incl. the q*n
+    # float-edge behavior)
+    from ..stages.quantiles import _rank_for
+
+    av = np.repeat(a["n_chars"].to_numpy(dtype=np.int64),
+                   a["k"].to_numpy(dtype=np.int64))
+    edges = np.unique([av[_rank_for(q, na)]
+                       for q in (0.1, 0.2, 0.3, 0.4, 0.5,
+                                 0.6, 0.7, 0.8, 0.9)])
+    ca = np.bincount(np.searchsorted(edges, av, side="left"),
+                     minlength=len(edges) + 1)
+    bv = np.repeat(b["n_chars"].to_numpy(dtype=np.int64),
+                   b["k"].to_numpy(dtype=np.int64))
+    cb = np.bincount(np.searchsorted(edges, bv, side="left"),
+                     minlength=len(edges) + 1)
+    m = (ca > 0) & (cb > 0)
+    pa_ = ca[m] / na
+    pb_ = cb[m] / nb
+    psi = float(round6(((pa_ - pb_) * np.log(pa_ / pb_)).sum()))
+    return pd.DataFrame({"n_bins": pd.Series([int(m.sum())],
+                                             dtype="int64"),
+                         "psi": [psi]})
+
+
+PSI_SQL = f"""
+WITH a AS (SELECT n_chars FROM documents
+           WHERE source = '{KS_SOURCES[0]}'),
+b AS (SELECT n_chars FROM documents WHERE source = '{KS_SOURCES[1]}'),
+edges AS (SELECT DISTINCT e FROM (
+  SELECT unnest([quantile_disc(n_chars, 0.1), quantile_disc(n_chars, 0.2),
+                 quantile_disc(n_chars, 0.3), quantile_disc(n_chars, 0.4),
+                 quantile_disc(n_chars, 0.5), quantile_disc(n_chars, 0.6),
+                 quantile_disc(n_chars, 0.7), quantile_disc(n_chars, 0.8),
+                 quantile_disc(n_chars, 0.9)]) AS e
+  FROM a)),
+abin AS (SELECT (SELECT count(*) FROM edges WHERE e < n_chars) AS bin,
+                count(*) AS c FROM a GROUP BY 1),
+bbin AS (SELECT (SELECT count(*) FROM edges WHERE e < n_chars) AS bin,
+                count(*) AS c FROM b GROUP BY 1),
+j AS (SELECT abin.c::DOUBLE / (SELECT count(*) FROM a) AS pa,
+             bbin.c::DOUBLE / (SELECT count(*) FROM b) AS pb
+      FROM abin JOIN bbin USING (bin))
+SELECT count(*)::BIGINT AS n_bins,
+       round(sum((pa - pb) * ln(pa / pb)), 6) AS psi
+FROM j
+"""
+
+
 def session_first_touch(sf_dir: str, gap_minutes: int = 30):
     """First-touch attribution: sessions (gap > 30 min ⇒ new session)
     are credited to their FIRST event type; per first-touch channel,
@@ -12732,6 +12805,7 @@ QUERIES = {
     "user_state_at_purchase": user_state_at_purchase,
     "user_event_gini": user_event_gini,
     "source_length_ks": source_length_ks,
+    "source_length_psi": source_length_psi,
     "session_first_touch": session_first_touch,
     "epoch_shuffle_plan": epoch_shuffle_plan,
     "label_centroid_drift": label_centroid_drift,
@@ -12974,6 +13048,7 @@ ORACLE_SQL = {
     "user_state_at_purchase": PIT_STATE_SQL,
     "user_event_gini": GINI_SQL,
     "source_length_ks": KS_SQL,
+    "source_length_psi": PSI_SQL,
     "session_first_touch": FIRST_TOUCH_SQL,
     "epoch_shuffle_plan": EPOCH_SHUFFLE_SQL,
     "label_centroid_drift": CENTROID_DRIFT_SQL,

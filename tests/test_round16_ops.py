@@ -23,6 +23,7 @@ from pdf_to_text_ray.pipelines.queries import (
     label_centroid_drift,
     session_first_touch,
     source_length_ks,
+    source_length_psi,
     user_event_gini,
     round6,
     user_state_at_purchase,
@@ -471,3 +472,53 @@ def test_centroid_drift_drops_single_half_labels(tmp_path):
     sf = _write_embeddings(tmp_path, vecs, [5, 0, 0])
     out = label_centroid_drift(sf)
     assert list(out["label"]) == [0]
+
+# ── source_length_psi ────────────────────────────────────────────────
+
+def test_psi_identical_distributions_zero(tmp_path):
+    n = 40
+    nch = list(range(20)) * 2
+    src = ["src0"] * 20 + ["src1"] * 20
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(["x"] * n, pa.string()),
+        "lang": pa.array(["en"] * n, pa.string()),
+        "source": pa.array(src, pa.string()),
+        "n_chars": pa.array(nch, pa.int64()),
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = source_length_psi(str(tmp_path))
+    assert float(out["psi"].iloc[0]) == 0.0
+
+
+def test_psi_matches_naive(tmp_path):
+    rng = np.random.default_rng(5)
+    a = rng.integers(0, 50, 60)
+    b = rng.integers(20, 80, 45)
+    nch = np.concatenate([a, b])
+    src = ["src0"] * 60 + ["src1"] * 45
+    n = len(nch)
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(["x"] * n, pa.string()),
+        "lang": pa.array(["en"] * n, pa.string()),
+        "source": pa.array(src, pa.string()),
+        "n_chars": pa.array(nch, pa.int64()),
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = source_length_psi(str(tmp_path))
+
+    from pdf_to_text_ray.stages.quantiles import _rank_for
+    sa = np.sort(a)
+    edges = np.unique([sa[_rank_for(q, len(a))]
+                       for q in (0.1, 0.2, 0.3, 0.4, 0.5,
+                                 0.6, 0.7, 0.8, 0.9)])
+    ca = np.bincount(np.searchsorted(edges, a, side="left"),
+                     minlength=len(edges) + 1)
+    cb = np.bincount(np.searchsorted(edges, b, side="left"),
+                     minlength=len(edges) + 1)
+    m = (ca > 0) & (cb > 0)
+    pa_, pb_ = ca[m] / len(a), cb[m] / len(b)
+    want = float(round6(((pa_ - pb_) * np.log(pa_ / pb_)).sum()))
+    assert float(out["psi"].iloc[0]) == want
+    assert int(out["n_bins"].iloc[0]) == int(m.sum())
