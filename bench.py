@@ -138,10 +138,12 @@ def run_bench() -> dict:
         "maintenance_window_events",
         "events_lsm_compact",
         "host_mirror_similarity",
-        # slow tier: the 20 slowest of the full 246-query sf0.1 survey
-        # (tools/time_queries.py, 2026-08-19) minus keys already pinned
-        # above — regressions in the non-extract tier show up here at
-        # 10x the correctness-gate scale.
+        # slow tier: the slowest of the full 263-query sf0.1 survey
+        # (tools/time_queries.py, round-16 re-run) minus keys already
+        # pinned above — regressions in the non-extract tier show up
+        # here at 10x the correctness-gate scale. Kept keys that
+        # dropped out of the top-20 (bigram_pmi_top, sssp) so their
+        # improvements stay guarded too.
         "training_corpus_pipeline",
         "catalog_consistent_join",
         "copurchase_triangles",
@@ -160,6 +162,11 @@ def run_bench() -> dict:
         "curation_pipeline",
         "neardup_keep_best_docs",
         "frequent_lines",
+        # round-16 additions
+        "neardup_editdist_docs",
+        "part_clustering_coeff",
+        "part_adamic_adar",
+        "epoch_shuffle_plan",
     ):
         fn = Q.QUERIES[name]
         timed(name, lambda fn=fn: _consume(fn(SF_DIR)))
