@@ -75,16 +75,25 @@ class ExtractDispatch:
         text_col = batch["text"] if "text" in batch.column_names else None
         gzips = (batch["is_gzip"].to_pylist() if "is_gzip" in batch.column_names
                  else [False] * len(doc_types))
+        https = (batch["is_http"].to_pylist() if "is_http" in batch.column_names
+                 else [False] * len(doc_types))
 
         out_text: list[str] = []
         out_pages: list[int] = []
         out_fail: list[bool] = []
         out_fb: list[bool] = []
         out_err: list[str | None] = []
-        for i, (dt, payload, gz) in enumerate(zip(doc_types, payloads, gzips)):
+        from ..stages.sniff import strip_http_envelope
+
+        for i, (dt, payload, gz, ht) in enumerate(
+                zip(doc_types, payloads, gzips, https)):
             try:
                 if gz and payload:
                     payload = _gzip.decompress(payload)
+                if ht and payload:
+                    # WARC response record: strip the HTTP status line
+                    # + headers, undo chunked/content codings
+                    payload = strip_http_envelope(bytes(payload))
                 if dt == DOC_TYPE_PDF:
                     r = extract_pdf_text(payload)
                     out_text.append(r.text)

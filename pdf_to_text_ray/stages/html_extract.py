@@ -397,11 +397,14 @@ class HtmlExtractor:
         gzips = (batch["is_gzip"].to_pylist()
                  if "is_gzip" in batch.column_names
                  else [False] * len(payloads))
+        https = (batch["is_http"].to_pylist()
+                 if "is_http" in batch.column_names
+                 else [False] * len(payloads))
         dts = (batch["doc_type"].to_pylist()
                if "doc_type" in batch.column_names
                else [None] * len(payloads))
         out, fail = [], []
-        for raw, gz, dt in zip(payloads, gzips, dts):
+        for raw, gz, ht, dt in zip(payloads, gzips, https, dts):
             try:
                 if dt is not None and dt != "html":
                     # routed batch containing non-HTML rows: pass
@@ -413,6 +416,10 @@ class HtmlExtractor:
                     import gzip as _gzip
 
                     raw = _gzip.decompress(raw)
+                if ht and raw:
+                    from .sniff import strip_http_envelope
+
+                    raw = strip_http_envelope(bytes(raw))
                 src = decode_payload(raw)
                 out.append(extract_html_text(src))
                 fail.append(False)

@@ -165,7 +165,7 @@ def _decode_html(payload: bytes) -> str | None:
     text) — the sniffer's routing, applied row-wise."""
     if payload is None:
         return None
-    doc_type, is_gzip = sniff_doc_type(payload)
+    doc_type, is_gzip, is_http = sniff_doc_type(payload)
     if doc_type != DOC_TYPE_HTML:
         return None
     if is_gzip:
@@ -177,6 +177,10 @@ def _decode_html(payload: bytes) -> str | None:
             # truncated members raise EOFError, corrupt deflate
             # zlib.error — neither is an OSError subclass
             return None
+    if is_http:
+        from .sniff import strip_http_envelope
+
+        payload = strip_http_envelope(bytes(payload))
     from .charset import decode_payload
 
     return decode_payload(payload)

@@ -26,6 +26,82 @@ _HTML_HINT = re.compile(
 
 GZIP_MAGIC = b"\x1f\x8b"
 
+# WARC `response` records store the FULL HTTP response: status line +
+# headers + CRLFCRLF + entity body, where the body may additionally be
+# Transfer-Encoding: chunked and/or Content-Encoding: gzip/deflate
+# (RFC 9112 §6/§7). The reference never sees this (its input is an
+# uploaded bare PDF, src/main.ts:136-148); a Common-Crawl-shaped
+# pipeline must unwrap it or every framed row misroutes as text.
+_HTTP_MAGIC = re.compile(rb"^HTTP/\d(?:\.\d)? +\d{3}")
+_TE_CHUNKED = re.compile(rb"transfer-encoding:[ \t]*[^\r\n]*chunked")
+_CE_HDR = re.compile(rb"content-encoding:[ \t]*([a-z0-9_-]+)")
+
+
+def _dechunk(body: bytes) -> bytes:
+    """Decode HTTP/1.1 chunked transfer coding. TOLERANT: on a
+    malformed chunk header the bytes decoded so far plus the raw
+    remainder are returned (crawl payloads truncate mid-chunk
+    constantly; a typed failure would quarantine salvageable text)."""
+    out = bytearray()
+    pos = 0
+    while True:
+        eol = body.find(b"\r\n", pos)
+        if eol == -1:
+            return bytes(out) + body[pos:]
+        size_field = body[pos:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(size_field, 16)
+        except ValueError:
+            return bytes(out) + body[pos:]
+        if size == 0:
+            return bytes(out)
+        start = eol + 2
+        out += body[start:start + size]
+        pos = start + size + 2  # skip the chunk's trailing CRLF
+        if start + size > len(body):
+            return bytes(out)
+
+
+def strip_http_envelope(payload: bytes, *, partial: bool = False) -> bytes:
+    """HTTP response record → entity body: split headers at the first
+    blank line (CRLF or bare LF), undo chunked transfer coding, undo
+    gzip/deflate content coding. ``partial=True`` is the sniff path:
+    the input is a prefix, so decompression accepts truncation and
+    returns what it can. Decoding defects fall back to the raw body
+    (tolerant by design — see _dechunk)."""
+    import zlib
+
+    m = payload.find(b"\r\n\r\n")
+    sep = 4
+    m2 = payload.find(b"\n\n")
+    if m == -1 or (m2 != -1 and m2 < m):
+        m, sep = m2, 2
+    if m == -1:
+        # no blank line: header-only record (or truncated inside the
+        # headers) — there is no entity body to extract
+        return b""
+    head = payload[:m].lower()
+    body = payload[m + sep:]
+    if _TE_CHUNKED.search(head):
+        body = _dechunk(body)
+    ce = _CE_HDR.search(head)
+    if ce and ce.group(1) in (b"gzip", b"x-gzip", b"deflate"):
+        wbits = 31 if ce.group(1) != b"deflate" else 15
+        try:
+            if partial:
+                body = zlib.decompressobj(wbits=wbits).decompress(
+                    body, 8192)
+            else:
+                body = zlib.decompress(body, wbits=wbits)
+        except zlib.error:
+            if ce.group(1) == b"deflate":
+                # raw-deflate variant (no zlib header) is common
+                try:
+                    body = zlib.decompressobj(wbits=-15).decompress(body)
+                except zlib.error:
+                    pass
+    return body
+
 
 def _gunzip_head(payload: bytes, n: int = 2048) -> bytes:
     """Decompress just enough of a gzip payload to sniff it."""
@@ -38,19 +114,26 @@ def _gunzip_head(payload: bytes, n: int = 2048) -> bytes:
         return b""
 
 
-def sniff_doc_type(payload: bytes | None) -> tuple[str, bool]:
-    """→ (doc_type, is_gzip). Gzipped payloads (Common-Crawl WARC
-    bodies are often stored compressed) are sniffed on a decompressed
-    prefix; the dispatch stage decompresses the full payload."""
+def sniff_doc_type(payload: bytes | None) -> tuple[str, bool, bool]:
+    """→ (doc_type, is_gzip, is_http). Gzipped payloads (Common-Crawl
+    WARC bodies are often stored compressed) are sniffed on a
+    decompressed prefix; HTTP-framed payloads are sniffed on the
+    unwrapped entity body. The dispatch stage re-applies both
+    transforms to the full payload."""
     if not payload:
-        return DOC_TYPE_TEXT, False
+        return DOC_TYPE_TEXT, False, False
     is_gzip = payload[:2] == GZIP_MAGIC
     if is_gzip:
         payload = _gunzip_head(payload)
         if not payload:
-            return DOC_TYPE_TEXT, True
+            return DOC_TYPE_TEXT, True, False
+    is_http = bool(_HTTP_MAGIC.match(payload[:16]))
+    if is_http:
+        payload = strip_http_envelope(payload, partial=True)
+        if not payload:
+            return DOC_TYPE_TEXT, is_gzip, True
     if payload[:5] == b"%PDF-":
-        return DOC_TYPE_PDF, is_gzip
+        return DOC_TYPE_PDF, is_gzip, is_http
     head = payload[:1024].lower()
     # BOM'd UTF-16 bodies interleave NULs with the ASCII tag bytes —
     # transcode the prefix so the tag hints still match (the extractor
@@ -60,8 +143,8 @@ def sniff_doc_type(payload: bytes | None) -> tuple[str, bool]:
         head = (payload[2:1026].decode(enc, errors="replace")
                 .encode("utf-8", errors="replace").lower())
     if _HTML_HINT.search(head):
-        return DOC_TYPE_HTML, is_gzip
-    return DOC_TYPE_TEXT, is_gzip
+        return DOC_TYPE_HTML, is_gzip, is_http
+    return DOC_TYPE_TEXT, is_gzip, is_http
 
 
 def sniff_batch(batch: pa.Table, payload_col: str = "html") -> pa.Table:
@@ -72,11 +155,13 @@ def sniff_batch(batch: pa.Table, payload_col: str = "html") -> pa.Table:
     sniffed = [sniff_doc_type(p) for p in prefixes]
     doc_type = pa.array([s_[0] for s_ in sniffed], pa.string())
     is_gzip = pa.array([s_[1] for s_ in sniffed], pa.bool_())
+    is_http = pa.array([s_[2] for s_ in sniffed], pa.bool_())
     sizes = pc.binary_length(batch[payload_col]).to_numpy(zero_copy_only=False)
     sizes = np.where(np.isnan(sizes.astype("float64")), 0, sizes).astype("int64")
     bucket = np.where(sizes > 0, np.log2(np.maximum(sizes, 1)).astype("int32"), 0)
     return (
         batch.append_column("doc_type", doc_type)
         .append_column("is_gzip", is_gzip)
+        .append_column("is_http", is_http)
         .append_column("size_bucket", pa.array(bucket.astype("int32"), pa.int32()))
     )
