@@ -83,17 +83,21 @@ class ExtractDispatch:
         out_fail: list[bool] = []
         out_fb: list[bool] = []
         out_err: list[str | None] = []
-        from ..stages.sniff import strip_http_envelope
+        from ..stages.sniff import http_charset, strip_http_envelope
 
         for i, (dt, payload, gz, ht) in enumerate(
                 zip(doc_types, payloads, gzips, https)):
+            charset_hint = None
             try:
                 if gz and payload:
                     payload = _gzip.decompress(payload)
                 if ht and payload:
                     # WARC response record: strip the HTTP status line
-                    # + headers, undo chunked/content codings
-                    payload = strip_http_envelope(bytes(payload))
+                    # + headers, undo chunked/content codings; keep the
+                    # header charset as the transport-layer decode hint
+                    payload = bytes(payload)
+                    charset_hint = http_charset(payload)
+                    payload = strip_http_envelope(payload)
                 if dt == DOC_TYPE_PDF:
                     r = extract_pdf_text(payload)
                     out_text.append(r.text)
@@ -101,7 +105,8 @@ class ExtractDispatch:
                     out_fail.append(False)
                     out_fb.append(r.fallback)
                 elif dt == DOC_TYPE_HTML:
-                    out_text.append(extract_html_text(decode_html_payload(payload)))
+                    out_text.append(extract_html_text(
+                        decode_html_payload(payload, charset_hint)))
                     out_pages.append(1)
                     out_fail.append(False)
                     out_fb.append(False)
@@ -112,7 +117,8 @@ class ExtractDispatch:
                         out_text.append(text)
                     else:
                         out_text.append(
-                            decode_html_payload(payload) if payload else "")
+                            decode_html_payload(payload, charset_hint)
+                            if payload else "")
                     out_pages.append(1)
                     out_fail.append(False)
                     out_fb.append(False)

@@ -102,11 +102,19 @@ def declared_charset(head: bytes) -> str | None:
     return normalize_label(label)
 
 
-def resolve_charset(payload: bytes) -> tuple[str, int]:
-    """Full sniff → (codec, bom_length_to_strip)."""
+def resolve_charset(payload: bytes,
+                    hint: str | None = None) -> tuple[str, int]:
+    """Full sniff → (codec, bom_length_to_strip). ``hint`` is a
+    transport-layer charset label (the HTTP Content-Type header's
+    charset= parameter): per WHATWG precedence it loses to a BOM but
+    beats the in-document meta declaration."""
     bom, blen = detect_bom(payload)
     if bom is not None:
         return bom, blen
+    if hint:
+        enc = normalize_label(hint.lower())
+        if enc is not None and not enc.startswith("utf-16"):
+            return enc, 0
     enc = declared_charset(payload[:_HEAD_SCAN])
     if enc is not None:
         return enc, 0
@@ -119,7 +127,8 @@ def resolve_charset(payload: bytes) -> tuple[str, int]:
         return "cp1252", 0
 
 
-def decode_payload(payload: bytes | memoryview | str | None) -> str:
+def decode_payload(payload: bytes | memoryview | str | None,
+                   hint: str | None = None) -> str:
     """Payload bytes → text via the resolution order above. Total:
     never raises on byte content (errors="replace" after resolution —
     a replacement character here means genuinely corrupt bytes, not a
@@ -129,5 +138,5 @@ def decode_payload(payload: bytes | memoryview | str | None) -> str:
         return ""
     if isinstance(payload, str):
         return payload
-    enc, blen = resolve_charset(payload)
+    enc, blen = resolve_charset(payload, hint)
     return str(payload[blen:] if blen else payload, enc, "replace")

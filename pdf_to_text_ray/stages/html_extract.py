@@ -405,6 +405,7 @@ class HtmlExtractor:
                else [None] * len(payloads))
         out, fail = [], []
         for raw, gz, ht, dt in zip(payloads, gzips, https, dts):
+            hint = None
             try:
                 if dt is not None and dt != "html":
                     # routed batch containing non-HTML rows: pass
@@ -417,10 +418,12 @@ class HtmlExtractor:
 
                     raw = _gzip.decompress(raw)
                 if ht and raw:
-                    from .sniff import strip_http_envelope
+                    from .sniff import http_charset, strip_http_envelope
 
-                    raw = strip_http_envelope(bytes(raw))
-                src = decode_payload(raw)
+                    raw = bytes(raw)
+                    hint = http_charset(raw)
+                    raw = strip_http_envelope(raw)
+                src = decode_payload(raw, hint)
                 out.append(extract_html_text(src))
                 fail.append(False)
             except Exception:

@@ -103,6 +103,24 @@ def strip_http_envelope(payload: bytes, *, partial: bool = False) -> bytes:
     return body
 
 
+_CT_CHARSET = re.compile(rb"content-type:[^\r\n]*;\s*charset="
+                         rb"\"?([A-Za-z0-9._-]+)")
+
+
+def http_charset(payload: bytes) -> str | None:
+    """The HTTP header's charset= label (None if absent) — the
+    transport-layer hint charset.resolve_charset slots between BOM
+    and the in-document meta declaration. Callers pass the FRAMED
+    payload (headers still on)."""
+    m = payload.find(b"\r\n\r\n")
+    m2 = payload.find(b"\n\n")
+    if m == -1 or (m2 != -1 and m2 < m):
+        m = m2
+    head = payload[:m if m != -1 else 2048].lower()
+    cm = _CT_CHARSET.search(head)
+    return cm.group(1).decode("ascii", "ignore") if cm else None
+
+
 def _gunzip_head(payload: bytes, n: int = 2048) -> bytes:
     """Decompress just enough of a gzip payload to sniff it."""
     import zlib

@@ -74,7 +74,7 @@ def test_decode_total_on_garbage():
 
 def test_utf16_page_sniffs_as_html():
     html, _ = make_html_page(random.Random(7), charset="utf-16-le")
-    doc_type, is_gzip = sniff_doc_type(html)
+    doc_type, is_gzip, _is_http = sniff_doc_type(html)
     assert doc_type == "html" and not is_gzip
 
 

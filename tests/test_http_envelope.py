@@ -175,3 +175,41 @@ def test_page_links_sees_through_framing(ray_session):
 ])
 def test_malformed_codings_never_raise(garbage):
     assert isinstance(strip_http_envelope(garbage), bytes)
+
+
+def test_header_charset_hint_beats_meta_and_loses_to_bom():
+    from pdf_to_text_ray.stages.charset import decode_payload
+    from pdf_to_text_ray.stages.sniff import http_charset
+
+    body = "<html><body><p>ünïcödé tëxt</p></body></html>".encode(
+        "cp1252")
+    framed = _frame(body, b"Content-Type: text/html; charset=windows-1252")
+    hint = http_charset(framed)
+    assert hint == "windows-1252"
+    got = decode_payload(strip_http_envelope(framed), hint)
+    assert "ünïcödé tëxt" in got
+    # BOM wins over the header label (WHATWG precedence)
+    bom_body = "﻿BOM text".encode("utf-8")
+    assert decode_payload(bom_body, "windows-1252") == "BOM text"
+
+
+def test_header_charset_e2e_shift_jis(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from pdf_to_text_ray.pipelines.extract import extract_pages
+
+    txt = "日本語のテキストです。これは充分に長い本文の段落。"
+    body = (f"<html><body><p>{txt}</p></body></html>").encode("shift_jis")
+    rows = [("http://jp.example/sjis",
+             _frame(body, b"Content-Type: text/html; charset=Shift_JIS"))]
+    pages = pa.table({
+        "url": pa.array([u for u, _ in rows], pa.string()),
+        "warc_ts": pa.array(pd.to_datetime(["2024-01-01"]),
+                            pa.timestamp("us")),
+        "html": pa.array([p for _, p in rows], pa.binary()),
+        "text": pa.array([None], pa.string()),
+        "lang": pa.array(["ja"], pa.string()),
+    })
+    out = extract_pages(rd.from_arrow(pages)).to_pandas()
+    assert txt in out["text_extracted"].iloc[0]
