@@ -134,3 +134,38 @@ def test_legacy_pubsec_fixture_still_quarantines(fixture_key):
     pdf, _, _ = make_pdf(random.Random(45), n_pages=1, encrypt="pubsec")
     with pytest.raises(PdfPubSecError):
         extract_pdf_text(pdf)
+
+
+def test_pubsec_top_level_recipients_and_plain_metadata():
+    """spec §7.6.4 both placements: /Recipients at the TOP level
+    (adbe.pkcs7.s4 style) and EncryptMetadata false (the FFFFFFFF
+    key-derivation suffix)."""
+    import hashlib
+
+    seed = hashlib.sha1(b"t3-seed").digest()
+    cek = hashlib.md5(b"t3-cek").digest()
+    iv = hashlib.md5(b"t3-iv").digest()
+    blob = pkcs7.build_enveloped(seed + b"\x00\x00\x00\x00",
+                                 [(FIXTURE_RSA_N, FIXTURE_RSA_E)],
+                                 iv=iv, cek=cek, seed=b"t3")
+    enc = {"Filter": "Adobe.PubSec", "SubFilter": "adbe.pkcs7.s4",
+           "V": 4, "Length": 128,
+           "Recipients": [blob],
+           "CF": {"DefaultCryptFilter": {"CFM": "AESV2", "Length": 16,
+                                         "EncryptMetadata": False}},
+           "StmF": "DefaultCryptFilter", "StrF": "DefaultCryptFilter"}
+    h = pdf_crypto.StandardSecurityHandler(
+        enc, b"fid", recipient_keys=[(FIXTURE_RSA_N, FIXTURE_RSA_D)])
+    assert h.key == pkcs7.pubsec_file_key(seed, [blob], 16,
+                                          encrypt_metadata=False)
+    assert h.key != pkcs7.pubsec_file_key(seed, [blob], 16)
+    # the handler round-trips its own per-object encryption
+    ct = h.encrypt_stream(b"secret stream payload", 7, 0, iv=bytes(16))
+    assert h.decrypt_stream(ct, 7, 0) == b"secret stream payload"
+    # and a V2 (RC4) crypt filter works through the same derivation
+    enc_rc4 = dict(enc, CF={"DefaultCryptFilter": {
+        "CFM": "V2", "Length": 16}})
+    h2 = pdf_crypto.StandardSecurityHandler(
+        enc_rc4, b"fid", recipient_keys=[(FIXTURE_RSA_N, FIXTURE_RSA_D)])
+    ct2 = h2.encrypt_stream(b"rc4 payload", 3, 0)
+    assert h2.decrypt_stream(ct2, 3, 0) == b"rc4 payload"
