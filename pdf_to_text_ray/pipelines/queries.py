@@ -12435,6 +12435,59 @@ FROM agg GROUP BY first_touch ORDER BY first_touch
 """
 
 
+def weighted_median_price(sf_dir: str):
+    """Exact GROUPED WEIGHTED median: per returnflag, the smallest
+    price whose cumulative quantity weight reaches half the group
+    total (the lower weighted median — inventory-weighted 'typical
+    price'). Per-batch (flag, price)→Σwt partials collapse in price
+    hash buckets (never a high-cardinality groupby().aggregate); the
+    driver sees one row per DISTINCT (flag, price), bounded by the
+    value domain, not the row count. Quantities are whole-number
+    doubles, so every cumulative weight is exact in float64 and the
+    2·cw ≥ tw crossing is bit-deterministic against the SQL window
+    replay."""
+    from ..stages.groups import bucketed_group_apply
+
+    ds = _lineitem(sf_dir, ["l_returnflag", "l_extendedprice",
+                            "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (t.to_pandas()
+             .groupby(["l_returnflag", "l_extendedprice"],
+                      as_index=False)["l_quantity"].sum())
+        return arrow_out(g.rename(columns={"l_returnflag": "flag",
+                                           "l_extendedprice": "price",
+                                           "l_quantity": "wt"}))
+
+    def collapse(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["flag", "price"], as_index=False)["wt"].sum()
+
+    c = (bucketed_group_apply(
+        ds.map_batches(partial, batch_format="pyarrow"), "price",
+        collapse, num_buckets=16).to_pandas()
+        .sort_values(["flag", "price"], kind="stable"))
+    cw = c.groupby("flag")["wt"].cumsum().to_numpy()
+    tw = c.groupby("flag")["wt"].transform("sum").to_numpy()
+    hit = c[cw * 2 >= tw]
+    out = (hit.groupby("flag", as_index=False)["price"].min()
+           .rename(columns={"flag": "l_returnflag",
+                            "price": "wmedian_price"}))
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+WEIGHTED_MEDIAN_SQL = """
+WITH c AS (SELECT l_returnflag AS flag, l_extendedprice AS price,
+                  sum(l_quantity) AS wt
+           FROM lineitem GROUP BY 1, 2),
+cum AS (SELECT flag, price,
+               sum(wt) OVER (PARTITION BY flag ORDER BY price) AS cw,
+               sum(wt) OVER (PARTITION BY flag) AS tw
+        FROM c)
+SELECT flag AS l_returnflag, min(price) AS wmedian_price
+FROM cum WHERE cw * 2 >= tw GROUP BY flag ORDER BY l_returnflag
+"""
+
+
 SHUFFLE_EPOCH = 7
 
 
@@ -12806,6 +12859,7 @@ QUERIES = {
     "user_event_gini": user_event_gini,
     "source_length_ks": source_length_ks,
     "source_length_psi": source_length_psi,
+    "weighted_median_price": weighted_median_price,
     "session_first_touch": session_first_touch,
     "epoch_shuffle_plan": epoch_shuffle_plan,
     "label_centroid_drift": label_centroid_drift,
@@ -13049,6 +13103,7 @@ ORACLE_SQL = {
     "user_event_gini": GINI_SQL,
     "source_length_ks": KS_SQL,
     "source_length_psi": PSI_SQL,
+    "weighted_median_price": WEIGHTED_MEDIAN_SQL,
     "session_first_touch": FIRST_TOUCH_SQL,
     "epoch_shuffle_plan": EPOCH_SHUFFLE_SQL,
     "label_centroid_drift": CENTROID_DRIFT_SQL,

@@ -522,3 +522,38 @@ def test_psi_matches_naive(tmp_path):
     want = float(round6(((pa_ - pb_) * np.log(pa_ / pb_)).sum()))
     assert float(out["psi"].iloc[0]) == want
     assert int(out["n_bins"].iloc[0]) == int(m.sum())
+
+# ── weighted_median_price ────────────────────────────────────────────
+
+def test_weighted_median_matches_naive(tmp_path):
+    import pyarrow.parquet as _pq
+
+    rng = np.random.default_rng(13)
+    n = 300
+    flags = rng.choice(["A", "N", "R"], n)
+    prices = rng.choice([10.0, 20.0, 30.0, 40.0, 50.0], n)
+    qty = rng.integers(1, 9, n).astype(float)
+    t = pa.table({
+        "l_orderkey": pa.array(range(n), pa.int64()),
+        "l_partkey": pa.array([1] * n, pa.int64()),
+        "l_suppkey": pa.array([1] * n, pa.int64()),
+        "l_linenumber": pa.array(range(n), pa.int32()),
+        "l_quantity": pa.array(qty, pa.float64()),
+        "l_extendedprice": pa.array(prices, pa.float64()),
+        "l_discount": pa.array([0.0] * n, pa.float64()),
+        "l_tax": pa.array([0.0] * n, pa.float64()),
+        "l_returnflag": pa.array(flags, pa.string()),
+        "l_linestatus": pa.array(["O"] * n, pa.string()),
+        "l_shipdate": pa.array(
+            pd.to_datetime(["2024-01-01"] * n), pa.timestamp("us")),
+    })
+    _pq.write_table(t, tmp_path / "lineitem.parquet")
+    from pdf_to_text_ray.pipelines.queries import weighted_median_price
+    out = weighted_median_price(str(tmp_path)).set_index("l_returnflag")
+    for f in ("A", "N", "R"):
+        m = flags == f
+        df = (pd.DataFrame({"p": prices[m], "w": qty[m]})
+              .groupby("p", as_index=True)["w"].sum().sort_index())
+        cw = df.cumsum()
+        want = float(cw.index[(cw * 2 >= df.sum()).argmax()])
+        assert float(out.loc[f, "wmedian_price"]) == want
