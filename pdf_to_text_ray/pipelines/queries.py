@@ -12488,6 +12488,48 @@ FROM cum WHERE cw * 2 >= tw GROUP BY flag ORDER BY l_returnflag
 """
 
 
+def users_to_half_events(sf_dir: str):
+    """Pareto coverage: the smallest number of heaviest users whose
+    events cover ≥ half of all traffic, plus the share they actually
+    cover — the concentration headline next to [[user_event_gini]]'s
+    index. Per-user counts come back as mergeable per-batch partials
+    (|users| driver state, the pagerank bound); everything after is
+    exact integer arithmetic on the count-sorted array, so the ≥½
+    crossing is bit-deterministic (ties broken (count desc, user
+    asc) identically to the window replay)."""
+    from ..stages.groups import small_key_counts
+
+    counts = small_key_counts(_read(sf_dir, "events", ["user_id"]),
+                              "user_id", alias="c")
+    df = counts.sort_values(["c", "user_id"],
+                            ascending=[False, True], kind="stable")
+    c = df["c"].to_numpy(dtype=np.int64)
+    total = int(c.sum())
+    if total == 0:
+        return pd.DataFrame({"n_users": pd.Series([0], dtype="int64"),
+                             "covered_share": [0.0]})
+    cum = np.cumsum(c)
+    k = int(np.searchsorted(cum * 2, total, side="left")) + 1
+    return pd.DataFrame({
+        "n_users": pd.Series([k], dtype="int64"),
+        "covered_share": [int(cum[k - 1]) / total],
+    })
+
+
+PARETO_COVERAGE_SQL = """
+WITH c AS (SELECT user_id, count(*)::BIGINT AS c FROM events
+           GROUP BY user_id),
+r AS (SELECT c,
+             sum(c) OVER (ORDER BY c DESC, user_id) AS cum,
+             sum(c) OVER () AS total,
+             row_number() OVER (ORDER BY c DESC, user_id) AS i
+      FROM c)
+SELECT min(i)::BIGINT AS n_users,
+       min_by(cum, i)::DOUBLE / min(total) AS covered_share
+FROM r WHERE cum * 2 >= total
+"""
+
+
 SHUFFLE_EPOCH = 7
 
 
@@ -12860,6 +12902,7 @@ QUERIES = {
     "source_length_ks": source_length_ks,
     "source_length_psi": source_length_psi,
     "weighted_median_price": weighted_median_price,
+    "users_to_half_events": users_to_half_events,
     "session_first_touch": session_first_touch,
     "epoch_shuffle_plan": epoch_shuffle_plan,
     "label_centroid_drift": label_centroid_drift,
@@ -13104,6 +13147,7 @@ ORACLE_SQL = {
     "source_length_ks": KS_SQL,
     "source_length_psi": PSI_SQL,
     "weighted_median_price": WEIGHTED_MEDIAN_SQL,
+    "users_to_half_events": PARETO_COVERAGE_SQL,
     "session_first_touch": FIRST_TOUCH_SQL,
     "epoch_shuffle_plan": EPOCH_SHUFFLE_SQL,
     "label_centroid_drift": CENTROID_DRIFT_SQL,

@@ -557,3 +557,24 @@ def test_weighted_median_matches_naive(tmp_path):
         cw = df.cumsum()
         want = float(cw.index[(cw * 2 >= df.sum()).argmax()])
         assert float(out.loc[f, "wmedian_price"]) == want
+
+# ── users_to_half_events ─────────────────────────────────────────────
+
+def test_pareto_coverage_matches_naive(tmp_path):
+    from pdf_to_text_ray.pipelines.queries import users_to_half_events
+
+    # counts: u1=10, u2=5, u3=3, u4=2 (total 20; u1 alone covers 50%)
+    users = [1] * 10 + [2] * 5 + [3] * 3 + [4] * 2
+    sf = _write_events(tmp_path, ts=["2024-01-01"] * len(users),
+                       users=users, types=["view"] * len(users))
+    out = users_to_half_events(sf)
+    assert int(out["n_users"].iloc[0]) == 1
+    assert float(out["covered_share"].iloc[0]) == 0.5
+
+    # u1=6, u2=5, u3=5, u4=4 (total 20): u1+u2=11 > 10 → 2 users
+    users = [1] * 6 + [2] * 5 + [3] * 5 + [4] * 4
+    sf = _write_events(tmp_path, ts=["2024-01-01"] * len(users),
+                       users=users, types=["view"] * len(users))
+    out = users_to_half_events(sf)
+    assert int(out["n_users"].iloc[0]) == 2
+    assert float(out["covered_share"].iloc[0]) == 11 / 20
