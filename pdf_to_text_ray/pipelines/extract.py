@@ -94,8 +94,10 @@ class ExtractDispatch:
                 if ht and payload:
                     # WARC response record: strip the HTTP status line
                     # + headers, undo chunked/content codings; keep the
-                    # header charset as the transport-layer decode hint
-                    payload = bytes(payload)
+                    # header charset as the transport-layer decode hint.
+                    # Both helpers are memoryview-native — only the
+                    # header region is copied, the body stays a
+                    # zero-copy Arrow-buffer view.
                     charset_hint = http_charset(payload)
                     payload = strip_http_envelope(payload)
                 if dt == DOC_TYPE_PDF:

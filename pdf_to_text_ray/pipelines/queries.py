@@ -11436,6 +11436,9 @@ def event_value_cusum(sf_dir: str):
         df = pd.DataFrame({
             "event_type": t["event_type"].to_numpy(zero_copy_only=False),
             "v": t["value"].to_numpy(zero_copy_only=False)})
+        # NULL values must not count toward n (SQL avg/stddev_pop skip
+        # them; pandas size does not) — drop them like event_value_auc.
+        df = df[~np.isnan(df["v"].to_numpy())]
         df["vv"] = df["v"] * df["v"]
         return arrow_out(df.groupby("event_type", as_index=False).agg(
             n=("v", "size"), s=("v", "sum"), ss=("vv", "sum")))
@@ -11448,6 +11451,7 @@ def event_value_cusum(sf_dir: str):
              for t, mu, s in zip(p["event_type"], m, sd)}
 
     def cusum(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[~np.isnan(df["value"].to_numpy())]
         df = df.sort_values(["event_type", "ts", "event_id"],
                             kind="stable")
         ms = df["event_type"].map(lambda t: stats[t][0]).to_numpy()
@@ -11489,7 +11493,8 @@ WITH st AS (
   FROM events GROUP BY event_type),
 a AS (
   SELECT e.event_type, ts, event_id, (value - m) / sd - 0.5 AS a
-  FROM events e JOIN st USING (event_type)),
+  FROM events e JOIN st USING (event_type)
+  WHERE value IS NOT NULL),
 p AS (
   SELECT event_type, ts, event_id,
          sum(a) OVER (PARTITION BY event_type ORDER BY ts, event_id)
@@ -12625,13 +12630,17 @@ def label_centroid_drift(sf_dir: str):
                              values="c")
     rows = []
     for lab, g in wide.groupby(level="label"):
-        if g[0].isna().any() or 1 not in g.columns or g[1].isna().any():
+        if 0 not in g.columns or 1 not in g.columns \
+                or g[0].isna().any() or g[1].isna().any():
             continue  # a half with no vectors: the oracle's inner join
             # drops the label too
         a = g[0].to_numpy()
         b = g[1].to_numpy()
         rows.append({"label": int(lab), "cos_drift": float(round6(
             float(a @ b) / np.sqrt(float(a @ a) * float(b @ b))))})
+    if not rows:  # every label missing a half: empty frame, kept typed
+        return pd.DataFrame({"label": pd.Series([], dtype="int64"),
+                             "cos_drift": pd.Series([], dtype="float64")})
     out = pd.DataFrame(rows)
     out["label"] = out["label"].astype("int64")
     return out.sort_values("label").reset_index(drop=True)

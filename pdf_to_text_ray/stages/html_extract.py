@@ -420,7 +420,6 @@ class HtmlExtractor:
                 if ht and raw:
                     from .sniff import http_charset, strip_http_envelope
 
-                    raw = bytes(raw)
                     hint = http_charset(raw)
                     raw = strip_http_envelope(raw)
                 src = decode_payload(raw, hint)

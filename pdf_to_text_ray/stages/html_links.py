@@ -177,13 +177,17 @@ def _decode_html(payload: bytes) -> str | None:
             # truncated members raise EOFError, corrupt deflate
             # zlib.error — neither is an OSError subclass
             return None
+    hint = None
     if is_http:
-        from .sniff import strip_http_envelope
+        from .sniff import http_charset, strip_http_envelope
 
-        payload = strip_http_envelope(bytes(payload))
+        # capture the Content-Type charset BEFORE the headers are
+        # stripped, matching the extract/HTML-actor decode order
+        hint = http_charset(payload)
+        payload = strip_http_envelope(payload)
     from .charset import decode_payload
 
-    return decode_payload(payload)
+    return decode_payload(payload, hint)
 
 
 def links_batch(t: pa.Table, payload_col: str = "html") -> pa.Table:

@@ -412,7 +412,9 @@ class StandardSecurityHandler:
         from . import pkcs7
 
         self.v = int(enc.get("V", 4))
-        self.length = int(enc.get("Length", 128))
+        # Spec default for /Length is 40 bits for V=1 handlers
+        # (adbe.pkcs7.s3), mirroring the standard handler; 128 only V>=2.
+        self.length = int(enc.get("Length", 40 if self.v < 2 else 128))
         self.o = self.u = b""
         self.p = 0
         self.r = 4 if self.v >= 4 else 2

@@ -211,10 +211,16 @@ def parse_enveloped(blob: bytes) -> EnvelopedData:
     if etag != 0x30:
         raise ValueError("PKCS#7: EnvelopedData is not a SEQUENCE")
     ekids = der_children(env)
-    if len(ekids) < 3 or ekids[1][0] != 0x31:
+    # EnvelopedData ::= SEQUENCE { version, originatorInfo [0] IMPLICIT
+    # OPTIONAL, recipientInfos SET, encryptedContentInfo, ... } (RFC 5652
+    # §6.1) — skip the optional context-tagged originatorInfo if present.
+    ri = 1
+    if len(ekids) > ri and ekids[ri][0] == 0xA0:
+        ri += 1
+    if len(ekids) < ri + 2 or ekids[ri][0] != 0x31:
         raise ValueError("PKCS#7: malformed EnvelopedData")
     enc_keys = []
-    for rtag, r in der_children(ekids[1][1]):
+    for rtag, r in der_children(ekids[ri][1]):
         if rtag != 0x30:
             raise ValueError("PKCS#7: RecipientInfo is not a SEQUENCE")
         rk = der_children(r)
@@ -225,7 +231,7 @@ def parse_enveloped(blob: bytes) -> EnvelopedData:
         if not alg or der_oid_decode(alg[0][1]) != OID_RSA:
             raise ValueError("PKCS#7: key transport is not rsaEncryption")
         enc_keys.append(rk[3][1])
-    ctag, eci = ekids[2]
+    ctag, eci = ekids[ri + 1]
     if ctag != 0x30:
         raise ValueError("PKCS#7: malformed EncryptedContentInfo")
     ek = der_children(eci)
@@ -244,9 +250,12 @@ def parse_enveloped(blob: bytes) -> EnvelopedData:
 
 
 def build_enveloped(content: bytes, recipients: list[tuple[int, int]], *,
-                    iv: bytes, cek: bytes, seed: bytes = b"") -> bytes:
+                    iv: bytes, cek: bytes, seed: bytes = b"",
+                    originator_info: bytes | None = None) -> bytes:
     """Fixture-side envelope: ``recipients`` are (n, e) public keys;
-    the CEK and IV are caller-supplied so fixtures are deterministic."""
+    the CEK and IV are caller-supplied so fixtures are deterministic.
+    ``originator_info`` (raw inner DER, may be empty) exercises the
+    optional [0] IMPLICIT OriginatorInfo field (RFC 5652 §6.1)."""
     from . import pdf_crypto
 
     rinfos = []
@@ -263,7 +272,11 @@ def build_enveloped(content: bytes, recipients: list[tuple[int, int]], *,
         der_oid(OID_DATA),
         der_seq(der_oid(OID_AES128_CBC), der_octets(iv)),
         der(0x80, ct))
-    env = der_seq(der_int(0), der_set(*rinfos), eci)
+    if originator_info is not None:
+        env = der_seq(der_int(0), der(0xA0, originator_info),
+                      der_set(*rinfos), eci)
+    else:
+        env = der_seq(der_int(0), der_set(*rinfos), eci)
     return der_seq(der_oid(OID_ENVELOPED), der(0xA0, env))
 
 

@@ -37,7 +37,29 @@ _TE_CHUNKED = re.compile(rb"transfer-encoding:[ \t]*[^\r\n]*chunked")
 _CE_HDR = re.compile(rb"content-encoding:[ \t]*([a-z0-9_-]+)")
 
 
-def _dechunk(body: bytes) -> bytes:
+def _bfind(buf, needle: bytes, start: int = 0) -> int:
+    """bytes.find for any bytes-like object. memoryview has no .find;
+    copying the whole payload to get one is exactly the hot-path
+    memcpy this avoids. Searches in doubling windows, so only
+    O(header) bytes are ever copied when the needle sits in the
+    headers (the common case: the CRLFCRLF split)."""
+    if isinstance(buf, (bytes, bytearray)):
+        return buf.find(needle, start)
+    n = len(needle)
+    step = 8192
+    pos = start
+    size = len(buf)
+    while pos < size:
+        end = min(size, pos + step + n - 1)
+        idx = bytes(buf[pos:end]).find(needle)
+        if idx != -1:
+            return pos + idx
+        pos += step
+        step = min(step * 2, 1 << 22)
+    return -1
+
+
+def _dechunk(body) -> bytes:
     """Decode HTTP/1.1 chunked transfer coding. TOLERANT: on a
     malformed chunk header the bytes decoded so far plus the raw
     remainder are returned (crawl payloads truncate mid-chunk
@@ -45,14 +67,14 @@ def _dechunk(body: bytes) -> bytes:
     out = bytearray()
     pos = 0
     while True:
-        eol = body.find(b"\r\n", pos)
+        eol = _bfind(body, b"\r\n", pos)
         if eol == -1:
-            return bytes(out) + body[pos:]
-        size_field = body[pos:eol].split(b";", 1)[0].strip()
+            return bytes(out) + bytes(body[pos:])
+        size_field = bytes(body[pos:eol]).split(b";", 1)[0].strip()
         try:
             size = int(size_field, 16)
         except ValueError:
-            return bytes(out) + body[pos:]
+            return bytes(out) + bytes(body[pos:])
         if size == 0:
             return bytes(out)
         start = eol + 2
@@ -62,25 +84,31 @@ def _dechunk(body: bytes) -> bytes:
             return bytes(out)
 
 
-def strip_http_envelope(payload: bytes, *, partial: bool = False) -> bytes:
+def strip_http_envelope(payload, *, partial: bool = False):
     """HTTP response record → entity body: split headers at the first
     blank line (CRLF or bare LF), undo chunked transfer coding, undo
     gzip/deflate content coding. ``partial=True`` is the sniff path:
     the input is a prefix, so decompression accepts truncation and
     returns what it can. Decoding defects fall back to the raw body
-    (tolerant by design — see _dechunk)."""
+    (tolerant by design — see _dechunk). Accepts any bytes-like object
+    (the extract hot path hands zero-copy Arrow-buffer memoryviews)
+    and copies only the header region; an unchunked uncompressed body
+    comes back as a zero-copy slice of the input."""
     import zlib
 
-    m = payload.find(b"\r\n\r\n")
+    m = _bfind(payload, b"\r\n\r\n")
     sep = 4
-    m2 = payload.find(b"\n\n")
+    # a bare-LF blank line only wins if it comes BEFORE the CRLF one,
+    # so bound the \n\n scan there — otherwise a CRLF-headed record
+    # with a huge body would be scanned (and window-copied) in full
+    m2 = _bfind(payload[:m] if m != -1 else payload, b"\n\n")
     if m == -1 or (m2 != -1 and m2 < m):
         m, sep = m2, 2
     if m == -1:
         # no blank line: header-only record (or truncated inside the
         # headers) — there is no entity body to extract
         return b""
-    head = payload[:m].lower()
+    head = bytes(payload[:m]).lower()
     body = payload[m + sep:]
     if _TE_CHUNKED.search(head):
         body = _dechunk(body)
@@ -107,16 +135,17 @@ _CT_CHARSET = re.compile(rb"content-type:[^\r\n]*;\s*charset="
                          rb"\"?([A-Za-z0-9._-]+)")
 
 
-def http_charset(payload: bytes) -> str | None:
+def http_charset(payload) -> str | None:
     """The HTTP header's charset= label (None if absent) — the
     transport-layer hint charset.resolve_charset slots between BOM
     and the in-document meta declaration. Callers pass the FRAMED
-    payload (headers still on)."""
-    m = payload.find(b"\r\n\r\n")
-    m2 = payload.find(b"\n\n")
+    payload (headers still on; any bytes-like object — only the
+    header region is ever copied)."""
+    m = _bfind(payload, b"\r\n\r\n")
+    m2 = _bfind(payload[:m] if m != -1 else payload, b"\n\n")
     if m == -1 or (m2 != -1 and m2 < m):
         m = m2
-    head = payload[:m if m != -1 else 2048].lower()
+    head = bytes(payload[:m if m != -1 else 2048]).lower()
     cm = _CT_CHARSET.search(head)
     return cm.group(1).decode("ascii", "ignore") if cm else None
 
