@@ -678,13 +678,111 @@ JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
 def bpe_learn_merges(sf_dir: str):
     """Tokenizer training: learn a BPE merge table from the corpus
     (Sennrich et al. 2016) — one distributed word-count, then per-round
-    pair-count partials over the (small) vocab table. rows-only: the
-    iterative argmax chain is not SQL-expressible; parity is pinned by
-    tests/test_bpe.py against a local reference implementation."""
+    pair-count partials over the (small) vocab table. Oracle: the
+    fixed-depth merge chain unrolls to SQL (one windowed
+    pair-count + argmax + greedy left-to-right apply per round,
+    _bpe_sql below), so the driver hash-checks the full merge table."""
     from ..stages.bpe import learn_merges
 
     ds = _read(sf_dir, "documents", ["text"])
     return learn_merges(ds, n_merges=8)
+
+
+def _bpe_sql(n_merges: int = 8, output: str = "merges") -> str:
+    """Unrolled DuckDB replay of stages/bpe.py::learn_merges.
+
+    Each round k: pair counts over adjacent symbols (lead() per word),
+    deterministic argmax (count desc, then lexicographic), then the
+    greedy LEFT-TO-RIGHT merge application. Greediness is the subtle
+    part — for a run of identical symbols the paper merges pairs
+    leftmost-first, which plain string replace cannot express — so
+    candidate positions are grouped into maximal consecutive chains
+    (gaps-and-islands) and only odd chain offsets merge, exactly
+    _merge_sym's scan. A round whose best pair count is < 2 produces
+    an empty winner row, applies no merge, and every later round then
+    reproduces the same empty winner — the SQL analogue of the
+    Python loop's break."""
+    parts = ["""
+WITH words AS MATERIALIZED (
+  SELECT w AS word, count(*)::BIGINT AS n
+  FROM (SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+        FROM documents)
+  WHERE w <> '' GROUP BY w),
+r0 AS MATERIALIZED (
+  SELECT word AS wid, n,
+         generate_subscripts(syms, 1) AS pos, unnest(syms) AS sym
+  FROM (SELECT word, n,
+               list_append(string_split(word, ''), '</w>') AS syms
+        FROM words))"""]
+    for k in range(n_merges):
+        parts.append(f""",
+m{k} AS MATERIALIZED (
+  SELECT l AS "left", r AS "right", sum(n)::BIGINT AS c FROM (
+    SELECT sym AS l,
+           lead(sym) OVER (PARTITION BY wid ORDER BY pos) AS r,
+           n
+    FROM r{k}) p
+  WHERE r IS NOT NULL
+  GROUP BY l, r HAVING sum(n) >= 2
+  ORDER BY sum(n) DESC, l, r LIMIT 1),
+a{k} AS MATERIALIZED (
+  SELECT wid, n, pos, sym,
+         CASE WHEN sym = (SELECT "left" FROM m{k})
+               AND lead(sym) OVER (PARTITION BY wid ORDER BY pos)
+                   = (SELECT "right" FROM m{k})
+              THEN 1 ELSE 0 END AS cand
+  FROM r{k}),
+c{k} AS MATERIALIZED (
+  SELECT wid, pos
+  FROM (SELECT wid, pos,
+               row_number() OVER (PARTITION BY wid, grp
+                                  ORDER BY pos) AS chain_off
+        FROM (SELECT wid, pos,
+                     pos - row_number() OVER (PARTITION BY wid
+                                              ORDER BY pos) AS grp
+              FROM a{k} WHERE cand = 1))
+  WHERE chain_off % 2 = 1),
+r{k + 1} AS MATERIALIZED (
+  SELECT wid, n,
+         row_number() OVER (PARTITION BY wid ORDER BY pos) AS pos,
+         sym
+  FROM (SELECT r.wid, r.n, r.pos,
+               CASE WHEN s.pos IS NOT NULL
+                    THEN (SELECT "left" || "right" FROM m{k})
+                    ELSE r.sym END AS sym,
+               CASE WHEN d.pos IS NOT NULL THEN 1 ELSE 0 END AS dropped
+        FROM a{k} r
+        LEFT JOIN c{k} s ON s.wid = r.wid AND s.pos = r.pos
+        LEFT JOIN c{k} d ON d.wid = r.wid AND d.pos + 1 = r.pos)
+  WHERE dropped = 0)""")
+    if output == "encode":
+        # r{n} is the vocab AFTER every learned merge — its per-word
+        # row count is exactly apply_merges_to_word's token count, so
+        # per-doc totals are one join away (empty docs keep 0).
+        parts.append(f""",
+wsyms AS (SELECT wid, count(*)::BIGINT AS n_sym
+          FROM r{n_merges} GROUP BY wid),
+docw AS (
+  SELECT doc_id, w, count(*)::BIGINT AS k
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+        FROM documents)
+  WHERE w <> '' GROUP BY doc_id, w)
+SELECT d.doc_id,
+       coalesce(t.n, 0)::BIGINT AS n_bpe_tokens
+FROM documents d
+LEFT JOIN (SELECT doc_id, sum(k * n_sym) AS n
+           FROM docw JOIN wsyms ON wsyms.wid = docw.w
+           GROUP BY doc_id) t USING (doc_id)""")
+        return "".join(parts)
+    unions = "\nUNION ALL ".join(
+        f'SELECT {k} AS merge_rank, "left", "right", c AS pair_count '
+        f"FROM m{k}" for k in range(n_merges))
+    parts.append(f"""
+SELECT merge_rank::BIGINT AS merge_rank, "left", "right",
+       pair_count::BIGINT AS pair_count
+FROM ({unions}) ORDER BY merge_rank""")
+    return "".join(parts)
 
 
 def bpe_encode_docs(sf_dir: str):
@@ -2001,11 +2099,39 @@ SELECT doc_id, n_chars FROM documents WHERE doc_id % 8 = 0
 """
 
 
+SAMPLE_SEED = 7
+SAMPLE_RATE = 0.2
+
+
 def sample_random_documents(sf_dir: str):
-    """Seeded Bernoulli sample (ds.random_sample) — rows-only check
-    (engine-specific RNG is not SQL-reproducible)."""
+    """Deterministic Bernoulli sample at rate 0.2: keep a doc iff the
+    first 12 hex digits of md5('doc_id:seed') fall under the rate
+    threshold. Unlike engine-RNG sampling (ds.random_sample) this is
+    layout-independent — the SAME rows survive any repartitioning or
+    block split, which is what a resumable 100-TB sampling pass needs
+    — and exactly replayable in SQL (DuckDB md5() on the same key)."""
+    import hashlib
+
     ds = _read(sf_dir, "documents", ["doc_id"])
-    return ds.random_sample(0.2, seed=7)
+    cut = int(SAMPLE_RATE * 16 ** 12)
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        keep = np.fromiter(
+            (int(hashlib.md5(f"{i}:{SAMPLE_SEED}".encode())
+                 .hexdigest()[:12], 16) < cut for i in ids),
+            dtype=bool, count=len(ids))
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+SAMPLE_RANDOM_SQL = f"""
+SELECT doc_id FROM documents
+WHERE CAST(('0x' || substr(md5(doc_id::VARCHAR || ':{SAMPLE_SEED}'),
+                           1, 12)) AS BIGINT)
+      < CAST({int(SAMPLE_RATE * 16 ** 12)} AS BIGINT)
+"""
 
 
 def lang_distribution(sf_dir: str):
@@ -6489,6 +6615,119 @@ def host_hits(sf_dir: str):
     scores["authority"] = np.round(scores["authority"].to_numpy(), 9)
     return (scores[["host", "hub", "authority"]].sort_values("host")
             .reset_index(drop=True))
+
+
+# Synthetic citation graph over doc_ids: every doc cites two "hub"
+# docs, (7i+3) % 101 and (13i+5) % 101 — deterministic, hub-skewed,
+# SQL-derivable. host_pagerank / host_hits stay rows-only because
+# their upstream is an HTML parse; these run the SAME iteration
+# engines (stages/graph.py) under a full-value oracle that unrolls
+# the fixed-depth power method in SQL.
+def _doc_cite_edges(sf_dir: str):
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        i = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "src": pa.array(np.concatenate([i, i]), pa.int64()),
+            "dst": pa.array(np.concatenate(
+                [(7 * i + 3) % 101, (13 * i + 5) % 101]), pa.int64())})
+
+    return docs.map_batches(mk, batch_format="pyarrow")
+
+
+def doc_graph_pagerank(sf_dir: str):
+    """Damped PageRank (5 iterations) over the synthetic citation
+    graph, through stages/graph.pagerank's broadcast-rank +
+    streaming-edge-scan rounds. Oracle: the identical five power-
+    method steps unrolled as chained CTEs (_pagerank_sql) — every
+    node's rank hash-checked, 6-dp rounded on both sides."""
+    from ..stages.graph import pagerank
+
+    ranks = pagerank(_doc_cite_edges(sf_dir), iters=5)
+    ranks["rank"] = np.round(ranks["rank"].to_numpy(), 6)
+    return ranks.sort_values("node").reset_index(drop=True)
+
+
+def _pagerank_sql(iters: int = 5, damping: float = 0.85) -> str:
+    """Unrolled DuckDB replay of stages/graph.pagerank over the
+    synthetic citation graph: rank_k(v) = (1-d)/n + d * Σ_{(u,v)∈E}
+    rank_{k-1}(u)/outdeg(u). Edges are a multiset (UNION ALL), exactly
+    as the Ray side counts them."""
+    parts = [f"""
+WITH e AS MATERIALIZED (
+  SELECT doc_id AS src, (7 * doc_id + 3) % 101 AS dst FROM documents
+  UNION ALL
+  SELECT doc_id, (13 * doc_id + 5) % 101 FROM documents),
+nodes AS MATERIALIZED (
+  SELECT src AS node, count(*)::DOUBLE AS deg FROM e GROUP BY src),
+c AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+r0 AS (SELECT node, deg, 1.0 / (SELECT n FROM c) AS rank FROM nodes)"""]
+    for k in range(1, iters + 1):
+        parts.append(f""",
+r{k} AS MATERIALIZED (
+  SELECT nd.node, nd.deg,
+         {1.0 - damping} / (SELECT n FROM c)
+           + {damping} * coalesce(f.s, 0) AS rank
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS node, sum(r.rank / r.deg) AS s
+    FROM e JOIN r{k - 1} r ON r.node = e.src GROUP BY e.dst) f
+  USING (node))""")
+    parts.append(f"""
+SELECT node::BIGINT AS node, round(rank, 6) AS rank
+FROM r{iters} ORDER BY node""")
+    return "".join(parts)
+
+
+def doc_graph_hits(sf_dir: str):
+    """HITS hubs/authorities (5 iterations) over the synthetic
+    citation graph, through stages/graph.hits — two L2-normalized
+    push rounds per iteration. Oracle: the ten half-steps unrolled
+    in SQL (_hits_sql), 6-dp rounded on both sides."""
+    from ..stages.graph import hits
+
+    scores = hits(_doc_cite_edges(sf_dir), iters=5)
+    scores["hub"] = np.round(scores["hub"].to_numpy(), 6)
+    scores["authority"] = np.round(scores["authority"].to_numpy(), 6)
+    return scores.sort_values("node").reset_index(drop=True)
+
+
+def _hits_sql(iters: int = 5) -> str:
+    """Unrolled DuckDB replay of stages/graph.hits: per iteration,
+    auth = normalize(Σ hub over in-edges) then hub = normalize(Σ auth
+    over out-edges); nodes are the endpoint union; both vectors start
+    at 1/sqrt(n)."""
+    parts = ["""
+WITH e AS MATERIALIZED (
+  SELECT doc_id AS src, (7 * doc_id + 3) % 101 AS dst FROM documents
+  UNION ALL
+  SELECT doc_id, (13 * doc_id + 5) % 101 FROM documents),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+h0 AS (SELECT node, 1.0 / sqrt((SELECT count(*) FROM nodes)) AS hub
+       FROM nodes)"""]
+    for k in range(1, iters + 1):
+        parts.append(f""",
+a{k} AS MATERIALIZED (
+  SELECT node, v / sqrt(sum(v * v) OVER ()) AS auth
+  FROM (SELECT nd.node, coalesce(f.s, 0) AS v
+        FROM nodes nd LEFT JOIN (
+          SELECT e.dst AS node, sum(h.hub) AS s
+          FROM e JOIN h{k - 1} h ON h.node = e.src GROUP BY e.dst) f
+        USING (node))),
+h{k} AS MATERIALIZED (
+  SELECT node, v / sqrt(sum(v * v) OVER ()) AS hub
+  FROM (SELECT nd.node, coalesce(f.s, 0) AS v
+        FROM nodes nd LEFT JOIN (
+          SELECT e.src AS node, sum(a.auth) AS s
+          FROM e JOIN a{k} a ON a.node = e.dst GROUP BY e.src) f
+        USING (node)))""")
+    parts.append(f"""
+SELECT node::BIGINT AS node, round(h{iters}.hub, 6) AS hub,
+       round(a{iters}.auth, 6) AS authority
+FROM h{iters} JOIN a{iters} USING (node) ORDER BY node""")
+    return "".join(parts)
 
 
 def rebalance_lang_docs(sf_dir: str):
@@ -12886,6 +13125,8 @@ QUERIES = {
     "page_metadata": page_metadata,
     "host_link_summary": host_link_summary,
     "host_pagerank": host_pagerank,
+    "doc_graph_pagerank": doc_graph_pagerank,
+    "doc_graph_hits": doc_graph_hits,
     "host_hits": host_hits,
     "rebalance_lang_docs": rebalance_lang_docs,
     "bigram_pmi_top": bigram_pmi_top,
@@ -13067,6 +13308,11 @@ ORACLE_SQL = {
     "label_centroids": CENTROID_SQL,
     "curation_pipeline": CURATION_SQL,
     "training_corpus_pipeline": _training_corpus_sql(),
+    "bpe_learn_merges": _bpe_sql(),
+    "bpe_encode_docs": _bpe_sql(output="encode"),
+    "sample_random_documents": SAMPLE_RANDOM_SQL,
+    "doc_graph_pagerank": _pagerank_sql(),
+    "doc_graph_hits": _hits_sql(),
     "q13_customer_distribution": Q13_SQL,
     "q15_top_supplier": Q15_SQL,
     "q17_small_quantity_revenue": Q17_SQL,
