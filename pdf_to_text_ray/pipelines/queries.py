@@ -6640,7 +6640,7 @@ def doc_graph_pagerank(sf_dir: str):
     """Damped PageRank (5 iterations) over the synthetic citation
     graph, through stages/graph.pagerank's broadcast-rank +
     streaming-edge-scan rounds. Oracle: the identical five power-
-    method steps unrolled as chained CTEs (_pagerank_sql) — every
+    method steps unrolled as chained CTEs (_doc_pagerank_sql) — every
     node's rank hash-checked, 6-dp rounded on both sides."""
     from ..stages.graph import pagerank
 
@@ -6649,7 +6649,7 @@ def doc_graph_pagerank(sf_dir: str):
     return ranks.sort_values("node").reset_index(drop=True)
 
 
-def _pagerank_sql(iters: int = 5, damping: float = 0.85) -> str:
+def _doc_pagerank_sql(iters: int = 5, damping: float = 0.85) -> str:
     """Unrolled DuckDB replay of stages/graph.pagerank over the
     synthetic citation graph: rank_k(v) = (1-d)/n + d * Σ_{(u,v)∈E}
     rank_{k-1}(u)/outdeg(u). Edges are a multiset (UNION ALL), exactly
@@ -13311,7 +13311,7 @@ ORACLE_SQL = {
     "bpe_learn_merges": _bpe_sql(),
     "bpe_encode_docs": _bpe_sql(output="encode"),
     "sample_random_documents": SAMPLE_RANDOM_SQL,
-    "doc_graph_pagerank": _pagerank_sql(),
+    "doc_graph_pagerank": _doc_pagerank_sql(),
     "doc_graph_hits": _hits_sql(),
     "q13_customer_distribution": Q13_SQL,
     "q15_top_supplier": Q15_SQL,
