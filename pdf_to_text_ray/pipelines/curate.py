@@ -56,12 +56,18 @@ def _exact_dedup_keep(ds, *, num_buckets: int = 32):
 
 def _neardup_filter(ds, *, threshold: float):
     """Drop near-duplicates: every doc in a MinHash-LSH component
-    except its min-id root. Broadcast = component labels only."""
+    except its min-id root. The pair set stays a DATASET end to end
+    (``output="dataset"`` forces join-verify and in-cluster pair
+    dedup), so even a mirror-heavy crawl whose candidate-pair count
+    explodes never lands a pair row on the driver; the only
+    driver/broadcast object is the component label table (bounded by
+    the LSH candidate set, ≪ corpus)."""
     import ray
 
     from ..stages.dedup import minhash_neardup_pairs, minlabel_components
 
-    pairs = minhash_neardup_pairs(ds, threshold=threshold)
+    pairs = minhash_neardup_pairs(ds, threshold=threshold,
+                                  output="dataset")
     comp = minlabel_components(pairs)
     nodes = comp["node"].to_numpy()
     roots = comp["group_root"].to_numpy()

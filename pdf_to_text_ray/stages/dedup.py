@@ -224,9 +224,15 @@ def minhash_neardup_pairs(ds, *, key_col: str = "doc_id", text_col: str = "text"
                 "id_a": pd.Series([], dtype="int64"),
                 "id_b": pd.Series([], dtype="int64"),
                 "jaccard_sim": pd.Series([], dtype="float64")}))
-        return _verify_pairs_join(ds, cand, key_col, text_col, k,
-                                  threshold, id_arr=id_arr,
-                                  as_dataset=True)
+        from .groups import arrow_blocks
+
+        # the verify-join chain runs on pandas blocks (blob-pointer
+        # moves); re-block to homogeneous Arrow here or its EMPTY
+        # pandas partitions bypass every later pyarrow map and poison
+        # downstream exchanges (see groups.arrow_blocks)
+        return arrow_blocks(_verify_pairs_join(
+            ds, cand, key_col, text_col, k, threshold,
+            id_arr=id_arr, as_dataset=True))
 
     cand_pdf = cand.to_pandas().drop_duplicates()  # candidates ≪ corpus
     if len(cand_pdf) == 0:

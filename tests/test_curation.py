@@ -412,3 +412,31 @@ def test_blocklist_filter_null_and_empty():
     t = pa.table({"host": pa.array([None, "a.com"], pa.string()),
                   "path": pa.array(["/x", None], pa.string())})
     assert flt(t)["blocked"].to_pylist() == [False, False]
+
+
+def test_curate_neardup_pairs_never_land_on_driver(ray_session, monkeypatch):
+    """The composed flagship must route near-dup detection through the
+    output="dataset" path: the candidate-pair set stays a Dataset end
+    to end (VERDICT r04 task 5) — a driver-side pair DataFrame would
+    bound the pipeline by driver memory on mirror-heavy crawls."""
+    import ray.data
+
+    from pdf_to_text_ray.stages import dedup as dedup_mod
+    from pdf_to_text_ray.pipelines.curate import curate_documents
+
+    calls = []
+    orig = dedup_mod.minhash_neardup_pairs
+
+    def spy(ds, **kw):
+        out = orig(ds, **kw)
+        calls.append((kw.get("output"), type(out)))
+        return out
+
+    monkeypatch.setattr(dedup_mod, "minhash_neardup_pairs", spy)
+    res = curate_documents(SF).to_pandas()
+    assert len(res) > 0
+    assert calls, "curate_documents never reached the near-dup stage"
+    for output_kw, out_type in calls:
+        assert output_kw == "dataset"
+        assert issubclass(out_type, ray.data.Dataset), out_type
+        assert not issubclass(out_type, pd.DataFrame)
