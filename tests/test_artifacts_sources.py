@@ -469,3 +469,45 @@ def test_catalog_concurrent_publishes_never_lost(ray_session, tmp_path):
     assert latest_catalog_version(root) == 16
     for v in versions:
         assert pins_as_of(root, v) == {"a": 1}
+
+
+def test_sharded_csv_concatenation_matches_single_file(ray_session, tmp_path):
+    """write_csv_sharded (VERDICT r04 task 6): parallel per-batch shard
+    files + manifest; concatenating the shards' data rows in manifest
+    order reproduces the single-file artifact byte-for-byte, and a
+    re-run is idempotent (resume skips finished shards)."""
+    import json
+
+    import ray.data as rd
+
+    from pdf_to_text_ray.pipelines.artifacts import write_csv_sharded
+
+    lines = [f'"{i:06d}","ean{i}",{i % 7},{i}.00' for i in range(1000)]
+    ds = rd.from_arrow(pa.table({"line": pa.array(lines, pa.string())})) \
+           .repartition(8)
+    out = str(tmp_path / "csv_shards")
+    manifest = write_csv_sharded(ds, out, rows_per_shard=100)
+
+    assert manifest["total_rows"] == 1000
+    assert len(manifest["shards"]) >= 8, "expected a multi-shard export"
+    # manifest persisted
+    on_disk = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert on_disk == manifest
+
+    single = CSV_HEADERS + "\n" + "\n".join(lines) + "\n"
+    parts = [CSV_HEADERS + "\n"]
+    for sh in manifest["shards"]:
+        body = open(os.path.join(out, sh["file"])).read()
+        head, _, data = body.partition("\n")
+        assert head == CSV_HEADERS  # every shard independently parseable
+        assert data.count("\n") == sh["rows"]
+        parts.append(data)
+    assert "".join(parts) == single
+
+    # idempotent resume: second run rewrites nothing
+    mtimes = {f: os.path.getmtime(os.path.join(out, f))
+              for f in os.listdir(out) if f.endswith(".csv")}
+    manifest2 = write_csv_sharded(ds, out, rows_per_shard=100)
+    assert manifest2 == manifest
+    for f, m in mtimes.items():
+        assert os.path.getmtime(os.path.join(out, f)) == m
