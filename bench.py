@@ -298,8 +298,45 @@ def run_scaling() -> dict:
     return result
 
 
+_TAIL_GUARD_PATTERNS = ("different schema", "Failed to hash")
+
+
+def _guarded(fn):
+    """Bench-tail hygiene guard (r03 task 3 / r04 task 8): the
+    schema-metadata fixes eliminated Ray's 'RefBundle with a different
+    schema' / 'Failed to hash the schemas' warning spam; fail the run
+    if either reappears so the fix can't rot. All of Ray's driver- and
+    worker-side log traffic lands on this process's fd 2, so the run
+    executes with stderr dup'd to a scan file (restored after — and
+    replayed on crash so real errors stay visible)."""
+    scan_path = f"/tmp/ptt_bench_stderr_{os.getpid()}.log"
+    orig_fd = os.dup(2)
+    scan_f = open(scan_path, "w")
+    os.dup2(scan_f.fileno(), 2)
+    try:
+        result = fn()
+    except BaseException:
+        os.dup2(orig_fd, 2)
+        sys.stderr.write(open(scan_path).read())
+        raise
+    finally:
+        os.dup2(orig_fd, 2)
+        scan_f.close()
+    hits = [ln.rstrip("\n") for ln in open(scan_path)
+            if any(p in ln for p in _TAIL_GUARD_PATTERNS)]
+    if hits:
+        sys.stderr.write("bench tail guard: schema warnings reappeared\n")
+        for ln in hits[:20]:
+            sys.stderr.write(ln + "\n")
+        sys.exit(1)
+    os.unlink(scan_path)
+    return result
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
+        # child legs run their own guard; check=True propagates a
+        # child guard failure up through this leg
         print(json.dumps(run_scaling()))
     else:
-        print(json.dumps(run_bench()))
+        print(json.dumps(_guarded(run_bench)))

@@ -42,6 +42,15 @@ def merge_into(base, changes, *, key: str, op_col: str = "op",
 
     def tag(side: str):
         def fn(t: pa.Table) -> pa.Table:
+            # schema-align the two union sides: base gains a null op
+            # column and both emit name-sorted columns, so the fused
+            # union's bundles share ONE schema (a mismatched union
+            # trips Ray's per-operator schema-change warning and
+            # defeats its schema-dedup fast path)
+            if side == "b" and op_col not in t.column_names:
+                t = t.append_column(
+                    op_col, pa.nulls(t.num_rows, pa.string()))
+            t = t.select(sorted(t.column_names))
             h = stable_bucket(t[key].to_numpy(zero_copy_only=False),
                               num_buckets)
             t = t.append_column("_bucket", pa.array(h, pa.int64()))

@@ -355,14 +355,24 @@ def _verify_pairs_join(ds, cand, key_col: str, text_col: str,
     # block_format="pandas": the shingle columns are multi-KB blobs —
     # Arrow boundaries copy the bytes at every conversion, pandas
     # object blocks move pointers (measured 2-3x on this join chain)
+    import pyarrow as _pa
+
+    id_t = _pa.int64() if id_arr.dtype.kind in "iu" else _pa.string()
     j1 = bucketed_hash_join(pairs_ds, sh_a, on="id_a",
-                            num_buckets=num_buckets, block_format="pandas")
+                            num_buckets=num_buckets, block_format="pandas",
+                            pad_schemas=({"id_b": id_t},
+                                         {"sh_a": _pa.binary()}))
     # the union inside the join NaN-pads the other side's columns, which
     # floats id_b — re-int it so the second join's hash buckets match
-    j1 = j1.map_batches(lambda b: b.assign(id_b=b["id_b"].astype("int64")),
-                        batch_format="pandas")
+    if id_arr.dtype.kind in "iu":
+        j1 = j1.map_batches(
+            lambda b: b.assign(id_b=b["id_b"].astype("int64")),
+            batch_format="pandas")
     j2 = bucketed_hash_join(j1, sh_b, on="id_b",
-                            num_buckets=num_buckets, block_format="pandas")
+                            num_buckets=num_buckets, block_format="pandas",
+                            pad_schemas=({"id_a": id_t,
+                                          "sh_a": _pa.binary()},
+                                         {"sh_b": _pa.binary()}))
 
     def score(b: pd.DataFrame) -> pd.DataFrame:
         sims = [
@@ -681,7 +691,11 @@ def minlabel_components(pairs, *, num_buckets: int = 16,
             lambda t: t.rename_columns(["src", "label"]),
             batch_format="pyarrow")
         cand = bucketed_hash_join(
-            edges, lab_src, on="src", num_buckets=num_buckets
+            edges, lab_src, on="src", num_buckets=num_buckets,
+            # edges/labels are int64 post-factorization; declaring the
+            # sides keeps the fused union on ONE schema (no per-round
+            # schema-change warnings, schema-dedup fast path intact)
+            pad_schemas=({"dst": pa.int64()}, {"label": pa.int64()}),
         ).map_batches(
             lambda t: pa.table({
                 "node": pc.cast(t["dst"], pa.int64()),

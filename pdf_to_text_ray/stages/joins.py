@@ -34,7 +34,8 @@ def bucketed_hash_join(left, right, on: str, *, num_buckets: int = 32,
                        how: str = "inner",
                        left_cols: list[str] | None = None,
                        right_cols: list[str] | None = None,
-                       block_format: str = "pyarrow"):
+                       block_format: str = "pyarrow",
+                       pad_schemas: tuple[dict, dict] | None = None):
     """Explicit partitioned hash join of two Datasets on one key column.
 
     One all-to-all (the bucket groupby over the union); the per-bucket
@@ -53,7 +54,23 @@ def bucketed_hash_join(left, right, on: str, *, num_buckets: int = 32,
     every conversion while pandas object blocks move pointers
     (measured 2-3× on the minhash verify join). Do not mix formats
     within one dataset: Ray's exchange asserts block-type
-    homogeneity."""
+    homogeneity.
+
+    ``pad_schemas``: optional ``(left_non_key, right_non_key)`` dicts
+    of column name → pyarrow DataType, declaring each side's non-key
+    columns. When given, each side's tag map pads the OTHER side's
+    columns with typed nulls and emits a canonical column order, so
+    the union's bundles all share ONE schema — without this, a fused
+    union whose sides interleave trips Ray's per-operator
+    schema-change warning once per side transition (noisy inside
+    iterative callers like min-label propagation) and defeats its
+    schema-dedup fast path. Statically-known schemas only — passing
+    types that disagree with the data keeps the join correct but
+    brings the warning back. In pandas mode the declared-integer
+    columns ride the exchange as float64 on BOTH sides (the union's
+    NaN-pad coerces them anyway; the ``i`` tag restores int64 after
+    the per-bucket merge), so values must be ≤ 2^53 — the same bound
+    the NaN-pad coercion already imposed."""
 
     # The union NaN-pads each side's tagged columns into the other
     # side's blocks, which COERCES integer columns to float64 — and a
@@ -80,12 +97,32 @@ def bucketed_hash_join(left, right, on: str, *, num_buckets: int = 32,
     # pandas partitions that break block-type homogeneity.
     arrow_blocks = block_format == "pyarrow"
 
+    def _tagged_name(side: str, c: str, typ) -> str:
+        return f"{side}::{'i' if pa.types.is_integer(typ) else 'o'}::{c}"
+
+    if pad_schemas is not None:
+        # canonical union schema: key, then both sides' tagged columns
+        # name-sorted, each present in EVERY block (own values or
+        # typed nulls)
+        pad_cols = []
+        for s, sch in (("l", pad_schemas[0]), ("r", pad_schemas[1])):
+            pad_cols += [(s, c, t) for c, t in sorted(sch.items())]
+
     def tag(side: str):
         def fn_arrow(t: pa.Table) -> pa.Table:
-            t = t.rename_columns(
-                [c if c == on else
-                 f"{side}::{'i' if pa.types.is_integer(t.schema.field(c).type) else 'o'}::{c}"
-                 for c in t.column_names])
+            if pad_schemas is None:
+                t = t.rename_columns(
+                    [c if c == on else
+                     f"{side}::{'i' if pa.types.is_integer(t.schema.field(c).type) else 'o'}::{c}"
+                     for c in t.column_names])
+            else:
+                cols = [t[on]]
+                names = [on]
+                for s, c, typ in pad_cols:
+                    cols.append(t[c] if s == side
+                                else pa.nulls(t.num_rows, typ))
+                    names.append(_tagged_name(s, c, typ))
+                t = pa.table(dict(zip(names, cols)))
             h = (pd.util.hash_array(t[on].to_numpy(zero_copy_only=False))
                  % num_buckets).astype("int64")
             t = t.append_column("_bucket", pa.array(h, pa.int64()))
@@ -93,9 +130,26 @@ def bucketed_hash_join(left, right, on: str, *, num_buckets: int = 32,
                 "_side", pa.array([side] * t.num_rows, pa.string()))
 
         def fn_pandas(b: pd.DataFrame) -> pd.DataFrame:
-            b = b.rename(columns={
-                c: f"{side}::{'i' if pd.api.types.is_integer_dtype(b[c]) else 'o'}::{c}"
-                for c in b.columns if c != on})
+            if pad_schemas is None:
+                b = b.rename(columns={
+                    c: f"{side}::{'i' if pd.api.types.is_integer_dtype(b[c]) else 'o'}::{c}"
+                    for c in b.columns if c != on})
+            else:
+                out = {on: b[on]}
+                for s, c, typ in pad_cols:
+                    numeric = pa.types.is_integer(typ) or pa.types.is_floating(typ)
+                    if s == side:
+                        # declared-int rides as float64 so both sides'
+                        # dtypes match (the union NaN-pad coerces int
+                        # anyway; join_bucket's restore re-ints)
+                        out[_tagged_name(s, c, typ)] = (
+                            b[c].astype("float64") if numeric else b[c])
+                    else:
+                        out[_tagged_name(s, c, typ)] = pd.Series(
+                            np.nan if numeric else None,
+                            index=b.index,
+                            dtype="float64" if numeric else object)
+                b = pd.DataFrame(out)
             b["_bucket"] = _bucket_of(b[on], num_buckets)
             b["_side"] = side
             return b

@@ -103,6 +103,10 @@ def read_with_deletes(root: str, *, columns: list[str] | None = None):
         out = []
         for fname in batch["file"].to_pylist():
             t = pq.read_table(os.path.join(root, fname), columns=columns)
+            # pandas-written parquet carries a b'pandas' metadata blob
+            # that makes the schema UNHASHABLE downstream ('Failed to
+            # hash the schemas' from every exchange; see groups._meta_free)
+            t = t.replace_schema_metadata(None)
             mask = _load_vec(root, fname, t.num_rows)
             out.append(t.filter(pa.array(~mask)))
         return pa.concat_tables(out) if out else pa.table({})
