@@ -10012,9 +10012,16 @@ def host_mirror_frame(docs, *, n_hosts: int = 7,
         return arrow_out(df)
 
     # distinct (host, word) — batch-level dedup above shrinks the
-    # exchange; the groupby makes it global
+    # exchange; the groupby makes it global. PINNED once: the posting
+    # table feeds both the per-host totals and the pair pass below —
+    # lazy, each consumer re-runs the postings tokenize + distinct
+    # exchange from scratch (measured ~1 s per extra consumer at
+    # sf0.1, the r04 slow-tier regression: the cap-accounting pass
+    # added a third consumption). Object-store blocks, spillable —
+    # never driver-side.
     hw = (docs.map_batches(postings, batch_format="pandas")
-          .groupby(["host", "word"]).aggregate(Count(alias_name="c")))
+          .groupby(["host", "word"]).aggregate(Count(alias_name="c"))
+          ).materialize()
 
     # per-host distinct-word totals via per-batch partials over the
     # already-distinct hw rows — no second Aggregate exchange (whose
@@ -10026,42 +10033,50 @@ def host_mirror_frame(docs, *, n_hosts: int = 7,
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
         # vectorized per-word combinations: self-merge on word, keep
-        # the ordered half. The bucketed groupby co-locates ALL of a
-        # word's postings in one group, so the per-group size filter
-        # is the word's exact global host count.
+        # the ordered half, then PRE-AGGREGATE pair counts inside the
+        # bucket (combiner — the pair stream never leaves the worker
+        # unreduced). The bucketed groupby co-locates ALL of a word's
+        # postings in one group, so the per-group size filter is the
+        # word's exact global host count — which also makes the
+        # dropped-hot-word count exact per bucket, folded into the
+        # SAME pass as a marker row (host_a = "") instead of the
+        # separate per-word Aggregate exchange it used to cost.
         hw_b = df[["word", "host"]]
+        n_drop = 0
         if max_posting is not None and len(hw_b):
             plen = hw_b.groupby("word", sort=False)["word"] \
                 .transform("size")
-            hw_b = hw_b[plen <= max_posting]
+            big = plen > max_posting
+            n_drop = int(hw_b.loc[big, "word"].nunique())
+            hw_b = hw_b[~big]
         m = hw_b.merge(hw_b, on="word", suffixes=("_a", "_b"))
         m = m[m["host_a"] < m["host_b"]]
-        return m[["host_a", "host_b"]].reset_index(drop=True)
+        agg = (m.groupby(["host_a", "host_b"], sort=False)
+               .size().reset_index(name="n_common"))
+        if n_drop:
+            agg = pd.concat([agg, pd.DataFrame(
+                {"host_a": [""], "host_b": [""], "n_common": [n_drop]})],
+                ignore_index=True)
+        return agg
 
-    n_dropped = 0
-    if max_posting is not None:
-        # tiny (word → host count) aggregate counts the capped words so
-        # the drop is LOGGED, never silent; runs only when the cap is on
-        per_word = hw.groupby("word").aggregate(Count(alias_name="nh"))
-        n_dropped = int(per_word.map_batches(
-            lambda t: arrow_out(pd.DataFrame({"d": [int(
-                (t["nh"].to_numpy(zero_copy_only=False)
-                 > max_posting).sum())]})),
-            batch_format="pyarrow").to_pandas()["d"].sum())
-        if n_dropped:
-            import logging
+    # driver merge of ≤ buckets × distinct-pairs partials — the same
+    # volume the final result holds anyway (the pair matrix IS the
+    # output), so no Count exchange needed
+    parts = bucketed_group_apply(hw, "word", pairs,
+                                 num_buckets=num_buckets).to_pandas()
+    drop_mask = parts["host_a"] == ""
+    n_dropped = int(parts.loc[drop_mask, "n_common"].sum())
+    if n_dropped:
+        import logging
 
-            logging.getLogger(__name__).warning(
-                "host_mirror_similarity: max_posting=%d dropped %d hot "
-                "word(s) from intersection counts (similarities are "
-                "lower bounds for pairs sharing them)",
-                max_posting, n_dropped)
-
-    inter = (bucketed_group_apply(hw, "word", pairs,
-                                  num_buckets=num_buckets)
-             .groupby(["host_a", "host_b"])
-             .aggregate(Count(alias_name="n_common"))
-             .to_pandas())
+        logging.getLogger(__name__).warning(
+            "host_mirror_similarity: max_posting=%d dropped %d hot "
+            "word(s) from intersection counts (similarities are "
+            "lower bounds for pairs sharing them)",
+            max_posting, n_dropped)
+    inter = (parts[~drop_mask]
+             .groupby(["host_a", "host_b"], as_index=False)["n_common"]
+             .sum())
     inter["n_common"] = inter["n_common"].astype("int64")
     union = (inter["host_a"].map(sizes) + inter["host_b"].map(sizes)
              - inter["n_common"])

@@ -120,19 +120,28 @@ def _refine(ds, col: str, state: dict, *, group_col: str | None,
                              "bucket": pa.array(bk, pa.int64()),
                              "cnt": pa.array(ct, pa.int64())})
 
-        from ray.data.aggregate import Sum
-
-        merged = (
-            ds.map_batches(hist_batch, batch_format="pyarrow")
-            .groupby(["si", "bucket"]).aggregate(Sum("cnt", alias_name="cnt"))
-            .to_pandas()
-        )
+        # merge the per-batch histogram partials INCREMENTALLY on the
+        # driver: the old groupby(si,bucket) exchange landed the same
+        # |specs|×B merged rows on the driver anyway (to_pandas), so
+        # the exchange bought nothing but a full sort round trip —
+        # measured ~2× per refinement pass at sf0.1. Peak driver
+        # memory is the |specs|×B counts matrix plus ONE partial
+        # batch; partials stream through with backpressure.
+        spec_row = {i: k for k, i in enumerate(live.keys())}
+        counts_m = np.zeros((len(live), n_buckets), np.int64)
+        for b in (ds.map_batches(hist_batch, batch_format="pyarrow")
+                  .iter_batches(batch_format="pyarrow")):
+            if b.num_rows == 0:
+                continue
+            rows = np.fromiter((spec_row[s] for s in
+                                b["si"].to_numpy(zero_copy_only=False)),
+                               np.int64, b.num_rows)
+            np.add.at(counts_m, (rows, b["bucket"].to_numpy()),
+                      b["cnt"].to_numpy())
         to_gather: dict = {}
         for i in list(live.keys()):
             gv, lo, hi, r, _parent = live[i]
-            h = merged[merged["si"] == i].sort_values("bucket")
-            counts = np.zeros(n_buckets, np.int64)
-            counts[h["bucket"].to_numpy()] = h["cnt"].to_numpy()
+            counts = counts_m[spec_row[i]]
             cum = np.cumsum(counts)
             b = min(int(np.searchsorted(cum, r + 1)), n_buckets - 1)
             prior = int(cum[b - 1]) if b > 0 else 0
@@ -283,11 +292,28 @@ def _collect_ranks(ds, col: str, specs: dict, *,
                          "val": pa.array(out, pa.float64()),
                          "cnt": pa.array(cnt, pa.int64())})
 
-    from ray.data.aggregate import Sum
+    # incremental driver merge (no exchange): partials stream through
+    # the driver and are re-compacted to DISTINCT (si, val) rows every
+    # few batches, so peak driver memory stays one row per distinct
+    # gathered value (the same bound the old groupby exchange's
+    # to_pandas landed) plus one compaction window.
+    window: list = []
+    acc = pd.DataFrame({"si": pd.Series([], dtype="int64"),
+                        "val": pd.Series([], dtype="float64"),
+                        "cnt": pd.Series([], dtype="int64")})
 
-    pdf = (ds.map_batches(keep, batch_format="pyarrow")
-           .groupby(["si", "val"]).aggregate(Sum("cnt", alias_name="cnt"))
-           .to_pandas())
+    def _compact(frames: list) -> pd.DataFrame:
+        return (pd.concat(frames, ignore_index=True)
+                .groupby(["si", "val"], as_index=False)["cnt"].sum())
+
+    for b in (ds.map_batches(keep, batch_format="pyarrow")
+              .iter_batches(batch_format="pandas")):
+        if len(b):
+            window.append(b)
+        if len(window) >= 64:
+            acc = _compact([acc] + window)
+            window = []
+    pdf = _compact([acc] + window) if window else acc
     resolved = {}
     for i, (gv, lo, hi, r, parent) in specs.items():
         g = pdf[pdf["si"] == i].sort_values("val")
