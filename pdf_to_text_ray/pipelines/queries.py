@@ -11115,7 +11115,10 @@ def events_deletion_vectors(sf_dir: str):
 
     root = "/tmp/ptt_delvec_events"
     shutil.rmtree(root, ignore_errors=True)
-    (rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    # metadata-free schema= so the READ op emits hashable block
+    # schemas (same rationale as _read; this raw read bypasses it)
+    src = os.path.join(sf_dir, "events.parquet")
+    (rd.read_parquet(src, schema=_clean_schema(src),
                      override_num_blocks=8)
      .write_parquet(root))
 
