@@ -2618,12 +2618,58 @@ SELECT doc_id, sel_hash FROM big
 
 
 def fingerprint_docs(sf_dir: str):
+    """Winnowing document fingerprints (Schleimer et al. 2003) with the
+    engine-portable md5 hash chain, so the FULL fingerprint — window
+    minima AND digest — replays in SQL: the oracle reuses the
+    doc_winnow_selection CTEs and digests each doc's sorted distinct
+    minima with md5(string_agg(...)). Docs too short for one k-gram
+    digest the empty string. The sip/blake2b fast path stays available
+    via winnow_fingerprint(token_hash=\"sip\") for throughput-bound
+    production runs."""
     from ..stages.analysis import fingerprint_batch
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return ds.map_batches(fingerprint_batch, batch_format="pandas").select_columns(
-        ["doc_id", "fingerprint"]
-    )
+    return ds.map_batches(
+        lambda b: fingerprint_batch(b, token_hash="md5"),
+        batch_format="pandas").select_columns(["doc_id", "fingerprint"])
+
+
+FINGERPRINT_SQL = r"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(coalesce(text, '')),
+                                     '\s+', ' ', 'g')) AS s
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, i, substr(md5(substr(s, i, 8)), 1, 16) AS gh
+  FROM norm, LATERAL unnest(generate_series(1, len(s) - 7)) AS t(i)
+  WHERE len(s) >= 8
+),
+counts AS (SELECT doc_id, count(*) AS n FROM pos GROUP BY doc_id),
+small AS (
+  SELECT p.doc_id, min(p.gh) AS sel_hash
+  FROM pos p JOIN counts c USING (doc_id)
+  WHERE c.n <= 16 GROUP BY p.doc_id
+),
+wmin AS (
+  SELECT p.doc_id, p.i, c.n,
+         min(p.gh) OVER (PARTITION BY p.doc_id ORDER BY p.i
+                         ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS m
+  FROM pos p JOIN counts c USING (doc_id)
+),
+big AS (
+  SELECT DISTINCT doc_id, m AS sel_hash
+  FROM wmin WHERE n > 16 AND i >= 16
+),
+sel AS (SELECT doc_id, sel_hash FROM small
+        UNION ALL SELECT doc_id, sel_hash FROM big),
+fp AS (
+  SELECT doc_id, md5(string_agg(sel_hash, '' ORDER BY sel_hash))
+           AS fingerprint
+  FROM sel GROUP BY doc_id)
+SELECT d.doc_id, coalesce(fp.fingerprint, md5('')) AS fingerprint
+FROM documents d LEFT JOIN fp USING (doc_id)
+"""
 
 
 def ivf_cosine(sf_dir: str):
@@ -7026,20 +7072,96 @@ FROM dau d JOIN wau w ON d.day = w.day ORDER BY day
 
 
 def embedding_pca_project(sf_dir: str, k: int = 2):
-    """Distributed PCA over the embeddings table (rows-only —
-    eigendecomposition is not SQL-expressible): one streaming
-    moment-partials pass → driver d×d eigh → broadcast components →
-    per-batch projection matmul. Output: vec_id, label, pc1..pck
-    (sign-pinned; values depend on float partial-sum order at the
-    1e-12 level, hence no hash oracle)."""
-    from ..stages.similarity import pca_fit, pca_project
+    """Distributed PCA over the embeddings table, now FULLY oracled:
+    one streaming moment-partials pass → driver d×d covariance →
+    fixed-iteration POWER METHOD with deflation
+    (stages/similarity.pca_fit_power — a closed-form function of the
+    covariance, unlike eigh, so DuckDB unrolls the identical 30 steps
+    per component) → broadcast components → per-batch projection
+    matmul. Projections round to 6 dp on both sides; the engines agree
+    to ~1e-13, far inside the rounding guard. The eigh-based pca_fit
+    stays for library use."""
+    from ..stages.similarity import pca_fit_power, pca_project
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
-    mean, comps, _ = pca_fit(ds, k=k)
+    mean, comps, _ = pca_fit_power(ds, k=k, iters=PCA_POWER_ITERS)
     out = (pca_project(ds, mean, comps, keep_cols=("label",))
            .to_pandas().sort_values("vec_id").reset_index(drop=True))
     out["vec_id"] = out["vec_id"].astype("int64")
+    for j in range(k):
+        out[f"pc{j + 1}"] = out[f"pc{j + 1}"].round(6)
     return out
+
+
+PCA_POWER_ITERS = 30
+
+
+def _pca_power_sql(k: int = 2, iters: int = 30) -> str:
+    """Unrolled DuckDB replay of pca_fit_power + pca_project: the
+    embeddings explode to (vec_id, i, val), covariance comes from the
+    raw-moment identity (Σxxᵀ − nμμᵀ)/(n−1) over a self-join on
+    vec_id, and each component runs ``iters`` normalize(C·v) steps
+    from the all-ones/√d start as chained 64-row CTEs, deflating
+    between components. Projections = centered dot products, 6 dp.
+    Every per-iteration CTE is MATERIALIZED — DuckDB otherwise
+    inlines the chain and re-expands it super-linearly (>200 s at 14
+    iterations vs 1.2 s materialized at 30)."""
+    parts = ["""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, i, CAST(v AS DOUBLE) AS val
+  FROM (SELECT vec_id,
+               generate_subscripts(embedding, 1) AS i,
+               unnest(embedding) AS v
+        FROM embeddings)),
+nn AS (SELECT count(DISTINCT vec_id)::DOUBLE AS n FROM e),
+mu AS MATERIALIZED (SELECT i, avg(val) AS m FROM e GROUP BY i),
+cov0 AS MATERIALIZED (
+  SELECT a.i AS i, b.i AS j,
+         (sum(a.val * b.val)
+            - (SELECT n FROM nn) * ma.m * mb.m)
+           / ((SELECT n FROM nn) - 1) AS c
+  FROM e a JOIN e b USING (vec_id)
+  JOIN mu ma ON ma.i = a.i JOIN mu mb ON mb.i = b.i
+  GROUP BY a.i, b.i, ma.m, mb.m),
+dd AS (SELECT count(*)::DOUBLE AS d FROM mu)"""]
+    for comp in range(k):
+        parts.append(f""",
+v{comp}_0 AS (SELECT i, 1.0 / sqrt((SELECT d FROM dd)) AS x FROM mu)""")
+        for t in range(1, iters + 1):
+            parts.append(f""",
+w{comp}_{t} AS MATERIALIZED (
+  SELECT c.i, sum(c.c * v.x) AS x
+  FROM cov{comp} c JOIN v{comp}_{t - 1} v ON v.i = c.j GROUP BY c.i),
+v{comp}_{t} AS MATERIALIZED (
+  SELECT i, x / sqrt(sum(x * x) OVER ()) AS x FROM w{comp}_{t})""")
+        parts.append(f""",
+lam{comp} AS (
+  SELECT sum(v.x * w.x) AS l
+  FROM v{comp}_{iters} v JOIN (
+    SELECT c.i, sum(c.c * v2.x) AS x
+    FROM cov{comp} c JOIN v{comp}_{iters} v2 ON v2.i = c.j
+    GROUP BY c.i) w ON w.i = v.i)""")
+        if comp + 1 < k:
+            parts.append(f""",
+cov{comp + 1} AS MATERIALIZED (
+  SELECT c.i, c.j,
+         c.c - (SELECT l FROM lam{comp}) * vi.x * vj.x AS c
+  FROM cov{comp} c
+  JOIN v{comp}_{iters} vi ON vi.i = c.i
+  JOIN v{comp}_{iters} vj ON vj.i = c.j)""")
+    pcs = ", ".join(
+        f"round(sum((e.val - mu.m) * v{j}.x), 6) AS pc{j + 1}"
+        for j in range(k))
+    joins = "\n".join(
+        f"JOIN v{j}_{iters} v{j} ON v{j}.i = e.i" for j in range(k))
+    parts.append(f"""
+SELECT e.vec_id, any_value(l.label)::INT AS label, {pcs}
+FROM e JOIN mu ON mu.i = e.i
+{joins}
+JOIN embeddings l ON l.vec_id = e.vec_id
+GROUP BY e.vec_id
+ORDER BY e.vec_id""")
+    return "".join(parts)
 
 
 # ── TPC-H completion: the seven shapes needing partsupp / shipmode /
@@ -13411,6 +13533,8 @@ ORACLE_SQL = {
     "neardup_keep_best_docs": NEARDUP_KEEP_BEST_SQL,
     "neardup_simhash_docs": NEARDUP_SIMHASH_SQL,
     "doc_winnow_selection": WINNOW_SELECTION_SQL,
+    "fingerprint_docs": FINGERPRINT_SQL,
+    "embedding_pca_project": _pca_power_sql(iters=PCA_POWER_ITERS),
     "orders_dow_volume": DOW_SQL,
     # round-13 additions
     "lineitem_skyline": SKYLINE_SQL,

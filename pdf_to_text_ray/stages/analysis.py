@@ -153,26 +153,47 @@ def kgram_hashes(text: str, k: int = 8) -> np.ndarray:
     return (win * _poly_powers(k)).sum(axis=1, dtype=np.uint64) + _POLY_SEED
 
 
-def winnow_fingerprint(text: str, k: int = 8, window: int = 16) -> str:
+def winnow_fingerprint(text: str, k: int = 8, window: int = 16,
+                       token_hash: str = "sip") -> str:
     """Winnowing: min k-gram hash per sliding window; the deduplicated
-    selection set is digested to one stable hex fingerprint."""
+    selection set is digested to one stable hex fingerprint.
+
+    ``token_hash``: "sip" (pd.util.hash_array grams + blake2b digest —
+    fastest, process-stable) or "md5" (engine-portable end to end:
+    grams hash to md5[:16] exactly like ``winnow_selection_batch``, and
+    the digest is md5 over the sorted distinct minima's hex — so a
+    DuckDB oracle replays the WHOLE fingerprint, not just the
+    selection set)."""
     norm = " ".join(text.lower().split())
-    h = kgram_hashes(norm, k)
-    if len(h) == 0:
-        return hashlib.blake2b(b"", digest_size=8).hexdigest()
+    if token_hash == "md5":
+        n = len(norm) - k + 1
+        if n <= 0:
+            return hashlib.md5(b"").hexdigest()
+        h = np.fromiter(
+            (int(hashlib.md5(norm[i:i + k].encode()).hexdigest()[:16], 16)
+             for i in range(n)), dtype=np.uint64, count=n)
+    else:
+        h = kgram_hashes(norm, k)
+        if len(h) == 0:
+            return hashlib.blake2b(b"", digest_size=8).hexdigest()
     if len(h) <= window:
         sel = np.array([h.min()], dtype=np.uint64)
     else:
         # strided view → per-window min without materializing n×window
         mins = np.lib.stride_tricks.sliding_window_view(h, window).min(axis=1)
         sel = np.unique(mins)
+    if token_hash == "md5":
+        return hashlib.md5(
+            "".join(f"{v:016x}" for v in sel.tolist()).encode()).hexdigest()
     return hashlib.blake2b(sel.tobytes(), digest_size=8).hexdigest()
 
 
 def fingerprint_batch(batch: pd.DataFrame, text_col: str = "text",
-                      out_col: str = "fingerprint") -> pd.DataFrame:
+                      out_col: str = "fingerprint",
+                      token_hash: str = "sip") -> pd.DataFrame:
     batch = batch.copy()
-    batch[out_col] = [winnow_fingerprint(t or "") for t in batch[text_col].tolist()]
+    batch[out_col] = [winnow_fingerprint(t or "", token_hash=token_hash)
+                      for t in batch[text_col].tolist()]
     return batch
 
 

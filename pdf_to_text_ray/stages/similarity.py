@@ -960,6 +960,58 @@ def pca_fit(ds, *, vec_col: str = "embedding", k: int = 2):
     return mean, comps, w[idx]
 
 
+def pca_fit_power(ds, *, vec_col: str = "embedding", k: int = 2,
+                  iters: int = 30):
+    """PCA fit via FIXED-ITERATION power method with deflation — the
+    ORACLE-REPLAYABLE twin of :func:`pca_fit`: eigh is not
+    SQL-expressible, but ``iters`` power steps from the deterministic
+    all-ones start are a closed-form function of the covariance, so a
+    DuckDB oracle unrolls the identical map and the results agree to
+    float noise (~1e-13) whether or not the iteration has CONVERGED.
+    Same one-pass distributed moment partials as pca_fit; iteration
+    runs on the d×d covariance driver-side. Sign is determined by the
+    iteration itself (positive start), no pinning step. Returns
+    (mean, components (k, d), eigenvalue estimates (k,))."""
+    def partial(t: pa.Table) -> pa.Table:
+        x = list_column_to_matrix(t[vec_col])
+        if len(x) == 0:
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "d": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.large_binary()),
+                             "ss": pa.array([], pa.large_binary())})
+        return pa.table({
+            "n": pa.array([len(x)], pa.int64()),
+            "d": pa.array([x.shape[1]], pa.int64()),
+            "s": pa.array([x.sum(0).tobytes()], pa.large_binary()),
+            "ss": pa.array([(x.T @ x).tobytes()], pa.large_binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    if not parts:
+        raise ValueError("empty dataset")
+    d = int(parts[0]["d"])
+    n = sum(p["n"] for p in parts)
+    s = np.zeros(d)
+    ss = np.zeros((d, d))
+    for p in parts:
+        s += np.frombuffer(p["s"], np.float64)
+        ss += np.frombuffer(p["ss"], np.float64).reshape(d, d)
+    mean = s / n
+    cov = (ss - n * np.outer(mean, mean)) / max(n - 1, 1)
+    comps = np.zeros((k, d))
+    lams = np.zeros(k)
+    c = cov.copy()
+    for j in range(k):
+        v = np.full(d, 1.0 / np.sqrt(d))
+        for _ in range(iters):
+            v = c @ v
+            v /= np.linalg.norm(v)
+        lam = float(v @ (c @ v))
+        comps[j] = v
+        lams[j] = lam
+        c = c - lam * np.outer(v, v)  # deflate
+    return mean, comps, lams
+
+
 def pca_project(ds, mean: np.ndarray, comps: np.ndarray, *,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 keep_cols: tuple = ()):

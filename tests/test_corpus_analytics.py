@@ -119,6 +119,60 @@ def test_pca_matches_dense_numpy(ray_session):
     assert np.allclose(proj[["pc1", "pc2"]].to_numpy(), expect, atol=1e-9)
 
 
+def test_pca_fit_power_matches_eigh_subspace(ray_session):
+    """pca_fit_power (the oracle-replayable fixed-iteration twin) finds
+    the same leading subspace as the eigh-based pca_fit on a
+    well-separated spectrum, and its projection is deterministic."""
+    import numpy as np
+    import ray.data as rd
+
+    from pdf_to_text_ray.stages.similarity import (
+        pca_fit, pca_fit_power, pca_project)
+
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(240, 6)) * np.array([7.0, 3.0, 0.9, 0.4, 0.2, 0.1])
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(240), pa.int64()),
+        "embedding": pa.array([r.tolist() for r in x],
+                              pa.list_(pa.float32()))})).repartition(4)
+    mean_e, comps_e, ev_e = pca_fit(ds, k=2)
+    mean_p, comps_p, ev_p = pca_fit_power(ds, k=2, iters=60)
+    assert np.allclose(mean_e, mean_p, atol=1e-12)
+    for i in range(2):
+        assert abs(abs(comps_e[i] @ comps_p[i])) == pytest.approx(
+            1.0, abs=1e-6)
+        assert ev_p[i] == pytest.approx(ev_e[i], rel=1e-6)
+    # identical reruns: the fixed-iteration map is fully deterministic
+    _, comps_p2, _ = pca_fit_power(ds, k=2, iters=60)
+    assert np.array_equal(comps_p, comps_p2)
+    proj = (pca_project(ds, mean_p, comps_p).to_pandas()
+            .sort_values("vec_id").reset_index(drop=True))
+    assert list(proj.columns[:3]) == ["vec_id", "pc1", "pc2"]
+
+
+def test_winnow_fingerprint_md5_variant():
+    """token_hash='md5' is the engine-portable winnow path: stable,
+    locality-sensitive, and the too-short-for-one-kgram case digests
+    the empty string (exactly what the DuckDB oracle's LEFT JOIN +
+    coalesce(md5('')) produces)."""
+    import hashlib
+
+    from pdf_to_text_ray.stages.analysis import winnow_fingerprint
+
+    a = winnow_fingerprint("the quick brown fox jumps over it" * 6,
+                           token_hash="md5")
+    b = winnow_fingerprint("the quick brown fox jumps over it" * 6,
+                           token_hash="md5")
+    c = winnow_fingerprint("an entirely different body of text" * 6,
+                           token_hash="md5")
+    assert a == b and a != c and len(a) == 32
+    assert (winnow_fingerprint("short", token_hash="md5")
+            == hashlib.md5(b"").hexdigest())
+    # normalization parity with the sip path: case/whitespace folded
+    assert (winnow_fingerprint("CASE and   spacing", token_hash="md5")
+            == winnow_fingerprint("case and spacing", token_hash="md5"))
+
+
 def test_hits_matches_dense_power_iteration(ray_session):
     import numpy as np
     import pandas as pd
