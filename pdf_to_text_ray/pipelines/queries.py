@@ -2673,11 +2673,114 @@ FROM documents d LEFT JOIN fp USING (doc_id)
 
 
 def ivf_cosine(sf_dir: str):
-    """IVF ANN (k-means-lite coarse quantizer, n_probe lists probed)."""
+    """IVF ANN (k-means coarse quantizer, n_probe lists probed), fully
+    oracle-checked via the PORTABLE centroid trainer
+    (similarity.ivf_centroids_distributed(portable=True)): md5-ranked
+    init rows + a 6 dp rounding barrier per Lloyd iteration make the
+    codebook a closed-form function of the table, so _ivf_kmeans_sql
+    unrolls the identical 8 iterations, probes the same 6 lists, and
+    re-ranks the same candidates. The blake2b/seeded trainer stays the
+    library default (ann_ivf_exhaustive pins its machinery)."""
     from ..stages.similarity import ivf_topk
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return ivf_topk(ds, KNN_QUERY_IDS, k=10, n_lists=16, n_probe=6)
+    return ivf_topk(ds, KNN_QUERY_IDS, k=10, n_lists=16, n_probe=6,
+                    portable=True)
+
+
+KMEANS_ITERS = 8
+
+
+def _kmeans_sql_prefix(n_lists: int = 16, iters: int = KMEANS_ITERS) -> str:
+    """Shared DuckDB unroll of the portable distributed k-means
+    (similarity.ivf_centroids_distributed(portable=True)): normalized
+    vectors explode to (vec_id, j, x); init centroids are the
+    ``n_lists`` smallest (md5-uniform, vec_id) rows rounded to 6 dp;
+    each Lloyd iteration reassigns by max-dot (ties → lowest cid) and
+    rebuilds centroids as round(Σx/‖Σx‖, 6), empty lists keeping their
+    centroid. Ends with ``afin`` = final assignment against the last
+    codebook. Every per-iteration CTE is MATERIALIZED (same DuckDB
+    re-expansion blowup as _pca_power_sql)."""
+    parts = [f"""
+WITH raw AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS j,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings),
+vnorm AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM raw GROUP BY vec_id),
+nv AS MATERIALIZED (
+  SELECT r.vec_id, r.j, r.x / v.n AS x
+  FROM raw r JOIN vnorm v USING (vec_id)),
+sel AS (
+  SELECT vec_id,
+         ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::UBIGINT
+           / 4294967296.0 AS u
+  FROM embeddings ORDER BY u, vec_id LIMIT {n_lists}),
+c0 AS MATERIALIZED (
+  SELECT s.cid, nv.j, round(nv.x, 6) AS w
+  FROM (SELECT vec_id,
+               row_number() OVER (ORDER BY u, vec_id) - 1 AS cid
+        FROM sel) s
+  JOIN nv USING (vec_id))"""]
+    for t in range(1, iters + 1):
+        parts.append(f""",
+d{t} AS MATERIALIZED (
+  SELECT nv.vec_id, c.cid, sum(nv.x * c.w) AS dot
+  FROM nv JOIN c{t - 1} c USING (j) GROUP BY nv.vec_id, c.cid),
+a{t} AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dot DESC, cid) AS rn
+    FROM d{t}) WHERE rn = 1),
+s{t} AS MATERIALIZED (
+  SELECT a.cid, nv.j, sum(nv.x) AS s
+  FROM a{t} a JOIN nv USING (vec_id) GROUP BY a.cid, nv.j),
+sn{t} AS (SELECT cid, sqrt(sum(s * s)) AS n FROM s{t} GROUP BY cid),
+c{t} AS MATERIALIZED (
+  SELECT p.cid, p.j,
+         CASE WHEN sn.n IS NULL OR sn.n <= 0 THEN p.w
+              ELSE round(s.s / sn.n, 6) END AS w
+  FROM c{t - 1} p
+  LEFT JOIN s{t} s ON s.cid = p.cid AND s.j = p.j
+  LEFT JOIN sn{t} sn ON sn.cid = p.cid)""")
+    parts.append(f""",
+dfin AS MATERIALIZED (
+  SELECT nv.vec_id, c.cid, sum(nv.x * c.w) AS dot
+  FROM nv JOIN c{iters} c USING (j) GROUP BY nv.vec_id, c.cid),
+afin AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dot DESC, cid) AS rn
+    FROM dfin) WHERE rn = 1)""")
+    return "".join(parts)
+
+
+def _ivf_kmeans_sql(n_lists: int = 16, n_probe: int = 6, k: int = 10,
+                    iters: int = KMEANS_ITERS) -> str:
+    return _kmeans_sql_prefix(n_lists, iters) + f""",
+qp AS (
+  SELECT query_id, cid FROM (
+    SELECT nv.vec_id AS query_id, c.cid,
+           row_number() OVER (PARTITION BY nv.vec_id
+                              ORDER BY sum(nv.x * c.w) DESC, c.cid) AS rn
+    FROM nv JOIN c{iters} c USING (j)
+    WHERE nv.vec_id IN (0, 1, 2, 3, 4)
+    GROUP BY nv.vec_id, c.cid) WHERE rn <= {n_probe})
+SELECT query_id, vec_id, rank FROM (
+  SELECT p.query_id, a.vec_id,
+         row_number() OVER (
+           PARTITION BY p.query_id
+           ORDER BY list_cosine_similarity(e2.embedding::DOUBLE[],
+                                           q.embedding::DOUBLE[]) DESC,
+                    a.vec_id) AS rank
+  FROM qp p
+  JOIN afin a ON a.cid = p.cid
+  JOIN embeddings e2 ON e2.vec_id = a.vec_id
+  JOIN embeddings q ON q.vec_id = p.query_id
+  WHERE a.vec_id <> p.query_id
+) WHERE rank <= {k}
+"""
 
 
 def neardup_keep_docs(sf_dir: str):
@@ -2690,10 +2793,91 @@ def neardup_keep_docs(sf_dir: str):
 
 
 def ann_lsh_cosine(sf_dir: str):
+    """Multiprobe LSH ANN, fully oracle-checked: md5-derived
+    hyperplanes (similarity._md5_planes) make the WHOLE approximate
+    path — sign-projection bucketing, lowest-|margin| 1-3-bit
+    perturbation ranking, (score, bucket) tie order, per-bucket exact
+    search, global re-rank — a deterministic engine-portable function
+    that ANN_LSH_SQL replays verbatim. The Gaussian-plane variant
+    stays the library default (spherical symmetry ⇒ the textbook
+    collision-probability bound)."""
     from ..stages.similarity import ann_lsh_topk
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return ann_lsh_topk(ds, KNN_QUERY_IDS, k=10, n_bits=6, n_probe=16)
+    return ann_lsh_topk(ds, KNN_QUERY_IDS, k=10, n_bits=6, n_probe=16,
+                        plane_hash="md5")
+
+
+# Exact replay of ann_lsh_topk(n_bits=6, n_probe=16, plane_hash="md5"):
+# plane weights from the md5 uniform; bucket = Σ 2^b over positive
+# projections; per query, candidate buckets = base XOR masks of 1-3-bit
+# subsets of the six planes ranked by |projection|, taken in (score,
+# bucket) order until 15 extras join the base bucket; exact cosine
+# top-10 over the probed buckets' members. Projections use the raw
+# (unnormalized) vectors — signs, |margin| order, and score order are
+# invariant under the positive per-query scaling the engine applies.
+ANN_LSH_SQL = """
+WITH dims AS (SELECT len(embedding) AS d FROM embeddings LIMIT 1),
+planes AS MATERIALIZED (
+  SELECT t.j, bb.b,
+         2.0 * (('0x' || substr(md5('lshp:' || bb.b || ':' || t.j), 1, 8))
+                ::UBIGINT / 4294967296.0) - 1.0 AS w
+  FROM dims, LATERAL unnest(generate_series(0, d - 1)) AS t(j),
+       (VALUES (0), (1), (2), (3), (4), (5)) AS bb(b)),
+e AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS j,
+         unnest(embedding)::DOUBLE AS val
+  FROM embeddings),
+dots AS MATERIALIZED (
+  SELECT e.vec_id, p.b, sum(e.val * p.w) AS dot
+  FROM e JOIN planes p ON p.j = e.j GROUP BY e.vec_id, p.b),
+buckets AS MATERIALIZED (
+  SELECT vec_id,
+         sum(CASE WHEN dot > 0 THEN 1 << b ELSE 0 END)::BIGINT AS bucket
+  FROM dots GROUP BY vec_id),
+qd AS (SELECT vec_id AS query_id, b, dot FROM dots
+       WHERE vec_id IN (0, 1, 2, 3, 4)),
+ranked AS (
+  SELECT query_id, b, abs(dot) AS a,
+         row_number() OVER (PARTITION BY query_id ORDER BY abs(dot)) AS r
+  FROM qd),
+cands AS (
+  SELECT query_id, a AS score, (1 << b)::BIGINT AS mask FROM ranked
+  UNION ALL
+  SELECT x.query_id, x.a + y.a, ((1 << x.b) | (1 << y.b))::BIGINT
+  FROM ranked x JOIN ranked y
+    ON x.query_id = y.query_id AND x.r < y.r
+  UNION ALL
+  SELECT x.query_id, x.a + y.a + z.a,
+         ((1 << x.b) | (1 << y.b) | (1 << z.b))::BIGINT
+  FROM ranked x
+  JOIN ranked y ON x.query_id = y.query_id AND x.r < y.r
+  JOIN ranked z ON y.query_id = z.query_id AND y.r < z.r),
+base AS (SELECT vec_id AS query_id, bucket AS base FROM buckets
+         WHERE vec_id IN (0, 1, 2, 3, 4)),
+perturbed AS (
+  SELECT c.query_id, xor(b.base, c.mask) AS bucket,
+         row_number() OVER (PARTITION BY c.query_id
+                            ORDER BY c.score, xor(b.base, c.mask)) AS rn
+  FROM cands c JOIN base b USING (query_id)),
+probed AS (
+  SELECT query_id, base AS bucket FROM base
+  UNION ALL
+  SELECT query_id, bucket FROM perturbed WHERE rn <= 15)
+SELECT query_id, vec_id, rank FROM (
+  SELECT p.query_id, bk.vec_id,
+         row_number() OVER (
+           PARTITION BY p.query_id
+           ORDER BY list_cosine_similarity(e2.embedding::DOUBLE[],
+                                           q.embedding::DOUBLE[]) DESC,
+                    bk.vec_id) AS rank
+  FROM probed p
+  JOIN buckets bk ON bk.bucket = p.bucket
+  JOIN embeddings e2 ON e2.vec_id = bk.vec_id
+  JOIN embeddings q ON q.vec_id = p.query_id
+  WHERE bk.vec_id <> p.query_id
+) WHERE rank <= 10
+"""
 
 
 def neardup_jaccard_docs(sf_dir: str):
@@ -5123,31 +5307,55 @@ FROM canon GROUP BY url_canon ORDER BY url_canon
 
 
 def semdedup_keep_docs(sf_dir: str):
-    """SemDeDup over the embeddings table (rows-only — k-means is not
-    SQL-expressible; pytest asserts parity with a brute-force
-    restatement of the keep rule). Kept = no lower-id neighbor at
-    cosine ≥ 0.95 within the item's cluster."""
+    """SemDeDup over the embeddings table, fully oracle-checked via the
+    portable k-means trainer (md5 init + 6 dp barrier — see
+    ivf_cosine): SEMDEDUP_SQL unrolls the identical codebook, assigns
+    each vector to its final cluster, and keeps exactly the vectors
+    with no lower-id in-cluster neighbor at cosine ≥ 0.95."""
     from ..stages.similarity import semdedup_keep
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    out = semdedup_keep(ds, n_clusters=16, threshold=0.95).to_pandas()
+    out = semdedup_keep(ds, n_clusters=16, threshold=0.95,
+                        portable=True).to_pandas()
     out["kept"] = out["kept"].astype(bool)
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+def _semdedup_sql(n_clusters: int = 16, threshold: float = 0.95,
+                  iters: int = KMEANS_ITERS) -> str:
+    return _kmeans_sql_prefix(n_clusters, iters) + f""",
+dup AS (
+  SELECT b.vec_id,
+         bool_or(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                        eb.embedding::DOUBLE[])
+                   >= {threshold}) AS dup
+  FROM afin a JOIN afin b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  GROUP BY b.vec_id)
+SELECT a.vec_id, a.cid AS cluster,
+       NOT coalesce(d.dup, false) AS kept
+FROM afin a LEFT JOIN dup d USING (vec_id)
+ORDER BY a.vec_id
+"""
+
+
 def bloom_eval_overlap(sf_dir: str):
-    """Bloom-filter decontamination screen (rows-only; pytest bounds
-    false-positive rate against the exact probe): a mergeable bloom of
-    ALL corpus word 13-grams (per-batch packed bitmaps, OR-merge —
-    no gram ever shuffles), probed by an eval set of 5 in-corpus docs
-    (every gram must hit) and 5 synthetic out-of-corpus texts (hits
-    are bloom false positives only)."""
-    from ..stages.analysis import _gram_hashes
-    from ..stages.sketches import bloom_contains, bloom_corpus_ngrams
+    """Bloom-filter decontamination screen, fully oracle-checked: a
+    mergeable bloom of ALL corpus word 13-grams (per-batch packed
+    bitmaps, OR-merge — no gram ever shuffles), probed by an eval set
+    of 5 in-corpus docs (every gram must hit) and 5 synthetic
+    out-of-corpus texts (hits are bloom false positives only). Probe
+    positions are md5 hex slices (stages/sketches.md5_bloom_positions),
+    so DuckDB replays the EXACT filter — corpus bit set, probe grams,
+    and per-gram all-k-bits verdicts — not just the row shape. The
+    siphash fast path stays the default for the corpus-scale
+    contamination ops."""
+    from ..stages.sketches import bloom_contains_md5, bloom_corpus_ngrams
 
     M, K = 1 << 23, 3
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    bloom = bloom_corpus_ngrams(ds, n=13, m_bits=M, k=K)
+    bloom = bloom_corpus_ngrams(ds, n=13, m_bits=M, k=K, gram_hash="md5")
 
     probes = (ds.map_batches(
         lambda t: t.filter(pc.less(t["doc_id"], pa.scalar(5))),
@@ -5159,10 +5367,64 @@ def bloom_eval_overlap(sf_dir: str):
               for i in range(5)]
     rows = []
     for pid, text in texts:
-        hs = np.unique(_gram_hashes((text or "").lower().split(), 13))
-        hits = bloom_contains(bloom, hs, m_bits=M, k=K)
-        rows.append((pid, len(hs), int(hits.sum())))
+        toks = (text or "").lower().split()
+        grams = sorted({" ".join(toks[i:i + 13])
+                        for i in range(len(toks) - 12)})
+        hits = bloom_contains_md5(bloom, grams, m_bits=M, k=K)
+        rows.append((pid, len(grams), int(hits.sum())))
     return pd.DataFrame(rows, columns=["probe_id", "n_grams", "n_hits"])
+
+
+# Exact SQL replay of the md5-slice bloom: corpus bit positions =
+# distinct md5-slice probes of every corpus 13-gram; a probe gram hits
+# iff ALL three of its positions are set. Negative probes are the same
+# synthetic oov texts, generated in SQL.
+BLOOM_EVAL_SQL = r"""
+WITH corpus_toks AS (
+  SELECT regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+') AS t
+  FROM documents WHERE trim(coalesce(text, '')) <> ''
+),
+corpus_grams AS (
+  SELECT DISTINCT array_to_string(t[i:i+12], ' ') AS gram
+  FROM corpus_toks,
+       LATERAL unnest(generate_series(1, greatest(len(t) - 12, 0))) AS s(i)
+),
+bits AS (
+  SELECT DISTINCT
+         ('0x' || substr(md5(gram), 1 + 8 * k.i, 8))::UBIGINT & 8388607 AS p
+  FROM corpus_grams, (VALUES (0), (1), (2)) AS k(i)
+),
+probes AS (
+  SELECT 'pos_' || doc_id::VARCHAR AS probe_id,
+         regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+') AS t
+  FROM documents WHERE doc_id < 5
+  UNION ALL
+  SELECT 'neg_' || i::VARCHAR,
+         list_transform(range(0, 40), j -> 'oov' || i || 'w' || j)
+  FROM range(5) AS r(i)
+),
+probe_grams AS (
+  SELECT DISTINCT probe_id, array_to_string(t[i:i+12], ' ') AS gram
+  FROM probes,
+       LATERAL unnest(generate_series(1, greatest(len(t) - 12, 0))) AS s(i)
+),
+verdicts AS (
+  SELECT probe_id, gram,
+         bool_and(('0x' || substr(md5(gram), 1 + 8 * k.i, 8))::UBIGINT
+                    & 8388607 IN (SELECT p FROM bits)) AS hit
+  FROM probe_grams, (VALUES (0), (1), (2)) AS k(i)
+  GROUP BY probe_id, gram
+),
+agg AS (
+  SELECT probe_id, count(*)::BIGINT AS n_grams,
+         count(*) FILTER (WHERE hit)::BIGINT AS n_hits
+  FROM verdicts GROUP BY probe_id
+)
+SELECT p.probe_id, coalesce(a.n_grams, 0)::BIGINT AS n_grams,
+       coalesce(a.n_hits, 0)::BIGINT AS n_hits
+FROM (SELECT DISTINCT probe_id FROM probes) p
+LEFT JOIN agg a USING (probe_id)
+"""
 
 
 def doc_ngram_novelty(sf_dir: str, n: int = 8):
@@ -13535,6 +13797,10 @@ ORACLE_SQL = {
     "doc_winnow_selection": WINNOW_SELECTION_SQL,
     "fingerprint_docs": FINGERPRINT_SQL,
     "embedding_pca_project": _pca_power_sql(iters=PCA_POWER_ITERS),
+    "bloom_eval_overlap": BLOOM_EVAL_SQL,
+    "ann_lsh_cosine": ANN_LSH_SQL,
+    "ivf_cosine": _ivf_kmeans_sql(),
+    "semdedup_keep_docs": _semdedup_sql(),
     "orders_dow_volume": DOW_SQL,
     # round-13 additions
     "lineitem_skyline": SKYLINE_SQL,

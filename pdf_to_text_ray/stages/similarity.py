@@ -18,6 +18,7 @@ All math in float64 so results are comparable with DuckDB's
 
 from __future__ import annotations
 
+import functools
 import hashlib
 
 import numpy as np
@@ -235,15 +236,38 @@ def embedding_neardup_pairs_blocked(ds, threshold: float = 0.95,
 _LSH_SEED = 7243
 
 
-def _hyperplanes(dim: int, n_bits: int) -> np.ndarray:
+def _hyperplanes(dim: int, n_bits: int,
+                 plane_hash: str = "gauss") -> np.ndarray:
+    """Sign-random-projection planes. ``plane_hash``: "gauss" (seeded
+    Gaussian — the spherically-symmetric default) or "md5"
+    (engine-portable: plane[j, b] = 2·u − 1 with u the md5 uniform of
+    "lshp:{b}:{j}", which DuckDB computes verbatim — per-coordinate
+    uniform is the standard cheap SRP variant and lets an oracle
+    replay the whole bucketing/multiprobe path)."""
+    if plane_hash == "md5":
+        return _md5_planes(dim, n_bits)
     rng = np.random.RandomState(_LSH_SEED)
     return rng.normal(size=(dim, n_bits))
 
 
+@functools.lru_cache(maxsize=8)
+def _md5_planes(dim: int, n_bits: int) -> np.ndarray:
+    import hashlib
+
+    out = np.empty((dim, n_bits), np.float64)
+    for b in range(n_bits):
+        for j in range(dim):
+            u = int(hashlib.md5(f"lshp:{b}:{j}".encode())
+                    .hexdigest()[:8], 16) / 4294967296.0
+            out[j, b] = 2.0 * u - 1.0
+    return out
+
+
 def lsh_bucket_batch(batch: pa.Table, id_col: str = "vec_id",
-                     vec_col: str = "embedding", n_bits: int = 12) -> pa.Table:
+                     vec_col: str = "embedding", n_bits: int = 12,
+                     plane_hash: str = "gauss") -> pa.Table:
     m = list_column_to_matrix(batch[vec_col])
-    planes = _hyperplanes(m.shape[1], n_bits)
+    planes = _hyperplanes(m.shape[1], n_bits, plane_hash)
     bits = (m @ planes) > 0
     bucket = (bits * (1 << np.arange(n_bits))).sum(axis=1).astype(np.int64)
     return pa.table({
@@ -286,7 +310,8 @@ def _probe_buckets(qv: np.ndarray, planes: np.ndarray, n_probe: int) -> set[int]
 
 def ann_lsh_topk(ds, query_ids: list[int], k: int = 10,
                  id_col: str = "vec_id", vec_col: str = "embedding",
-                 n_bits: int = 12, n_probe: int = 1) -> pd.DataFrame:
+                 n_bits: int = 12, n_probe: int = 1,
+                 plane_hash: str = "gauss") -> pd.DataFrame:
     """Approximate top-k: per-bucket exact search; each query probes its
     own bucket plus ``n_probe-1`` multiprobe buckets (lowest-margin bit
     flips). Recall depends on bucket granularity (``n_bits`` vs corpus
@@ -295,7 +320,7 @@ def ann_lsh_topk(ds, query_ids: list[int], k: int = 10,
     import ray
 
     bucketed = ds.map_batches(
-        lambda b: lsh_bucket_batch(b, id_col, vec_col, n_bits),
+        lambda b: lsh_bucket_batch(b, id_col, vec_col, n_bits, plane_hash),
         batch_format="pyarrow")
     qset = set(query_ids)
 
@@ -306,7 +331,7 @@ def ann_lsh_topk(ds, query_ids: list[int], k: int = 10,
     qvecs_all: dict[int, np.ndarray] = {}
     for _, row in q_pdf.iterrows():
         qv = _normalize(np.asarray(row[vec_col], np.float64)[None, :])[0]
-        planes = _hyperplanes(len(qv), n_bits)
+        planes = _hyperplanes(len(qv), n_bits, plane_hash)
         probes[int(row[id_col])] = _probe_buckets(qv, planes, n_probe)
         qvecs_all[int(row[id_col])] = qv
     # ONE broadcast for probes AND query vectors: a closure capture of
@@ -383,7 +408,9 @@ def ivf_centroids(sample: np.ndarray, n_lists: int, n_iters: int = 10) -> np.nda
 
 
 def ivf_centroids_distributed(ds, n_lists: int, *, n_iters: int = 8,
-                              vec_col: str = "embedding") -> np.ndarray:
+                              vec_col: str = "embedding",
+                              id_col: str = "vec_id",
+                              portable: bool = False) -> np.ndarray:
     """Lloyd's k-means with the ITERATIONS inside ``map_batches``:
     per pass, every batch assigns its vectors to the broadcast
     centroids and emits per-centroid partial (sum, count) — n_lists
@@ -392,31 +419,64 @@ def ivf_centroids_distributed(ds, n_lists: int, *, n_iters: int = 8,
     iteration is O(n_lists · dim). Deterministic regardless of block
     layout / task completion order: the init sample is chosen by a
     multiplicative hash of the row's own vector bytes (not by block
-    arrival), partials are lexsorted before each float summation."""
+    arrival), partials are lexsorted before each float summation.
+
+    ``portable=True`` switches to the ORACLE-REPLAYABLE variant: init
+    centroids are the ``n_lists`` rows with the smallest
+    (md5_uniform(id), id) key, and every merged centroid rounds to
+    6 dp — a quantization barrier that absorbs the ~1e-13
+    partial-sum-order noise, so a DuckDB unroll of the identical
+    fixed-iteration map lands on bit-equal centroids."""
     import ray
 
-    n_init = max(4 * n_lists, 64)
+    if portable:
+        from pdf_to_text_ray.stages.sketches import md5_uniform
 
-    def init_sample(batch: pa.Table) -> pa.Table:
-        m = list_column_to_matrix(batch[vec_col])
-        if len(m) == 0:
-            return pa.table({"v": pa.array([], pa.list_(pa.float64())),
-                             "h": pa.array([], pa.uint64())})
-        h = np.array([int.from_bytes(
-            hashlib.blake2b(row.tobytes(), digest_size=8).digest(), "big")
-            for row in m], dtype=np.uint64)
-        keep = np.argsort(h)[: 4 * n_init]  # per-batch pre-prune
-        return pa.table({"v": pa.array(list(m[keep]), pa.list_(pa.float64())),
-                         "h": pa.array(h[keep], pa.uint64())})
+        def init_sample(batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].to_pylist()
+            if not ids:
+                return pa.table({
+                    "i": pa.array([], pa.int64()),
+                    "u": pa.array([], pa.float64()),
+                    "v": pa.array([], pa.list_(pa.float64()))})
+            u = md5_uniform(ids)
+            m = list_column_to_matrix(batch[vec_col])
+            keep = np.argsort(u)[:n_lists]  # per-batch pre-prune
+            return pa.table({
+                "i": pa.array(np.asarray(ids, np.int64)[keep], pa.int64()),
+                "u": pa.array(u[keep], pa.float64()),
+                "v": pa.array(list(m[keep].astype(np.float64)),
+                              pa.list_(pa.float64()))})
 
-    init_pdf = ds.map_batches(
-        init_sample, batch_format="pyarrow").to_pandas()
-    init_pdf = init_pdf.sort_values("h").head(n_init)
-    init = _normalize(np.stack([np.asarray(v, np.float64)
-                                for v in init_pdf["v"]]))
-    rng = np.random.RandomState(_IVF_SEED)
-    idx = rng.choice(len(init), size=min(n_lists, len(init)), replace=False)
-    cents = init[idx].copy()
+        init_pdf = (ds.map_batches(init_sample, batch_format="pyarrow")
+                    .to_pandas().sort_values(["u", "i"]).head(n_lists))
+        cents = np.round(_normalize(np.stack(
+            [np.asarray(v, np.float64) for v in init_pdf["v"]])), 6)
+    else:
+        n_init = max(4 * n_lists, 64)
+
+        def init_sample(batch: pa.Table) -> pa.Table:
+            m = list_column_to_matrix(batch[vec_col])
+            if len(m) == 0:
+                return pa.table({"v": pa.array([], pa.list_(pa.float64())),
+                                 "h": pa.array([], pa.uint64())})
+            h = np.array([int.from_bytes(
+                hashlib.blake2b(row.tobytes(), digest_size=8).digest(), "big")
+                for row in m], dtype=np.uint64)
+            keep = np.argsort(h)[: 4 * n_init]  # per-batch pre-prune
+            return pa.table({"v": pa.array(list(m[keep]),
+                                           pa.list_(pa.float64())),
+                             "h": pa.array(h[keep], pa.uint64())})
+
+        init_pdf = ds.map_batches(
+            init_sample, batch_format="pyarrow").to_pandas()
+        init_pdf = init_pdf.sort_values("h").head(n_init)
+        init = _normalize(np.stack([np.asarray(v, np.float64)
+                                    for v in init_pdf["v"]]))
+        rng = np.random.RandomState(_IVF_SEED)
+        idx = rng.choice(len(init), size=min(n_lists, len(init)),
+                         replace=False)
+        cents = init[idx].copy()
 
     for _ in range(n_iters):
         ref = ray.put(cents)
@@ -453,14 +513,16 @@ def ivf_centroids_distributed(ds, n_lists: int, *, n_iters: int = 8,
             v = np.sum(arr, axis=0)
             norm = np.linalg.norm(v)
             if norm > 0:
-                new[int(cid)] = v / norm
+                new[int(cid)] = (np.round(v / norm, 6) if portable
+                                 else v / norm)
         cents = new
     return cents
 
 
 def ivf_topk(ds, query_ids: list[int], k: int = 10, *, n_lists: int = 16,
              n_probe: int = 4, id_col: str = "vec_id",
-             vec_col: str = "embedding") -> pd.DataFrame:
+             vec_col: str = "embedding",
+             portable: bool = False) -> pd.DataFrame:
     """IVF ANN: assign vectors to their nearest centroid list
     (map_batches), queries probe the ``n_probe`` nearest lists, exact
     search within probed lists. The scale path: the shuffle moves
@@ -474,7 +536,8 @@ def ivf_topk(ds, query_ids: list[int], k: int = 10, *, n_lists: int = 16,
     # re-execute a lazy upstream plan (the repo's multi-pass rule, see
     # groups.ordered_prefix_sum)
     ds = ds.materialize()
-    cents = ivf_centroids_distributed(ds, n_lists, vec_col=vec_col)
+    cents = ivf_centroids_distributed(ds, n_lists, vec_col=vec_col,
+                                      id_col=id_col, portable=portable)
     cents_ref = ray.put(cents)
     # queries fetched via a pruned filter pass
     qset0 = set(query_ids)
@@ -858,7 +921,8 @@ def pq_topk(ds, query_ids: list[int], k: int = 10, *, m: int = 8,
 
 def semdedup_keep(ds, *, id_col: str = "vec_id",
                   vec_col: str = "embedding", n_clusters: int = 16,
-                  threshold: float = 0.95, n_iters: int = 8):
+                  threshold: float = 0.95, n_iters: int = 8,
+                  portable: bool = False):
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means cluster
     the embedding space, then within each cluster drop every item that
     has a LOWER-id neighbor at cosine ≥ threshold (deterministic — no
@@ -877,7 +941,8 @@ def semdedup_keep(ds, *, id_col: str = "vec_id",
     from pdf_to_text_ray.stages.groups import bucketed_group_apply
 
     cents = ivf_centroids_distributed(ds, n_clusters, n_iters=n_iters,
-                                      vec_col=vec_col)
+                                      vec_col=vec_col, id_col=id_col,
+                                      portable=portable)
     ref = ray.put(cents)
 
     def assign(batch: pa.Table) -> pa.Table:

@@ -262,13 +262,58 @@ def bloom_contains(words: np.ndarray, h: np.ndarray, *, m_bits: int,
     return bits.all(axis=0)
 
 
+def md5_bloom_positions(grams: list[str], m_bits: int,
+                        k: int = 3) -> np.ndarray:
+    """(k, n) probe positions straight from md5 hex slices — the
+    engine-portable twin of :func:`bloom_positions`: position i of a
+    gram is its md5 hexdigest's i-th 8-hex-char slice masked to the
+    filter width, which DuckDB computes verbatim as
+    ``('0x' || substr(md5(gram), 1 + 8*i, 8))::UBIGINT & (m - 1)``.
+    k ≤ 4 (md5 has 32 hex chars). ``m_bits`` must be a power of two."""
+    import hashlib
+
+    assert k <= 4
+    mask = m_bits - 1
+    out = np.empty((k, len(grams)), np.uint64)
+    for j, g in enumerate(grams):
+        hx = hashlib.md5(g.encode()).hexdigest()
+        for i in range(k):
+            out[i, j] = int(hx[8 * i:8 * i + 8], 16) & mask
+    return out
+
+
+def bloom_add_md5(words: np.ndarray, grams: list[str], *, m_bits: int,
+                  k: int = 3) -> None:
+    """Set the md5-slice probe bits of ``grams`` in the packed bitmap."""
+    if not grams:
+        return
+    pos = md5_bloom_positions(grams, m_bits, k).ravel()
+    np.bitwise_or.at(words, (pos >> np.uint64(6)).astype(np.int64),
+                     np.uint64(1) << (pos & np.uint64(63)))
+
+
+def bloom_contains_md5(words: np.ndarray, grams: list[str], *,
+                       m_bits: int, k: int = 3) -> np.ndarray:
+    """Membership verdicts for ``grams`` under md5-slice positions."""
+    if not grams:
+        return np.zeros(0, dtype=bool)
+    pos = md5_bloom_positions(grams, m_bits, k)
+    bits = (words[(pos >> np.uint64(6)).astype(np.int64)]
+            >> (pos & np.uint64(63))) & np.uint64(1)
+    return bits.all(axis=0)
+
+
 def bloom_corpus_ngrams(ds, *, text_col: str = "text", n: int = 13,
-                        m_bits: int = 1 << 23, k: int = 3) -> np.ndarray:
+                        m_bits: int = 1 << 23, k: int = 3,
+                        gram_hash: str = "sip") -> np.ndarray:
     """Distributed bloom build over ALL word n-grams of a corpus: each
     batch emits ONE packed bitmap (m_bits/8 bytes); the driver
     OR-reduces B bitmaps. The gram stream itself never shuffles —
     traffic is B × m/8 bytes regardless of corpus size. Size m to the
-    expected distinct-gram count (load factor k·n_grams/m ≪ 1)."""
+    expected distinct-gram count (load factor k·n_grams/m ≪ 1).
+    ``gram_hash``: "sip" (vectorized siphash positions — the fast
+    default) or "md5" (md5-slice positions via
+    :func:`md5_bloom_positions`, SQL-replayable end to end)."""
     import pyarrow as pa
 
     from pdf_to_text_ray.stages.analysis import _gram_hashes
@@ -276,8 +321,14 @@ def bloom_corpus_ngrams(ds, *, text_col: str = "text", n: int = 13,
     def partial(t: pa.Table) -> pa.Table:
         words = np.zeros(m_bits // 64, np.uint64)
         for text in t[text_col].to_pylist():
-            bloom_add(words, _gram_hashes((text or "").lower().split(), n),
-                      m_bits=m_bits, k=k)
+            toks = (text or "").lower().split()
+            if gram_hash == "md5":
+                grams = [" ".join(toks[i:i + n])
+                         for i in range(len(toks) - n + 1)]
+                bloom_add_md5(words, grams, m_bits=m_bits, k=k)
+            else:
+                bloom_add(words, _gram_hashes(toks, n),
+                          m_bits=m_bits, k=k)
         return pa.table({"bloom": pa.array([words.tobytes()], pa.binary())})
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()

@@ -284,6 +284,25 @@ def test_ivf_topk_recall_vs_bruteforce(ray_session):
     pd.testing.assert_frame_equal(approx, approx2)
 
 
+def test_ivf_topk_portable_exhaustive_equals_bruteforce(ray_session):
+    """The portable (md5-init + 6 dp barrier) codebook still partitions
+    correctly: probing every list makes the search exact, so the output
+    must equal brute force rank-for-rank — and the portable trainer is
+    deterministic across invocations."""
+    import ray.data as rd
+
+    from pdf_to_text_ray.stages.similarity import ivf_topk
+
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+    queries = [0, 1, 2]
+    exact = knn_bruteforce(ds, queries, k=5)
+    full = ivf_topk(ds, queries, k=5, n_lists=8, n_probe=8, portable=True)
+    pd.testing.assert_frame_equal(
+        full.reset_index(drop=True), exact.reset_index(drop=True))
+    again = ivf_topk(ds, queries, k=5, n_lists=8, n_probe=8, portable=True)
+    pd.testing.assert_frame_equal(full, again)
+
+
 def test_connected_components_and_keep_set(dup_docs_ds):
     from pdf_to_text_ray.stages.dedup import connected_components, neardup_keep_set
 
