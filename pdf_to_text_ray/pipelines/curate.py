@@ -175,7 +175,11 @@ def rag_index_pipeline(sf_dir: str, *, chunk_width: int = 64,
     emb_norm, embedding) — what an embedding/ANN indexer ingests.
     Every stage is covered by its own oracle-checked query
     (gopher_quality_docs, dedup_exact_docs, doc_overlap_chunks,
-    doc_split_assign); the composition itself is rows-only."""
+    doc_split_assign) — and the COMPOSITION is oracle-checked too
+    (queries.RAG_INDEX_SQL replays gate→dedup→chunk→md5-bucket
+    embed→split end to end; emb_norm is the float64 norm of the
+    float32-quantized components so both engines land inside the
+    gate's 9 dp rounding)."""
     import os
 
     import ray.data as rd
@@ -193,15 +197,19 @@ def rag_index_pipeline(sf_dir: str, *, chunk_width: int = 64,
         out_id, out_idx, out_n, chunks = explode_token_chunks(
             t["doc_id"].to_pylist(), t["text"].to_pylist(),
             width=chunk_width, stride=chunk_stride)
-        emb = hash_features(chunks, embed_dim).astype(np.float32)
+        emb = hash_features(chunks, embed_dim,
+                            token_hash="md5").astype(np.float32)
         split = assign_split(out_id)
         return pa.table({
             "doc_id": pa.array(out_id, pa.int64()),
             "chunk_idx": pa.array(out_idx, pa.int64()),
             "n_tokens": pa.array(out_n, pa.int64()),
             "split": pa.array(split, pa.string()),
+            # norm in float64 OVER the float32-quantized components:
+            # the f32 cast is the engine-portable quantization barrier
             "emb_norm": pa.array(
-                np.linalg.norm(emb, axis=1).astype(np.float64), pa.float64()),
+                np.linalg.norm(emb.astype(np.float64), axis=1),
+                pa.float64()),
             "embedding": pa.FixedSizeListArray.from_arrays(
                 pa.array(emb.ravel(), pa.float32()), embed_dim),
         })

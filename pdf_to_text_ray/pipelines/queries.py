@@ -5787,11 +5787,95 @@ FROM newv GROUP BY event_type
 def rag_index_docs(sf_dir: str):
     """The composed RAG-index flagship (pipelines/curate.py::
     rag_index_pipeline): gate → dedup → chunk → embed → split, one lazy
-    flow. Rows-only; constituents oracle-checked individually."""
+    flow — now oracle-checked END TO END: the md5-bucketed hashed
+    embedding (classifier.hash_features(token_hash="md5")) plus a
+    float64 norm over float32-quantized components make every column,
+    including emb_norm, replayable in _rag_index_sql."""
     from .curate import rag_index_pipeline
 
     return rag_index_pipeline(sf_dir).select_columns(
         ["doc_id", "chunk_idx", "n_tokens", "split", "emb_norm"])
+
+
+def _rag_index_sql(width: int = 64, stride: int = 48,
+                   dim: int = 64) -> str:
+    """SQL replay of rag_index_pipeline: gopher gate (same expressions
+    as _gopher_sql) → min-doc_id-per-md5(text) exact dedup →
+    single-space token chunks of ``width`` every ``stride`` (Python's
+    ''.split(' ') yields one empty token, so every doc has ≥1 chunk)
+    → md5 train/val/test split → emb_norm = float64 norm of the
+    REAL-cast normalized md5-bucket token counts (bit-parity: integer
+    counts and the correctly-rounded sqrt/divide make c/‖c‖ identical
+    in both engines before the f32 cast; the final sum's 1e-16 order
+    noise sits far inside the gate's 9 dp rounding)."""
+    from ..stages.curation import (GOPHER_MAX_MEAN_WLEN, GOPHER_MAX_WORDS,
+                                   GOPHER_MIN_MEAN_WLEN, GOPHER_MIN_STOP_HITS,
+                                   GOPHER_MIN_WORDS, GOPHER_STOPWORDS)
+
+    stops = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    return f"""
+WITH s AS (
+  SELECT doc_id, text,
+         CASE WHEN coalesce(text, '') = '' THEN 0
+              ELSE length(str_split(text, ' ')) END::BIGINT AS n_words,
+         CASE WHEN coalesce(text, '') = '' THEN 0.0
+              ELSE (length(text) - (length(str_split(text, ' ')) - 1))::DOUBLE
+                   / length(str_split(text, ' ')) END AS mean_word_len,
+         CASE WHEN coalesce(text, '') = '' THEN 0
+              ELSE length(list_filter(str_split(text, ' '),
+                          x -> list_contains([{stops}], x))) END::BIGINT
+           AS n_stop
+  FROM documents),
+kept AS (
+  SELECT doc_id, text FROM s
+  WHERE n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
+    AND mean_word_len >= {GOPHER_MIN_MEAN_WLEN}
+    AND mean_word_len <= {GOPHER_MAX_MEAN_WLEN}
+    AND n_stop >= {GOPHER_MIN_STOP_HITS}),
+winners AS (
+  SELECT min(doc_id) AS doc_id FROM kept
+  GROUP BY md5(coalesce(text, ''))),
+docs2 AS (
+  SELECT k.doc_id, str_split(coalesce(k.text, ''), ' ') AS t
+  FROM kept k JOIN winners USING (doc_id)),
+chunked AS MATERIALIZED (
+  SELECT doc_id, ci::BIGINT AS chunk_idx,
+         (least(ci * {stride} + {width}, len(t))
+            - ci * {stride})::BIGINT AS n_tokens,
+         array_to_string(
+           t[ci * {stride} + 1 : least(ci * {stride} + {width}, len(t))],
+           ' ') AS chunk
+  FROM docs2, LATERAL unnest(generate_series(
+         0, (len(t) - 1) // {stride})) AS u(ci)),
+ctoks AS (
+  SELECT doc_id, chunk_idx,
+         unnest(regexp_extract_all(lower(chunk), '[a-z0-9]+')) AS tok
+  FROM chunked),
+cnt AS (
+  SELECT doc_id, chunk_idx,
+         ('0x' || substr(md5(tok), 1, 8))::UBIGINT % {dim} AS b,
+         count(*)::DOUBLE AS c
+  FROM ctoks GROUP BY doc_id, chunk_idx, b),
+nrm AS (
+  SELECT doc_id, chunk_idx, sqrt(sum(c * c)) AS n
+  FROM cnt GROUP BY doc_id, chunk_idx),
+en AS (
+  SELECT c.doc_id, c.chunk_idx,
+         sqrt(sum(CAST(c.c / n.n AS REAL)::DOUBLE
+                  * CAST(c.c / n.n AS REAL)::DOUBLE)) AS emb_norm
+  FROM cnt c JOIN nrm n USING (doc_id, chunk_idx)
+  GROUP BY c.doc_id, c.chunk_idx)
+SELECT ch.doc_id, ch.chunk_idx, ch.n_tokens,
+       CASE WHEN u < 0.8 THEN 'train'
+            WHEN u < 0.9 THEN 'val'
+            ELSE 'test' END AS split,
+       coalesce(e.emb_norm, 0.0) AS emb_norm
+FROM (SELECT *,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT
+               / 4294967296.0 AS u
+      FROM chunked) ch
+LEFT JOIN en e USING (doc_id, chunk_idx)
+"""
 
 
 def doc_split_assign(sf_dir: str):
@@ -9162,17 +9246,137 @@ SELECT doc_id, change FROM j WHERE change <> 'same'
 
 
 def quality_classifier_docs(sf_dir: str):
-    """Model-based quality filter (stages/classifier.py): hashed-BoW
-    logistic regression trained distributed on a doc_id%2 hash-sample
-    (bit-deterministic — fixed-point partial gradients), then one
-    streaming scoring pass over the FULL corpus. Rows-only: iterative
-    GD training is not SQL-expressible; determinism + rule-agreement
-    are pytest-asserted (test_classifier.py)."""
+    """Model-based quality filter (stages/classifier.py): hashed-BoW +
+    shape-feature logistic regression trained distributed on a doc_id%2
+    hash-sample, then one streaming scoring pass over the FULL corpus —
+    now fully ORACLE-CHECKED: md5 token buckets make the features
+    engine-portable, the fixed-point int64 gradient quantization
+    (classifier._grad_partials) is associative so DuckDB's sum order
+    can't diverge, and _lr_train_sql unrolls the identical 15 GD steps
+    (sigmoid via tanh, same lr/l2 float-op order) before scoring with
+    round(p, 6). The siphash feature path stays the library default."""
     from ..stages.classifier import lr_score_dataset, lr_train
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    w, b, _ = lr_train(ds, dim=256, n_iters=15, train_mod=2)
-    return lr_score_dataset(ds, w, b)
+    w, b, _ = lr_train(ds, dim=256, n_iters=15, train_mod=2,
+                       token_hash="md5")
+    return lr_score_dataset(ds, w, b, token_hash="md5")
+
+
+def _lr_train_sql(dim: int = 256, n_iters: int = 15, train_mod: int = 2,
+                  lr: float = 2.0, l2: float = 1e-4) -> str:
+    """DuckDB unroll of lr_train(token_hash="md5") + lr_score_dataset:
+    sparse (doc, j, v) features — md5-bucket normalized counts (f32-
+    quantized for TRAINING exactly like classifier.featurize) plus the
+    four dense shape features at j ≥ dim — roll through ``n_iters``
+    full-batch GD steps with the shared fixed-point rule
+    round(x·(err·2^40))::BIGINT, whose integer sums are associative, so
+    both engines walk bit-comparable weights; the final pass scores ALL
+    docs on the raw float64 features. Per-iteration CTEs MATERIALIZED
+    (DuckDB re-expansion, see _pca_power_sql). DuckDB has no tanh, so
+    the oracle computes the algebraically-equal 1/(1+exp(-z)) — the
+    ~1e-16 disagreement with the engine's tanh form sits far inside
+    the int64 quantization and the 6 dp score rounding."""
+    S = "1099511627776.0"  # 2^40, classifier._SCALE
+    head = f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                   '[a-z0-9]+')) AS tok
+  FROM documents),
+tstat AS MATERIALIZED (
+  SELECT doc_id, count(*)::BIGINT AS n,
+         count(DISTINCT tok)::BIGINT AS nd,
+         sum(length(tok))::BIGINT AS totlen
+  FROM toks GROUP BY doc_id),
+lab AS MATERIALIZED (
+  SELECT d.doc_id,
+         CASE WHEN t.n IS NULL THEN 0.0
+              ELSE 0.6 * (t.nd::DOUBLE / t.n)
+                   + 0.4 * least(t.n, 100) / 100.0 END AS score,
+         t.n IS NOT NULL AS has_toks
+  FROM documents d LEFT JOIN tstat t USING (doc_id)),
+y AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN NOT has_toks THEN 0.0
+              WHEN score >= 0.52 THEN 1.0 ELSE 0.0 END AS y,
+         has_toks AND abs(score - 0.52) < 0.02 AS ambiguous
+  FROM lab),
+cnt AS MATERIALIZED (
+  SELECT doc_id,
+         ('0x' || substr(md5(tok), 1, 8))::UBIGINT % {dim} AS j,
+         count(*)::DOUBLE AS c
+  FROM toks GROUP BY doc_id, j),
+hnorm AS (SELECT doc_id, sqrt(sum(c * c)) AS n FROM cnt GROUP BY doc_id),
+xraw AS MATERIALIZED (
+  SELECT c.doc_id, c.j::BIGINT AS j, c.c / h.n AS v
+  FROM cnt c JOIN hnorm h USING (doc_id)
+  UNION ALL
+  SELECT doc_id, {dim}::BIGINT, nd::DOUBLE / n FROM tstat
+  UNION ALL
+  SELECT doc_id, {dim + 1}::BIGINT, least(n, 100) / 100.0 FROM tstat
+  UNION ALL
+  SELECT doc_id, {dim + 2}::BIGINT,
+         least(totlen::DOUBLE / n / 10.0, 1.0) FROM tstat
+  UNION ALL
+  SELECT c.doc_id, {dim + 3}::BIGINT, sqrt(sum(c.c * c.c)) / sum(c.c)
+  FROM (SELECT doc_id, tok, count(*)::DOUBLE AS c
+        FROM toks GROUP BY doc_id, tok) c
+  GROUP BY c.doc_id),
+xt AS MATERIALIZED (
+  SELECT x.doc_id, x.j, CAST(x.v AS REAL)::DOUBLE AS v
+  FROM xraw x JOIN y USING (doc_id)
+  WHERE x.doc_id % {train_mod} = 0 AND NOT y.ambiguous),
+tdocs AS MATERIALIZED (
+  SELECT doc_id, y.y FROM y
+  WHERE doc_id % {train_mod} = 0 AND NOT ambiguous),
+nn AS (SELECT count(*)::DOUBLE AS n FROM tdocs),
+wd AS (SELECT unnest(generate_series(0, {dim + 3}))::BIGINT AS j),
+w0 AS MATERIALIZED (SELECT j, 0.0 AS wv FROM wd),
+b0 AS (SELECT 0.0 AS bv)"""
+    parts = [head]
+    for t in range(1, n_iters + 1):
+        parts.append(f""",
+z{t} AS MATERIALIZED (
+  SELECT d.doc_id, d.y,
+         coalesce(sum(x.v * w.wv), 0.0) + (SELECT bv FROM b{t - 1}) AS z
+  FROM tdocs d
+  LEFT JOIN xt x ON x.doc_id = d.doc_id
+  LEFT JOIN w{t - 1} w ON w.j = x.j
+  GROUP BY d.doc_id, d.y),
+e{t} AS MATERIALIZED (
+  SELECT doc_id, 1.0 / (1.0 + exp(-z)) - y AS err FROM z{t}),
+g{t} AS MATERIALIZED (
+  SELECT x.j,
+         sum(CAST(round(x.v * (e.err * {S})) AS BIGINT)) AS g
+  FROM xt x JOIN e{t} e USING (doc_id) GROUP BY x.j),
+gb{t} AS (
+  SELECT sum(CAST(round(err * {S}) AS BIGINT)) AS g FROM e{t}),
+w{t} AS MATERIALIZED (
+  SELECT w.j,
+         w.wv - {lr} * ((coalesce(g.g, 0)::DOUBLE / {S})
+                          / (SELECT n FROM nn)
+                        + {l2} * w.wv) AS wv
+  FROM w{t - 1} w LEFT JOIN g{t} g USING (j)),
+b{t} AS (
+  SELECT (SELECT bv FROM b{t - 1})
+           - {lr} * (((SELECT g FROM gb{t})::DOUBLE / {S})
+                       / (SELECT n FROM nn)) AS bv)""")
+    parts.append(f""",
+zs AS (
+  SELECT d.doc_id,
+         coalesce(sum(x.v * w.wv), 0.0)
+           + (SELECT bv FROM b{n_iters}) AS z
+  FROM documents d
+  LEFT JOIN xraw x ON x.doc_id = d.doc_id
+  LEFT JOIN w{n_iters} w ON w.j = x.j
+  GROUP BY d.doc_id),
+ps AS (SELECT doc_id, 1.0 / (1.0 + exp(-z)) AS p FROM zs)
+SELECT doc_id, round(p, 6) AS prob,
+       (p >= 0.5)::BIGINT AS pred
+FROM ps
+""")
+    return "".join(parts)
 
 
 def merge_into_events(sf_dir: str):
@@ -13801,6 +14005,8 @@ ORACLE_SQL = {
     "ann_lsh_cosine": ANN_LSH_SQL,
     "ivf_cosine": _ivf_kmeans_sql(),
     "semdedup_keep_docs": _semdedup_sql(),
+    "rag_index_docs": _rag_index_sql(),
+    "quality_classifier_docs": _lr_train_sql(),
     "orders_dow_volume": DOW_SQL,
     # round-13 additions
     "lineitem_skyline": SKYLINE_SQL,

@@ -43,14 +43,27 @@ __all__ = [
     "default_label_batch",
 ]
 
-def hash_features(texts: list[str | None], dim: int) -> np.ndarray:
-    """(n, dim) float64 l2-normalized hashed token counts."""
+def hash_features(texts: list[str | None], dim: int,
+                  token_hash: str = "sip") -> np.ndarray:
+    """(n, dim) float64 l2-normalized hashed token counts.
+
+    ``token_hash``: "sip" (vectorized siphash buckets — the fast
+    default) or "md5" (engine-portable: bucket = first-8-hex md5 of
+    the token mod dim, which DuckDB computes verbatim — used by the
+    oracle-checked rag_index_docs)."""
+    import hashlib
+
     out = np.zeros((len(texts), dim), np.float64)
     toks_per_doc = [tokenize_ascii(t or "") for t in texts]
     flat = [t for toks in toks_per_doc for t in toks]
     if flat:
-        buckets = (pd.util.hash_array(np.asarray(flat, dtype=object))
-                   % np.uint64(dim)).astype(np.int64)
+        if token_hash == "md5":
+            buckets = np.array(
+                [int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % dim
+                 for t in flat], np.int64)
+        else:
+            buckets = (pd.util.hash_array(np.asarray(flat, dtype=object))
+                       % np.uint64(dim)).astype(np.int64)
         rows = np.repeat(np.arange(len(texts)),
                          [len(t) for t in toks_per_doc])
         np.add.at(out, (rows, buckets), 1.0)
@@ -95,13 +108,14 @@ def _sigmoid(z: np.ndarray) -> np.ndarray:
 N_SHAPE = 4  # appended dense features beyond the hashed dims
 
 
-def feature_matrix(texts: list[str | None], dim: int) -> np.ndarray:
+def feature_matrix(texts: list[str | None], dim: int,
+                   token_hash: str = "sip") -> np.ndarray:
     """(n, dim + N_SHAPE): l2-normalized hashed counts PLUS four dense
     shape features a LINEAR model needs to express repetition/length
     rules (a norm ratio is nonlinear in raw counts, so pure BoW cannot
     learn a type-token-ratio gate): TTR, capped length share, mean
     token length, and count concentration (l2/l1 — high = repetitive)."""
-    x = hash_features(texts, dim)
+    x = hash_features(texts, dim, token_hash=token_hash)
     shape = np.zeros((len(texts), N_SHAPE), np.float64)
     for i, s in enumerate(texts):
         toks = tokenize_ascii(s or "")
@@ -145,6 +159,7 @@ def lr_train(ds, *, dim: int = 256, n_iters: int = 20, lr: float = 2.0,
              l2: float = 1e-4, key_col: str = "doc_id",
              text_col: str = "text", label_fn=default_label_batch,
              train_mod: int = 1, local_train_below: int = 100_000,
+             token_hash: str = "sip",
              ) -> tuple[np.ndarray, float, list[float]]:
     """Train and return (weights[dim], bias, per-iter mean losses).
 
@@ -174,7 +189,8 @@ def lr_train(ds, *, dim: int = 256, n_iters: int = 20, lr: float = 2.0,
     # One materialization of the FEATURES (n × fdim floats + label),
     # not the text: n_iters passes then re-tokenize nothing.
     def featurize(t: pa.Table) -> pa.Table:
-        x = feature_matrix(t[text_col].to_pylist(), dim)
+        x = feature_matrix(t[text_col].to_pylist(), dim,
+                           token_hash=token_hash)
         y = label_fn(t, text_col)
         conf = ~np.isnan(y)  # drop label_fn's ambiguous (nan) examples
         x, y = x[conf], y[conf]
@@ -255,7 +271,8 @@ def lr_train(ds, *, dim: int = 256, n_iters: int = 20, lr: float = 2.0,
 
 
 def lr_score_dataset(ds, w: np.ndarray, b: float, *, dim: int | None = None,
-                     key_col: str = "doc_id", text_col: str = "text"):
+                     key_col: str = "doc_id", text_col: str = "text",
+                     token_hash: str = "sip"):
     """Score every row: (key, prob, pred) — one streaming pass,
     weights broadcast once. ``dim`` is the HASHED dim (defaults to
     len(w) - N_SHAPE; the shape features ride at the end)."""
@@ -266,7 +283,8 @@ def lr_score_dataset(ds, w: np.ndarray, b: float, *, dim: int | None = None,
 
     def score(t: pa.Table) -> pa.Table:
         wt, bt = ray.get(ref)
-        x = feature_matrix(t[text_col].to_pylist(), dim)
+        x = feature_matrix(t[text_col].to_pylist(), dim,
+                           token_hash=token_hash)
         p = _sigmoid(x @ wt + bt)
         return pa.table({
             key_col: t[key_col],
