@@ -58,9 +58,15 @@ def hash_features(texts: list[str | None], dim: int,
     flat = [t for toks in toks_per_doc for t in toks]
     if flat:
         if token_hash == "md5":
-            buckets = np.array(
+            # hash each DISTINCT token once — corpora repeat tokens
+            # heavily, so this cuts the md5 count by ~the corpus'
+            # type/token ratio on the hot scoring path
+            uniq, inv = np.unique(np.asarray(flat, dtype=object),
+                                  return_inverse=True)
+            ub = np.array(
                 [int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % dim
-                 for t in flat], np.int64)
+                 for t in uniq], np.int64)
+            buckets = ub[inv]
         else:
             buckets = (pd.util.hash_array(np.asarray(flat, dtype=object))
                        % np.uint64(dim)).astype(np.int64)
