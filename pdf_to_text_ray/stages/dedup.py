@@ -212,10 +212,14 @@ def minhash_neardup_pairs(ds, *, key_col: str = "doc_id", text_col: str = "text"
     if output == "dataset":
         # distributed pair dedup (same band pair can surface from
         # several bands) — per-pair-bucket drop_duplicates, never on
-        # the driver
+        # the driver. PIN the deduped candidates: they are consumed by
+        # _distinct_pair_ids AND the verify join — unpinned, the whole
+        # band+pair exchange re-executes per consumer (object-store
+        # blocks, spillable; nothing lands on the driver)
         cand = bucketed_group_apply(
             cand, ["id_a", "id_b"],
-            lambda g: g.drop_duplicates(["id_a", "id_b"]), num_buckets=32)
+            lambda g: g.drop_duplicates(["id_a", "id_b"]),
+            num_buckets=32).materialize()
         id_arr = _distinct_pair_ids(cand)
         if len(id_arr) == 0:
             import ray.data as rd
@@ -229,10 +233,12 @@ def minhash_neardup_pairs(ds, *, key_col: str = "doc_id", text_col: str = "text"
         # the verify-join chain runs on pandas blocks (blob-pointer
         # moves); re-block to homogeneous Arrow here or its EMPTY
         # pandas partitions bypass every later pyarrow map and poison
-        # downstream exchanges (see groups.arrow_blocks)
+        # downstream exchanges (see groups.arrow_blocks). Pinned for
+        # the same reason as cand: minlabel_components consumes the
+        # pair set twice (vocab pass + factorize pass)
         return arrow_blocks(_verify_pairs_join(
             ds, cand, key_col, text_col, k, threshold,
-            id_arr=id_arr, as_dataset=True))
+            id_arr=id_arr, as_dataset=True)).materialize()
 
     cand_pdf = cand.to_pandas().drop_duplicates()  # candidates ≪ corpus
     if len(cand_pdf) == 0:
