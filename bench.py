@@ -109,6 +109,23 @@ def run_bench() -> dict:
     total_docs = meta.count()
     total_pages = int(meta.to_pandas()["n_pages"].sum())
 
+    if os.environ.get("GRAFT_HEADLINE_ONLY") == "1":
+        # scaling legs: the efficiency ratio only uses the extract
+        # numbers — skip the records pass and the operator suite so a
+        # (lo, hi) pair fits inside one host-noise window
+        ray.shutdown()
+        return {
+            "metric": "headline extraction pipeline wall time",
+            "value": timings["extract"],
+            "unit": "sec",
+            "queries": timings,
+            "sf": SF_DIR,
+            "num_cpus": NUM_CPUS,
+            "corpus_rows": n_rows,
+            "docs_per_sec": round(total_docs / timings["extract"], 2),
+            "pages_per_sec": round(total_pages / timings["extract"], 2),
+        }
+
     # records path on the extracted output
     def records():
         ds = rd.read_parquet(out_dir, columns=["url", "text_extracted"])
@@ -207,6 +224,7 @@ def run_scaling() -> dict:
         # (read + shuffle barrier + write) — the Amdahl floor otherwise
         # caps measurable efficiency regardless of cluster size
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_HEADLINE_ONLY="1",
                    GRAFT_CORPUS_MULT=os.environ.get("GRAFT_SCALING_MULT", "16"))
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
