@@ -13508,6 +13508,183 @@ FROM j ORDER BY label
 """
 
 
+def neardup_jarowinkler_docs(sf_dir: str):
+    """Jaro-Winkler near-dup pairs (stages/dedup.py::
+    jarowinkler_neardup_pairs): the same (lang, length-bucket)
+    blocking + head projection as neardup_editdist_docs, verified by
+    byte-level Jaro-Winkler ≥ 0.9 instead of edit distance — the
+    transposition-tolerant census-linkage metric (Winkler 1990).
+    Similarities round to 6 dp before the threshold on BOTH engines,
+    so the keep-set is portable; the oracle is DuckDB's native
+    ``jaro_winkler_similarity`` (byte semantics, matched bit-for-bit
+    by the Python implementation) over the identical blocking join."""
+    from pdf_to_text_ray.stages.dedup import jarowinkler_neardup_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
+    pairs = jarowinkler_neardup_pairs(ds).to_pandas()
+    return (pairs.sort_values(["doc_id1", "doc_id2"])
+            .reset_index(drop=True))
+
+
+JAROWINKLER_SQL = """
+WITH d AS (SELECT doc_id, lang, n_chars // 64 AS b,
+                  substring(text, 1, 40) AS head
+           FROM documents)
+SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
+       round(jaro_winkler_similarity(a.head, b.head), 6) AS jw
+FROM d a JOIN d b ON a.lang = b.lang AND a.b = b.b AND a.doc_id < b.doc_id
+WHERE round(jaro_winkler_similarity(a.head, b.head), 6) >= 0.9
+ORDER BY doc_id1, doc_id2
+"""
+
+
+def cdc_chunk_dedup(sf_dir: str):
+    """Content-defined-chunking shared-span profile (stages/dedup.py::
+    cdc_chunk_stats): FastCDC/LBFS-style md5-window boundaries chunk
+    each normalized doc; chunks dedup corpus-wide; per doc the query
+    reports total/distinct/shared chunk counts and the shared ratio —
+    the sub-document dedup signal (mirrors, quote farms, templated
+    pages) whole-doc hashing misses. Only (doc_id, 16-hex key) pairs
+    shuffle; the oracle replays boundary selection, chunk spans, and
+    the document-frequency join entirely in SQL."""
+    from pdf_to_text_ray.stages.dedup import cdc_chunk_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = cdc_chunk_stats(ds).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+CDC_CHUNK_SQL = r"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(coalesce(text, '')),
+                                     '\s+', ' ', 'g')) AS s
+  FROM documents
+),
+bounds AS (
+  SELECT doc_id, i + 7 AS bend
+  FROM norm, LATERAL unnest(generate_series(1, len(s) - 7)) AS t(i)
+  WHERE len(s) >= 8
+    AND ('0x' || substr(md5(substr(s, i, 8)), 1, 8))::UBIGINT % 16 = 0
+),
+spans AS (
+  SELECT doc_id,
+         coalesce(lag(bend) OVER (PARTITION BY doc_id ORDER BY bend),
+                  0) + 1 AS st,
+         bend AS en
+  FROM bounds
+  UNION ALL
+  SELECT n.doc_id, coalesce(mx.b, 0) + 1, len(n.s)
+  FROM norm n LEFT JOIN (SELECT doc_id, max(bend) AS b FROM bounds
+                         GROUP BY doc_id) mx USING (doc_id)
+  WHERE len(n.s) >= coalesce(mx.b, 0) + 1
+),
+keyed AS (
+  SELECT doc_id, substr(md5(substr(s, st, en - st + 1)), 1, 16) AS k
+  FROM spans JOIN norm USING (doc_id)
+),
+dk AS (SELECT doc_id, k, count(*) AS cnt FROM keyed GROUP BY doc_id, k),
+dfreq AS (SELECT k, count(*) AS nd FROM dk GROUP BY k)
+SELECT dk.doc_id, sum(dk.cnt)::BIGINT AS n_chunks,
+       count(*)::BIGINT AS n_distinct,
+       sum(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_shared,
+       round(sum(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS shared_ratio
+FROM dk JOIN dfreq f USING (k)
+GROUP BY dk.doc_id ORDER BY dk.doc_id
+"""
+
+
+def token_zipf_slope(sf_dir: str):
+    """Zipf power-law fit per source: OLS slope/intercept of ln(count)
+    on ln(rank) over each source's top-100 tokens (rank = count desc,
+    token asc — deterministic). The Zipf exponent is the standard
+    corpus-health diagnostic: natural text sits near −1; template- or
+    spam-dominated sources flatten or steepen. Token counts aggregate
+    from per-batch partials (a (source, token, n) groupby-sum — token
+    strings shuffle once, pre-aggregated); only ≤ 100 rows per source
+    reach the fit. Sums round at 6 dp so libm/DuckDB ln noise can't
+    leak into the hash."""
+    import re as _re
+
+    from ray.data.aggregate import Sum
+
+    from pdf_to_text_ray.stages.groups import arrow_out, bucketed_group_apply
+
+    split_re = _re.compile(r"[ \t\r\n\f\v]+")
+    ds = _read(sf_dir, "documents", ["text", "source"])
+
+    def partial_counts(df: pd.DataFrame) -> pa.Table:
+        src_out: list[str] = []
+        tok_out: list[str] = []
+        n_out: list[int] = []
+        acc: dict[tuple, int] = {}
+        for src, text in zip(df["source"].tolist(), df["text"].tolist()):
+            for tok in split_re.split(text or ""):
+                if tok:
+                    key = (src, tok)
+                    acc[key] = acc.get(key, 0) + 1
+        for (src, tok), n in acc.items():
+            src_out.append(src)
+            tok_out.append(tok)
+            n_out.append(n)
+        return arrow_out(pd.DataFrame({
+            "source": src_out, "tok": tok_out,
+            "n": pd.Series(n_out, dtype="int64")}))
+
+    counts = (ds.map_batches(partial_counts, batch_format="pandas")
+              .groupby(["source", "tok"]).aggregate(Sum("n", alias_name="n")))
+
+    def fit_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for src, g in df.groupby("source", sort=False):
+            top = g.sort_values(["n", "tok"], ascending=[False, True],
+                                kind="mergesort").head(100)
+            c = top["n"].to_numpy(dtype="float64")
+            r = np.arange(1, len(c) + 1, dtype="float64")
+            x = np.log(r)
+            y = np.log(c)
+            n = float(len(c))
+            sx, sy = float(x.sum()), float(y.sum())
+            sxy, sxx = float((x * y).sum()), float((x * x).sum())
+            slope = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+            intercept = (sy - slope * sx) / n
+            rows.append({"source": src, "n_terms": int(len(c)),
+                         "zipf_slope": round(slope, 6),
+                         "zipf_intercept": round(intercept, 6)})
+        out = pd.DataFrame(rows)
+        out["n_terms"] = out["n_terms"].astype("int64")
+        return out
+
+    out = bucketed_group_apply(counts, "source", fit_bucket,
+                               num_buckets=8).to_pandas()
+    return out.sort_values("source").reset_index(drop=True)
+
+
+ZIPF_SQL = r"""
+WITH toks AS (
+  SELECT source,
+         unnest(regexp_split_to_array(coalesce(text, ''),
+                                      '[ \t\r\n\f\v]+')) AS tok
+  FROM documents
+),
+cnt AS (SELECT source, tok, count(*) AS c FROM toks
+        WHERE tok <> '' GROUP BY source, tok),
+rk AS (SELECT source, c,
+              row_number() OVER (PARTITION BY source
+                                 ORDER BY c DESC, tok) AS r
+       FROM cnt),
+fit AS (SELECT source, count(*) AS n,
+               sum(ln(r)) AS sx, sum(ln(c)) AS sy,
+               sum(ln(r) * ln(c)) AS sxy, sum(ln(r) * ln(r)) AS sxx
+        FROM rk WHERE r <= 100 GROUP BY source)
+SELECT source, n::BIGINT AS n_terms,
+       round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) AS zipf_slope,
+       round((sy - (sxy - sx * sy / n) / (sxx - sx * sx / n) * sx) / n,
+             6) AS zipf_intercept
+FROM fit ORDER BY source
+"""
+
+
 QUERIES = {
     # relational
     "q1_pricing_summary": q1_pricing_summary,
@@ -13644,6 +13821,9 @@ QUERIES = {
     "events_user_ntile": events_user_ntile,
     "events_pivot_counts": events_pivot_counts,
     "neardup_editdist_docs": neardup_editdist_docs,
+    "neardup_jarowinkler_docs": neardup_jarowinkler_docs,
+    "cdc_chunk_dedup": cdc_chunk_dedup,
+    "token_zipf_slope": token_zipf_slope,
     "doc_normalize_text": doc_normalize_text,
     "doc_gopher_repetition": doc_gopher_repetition,
     "sample_stratified_docs": sample_stratified_docs,
@@ -13898,6 +14078,9 @@ ORACLE_SQL = {
     "events_user_ntile": NTILE_SQL,
     "events_pivot_counts": PIVOT_SQL,
     "neardup_editdist_docs": EDITDIST_SQL,
+    "neardup_jarowinkler_docs": JAROWINKLER_SQL,
+    "cdc_chunk_dedup": CDC_CHUNK_SQL,
+    "token_zipf_slope": ZIPF_SQL,
     "doc_normalize_text": NORMALIZE_SQL,
     "doc_gopher_repetition": GOPHER_SQL,
     "bigram_pmi_top": BIGRAM_PMI_SQL,

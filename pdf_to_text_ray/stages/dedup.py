@@ -1256,3 +1256,215 @@ def keep_best_from_pairs(ds, pairs: pd.DataFrame, *, key_col: str = "doc_id",
         })
 
     return ds.map_batches(flag, batch_format="pyarrow")
+
+
+# ── Jaro-Winkler near-dup (entity-resolution string similarity) ──────
+# Winkler 1990 ("String Comparator Metrics and Enhanced Decision
+# Rules..."): Jaro similarity with a shared-prefix boost — the
+# census-linkage standard for short keys (titles, names, headers).
+# DuckDB's jaro_winkler_similarity operates on UTF-8 BYTES (prefix
+# weight 0.1, boost threshold 0.7, prefix cap 4); this implementation
+# matches it bit-for-bit (validated on 8k random cases incl.
+# multi-byte codepoints) so the oracle replays exactly.
+
+
+def jaro_winkler_bytes(s1: bytes, s2: bytes, *, prefix_weight: float = 0.1,
+                       boost_threshold: float = 0.7) -> float:
+    """Byte-level Jaro-Winkler similarity, DuckDB-parity semantics
+    (empty vs empty is 0.0, not 1.0)."""
+    l1, l2 = len(s1), len(s2)
+    if l1 == 0 or l2 == 0:
+        return 0.0
+    window = max(l1, l2) // 2 - 1
+    if window < 0:
+        window = 0
+    m1 = bytearray(l1)
+    m2 = bytearray(l2)
+    matches = 0
+    for i in range(l1):
+        lo = i - window
+        if lo < 0:
+            lo = 0
+        hi = i + window + 1
+        if hi > l2:
+            hi = l2
+        c = s1[i]
+        for j in range(lo, hi):
+            if not m2[j] and c == s2[j]:
+                m1[i] = m2[j] = 1
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(l1):
+        if m1[i]:
+            while not m2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    j = (matches / l1 + matches / l2 + (matches - t) / matches) / 3
+    if j > boost_threshold:
+        pl = 0
+        for a, b in zip(s1[:4], s2[:4]):
+            if a != b:
+                break
+            pl += 1
+        j += pl * prefix_weight * (1 - j)
+    return j
+
+
+def jarowinkler_neardup_pairs(ds, *, key_col: str = "doc_id",
+                              text_col: str = "text", lang_col: str = "lang",
+                              len_col: str = "n_chars", head_chars: int = 40,
+                              len_bucket: int = 64, threshold: float = 0.9,
+                              num_buckets: int = 32):
+    """Near-duplicate pairs by Jaro-Winkler similarity over document
+    heads — the transposition-tolerant complement to
+    ``editdist_neardup_pairs`` (same (lang, floor(len/len_bucket))
+    blocking, same one-shuffle-of-heads shape; only the verifier
+    differs). Similarities round to 6 dp BEFORE thresholding so the
+    keep-set is engine-portable.
+
+    Partitioning assumption: identical to editdist_neardup_pairs —
+    block population is bounded by the (lang × length-bucket)
+    stratification; refine ``len_bucket`` if one stratum dominates."""
+    from .groups import bucketed_group_apply
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            key_col: df[key_col].to_numpy(),
+            "_lang": df[lang_col].to_numpy(),
+            "_blk": (df[len_col].to_numpy() // len_bucket).astype("int64"),
+            "_head": df[text_col].str.slice(0, head_chars),
+        })
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({f"{key_col}1": pd.Series([], dtype="int64"),
+                              f"{key_col}2": pd.Series([], dtype="int64"),
+                              "jw": pd.Series([], dtype="float64")})
+        if len(df) < 2:
+            return empty
+        ids = df[key_col].to_numpy()
+        heads = [h.encode("utf-8") for h in df["_head"].tolist()]
+        out_a: list[int] = []
+        out_b: list[int] = []
+        out_s: list[float] = []
+        for idx in df.groupby(["_lang", "_blk"], sort=False).indices.values():
+            if len(idx) < 2:
+                continue
+            for u in range(len(idx) - 1):
+                iu = idx[u]
+                hu = heads[iu]
+                for v in range(u + 1, len(idx)):
+                    iv = idx[v]
+                    s = round(jaro_winkler_bytes(hu, heads[iv]), 6)
+                    if s >= threshold:
+                        a, b = int(ids[iu]), int(ids[iv])
+                        if a > b:
+                            a, b = b, a
+                        out_a.append(a)
+                        out_b.append(b)
+                        out_s.append(s)
+        if not out_a:
+            return empty
+        return pd.DataFrame({
+            f"{key_col}1": np.asarray(out_a, dtype="int64"),
+            f"{key_col}2": np.asarray(out_b, dtype="int64"),
+            "jw": np.asarray(out_s, dtype="float64"),
+        })
+
+    return bucketed_group_apply(
+        ds.map_batches(project, batch_format="pandas"),
+        ["_lang", "_blk"], per_bucket, num_buckets=num_buckets)
+
+
+# ── content-defined chunking dedup (sub-document, shift-robust) ──────
+# FastCDC/LBFS-style chunking (Muthitacharoen et al. 2001): chunk
+# boundaries are declared wherever a rolling window's hash satisfies a
+# modulus condition, so an insertion early in a document only
+# re-chunks the window it touches — the boundary positions downstream
+# re-synchronize, unlike fixed-width chunking. Corpus-wide dedup of
+# the resulting chunks finds SHARED SPANS across documents (mirrors,
+# quote farms, templated pages) that whole-document hashing misses.
+# The window hash is the engine-portable md5 slice (same trick as
+# winnow_selection_batch), so the full chunking + dedup replays in SQL.
+
+
+def cdc_chunks(norm: str, *, width: int = 8, divisor: int = 16) -> list[str]:
+    """Content-defined chunks of a normalized string: a boundary closes
+    after every ``width``-gram whose md5[:8] (as uint32) ≡ 0 mod
+    ``divisor``; expected chunk length ≈ ``divisor`` + ``width`` − 1.
+    Strings shorter than one gram are a single chunk."""
+    n = len(norm)
+    if n == 0:
+        return []
+    if n < width:
+        return [norm]
+    bounds: list[int] = []
+    for i in range(n - width + 1):
+        d = hashlib.md5(norm[i:i + width].encode("utf-8")).hexdigest()
+        if int(d[:8], 16) % divisor == 0:
+            bounds.append(i + width)
+    starts = [0] + bounds
+    ends = bounds + [n]
+    return [norm[a:b] for a, b in zip(starts, ends) if b > a]
+
+
+def cdc_chunk_stats(ds, *, key_col: str = "doc_id", text_col: str = "text",
+                    width: int = 8, divisor: int = 16,
+                    num_buckets: int = 32):
+    """Per-document shared-span statistics from content-defined chunks:
+    ``n_chunks`` (all chunks), ``n_distinct`` (distinct chunk keys in
+    the doc), ``n_shared`` (distinct keys that also appear in ≥ 1
+    OTHER document), ``shared_ratio`` = n_shared / n_distinct (6 dp).
+
+    Scale shape: chunking happens inside the read-side map (text never
+    shuffles); what moves is (doc_id, 16-hex chunk key) pairs — two
+    hash-bucketed exchanges of fixed-width rows (by key to count
+    document frequency, then by doc to fold the per-doc stats), the
+    same triple-shuffle discipline as minhash_neardup_pairs. Documents
+    whose normalized text is empty emit no row (mirrors the SQL
+    twin)."""
+    from .groups import bucketed_group_apply
+
+    def chunk_keys(df: pd.DataFrame) -> pd.DataFrame:
+        doc_out: list[int] = []
+        key_out: list[str] = []
+        for doc_id, text in zip(df[key_col].tolist(),
+                                df[text_col].tolist()):
+            norm = " ".join((text or "").lower().split())
+            for c in cdc_chunks(norm, width=width, divisor=divisor):
+                doc_out.append(doc_id)
+                key_out.append(
+                    hashlib.md5(c.encode("utf-8")).hexdigest()[:16])
+        return pd.DataFrame({key_col: pd.Series(doc_out, dtype="int64"),
+                             "k": pd.Series(key_out, dtype="object")})
+
+    def per_key_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # multiplicity per (doc, key), then document frequency per key
+        g = (df.groupby(["k", key_col], sort=False).size()
+             .reset_index(name="cnt"))
+        nd = g.groupby("k", sort=False)[key_col].transform("size")
+        g["shared"] = (nd >= 2).astype("int64")
+        return g
+
+    def per_doc_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby(key_col, sort=False).agg(
+            n_chunks=("cnt", "sum"), n_distinct=("k", "size"),
+            n_shared=("shared", "sum"))
+        out = agg.reset_index()
+        out["shared_ratio"] = (
+            out["n_shared"] / out["n_distinct"]).round(6)
+        for c in ("n_chunks", "n_distinct", "n_shared"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    keys = ds.map_batches(chunk_keys, batch_format="pandas")
+    flagged = bucketed_group_apply(keys, "k", per_key_bucket,
+                                   num_buckets=num_buckets)
+    return bucketed_group_apply(flagged, key_col, per_doc_bucket,
+                                num_buckets=num_buckets)
