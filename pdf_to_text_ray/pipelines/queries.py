@@ -643,19 +643,37 @@ def copurchase_triangles(sf_dir: str):
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
 
     def pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b = [], []
-        for _, grp in g.groupby("l_orderkey", sort=False):
-            ps = np.unique(grp["l_partkey"].to_numpy())
-            if len(ps) < 2:
-                continue
-            ii, jj = np.triu_indices(len(ps), k=1)
-            out_a.append(ps[ii])
-            out_b.append(ps[jj])
-        if not out_a:
-            return pd.DataFrame({"u": pd.Series([], dtype="int64"),
-                                 "v": pd.Series([], dtype="int64")})
-        return pd.DataFrame({"u": np.concatenate(out_a).astype("int64"),
-                             "v": np.concatenate(out_b).astype("int64")})
+        # all intra-order part pairs with NO python-per-order loop:
+        # sort + dedupe, then enumerate every (i < j) pair by index
+        # arithmetic — each within-order position j contributes j
+        # pairs (one per earlier position), so repeating row indices
+        # by their position and offsetting a global arange yields the
+        # (ii, jj) pair indices for ALL orders in one shot.
+        empty = pd.DataFrame({"u": pd.Series([], dtype="int64"),
+                              "v": pd.Series([], dtype="int64")})
+        if not len(g):
+            return empty
+        d = (g.drop_duplicates(["l_orderkey", "l_partkey"])
+             .sort_values(["l_orderkey", "l_partkey"], kind="mergesort"))
+        order = d["l_orderkey"].to_numpy()
+        parts = d["l_partkey"].to_numpy()
+        n = len(order)
+        starts = np.empty(n, dtype=np.int64)  # group start per row
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        np.not_equal(order[1:], order[:-1], out=new[1:])
+        starts[new] = np.flatnonzero(new)
+        np.maximum.accumulate(np.where(new, starts, 0), out=starts)
+        pos = np.arange(n, dtype=np.int64) - starts  # 0-based in group
+        m = int(pos.sum())
+        if m == 0:
+            return empty
+        jj = np.repeat(np.arange(n, dtype=np.int64), pos)
+        cum = np.concatenate(([0], np.cumsum(pos)[:-1]))
+        ii = np.arange(m, dtype=np.int64) - np.repeat(cum, pos) \
+            + np.repeat(starts, pos)
+        return pd.DataFrame({"u": parts[ii].astype("int64"),
+                             "v": parts[jj].astype("int64")})
 
     edges = bucketed_group_apply(ds, "l_orderkey", pairs_bucket)
     return triangle_count(edges)
@@ -1390,12 +1408,19 @@ def event_props_k_stats(sf_dir: str):
         return pd.DataFrame({
             "event_type": t["event_type"].to_pandas(), "k": k})
 
-    out = (
-        ds.map_batches(parse, batch_format="pyarrow")
-        .groupby("event_type")
-        .aggregate(Sum("k", alias_name="k_sum"), Count(alias_name="n"))
-        .to_pandas()
-    )
+    # event_type is a ~5-key domain: a full Aggregate exchange would
+    # shuffle every (type, k) row to land 5 groups. Per-batch partial
+    # (sum, count) pairs merge on the driver instead — O(batches × 5)
+    # rows move, nothing corpus-sized (small_key_counts discipline).
+    def part(t: pa.Table) -> pa.Table:
+        df = parse(t)
+        g = (df.groupby("event_type", sort=False)["k"]
+             .agg(k_sum="sum", n="size").reset_index())
+        g["n"] = g["n"].astype("int64")
+        return arrow_out(g)
+
+    out = (ds.map_batches(part, batch_format="pyarrow").to_pandas()
+           .groupby("event_type", as_index=False).sum())
     res = pd.DataFrame({
         "event_type": out["event_type"],
         "avg_k": round2(out["k_sum"] / out["n"]),
@@ -3250,18 +3275,24 @@ def join_part_supplier_auto(sf_dir: str):
         lambda t: t.rename_columns(["p_partkey", "l_quantity"]),
         batch_format="pyarrow")
     joined = auto_join(li, part, on="p_partkey", how="inner")
-    from ray.data.aggregate import Count, Sum
+    from pdf_to_text_ray.stages.groups import bucketed_group_apply
 
-    # project the carried p_name away BEFORE the aggregate shuffle: the
-    # sort-based Aggregate moves whole blocks, and an unused string
-    # column measured ~2x on this stage
-    joined = joined.map_batches(
-        lambda t: t.select(["p_partkey", "l_quantity"]),
-        batch_format="pyarrow")
-    out = (joined.groupby("p_partkey")
-           .aggregate(Count(alias_name="n_lines"),
-                      Sum("l_quantity", alias_name="total_qty"))
-           .to_pandas())
+    # p_partkey is high-cardinality (~|part| groups): Ray's sort-based
+    # Aggregate walks groups at Python speed. Map-side combine first
+    # (per-batch pandas groupby → ≤ distinct-keys partial rows, and the
+    # carried p_name never enters the exchange), then one bucketed
+    # vectorized merge of the partials.
+    def partial(t: pa.Table) -> pa.Table:
+        g = (t.select(["p_partkey", "l_quantity"]).to_pandas()
+             .groupby("p_partkey", sort=False)["l_quantity"]
+             .agg(n_lines="size", total_qty="sum").reset_index())
+        g["n_lines"] = g["n_lines"].astype("int64")
+        return arrow_out(g)
+
+    out = bucketed_group_apply(
+        joined.map_batches(partial, batch_format="pyarrow"), "p_partkey",
+        lambda g: g.groupby("p_partkey", as_index=False).sum(),
+        num_buckets=32).to_pandas()
     out["n_lines"] = out["n_lines"].astype("int64")
     out["total_qty"] = round2(out["total_qty"])
     return out.sort_values("p_partkey").reset_index(drop=True)
@@ -10891,18 +10922,25 @@ def catalog_consistent_join(sf_dir: str):
         with open(marker, "w") as f:
             f.write("ok")
 
+    # tier is a ≤3-key domain: two full groupby exchanges (sum + count)
+    # would each shuffle the joined fact AND re-execute the lazy join
+    # chain per consumer. One per-batch partial pass (tier, n, Σv)
+    # consumes the join once; the driver merges O(batches × 3) rows.
+    def tier_partial(t: pa.Table) -> pa.Table:
+        g = (t.select(["tier", "v"]).to_pandas()
+             .groupby("tier", sort=False)["v"]
+             .agg(n_events="size", total_value="sum").reset_index())
+        g["n_events"] = g["n_events"].astype("int64")
+        return arrow_out(g)
+
     frames = []
     for snap in (1, 2):
         fact = read_table(root, snap, "fact", key="event_id")
         dim = read_table(root, snap, "dim", key="user_id")
         j = broadcast_join(fact, dim.to_pandas(), on="user_id")
-        agg = (j.groupby("tier")
-               .sum("v")
-               .to_pandas()
-               .rename(columns={"sum(v)": "total_value"}))
-        n = (j.groupby("tier").count().to_pandas()
-             .rename(columns={"count()": "n_events"}))
-        f = agg.merge(n, on="tier")
+        p = (j.map_batches(tier_partial, batch_format="pyarrow")
+             .to_pandas())
+        f = p.groupby("tier", as_index=False).sum()
         f.insert(0, "snapshot", snap)
         frames.append(f)
     out = pd.concat(frames, ignore_index=True)
