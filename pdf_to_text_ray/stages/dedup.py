@@ -707,12 +707,17 @@ def minlabel_components(pairs, *, num_buckets: int = 16,
                 "node": pc.cast(t["dst"], pa.int64()),
                 "label": pc.cast(t["label"], pa.int64())}),
             batch_format="pyarrow")
-        labels = (
-            cand.union(labels)
-            .groupby("node")
-            .aggregate(Min("label", alias_name="label"))
-            .materialize()
-        )
+        # vectorized per-bucket grouped min, NOT groupby().aggregate:
+        # node is every-vertex cardinality, and Ray's sort aggregate
+        # walks the one-row groups at Python speed (groups.py
+        # rationale); one bucketed exchange + pandas C-level min
+        from .groups import bucketed_group_apply as _bga
+
+        labels = _bga(
+            cand.union(labels), "node",
+            lambda g: g.groupby("node", as_index=False)["label"].min(),
+            num_buckets=num_buckets,
+        ).materialize()
         cur_sum = int(labels.sum("label"))
         if cur_sum == prev_sum:
             converged = True
