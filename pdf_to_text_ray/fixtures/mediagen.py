@@ -128,3 +128,68 @@ def ensure_media_parquet(n_rows: int, seed: int = 42,
         with open(marker, "w") as f:
             f.write("ok")
     return out
+
+
+def _texture(seed: int, h: int, w: int) -> np.ndarray:
+    """Band-limited texture: an 8×8 random field bilinearly upsampled —
+    the spectrum class pHash is specified over (a pure gradient's AC
+    coefficients are ~0 and their median-threshold bits degenerate)."""
+    rng = np.random.RandomState(seed)
+    f = rng.randint(0, 256, (8, 8)).astype(np.float64)
+    yi = np.linspace(0, 7, h)
+    xi = np.linspace(0, 7, w)
+    y0 = np.floor(yi).astype(int)
+    x0 = np.floor(xi).astype(int)
+    y1 = np.minimum(y0 + 1, 7)
+    x1 = np.minimum(x0 + 1, 7)
+    fy = (yi - y0)[:, None]
+    fx = (xi - x0)[None, :]
+    g = (f[np.ix_(y0, x0)] * (1 - fy) * (1 - fx)
+         + f[np.ix_(y1, x0)] * fy * (1 - fx)
+         + f[np.ix_(y0, x1)] * (1 - fy) * fx
+         + f[np.ix_(y1, x1)] * fy * fx)
+    return np.stack([g, g, g], axis=2).astype(np.uint8)
+
+
+def make_phash_media_row(i: int, seed: int) -> dict:
+    """Row i belongs to cluster i // 3; the three variants are (0) the
+    base render, (1) a resized render, (2) a noised render — each a
+    REAL encoded image, so the pHash near-dup profile has known
+    structure: every image has ≥ 2 in-cluster neighbors."""
+    from ..stages.media_codecs import encode_bmp, encode_ppm
+
+    base = i // 3
+    variant = i % 3
+    pat_seed = seed * 604_171 + base
+    if variant == 0:
+        img = _texture(pat_seed, 32, 32)
+        payload, w, h = encode_bmp(img), 32, 32
+    elif variant == 1:
+        img = _texture(pat_seed, 40, 36)
+        payload, w, h = encode_ppm(img), 36, 40
+    else:
+        rng = np.random.RandomState(seed * 911_383 + i)
+        img = np.clip(_texture(pat_seed, 32, 32).astype(int)
+                      + rng.randint(-10, 11, (32, 32, 3)),
+                      0, 255).astype(np.uint8)
+        payload, w, h = encode_bmp(img), 32, 32
+    return {"media_id": i, "media_type": "image", "payload": payload,
+            "meta_width": w, "meta_height": h, "meta_duration_ms": 0}
+
+
+def ensure_phash_media_parquet(n_rows: int, seed: int = 42,
+                               base_dir: str = "/tmp/ptt_media_ph") -> str:
+    key = f"v{MEDIA_GENERATOR_VERSION}_n{n_rows}_s{seed}"
+    out = os.path.join(base_dir, key)
+    marker = os.path.join(out, "_DONE")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out, exist_ok=True)
+        rows = [make_phash_media_row(i, seed) for i in range(n_rows)]
+        table = pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+        pq.write_table(table, os.path.join(out, "media-0.parquet"))
+        with open(marker, "w") as f:
+            f.write("ok")
+    return out

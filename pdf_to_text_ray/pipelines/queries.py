@@ -2381,6 +2381,27 @@ def media_thumbnails(sf_dir: str):
     return out.map_batches(summarize, batch_format="pyarrow")
 
 
+def media_phash_neardup(sf_dir: str):
+    """Image near-dup via 64-bit perceptual hash (rows-only — pixel
+    decode is a binary-codec surface, not SQL): media table → pHash
+    actor pool (in-repo BMP/PPM decoders) → 4×16-bit Hamming banding →
+    per-image neighbor profile (stages/multimodal.py::
+    image_phash_neardup). The fixture (fixtures/mediagen.py::
+    ensure_phash_media_parquet) packs images in clusters of three —
+    base, resized, noised renders of one band-limited texture — so
+    every image must surface ≥ 2 in-cluster neighbors; asserted in
+    tests/test_round17_ops.py."""
+    import ray.data as rd
+
+    from ..fixtures.mediagen import ensure_phash_media_parquet
+    from ..stages.multimodal import image_phash_neardup
+
+    media_dir = ensure_phash_media_parquet(_corpus_rows_for(sf_dir), seed=42)
+    ds = rd.read_parquet(media_dir)
+    out = image_phash_neardup(ds, concurrency=(1, 4)).to_pandas()
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
 def neardup_minhash_docs(sf_dir: str):
     """MinHash+LSH near-dup pairs, oracle-checked against the EXACT
     char-5-gram Jaccard self-join: the engine verifies candidates with
@@ -13967,6 +13988,7 @@ QUERIES = {
     "anchor_text_index": anchor_text_index,
     "event_transition_matrix": event_transition_matrix,
     "media_thumbnails": media_thumbnails,
+    "media_phash_neardup": media_phash_neardup,
     "orders_dow_volume": orders_dow_volume,
     # round-13 additions
     "lineitem_skyline": lineitem_skyline,

@@ -250,3 +250,184 @@ def extract_media_features(ds, *, concurrency=(1, 8), batch_size: int = 16):
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+# ── perceptual-hash image near-dup (pHash + Hamming banding) ─────────
+# pHash (Zauner 2010, "Implementation and Benchmarking of Perceptual
+# Image Hash Functions"): grayscale → 32×32 resample → 2-D DCT-II →
+# 8×8 low-frequency block (DC dropped) → median threshold = 64 bits.
+# Near-identical pixels (re-encode, mild noise, resize) land within a
+# few Hamming bits; the pair search reuses the simhash 4×16-bit band
+# pigeonhole (complete for Hamming ≤ 3, high-recall above), so only
+# (media_id, band, band_val, phash) fixed-width rows ever shuffle —
+# the image payloads never leave the decode stage.
+
+_DCT32 = None
+
+
+def _dct32_matrix() -> np.ndarray:
+    global _DCT32
+    if _DCT32 is None:
+        n = np.arange(32)
+        _DCT32 = np.cos(np.pi * (2 * n[None, :] + 1) * n[:, None] / 64.0)
+    return _DCT32
+
+
+def phash64(img: np.ndarray) -> int:
+    """64-bit perceptual hash of an (H, W[, 3]) uint8 image."""
+    g = img.astype(np.float64)
+    if g.ndim == 3:
+        g = g.mean(axis=2)
+    h, w = g.shape
+    if h == 0 or w == 0:
+        return 0
+    # nearest-neighbor 32×32 resample (deterministic, size-invariant)
+    yi = np.minimum((np.arange(32) * h) // 32, h - 1)
+    xi = np.minimum((np.arange(32) * w) // 32, w - 1)
+    small = g[np.ix_(yi, xi)]
+    c = _dct32_matrix()
+    d = c @ small @ c.T
+    vals = d[:8, :8].ravel()[1:]  # 63 low-freq coeffs, DC dropped
+    bits = vals > np.median(vals)
+    out = 0
+    for i, b in enumerate(bits):
+        if b:
+            out |= 1 << i
+    return out
+
+
+class ImagePHasher:
+    """Actor-pool stage: decode each image payload (in-repo codecs,
+    injectable ``decode_fn`` first) and emit its 64-bit pHash.
+    Non-image and undecodable rows are dropped (``decodable`` column
+    semantics live in the resize stage; the hash stage only feeds the
+    near-dup search)."""
+
+    def __init__(self, decode_fn=None):
+        self.decode_fn = decode_fn
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .media_codecs import UnsupportedMediaError, decode_image
+
+        ids: list[int] = []
+        hashes: list[int] = []
+        for mid, mtype, payload in zip(batch["media_id"].to_pylist(),
+                                       batch["media_type"].to_pylist(),
+                                       batch["payload"].to_pylist()):
+            if mtype != "image":
+                continue
+            img = None
+            if self.decode_fn is not None:
+                try:
+                    img = self.decode_fn(payload)
+                except UnsupportedMediaError:
+                    img = None
+            if img is None:
+                try:
+                    img = decode_image(payload)
+                except UnsupportedMediaError:
+                    continue
+            ids.append(mid)
+            # int64 container for the uint64 hash (Arrow-friendly,
+            # same convention as simhash_batch)
+            hashes.append(np.uint64(phash64(img)).astype(np.int64))
+        return pa.table({"media_id": pa.array(ids, pa.int64()),
+                         "phash": pa.array(hashes, pa.int64())})
+
+
+def image_phash_neardup(ds, *, max_hamming: int = 12,
+                        max_bucket: int = 256, num_buckets: int = 16,
+                        concurrency=(1, 8), batch_size: int = 32):
+    """Per-image near-dup profile over pHash Hamming distance:
+    (media_id, n_neighbors, min_hamming) for every DECODED image, where
+    neighbors are band-colliding images within ``max_hamming``. Output
+    is image-bounded (never pair-bounded) so a mirror-heavy corpus
+    can't swell the result; the pair stream itself stays inside the
+    bucketed exchanges.
+
+    Stages: pHash actor pool (payloads dropped after decode) → 8×8-bit
+    band explode (fixed-width rows only; pigeonhole-complete for
+    Hamming ≤ 7, high-recall to ~12 — re-encode/resize variants land
+    at 4-10 bits, beyond the 4×16 scheme's ≤ 3 guarantee) →
+    per-bucket collision pair gen with vectorized Hamming verify →
+    pair dedup → per-id fold. Partitioning assumption: a single
+    band-value collision group is capped at ``max_bucket`` ids
+    (degenerate all-equal corpora)."""
+    import pandas as pd
+
+    from .groups import bucketed_group_apply
+
+    sigs = ds.map_batches(
+        ImagePHasher, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)
+
+    def explode_bands(b: pd.DataFrame) -> pd.DataFrame:
+        h = b["phash"].to_numpy().astype(np.uint64)
+        frames = []
+        for band in range(8):
+            val = ((h >> np.uint64(band * 8))
+                   & np.uint64(0xFF)).astype(np.int64)
+            frames.append(pd.DataFrame({
+                "media_id": b["media_id"].to_numpy(),
+                "band": band, "band_val": val,
+                "phash": b["phash"].to_numpy()}))
+        return pd.concat(frames, ignore_index=True)
+
+    bands = sigs.map_batches(explode_bands, batch_format="pandas")
+
+    def pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        counts = g.groupby(["band", "band_val"],
+                           sort=False)["media_id"].transform("count")
+        g = g[counts >= 2]
+        out_a: list = []
+        out_b: list = []
+        for _, grp in g.groupby(["band", "band_val"], sort=False):
+            rows = sorted(set(zip(grp["media_id"], grp["phash"])))
+            if len(rows) < 2 or len(rows) > max_bucket:
+                continue
+            ids = np.array([r[0] for r in rows], dtype=np.int64)
+            hs = np.array([r[1] for r in rows],
+                          dtype=np.int64).astype(np.uint64)
+            iu, ju = np.triu_indices(len(ids), k=1)
+            x = np.bitwise_xor(hs[iu], hs[ju])
+            ham = np.unpackbits(
+                x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+            keep = ham <= max_hamming
+            out_a.append(np.column_stack([ids[iu[keep]], ids[ju[keep]],
+                                          ham[keep].astype(np.int64)]))
+        if not out_a:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64"),
+                                 "hamming": pd.Series([], dtype="int64")})
+        m = np.concatenate(out_a)
+        return pd.DataFrame({"id_a": m[:, 0], "id_b": m[:, 1],
+                             "hamming": m[:, 2]})
+
+    pairs = bucketed_group_apply(bands, ["band", "band_val"], pairs_bucket,
+                                 num_buckets=num_buckets)
+    deduped = bucketed_group_apply(
+        pairs, ["id_a", "id_b"],
+        lambda g: g.drop_duplicates(["id_a", "id_b"]),
+        num_buckets=num_buckets)
+
+    def profile_partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        both = pd.concat([
+            df[["id_a", "hamming"]].rename(columns={"id_a": "media_id"}),
+            df[["id_b", "hamming"]].rename(columns={"id_b": "media_id"})],
+            ignore_index=True)
+        g = (both.groupby("media_id", sort=False)["hamming"]
+             .agg(n_neighbors="size", min_hamming="min").reset_index())
+        g["n_neighbors"] = g["n_neighbors"].astype("int64")
+        g["min_hamming"] = g["min_hamming"].astype("int64")
+        from .groups import arrow_out
+
+        return arrow_out(g)
+
+    return bucketed_group_apply(
+        deduped.map_batches(profile_partial, batch_format="pyarrow"),
+        "media_id",
+        lambda g: g.groupby("media_id", as_index=False).agg(
+            n_neighbors=("n_neighbors", "sum"),
+            min_hamming=("min_hamming", "min")),
+        num_buckets=num_buckets)

@@ -155,3 +155,83 @@ def test_token_zipf_slope_recovers_exponent(ray_session):
     assert len(out) == 1
     assert out.loc[0, "n_terms"] == 100
     assert out.loc[0, "zipf_slope"] == pytest.approx(-1.0, abs=0.02)
+
+
+# ── perceptual hash ──────────────────────────────────────────────────
+
+def test_phash64_invariances():
+    """pHash's contract is over band-limited (textured) images: the
+    same texture re-rendered at another size or mildly noised stays
+    within a few Hamming bits; an independent texture is far."""
+    from pdf_to_text_ray.fixtures.mediagen import _texture
+    from pdf_to_text_ray.stages.multimodal import phash64
+
+    a = phash64(_texture(1, 32, 32))
+    assert 0 <= a < 1 << 64
+    assert phash64(_texture(1, 32, 32)) == a  # deterministic
+    assert bin(a ^ phash64(_texture(1, 48, 40))).count("1") <= 10
+    assert bin(a ^ phash64(_texture(1, 28, 44))).count("1") <= 10
+    rng = np.random.RandomState(0)
+    noisy = np.clip(_texture(1, 32, 32).astype(int)
+                    + rng.randint(-12, 13, (32, 32, 3)),
+                    0, 255).astype(np.uint8)
+    assert bin(a ^ phash64(noisy)).count("1") <= 10
+    assert bin(a ^ phash64(_texture(2, 32, 32))).count("1") > 16
+    assert bin(a ^ phash64(_texture(3, 32, 32))).count("1") > 16
+
+
+def test_image_phash_neardup_clusters(ray_session):
+    import ray.data as rd
+
+    from pdf_to_text_ray.fixtures.mediagen import _texture
+    from pdf_to_text_ray.stages.media_codecs import encode_bmp, encode_ppm
+    from pdf_to_text_ray.stages.multimodal import image_phash_neardup
+
+    rng = np.random.RandomState(7)
+    rows = []
+    # base / resized / noised renders of one texture → one cluster
+    noised = np.clip(_texture(5, 32, 32).astype(int)
+                     + rng.randint(-10, 11, (32, 32, 3)),
+                     0, 255).astype(np.uint8)
+    for i, img in enumerate([_texture(5, 32, 32), _texture(5, 40, 36),
+                             noised]):
+        rows.append({"media_id": i, "media_type": "image",
+                     "payload": encode_bmp(img),
+                     "meta_width": img.shape[1],
+                     "meta_height": img.shape[0], "meta_duration_ms": 0})
+    # two independent textures → isolated
+    for i, s in ((10, 6), (11, 7)):
+        img = _texture(s, 24, 24)
+        rows.append({"media_id": i, "media_type": "image",
+                     "payload": encode_ppm(img),
+                     "meta_width": 24, "meta_height": 24,
+                     "meta_duration_ms": 0})
+    # a non-image row must be ignored
+    rows.append({"media_id": 99, "media_type": "audio", "payload": b"x",
+                 "meta_width": 0, "meta_height": 0, "meta_duration_ms": 5})
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    out = (image_phash_neardup(ds, concurrency=(1, 2)).to_pandas()
+           .set_index("media_id").sort_index())
+    assert {0, 1, 2} <= set(out.index)  # the texture cluster found
+    assert (out.loc[[0, 1, 2], "n_neighbors"] >= 2).all()
+    assert (out.loc[[0, 1, 2], "min_hamming"] <= 12).all()
+    assert 10 not in out.index and 11 not in out.index  # isolated
+    assert 99 not in out.index
+
+
+def test_media_phash_neardup_query_cluster_structure(ray_session):
+    """The driver query's fixture packs clusters of three; every image
+    must report both in-cluster neighbors (banding recall at these
+    distances) and nothing cross-cluster at Hamming ≤ 3."""
+    from pdf_to_text_ray.pipelines.queries import media_phash_neardup
+
+    out = media_phash_neardup("/root/testdata/sf0.001").set_index("media_id")
+    n_imgs = 184  # fixture rows for sf0.001 (ceil to clusters of 3)
+    # every image finds its nearest in-cluster variant (base↔noise ≤ 4
+    # bits, base↔resize ≤ ~10); the resize↔noise leg may legitimately
+    # exceed max_hamming=12, so ≥ 2 neighbors holds for most but not
+    # all rows
+    assert len(out) >= 0.9 * n_imgs
+    assert (out["n_neighbors"] >= 1).all()
+    assert (out["n_neighbors"] >= 2).mean() > 0.5
+    assert (out["min_hamming"] <= 12).all()
