@@ -13744,6 +13744,251 @@ FROM fit ORDER BY source
 """
 
 
+# ── hybrid retrieval: reciprocal-rank fusion (round 18) ──────────────
+
+RRF_QUERY_ID = 0     # semantic query = embedding of vec_id 0
+RRF_K0 = 60          # the standard RRF constant (Cormack et al. 2009)
+RRF_LEG_K = 50       # per-leg candidate depth
+RRF_TOPK = 20
+
+
+def hybrid_search_rrf(sf_dir: str):
+    """Hybrid lexical+semantic retrieval via reciprocal-rank fusion
+    (Cormack, Clarke & Büttcher 2009): leg 1 = BM25 top-50 for the
+    fixed term query over documents.text; leg 2 = exact cosine top-50
+    against the query vector (embeddings.vec_id 0, which indexes the
+    same id space as doc_id); fused score = Σ 1/(60 + rank), missing
+    leg contributes 0. Both legs are streaming partial-top-k passes
+    (tiny per-block partials, driver merges ≤ blocks×k rows); the
+    fusion itself touches ≤ 2k rows. Ranks derive from the legs' own
+    deterministic orders (BM25 ranks on the 2dp-rounded score, cosine
+    on raw sim — both orders are the ones their standalone oracles
+    pin), and the fused score rounds at 6 dp before the final cut so
+    the top-20 boundary is portable."""
+    from ..stages.index import bm25_topk
+    from ..stages.similarity import knn_bruteforce
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    lex = bm25_topk(docs, BM25_SEARCH_TERMS, topk=RRF_LEG_K)
+    lex = pd.DataFrame({
+        "doc_id": lex["doc_id"].to_numpy(np.int64),
+        "lex_rank": np.arange(1, len(lex) + 1, dtype=np.int64),
+    })
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    sem = knn_bruteforce(emb, [RRF_QUERY_ID], k=RRF_LEG_K)
+    sem = pd.DataFrame({
+        "doc_id": sem["vec_id"].to_numpy(np.int64),
+        "sem_rank": sem["rank"].to_numpy(np.int64),
+    })
+    f = lex.merge(sem, on="doc_id", how="outer")
+    lr = f["lex_rank"].to_numpy(np.float64)
+    sr = f["sem_rank"].to_numpy(np.float64)
+    # identical double arithmetic to the SQL twin: 1.0/(60+rank),
+    # absent leg = 0.0, two-term sum in lex-then-sem order
+    lex_term = np.where(np.isnan(lr), 0.0, 1.0 / (RRF_K0 + lr))
+    sem_term = np.where(np.isnan(sr), 0.0, 1.0 / (RRF_K0 + sr))
+    f["rrf_score"] = round6(lex_term + sem_term)
+    f["lex_rank"] = f["lex_rank"].fillna(0).astype("int64")
+    f["sem_rank"] = f["sem_rank"].fillna(0).astype("int64")
+    f["doc_id"] = f["doc_id"].astype("int64")
+    f = f.sort_values(["rrf_score", "doc_id"], ascending=[False, True],
+                      kind="mergesort").head(RRF_TOPK)
+    return f[["doc_id", "lex_rank", "sem_rank",
+              "rrf_score"]].reset_index(drop=True)
+
+
+HYBRID_RRF_SQL = f"""
+WITH w AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents
+           WHERE coalesce(text, '') <> ''),
+st AS (SELECT count(*) AS n,
+              sum(length(w))::DOUBLE / count(*) AS avgdl FROM w),
+q AS (SELECT unnest(['hash', 'join']) AS term),
+tf AS (SELECT doc_id, term,
+              length(list_filter(w, x -> x = term)) AS tf,
+              length(w) AS dl FROM w, q),
+df AS (SELECT term, count(*) FILTER (tf > 0) AS df FROM tf GROUP BY term),
+sc AS (SELECT tf.doc_id,
+              sum(ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1)
+                  * (tf.tf * 2.2)
+                  / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl)))
+                AS score
+       FROM tf JOIN df USING (term), st GROUP BY tf.doc_id),
+lex AS (SELECT doc_id, lex_rank FROM (
+          SELECT doc_id, row_number() OVER (
+            ORDER BY round(score, 2) DESC, doc_id) AS lex_rank FROM sc)
+        WHERE lex_rank <= {RRF_LEG_K}),
+qv AS (SELECT embedding FROM embeddings WHERE vec_id = {RRF_QUERY_ID}),
+sem AS (SELECT doc_id, sem_rank FROM (
+          SELECT e.vec_id AS doc_id, row_number() OVER (
+            ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+                                            qv.embedding::DOUBLE[]) DESC,
+                     e.vec_id) AS sem_rank
+          FROM embeddings e, qv WHERE e.vec_id <> {RRF_QUERY_ID})
+        WHERE sem_rank <= {RRF_LEG_K}),
+fused AS (
+  SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+         coalesce(lex_rank, 0) AS lex_rank,
+         coalesce(sem_rank, 0) AS sem_rank,
+         round(CASE WHEN lex_rank IS NULL THEN 0.0::DOUBLE
+                    ELSE 1.0::DOUBLE / ({RRF_K0} + lex_rank) END
+             + CASE WHEN sem_rank IS NULL THEN 0.0::DOUBLE
+                    ELSE 1.0::DOUBLE / ({RRF_K0} + sem_rank) END,
+               6) AS rrf_score
+  FROM lex FULL JOIN sem ON lex.doc_id = sem.doc_id)
+SELECT doc_id, lex_rank, sem_rank, rrf_score FROM fused
+ORDER BY rrf_score DESC, doc_id LIMIT {RRF_TOPK}
+"""
+
+
+# ── MMR diversified top-k (round 18) ─────────────────────────────────
+
+MMR_QUERY_ID = 0
+MMR_LAMBDA = 0.7
+MMR_MU = 0.3        # 1 - λ, written as a literal so both engines use
+                    # the same double (Python's 1-0.7 != 0.3)
+MMR_CAND = 20
+MMR_K = 10
+
+
+def mmr_diverse_topk(sf_dir: str):
+    """Maximal-marginal-relevance diversified top-k (Carbonell &
+    Goldstein 1998) — the RAG retrieval step that trades relevance
+    against redundancy: candidate pool = exact cosine top-20 for the
+    query vector (a distributed partial-top-k pass, the knn_bruteforce
+    shape), then the greedy argmax λ·rel − (1−λ)·max-sim-to-selected
+    over the candidates. The greedy is inherently sequential but runs
+    over a k×k float matrix on the driver (the candidate CUT is the
+    distributed part — at corpus scale the pool stays k rows).
+    Portability: rel and pairwise sims round at 6 dp BEFORE the
+    greedy, and each step's MMR objective re-rounds at 6 dp, so the
+    oracle's recursive list-accumulator CTE replays the identical
+    pick sequence."""
+    from ..stages.similarity import _fetch_rows_by_id, _normalize, \
+        knn_bruteforce
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    ranked = knn_bruteforce(ds, [MMR_QUERY_ID], k=MMR_CAND)
+    cand_ids = ranked["vec_id"].to_numpy(np.int64)
+    rows = _fetch_rows_by_id(ds, "vec_id",
+                             set(cand_ids.tolist()) | {MMR_QUERY_ID})
+    vecs = {int(i): np.asarray(v, np.float64)
+            for i, v in zip(rows["vec_id"], rows["embedding"])}
+    q = vecs[MMR_QUERY_ID]
+    q = q / np.linalg.norm(q)
+    m = _normalize(np.stack([vecs[int(i)] for i in cand_ids]))
+    rel = round6(m @ q)
+    sims = round6(m @ m.T)
+    selected: list[int] = []
+    scores: list[float] = []
+    remaining = list(range(len(cand_ids)))
+    for _ in range(min(MMR_K, len(cand_ids))):
+        best = None
+        for j in remaining:
+            mx = max((float(sims[j, i]) for i in selected), default=0.0)
+            sc = float(round6(MMR_LAMBDA * float(rel[j]) - MMR_MU * mx))
+            key = (-sc, int(cand_ids[j]))
+            if best is None or key < best[0]:
+                best = (key, j, sc)
+        selected.append(best[1])
+        remaining.remove(best[1])
+        scores.append(best[2])
+    return pd.DataFrame({
+        "step": np.arange(1, len(selected) + 1, dtype=np.int64),
+        "doc_id": cand_ids[selected].astype(np.int64),
+        "mmr_score": np.asarray(scores, np.float64),
+    })
+
+
+MMR_SQL = f"""
+WITH RECURSIVE
+qv AS (SELECT embedding FROM embeddings WHERE vec_id = {MMR_QUERY_ID}),
+cand AS (
+  SELECT vec_id,
+         round(list_cosine_similarity(embedding::DOUBLE[],
+               (SELECT embedding FROM qv)::DOUBLE[]), 6) AS rel
+  FROM (
+    SELECT e.vec_id, e.embedding, row_number() OVER (
+      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+                                      qv.embedding::DOUBLE[]) DESC,
+               e.vec_id) AS rnk
+    FROM embeddings e, qv WHERE e.vec_id <> {MMR_QUERY_ID})
+  WHERE rnk <= {MMR_CAND}),
+sims AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                      eb.embedding::DOUBLE[]), 6) AS s
+  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id),
+sel(step, picks) AS (
+  SELECT 0, []::BIGINT[]
+  UNION ALL
+  SELECT step + 1, list_append(picks, (
+      SELECT c.vec_id FROM cand c
+      WHERE NOT list_contains(picks, c.vec_id)
+      ORDER BY round({MMR_LAMBDA}::DOUBLE * c.rel
+                     - {MMR_MU}::DOUBLE * coalesce((
+                         SELECT max(s.s) FROM sims s
+                         WHERE s.ia = c.vec_id
+                           AND list_contains(picks, s.ib)), 0.0::DOUBLE),
+                     6) DESC, c.vec_id
+      LIMIT 1))
+  FROM sel WHERE step < {MMR_K})
+SELECT i AS step, list_extract(picks, i) AS doc_id,
+       round({MMR_LAMBDA}::DOUBLE * (
+               SELECT rel FROM cand c
+               WHERE c.vec_id = list_extract(picks, i))
+           - {MMR_MU}::DOUBLE * coalesce((
+               SELECT max(s.s) FROM sims s
+               WHERE s.ia = list_extract(picks, i)
+                 AND list_contains(list_slice(picks, 1, i - 1), s.ib)),
+               0.0::DOUBLE), 6) AS mmr_score
+FROM (SELECT picks FROM sel WHERE step = {MMR_K}),
+     range(1, {MMR_K} + 1) AS t(i)
+ORDER BY step
+"""
+
+
+# ── leakage-safe group split (round 18) ──────────────────────────────
+
+def source_split_assign(sf_dir: str):
+    """Leakage-safe train/val/test split: the split key is the GROUP
+    (documents.source), not the row, so every document from one origin
+    lands in the same split — the discipline that keeps near-duplicate
+    shards of a single source from straddling train and test (the
+    standard contamination guard when splitting crawled corpora; cf.
+    doc_split_assign for the per-row variant). Same engine-portable
+    md5 uniform, pure map — no shuffle, no RNG state."""
+    from ..stages.sketches import md5_uniform
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        srcs = t["source"].to_pylist()
+        u = md5_uniform(srcs)
+        split = np.where(u < 0.8, "train", np.where(u < 0.9, "val",
+                                                    "test"))
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "source": t["source"],
+            "split": pa.array(split.tolist(), pa.string()),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+SOURCE_SPLIT_SQL = """
+SELECT doc_id, source,
+       CASE WHEN u < 0.8 THEN 'train'
+            WHEN u < 0.9 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id, source,
+             ('0x' || substr(md5(source), 1, 8))::UBIGINT
+               / 4294967296.0 AS u
+      FROM documents)
+"""
+
+
 QUERIES = {
     # relational
     "q1_pricing_summary": q1_pricing_summary,
@@ -13883,6 +14128,10 @@ QUERIES = {
     "neardup_jarowinkler_docs": neardup_jarowinkler_docs,
     "cdc_chunk_dedup": cdc_chunk_dedup,
     "token_zipf_slope": token_zipf_slope,
+    # round-18 additions
+    "hybrid_search_rrf": hybrid_search_rrf,
+    "mmr_diverse_topk": mmr_diverse_topk,
+    "source_split_assign": source_split_assign,
     "doc_normalize_text": doc_normalize_text,
     "doc_gopher_repetition": doc_gopher_repetition,
     "sample_stratified_docs": sample_stratified_docs,
@@ -14288,4 +14537,8 @@ ORACLE_SQL = {
     "ab_test_value_welch": WELCH_SQL,
     "doc_fingerprint_clusters": FINGERPRINT_CLUSTERS_SQL,
     "langid_agreement_kappa": KAPPA_SQL,
+    # round-18 additions
+    "hybrid_search_rrf": HYBRID_RRF_SQL,
+    "mmr_diverse_topk": MMR_SQL,
+    "source_split_assign": SOURCE_SPLIT_SQL,
 }
