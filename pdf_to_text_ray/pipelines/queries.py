@@ -13949,6 +13949,195 @@ ORDER BY step
 """
 
 
+# ── pseudo-relevance-feedback retrieval (round 18) ───────────────────
+
+PRF_FEEDBACK_K = 10   # feedback depth (pass-1 BM25 top-k)
+PRF_EXPAND_M = 3      # expansion terms added to the query
+PRF_TOPK = 20
+
+
+def bm25_prf_search(sf_dir: str):
+    """Two-pass BM25 with pseudo-relevance-feedback query expansion
+    (RM3-style, Abdul-Jaleel et al. 2004, unweighted-term variant):
+    pass 1 retrieves the top-10 docs for the fixed query; the 3
+    highest-total-TF tokens of those docs (original terms excluded,
+    ties by token asc) join the query; pass 2 re-ranks the corpus
+    with the 5-term query and returns the top-20. Each pass is the
+    streaming two-phase BM25 (tiny stats partials + broadcast-stats
+    partial-top-k — stages/index.py:95); only the 10 feedback docs'
+    texts land on the driver for term counting. Scores round at 2 dp
+    before ranking so a last-ulp ln()/sum-order difference can't flip
+    the cut."""
+    from ..stages.index import bm25_topk
+    from ..stages.similarity import _fetch_rows_by_id
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    fb = bm25_topk(docs, BM25_SEARCH_TERMS, topk=PRF_FEEDBACK_K)
+    fb_ids = set(int(i) for i in fb["doc_id"])
+    fb_rows = _fetch_rows_by_id(docs, "doc_id", fb_ids)
+    tf: dict[str, int] = {}
+    for s in fb_rows["text"].tolist():
+        for tok in (s or "").split(" "):
+            if tok and tok not in BM25_SEARCH_TERMS:
+                tf[tok] = tf.get(tok, 0) + 1
+    expansion = [t for t, _ in sorted(tf.items(),
+                                      key=lambda kv: (-kv[1], kv[0]))
+                 ][:PRF_EXPAND_M]
+    out = bm25_topk(docs, BM25_SEARCH_TERMS + expansion, topk=PRF_TOPK)
+    return out.reset_index(drop=True)
+
+
+def _bm25_prf_sql() -> str:
+    """SQL twin: pass-1 BM25 → feedback-doc term counts → expanded
+    term list → pass-2 BM25. The BM25 CTE is instantiated twice with
+    different term sources."""
+    def bm25(qcte: str, limit: int, with_rank: bool) -> str:
+        sel = ("doc_id, score" if not with_rank else "doc_id")
+        return f"""
+  SELECT {sel} FROM (
+    SELECT tf.doc_id,
+           round(sum(ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1)
+                     * (tf.tf * 2.2)
+                     / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl))),
+                 2) AS score
+    FROM (SELECT doc_id, term,
+                 length(list_filter(w, x -> x = term)) AS tf,
+                 length(w) AS dl FROM w, {qcte}) tf
+    JOIN (SELECT term, count(*) FILTER (
+            length(list_filter(w, x -> x = term)) > 0) AS df
+          FROM w, {qcte} GROUP BY term) df USING (term), st
+    GROUP BY tf.doc_id)
+  ORDER BY score DESC, doc_id LIMIT {limit}"""
+
+    return f"""
+WITH w AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents
+           WHERE coalesce(text, '') <> ''),
+st AS (SELECT count(*) AS n,
+              sum(length(w))::DOUBLE / count(*) AS avgdl FROM w),
+q1(term) AS (SELECT unnest(['hash', 'join'])),
+fb AS ({bm25('q1', PRF_FEEDBACK_K, True)}),
+ftoks AS (SELECT unnest(str_split(d.text, ' ')) AS tok
+          FROM documents d JOIN fb ON d.doc_id = fb.doc_id),
+exp AS (SELECT tok FROM (
+          SELECT tok, count(*) AS c FROM ftoks
+          WHERE tok <> '' AND tok NOT IN ('hash', 'join')
+          GROUP BY tok)
+        ORDER BY c DESC, tok LIMIT {PRF_EXPAND_M}),
+q2(term) AS (SELECT unnest(['hash', 'join']) UNION ALL
+             SELECT tok FROM exp)
+{bm25('q2', PRF_TOPK, False)}
+"""
+
+
+# ── per-source token-distribution KL divergence (round 18) ───────────
+
+KL_VOCAB_K = 100   # restrict to the corpus-wide top-100 tokens
+
+
+def source_token_kl(sf_dir: str):
+    """Vocabulary-shift monitor: KL(source ‖ corpus) over the corpus
+    top-100 tokens with add-one smoothing — the domain-drift signal
+    the length-based KS/PSI checks can't see (a source can keep the
+    length profile while swapping its vocabulary). Token counts come
+    from per-batch (source, token, n) partials (one pre-aggregated
+    shuffle, the token_zipf_slope shape); the global top-100 cut is a
+    per-block partial top-k (never the whole vocabulary on the
+    driver); the KL itself touches ≤ 100×|sources| rows. KL rounds at
+    6 dp (ln/sum-order noise absorbed, the zipf precedent)."""
+    import re as _re
+
+    from ray.data.aggregate import Sum
+
+    from pdf_to_text_ray.stages.groups import arrow_out
+
+    split_re = _re.compile(r"[ \t\r\n\f\v]+")
+    ds = _read(sf_dir, "documents", ["text", "source"])
+
+    def partial_counts(df: pd.DataFrame) -> pa.Table:
+        acc: dict[tuple, int] = {}
+        for src, text in zip(df["source"].tolist(), df["text"].tolist()):
+            for tok in split_re.split(text or ""):
+                if tok:
+                    acc[(src, tok)] = acc.get((src, tok), 0) + 1
+        keys = list(acc.keys())
+        return arrow_out(pd.DataFrame({
+            "source": [k[0] for k in keys],
+            "tok": [k[1] for k in keys],
+            "n": pd.Series([acc[k] for k in keys], dtype="int64")}))
+
+    counts = (ds.map_batches(partial_counts, batch_format="pandas")
+              .groupby(["source", "tok"])
+              .aggregate(Sum("n", alias_name="n")))
+
+    def topk_partial(t: pa.Table) -> pa.Table:
+        # input rows are unique per tok (post-groupby), so a per-block
+        # (n desc, tok asc) head-k is an exact candidate cut — the
+        # global top-k is a subset of the union of block top-ks
+        df = (t.to_pandas()
+              .sort_values(["n", "tok"], ascending=[False, True],
+                           kind="mergesort").head(KL_VOCAB_K))
+        return arrow_out(df)
+
+    gtok = counts.groupby("tok").aggregate(Sum("n", alias_name="n"))
+    glob = (gtok.map_batches(topk_partial, batch_format="pyarrow")
+            .to_pandas()
+            .sort_values(["n", "tok"], ascending=[False, True],
+                         kind="mergesort").head(KL_VOCAB_K))
+    vocab = glob["tok"].tolist()
+    vset = set(vocab)
+    g_n = glob.set_index("tok")["n"].astype("float64")
+    n_glob = float(g_n.sum())
+    # add-one smoothing over the ACTUAL restricted vocabulary (which
+    # can be < KL_VOCAB_K on tiny corpora) — with |V| in the
+    # denominator both p and q are proper distributions, so KL >= 0
+    nv = float(len(vocab))
+
+    def keep_vocab(t: pa.Table) -> pa.Table:
+        toks = t["tok"].to_pylist()
+        mask = pa.array([tk in vset for tk in toks], pa.bool_())
+        return t.filter(mask)
+
+    sv = counts.map_batches(keep_vocab,
+                            batch_format="pyarrow").to_pandas()
+    q = (g_n.reindex(vocab).to_numpy() + 1.0) / (n_glob + nv)
+    rows = []
+    for src, g in sv.groupby("source", sort=True):
+        ns = float(g["n"].sum())
+        cnt = g.set_index("tok")["n"].reindex(vocab).fillna(0.0) \
+            .to_numpy(np.float64)
+        p = (cnt + 1.0) / (ns + nv)
+        rows.append({"source": src,
+                     "kl": float(round6(float(np.sum(p * np.log(p / q)))))})
+    out = pd.DataFrame(rows)
+    return out.sort_values("source").reset_index(drop=True)
+
+
+SOURCE_KL_SQL = rf"""
+WITH toks AS (
+  SELECT source,
+         unnest(regexp_split_to_array(coalesce(text, ''),
+                                      '[ \t\r\n\f\v]+')) AS tok
+  FROM documents),
+cnt AS (SELECT source, tok, count(*) AS n FROM toks
+        WHERE tok <> '' GROUP BY source, tok),
+v AS (SELECT tok, n FROM (
+        SELECT tok, sum(n) AS n FROM cnt GROUP BY tok)
+      ORDER BY n DESC, tok LIMIT {KL_VOCAB_K}),
+tot AS (SELECT sum(n)::DOUBLE AS ng, count(*)::DOUBLE AS nv FROM v),
+ns AS (SELECT c.source, sum(c.n)::DOUBLE AS nsrc
+       FROM cnt c JOIN v USING (tok) GROUP BY c.source),
+kl AS (
+  SELECT ns.source,
+         sum(((coalesce(c.n, 0) + 1.0) / (ns.nsrc + tot.nv))
+             * ln(((coalesce(c.n, 0) + 1.0) / (ns.nsrc + tot.nv))
+                  / ((v.n + 1.0) / (tot.ng + tot.nv)))) AS kl
+  FROM ns CROSS JOIN v
+  LEFT JOIN cnt c ON c.source = ns.source AND c.tok = v.tok, tot
+  GROUP BY ns.source)
+SELECT source, round(kl, 6) AS kl FROM kl ORDER BY source
+"""
+
+
 # ── leakage-safe group split (round 18) ──────────────────────────────
 
 def source_split_assign(sf_dir: str):
@@ -14132,6 +14321,8 @@ QUERIES = {
     "hybrid_search_rrf": hybrid_search_rrf,
     "mmr_diverse_topk": mmr_diverse_topk,
     "source_split_assign": source_split_assign,
+    "bm25_prf_search": bm25_prf_search,
+    "source_token_kl": source_token_kl,
     "doc_normalize_text": doc_normalize_text,
     "doc_gopher_repetition": doc_gopher_repetition,
     "sample_stratified_docs": sample_stratified_docs,
@@ -14541,4 +14732,6 @@ ORACLE_SQL = {
     "hybrid_search_rrf": HYBRID_RRF_SQL,
     "mmr_diverse_topk": MMR_SQL,
     "source_split_assign": SOURCE_SPLIT_SQL,
+    "bm25_prf_search": _bm25_prf_sql(),
+    "source_token_kl": SOURCE_KL_SQL,
 }

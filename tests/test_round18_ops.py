@@ -136,3 +136,85 @@ def test_source_split_is_group_pure(ray_session):
     n = duckdb.sql(
         f"SELECT count(*) FROM '{SF}/documents.parquet'").fetchone()[0]
     assert len(out) == n
+
+
+# ── pseudo-relevance-feedback BM25 ───────────────────────────────────
+
+def _write_documents(tmp_path, texts, name="prf"):
+    d = os.path.join(str(tmp_path), name)
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(["s0"] * len(texts), pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), os.path.join(d, "documents.parquet"))
+    return d
+
+
+def test_prf_expansion_recalls_term_free_doc(ray_session, tmp_path):
+    """A doc with NO original query term but rich in the expansion
+    term scores 0 under plain BM25 and positive after PRF expansion."""
+    from pdf_to_text_ray.pipelines.queries import bm25_prf_search
+    from pdf_to_text_ray.stages.index import bm25_topk
+    import ray.data as rd
+
+    texts = [
+        "hash join merge merge probe build",   # feedback doc
+        "hash join merge merge partition",     # feedback doc
+        "merge merge merge sort runs",         # no query term at all
+        "totally unrelated words here now",
+    ]
+    d = _write_documents(tmp_path, texts)
+    docs = rd.read_parquet(os.path.join(d, "documents.parquet"))
+    plain = bm25_topk(docs, ["hash", "join"], topk=4).set_index("doc_id")
+    assert plain.loc[2, "score"] == 0.0
+    out = bm25_prf_search(d).set_index("doc_id")
+    # 'merge' dominates the feedback docs' TF, so it joins the query
+    assert out.loc[2, "score"] > 0.0
+
+
+def test_prf_deterministic_on_testdata(ray_session):
+    from pdf_to_text_ray.pipelines.queries import (PRF_TOPK,
+                                                   bm25_prf_search)
+
+    a = bm25_prf_search(SF)
+    b = bm25_prf_search(SF)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) == PRF_TOPK
+    assert (a["score"].to_numpy()[:-1] >= a["score"].to_numpy()[1:]).all()
+
+
+# ── per-source token KL ──────────────────────────────────────────────
+
+def test_source_token_kl_flags_vocab_shift(ray_session, tmp_path):
+    """A source matching the corpus distribution sits near KL 0; a
+    source with a disjoint vocabulary scores much higher."""
+    from pdf_to_text_ray.pipelines.queries import source_token_kl
+
+    d = os.path.join(str(tmp_path), "kl")
+    os.makedirs(d, exist_ok=True)
+    # srcA dominates the corpus with a uniform 'a b c' mix; srcB only
+    # ever says 'zzz' (still in the global top-100 vocab cut)
+    texts = ["a b c"] * 50 + ["zzz zzz zzz"] * 5
+    srcs = ["srcA"] * 50 + ["srcB"] * 5
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(srcs, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), os.path.join(d, "documents.parquet"))
+    out = source_token_kl(d).set_index("source")
+    assert out.loc["srcB", "kl"] > out.loc["srcA", "kl"] + 0.5
+
+
+def test_source_token_kl_nonnegative_testdata(ray_session):
+    """Smoothed p and q are both proper distributions over the same
+    restricted vocabulary, so KL must be >= 0 for every source."""
+    from pdf_to_text_ray.pipelines.queries import source_token_kl
+
+    out = source_token_kl(SF)
+    assert len(out) == 20          # sf0.001 has src0..src19
+    assert (out["kl"].to_numpy() >= 0).all()
