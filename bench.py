@@ -184,6 +184,10 @@ def run_bench() -> dict:
         "part_clustering_coeff",
         "part_adamic_adar",
         "epoch_shuffle_plan",
+        # round-18 additions (retrieval/curation tier)
+        "hybrid_search_rrf",
+        "bm25_prf_search",
+        "source_token_kl",
     ):
         fn = Q.QUERIES[name]
         timed(name, lambda fn=fn: _consume(fn(SF_DIR)))

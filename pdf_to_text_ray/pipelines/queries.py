@@ -14067,7 +14067,11 @@ def source_token_kl(sf_dir: str):
 
     counts = (ds.map_batches(partial_counts, batch_format="pandas")
               .groupby(["source", "tok"])
-              .aggregate(Sum("n", alias_name="n")))
+              .aggregate(Sum("n", alias_name="n"))
+              # consumed twice (tok-level re-aggregate + vocab filter):
+              # pin the aggregated table so the upstream shuffle does
+              # not re-execute per pass
+              .materialize())
 
     def topk_partial(t: pa.Table) -> pa.Table:
         # input rows are unique per tok (post-groupby), so a per-block
