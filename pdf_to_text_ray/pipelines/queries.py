@@ -14142,6 +14142,108 @@ SELECT source, round(kl, 6) AS kl FROM kl ORDER BY source
 """
 
 
+# ── exactly-portable HyperLogLog (round 18) ──────────────────────────
+
+HLL_P = 6        # 2^6 = 64 registers: small enough that the SQL twin
+HLL_M = 64       # replays every register exactly (rse ≈ 1.04/√64 ≈ 13%)
+HLL_ALPHA = 0.709  # alpha_64 (Flajolet, Fusy, Gandouet & Meunier 2007)
+
+
+def hll_estimate_users_per_type(sf_dir: str):
+    """Grouped HyperLogLog distinct-user estimate whose VALUE is
+    hash-checked, not just accuracy-flagged (cf.
+    approx_distinct_users_per_type, whose 4 KiB internal-hash sketch
+    the oracle can only bound): hash = first 8 md5 hex digits of the
+    user id (the repo's engine-portable uniform), bucket = top 6 bits,
+    rho = leading-zero count + 1 of the remaining 26 bits. Per-batch
+    partials are (event_type, bucket, max rho) rows (≤ 64·|types| per
+    batch — registers shuffle, never values); the indicator sum
+    Σ 2^−M_j is a sum of exact dyadic rationals (|terms| ≤ 64,
+    granularity 2^−27 — exactly representable in a double regardless
+    of order), so engine and oracle agree bit-for-bit before the one
+    rounded division. The ≤ 2.5m linear-counting branch (m·ln(m/V))
+    is replayed identically; at sf0.001 (100 users) it takes the
+    linear path, at sf0.01 (999) the raw path — both sides of the
+    branch are driver-gated across scales."""
+    import hashlib
+
+    from ray.data.aggregate import Max
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        types = t["event_type"].to_pylist()
+        uids = t["user_id"].to_pylist()
+        acc: dict[tuple, int] = {}
+        for et, uid in zip(types, uids):
+            h = int(hashlib.md5(str(uid).encode()).hexdigest()[:8], 16)
+            bucket = h >> 26
+            sfx = h & ((1 << 26) - 1)
+            # rho = leading zeros of the 26-bit suffix + 1; bit_length
+            # gives the exact floor(log2)+1 the SQL twin computes
+            rho = 27 - sfx.bit_length() if sfx else 27
+            key = (et, bucket)
+            if acc.get(key, 0) < rho:
+                acc[key] = rho
+        keys = list(acc.keys())
+        return pa.table({
+            "event_type": pa.array([k[0] for k in keys], pa.string()),
+            "bucket": pa.array([k[1] for k in keys], pa.int64()),
+            "rho": pa.array([acc[k] for k in keys], pa.int64()),
+        })
+
+    regs = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["event_type", "bucket"])
+            .aggregate(Max("rho", alias_name="rho"))
+            .to_pandas())
+    rows = []
+    for et, g in regs.groupby("event_type", sort=True):
+        m = np.zeros(HLL_M, dtype=np.int64)
+        m[g["bucket"].to_numpy()] = g["rho"].to_numpy()
+        s = float(np.sum(np.ldexp(1.0, -m)))  # exact dyadic sum
+        v = int(np.count_nonzero(m == 0))
+        e_raw = HLL_ALPHA * (HLL_M * HLL_M) / s
+        if e_raw <= 2.5 * HLL_M and v > 0:
+            est = HLL_M * np.log(HLL_M / v)
+        else:
+            est = e_raw
+        rows.append({"event_type": et,
+                     "hll_estimate": float(round6(est))})
+    return pd.DataFrame(rows)
+
+
+HLL_SQL = f"""
+WITH b AS (
+  SELECT event_type,
+         h // 67108864 AS bucket,
+         h % 67108864 AS sfx
+  FROM (SELECT event_type,
+               ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::UBIGINT
+                 AS h
+        FROM events)),
+r AS (SELECT event_type, bucket,
+             max(CASE WHEN sfx = 0 THEN 27
+                      ELSE 26 - floor(log2(sfx))::INT END) AS rho
+      FROM b GROUP BY event_type, bucket),
+reg AS (SELECT t.event_type, g.i AS bucket, coalesce(r.rho, 0) AS m
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN range(0, {HLL_M}) g(i)
+        LEFT JOIN r ON r.event_type = t.event_type AND r.bucket = g.i),
+s AS (SELECT event_type,
+             sum(1.0::DOUBLE / ((1::BIGINT << m)::DOUBLE)) AS s,
+             sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS v
+      FROM reg GROUP BY event_type),
+e AS (SELECT event_type,
+             {HLL_ALPHA}::DOUBLE * {HLL_M * HLL_M}.0 / s AS e_raw, v
+      FROM s)
+SELECT event_type,
+       round(CASE WHEN e_raw <= {int(2.5 * HLL_M)}.0 AND v > 0
+                  THEN {HLL_M}.0 * ln({HLL_M}.0 / v)
+                  ELSE e_raw END, 6) AS hll_estimate
+FROM e ORDER BY event_type
+"""
+
+
 # ── leakage-safe group split (round 18) ──────────────────────────────
 
 def source_split_assign(sf_dir: str):
@@ -14327,6 +14429,7 @@ QUERIES = {
     "source_split_assign": source_split_assign,
     "bm25_prf_search": bm25_prf_search,
     "source_token_kl": source_token_kl,
+    "hll_estimate_users_per_type": hll_estimate_users_per_type,
     "doc_normalize_text": doc_normalize_text,
     "doc_gopher_repetition": doc_gopher_repetition,
     "sample_stratified_docs": sample_stratified_docs,
@@ -14738,4 +14841,5 @@ ORACLE_SQL = {
     "source_split_assign": SOURCE_SPLIT_SQL,
     "bm25_prf_search": _bm25_prf_sql(),
     "source_token_kl": SOURCE_KL_SQL,
+    "hll_estimate_users_per_type": HLL_SQL,
 }

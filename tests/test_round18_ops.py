@@ -218,3 +218,51 @@ def test_source_token_kl_nonnegative_testdata(ray_session):
     out = source_token_kl(SF)
     assert len(out) == 20          # sf0.001 has src0..src19
     assert (out["kl"].to_numpy() >= 0).all()
+
+
+# ── exactly-portable HLL ─────────────────────────────────────────────
+
+def test_hll_portable_accuracy_both_branches(ray_session):
+    """sf0.001 (100 users) exercises the linear-counting branch,
+    sf0.01 (999 users) the raw-estimate branch; with 64 registers the
+    rse is ~13%, so 3-sigma bounds hold comfortably."""
+    import duckdb
+
+    from pdf_to_text_ray.pipelines.queries import \
+        hll_estimate_users_per_type
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        out = hll_estimate_users_per_type(sf).set_index("event_type")
+        truth = duckdb.sql(f"""
+            SELECT event_type, count(DISTINCT user_id) AS n
+            FROM '{sf}/events.parquet' GROUP BY event_type
+        """).df().set_index("event_type")
+        assert set(out.index) == set(truth.index)
+        for et in truth.index:
+            n = float(truth.loc[et, "n"])
+            est = float(out.loc[et, "hll_estimate"])
+            assert abs(est - n) / n < 0.4, (sf, et, est, n)
+
+
+def test_hll_portable_batching_invariant(ray_session, tmp_path):
+    """Register max-merge makes the estimate independent of how rows
+    are batched/partitioned — rerunning over a differently-blocked
+    copy of the same rows gives the identical estimate."""
+    import duckdb
+
+    from pdf_to_text_ray.pipelines.queries import \
+        hll_estimate_users_per_type
+
+    src = "/root/testdata/sf0.001"
+    d = os.path.join(str(tmp_path), "hllrepart")
+    os.makedirs(d, exist_ok=True)
+    # same rows, reshuffled order + different row-group size
+    duckdb.sql(f"""
+        COPY (SELECT * FROM '{src}/events.parquet'
+              ORDER BY md5(event_id::VARCHAR))
+        TO '{os.path.join(d, "events.parquet")}'
+        (FORMAT PARQUET, ROW_GROUP_SIZE 128)
+    """)
+    a = hll_estimate_users_per_type(src)
+    b = hll_estimate_users_per_type(d)
+    pd.testing.assert_frame_equal(a, b)
