@@ -14142,6 +14142,98 @@ SELECT source, round(kl, 6) AS kl FROM kl ORDER BY source
 """
 
 
+# ── source-overlap provenance matrix (round 18) ──────────────────────
+
+def source_overlap_matrix(sf_dir: str):
+    """Pairwise source-provenance overlap: Jaccard between every two
+    sources' DISTINCT word-trigram sets — the syndication / quote-farm
+    signal ACROSS catalog sources (host_mirror_similarity's shape, but
+    on the curated documents table and keyed by origin, not host).
+    Scale shape: trigram strings never shuffle — each batch emits
+    distinct (source, 16-hex md5 gram key) rows (the minhash 24-byte
+    discipline); one composite groupby dedups across batches; the
+    postings self-join explodes per gram key inside hash buckets
+    (pairs per gram ≤ C(|sources|,2) — sources are a CATALOG, small by
+    construction, the documented bound); per-pair counts and set sizes
+    are driver-side only at ≤ |sources|² rows. The oracle dedups on
+    the same truncated md5 so both engines see identical keys even in
+    the (2⁻⁶⁴-scale) collision case."""
+    import hashlib
+
+    from ray.data.aggregate import Count
+
+    from ..stages.curation import _word_ngrams
+    from ..stages.groups import arrow_out, bucketed_group_apply
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        seen: set = set()
+        for src, text in zip(df["source"].tolist(), df["text"].tolist()):
+            for g in _word_ngrams(text or "", 3):
+                seen.add((src, hashlib.md5(g.encode())
+                          .hexdigest()[:16]))
+        return arrow_out(pd.DataFrame({
+            "source": [s for s, _ in seen],
+            "g16": [k for _, k in seen]}))
+
+    uniq = (ds.map_batches(partial, batch_format="pandas")
+            .groupby(["source", "g16"])
+            .aggregate(Count(alias_name="c"))
+            .materialize())  # consumed twice: sizes + postings
+
+    def size_partial(t: pa.Table) -> pa.Table:
+        df = (t.to_pandas().groupby("source", as_index=False)
+              .agg(n=("g16", "size")))
+        return arrow_out(df)
+
+    sizes = (uniq.map_batches(size_partial, batch_format="pyarrow")
+             .to_pandas().groupby("source")["n"].sum())
+
+    def pair_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        m = df[["g16", "source"]].merge(df[["g16", "source"]], on="g16",
+                                        suffixes=("_a", "_b"))
+        m = m[m["source_a"] < m["source_b"]]
+        return (m.groupby(["source_a", "source_b"], as_index=False)
+                .agg(n_common=("g16", "size")))
+
+    pairs = (bucketed_group_apply(uniq, "g16", pair_bucket,
+                                  num_buckets=16)
+             .to_pandas()
+             .groupby(["source_a", "source_b"], as_index=False)
+             ["n_common"].sum())
+    sa = sizes.reindex(pairs["source_a"]).to_numpy(np.float64)
+    sb = sizes.reindex(pairs["source_b"]).to_numpy(np.float64)
+    inter = pairs["n_common"].to_numpy(np.float64)
+    pairs["jaccard"] = round6(inter / (sa + sb - inter))
+    pairs["n_common"] = pairs["n_common"].astype("int64")
+    return (pairs.sort_values(["source_a", "source_b"])
+            .reset_index(drop=True))
+
+
+SOURCE_OVERLAP_SQL = """
+WITH w AS (SELECT source, str_split(text, ' ') AS w FROM documents
+           WHERE coalesce(text, '') <> ''),
+pos AS (SELECT source, w, unnest(generate_series(1, length(w) - 2)) AS i
+        FROM w WHERE length(w) >= 3),
+g AS (SELECT DISTINCT source,
+             substr(md5(array_to_string(w[i:i+2], ' ')), 1, 16) AS g16
+      FROM pos),
+sz AS (SELECT source, count(*) AS n FROM g GROUP BY source),
+inter AS (SELECT a.source AS source_a, b.source AS source_b,
+                 count(*) AS n_common
+          FROM g a JOIN g b ON a.g16 = b.g16 AND a.source < b.source
+          GROUP BY 1, 2)
+SELECT source_a, source_b, n_common::BIGINT AS n_common,
+       round(n_common::DOUBLE
+             / (sa.n + sb.n - n_common)::DOUBLE, 6) AS jaccard
+FROM inter
+JOIN sz sa ON sa.source = inter.source_a
+JOIN sz sb ON sb.source = inter.source_b
+ORDER BY source_a, source_b
+"""
+
+
 # ── exactly-portable HyperLogLog (round 18) ──────────────────────────
 
 HLL_P = 6        # 2^6 = 64 registers: small enough that the SQL twin
@@ -14430,6 +14522,7 @@ QUERIES = {
     "bm25_prf_search": bm25_prf_search,
     "source_token_kl": source_token_kl,
     "hll_estimate_users_per_type": hll_estimate_users_per_type,
+    "source_overlap_matrix": source_overlap_matrix,
     "doc_normalize_text": doc_normalize_text,
     "doc_gopher_repetition": doc_gopher_repetition,
     "sample_stratified_docs": sample_stratified_docs,
@@ -14842,4 +14935,5 @@ ORACLE_SQL = {
     "bm25_prf_search": _bm25_prf_sql(),
     "source_token_kl": SOURCE_KL_SQL,
     "hll_estimate_users_per_type": HLL_SQL,
+    "source_overlap_matrix": SOURCE_OVERLAP_SQL,
 }

@@ -266,3 +266,45 @@ def test_hll_portable_batching_invariant(ray_session, tmp_path):
     a = hll_estimate_users_per_type(src)
     b = hll_estimate_users_per_type(d)
     pd.testing.assert_frame_equal(a, b)
+
+
+# ── source-overlap matrix ────────────────────────────────────────────
+
+def test_source_overlap_detects_syndication(ray_session, tmp_path):
+    """Two sources sharing a syndicated paragraph overlap strongly;
+    a vocabulary-disjoint source shares nothing with either."""
+    from pdf_to_text_ray.pipelines.queries import source_overlap_matrix
+
+    d = os.path.join(str(tmp_path), "overlap")
+    os.makedirs(d, exist_ok=True)
+    shared = "the quick brown fox jumps over the lazy dog today"
+    texts = [shared + " alpha beta gamma",
+             shared + " delta epsilon zeta",
+             "uno dos tres cuatro cinco seis siete ocho nueve diez"]
+    srcs = ["sA", "sB", "sC"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(3), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * 3, pa.string()),
+        "source": pa.array(srcs, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), os.path.join(d, "documents.parquet"))
+    out = source_overlap_matrix(d)
+    pairs = {(a, b): j for a, b, j in
+             zip(out["source_a"], out["source_b"], out["jaccard"])}
+    # 13 words → 11 trigrams per doc, 8 shared (the syndicated span)
+    # → J = 8 / (11 + 11 − 8)
+    assert pairs[("sA", "sB")] == pytest.approx(8 / 14, abs=1e-6)
+    # the disjoint source pairs with nobody
+    assert ("sA", "sC") not in pairs and ("sB", "sC") not in pairs
+
+
+def test_source_overlap_shape_testdata(ray_session):
+    from pdf_to_text_ray.pipelines.queries import source_overlap_matrix
+
+    out = source_overlap_matrix(SF)
+    # pairs are canonical (a < b), unique, jaccard in (0, 1]
+    assert (out["source_a"] < out["source_b"]).all()
+    assert not out.duplicated(["source_a", "source_b"]).any()
+    assert out["jaccard"].between(0, 1, inclusive="right").all()
+    assert (out["n_common"] > 0).all()
