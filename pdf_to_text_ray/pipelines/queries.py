@@ -14142,6 +14142,151 @@ SELECT source, round(kl, 6) AS kl FROM kl ORDER BY source
 """
 
 
+# ── Markov stationary distribution (round 18) ────────────────────────
+
+MARKOV_ITERS = 20
+
+
+def event_markov_stationary(sf_dir: str):
+    """Stationary distribution of the per-user event-type Markov chain
+    (power iteration, 20 fixed rounds from the uniform vector) — the
+    steady-state mix a session simulator or load model needs, one step
+    past event_transition_matrix's raw counts. The distributed part is
+    the transition-count build (per-user lag inside hash buckets, the
+    transition-matrix shape); the iteration itself is a |types|²
+    driver matmul. Requires every observed type to have at least one
+    outgoing transition (true of this events stream; a dangling type
+    would leak mass — the pagerank-style fix would add a self-loop).
+    Probabilities round at 6 dp only at the END, matching the unrolled
+    pagerank-oracle precedent (cross-engine double drift through 20
+    small dot products stays far below the hash's 9 dp)."""
+    counts = event_transition_matrix(sf_dir)
+    types = sorted(set(counts["from_type"]) | set(counts["to_type"]))
+    idx = {t: i for i, t in enumerate(types)}
+    k = len(types)
+    P = np.zeros((k, k), dtype=np.float64)
+    for ft, tt, n in zip(counts["from_type"], counts["to_type"],
+                         counts["n"]):
+        P[idx[ft], idx[tt]] = float(n)
+    row = P.sum(axis=1, keepdims=True)
+    row[row == 0] = 1.0
+    P = P / row
+    x = np.full(k, 1.0 / k, dtype=np.float64)
+    for _ in range(MARKOV_ITERS):
+        x = x @ P
+    return pd.DataFrame({"event_type": types,
+                         "stationary_prob": round6(x)})
+
+
+def _markov_sql(iters: int = MARKOV_ITERS) -> str:
+    sql = """
+WITH seq AS (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events),
+cnt AS (SELECT prev AS from_type, event_type AS to_type,
+               count(*) AS n
+        FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+p AS (SELECT from_type, to_type,
+             n::DOUBLE / sum(n) OVER (PARTITION BY from_type) AS pr
+      FROM cnt),
+types AS (SELECT DISTINCT event_type AS t FROM events),
+nt AS (SELECT count(*)::DOUBLE AS n FROM types),
+x0 AS (SELECT t, 1.0 / nt.n AS prob FROM types, nt)"""
+    for i in range(1, iters + 1):
+        sql += f""",
+x{i} AS (SELECT p.to_type AS t, sum(x{i-1}.prob * p.pr) AS prob
+  FROM x{i-1} JOIN p ON p.from_type = x{i-1}.t GROUP BY 1)"""
+    sql += f"""
+SELECT types.t AS event_type,
+       round(coalesce(x{iters}.prob, 0.0), 6) AS stationary_prob
+FROM types LEFT JOIN x{iters} ON x{iters}.t = types.t
+ORDER BY event_type
+"""
+    return sql
+
+
+# ── Unicode script-mix profile (round 18) ────────────────────────────
+
+def doc_script_mix(sf_dir: str):
+    """Per-document Unicode script distribution (Latin / Cyrillic /
+    Han / digit / other fractions over non-whitespace codepoints) —
+    the multilingual-curation feature that catches script-mixed spam
+    and wrong-language shards before an n-gram langid ever runs. Pure
+    vectorized map: each doc's codepoints come from one utf-32
+    reinterpret (no per-char Python); exact integer range counts, one
+    rounded division per fraction, no shuffle."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def profile(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        out = {"doc_id": [], "n_cp": [], "f_latin": [], "f_cyrillic": [],
+               "f_han": [], "f_digit": [], "f_other": []}
+        for did, s in zip(ids, t["text"].to_pylist()):
+            cp = np.frombuffer((s or "").encode("utf-32-le"), np.uint32)
+            ws = ((cp == 32) | ((cp >= 9) & (cp <= 13)))
+            cp = cp[~ws]
+            n = len(cp)
+            if n == 0:
+                continue
+            latin = int(np.count_nonzero(
+                ((cp >= 65) & (cp <= 90)) | ((cp >= 97) & (cp <= 122))
+                | ((cp >= 0xC0) & (cp <= 0x24F))))
+            cyr = int(np.count_nonzero((cp >= 0x400) & (cp <= 0x4FF)))
+            han = int(np.count_nonzero((cp >= 0x4E00) & (cp <= 0x9FFF)))
+            dig = int(np.count_nonzero((cp >= 48) & (cp <= 57)))
+            out["doc_id"].append(int(did))
+            out["n_cp"].append(n)
+            out["f_latin"].append(latin / n)
+            out["f_cyrillic"].append(cyr / n)
+            out["f_han"].append(han / n)
+            out["f_digit"].append(dig / n)
+            out["f_other"].append((n - latin - cyr - han - dig) / n)
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "n_cp": pa.array(out["n_cp"], pa.int64()),
+            "f_latin": pa.array(round6(out["f_latin"]), pa.float64()),
+            "f_cyrillic": pa.array(round6(out["f_cyrillic"]),
+                                   pa.float64()),
+            "f_han": pa.array(round6(out["f_han"]), pa.float64()),
+            "f_digit": pa.array(round6(out["f_digit"]), pa.float64()),
+            "f_other": pa.array(round6(out["f_other"]), pa.float64()),
+        })
+
+    return ds.map_batches(profile, batch_format="pyarrow")
+
+
+SCRIPT_MIX_SQL = """
+WITH ch AS (
+  SELECT doc_id,
+         unnest(list_transform(split(text, ''), c -> unicode(c))) AS cp
+  FROM documents
+  WHERE coalesce(text, '') <> ''),
+nws AS (SELECT doc_id, cp FROM ch
+        WHERE NOT (cp = 32 OR (cp BETWEEN 9 AND 13))),
+agg AS (
+  SELECT doc_id, count(*) AS n,
+         sum(CASE WHEN (cp BETWEEN 65 AND 90)
+                    OR (cp BETWEEN 97 AND 122)
+                    OR (cp BETWEEN 192 AND 591) THEN 1 ELSE 0 END)
+           AS latin,
+         sum(CASE WHEN cp BETWEEN 1024 AND 1279 THEN 1 ELSE 0 END)
+           AS cyr,
+         sum(CASE WHEN cp BETWEEN 19968 AND 40959 THEN 1 ELSE 0 END)
+           AS han,
+         sum(CASE WHEN cp BETWEEN 48 AND 57 THEN 1 ELSE 0 END) AS dig
+  FROM nws GROUP BY doc_id)
+SELECT doc_id, n::BIGINT AS n_cp,
+       round(latin / n::DOUBLE, 6) AS f_latin,
+       round(cyr / n::DOUBLE, 6) AS f_cyrillic,
+       round(han / n::DOUBLE, 6) AS f_han,
+       round(dig / n::DOUBLE, 6) AS f_digit,
+       round((n - latin - cyr - han - dig) / n::DOUBLE, 6) AS f_other
+FROM agg
+"""
+
+
 # ── source-overlap provenance matrix (round 18) ──────────────────────
 
 def source_overlap_matrix(sf_dir: str):
@@ -14523,6 +14668,8 @@ QUERIES = {
     "source_token_kl": source_token_kl,
     "hll_estimate_users_per_type": hll_estimate_users_per_type,
     "source_overlap_matrix": source_overlap_matrix,
+    "event_markov_stationary": event_markov_stationary,
+    "doc_script_mix": doc_script_mix,
     "doc_normalize_text": doc_normalize_text,
     "doc_gopher_repetition": doc_gopher_repetition,
     "sample_stratified_docs": sample_stratified_docs,
@@ -14936,4 +15083,6 @@ ORACLE_SQL = {
     "source_token_kl": SOURCE_KL_SQL,
     "hll_estimate_users_per_type": HLL_SQL,
     "source_overlap_matrix": SOURCE_OVERLAP_SQL,
+    "event_markov_stationary": _markov_sql(),
+    "doc_script_mix": SCRIPT_MIX_SQL,
 }

@@ -308,3 +308,101 @@ def test_source_overlap_shape_testdata(ray_session):
     assert not out.duplicated(["source_a", "source_b"]).any()
     assert out["jaccard"].between(0, 1, inclusive="right").all()
     assert (out["n_common"] > 0).all()
+
+
+# ── Markov stationary distribution ───────────────────────────────────
+
+def test_markov_stationary_is_fixed_point(ray_session):
+    """After 20 power iterations on this chain the vector is at the
+    fixed point: one more application of P moves nothing (1e-9)."""
+    from pdf_to_text_ray.pipelines.queries import (
+        event_markov_stationary, event_transition_matrix)
+
+    out = event_markov_stationary(SF)
+    assert list(out.columns) == ["event_type", "stationary_prob"]
+    probs = out["stationary_prob"].to_numpy(np.float64)
+    assert probs.sum() == pytest.approx(1.0, abs=2e-5)
+    assert (probs >= 0).all()
+
+    counts = event_transition_matrix(SF)
+    types = list(out["event_type"])
+    idx = {t: i for i, t in enumerate(types)}
+    k = len(types)
+    P = np.zeros((k, k))
+    for ft, tt, n in zip(counts["from_type"], counts["to_type"],
+                         counts["n"]):
+        P[idx[ft], idx[tt]] = float(n)
+    P /= P.sum(axis=1, keepdims=True)
+    # rounding to 6 dp dominates the residual; the unrounded chain
+    # converges far tighter than the displayed precision
+    assert np.abs(probs @ P - probs).max() < 2e-6
+
+
+def test_markov_stationary_two_state_analytic(ray_session, tmp_path):
+    """Hand-built 2-state chain with known stationary distribution:
+    P(a→b)=1, P(b→a)=0.5 ⇒ π = (1/3, 2/3)."""
+    from pdf_to_text_ray.pipelines.queries import event_markov_stationary
+
+    d = os.path.join(str(tmp_path), "markov")
+    os.makedirs(d, exist_ok=True)
+    # one user, sequence a b b a b b a b b ... : transitions
+    # a→b ×n, b→b ×n, b→a ×(n-1)  ⇒ rows a:[0,1], b:[~.5,~.5]
+    seq = (["a", "b", "b"] * 40)
+    n = len(seq)
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "user_id": pa.array([7] * n, pa.int64()),
+        "event_type": pa.array(seq, pa.string()),
+        "ts": pa.array(pd.date_range("2024-01-01", periods=n,
+                                     freq="s")),
+        "value": pa.array([1.0] * n, pa.float64()),
+    }), os.path.join(d, "events.parquet"))
+    out = event_markov_stationary(d).set_index("event_type")
+    # exact chain: a→b 40, b→b 40, b→a 39 ⇒ π solves πP=π
+    pa_, pb = out.loc["a", "stationary_prob"], out.loc["b",
+                                                       "stationary_prob"]
+    assert pa_ + pb == pytest.approx(1.0, abs=2e-6)
+    # π_a = P(b→a)·π_b ⇒ π_a/π_b = 39/79 ≈ 0.3306
+    assert pa_ / pb == pytest.approx(39 / 79, abs=1e-3)
+
+
+# ── Unicode script mix ───────────────────────────────────────────────
+
+def test_script_mix_pins_known_fractions(ray_session, tmp_path):
+    from pdf_to_text_ray.pipelines.queries import doc_script_mix
+
+    d = os.path.join(str(tmp_path), "scripts")
+    os.makedirs(d, exist_ok=True)
+    texts = ["abc где 漢字 12!",   # 3 latin, 3 cyr, 2 han, 2 digit, 1 other
+             "   \t\n  ",          # whitespace only → dropped
+             None,                 # null → dropped
+             "é١٢٣"]               # é is latin (0xC0-0x24F), ٣ arabic digits → other
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["xx"] * 4, pa.string()),
+        "source": pa.array(["s"] * 4, pa.string()),
+    }), os.path.join(d, "documents.parquet"))
+    out = doc_script_mix(d).to_pandas().set_index("doc_id")
+    assert sorted(out.index) == [0, 3]
+    r = out.loc[0]
+    assert r["n_cp"] == 11
+    assert r["f_latin"] == pytest.approx(3 / 11, abs=1e-6)
+    assert r["f_cyrillic"] == pytest.approx(3 / 11, abs=1e-6)
+    assert r["f_han"] == pytest.approx(2 / 11, abs=1e-6)
+    assert r["f_digit"] == pytest.approx(2 / 11, abs=1e-6)
+    assert r["f_other"] == pytest.approx(1 / 11, abs=1e-6)
+    r3 = out.loc[3]
+    assert r3["n_cp"] == 4
+    assert r3["f_latin"] == pytest.approx(0.25, abs=1e-6)
+    assert r3["f_other"] == pytest.approx(0.75, abs=1e-6)
+
+
+def test_script_mix_fractions_sum_to_one(ray_session):
+    from pdf_to_text_ray.pipelines.queries import doc_script_mix
+
+    out = doc_script_mix(SF).to_pandas()
+    assert (out["n_cp"] > 0).all()
+    tot = (out["f_latin"] + out["f_cyrillic"] + out["f_han"]
+           + out["f_digit"] + out["f_other"])
+    assert np.abs(tot - 1.0).max() < 3e-6
