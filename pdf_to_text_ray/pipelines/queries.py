@@ -14521,6 +14521,318 @@ FROM (SELECT doc_id, source,
 """
 
 
+# ── Poisson bootstrap CI (round 19) ──────────────────────────────────
+
+BOOT_B = 100          # bootstrap replicates
+_POIS_MAX = 8         # weight cap (P(X>8 | λ=1) ≈ 1e-6)
+# cumulative Poisson(1) CDF thresholds, shared verbatim with the SQL
+# oracle (repr round-trips to the identical double in DuckDB)
+_POIS_CUM = [0.0] * _POIS_MAX
+_c = 0.0
+_term = float(np.exp(-1.0))
+for _k in range(_POIS_MAX):
+    _c += _term
+    _POIS_CUM[_k] = _c
+    _term /= (_k + 1)
+_POIS_CUM_ARR = np.array(_POIS_CUM, np.float64)
+
+
+def poisson_bootstrap_value_ci(sf_dir: str):
+    """95% CI of mean(events.value) by POISSON BOOTSTRAP — the
+    web-scale bootstrap (Chamandy et al., Google 2012): sampling with
+    replacement from a distributed table is not streamable, but
+    per-row independent Poisson(1) replicate weights are — each batch
+    emits only B=100 partial (Σw·v, Σw) rows, the driver merges
+    O(B·blocks) partials, and the CI is two order statistics of the
+    replicate means. Weights come from the engine-portable md5
+    uniform inverted through the Poisson CDF (thresholds shared
+    verbatim with the oracle), so DuckDB replays the exact weight
+    grid. NULL values drop before weighting (ADVICE r05 precedent);
+    bounds round 6 dp (partial-sum-order noise is ~1e-12)."""
+    import hashlib
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(np.float64)
+        ids = df["event_id"].to_numpy()
+        keep = ~np.isnan(v)
+        v, ids = v[keep], ids[keep]
+        sv = np.zeros(BOOT_B, np.float64)
+        sw = np.zeros(BOOT_B, np.int64)
+        for b in range(BOOT_B):
+            u = np.array(
+                [int(hashlib.md5(f"boot:{i}:{b}".encode())
+                     .hexdigest()[:8], 16) for i in ids],
+                np.float64) / 4294967296.0
+            w = np.searchsorted(_POIS_CUM_ARR, u, side="right")
+            sv[b] = float(w @ v)
+            sw[b] = int(w.sum())
+        return pd.DataFrame({"b": np.arange(BOOT_B, dtype=np.int64),
+                             "sv": sv, "sw": sw,
+                             "n": np.int64(len(v)),
+                             "s": float(v.sum())})
+
+    p = (ds.map_batches(partials, batch_format="pandas")
+         .to_pandas())                       # O(B · blocks) rows only
+    b0 = p[p["b"] == 0]                      # one row per block
+    n = int(b0["n"].sum())
+    total = float(b0["s"].sum())
+    g = p.groupby("b", sort=True).agg(sv=("sv", "sum"), sw=("sw", "sum"))
+    means = (g["sv"] / g["sw"]).to_numpy(np.float64)
+    order = np.lexsort((g.index.to_numpy(), means))
+    lo = float(means[order[2]])      # 3rd smallest of 100 → 2.5th pct
+    hi = float(means[order[97]])     # 98th smallest → 97.5th pct
+    return pd.DataFrame({"n": pd.Series([n], dtype="int64"),
+                         "mean_value": [round(total / n, 6)],
+                         "ci_lo": [round(lo, 6)],
+                         "ci_hi": [round(hi, 6)]})
+
+
+def _bootstrap_sql(B: int = BOOT_B) -> str:
+    case = "CASE " + " ".join(
+        f"WHEN u < {_POIS_CUM[k]!r} THEN {k}"
+        for k in range(_POIS_MAX)) + f" ELSE {_POIS_MAX} END"
+    return f"""
+WITH ev AS (SELECT event_id, value FROM events WHERE value IS NOT NULL),
+grid AS (
+  SELECT e.value, b.b,
+         ('0x' || substr(md5('boot:' || e.event_id::VARCHAR || ':'
+                             || b.b::VARCHAR), 1, 8))::UBIGINT
+           / 4294967296.0 AS u
+  FROM ev e CROSS JOIN (SELECT unnest(range({B})) AS b) b),
+reps AS (
+  SELECT b, sum(({case}) * value) / sum({case}) AS m
+  FROM grid GROUP BY b),
+ranked AS (SELECT m, row_number() OVER (ORDER BY m, b) AS rn FROM reps)
+SELECT (SELECT count(*) FROM ev)::BIGINT AS n,
+       round((SELECT avg(value) FROM ev), 6) AS mean_value,
+       round((SELECT m FROM ranked WHERE rn = 3), 6) AS ci_lo,
+       round((SELECT m FROM ranked WHERE rn = 98), 6) AS ci_hi
+"""
+
+
+# ── Johnson–Lindenstrauss random projection (round 19) ───────────────
+
+RP_K = 8
+
+
+def _rp_signs(d: int) -> np.ndarray:
+    """±1 Rademacher projection matrix (Achlioptas 2003) derived from
+    the engine-portable md5 uniform — data-independent, so unlike PCA
+    it needs NO pass over the corpus: any worker (or the SQL oracle)
+    regenerates the identical matrix from (d, k) alone. Rows are
+    1-based to line up with DuckDB's generate_subscripts."""
+    from pdf_to_text_ray.stages.sketches import md5_uniform
+
+    keys = [f"rp:{i}:{j}" for i in range(1, d + 1) for j in range(RP_K)]
+    u = md5_uniform(keys)
+    return np.where(u < 0.5, 1.0, -1.0).reshape(d, RP_K)
+
+
+def embedding_rp_project(sf_dir: str):
+    """Random projection of the 64-d embeddings to k=8 dims: y = xᵀR/√k
+    with the hash-derived ±1 matrix — the JL-lemma dimensionality
+    reducer used before LSH/clustering when a PCA pass is too
+    expensive. Pure map: the matrix regenerates per task (512 md5
+    calls — at cluster scale it would be ray.put once), each batch is
+    one float64 matmul; no shuffle, no driver traffic."""
+    from pdf_to_text_ray.stages.similarity import list_column_to_matrix
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+
+    def project(t: pa.Table) -> pa.Table:
+        m = list_column_to_matrix(t["embedding"]).astype(np.float64)
+        r = _rp_signs(m.shape[1])
+        y = np.round(m @ r / np.sqrt(float(RP_K)), 6)
+        cols = {"vec_id": pc.cast(t["vec_id"], pa.int64()),
+                "label": pc.cast(t["label"], pa.int32())}
+        for j in range(RP_K):
+            cols[f"rp{j + 1}"] = pa.array(y[:, j], pa.float64())
+        return pa.table(cols)
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def _rp_sql(k: int = RP_K) -> str:
+    pcs = ", ".join(
+        f"round(max(CASE WHEN p.j = {j} THEN p.y END), 6) AS rp{j + 1}"
+        for j in range(k))
+    return f"""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS val
+  FROM embeddings),
+dims AS (SELECT DISTINCT i FROM e),
+r AS MATERIALIZED (
+  SELECT i, j,
+         CASE WHEN ('0x' || substr(md5('rp:' || i::VARCHAR || ':'
+                                       || j::VARCHAR), 1, 8))::UBIGINT
+                     / 4294967296.0 < 0.5
+              THEN 1.0 ELSE -1.0 END AS s
+  FROM dims CROSS JOIN (SELECT unnest(range({k})) AS j)),
+p AS (SELECT e.vec_id, r.j, sum(e.val * r.s) / sqrt({k}.0) AS y
+      FROM e JOIN r USING (i) GROUP BY e.vec_id, r.j)
+SELECT p.vec_id, any_value(l.label)::INT AS label, {pcs}
+FROM p JOIN embeddings l ON l.vec_id = p.vec_id
+GROUP BY p.vec_id
+"""
+
+
+# ── transition entropy (round 19) ────────────────────────────────────
+
+def event_transition_entropy(sf_dir: str):
+    """Per-state conditional entropy H(next | prev=s) in bits over the
+    per-user event-type Markov chain — the predictability profile of
+    the stream (a near-zero row is a deterministic funnel step, a
+    log2(k) row is noise). Reuses event_transition_matrix's
+    bucket-shuffled counts; the entropy itself touches |types|² rows
+    on the driver."""
+    counts = event_transition_matrix(sf_dir)
+    rows = []
+    for ft, g in counts.groupby("from_type", sort=True):
+        n = g["n"].to_numpy(np.float64)
+        p = n / n.sum()
+        rows.append({"from_type": ft,
+                     "n_out": int(n.sum()),
+                     "entropy_bits":
+                         float(round6(-np.sum(p * np.log2(p))))})
+    return pd.DataFrame(rows)
+
+
+TRANSITION_ENTROPY_SQL = """
+WITH seq AS (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events),
+cnt AS (SELECT prev AS from_type, event_type AS to_type,
+               count(*) AS n
+        FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+p AS (SELECT from_type, n,
+             n::DOUBLE / sum(n) OVER (PARTITION BY from_type) AS pr
+      FROM cnt)
+SELECT from_type, sum(n)::BIGINT AS n_out,
+       round(-sum(pr * log2(pr)), 6) AS entropy_bits
+FROM p GROUP BY from_type ORDER BY from_type
+"""
+
+
+# ── temperature-based source mixing weights (round 19) ───────────────
+
+MIX_ALPHA = 0.7
+
+
+def source_mix_weights(sf_dir: str):
+    """Multinomial source-mixing weights w_s ∝ n_s^α at temperature
+    α=0.7 (the GPT-3 / multilingual-LM data-mixing rule): upsamples
+    small sources relative to proportional sampling without letting
+    any source dominate. boost = w_s / (n_s/N) is the per-source
+    repetition factor an epoch planner applies. Counts come from
+    vectorized per-batch partials (small key domain — no shuffle)."""
+    from pdf_to_text_ray.stages.groups import small_key_counts
+
+    ds = _read(sf_dir, "documents", ["source"])
+    c = small_key_counts(ds, ["source"]).sort_values("source")
+    n = c["n"].to_numpy(np.float64)
+    pw = n ** MIX_ALPHA
+    w = pw / pw.sum()
+    boost = w * n.sum() / n
+    return pd.DataFrame({"source": c["source"].to_numpy(),
+                         "n_docs": c["n"].astype("int64").to_numpy(),
+                         "w_temp": round6(w),
+                         "boost": round6(boost)})
+
+
+SOURCE_MIX_SQL = f"""
+WITH c AS (SELECT source, count(*)::DOUBLE AS n
+           FROM documents GROUP BY source),
+t AS (SELECT sum(pow(n, {MIX_ALPHA})) AS s, sum(n) AS tot FROM c)
+SELECT source, n::BIGINT AS n_docs,
+       round(pow(n, {MIX_ALPHA}) / t.s, 6) AS w_temp,
+       round(pow(n, {MIX_ALPHA}) / t.s * t.tot / n, 6) AS boost
+FROM c, t ORDER BY source
+"""
+
+
+# ── out-of-vocabulary rate (round 19) ────────────────────────────────
+
+OOV_MIN_DF = 5
+
+
+def doc_oov_rate(sf_dir: str):
+    """Per-document out-of-vocabulary occurrence rate against the
+    corpus vocabulary of tokens with document frequency ≥ 5 — a
+    gibberish/OCR-noise signal orthogonal to length and stopword
+    gates. Scale shape: DF lives on the Zipf tail, so the vocabulary
+    is NEVER broadcast — per-batch (doc_id, tok, n) partials (each doc
+    wholly inside one batch, so rows are globally unique) shuffle by
+    hash(tok) where DF and the rare-flag compute as one vectorized
+    pandas pass per bucket, then a fixed-width (doc_id, n, oov)
+    groupby sums the rates. Token convention matches source_token_kl
+    (whitespace split, case-preserving)."""
+    import re as _re
+
+    from ray.data.aggregate import Sum
+
+    from pdf_to_text_ray.stages.groups import bucketed_group_apply
+
+    split_re = _re.compile(r"[ \t\r\n\f\v]+")
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def doc_tokens(df: pd.DataFrame) -> pa.Table:
+        acc: dict[tuple, int] = {}
+        for did, text in zip(df["doc_id"].tolist(), df["text"].tolist()):
+            for tok in split_re.split(text or ""):
+                if tok:
+                    acc[(did, tok)] = acc.get((did, tok), 0) + 1
+        keys = list(acc.keys())
+        return arrow_out(pd.DataFrame({
+            "doc_id": pd.Series([k[0] for k in keys], dtype="int64"),
+            "tok": [k[1] for k in keys],
+            "n": pd.Series([acc[k] for k in keys], dtype="int64")}))
+
+    toks = ds.map_batches(doc_tokens, batch_format="pandas")
+
+    def flag_rare(df: pd.DataFrame) -> pd.DataFrame:
+        # rows are unique per (doc_id, tok) ⇒ DF = group size
+        df = df.copy()
+        df["df"] = df.groupby("tok")["tok"].transform("size")
+        df["oov"] = np.where(df["df"].to_numpy() < OOV_MIN_DF,
+                             df["n"].to_numpy(), 0).astype("int64")
+        return df[["doc_id", "n", "oov"]]
+
+    flagged = bucketed_group_apply(toks, "tok", flag_rare)
+    agg = (flagged.groupby("doc_id")
+           .aggregate(Sum("n", alias_name="n_tok"),
+                      Sum("oov", alias_name="oov_n"))
+           .to_pandas())
+    return pd.DataFrame({
+        "doc_id": agg["doc_id"].astype("int64"),
+        "n_tok": agg["n_tok"].astype("int64"),
+        "oov_rate": round6(agg["oov_n"].to_numpy(np.float64)
+                           / agg["n_tok"].to_numpy(np.float64)),
+    }).sort_values("doc_id").reset_index(drop=True)
+
+
+OOV_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(coalesce(text, ''),
+                                      '[ \t\r\n\f\v]+')) AS tok
+  FROM documents),
+cnt AS (SELECT doc_id, tok, count(*) AS n FROM toks
+        WHERE tok <> '' GROUP BY doc_id, tok),
+dfreq AS (SELECT tok, count(*) AS df FROM cnt GROUP BY tok),
+j AS (SELECT c.doc_id, c.n,
+             CASE WHEN d.df < {OOV_MIN_DF} THEN c.n ELSE 0 END AS oov
+      FROM cnt c JOIN dfreq d USING (tok))
+SELECT doc_id, sum(n)::BIGINT AS n_tok,
+       round(sum(oov)::DOUBLE / sum(n), 6) AS oov_rate
+FROM j GROUP BY doc_id
+"""
+
+
 QUERIES = {
     # relational
     "q1_pricing_summary": q1_pricing_summary,
@@ -14670,6 +14982,12 @@ QUERIES = {
     "source_overlap_matrix": source_overlap_matrix,
     "event_markov_stationary": event_markov_stationary,
     "doc_script_mix": doc_script_mix,
+    # round-19 additions
+    "poisson_bootstrap_value_ci": poisson_bootstrap_value_ci,
+    "embedding_rp_project": embedding_rp_project,
+    "event_transition_entropy": event_transition_entropy,
+    "source_mix_weights": source_mix_weights,
+    "doc_oov_rate": doc_oov_rate,
     "doc_normalize_text": doc_normalize_text,
     "doc_gopher_repetition": doc_gopher_repetition,
     "sample_stratified_docs": sample_stratified_docs,
@@ -15085,4 +15403,10 @@ ORACLE_SQL = {
     "source_overlap_matrix": SOURCE_OVERLAP_SQL,
     "event_markov_stationary": _markov_sql(),
     "doc_script_mix": SCRIPT_MIX_SQL,
+    # round-19 additions
+    "poisson_bootstrap_value_ci": _bootstrap_sql(),
+    "embedding_rp_project": _rp_sql(),
+    "event_transition_entropy": TRANSITION_ENTROPY_SQL,
+    "source_mix_weights": SOURCE_MIX_SQL,
+    "doc_oov_rate": OOV_SQL,
 }

@@ -1,0 +1,257 @@
+"""Round-19 operators: Poisson-bootstrap CI, JL random projection,
+transition entropy, temperature mixing weights, OOV rate."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
+
+# ── Poisson bootstrap ────────────────────────────────────────────────
+
+def test_bootstrap_ci_brackets_mean(ray_session):
+    from pdf_to_text_ray.pipelines.queries import poisson_bootstrap_value_ci
+
+    out = poisson_bootstrap_value_ci(SF)
+    assert list(out.columns) == ["n", "mean_value", "ci_lo", "ci_hi"]
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["ci_lo"] < r["mean_value"] < r["ci_hi"]
+    assert r["n"] == 1000
+
+
+def test_bootstrap_ci_narrows_with_n(ray_session):
+    """10× the rows ⇒ the CI width shrinks ~1/√10 (allow 2× slack —
+    the value distributions at the two scales differ)."""
+    from pdf_to_text_ray.pipelines.queries import poisson_bootstrap_value_ci
+
+    w1 = poisson_bootstrap_value_ci(SF).iloc[0]
+    w2 = poisson_bootstrap_value_ci(SF01).iloc[0]
+    width1 = w1["ci_hi"] - w1["ci_lo"]
+    width2 = w2["ci_hi"] - w2["ci_lo"]
+    assert width2 < width1 * 0.7
+
+
+def test_bootstrap_constant_values_collapse(ray_session, tmp_path):
+    """All values equal c ⇒ every replicate mean is exactly c."""
+    from pdf_to_text_ray.pipelines.queries import poisson_bootstrap_value_ci
+
+    d = os.path.join(str(tmp_path), "boot")
+    os.makedirs(d, exist_ok=True)
+    n = 400
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array(pd.date_range("2024-01-01", periods=n, freq="s")),
+        "user_id": pa.array([1] * n, pa.int64()),
+        "event_type": pa.array(["x"] * n, pa.string()),
+        "value": pa.array([5.25] * n, pa.float64()),
+        "props": pa.array(["{}"] * n, pa.string()),
+    }), os.path.join(d, "events.parquet"))
+    r = poisson_bootstrap_value_ci(d).iloc[0]
+    assert r["mean_value"] == r["ci_lo"] == r["ci_hi"] == 5.25
+
+
+def test_bootstrap_drops_null_values(ray_session, tmp_path):
+    from pdf_to_text_ray.pipelines.queries import poisson_bootstrap_value_ci
+
+    d = os.path.join(str(tmp_path), "bootnull")
+    os.makedirs(d, exist_ok=True)
+    vals = [1.0, None, 3.0, None, 5.0, 7.0]
+    n = len(vals)
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array(pd.date_range("2024-01-01", periods=n, freq="s")),
+        "user_id": pa.array([1] * n, pa.int64()),
+        "event_type": pa.array(["x"] * n, pa.string()),
+        "value": pa.array(vals, pa.float64()),
+        "props": pa.array(["{}"] * n, pa.string()),
+    }), os.path.join(d, "events.parquet"))
+    r = poisson_bootstrap_value_ci(d).iloc[0]
+    assert r["n"] == 4
+    assert r["mean_value"] == pytest.approx(4.0, abs=1e-6)
+
+
+def test_poisson_thresholds_are_cdf():
+    from pdf_to_text_ray.pipelines.queries import _POIS_CUM
+
+    # strictly increasing, approaching 1 from below
+    assert all(a < b for a, b in zip(_POIS_CUM, _POIS_CUM[1:]))
+    assert _POIS_CUM[0] == pytest.approx(np.exp(-1.0))
+    assert 1.0 - _POIS_CUM[-1] < 2e-5
+    # mean of the truncated weight distribution stays ≈ 1
+    pmf = np.diff([0.0] + _POIS_CUM)
+    mean = (pmf * np.arange(len(pmf))).sum() + (1 - _POIS_CUM[-1]) * 8
+    assert mean == pytest.approx(1.0, abs=1e-3)
+
+
+# ── JL random projection ─────────────────────────────────────────────
+
+def test_rp_unbiased_on_testdata(ray_session):
+    """JL estimator unbiasedness: E[‖y_i−y_j‖²] = ‖x_i−x_j‖², so the
+    mean squared distance ratio over random pairs is ≈ 1. (The
+    testdata embeddings have near-constant pairwise distances —
+    CV ≈ 0.06 — so a correlation test carries no signal; the ratio
+    does.)"""
+    from pdf_to_text_ray.pipelines.queries import RP_K, embedding_rp_project
+    from pdf_to_text_ray.stages.similarity import list_column_to_matrix
+
+    out = embedding_rp_project(SF).to_pandas().sort_values("vec_id")
+    y = out[[f"rp{j + 1}" for j in range(RP_K)]].to_numpy(np.float64)
+
+    tab = pq.read_table(os.path.join(SF, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"])
+    order = np.argsort(tab["vec_id"].to_numpy())
+    x = list_column_to_matrix(tab["embedding"])[order].astype(np.float64)
+
+    rng = np.random.default_rng(7)
+    i = rng.integers(0, len(x), 2000)
+    j = rng.integers(0, len(x), 2000)
+    keep = i != j
+    dx = np.linalg.norm(x[i[keep]] - x[j[keep]], axis=1)
+    dy = np.linalg.norm(y[i[keep]] - y[j[keep]], axis=1)
+    assert np.mean((dy / dx) ** 2) == pytest.approx(1.0, abs=0.15)
+
+
+def test_rp_separates_real_clusters(ray_session, tmp_path):
+    """Two genuinely separated 64-d clusters stay separated after the
+    64→8 projection: every between-cluster distance exceeds every
+    within-cluster distance."""
+    from pdf_to_text_ray.pipelines.queries import RP_K, embedding_rp_project
+
+    d = os.path.join(str(tmp_path), "rp")
+    os.makedirs(d, exist_ok=True)
+    rng = np.random.default_rng(3)
+    a = rng.normal(0.0, 0.05, (30, 64))
+    b = rng.normal(0.0, 0.05, (30, 64)) + 4.0
+    mat = np.vstack([a, b]).astype(np.float32)
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(60), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in mat],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0] * 30 + [1] * 30, pa.int32()),
+    }), os.path.join(d, "embeddings.parquet"))
+    out = embedding_rp_project(d).to_pandas().sort_values("vec_id")
+    y = out[[f"rp{j + 1}" for j in range(RP_K)]].to_numpy(np.float64)
+    ya, yb = y[:30], y[30:]
+    within = max(
+        np.linalg.norm(ya[:, None] - ya[None], axis=2).max(),
+        np.linalg.norm(yb[:, None] - yb[None], axis=2).max())
+    between = np.linalg.norm(ya[:, None] - yb[None], axis=2).min()
+    assert between > within
+
+
+def test_rp_matrix_deterministic_and_balanced():
+    from pdf_to_text_ray.pipelines.queries import _rp_signs
+
+    a, b = _rp_signs(64), _rp_signs(64)
+    assert np.array_equal(a, b)
+    assert set(np.unique(a)) == {-1.0, 1.0}
+    # hash-derived signs are near-balanced
+    assert abs(a.mean()) < 0.15
+
+
+# ── transition entropy ───────────────────────────────────────────────
+
+def test_transition_entropy_deterministic_funnel(ray_session, tmp_path):
+    """a always → b ⇒ H(next|a) = 0; b splits evenly to a/c ⇒ 1 bit."""
+    from pdf_to_text_ray.pipelines.queries import event_transition_entropy
+
+    d = os.path.join(str(tmp_path), "ent")
+    os.makedirs(d, exist_ok=True)
+    seq = ["a", "b", "a", "b", "c", "a", "b", "a", "b", "c"] * 4
+    n = len(seq)
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array(pd.date_range("2024-01-01", periods=n, freq="s")),
+        "user_id": pa.array([9] * n, pa.int64()),
+        "event_type": pa.array(seq, pa.string()),
+        "value": pa.array([0.0] * n, pa.float64()),
+        "props": pa.array(["{}"] * n, pa.string()),
+    }), os.path.join(d, "events.parquet"))
+    out = event_transition_entropy(d).set_index("from_type")
+    assert out.loc["a", "entropy_bits"] == 0.0
+    # b → a (~half) / c (~half): entropy close to 1 bit
+    assert out.loc["b", "entropy_bits"] == pytest.approx(1.0, abs=0.05)
+
+
+def test_transition_entropy_bounded(ray_session):
+    from pdf_to_text_ray.pipelines.queries import event_transition_entropy
+
+    out = event_transition_entropy(SF)
+    k = len(out)
+    assert (out["entropy_bits"] >= 0).all()
+    assert (out["entropy_bits"] <= np.log2(k) + 1e-9).all()
+    assert (out["n_out"] > 0).all()
+
+
+# ── temperature mixing weights ───────────────────────────────────────
+
+def test_mix_weights_upsample_small_sources(ray_session):
+    from pdf_to_text_ray.pipelines.queries import source_mix_weights
+
+    out = source_mix_weights(SF)
+    assert out["w_temp"].sum() == pytest.approx(1.0, abs=2e-5)
+    # α<1 compresses: the smallest source gets boost > 1, the largest
+    # gets boost < 1, and boost is monotone decreasing in n_docs
+    s = out.sort_values("n_docs")
+    assert s["boost"].iloc[0] >= s["boost"].iloc[-1]
+    if s["n_docs"].iloc[0] < s["n_docs"].iloc[-1]:
+        assert s["boost"].iloc[0] > 1.0 > s["boost"].iloc[-1]
+    # boost ordering is exactly the reverse of size ordering
+    assert (np.diff(s["boost"].to_numpy()) <= 1e-12).all()
+
+
+def test_mix_weights_alpha_one_is_proportional(ray_session, tmp_path):
+    """With equal source sizes the temperature does nothing: uniform
+    weights and boost exactly 1."""
+    from pdf_to_text_ray.pipelines.queries import source_mix_weights
+
+    d = os.path.join(str(tmp_path), "mix")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(40), pa.int64()),
+        "text": pa.array(["w"] * 40, pa.string()),
+        "lang": pa.array(["en"] * 40, pa.string()),
+        "source": pa.array([f"s{i % 4}" for i in range(40)], pa.string()),
+    }), os.path.join(d, "documents.parquet"))
+    out = source_mix_weights(d)
+    assert (out["w_temp"] == 0.25).all()
+    assert (out["boost"] == 1.0).all()
+
+
+# ── OOV rate ─────────────────────────────────────────────────────────
+
+def test_oov_rate_pins_known_fractions(ray_session, tmp_path):
+    from pdf_to_text_ray.pipelines.queries import doc_oov_rate
+
+    d = os.path.join(str(tmp_path), "oov")
+    os.makedirs(d, exist_ok=True)
+    # 'common' appears in 6 docs (df=6 ≥ 5 ⇒ in-vocab); every docN
+    # token is unique (df=1 ⇒ OOV)
+    texts = [f"common common doc{i}tok" for i in range(6)]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * 6, pa.string()),
+        "source": pa.array(["s"] * 6, pa.string()),
+    }), os.path.join(d, "documents.parquet"))
+    out = doc_oov_rate(d)
+    assert (out["n_tok"] == 3).all()
+    assert np.allclose(out["oov_rate"], 1 / 3, atol=1e-6)
+
+
+def test_oov_rate_bounded_testdata(ray_session):
+    from pdf_to_text_ray.pipelines.queries import doc_oov_rate
+
+    out = doc_oov_rate(SF)
+    assert out["oov_rate"].between(0, 1).all()
+    assert (out["n_tok"] > 0).all()
+    assert len(out) == 500
