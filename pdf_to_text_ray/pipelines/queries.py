@@ -14833,6 +14833,305 @@ FROM j GROUP BY doc_id
 """
 
 
+# ── Flesch reading ease (round 19) ───────────────────────────────────
+
+def doc_flesch_score(sf_dir: str):
+    """Flesch reading ease per document (Flesch 1948):
+    206.835 − 1.015·(words/sentences) − 84.6·(syllables/words), with
+    the standard orthographic heuristics — syllables = maximal vowel
+    runs ([aeiouy], lowercased, min 1 per word), sentences = maximal
+    [.!?] runs (min 1). The classic readability gate FineWeb-style
+    curation runs next to the Gopher rules. Pure vectorized-per-doc
+    map, no shuffle; score rounds 6 dp."""
+    import re as _re
+
+    split_re = _re.compile(r"[ \t\r\n\f\v]+")
+    vowel_re = _re.compile(r"[aeiouy]+")
+    sent_re = _re.compile(r"[.!?]+")
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        out = {"doc_id": [], "n_words": [], "n_sentences": [],
+               "n_syllables": [], "flesch": []}
+        for did, text in zip(df["doc_id"].tolist(), df["text"].tolist()):
+            text = text or ""
+            words = [w for w in split_re.split(text) if w]
+            if not words:
+                continue
+            w = len(words)
+            s = max(len(sent_re.findall(text)), 1)
+            y = sum(max(len(vowel_re.findall(tok.lower())), 1)
+                    for tok in words)
+            out["doc_id"].append(did)
+            out["n_words"].append(w)
+            out["n_sentences"].append(s)
+            out["n_syllables"].append(y)
+            out["flesch"].append(round(
+                206.835 - 1.015 * (w / s) - 84.6 * (y / w), 6))
+        return pd.DataFrame({
+            "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+            "n_words": pd.Series(out["n_words"], dtype="int64"),
+            "n_sentences": pd.Series(out["n_sentences"], dtype="int64"),
+            "n_syllables": pd.Series(out["n_syllables"], dtype="int64"),
+            "flesch": pd.Series(out["flesch"], dtype="float64")})
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
+FLESCH_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(coalesce(text, ''),
+                                      '[ \t\r\n\f\v]+')) AS tok
+  FROM documents),
+syl AS (
+  SELECT doc_id,
+         greatest(len(list_filter(
+           regexp_split_to_array(lower(tok), '[^aeiouy]+'),
+           x -> x <> '')), 1) AS y
+  FROM toks WHERE tok <> ''),
+w AS (SELECT doc_id, count(*) AS n_words, sum(y) AS n_syllables
+      FROM syl GROUP BY doc_id),
+s AS (SELECT doc_id,
+             greatest(len(regexp_extract_all(coalesce(text, ''),
+                                             '[.!?]+')), 1) AS n_sent
+      FROM documents)
+SELECT w.doc_id, w.n_words::BIGINT AS n_words,
+       s.n_sent::BIGINT AS n_sentences,
+       w.n_syllables::BIGINT AS n_syllables,
+       round(206.835
+             - 1.015 * (w.n_words::DOUBLE / s.n_sent)
+             - 84.6 * (w.n_syllables::DOUBLE / w.n_words), 6) AS flesch
+FROM w JOIN s USING (doc_id)
+"""
+
+
+# ── per-doc character entropy (round 19) ─────────────────────────────
+
+def doc_char_entropy(sf_dir: str):
+    """Shannon entropy (bits) of the non-whitespace codepoint
+    distribution per document — near-zero flags repeated-character
+    spam, ≫ typical-language entropy flags base64/binary-in-text
+    gibberish; orthogonal to the compression-ratio check (and, unlike
+    zlib, exactly SQL-replayable). Same utf-32 reinterpret as
+    doc_script_mix; one np.unique per doc, no shuffle."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def entropy(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        out_id, out_n, out_h = [], [], []
+        for did, s in zip(ids, t["text"].to_pylist()):
+            cp = np.frombuffer((s or "").encode("utf-32-le"), np.uint32)
+            ws = ((cp == 32) | ((cp >= 9) & (cp <= 13)))
+            cp = cp[~ws]
+            n = len(cp)
+            if n == 0:
+                continue
+            _, counts = np.unique(cp, return_counts=True)
+            p = counts / n
+            out_id.append(int(did))
+            out_n.append(n)
+            out_h.append(float(round(-np.sum(p * np.log2(p)), 6)))
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "n_cp": pa.array(out_n, pa.int64()),
+            "entropy_bits": pa.array(out_h, pa.float64())})
+
+    return ds.map_batches(entropy, batch_format="pyarrow")
+
+
+CHAR_ENTROPY_SQL = """
+WITH ch AS (
+  SELECT doc_id,
+         unnest(list_transform(split(text, ''), c -> unicode(c))) AS cp
+  FROM documents
+  WHERE coalesce(text, '') <> ''),
+nws AS (SELECT doc_id, cp FROM ch
+        WHERE NOT (cp = 32 OR (cp BETWEEN 9 AND 13))),
+cnt AS (SELECT doc_id, cp, count(*) AS c FROM nws GROUP BY doc_id, cp),
+tot AS (SELECT doc_id, sum(c)::DOUBLE AS n FROM cnt GROUP BY doc_id)
+SELECT cnt.doc_id, tot.n::BIGINT AS n_cp,
+       round(-sum((cnt.c / tot.n) * log2(cnt.c / tot.n)), 6)
+         AS entropy_bits
+FROM cnt JOIN tot USING (doc_id)
+GROUP BY cnt.doc_id, tot.n
+"""
+
+
+# ── Benford first-digit audit (round 19) ─────────────────────────────
+
+def value_benford_chisq(sf_dir: str):
+    """Benford's-law first-significant-digit audit of events.value —
+    the classic fabricated-data / unit-mixing detector. The first
+    digit comes from the ENGINE-PORTABLE '%.6e' rendering of the
+    double (identical round-half-even formatting in CPython and
+    DuckDB), sidestepping log10-boundary drift. Per-batch digit
+    counts are 9-row partials; χ² contributions round 6 dp."""
+    import math
+
+    ds = _read(sf_dir, "events", ["value"])
+
+    def digit_counts(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(np.float64)
+        v = v[~np.isnan(v)]
+        v = v[v != 0.0]
+        digits = np.array([int(f"{abs(x):.6e}"[0]) for x in v],
+                          np.int64)
+        c = np.bincount(digits, minlength=10)[1:10]
+        return pd.DataFrame({"digit": np.arange(1, 10, dtype=np.int64),
+                             "n": c.astype(np.int64)})
+
+    p = ds.map_batches(digit_counts, batch_format="pandas").to_pandas()
+    g = p.groupby("digit", sort=True)["n"].sum()
+    total = float(g.sum())
+    rows = []
+    for d in range(1, 10):
+        nd = int(g.get(d, 0))
+        pb = math.log10(1.0 + 1.0 / d)
+        exp = total * pb
+        rows.append({"digit": d, "n": nd,
+                     "p_obs": round(nd / total, 6),
+                     "p_benford": round(pb, 6),
+                     "chisq_contrib": round((nd - exp) ** 2 / exp, 6)})
+    out = pd.DataFrame(rows)
+    out["digit"] = out["digit"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+BENFORD_SQL = """
+WITH ev AS (SELECT value FROM events
+            WHERE value IS NOT NULL AND value <> 0),
+d AS (SELECT substr(format('{:.6e}', abs(value)), 1, 1)::BIGINT AS digit
+      FROM ev),
+cnt AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+tot AS (SELECT sum(n)::DOUBLE AS t FROM cnt),
+digits AS (SELECT unnest(range(1, 10)) AS digit)
+SELECT digits.digit, coalesce(cnt.n, 0)::BIGINT AS n,
+       round(coalesce(cnt.n, 0) / tot.t, 6) AS p_obs,
+       round(log10(1.0 + 1.0 / digits.digit), 6) AS p_benford,
+       round(pow(coalesce(cnt.n, 0) - tot.t * log10(1.0 + 1.0 / digits.digit), 2)
+             / (tot.t * log10(1.0 + 1.0 / digits.digit)), 6)
+         AS chisq_contrib
+FROM digits LEFT JOIN cnt USING (digit), tot
+ORDER BY digits.digit
+"""
+
+
+# ── duplicate-cluster size histogram (round 19) ──────────────────────
+
+def dup_cluster_size_hist(sf_dir: str):
+    """Histogram of exact-duplicate cluster sizes (md5(text) groups) —
+    the dedup-observability readout that says whether duplication is a
+    long tail of pairs or a few mega-clusters (which decides salting
+    strategy before the dedup shuffle). Texts hash per batch (rows
+    shrink to 16-byte keys before the exchange); two fixed-width
+    groupbys."""
+    import hashlib
+
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def to_hash(df: pd.DataFrame) -> pa.Table:
+        hs = [hashlib.md5((t or "").encode()).hexdigest()
+              for t in df["text"].tolist()]
+        return arrow_out(pd.DataFrame({"h": hs}))
+
+    clusters = (ds.map_batches(to_hash, batch_format="pandas")
+                .groupby("h").aggregate(Count(alias_name="cluster_size")))
+    hist = (clusters.groupby("cluster_size")
+            .aggregate(Count(alias_name="n_clusters"))
+            .to_pandas().sort_values("cluster_size"))
+    return pd.DataFrame({
+        "cluster_size": hist["cluster_size"].astype("int64"),
+        "n_clusters": hist["n_clusters"].astype("int64"),
+    }).reset_index(drop=True)
+
+
+DUP_HIST_SQL = """
+SELECT cluster_size, count(*)::BIGINT AS n_clusters
+FROM (SELECT md5(coalesce(text, '')) AS h, count(*) AS cluster_size
+      FROM documents GROUP BY h)
+GROUP BY cluster_size ORDER BY cluster_size
+"""
+
+
+# ── AMS self-join size estimate (round 19) ───────────────────────────
+
+F2_BUCKETS = 64
+
+
+def events_selfjoin_size_f2(sf_dir: str):
+    """Self-join size |events ⋈ events on user_id| = Σ_u c_u² (the
+    second frequency moment F2 — what an optimizer needs to size a
+    shuffle join under skew) next to its B=64 hash-bucketed
+    coarsening Σ_b (Σ_{u∈b} c_u)² — the AMS-sketch-granularity upper
+    bound whose inflation ratio measures how much the key histogram
+    is worth keeping. Per-batch partial (bucket, user, n) counts
+    pre-aggregate before one small shuffle; both moments are integer
+    sums (no float drift)."""
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        c = df.groupby("user_id").size()
+        uids = c.index.to_numpy()
+        b = np.array([int(hashlib.md5(str(u).encode()).hexdigest()[:8],
+                          16) % F2_BUCKETS for u in uids], np.int64)
+        return arrow_out(pd.DataFrame({
+            "user_id": pd.Series(uids, dtype="int64"),
+            "bucket": pd.Series(b, dtype="int64"),
+            "n": pd.Series(c.to_numpy(), dtype="int64")}))
+
+    per_user = (ds.map_batches(partial, batch_format="pandas")
+                .groupby("user_id")
+                .aggregate(Sum("n", alias_name="n")))
+
+    # the per-user table never lands on the driver: each block emits
+    # one Σn² row + ≤64 per-bucket partial sums; the driver merges
+    # O(65 · blocks) fixed-width rows
+    def moment_partials(df: pd.DataFrame) -> pd.DataFrame:
+        uids = df["user_id"].to_numpy()
+        n = df["n"].to_numpy(np.int64)
+        b = np.array([int(hashlib.md5(str(u).encode()).hexdigest()[:8],
+                          16) % F2_BUCKETS for u in uids], np.int64)
+        bs = pd.DataFrame({"bucket": b, "bn": n}) \
+            .groupby("bucket")["bn"].sum()
+        return pd.DataFrame({
+            "bucket": np.concatenate([[-1], bs.index.to_numpy()]),
+            "v": np.concatenate([[int(np.sum(n * n))],
+                                 bs.to_numpy()])}).astype("int64")
+
+    p = (per_user.map_batches(moment_partials, batch_format="pandas")
+         .to_pandas())
+    true_f2 = int(p.loc[p["bucket"] == -1, "v"].sum())
+    bsums = p[p["bucket"] >= 0].groupby("bucket")["v"].sum() \
+        .to_numpy(np.int64)
+    bucket_f2 = int(np.sum(bsums * bsums))
+    return pd.DataFrame({
+        "true_f2": pd.Series([true_f2], dtype="int64"),
+        "bucket_f2": pd.Series([bucket_f2], dtype="int64"),
+        "inflation": [round(bucket_f2 / true_f2, 6)]})
+
+
+F2_SQL = f"""
+WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+b AS (SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::UBIGINT
+             % {F2_BUCKETS} AS bucket, n
+      FROM c),
+t AS (SELECT sum(n * n)::BIGINT AS true_f2 FROM c),
+s AS (SELECT sum(bn * bn)::BIGINT AS bucket_f2
+      FROM (SELECT bucket, sum(n) AS bn FROM b GROUP BY bucket))
+SELECT t.true_f2, s.bucket_f2,
+       round(s.bucket_f2::DOUBLE / t.true_f2, 6) AS inflation
+FROM t, s
+"""
+
+
 QUERIES = {
     # relational
     "q1_pricing_summary": q1_pricing_summary,
@@ -14988,6 +15287,11 @@ QUERIES = {
     "event_transition_entropy": event_transition_entropy,
     "source_mix_weights": source_mix_weights,
     "doc_oov_rate": doc_oov_rate,
+    "doc_flesch_score": doc_flesch_score,
+    "doc_char_entropy": doc_char_entropy,
+    "value_benford_chisq": value_benford_chisq,
+    "dup_cluster_size_hist": dup_cluster_size_hist,
+    "events_selfjoin_size_f2": events_selfjoin_size_f2,
     "doc_normalize_text": doc_normalize_text,
     "doc_gopher_repetition": doc_gopher_repetition,
     "sample_stratified_docs": sample_stratified_docs,
@@ -15409,4 +15713,9 @@ ORACLE_SQL = {
     "event_transition_entropy": TRANSITION_ENTROPY_SQL,
     "source_mix_weights": SOURCE_MIX_SQL,
     "doc_oov_rate": OOV_SQL,
+    "doc_flesch_score": FLESCH_SQL,
+    "doc_char_entropy": CHAR_ENTROPY_SQL,
+    "value_benford_chisq": BENFORD_SQL,
+    "dup_cluster_size_hist": DUP_HIST_SQL,
+    "events_selfjoin_size_f2": F2_SQL,
 }

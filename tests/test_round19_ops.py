@@ -255,3 +255,162 @@ def test_oov_rate_bounded_testdata(ray_session):
     assert out["oov_rate"].between(0, 1).all()
     assert (out["n_tok"] > 0).all()
     assert len(out) == 500
+
+
+# ── Flesch reading ease ──────────────────────────────────────────────
+
+def test_flesch_pins_known_counts(ray_session, tmp_path):
+    from pdf_to_text_ray.pipelines.queries import doc_flesch_score
+
+    d = os.path.join(str(tmp_path), "flesch")
+    os.makedirs(d, exist_ok=True)
+    texts = ["The cat sat. The dog ran!",
+             "Extraordinary bureaucratic investigations notwithstanding.",
+             "   "]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(3), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * 3, pa.string()),
+        "source": pa.array(["s"] * 3, pa.string()),
+    }), os.path.join(d, "documents.parquet"))
+    out = doc_flesch_score(d).to_pandas().set_index("doc_id")
+    assert sorted(out.index) == [0, 1]   # whitespace-only doc dropped
+    r = out.loc[0]
+    # 6 monosyllables, 2 sentences
+    assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (6, 2, 6)
+    assert r["flesch"] == pytest.approx(
+        206.835 - 1.015 * 3.0 - 84.6 * 1.0, abs=1e-6)
+    # polysyllabic single sentence scores far lower than simple prose
+    assert out.loc[1, "flesch"] < out.loc[0, "flesch"] - 100
+
+
+def test_flesch_bounded_testdata(ray_session):
+    from pdf_to_text_ray.pipelines.queries import doc_flesch_score
+
+    out = doc_flesch_score(SF).to_pandas()
+    assert len(out) == 500
+    assert (out["n_syllables"] >= out["n_words"]).all()
+    assert (out["n_sentences"] >= 1).all()
+
+
+# ── char entropy ─────────────────────────────────────────────────────
+
+def test_char_entropy_analytic(ray_session, tmp_path):
+    from pdf_to_text_ray.pipelines.queries import doc_char_entropy
+
+    d = os.path.join(str(tmp_path), "ent2")
+    os.makedirs(d, exist_ok=True)
+    texts = ["aaaaaaaa",        # one symbol → 0 bits
+             "abcd abcd",       # 4 equiprobable symbols → 2 bits
+             "ab" * 32]         # 2 symbols → 1 bit
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(3), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["xx"] * 3, pa.string()),
+        "source": pa.array(["s"] * 3, pa.string()),
+    }), os.path.join(d, "documents.parquet"))
+    out = doc_char_entropy(d).to_pandas().set_index("doc_id")
+    assert out.loc[0, "entropy_bits"] == 0.0
+    assert out.loc[1, "entropy_bits"] == pytest.approx(2.0, abs=1e-6)
+    assert out.loc[2, "entropy_bits"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_char_entropy_flags_gibberish_vs_spam(ray_session):
+    """On the real corpus every doc lands between the spam floor and
+    the uniform ceiling."""
+    from pdf_to_text_ray.pipelines.queries import doc_char_entropy
+
+    out = doc_char_entropy(SF).to_pandas()
+    assert (out["entropy_bits"] > 0).all()
+    assert (out["entropy_bits"] <= np.log2(out["n_cp"]) + 1e-9).all()
+
+
+# ── Benford audit ────────────────────────────────────────────────────
+
+def test_benford_digit_extraction(ray_session, tmp_path):
+    from pdf_to_text_ray.pipelines.queries import value_benford_chisq
+
+    d = os.path.join(str(tmp_path), "benford")
+    os.makedirs(d, exist_ok=True)
+    # one value per leading digit (signs/magnitudes vary), zeros and
+    # NULLs excluded
+    vals = [1.5, -23.0, 0.0037, 450.0, 5e6, -0.61, 7.77, 888.8, 90.1,
+            0.0, None]
+    n = len(vals)
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array(pd.date_range("2024-01-01", periods=n, freq="s")),
+        "user_id": pa.array([1] * n, pa.int64()),
+        "event_type": pa.array(["x"] * n, pa.string()),
+        "value": pa.array(vals, pa.float64()),
+        "props": pa.array(["{}"] * n, pa.string()),
+    }), os.path.join(d, "events.parquet"))
+    out = value_benford_chisq(d)
+    assert (out["n"] == 1).all()          # each digit seen exactly once
+    assert out["p_obs"].sum() == pytest.approx(1.0, abs=2e-5)
+    assert out["p_benford"].sum() == pytest.approx(1.0, abs=2e-5)
+    assert (out["chisq_contrib"] >= 0).all()
+
+
+def test_benford_testdata_shape(ray_session):
+    from pdf_to_text_ray.pipelines.queries import value_benford_chisq
+
+    out = value_benford_chisq(SF)
+    assert list(out["digit"]) == list(range(1, 10))
+    assert out["p_obs"].sum() == pytest.approx(1.0, abs=2e-5)
+    # Benford reference is monotone decreasing
+    assert (np.diff(out["p_benford"].to_numpy()) < 0).all()
+
+
+# ── duplicate-cluster histogram ──────────────────────────────────────
+
+def test_dup_hist_counts_clusters(ray_session, tmp_path):
+    from pdf_to_text_ray.pipelines.queries import dup_cluster_size_hist
+
+    d = os.path.join(str(tmp_path), "dup")
+    os.makedirs(d, exist_ok=True)
+    texts = ["A"] * 4 + ["B"] * 2 + ["C"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(7), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * 7, pa.string()),
+        "source": pa.array(["s"] * 7, pa.string()),
+    }), os.path.join(d, "documents.parquet"))
+    out = dup_cluster_size_hist(d).set_index("cluster_size")
+    assert out.loc[1, "n_clusters"] == 1
+    assert out.loc[2, "n_clusters"] == 1
+    assert out.loc[4, "n_clusters"] == 1
+    # mass check: Σ size·count = row count
+    assert (out.index.to_numpy() * out["n_clusters"].to_numpy()).sum() == 7
+
+
+# ── AMS self-join size ───────────────────────────────────────────────
+
+def test_f2_analytic_fixture(ray_session, tmp_path):
+    from pdf_to_text_ray.pipelines.queries import events_selfjoin_size_f2
+
+    d = os.path.join(str(tmp_path), "f2")
+    os.makedirs(d, exist_ok=True)
+    users = [10] * 3 + [20] + [30]       # counts 3,1,1 → F2 = 11
+    n = len(users)
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array(pd.date_range("2024-01-01", periods=n, freq="s")),
+        "user_id": pa.array(users, pa.int64()),
+        "event_type": pa.array(["x"] * n, pa.string()),
+        "value": pa.array([1.0] * n, pa.float64()),
+        "props": pa.array(["{}"] * n, pa.string()),
+    }), os.path.join(d, "events.parquet"))
+    out = events_selfjoin_size_f2(d).iloc[0]
+    assert out["true_f2"] == 11
+    # bucketing only merges keys ⇒ the estimate is an upper bound
+    assert out["bucket_f2"] >= 11
+    assert out["inflation"] >= 1.0
+
+
+def test_f2_upper_bound_testdata(ray_session):
+    from pdf_to_text_ray.pipelines.queries import events_selfjoin_size_f2
+
+    out = events_selfjoin_size_f2(SF).iloc[0]
+    assert out["bucket_f2"] >= out["true_f2"] > 0
+    assert out["inflation"] >= 1.0
