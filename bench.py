@@ -188,6 +188,10 @@ def run_bench() -> dict:
         "hybrid_search_rrf",
         "bm25_prf_search",
         "source_token_kl",
+        # round-19 additions (distributed statistics / quality tier)
+        "poisson_bootstrap_value_ci",
+        "doc_oov_rate",
+        "doc_flesch_score",
     ):
         fn = Q.QUERIES[name]
         timed(name, lambda fn=fn: _consume(fn(SF_DIR)))
