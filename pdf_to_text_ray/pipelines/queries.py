@@ -15132,6 +15132,386 @@ FROM t, s
 """
 
 
+# ── split-leakage PSI (round 19) ─────────────────────────────────────
+
+def split_length_psi(sf_dir: str):
+    """Drift check ON THE SPLITTER: PSI between the train and test
+    length distributions under the leakage-safe source-keyed split —
+    the post-hoc validation that hashing whole sources (required for
+    leakage safety) did not hand the held-out set a skewed length
+    profile. Composition of source_split_assign's md5(source) rule
+    with source_length_psi's train-decile binning; per-batch
+    (split, n_chars) partials, no shuffle."""
+    from ..stages.groups import small_key_counts
+    from ..stages.quantiles import _rank_for
+    from ..stages.sketches import md5_uniform
+
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        u = md5_uniform(t["source"].to_pylist())
+        split = np.where(u < 0.8, "train",
+                         np.where(u < 0.9, "val", "test"))
+        return pa.table({"split": pa.array(split.tolist(), pa.string()),
+                         "n_chars": pc.cast(t["n_chars"], pa.int64())})
+
+    c = small_key_counts(ds.map_batches(tag, batch_format="pyarrow"),
+                         ["split", "n_chars"], alias="k")
+    a = (c[c["split"] == "train"]
+         .sort_values("n_chars")[["n_chars", "k"]])
+    b = (c[c["split"] == "test"]
+         .sort_values("n_chars")[["n_chars", "k"]])
+    na, nb = int(a["k"].sum()), int(b["k"].sum())
+    av = np.repeat(a["n_chars"].to_numpy(dtype=np.int64),
+                   a["k"].to_numpy(dtype=np.int64))
+    edges = np.unique([av[_rank_for(q, na)]
+                       for q in (0.1, 0.2, 0.3, 0.4, 0.5,
+                                 0.6, 0.7, 0.8, 0.9)])
+    ca = np.bincount(np.searchsorted(edges, av, side="left"),
+                     minlength=len(edges) + 1)
+    bv = np.repeat(b["n_chars"].to_numpy(dtype=np.int64),
+                   b["k"].to_numpy(dtype=np.int64))
+    cb = np.bincount(np.searchsorted(edges, bv, side="left"),
+                     minlength=len(edges) + 1)
+    m = (ca > 0) & (cb > 0)
+    pa_ = ca[m] / na
+    pb_ = cb[m] / nb
+    psi = float(round6(((pa_ - pb_) * np.log(pa_ / pb_)).sum()))
+    return pd.DataFrame({"n_bins": pd.Series([int(m.sum())],
+                                             dtype="int64"),
+                         "psi": [psi]})
+
+
+SPLIT_PSI_SQL = """
+WITH s AS (SELECT n_chars,
+                  CASE WHEN u < 0.8 THEN 'train'
+                       WHEN u < 0.9 THEN 'val'
+                       ELSE 'test' END AS split
+           FROM (SELECT n_chars,
+                        ('0x' || substr(md5(source), 1, 8))::UBIGINT
+                          / 4294967296.0 AS u
+                 FROM documents)),
+a AS (SELECT n_chars FROM s WHERE split = 'train'),
+b AS (SELECT n_chars FROM s WHERE split = 'test'),
+edges AS (SELECT DISTINCT e FROM (
+  SELECT unnest([quantile_disc(n_chars, 0.1), quantile_disc(n_chars, 0.2),
+                 quantile_disc(n_chars, 0.3), quantile_disc(n_chars, 0.4),
+                 quantile_disc(n_chars, 0.5), quantile_disc(n_chars, 0.6),
+                 quantile_disc(n_chars, 0.7), quantile_disc(n_chars, 0.8),
+                 quantile_disc(n_chars, 0.9)]) AS e
+  FROM a)),
+abin AS (SELECT (SELECT count(*) FROM edges WHERE e < n_chars) AS bin,
+                count(*) AS c FROM a GROUP BY 1),
+bbin AS (SELECT (SELECT count(*) FROM edges WHERE e < n_chars) AS bin,
+                count(*) AS c FROM b GROUP BY 1),
+j AS (SELECT abin.c::DOUBLE / (SELECT count(*) FROM a) AS pa,
+             bbin.c::DOUBLE / (SELECT count(*) FROM b) AS pb
+      FROM abin JOIN bbin USING (bin))
+SELECT count(*)::BIGINT AS n_bins,
+       round(sum((pa - pb) * ln(pa / pb)), 6) AS psi
+FROM j
+"""
+
+
+# ── event-type lift (round 19) ───────────────────────────────────────
+
+def event_type_lift(sf_dir: str):
+    """Market-basket lift over users: for each unordered event-type
+    pair, lift = P(user does A and B) / (P(A)·P(B)) — >1 means the
+    behaviors co-occur beyond independence (the association-rule
+    readout behind 'viewers who sign up also purchase'). One
+    user-hash bucket shuffle carries the per-user distinct-type sets;
+    pair partials are ≤ C(|types|,2) rows per bucket, merged on the
+    driver with the per-type user counts (|types| rows)."""
+    from ..stages.groups import bucketed_group_apply
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        ut = df.drop_duplicates()
+        m = ut.merge(ut, on="user_id")
+        m = m[m["event_type_x"] < m["event_type_y"]]
+        pairs = (m.groupby(["event_type_x", "event_type_y"])
+                 .size().reset_index(name="n"))
+        pairs.columns = ["type_a", "type_b", "n"]
+        singles = (ut.groupby("event_type").size()
+                   .reset_index(name="n"))
+        singles = pd.DataFrame({"type_a": singles["event_type"],
+                                "type_b": "", "n": singles["n"]})
+        users = pd.DataFrame({"type_a": [""], "type_b": [""],
+                              "n": [ut["user_id"].nunique()]})
+        return pd.concat([pairs, singles, users], ignore_index=True)
+
+    p = bucketed_group_apply(ds, "user_id", per_bucket).to_pandas()
+    p = p.groupby(["type_a", "type_b"], sort=True)["n"].sum()
+    n_users = float(p.loc[("", "")])
+    singles = {k[0]: float(v) for k, v in p.items()
+               if k[1] == "" and k[0] != ""}
+    rows = []
+    for (a, b), n_both in p.items():
+        if not a or not b:
+            continue
+        rows.append({"type_a": a, "type_b": b,
+                     "n_both": int(n_both),
+                     "lift": float(round6(
+                         n_both * n_users / (singles[a] * singles[b])))})
+    out = pd.DataFrame(rows)
+    out["n_both"] = out["n_both"].astype("int64")
+    return out.sort_values(["type_a", "type_b"]).reset_index(drop=True)
+
+
+LIFT_SQL = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+nu AS (SELECT count(DISTINCT user_id)::DOUBLE AS n FROM ut),
+t AS (SELECT event_type, count(*)::DOUBLE AS c FROM ut GROUP BY 1),
+p AS (SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS n_both
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+SELECT p.ta AS type_a, p.tb AS type_b, p.n_both::BIGINT AS n_both,
+       round(p.n_both * nu.n / (t1.c * t2.c), 6) AS lift
+FROM p JOIN t t1 ON t1.event_type = p.ta
+JOIN t t2 ON t2.event_type = p.tb, nu
+ORDER BY type_a, type_b
+"""
+
+
+# ── equi-depth histogram selectivity evaluation (round 19) ───────────
+
+SEL_PREDICATES = (10000.0, 30000.0, 60000.0)
+SEL_BINS = 20
+
+
+def price_selectivity_eval(sf_dir: str):
+    """Optimizer-style selectivity estimation audit: build the
+    20-bucket equi-depth histogram over l_extendedprice (exact
+    quantile_disc boundaries via the streaming refinement engine),
+    estimate sel(price ≤ X) by within-bucket linear interpolation,
+    and report it against the true selectivity — the error column is
+    what a cost model's calibration run reads. Boundaries come from
+    O(rounds) streaming passes; true selectivities from one pass of
+    3-row per-batch partials."""
+    from ..stages.quantiles import exact_quantiles
+
+    ds = _lineitem(sf_dir, ["l_extendedprice"])
+    qs = [k / SEL_BINS for k in range(SEL_BINS + 1)]
+    edges = exact_quantiles(ds, "l_extendedprice", qs,
+                            n_buckets=64, collect_cap=500) \
+        ["value"].to_numpy(np.float64)
+
+    xs = np.array(SEL_PREDICATES, np.float64)
+
+    def true_counts(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["l_extendedprice"].to_numpy(np.float64)
+        return pd.DataFrame({
+            "x": xs,
+            "c": [int((v <= x).sum()) for x in xs],
+            "n": np.int64(len(v))})
+
+    p = (ds.map_batches(true_counts, batch_format="pandas")
+         .to_pandas().groupby("x", sort=True).sum())
+    rows = []
+    for x in xs:
+        k = int(np.searchsorted(edges, x, side="right")) - 1
+        if k >= SEL_BINS:
+            est = 1.0
+        elif k < 0:
+            est = 0.0
+        else:
+            frac = ((x - edges[k]) / (edges[k + 1] - edges[k])
+                    if edges[k + 1] > edges[k] else 0.0)
+            est = (k + frac) / SEL_BINS
+        true = float(p.loc[x, "c"]) / float(p.loc[x, "n"])
+        rows.append({"x": x, "est_sel": round(est, 6),
+                     "true_sel": round(true, 6),
+                     "abs_err": round(abs(est - true), 6)})
+    return pd.DataFrame(rows)
+
+
+def _selectivity_sql() -> str:
+    qlist = ", ".join(f"{k / SEL_BINS!r}" for k in range(SEL_BINS + 1))
+    xlist = ", ".join(repr(x) for x in SEL_PREDICATES)
+    return f"""
+WITH b AS (SELECT quantile_disc(l_extendedprice, [{qlist}]) AS e
+           FROM lineitem),
+n AS (SELECT count(*)::DOUBLE AS n FROM lineitem),
+xs AS (SELECT unnest([{xlist}]) AS x),
+kk AS (SELECT x, len(list_filter(e, v -> v <= x)) - 1 AS k, e
+       FROM xs, b),
+est AS (SELECT x,
+  CASE WHEN k >= {SEL_BINS} THEN 1.0
+       WHEN k < 0 THEN 0.0
+       ELSE (k + CASE WHEN e[k + 2] > e[k + 1]
+                      THEN (x - e[k + 1]) / (e[k + 2] - e[k + 1])
+                      ELSE 0.0 END) / {SEL_BINS} END AS est_sel
+  FROM kk),
+tr AS (SELECT xs.x,
+              sum(CASE WHEN l.l_extendedprice <= xs.x
+                       THEN 1 ELSE 0 END) / (SELECT n FROM n) AS t
+       FROM xs CROSS JOIN lineitem l GROUP BY xs.x)
+SELECT est.x, round(est.est_sel, 6) AS est_sel,
+       round(tr.t, 6) AS true_sel,
+       round(abs(est.est_sel - tr.t), 6) AS abs_err
+FROM est JOIN tr USING (x) ORDER BY est.x
+"""
+
+
+# ── per-source quality report card (round 19) ────────────────────────
+
+def source_quality_report(sf_dir: str):
+    """The corpus report card: per source, document count, mean Flesch
+    reading ease, mean character entropy, and the aggregate OOV
+    occurrence rate — the one-page readout a curation run publishes
+    per ingest wave. Composition of the round-19 metrics: Flesch and
+    entropy compute per doc in ONE shared map pass emitting per-batch
+    per-source (sum, count) partials; the OOV leg reuses the
+    hash(tok)-bucketed DF shuffle but reduces by source; the final
+    join touches |sources| rows. Sources whose docs are all
+    empty/wordless are omitted (every leg inner-joins)."""
+    import re as _re
+
+    from ..stages.groups import bucketed_group_apply
+
+    split_re = _re.compile(r"[ \t\r\n\f\v]+")
+    vowel_re = _re.compile(r"[aeiouy]+")
+    sent_re = _re.compile(r"[.!?]+")
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def text_partials(df: pd.DataFrame) -> pd.DataFrame:
+        acc: dict[str, list] = {}
+        for src, text in zip(df["source"].tolist(), df["text"].tolist()):
+            text = text or ""
+            a = acc.setdefault(src, [0, 0.0, 0, 0.0, 0])  # docs, Σf, nf, Σh, nh
+            a[0] += 1
+            words = [w for w in split_re.split(text) if w]
+            if words:
+                w = len(words)
+                s = max(len(sent_re.findall(text)), 1)
+                y = sum(max(len(vowel_re.findall(t.lower())), 1)
+                        for t in words)
+                a[1] += 206.835 - 1.015 * (w / s) - 84.6 * (y / w)
+                a[2] += 1
+            cp = np.frombuffer(text.encode("utf-32-le"), np.uint32)
+            cp = cp[~((cp == 32) | ((cp >= 9) & (cp <= 13)))]
+            if len(cp):
+                _, counts = np.unique(cp, return_counts=True)
+                p = counts / len(cp)
+                a[3] += float(-np.sum(p * np.log2(p)))
+                a[4] += 1
+        srcs = sorted(acc)
+        return pd.DataFrame({
+            "source": srcs,
+            "n_docs": pd.Series([acc[s][0] for s in srcs], dtype="int64"),
+            "sf": [acc[s][1] for s in srcs],
+            "nf": pd.Series([acc[s][2] for s in srcs], dtype="int64"),
+            "sh": [acc[s][3] for s in srcs],
+            "nh": pd.Series([acc[s][4] for s in srcs], dtype="int64")})
+
+    tp = (ds.map_batches(text_partials, batch_format="pandas")
+          .to_pandas().groupby("source", sort=True).sum())
+
+    # per-(doc, tok) rows keep the true document-frequency grain
+    def doc_tok_rows(df: pd.DataFrame) -> pa.Table:
+        acc: dict[tuple, int] = {}
+        for did, src, text in zip(df["doc_id"].tolist(),
+                                  df["source"].tolist(),
+                                  df["text"].tolist()):
+            for tok in split_re.split(text or ""):
+                if tok:
+                    acc[(did, src, tok)] = acc.get((did, src, tok), 0) + 1
+        keys = list(acc.keys())
+        return arrow_out(pd.DataFrame({
+            "doc_id": pd.Series([k[0] for k in keys], dtype="int64"),
+            "source": [k[1] for k in keys],
+            "tok": [k[2] for k in keys],
+            "n": pd.Series([acc[k] for k in keys], dtype="int64")}))
+
+    rows = ds.map_batches(doc_tok_rows, batch_format="pandas")
+
+    def oov_per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["df"] = df.groupby("tok")["tok"].transform("size")
+        df["oov"] = np.where(df["df"].to_numpy() < OOV_MIN_DF,
+                             df["n"].to_numpy(), 0).astype("int64")
+        return (df.groupby("source", sort=False)
+                .agg(n=("n", "sum"), oov=("oov", "sum")).reset_index())
+
+    ov = (bucketed_group_apply(rows, "tok", oov_per_bucket)
+          .to_pandas().groupby("source", sort=True).sum())
+
+    j = tp.join(ov, how="inner", lsuffix="", rsuffix="_ov")
+    j = j[(j["nf"] > 0) & (j["nh"] > 0)]
+    return pd.DataFrame({
+        "source": j.index.to_numpy(),
+        "n_docs": j["n_docs"].astype("int64").to_numpy(),
+        "mean_flesch": round6(j["sf"].to_numpy(np.float64)
+                              / j["nf"].to_numpy(np.float64)),
+        "mean_entropy": round6(j["sh"].to_numpy(np.float64)
+                               / j["nh"].to_numpy(np.float64)),
+        "oov_rate": round6(j["oov"].to_numpy(np.float64)
+                           / j["n"].to_numpy(np.float64)),
+    }).reset_index(drop=True)
+
+
+QUALITY_REPORT_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         unnest(regexp_split_to_array(coalesce(text, ''),
+                                      '[ \t\r\n\f\v]+')) AS tok
+  FROM documents),
+nt AS (SELECT doc_id, source, tok FROM toks WHERE tok <> ''),
+syl AS (
+  SELECT doc_id,
+         greatest(len(list_filter(
+           regexp_split_to_array(lower(tok), '[^aeiouy]+'),
+           x -> x <> '')), 1) AS y
+  FROM nt),
+w AS (SELECT doc_id, count(*) AS n_words, sum(y) AS n_syll
+      FROM syl GROUP BY doc_id),
+snt AS (SELECT doc_id,
+               greatest(len(regexp_extract_all(coalesce(text, ''),
+                                               '[.!?]+')), 1) AS n_sent
+        FROM documents),
+fl AS (SELECT w.doc_id,
+              206.835 - 1.015 * (w.n_words::DOUBLE / snt.n_sent)
+                - 84.6 * (w.n_syll::DOUBLE / w.n_words) AS f
+       FROM w JOIN snt USING (doc_id)),
+ch AS (
+  SELECT doc_id,
+         unnest(list_transform(split(text, ''), c -> unicode(c))) AS cp
+  FROM documents WHERE coalesce(text, '') <> ''),
+nws AS (SELECT doc_id, cp FROM ch
+        WHERE NOT (cp = 32 OR (cp BETWEEN 9 AND 13))),
+ccnt AS (SELECT doc_id, cp, count(*) AS c FROM nws GROUP BY doc_id, cp),
+ctot AS (SELECT doc_id, sum(c)::DOUBLE AS n FROM ccnt GROUP BY doc_id),
+ent AS (SELECT ccnt.doc_id,
+               -sum((ccnt.c / ctot.n) * log2(ccnt.c / ctot.n)) AS h
+        FROM ccnt JOIN ctot USING (doc_id)
+        GROUP BY ccnt.doc_id),
+cnt AS (SELECT doc_id, any_value(source) AS source, tok,
+               count(*) AS n
+        FROM nt GROUP BY doc_id, tok),
+dfreq AS (SELECT tok, count(*) AS df FROM cnt GROUP BY tok),
+ovj AS (SELECT c.source, c.n,
+               CASE WHEN d.df < 5 THEN c.n ELSE 0 END AS oov
+        FROM cnt c JOIN dfreq d USING (tok)),
+ov AS (SELECT source, sum(n) AS n, sum(oov) AS oov
+       FROM ovj GROUP BY source),
+fls AS (SELECT d.source, sum(fl.f) AS sf, count(*) AS nf
+        FROM fl JOIN documents d USING (doc_id) GROUP BY d.source),
+ens AS (SELECT d.source, sum(ent.h) AS sh, count(*) AS nh
+        FROM ent JOIN documents d USING (doc_id) GROUP BY d.source),
+nd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
+SELECT nd.source, nd.n_docs::BIGINT AS n_docs,
+       round(fls.sf / fls.nf, 6) AS mean_flesch,
+       round(ens.sh / ens.nh, 6) AS mean_entropy,
+       round(ov.oov::DOUBLE / ov.n, 6) AS oov_rate
+FROM nd JOIN fls USING (source) JOIN ens USING (source)
+JOIN ov USING (source)
+ORDER BY nd.source
+"""
+
+
 QUERIES = {
     # relational
     "q1_pricing_summary": q1_pricing_summary,
@@ -15292,6 +15672,10 @@ QUERIES = {
     "value_benford_chisq": value_benford_chisq,
     "dup_cluster_size_hist": dup_cluster_size_hist,
     "events_selfjoin_size_f2": events_selfjoin_size_f2,
+    "split_length_psi": split_length_psi,
+    "event_type_lift": event_type_lift,
+    "price_selectivity_eval": price_selectivity_eval,
+    "source_quality_report": source_quality_report,
     "doc_normalize_text": doc_normalize_text,
     "doc_gopher_repetition": doc_gopher_repetition,
     "sample_stratified_docs": sample_stratified_docs,
@@ -15718,4 +16102,8 @@ ORACLE_SQL = {
     "value_benford_chisq": BENFORD_SQL,
     "dup_cluster_size_hist": DUP_HIST_SQL,
     "events_selfjoin_size_f2": F2_SQL,
+    "split_length_psi": SPLIT_PSI_SQL,
+    "event_type_lift": LIFT_SQL,
+    "price_selectivity_eval": _selectivity_sql(),
+    "source_quality_report": QUALITY_REPORT_SQL,
 }

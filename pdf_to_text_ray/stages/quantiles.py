@@ -47,8 +47,17 @@ import pyarrow.compute as pc
 
 
 def _rank_for(q: float, n: int) -> int:
-    """0-indexed quantile_disc rank."""
-    return max(int(np.ceil(q * n)) - 1, 0)
+    """0-indexed quantile_disc rank: ceil(q·n) − 1 in EXACT decimal
+    arithmetic. DuckDB parses a quantile literal like 0.55 as
+    DECIMAL and ranks exactly, so float q·n must not stray: with
+    doubles, 0.55 × 6000 = 3300.0000000000005 → ceil gives rank 3300
+    where DuckDB picks 3299 (caught by price_selectivity_eval's
+    20-bucket edges). Fraction(str(q)) recovers the decimal the
+    literal was written as."""
+    from fractions import Fraction
+    from math import ceil
+
+    return max(ceil(Fraction(str(q)) * n) - 1, 0)
 
 
 def _member_mask(v: np.ndarray, ok: np.ndarray, lo: float, hi: float,

@@ -414,3 +414,141 @@ def test_f2_upper_bound_testdata(ray_session):
     out = events_selfjoin_size_f2(SF).iloc[0]
     assert out["bucket_f2"] >= out["true_f2"] > 0
     assert out["inflation"] >= 1.0
+
+
+# ── split-leakage PSI ────────────────────────────────────────────────
+
+def test_split_psi_moderate_on_hash_split(ray_session):
+    """Source-granular splitting over only 20 sources leaves ~2
+    sources on the test side, so PSI sits in the moderate band
+    (~0.26 here) — well under the planted-skew magnitude the next
+    test produces, but above the per-row-split noise floor. That gap
+    IS the metric's value: it quantifies the price of leakage-safe
+    (source-level) splitting on a low-source-count corpus."""
+    from pdf_to_text_ray.pipelines.queries import split_length_psi
+
+    out = split_length_psi(SF).iloc[0]
+    assert out["n_bins"] >= 5
+    assert 0.0 <= out["psi"] < 0.5
+
+
+def test_split_psi_detects_planted_skew(ray_session, tmp_path):
+    """A corpus whose test-side sources are all long documents gets a
+    large PSI — the check actually fires on leakage-shaped skew."""
+    from pdf_to_text_ray.pipelines.queries import split_length_psi
+    from pdf_to_text_ray.stages.sketches import md5_uniform
+
+    d = os.path.join(str(tmp_path), "psi")
+    os.makedirs(d, exist_ok=True)
+    srcs = [f"src{i}" for i in range(40)]
+    u = md5_uniform(srcs)
+    # plant: test sources (u >= 0.9) get 10× longer docs
+    rows_src, rows_len = [], []
+    for s, uu in zip(srcs, u):
+        for k in range(20):
+            rows_src.append(s)
+            rows_len.append(5000 + 17 * k if uu >= 0.9 else 500 + 17 * k)
+    n = len(rows_src)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(["w"] * n, pa.string()),
+        "lang": pa.array(["en"] * n, pa.string()),
+        "source": pa.array(rows_src, pa.string()),
+        "n_chars": pa.array(rows_len, pa.int64()),
+    }), os.path.join(d, "documents.parquet"))
+    out = split_length_psi(d).iloc[0]
+    assert out["psi"] > 1.0
+
+
+# ── event-type lift ──────────────────────────────────────────────────
+
+def test_lift_analytic_fixture(ray_session, tmp_path):
+    """4 users: {a,b} {a,b} {a} {b} ⇒ lift(a,b) = (2·4)/(3·3)."""
+    from pdf_to_text_ray.pipelines.queries import event_type_lift
+
+    d = os.path.join(str(tmp_path), "lift")
+    os.makedirs(d, exist_ok=True)
+    pairs = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (4, "b"),
+             (1, "a")]        # duplicate (1,a) must not double-count
+    n = len(pairs)
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array(pd.date_range("2024-01-01", periods=n, freq="s")),
+        "user_id": pa.array([p[0] for p in pairs], pa.int64()),
+        "event_type": pa.array([p[1] for p in pairs], pa.string()),
+        "value": pa.array([1.0] * n, pa.float64()),
+        "props": pa.array(["{}"] * n, pa.string()),
+    }), os.path.join(d, "events.parquet"))
+    out = event_type_lift(d)
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["type_a"], r["type_b"], r["n_both"]) == ("a", "b", 2)
+    assert r["lift"] == pytest.approx(8 / 9, abs=1e-6)
+
+
+def test_lift_positive_and_complete(ray_session):
+    from pdf_to_text_ray.pipelines.queries import event_type_lift
+
+    out = event_type_lift(SF)
+    # 5 event types → all 10 unordered pairs co-occur in this corpus
+    assert len(out) == 10
+    assert (out["type_a"] < out["type_b"]).all()
+    assert (out["lift"] > 0).all()
+    assert (out["n_both"] > 0).all()
+
+
+# ── selectivity evaluation ───────────────────────────────────────────
+
+def test_selectivity_est_close_to_true(ray_session):
+    """Equi-depth interpolation over 20 buckets keeps the estimate
+    within half a bucket (2.5 pp) of the true selectivity."""
+    from pdf_to_text_ray.pipelines.queries import price_selectivity_eval
+
+    out = price_selectivity_eval(SF)
+    assert len(out) == 3
+    assert (out["abs_err"] < 0.025).all()
+    assert out["est_sel"].is_monotonic_increasing
+    assert out["true_sel"].is_monotonic_increasing
+
+
+def test_rank_for_matches_duckdb_decimal_semantics():
+    """The 0.55×6000 float edge: exact-decimal ceil(q·n)−1 must pick
+    rank 3299, not the float-drifted 3300 (regression for the
+    price_selectivity_eval mismatch)."""
+    from pdf_to_text_ray.stages.quantiles import _rank_for
+
+    assert _rank_for(0.55, 6000) == 3299
+    assert _rank_for(0.05, 6000) == 299
+    assert _rank_for(0.5, 7) == 3
+    assert _rank_for(0.0, 10) == 0
+    assert _rank_for(1.0, 10) == 9
+    # positions where ceil genuinely lands mid-bucket
+    assert _rank_for(0.41, 10) == 4
+    assert _rank_for(0.39, 10) == 3
+
+
+# ── source quality report card ───────────────────────────────────────
+
+def test_quality_report_consistent_with_parts(ray_session):
+    """The report's columns agree with the standalone operators it
+    composes (same doc populations, same aggregation)."""
+    from pdf_to_text_ray.pipelines.queries import (doc_char_entropy,
+                                                   doc_flesch_score,
+                                                   source_quality_report)
+
+    rep = source_quality_report(SF).set_index("source")
+    assert rep["n_docs"].sum() == 500
+    # recompute mean flesch per source from the per-doc operator
+    fl = doc_flesch_score(SF).to_pandas()
+    docs = pq.read_table(os.path.join(SF, "documents.parquet"),
+                         columns=["doc_id", "source"]).to_pandas()
+    fl = fl.merge(docs, on="doc_id")
+    # per-doc flesch is rounded 6dp in the standalone op, the report
+    # averages unrounded values — agree to ~1e-4
+    want = fl.groupby("source")["flesch"].mean()
+    got = rep["mean_flesch"]
+    assert np.abs((want - got).to_numpy()).max() < 1e-3
+    ent = doc_char_entropy(SF).to_pandas().merge(docs, on="doc_id")
+    want_h = ent.groupby("source")["entropy_bits"].mean()
+    assert np.abs((want_h - rep["mean_entropy"]).to_numpy()).max() < 1e-3
+    assert rep["oov_rate"].between(0, 1).all()
