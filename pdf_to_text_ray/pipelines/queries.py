@@ -15512,6 +15512,199 @@ ORDER BY nd.source
 """
 
 
+# ── k-anonymity audit (round 19) ─────────────────────────────────────
+
+KANON_K = 5
+
+
+def k_anonymity_audit(sf_dir: str):
+    """k-anonymity audit over the (event_type, hour) quasi-identifier:
+    how many quasi-ID groups have fewer than k=5 members, and how many
+    rows sit in them — the re-identification-risk readout a privacy
+    review wants BEFORE a behavioral table ships to training (PII
+    redaction removes direct identifiers; this catches the indirect
+    ones). Group sizes come from one fixed-width groupby; the audit
+    itself reduces per-block (groups, small, at_risk) partials."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def qid(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t["ts"], unit="hour")
+        return pa.table({"event_type": t["event_type"],
+                         "qh": pc.cast(hour, pa.int64())})
+
+    sizes = (ds.map_batches(qid, batch_format="pyarrow")
+             .groupby(["event_type", "qh"])
+             .aggregate(Count(alias_name="c")))
+
+    def audit(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["c"].to_numpy(np.int64)
+        small = c < KANON_K
+        return pd.DataFrame({
+            "n_groups": pd.Series([len(c)], dtype="int64"),
+            "n_small_groups": pd.Series([int(small.sum())],
+                                        dtype="int64"),
+            "rows_at_risk": pd.Series([int(c[small].sum())],
+                                      dtype="int64")})
+
+    p = sizes.map_batches(audit, batch_format="pandas").to_pandas()
+    return pd.DataFrame({
+        "k": pd.Series([KANON_K], dtype="int64"),
+        "n_groups": pd.Series([int(p["n_groups"].sum())], dtype="int64"),
+        "n_small_groups": pd.Series([int(p["n_small_groups"].sum())],
+                                    dtype="int64"),
+        "rows_at_risk": pd.Series([int(p["rows_at_risk"].sum())],
+                                  dtype="int64")})
+
+
+KANON_SQL = f"""
+WITH g AS (SELECT event_type, date_trunc('hour', ts) AS qh,
+                  count(*) AS c
+           FROM events GROUP BY 1, 2)
+SELECT {KANON_K}::BIGINT AS k,
+       count(*)::BIGINT AS n_groups,
+       sum(CASE WHEN c < {KANON_K} THEN 1 ELSE 0 END)::BIGINT
+         AS n_small_groups,
+       sum(CASE WHEN c < {KANON_K} THEN c ELSE 0 END)::BIGINT
+         AS rows_at_risk
+FROM g
+"""
+
+
+# ── seeded-Laplace DP release (round 19) ─────────────────────────────
+
+DP_EPSILON = 1.0
+
+
+def dp_noisy_type_counts(sf_dir: str):
+    """Laplace-mechanism count release for the per-type event counts
+    (sensitivity 1, ε=1): noisy = n + Lap(1/ε), noise inverted from
+    the engine-portable md5 uniform so the release is replayable by
+    the oracle. A PRODUCTION release must draw fresh randomness — the
+    seeded noise here demonstrates the mechanism's plumbing (per-key
+    noise, post-processing round) while staying value-checkable; swap
+    the uniform source to os.urandom for a real deployment. Counts
+    reduce via small-key partials; the noise touches |types| rows."""
+    from ..stages.groups import small_key_counts
+    from ..stages.sketches import md5_uniform
+
+    ds = _read(sf_dir, "events", ["event_type"])
+    c = small_key_counts(ds, ["event_type"]).sort_values("event_type")
+    u = md5_uniform([f"dp:{t}" for t in c["event_type"]])
+    # inverse Laplace CDF, scale b = 1/ε
+    b = 1.0 / DP_EPSILON
+    noise = -b * np.sign(u - 0.5) * np.log(1.0 - 2.0 * np.abs(u - 0.5))
+    return pd.DataFrame({
+        "event_type": c["event_type"].to_numpy(),
+        "n": c["n"].astype("int64").to_numpy(),
+        "n_noisy": round6(c["n"].to_numpy(np.float64) + noise)})
+
+
+DP_SQL = f"""
+WITH c AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+u AS (SELECT event_type, n,
+             ('0x' || substr(md5('dp:' || event_type), 1, 8))::UBIGINT
+               / 4294967296.0 AS u
+      FROM c)
+SELECT event_type, n::BIGINT AS n,
+       round(n + (-(1.0 / {DP_EPSILON}) * sign(u - 0.5)
+                  * ln(1.0 - 2.0 * abs(u - 0.5))), 6) AS n_noisy
+FROM u ORDER BY event_type
+"""
+
+
+# ── contrastive negative-sampling plan (round 19) ────────────────────
+
+NEG_ANCHOR_RATE = 0.02
+NEG_K = 5
+
+
+def contrastive_negative_plan(sf_dir: str):
+    """Deterministic hard-negative plan for contrastive training:
+    anchors are the md5-uniform 2% sample of documents; each anchor
+    gets the k=5 candidates with the smallest md5(anchor:candidate)
+    draw among docs from a DIFFERENT source (in-batch negatives from
+    the same origin leak near-duplicates into the negative set). The
+    anchor set is bounded by the rate (broadcast once); candidates
+    stream — each batch emits per-anchor partial top-k (≤ anchors·k
+    rows), the driver merges the final top-k."""
+    from ..stages.sketches import md5_uniform
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def pick_anchors(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        u = md5_uniform(ids)
+        keep = u < NEG_ANCHOR_RATE
+        return pa.table({
+            "doc_id": pa.array(np.asarray(ids, np.int64)[keep],
+                               pa.int64()),
+            "source": pc.cast(t["source"], pa.string())
+                .filter(pa.array(keep))})
+
+    anchors = (ds.map_batches(pick_anchors, batch_format="pyarrow")
+               .to_pandas().sort_values("doc_id"))
+    a_ids = anchors["doc_id"].to_numpy(np.int64)
+    a_src = anchors["source"].to_numpy()
+
+    import hashlib
+
+    def topk_partial(df: pd.DataFrame) -> pd.DataFrame:
+        cand = df["doc_id"].to_numpy(np.int64)
+        csrc = df["source"].to_numpy()
+        out_a, out_c, out_u = [], [], []
+        for aid, asrc in zip(a_ids, a_src):
+            m = (csrc != asrc) & (cand != aid)
+            cc = cand[m]
+            if not len(cc):
+                continue
+            u = np.array(
+                [int(hashlib.md5(f"neg:{aid}:{c}".encode())
+                     .hexdigest()[:8], 16) for c in cc],
+                np.float64) / 4294967296.0
+            k = np.argsort(u, kind="stable")[:NEG_K]
+            out_a.extend([aid] * len(k))
+            out_c.extend(cc[k].tolist())
+            out_u.extend(u[k].tolist())
+        return pd.DataFrame({
+            "anchor_id": pd.Series(out_a, dtype="int64"),
+            "neg_id": pd.Series(out_c, dtype="int64"),
+            "u": pd.Series(out_u, dtype="float64")})
+
+    p = (ds.map_batches(topk_partial, batch_format="pandas")
+         .to_pandas())
+    p = (p.sort_values(["anchor_id", "u", "neg_id"])
+         .groupby("anchor_id", sort=True).head(NEG_K))
+    p["rank"] = p.groupby("anchor_id").cumcount() + 1
+    return pd.DataFrame({
+        "anchor_id": p["anchor_id"].to_numpy(),
+        "neg_id": p["neg_id"].to_numpy(),
+        "rank": p["rank"].astype("int64").to_numpy(),
+    }).reset_index(drop=True)
+
+
+NEG_PLAN_SQL = f"""
+WITH a AS (SELECT doc_id AS anchor_id, source AS asrc FROM documents
+           WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT
+                   / 4294967296.0 < {NEG_ANCHOR_RATE}),
+pairs AS (
+  SELECT a.anchor_id, d.doc_id AS neg_id,
+         ('0x' || substr(md5('neg:' || a.anchor_id::VARCHAR || ':'
+                             || d.doc_id::VARCHAR), 1, 8))::UBIGINT
+           / 4294967296.0 AS u
+  FROM a JOIN documents d
+    ON d.source <> a.asrc AND d.doc_id <> a.anchor_id),
+ranked AS (SELECT anchor_id, neg_id,
+                  row_number() OVER (PARTITION BY anchor_id
+                                     ORDER BY u, neg_id) AS rank
+           FROM pairs)
+SELECT anchor_id, neg_id, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {NEG_K}
+ORDER BY anchor_id, rank
+"""
+
+
 QUERIES = {
     # relational
     "q1_pricing_summary": q1_pricing_summary,
@@ -15676,6 +15869,9 @@ QUERIES = {
     "event_type_lift": event_type_lift,
     "price_selectivity_eval": price_selectivity_eval,
     "source_quality_report": source_quality_report,
+    "k_anonymity_audit": k_anonymity_audit,
+    "dp_noisy_type_counts": dp_noisy_type_counts,
+    "contrastive_negative_plan": contrastive_negative_plan,
     "doc_normalize_text": doc_normalize_text,
     "doc_gopher_repetition": doc_gopher_repetition,
     "sample_stratified_docs": sample_stratified_docs,
@@ -16106,4 +16302,7 @@ ORACLE_SQL = {
     "event_type_lift": LIFT_SQL,
     "price_selectivity_eval": _selectivity_sql(),
     "source_quality_report": QUALITY_REPORT_SQL,
+    "k_anonymity_audit": KANON_SQL,
+    "dp_noisy_type_counts": DP_SQL,
+    "contrastive_negative_plan": NEG_PLAN_SQL,
 }

@@ -552,3 +552,75 @@ def test_quality_report_consistent_with_parts(ray_session):
     want_h = ent.groupby("source")["entropy_bits"].mean()
     assert np.abs((want_h - rep["mean_entropy"]).to_numpy()).max() < 1e-3
     assert rep["oov_rate"].between(0, 1).all()
+
+
+# ── k-anonymity audit ────────────────────────────────────────────────
+
+def test_kanon_counts_planted_small_groups(ray_session, tmp_path):
+    """3 rows of (a, hour0), 1 of (b, hour0), 1 of (b, hour1):
+    k=5 ⇒ all 3 groups small, 5 rows at risk."""
+    from pdf_to_text_ray.pipelines.queries import k_anonymity_audit
+
+    d = os.path.join(str(tmp_path), "kanon")
+    os.makedirs(d, exist_ok=True)
+    ts = (["2024-01-01 10:15:00"] * 3
+          + ["2024-01-01 10:45:00", "2024-01-01 11:05:00"])
+    types = ["a"] * 3 + ["b", "b"]
+    n = len(ts)
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array(pd.to_datetime(ts)),
+        "user_id": pa.array([1] * n, pa.int64()),
+        "event_type": pa.array(types, pa.string()),
+        "value": pa.array([1.0] * n, pa.float64()),
+        "props": pa.array(["{}"] * n, pa.string()),
+    }), os.path.join(d, "events.parquet"))
+    out = k_anonymity_audit(d).iloc[0]
+    assert (out["n_groups"], out["n_small_groups"],
+            out["rows_at_risk"]) == (3, 3, 5)
+
+
+def test_kanon_risk_bounded(ray_session):
+    from pdf_to_text_ray.pipelines.queries import k_anonymity_audit
+
+    out = k_anonymity_audit(SF).iloc[0]
+    assert out["n_small_groups"] <= out["n_groups"]
+    assert out["rows_at_risk"] <= out["n_small_groups"] * (out["k"] - 1)
+
+
+# ── DP noisy counts ──────────────────────────────────────────────────
+
+def test_dp_noise_matches_inverse_laplace(ray_session):
+    from pdf_to_text_ray.pipelines.queries import (DP_EPSILON,
+                                                   dp_noisy_type_counts)
+    from pdf_to_text_ray.stages.sketches import md5_uniform
+
+    out = dp_noisy_type_counts(SF)
+    u = md5_uniform([f"dp:{t}" for t in out["event_type"]])
+    b = 1.0 / DP_EPSILON
+    want = -b * np.sign(u - 0.5) * np.log(1.0 - 2.0 * np.abs(u - 0.5))
+    got = out["n_noisy"].to_numpy() - out["n"].to_numpy()
+    assert np.allclose(got, want, atol=5e-6)
+    # Laplace(1) noise: every draw finite, typically within ~7 = ln(1/u_min)
+    assert np.abs(got).max() < 25
+
+
+# ── contrastive negative plan ────────────────────────────────────────
+
+def test_negative_plan_excludes_same_source(ray_session):
+    from pdf_to_text_ray.pipelines.queries import (NEG_K,
+                                                   contrastive_negative_plan)
+
+    out = contrastive_negative_plan(SF)
+    docs = pq.read_table(os.path.join(SF, "documents.parquet"),
+                         columns=["doc_id", "source"]).to_pandas()
+    src = docs.set_index("doc_id")["source"]
+    assert (out["anchor_id"] != out["neg_id"]).all()
+    assert (src.loc[out["anchor_id"]].to_numpy()
+            != src.loc[out["neg_id"]].to_numpy()).all()
+    per = out.groupby("anchor_id")["rank"].agg(["count", "max"])
+    assert (per["count"] <= NEG_K).all()
+    assert (per["count"] == per["max"]).all()   # dense 1..k ranks
+    # same plan every run
+    again = contrastive_negative_plan(SF)
+    pd.testing.assert_frame_equal(out, again)
