@@ -15705,6 +15705,147 @@ ORDER BY anchor_id, rank
 """
 
 
+# ── RFM segmentation (round 19) ──────────────────────────────────────
+
+def user_rfm_segments(sf_dir: str):
+    """RFM segmentation of purchasers: recency (full days since last
+    purchase at the corpus horizon), frequency (purchase count),
+    monetary (value sum), each binned into quartiles by the corpus-
+    wide quantile_disc thresholds — bin = 1 + #thresholds strictly
+    below the metric, so ties bin identically in both engines without
+    a global ntile SORT (the quartile edges come from the streaming
+    refinement engine; assignment is a pure map over the per-user
+    aggregate). segment = r·100 + f·10 + m, r_bin 1 = most recent."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    from ..stages.quantiles import exact_quantiles
+
+    ds = (_read(sf_dir, "events", ["user_id", "event_type", "ts",
+                                   "value"])
+          .filter(expr="event_type == 'purchase'"))
+    per_user = (ds.groupby("user_id")
+                .aggregate(Max("ts", alias_name="last_ts"),
+                           Count(alias_name="f"),
+                           Sum("value", alias_name="m"))
+                .materialize())     # consumed 4× (3 quantile passes + map)
+    horizon = per_user.max("last_ts")
+
+    def add_r(t: pa.Table) -> pa.Table:
+        last = t["last_ts"].to_numpy(zero_copy_only=False)
+        r = ((np.datetime64(horizon, "us") - last)
+             / np.timedelta64(1, "s")) // 86400.0
+        return t.append_column("r_days", pa.array(r.astype(np.int64),
+                                                  pa.int64()))
+
+    pu = per_user.map_batches(add_r, batch_format="pyarrow") \
+        .materialize()
+    edges = {}
+    for col in ("r_days", "f", "m"):
+        edges[col] = exact_quantiles(pu, col, [0.25, 0.5, 0.75],
+                                     n_buckets=64, collect_cap=500) \
+            ["value"].to_numpy(np.float64)
+
+    def assign(t: pa.Table) -> pa.Table:
+        out = {"user_id": pc.cast(t["user_id"], pa.int64()),
+               "r_days": t["r_days"],
+               "f": pc.cast(t["f"], pa.int64()),
+               "m": pa.array(round6(
+                   t["m"].to_numpy(zero_copy_only=False)), pa.float64())}
+        bins = {}
+        for col in ("r_days", "f", "m"):
+            x = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+            b = np.ones(len(x), np.int64)
+            for e in edges[col]:
+                b += (x > e)
+            bins[col] = b
+        out["r_bin"] = pa.array(bins["r_days"], pa.int64())
+        out["f_bin"] = pa.array(bins["f"], pa.int64())
+        out["m_bin"] = pa.array(bins["m"], pa.int64())
+        out["segment"] = pa.array(
+            bins["r_days"] * 100 + bins["f"] * 10 + bins["m"],
+            pa.int64())
+        return pa.table(out)
+
+    return pu.map_batches(assign, batch_format="pyarrow")
+
+
+RFM_SQL = """
+WITH p AS (SELECT user_id, max(ts) AS last_ts, count(*) AS f,
+                  sum(value) AS m
+           FROM events WHERE event_type = 'purchase'
+           GROUP BY user_id),
+h AS (SELECT max(last_ts) AS horizon FROM p),
+r AS (SELECT user_id,
+             floor(epoch(h.horizon - last_ts) / 86400)::BIGINT AS r_days,
+             f, m
+      FROM p, h),
+e AS (SELECT quantile_disc(r_days, [0.25, 0.5, 0.75]) AS er,
+             quantile_disc(f, [0.25, 0.5, 0.75]) AS ef,
+             quantile_disc(m, [0.25, 0.5, 0.75]) AS em
+      FROM r),
+b AS (SELECT user_id, r_days, f, round(m, 6) AS m,
+             1 + (CASE WHEN r_days > er[1] THEN 1 ELSE 0 END)
+               + (CASE WHEN r_days > er[2] THEN 1 ELSE 0 END)
+               + (CASE WHEN r_days > er[3] THEN 1 ELSE 0 END) AS r_bin,
+             1 + (CASE WHEN f > ef[1] THEN 1 ELSE 0 END)
+               + (CASE WHEN f > ef[2] THEN 1 ELSE 0 END)
+               + (CASE WHEN f > ef[3] THEN 1 ELSE 0 END) AS f_bin,
+             1 + (CASE WHEN m > em[1] THEN 1 ELSE 0 END)
+               + (CASE WHEN m > em[2] THEN 1 ELSE 0 END)
+               + (CASE WHEN m > em[3] THEN 1 ELSE 0 END) AS m_bin
+      FROM r, e)
+SELECT user_id, r_days, f::BIGINT AS f, m,
+       r_bin::BIGINT AS r_bin, f_bin::BIGINT AS f_bin,
+       m_bin::BIGINT AS m_bin,
+       (r_bin * 100 + f_bin * 10 + m_bin)::BIGINT AS segment
+FROM b
+"""
+
+
+# ── churn label generation (round 19) ────────────────────────────────
+
+CHURN_DAYS = 14
+
+
+def user_churn_labels(sf_dir: str):
+    """Training-label generation: a user is labeled churned when their
+    last event precedes the corpus horizon by more than 14 days —
+    the standard windowed churn target, emitted next to the leak-free
+    features a model may see (event count, distinct active days).
+    One fixed-width groupby; the horizon is a scalar aggregate."""
+    from ray.data.aggregate import Count, Max
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    per_user = (ds.groupby("user_id")
+                .aggregate(Max("ts", alias_name="last_ts"),
+                           Count(alias_name="n_events"))
+                .materialize())
+    horizon = per_user.max("last_ts")
+    cutoff = np.datetime64(horizon, "us") \
+        - np.timedelta64(CHURN_DAYS * 86400, "s")
+
+    def label(t: pa.Table) -> pa.Table:
+        last = t["last_ts"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "n_events": pc.cast(t["n_events"], pa.int64()),
+            "churned": pa.array((last < cutoff).astype(np.int64),
+                                pa.int64())})
+
+    return per_user.map_batches(label, batch_format="pyarrow")
+
+
+CHURN_SQL = f"""
+WITH p AS (SELECT user_id, max(ts) AS last_ts, count(*) AS n_events
+           FROM events GROUP BY user_id),
+h AS (SELECT max(last_ts) AS horizon FROM p)
+SELECT user_id, n_events::BIGINT AS n_events,
+       (CASE WHEN last_ts < h.horizon - INTERVAL {CHURN_DAYS} DAY
+             THEN 1 ELSE 0 END)::BIGINT AS churned
+FROM p, h
+"""
+
+
 QUERIES = {
     # relational
     "q1_pricing_summary": q1_pricing_summary,
@@ -15872,6 +16013,8 @@ QUERIES = {
     "k_anonymity_audit": k_anonymity_audit,
     "dp_noisy_type_counts": dp_noisy_type_counts,
     "contrastive_negative_plan": contrastive_negative_plan,
+    "user_rfm_segments": user_rfm_segments,
+    "user_churn_labels": user_churn_labels,
     "doc_normalize_text": doc_normalize_text,
     "doc_gopher_repetition": doc_gopher_repetition,
     "sample_stratified_docs": sample_stratified_docs,
@@ -16305,4 +16448,6 @@ ORACLE_SQL = {
     "k_anonymity_audit": KANON_SQL,
     "dp_noisy_type_counts": DP_SQL,
     "contrastive_negative_plan": NEG_PLAN_SQL,
+    "user_rfm_segments": RFM_SQL,
+    "user_churn_labels": CHURN_SQL,
 }

@@ -624,3 +624,71 @@ def test_negative_plan_excludes_same_source(ray_session):
     # same plan every run
     again = contrastive_negative_plan(SF)
     pd.testing.assert_frame_equal(out, again)
+
+
+# ── RFM segmentation ─────────────────────────────────────────────────
+
+def test_rfm_bins_and_segment_consistent(ray_session):
+    from pdf_to_text_ray.pipelines.queries import user_rfm_segments
+
+    out = user_rfm_segments(SF).to_pandas()
+    for c in ("r_bin", "f_bin", "m_bin"):
+        assert out[c].between(1, 4).all()
+    assert (out["segment"] == out["r_bin"] * 100 + out["f_bin"] * 10
+            + out["m_bin"]).all()
+    assert (out["r_days"] >= 0).all()
+    assert (out["f"] >= 1).all()
+    # bins are monotone in their metric: a strictly larger metric can
+    # never land in a strictly smaller bin
+    for metric, b in (("r_days", "r_bin"), ("f", "f_bin"), ("m", "m_bin")):
+        s = out.sort_values(metric)
+        assert s[b].is_monotonic_increasing
+
+
+def test_rfm_quartiles_roughly_balanced(ray_session):
+    """With 150 purchasers at sf0.01 each quartile holds a nontrivial
+    share (ties can skew but not empty a bin)."""
+    from pdf_to_text_ray.pipelines.queries import user_rfm_segments
+
+    out = user_rfm_segments(SF01).to_pandas()
+    assert len(out) == 150
+    for c in ("f_bin", "m_bin"):
+        counts = out[c].value_counts()
+        assert counts.min() >= len(out) * 0.05
+
+
+# ── churn labels ─────────────────────────────────────────────────────
+
+def test_churn_labels_match_window(ray_session, tmp_path):
+    from pdf_to_text_ray.pipelines.queries import user_churn_labels
+
+    d = os.path.join(str(tmp_path), "churn")
+    os.makedirs(d, exist_ok=True)
+    rows = [(1, "2024-01-01"), (1, "2024-01-10"),   # 21d before horizon → churned
+            (2, "2024-01-28"),                       # 3d before → active
+            (3, "2024-01-31"),                       # horizon user → active
+            (4, "2024-01-17 00:00:01")]              # 13d23h59m → active (< 14d)
+    n = len(rows)
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array(pd.to_datetime([r[1] for r in rows],
+                                      format="mixed")),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array(["x"] * n, pa.string()),
+        "value": pa.array([1.0] * n, pa.float64()),
+        "props": pa.array(["{}"] * n, pa.string()),
+    }), os.path.join(d, "events.parquet"))
+    out = user_churn_labels(d).to_pandas().set_index("user_id")
+    assert out.loc[1, "churned"] == 1
+    assert out.loc[2, "churned"] == 0
+    assert out.loc[3, "churned"] == 0
+    assert out.loc[4, "churned"] == 0
+    assert out.loc[1, "n_events"] == 2
+
+
+def test_churn_rate_sane(ray_session):
+    from pdf_to_text_ray.pipelines.queries import user_churn_labels
+
+    out = user_churn_labels(SF).to_pandas()
+    assert set(out["churned"].unique()) <= {0, 1}
+    assert len(out) == 15
