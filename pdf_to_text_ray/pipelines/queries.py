@@ -15846,6 +15846,78 @@ FROM p, h
 """
 
 
+# ── tokenizer fertility per language (round 19) ──────────────────────
+
+def lang_token_fertility(sf_dir: str):
+    """Tokenizer fertility (chars per BPE token) per language — the
+    multilingual-tokenizer health metric: a language whose fertility
+    is far below the corpus norm is being shredded into char-level
+    pieces and will train poorly. Composes the learned 8-round merge
+    table (broadcast once) with a per-batch word-memoized encode that
+    reduces straight to per-lang (Σchars, Σtokens, docs) partials —
+    no shuffle anywhere; the driver merges |langs| rows."""
+    import ray
+
+    from ..stages.bpe import apply_merges_to_word, learn_merges
+
+    train = _read(sf_dir, "documents", ["text"])
+    merges = [tuple(r) for r in learn_merges(train, n_merges=8)
+              [["left", "right"]].itertuples(index=False)]
+    ref = ray.put(merges)
+    ds = _read(sf_dir, "documents", ["text", "lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        ms = _ray.get(ref)
+        memo: dict[str, int] = {}
+        acc: dict[str, list] = {}
+        for s, lang, nc in zip(t["text"].to_pylist(),
+                               t["lang"].to_pylist(),
+                               t["n_chars"].to_pylist()):
+            n = 0
+            for w in (s or "").lower().split():
+                c = memo.get(w)
+                if c is None:
+                    c = len(apply_merges_to_word(w, ms))
+                    memo[w] = c
+                n += c
+            a = acc.setdefault(lang, [0, 0, 0])
+            a[0] += 1
+            a[1] += int(nc or 0)
+            a[2] += n
+        langs = sorted(acc)
+        return pa.table({
+            "lang": pa.array(langs, pa.string()),
+            "n_docs": pa.array([acc[g][0] for g in langs], pa.int64()),
+            "nc": pa.array([acc[g][1] for g in langs], pa.int64()),
+            "nt": pa.array([acc[g][2] for g in langs], pa.int64())})
+
+    p = (ds.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby("lang", sort=True).sum())
+    p = p[p["nt"] > 0]
+    return pd.DataFrame({
+        "lang": p.index.to_numpy(),
+        "n_docs": p["n_docs"].astype("int64").to_numpy(),
+        "n_tokens": p["nt"].astype("int64").to_numpy(),
+        "fertility": round6(p["nc"].to_numpy(np.float64)
+                            / p["nt"].to_numpy(np.float64)),
+    }).reset_index(drop=True)
+
+
+def _fertility_sql() -> str:
+    return f"""
+SELECT d.lang, count(*)::BIGINT AS n_docs,
+       sum(enc.n_bpe_tokens)::BIGINT AS n_tokens,
+       round(sum(d.n_chars)::DOUBLE / sum(enc.n_bpe_tokens), 6)
+         AS fertility
+FROM documents d
+JOIN ({_bpe_sql(output="encode")}) enc USING (doc_id)
+GROUP BY d.lang HAVING sum(enc.n_bpe_tokens) > 0
+ORDER BY d.lang
+"""
+
+
 QUERIES = {
     # relational
     "q1_pricing_summary": q1_pricing_summary,
@@ -16015,6 +16087,7 @@ QUERIES = {
     "contrastive_negative_plan": contrastive_negative_plan,
     "user_rfm_segments": user_rfm_segments,
     "user_churn_labels": user_churn_labels,
+    "lang_token_fertility": lang_token_fertility,
     "doc_normalize_text": doc_normalize_text,
     "doc_gopher_repetition": doc_gopher_repetition,
     "sample_stratified_docs": sample_stratified_docs,
@@ -16450,4 +16523,5 @@ ORACLE_SQL = {
     "contrastive_negative_plan": NEG_PLAN_SQL,
     "user_rfm_segments": RFM_SQL,
     "user_churn_labels": CHURN_SQL,
+    "lang_token_fertility": _fertility_sql(),
 }
