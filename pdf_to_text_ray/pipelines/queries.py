@@ -631,13 +631,11 @@ FROM t
 """
 
 
-def copurchase_triangles(sf_dir: str):
-    """Exact triangle count over the part co-purchase graph (parts
-    sharing an order are adjacent) — graph analytics beyond the
-    broadcast-vector family (pagerank/HITS): degree-ordered-orientation
-    triangle counting, every shuffle a payload-free int-pair exchange
-    (stages/graph.triangle_count)."""
-    from ..stages.graph import triangle_count
+def _copurchase_pair_stream(sf_dir: str):
+    """Part co-purchase edge stream: every intra-order (u < v) part
+    pair, enumerated per order-hash bucket with NO python-per-order
+    loop (index arithmetic over the sorted bucket). Pairs may repeat
+    across orders — consumers dedupe if they need the simple graph."""
     from ..stages.groups import bucketed_group_apply
 
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
@@ -675,8 +673,18 @@ def copurchase_triangles(sf_dir: str):
         return pd.DataFrame({"u": parts[ii].astype("int64"),
                              "v": parts[jj].astype("int64")})
 
-    edges = bucketed_group_apply(ds, "l_orderkey", pairs_bucket)
-    return triangle_count(edges)
+    return bucketed_group_apply(ds, "l_orderkey", pairs_bucket)
+
+
+def copurchase_triangles(sf_dir: str):
+    """Exact triangle count over the part co-purchase graph (parts
+    sharing an order are adjacent) — graph analytics beyond the
+    broadcast-vector family (pagerank/HITS): degree-ordered-orientation
+    triangle counting, every shuffle a payload-free int-pair exchange
+    (stages/graph.triangle_count)."""
+    from ..stages.graph import triangle_count
+
+    return triangle_count(_copurchase_pair_stream(sf_dir))
 
 
 TRIANGLES_SQL = """
@@ -15918,6 +15926,120 @@ ORDER BY d.lang
 """
 
 
+# ── k-core decomposition (round 19) ──────────────────────────────────
+
+KCORE_K = 3
+KCORE_ROUNDS = 10
+
+
+def part_kcore(sf_dir: str):
+    """k-core membership of the part co-purchase graph (k=3, 10 fixed
+    peeling rounds — the pagerank fixed-iteration precedent): the
+    dense backbone community detection and graph-ML sampling start
+    from, with the Zipf fringe peeled away. BSP shape: each round is
+    ONE degree groupby over the int-pair edge list; only the round's
+    REMOVED shell crosses the driver (broadcast as a filter set to
+    the next round's edge map — partitioning assumption: the peeled
+    fringe fits driver memory, true by construction since peeling
+    stops growing once the core stabilizes; the core itself never
+    leaves the cluster)."""
+    from ray.data.aggregate import Count
+
+    edges = (_copurchase_pair_stream(sf_dir)
+             .groupby(["u", "v"]).aggregate(Count(alias_name="_m"))
+             .drop_columns(["_m"])
+             .materialize())     # re-filtered every round
+
+    removed: set = set()
+    for _ in range(KCORE_ROUNDS):
+        rm = removed  # bind for closure
+
+        rm_arr = np.fromiter(rm, np.int64, len(rm)) if rm else None
+
+        def deg_partial(t: pa.Table) -> pa.Table:
+            u = t["u"].to_numpy(zero_copy_only=False)
+            v = t["v"].to_numpy(zero_copy_only=False)
+            if rm_arr is not None:
+                keep = (~np.isin(u, rm_arr)) & (~np.isin(v, rm_arr))
+                u, v = u[keep], v[keep]
+            nodes, cnt = np.unique(np.concatenate([u, v]),
+                                   return_counts=True)
+            return pa.table({"node": pa.array(nodes, pa.int64()),
+                             "deg": pa.array(cnt, pa.int64())})
+
+        from ray.data.aggregate import Sum
+
+        deg = (edges.map_batches(deg_partial, batch_format="pyarrow")
+               .groupby("node").aggregate(Sum("deg", alias_name="deg")))
+
+        def shell(t: pa.Table) -> pa.Table:
+            m = pc.less(t["deg"], pa.scalar(KCORE_K))
+            return t.filter(m).select(["node"])
+
+        shell_df = deg.map_batches(shell,
+                                   batch_format="pyarrow").to_pandas()
+        new_rm = shell_df["node"].tolist() if "node" in shell_df \
+            else []
+        if not new_rm:
+            break
+        removed = removed | set(int(x) for x in new_rm)
+
+    rm_arr = np.fromiter(removed, np.int64, len(removed)) \
+        if removed else None
+
+    def final_deg(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        if rm_arr is not None:
+            keep = (~np.isin(u, rm_arr)) & (~np.isin(v, rm_arr))
+            u, v = u[keep], v[keep]
+        nodes, cnt = np.unique(np.concatenate([u, v]),
+                               return_counts=True)
+        return pa.table({"node": pa.array(nodes, pa.int64()),
+                         "deg": pa.array(cnt, pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    deg = (edges.map_batches(final_deg, batch_format="pyarrow")
+           .groupby("node").aggregate(Sum("deg", alias_name="deg"))
+           .to_pandas())
+    if "node" not in deg.columns:       # the whole graph peeled away
+        deg = pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                            "deg": pd.Series([], dtype="int64")})
+    deg = deg[deg["deg"] >= KCORE_K].sort_values("node")
+    return pd.DataFrame({
+        "part": deg["node"].astype("int64").to_numpy(),
+        "core_degree": deg["deg"].astype("int64").to_numpy(),
+    }).reset_index(drop=True)
+
+
+def _kcore_sql(k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> str:
+    parts = ["""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)"""]
+    for i in range(rounds):
+        parts.append(f""",
+d{i} AS MATERIALIZED (
+  SELECT node, count(*) AS deg FROM (
+    SELECT u AS node FROM e{i} UNION ALL SELECT v FROM e{i})
+  GROUP BY node),
+k{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE deg >= {k}),
+e{i + 1} AS MATERIALIZED (
+  SELECT e.u, e.v FROM e{i} e
+  JOIN k{i} a ON a.node = e.u JOIN k{i} b ON b.node = e.v)""")
+    parts.append(f"""
+SELECT node AS part, deg::BIGINT AS core_degree FROM (
+  SELECT node, count(*) AS deg FROM (
+    SELECT u AS node FROM e{rounds} UNION ALL SELECT v FROM e{rounds})
+  GROUP BY node)
+WHERE deg >= {k}
+ORDER BY part""")
+    return "".join(parts)
+
+
 QUERIES = {
     # relational
     "q1_pricing_summary": q1_pricing_summary,
@@ -16088,6 +16210,7 @@ QUERIES = {
     "user_rfm_segments": user_rfm_segments,
     "user_churn_labels": user_churn_labels,
     "lang_token_fertility": lang_token_fertility,
+    "part_kcore": part_kcore,
     "doc_normalize_text": doc_normalize_text,
     "doc_gopher_repetition": doc_gopher_repetition,
     "sample_stratified_docs": sample_stratified_docs,
@@ -16524,4 +16647,5 @@ ORACLE_SQL = {
     "user_rfm_segments": RFM_SQL,
     "user_churn_labels": CHURN_SQL,
     "lang_token_fertility": _fertility_sql(),
+    "part_kcore": _kcore_sql(),
 }

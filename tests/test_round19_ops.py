@@ -692,3 +692,45 @@ def test_churn_rate_sane(ray_session):
     out = user_churn_labels(SF).to_pandas()
     assert set(out["churned"].unique()) <= {0, 1}
     assert len(out) == 15
+
+
+# ── k-core decomposition ─────────────────────────────────────────────
+
+def _order_rows(order_part_pairs):
+    n = len(order_part_pairs)
+    return pa.table({
+        "l_orderkey": pa.array([p[0] for p in order_part_pairs],
+                               pa.int64()),
+        "l_partkey": pa.array([p[1] for p in order_part_pairs],
+                              pa.int64()),
+        "l_quantity": pa.array([1.0] * n, pa.float64()),
+        "l_extendedprice": pa.array([10.0] * n, pa.float64()),
+        "l_discount": pa.array([0.0] * n, pa.float64()),
+        "l_tax": pa.array([0.0] * n, pa.float64()),
+    })
+
+
+def test_kcore_peels_planted_fringe(ray_session, tmp_path):
+    """A 4-clique (order with 4 parts) is a 3-core; a pendant chain
+    hanging off it peels away over the rounds."""
+    from pdf_to_text_ray.pipelines.queries import part_kcore
+
+    d = os.path.join(str(tmp_path), "kcore")
+    os.makedirs(d, exist_ok=True)
+    rows = [(1, p) for p in (10, 11, 12, 13)]      # K4 → 3-core
+    rows += [(2, 13), (2, 20), (3, 20), (3, 21)]   # chain 13-20-21
+    pq.write_table(_order_rows(rows),
+                   os.path.join(d, "lineitem.parquet"))
+    out = part_kcore(d)
+    assert sorted(out["part"]) == [10, 11, 12, 13]
+    assert (out["core_degree"] == 3).all()
+
+
+def test_kcore_is_subgraph_closed(ray_session):
+    """Every member of the reported 3-core has degree ≥ 3 WITHIN the
+    core — the defining closure property."""
+    from pdf_to_text_ray.pipelines.queries import KCORE_K, part_kcore
+
+    out = part_kcore(SF)
+    assert (out["core_degree"] >= KCORE_K).all()
+    assert out["part"].is_unique
