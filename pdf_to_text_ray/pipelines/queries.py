@@ -16040,6 +16040,91 @@ ORDER BY part""")
     return "".join(parts)
 
 
+# ── rank-biased overlap between retrieval legs (round 19) ────────────
+
+RBO_P = 0.9
+RBO_DEPTH = 20
+
+
+def retrieval_rbo(sf_dir: str):
+    """Rank-biased overlap (Webber, Moffat & Zobel 2010, truncated
+    prefix form) between the BM25 and cosine top-20 rankings for the
+    standing hybrid query — THE rank-similarity metric for indefinite
+    rankings, top-weighted by persistence p=0.9. Quantifies how much
+    the lexical and semantic views of the corpus agree (RBO ≈ 0 says
+    the RRF fusion is adding real signal, not averaging near-identical
+    lists). Both legs are the streaming partial-top-k passes their
+    standalone oracles pin; the RBO sum touches 2·depth rows."""
+    import math
+
+    from ..stages.index import bm25_topk
+    from ..stages.similarity import knn_bruteforce
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    lex = bm25_topk(docs, BM25_SEARCH_TERMS, topk=RBO_DEPTH)
+    a = lex["doc_id"].to_numpy(np.int64)          # rank order 1..d
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    sem = knn_bruteforce(emb, [RRF_QUERY_ID], k=RBO_DEPTH) \
+        .sort_values("rank")
+    b = sem["vec_id"].to_numpy(np.int64)
+
+    rbo = 0.0
+    ov_d = 0
+    for k in range(1, RBO_DEPTH + 1):
+        ov = len(set(a[:k]) & set(b[:k]))
+        rbo += math.pow(RBO_P, k - 1) * ov / k
+        if k == RBO_DEPTH:
+            ov_d = ov
+    rbo *= (1.0 - RBO_P)
+    return pd.DataFrame({
+        "p": [RBO_P],
+        "depth": pd.Series([RBO_DEPTH], dtype="int64"),
+        "overlap_at_depth": pd.Series([ov_d], dtype="int64"),
+        "rbo": [round(rbo, 6)]})
+
+
+RBO_SQL = f"""
+WITH w AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents
+           WHERE coalesce(text, '') <> ''),
+st AS (SELECT count(*) AS n,
+              sum(length(w))::DOUBLE / count(*) AS avgdl FROM w),
+q AS (SELECT unnest(['hash', 'join']) AS term),
+tf AS (SELECT doc_id, term,
+              length(list_filter(w, x -> x = term)) AS tf,
+              length(w) AS dl FROM w, q),
+df AS (SELECT term, count(*) FILTER (tf > 0) AS df FROM tf GROUP BY term),
+sc AS (SELECT tf.doc_id,
+              sum(ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1)
+                  * (tf.tf * 2.2)
+                  / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl)))
+                AS score
+       FROM tf JOIN df USING (term), st GROUP BY tf.doc_id),
+lex AS (SELECT doc_id, r FROM (
+          SELECT doc_id, row_number() OVER (
+            ORDER BY round(score, 2) DESC, doc_id) AS r FROM sc)
+        WHERE r <= {RBO_DEPTH}),
+qv AS (SELECT embedding FROM embeddings WHERE vec_id = {RRF_QUERY_ID}),
+sem AS (SELECT doc_id, r FROM (
+          SELECT e.vec_id AS doc_id, row_number() OVER (
+            ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+                                            qv.embedding::DOUBLE[]) DESC,
+                     e.vec_id) AS r
+          FROM embeddings e, qv WHERE e.vec_id <> {RRF_QUERY_ID})
+        WHERE r <= {RBO_DEPTH}),
+ks AS (SELECT unnest(range(1, {RBO_DEPTH} + 1)) AS k),
+ov AS (SELECT ks.k,
+              (SELECT count(*) FROM lex a JOIN sem b USING (doc_id)
+               WHERE a.r <= ks.k AND b.r <= ks.k) AS o
+       FROM ks)
+SELECT {RBO_P!r} AS p, {RBO_DEPTH}::BIGINT AS depth,
+       (SELECT o FROM ov WHERE k = {RBO_DEPTH})::BIGINT
+         AS overlap_at_depth,
+       round((1.0 - {RBO_P!r})
+             * sum(pow({RBO_P!r}, k - 1) * o / k), 6) AS rbo
+FROM ov
+"""
+
+
 QUERIES = {
     # relational
     "q1_pricing_summary": q1_pricing_summary,
@@ -16211,6 +16296,7 @@ QUERIES = {
     "user_churn_labels": user_churn_labels,
     "lang_token_fertility": lang_token_fertility,
     "part_kcore": part_kcore,
+    "retrieval_rbo": retrieval_rbo,
     "doc_normalize_text": doc_normalize_text,
     "doc_gopher_repetition": doc_gopher_repetition,
     "sample_stratified_docs": sample_stratified_docs,
@@ -16648,4 +16734,5 @@ ORACLE_SQL = {
     "user_churn_labels": CHURN_SQL,
     "lang_token_fertility": _fertility_sql(),
     "part_kcore": _kcore_sql(),
+    "retrieval_rbo": RBO_SQL,
 }

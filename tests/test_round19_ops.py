@@ -734,3 +734,37 @@ def test_kcore_is_subgraph_closed(ray_session):
     out = part_kcore(SF)
     assert (out["core_degree"] >= KCORE_K).all()
     assert out["part"].is_unique
+
+
+# ── rank-biased overlap ──────────────────────────────────────────────
+
+def test_rbo_matches_standalone_legs(ray_session):
+    """Recompute RBO from the standalone BM25 and KNN operators' own
+    outputs — the composed metric must agree with its parts."""
+    import math
+
+    from pdf_to_text_ray.pipelines.queries import (RBO_DEPTH, RBO_P,
+                                                   RRF_QUERY_ID,
+                                                   retrieval_rbo)
+    from pdf_to_text_ray.stages.index import bm25_topk
+    from pdf_to_text_ray.stages.similarity import knn_bruteforce
+    from pdf_to_text_ray.pipelines.queries import (BM25_SEARCH_TERMS,
+                                                   _read)
+
+    out = retrieval_rbo(SF).iloc[0]
+    assert 0.0 <= out["rbo"] <= 1.0
+
+    lex = bm25_topk(_read(SF, "documents", ["doc_id", "text"]),
+                    BM25_SEARCH_TERMS, topk=RBO_DEPTH)
+    a = lex["doc_id"].to_numpy(np.int64)
+    sem = knn_bruteforce(_read(SF, "embeddings", ["vec_id", "embedding"]),
+                         [RRF_QUERY_ID], k=RBO_DEPTH).sort_values("rank")
+    b = sem["vec_id"].to_numpy(np.int64)
+    want = (1 - RBO_P) * sum(
+        math.pow(RBO_P, k - 1) * len(set(a[:k]) & set(b[:k])) / k
+        for k in range(1, RBO_DEPTH + 1))
+    assert out["rbo"] == pytest.approx(want, abs=2e-6)
+    assert out["overlap_at_depth"] == len(set(a) & set(b))
+    # lexical and semantic views of this synthetic corpus are nearly
+    # independent — RBO should sit far below the identical-list 1.0
+    assert out["rbo"] < 0.5
