@@ -192,6 +192,8 @@ def run_bench() -> dict:
         "poisson_bootstrap_value_ci",
         "doc_oov_rate",
         "doc_flesch_score",
+        "part_kcore",
+        "source_quality_report",
     ):
         fn = Q.QUERIES[name]
         timed(name, lambda fn=fn: _consume(fn(SF_DIR)))
