@@ -16129,6 +16129,202 @@ FROM ov
 """
 
 
+# ── degree assortativity (round 19) ──────────────────────────────────
+
+def copurchase_assortativity(sf_dir: str):
+    """Degree assortativity coefficient (Newman 2002) of the part
+    co-purchase graph: the Pearson correlation of endpoint degrees
+    over all directed edge stubs — positive means hubs buy with hubs
+    (core-heavy carts), negative means hub-leaf structure; it decides
+    whether degree-based partitioning will skew. Two passes over the
+    deduped int-pair edges: a degree groupby, then per-batch moment
+    partials of (deg_u, deg_v) joined from a broadcast degree map —
+    partitioning assumption: the |parts|-sized degree vector fits in a
+    broadcast, exactly the pagerank rank-vector contract."""
+    import ray
+
+    from ..stages.groups import bucketed_group_apply
+
+    edges = bucketed_group_apply(
+        _copurchase_pair_stream(sf_dir), ["u", "v"],
+        lambda df: df.drop_duplicates()).materialize()
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        nodes, cnt = np.unique(np.concatenate([
+            t["u"].to_numpy(zero_copy_only=False),
+            t["v"].to_numpy(zero_copy_only=False)]), return_counts=True)
+        return pa.table({"node": pa.array(nodes, pa.int64()),
+                         "deg": pa.array(cnt, pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    deg = (edges.map_batches(deg_partial, batch_format="pyarrow")
+           .groupby("node").aggregate(Sum("deg", alias_name="deg"))
+           .to_pandas().sort_values("node"))
+    dref = ray.put((deg["node"].to_numpy(np.int64),
+                    deg["deg"].to_numpy(np.float64)))
+
+    def moments(t: pa.Table) -> pd.DataFrame:
+        import ray as _ray
+
+        nodes, dv = _ray.get(dref)
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        du = dv[np.searchsorted(nodes, u)]
+        dw = dv[np.searchsorted(nodes, v)]
+        # both stub directions: (du,dw) and (dw,du) — symmetric, so
+        # sx == sy and sxx == syy; track x-moments and the cross term
+        x = np.concatenate([du, dw])
+        y = np.concatenate([dw, du])
+        return pd.DataFrame({
+            "m": pd.Series([len(x)], dtype="int64"),
+            "sx": [float(x.sum())], "sxx": [float((x * x).sum())],
+            "sxy": [float((x * y).sum())]})
+
+    p = edges.map_batches(moments, batch_format="pyarrow").to_pandas()
+    m = float(p["m"].sum())
+    sx = float(p["sx"].sum())
+    sxx = float(p["sxx"].sum())
+    sxy = float(p["sxy"].sum())
+    num = sxy / m - (sx / m) ** 2
+    den = sxx / m - (sx / m) ** 2
+    return pd.DataFrame({
+        "n_edges": pd.Series([int(m // 2)], dtype="int64"),
+        "assortativity": [round(num / den, 6)]})
+
+
+ASSORTATIVITY_SQL = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+d AS MATERIALIZED (
+  SELECT node, count(*)::DOUBLE AS deg FROM (
+    SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY node),
+st AS (
+  SELECT du.deg AS x, dv.deg AS y FROM e
+  JOIN d du ON du.node = e.u JOIN d dv ON dv.node = e.v
+  UNION ALL
+  SELECT dv.deg, du.deg FROM e
+  JOIN d du ON du.node = e.u JOIN d dv ON dv.node = e.v),
+mo AS (SELECT count(*)::DOUBLE AS m, sum(x) AS sx,
+              sum(x * x) AS sxx, sum(x * y) AS sxy
+       FROM st)
+SELECT (m / 2)::BIGINT AS n_edges,
+       round((sxy / m - (sx / m) * (sx / m))
+             / (sxx / m - (sx / m) * (sx / m)), 6) AS assortativity
+FROM mo
+"""
+
+
+# ── cross-source duplicate crosstab (round 19) ───────────────────────
+
+def source_dup_crosstab(sf_dir: str):
+    """Cross-source EXACT-duplicate pairs: for each source pair
+    (a ≤ b), how many document pairs share identical text — the
+    provenance readout that distinguishes in-source boilerplate from
+    cross-source syndication/mirroring (the trigram overlap matrix's
+    exact-dup sibling). Texts shrink to md5 keys per batch; clusters
+    assemble in one hash groupby; per-cluster source crosstabs are
+    C(sources-in-cluster, 2)-sized partials."""
+    import hashlib
+
+    from ..stages.groups import bucketed_group_apply
+
+    ds = _read(sf_dir, "documents", ["text", "source"])
+
+    def to_hash(df: pd.DataFrame) -> pa.Table:
+        return arrow_out(pd.DataFrame({
+            "h": [hashlib.md5((t or "").encode()).hexdigest()
+                  for t in df["text"].tolist()],
+            "source": df["source"].to_numpy()}))
+
+    def per_cluster(df: pd.DataFrame) -> pd.DataFrame:
+        # per-(cluster, source) doc counts FIRST, then closed-form
+        # pair counts from the k-vector — the self-join stays
+        # O(sources²) per cluster instead of O(cluster²), so a
+        # boilerplate mega-cluster cannot blow up a bucket
+        ks = (df.groupby(["h", "source"]).size().reset_index(name="k"))
+        m = ks.merge(ks, on="h")
+        m = m[m["source_x"] <= m["source_y"]]
+        same = (m["source_x"] == m["source_y"]).to_numpy()
+        kx = m["k_x"].to_numpy(np.int64)
+        ky = m["k_y"].to_numpy(np.int64)
+        n = np.where(same, kx * (kx - 1) // 2, kx * ky)
+        out = pd.DataFrame({"source_a": m["source_x"].to_numpy(),
+                            "source_b": m["source_y"].to_numpy(),
+                            "n_pairs": n})
+        out = (out.groupby(["source_a", "source_b"])["n_pairs"]
+               .sum().reset_index())
+        return out[out["n_pairs"] > 0]
+
+    hashes = ds.map_batches(to_hash, batch_format="pandas")
+    p = (bucketed_group_apply(hashes, "h", per_cluster)
+         .to_pandas())
+    if p.empty:
+        return pd.DataFrame({
+            "source_a": pd.Series([], dtype=object),
+            "source_b": pd.Series([], dtype=object),
+            "n_pairs": pd.Series([], dtype="int64")})
+    out = (p.groupby(["source_a", "source_b"], sort=True)["n_pairs"]
+           .sum().reset_index())
+    out["n_pairs"] = out["n_pairs"].astype("int64")
+    return out
+
+
+DUP_CROSSTAB_SQL = """
+WITH h AS (SELECT doc_id, md5(coalesce(text, '')) AS h, source
+           FROM documents),
+p AS (SELECT a.source AS source_a, b.source AS source_b
+      FROM h a JOIN h b
+        ON a.h = b.h
+        AND (a.source < b.source
+             OR (a.source = b.source AND a.doc_id < b.doc_id)))
+SELECT source_a, source_b, count(*)::BIGINT AS n_pairs
+FROM p GROUP BY source_a, source_b ORDER BY source_a, source_b
+"""
+
+
+# ── order seasonality index (round 19) ───────────────────────────────
+
+def orders_seasonality_index(sf_dir: str):
+    """Month-of-year seasonality index of order volume: per calendar
+    month, observed order count over the count a uniform calendar
+    would predict (index 1 = no seasonality) — the demand-shape
+    readout a forecaster detrends with. Month counts come from
+    12-row per-batch partials; the index is exact int/int before one
+    final round."""
+    ds = _read(sf_dir, "orders", ["o_orderdate"])
+
+    def month_partial(t: pa.Table) -> pa.Table:
+        m = pc.month(t["o_orderdate"]).to_numpy(zero_copy_only=False)
+        mo, cnt = np.unique(m, return_counts=True)
+        return pa.table({"month": pa.array(mo.astype(np.int64)),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    p = (ds.map_batches(month_partial, batch_format="pyarrow")
+         .to_pandas().groupby("month", sort=True)["n"].sum())
+    total = float(p.sum())
+    months = p.index.to_numpy(np.int64)
+    n = p.to_numpy(np.float64)
+    k = float(len(months))
+    return pd.DataFrame({
+        "month": months,
+        "n_orders": p.to_numpy(np.int64),
+        "seasonality_index": round6(n * k / total)})
+
+
+SEASONALITY_SQL = """
+WITH m AS (SELECT month(o_orderdate) AS month, count(*) AS n
+           FROM orders GROUP BY 1),
+t AS (SELECT sum(n)::DOUBLE AS total, count(*)::DOUBLE AS k FROM m)
+SELECT month::BIGINT AS month, n::BIGINT AS n_orders,
+       round(n * t.k / t.total, 6) AS seasonality_index
+FROM m, t ORDER BY month
+"""
+
+
 QUERIES = {
     # relational
     "q1_pricing_summary": q1_pricing_summary,
@@ -16301,6 +16497,9 @@ QUERIES = {
     "lang_token_fertility": lang_token_fertility,
     "part_kcore": part_kcore,
     "retrieval_rbo": retrieval_rbo,
+    "copurchase_assortativity": copurchase_assortativity,
+    "source_dup_crosstab": source_dup_crosstab,
+    "orders_seasonality_index": orders_seasonality_index,
     "doc_normalize_text": doc_normalize_text,
     "doc_gopher_repetition": doc_gopher_repetition,
     "sample_stratified_docs": sample_stratified_docs,
@@ -16739,4 +16938,7 @@ ORACLE_SQL = {
     "lang_token_fertility": _fertility_sql(),
     "part_kcore": _kcore_sql(),
     "retrieval_rbo": RBO_SQL,
+    "copurchase_assortativity": ASSORTATIVITY_SQL,
+    "source_dup_crosstab": DUP_CROSSTAB_SQL,
+    "orders_seasonality_index": SEASONALITY_SQL,
 }

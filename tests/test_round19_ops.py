@@ -768,3 +768,91 @@ def test_rbo_matches_standalone_legs(ray_session):
     # lexical and semantic views of this synthetic corpus are nearly
     # independent — RBO should sit far below the identical-list 1.0
     assert out["rbo"] < 0.5
+
+
+# ── degree assortativity ─────────────────────────────────────────────
+
+def test_assortativity_bounded_and_matches_numpy(ray_session):
+    """|r| ≤ 1, and the distributed moments agree with a direct numpy
+    recomputation from the oracle-identical edge list."""
+    import duckdb
+
+    from pdf_to_text_ray.pipelines.queries import copurchase_assortativity
+
+    out = copurchase_assortativity(SF).iloc[0]
+    assert -1.0 <= out["assortativity"] <= 1.0
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"'{SF}/lineitem.parquet'")
+    e = con.execute("""
+        WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        SELECT DISTINCT a.l_partkey u, b.l_partkey v
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    """).df()
+    assert out["n_edges"] == len(e)
+    import collections
+    deg = collections.Counter()
+    for u, v in zip(e["u"], e["v"]):
+        deg[u] += 1
+        deg[v] += 1
+    x = np.array([deg[u] for u in e["u"]] + [deg[v] for v in e["v"]],
+                 np.float64)
+    y = np.array([deg[v] for v in e["v"]] + [deg[u] for u in e["u"]],
+                 np.float64)
+    want = np.corrcoef(x, y)[0, 1]
+    assert out["assortativity"] == pytest.approx(want, abs=1e-5)
+
+
+# ── cross-source duplicate crosstab ──────────────────────────────────
+
+def test_dup_crosstab_closed_form(ray_session, tmp_path):
+    """Cluster A spans s1(×3), s2(×2); cluster B spans s2(×1), s3(×1):
+    cells (s1,s1)=3, (s1,s2)=6, (s2,s2)=1, (s2,s3)=1."""
+    from pdf_to_text_ray.pipelines.queries import source_dup_crosstab
+
+    d = os.path.join(str(tmp_path), "crosstab")
+    os.makedirs(d, exist_ok=True)
+    rows = [("A", "s1")] * 3 + [("A", "s2")] * 2 \
+        + [("B", "s2"), ("B", "s3"), ("C", "s3")]
+    n = len(rows)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array([r[0] for r in rows], pa.string()),
+        "lang": pa.array(["en"] * n, pa.string()),
+        "source": pa.array([r[1] for r in rows], pa.string()),
+    }), os.path.join(d, "documents.parquet"))
+    out = source_dup_crosstab(d).set_index(["source_a", "source_b"])
+    assert out.loc[("s1", "s1"), "n_pairs"] == 3
+    assert out.loc[("s1", "s2"), "n_pairs"] == 6
+    assert out.loc[("s2", "s2"), "n_pairs"] == 1
+    assert out.loc[("s2", "s3"), "n_pairs"] == 1
+    assert len(out) == 4        # singleton C contributes nothing
+
+
+def test_dup_crosstab_mass_matches_cluster_hist(ray_session):
+    """Σ crosstab pairs == Σ C(cluster_size, 2) from the cluster-size
+    histogram — same dup structure, two views (sf0.1 has real dups)."""
+    from pdf_to_text_ray.pipelines.queries import (dup_cluster_size_hist,
+                                                   source_dup_crosstab)
+
+    sf = "/root/testdata/sf0.1"
+    ct = source_dup_crosstab(sf)
+    hist = dup_cluster_size_hist(sf)
+    want = sum(n * (s * (s - 1) // 2)
+               for s, n in zip(hist["cluster_size"], hist["n_clusters"]))
+    assert ct["n_pairs"].sum() == want > 0
+
+
+# ── seasonality index ────────────────────────────────────────────────
+
+def test_seasonality_index_normalized(ray_session):
+    from pdf_to_text_ray.pipelines.queries import orders_seasonality_index
+
+    out = orders_seasonality_index(SF)
+    assert len(out) == 12
+    # count-weighted... no: the UNWEIGHTED mean of the index is 1 by
+    # construction (each month's n·k/total averages to 1 over months)
+    assert out["seasonality_index"].mean() == pytest.approx(1.0,
+                                                            abs=2e-5)
+    assert (out["seasonality_index"] > 0).all()
