@@ -14811,16 +14811,21 @@ def doc_oov_rate(sf_dir: str):
         return df[["doc_id", "n", "oov"]]
 
     flagged = bucketed_group_apply(toks, "tok", flag_rare)
-    agg = (flagged.groupby("doc_id")
-           .aggregate(Sum("n", alias_name="n_tok"),
-                      Sum("oov", alias_name="oov_n"))
-           .to_pandas())
-    return pd.DataFrame({
-        "doc_id": agg["doc_id"].astype("int64"),
-        "n_tok": agg["n_tok"].astype("int64"),
-        "oov_rate": round6(agg["oov_n"].to_numpy(np.float64)
-                           / agg["n_tok"].to_numpy(np.float64)),
-    }).sort_values("doc_id").reset_index(drop=True)
+    agg = flagged.groupby("doc_id").aggregate(
+        Sum("n", alias_name="n_tok"), Sum("oov", alias_name="oov_n"))
+
+    # the per-doc result stays a Dataset — it is corpus-sized
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n_tok"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        o = t["oov_n"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "n_tok": pc.cast(t["n_tok"], pa.int64()),
+            "oov_rate": pa.array(round6(o / n), pa.float64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 OOV_SQL = rf"""
@@ -16005,16 +16010,18 @@ def part_kcore(sf_dir: str):
     from ray.data.aggregate import Sum
 
     deg = (edges.map_batches(final_deg, batch_format="pyarrow")
-           .groupby("node").aggregate(Sum("deg", alias_name="deg"))
-           .to_pandas())
-    if "node" not in deg.columns:       # the whole graph peeled away
-        deg = pd.DataFrame({"node": pd.Series([], dtype="int64"),
-                            "deg": pd.Series([], dtype="int64")})
-    deg = deg[deg["deg"] >= KCORE_K].sort_values("node")
-    return pd.DataFrame({
-        "part": deg["node"].astype("int64").to_numpy(),
-        "core_degree": deg["deg"].astype("int64").to_numpy(),
-    }).reset_index(drop=True)
+           .groupby("node").aggregate(Sum("deg", alias_name="deg")))
+
+    # the core membership stays a Dataset — it is graph-sized
+    def keep_core(t: pa.Table) -> pa.Table:
+        if "node" not in t.column_names:   # whole graph peeled away
+            return pa.table({"part": pa.array([], pa.int64()),
+                             "core_degree": pa.array([], pa.int64())})
+        t = t.filter(pc.greater_equal(t["deg"], pa.scalar(KCORE_K)))
+        return pa.table({"part": pc.cast(t["node"], pa.int64()),
+                         "core_degree": pc.cast(t["deg"], pa.int64())})
+
+    return deg.map_batches(keep_core, batch_format="pyarrow")
 
 
 def _kcore_sql(k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> str:

@@ -243,7 +243,7 @@ def test_oov_rate_pins_known_fractions(ray_session, tmp_path):
         "lang": pa.array(["en"] * 6, pa.string()),
         "source": pa.array(["s"] * 6, pa.string()),
     }), os.path.join(d, "documents.parquet"))
-    out = doc_oov_rate(d)
+    out = doc_oov_rate(d).to_pandas()
     assert (out["n_tok"] == 3).all()
     assert np.allclose(out["oov_rate"], 1 / 3, atol=1e-6)
 
@@ -251,7 +251,7 @@ def test_oov_rate_pins_known_fractions(ray_session, tmp_path):
 def test_oov_rate_bounded_testdata(ray_session):
     from pdf_to_text_ray.pipelines.queries import doc_oov_rate
 
-    out = doc_oov_rate(SF)
+    out = doc_oov_rate(SF).to_pandas()
     assert out["oov_rate"].between(0, 1).all()
     assert (out["n_tok"] > 0).all()
     assert len(out) == 500
@@ -721,7 +721,7 @@ def test_kcore_peels_planted_fringe(ray_session, tmp_path):
     rows += [(2, 13), (2, 20), (3, 20), (3, 21)]   # chain 13-20-21
     pq.write_table(_order_rows(rows),
                    os.path.join(d, "lineitem.parquet"))
-    out = part_kcore(d)
+    out = part_kcore(d).to_pandas()
     assert sorted(out["part"]) == [10, 11, 12, 13]
     assert (out["core_degree"] == 3).all()
 
@@ -731,7 +731,7 @@ def test_kcore_is_subgraph_closed(ray_session):
     core — the defining closure property."""
     from pdf_to_text_ray.pipelines.queries import KCORE_K, part_kcore
 
-    out = part_kcore(SF)
+    out = part_kcore(SF).to_pandas()
     assert (out["core_degree"] >= KCORE_K).all()
     assert out["part"].is_unique
 
