@@ -194,6 +194,7 @@ def run_bench() -> dict:
         "doc_flesch_score",
         "part_kcore",
         "source_quality_report",
+        "source_overlap_matrix",
     ):
         fn = Q.QUERIES[name]
         timed(name, lambda fn=fn: _consume(fn(SF_DIR)))
