@@ -317,3 +317,24 @@ def test_binary_views_property(vals, off, length, large):
     for v, ref in zip(binary_views(sl), sl.to_pylist()):
         if v is not None and len(ref) >= 2:
             assert (v[:2] == ref[:2]) is True
+
+
+@given(st.integers(min_value=1, max_value=400),
+       st.integers(min_value=0, max_value=100))
+@settings(max_examples=60, deadline=None)
+def test_rank_for_matches_duckdb_quantile_disc(n, qk):
+    """Cross-engine property: for any table size n and any 2-decimal
+    quantile literal q, _rank_for picks EXACTLY the element DuckDB's
+    quantile_disc returns (identity data ⇒ value == rank). Guards the
+    exact-decimal ceil(q·n)−1 rule against both float drift (the
+    0.55×6000 regression) and DuckDB semantics changes."""
+    import duckdb
+
+    from pdf_to_text_ray.stages.quantiles import _rank_for
+
+    q = qk / 100.0
+    con = duckdb.connect()
+    got = con.execute(
+        f"SELECT quantile_disc(v, {q!r}) FROM range({n}) t(v)"
+    ).fetchone()[0]
+    assert got == _rank_for(q, n)
