@@ -16331,6 +16331,126 @@ FROM m, t ORDER BY month
 """
 
 
+# ── session bounce rate (round 19) ───────────────────────────────────
+
+def session_bounce_rate(sf_dir: str):
+    """Bounce rate per session entry type: of the sessions that OPEN
+    with each event type (30-min inactivity sessionization, the
+    session_first_touch convention), what fraction end after that one
+    event — the landing-quality metric next to first-touch
+    attribution. One user-hash bucket carries sessionization and the
+    per-session reduce; partials are ≤ |event types| rows."""
+    from ..stages.groups import bucketed_group_apply
+
+    ds = _read(sf_dir, "events",
+               ["user_id", "event_type", "ts", "event_id"])
+    gap_us = 30 * 60 * 1_000_000
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="stable")
+        gaps = df.groupby("user_id", sort=False)["ts"].diff()
+        brk = (gaps.dt.total_seconds() * 1_000_000 > gap_us) \
+            .fillna(False).astype("int64")
+        df = df.assign(_sid=brk.groupby(df["user_id"]).cumsum())
+        per = (df.groupby(["user_id", "_sid"], sort=False)
+               .agg(entry_type=("event_type", "first"),
+                    n=("event_type", "size")))
+        agg = (per.assign(bounce=(per["n"] == 1).astype("int64"))
+               .groupby("entry_type", sort=False)
+               .agg(n_sessions=("n", "size"), n_bounces=("bounce",
+                                                         "sum")))
+        return agg.reset_index()
+
+    p = (bucketed_group_apply(ds, "user_id", per_bucket)
+         .to_pandas().groupby("entry_type", sort=True).sum())
+    return pd.DataFrame({
+        "entry_type": p.index.to_numpy(),
+        "n_sessions": p["n_sessions"].astype("int64").to_numpy(),
+        "n_bounces": p["n_bounces"].astype("int64").to_numpy(),
+        "bounce_rate": round6(p["n_bounces"].to_numpy(np.float64)
+                              / p["n_sessions"].to_numpy(np.float64)),
+    }).reset_index(drop=True)
+
+
+BOUNCE_SQL = """
+WITH s AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts - lag(ts) OVER w) > 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sid AS (
+  SELECT user_id, event_type, ts, event_id,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s),
+per AS (
+  SELECT DISTINCT user_id, sid,
+         first_value(event_type) OVER (PARTITION BY user_id, sid
+                                       ORDER BY ts, event_id) AS entry_type,
+         count(*) OVER (PARTITION BY user_id, sid) AS n
+  FROM sid)
+SELECT entry_type, count(*)::BIGINT AS n_sessions,
+       sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT AS n_bounces,
+       round(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS bounce_rate
+FROM per GROUP BY entry_type ORDER BY entry_type
+"""
+
+
+# ── Lorenz concentration curve (round 19) ────────────────────────────
+
+def user_event_lorenz(sf_dir: str):
+    """Lorenz curve of event volume across users: at each decile p of
+    the user base (sorted by activity, user_id tiebreak), the share
+    of total events held by the bottom ⌈p·U⌉ users — the curve behind
+    user_event_gini's scalar, read for capacity planning and abuse
+    thresholds. Per-user counts come back as mergeable partials (the
+    Gini |users| driver bound); ranks use the exact-decimal ceil rule
+    shared with quantile_disc; shares are exact int/int."""
+    from fractions import Fraction
+    from math import ceil
+
+    from ..stages.groups import small_key_counts
+
+    counts = small_key_counts(_read(sf_dir, "events", ["user_id"]),
+                              "user_id", alias="c")
+    counts = counts.sort_values(["c", "user_id"])
+    c = counts["c"].to_numpy(np.int64)
+    u = len(c)
+    total = int(c.sum())
+    cum = np.cumsum(c)
+    rows = []
+    for k in range(1, 11):
+        p = k / 10.0
+        idx = max(ceil(Fraction(str(p)) * u), 1)
+        rows.append({"p": p,
+                     "n_users": idx,
+                     "cum_share": round(int(cum[idx - 1]) / total, 6)})
+    out = pd.DataFrame(rows)
+    out["n_users"] = out["n_users"].astype("int64")
+    return out
+
+
+LORENZ_SQL = """
+WITH c AS (SELECT user_id, count(*)::BIGINT AS c FROM events
+           GROUP BY user_id),
+r AS (SELECT c, row_number() OVER (ORDER BY c, user_id) AS i,
+             sum(c) OVER (ORDER BY c, user_id
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             count(*) OVER () AS u, sum(c) OVER () AS s
+      FROM c),
+ps AS (SELECT unnest([0.1, 0.2, 0.3, 0.4, 0.5,
+                      0.6, 0.7, 0.8, 0.9, 1.0]) AS p)
+SELECT ps.p, r.i::BIGINT AS n_users,
+       round(r.cum::DOUBLE / r.s, 6) AS cum_share
+FROM ps JOIN r ON r.i = greatest(CAST(ceil(ps.p * r.u) AS BIGINT), 1)
+ORDER BY ps.p
+"""
+
+
 QUERIES = {
     # relational
     "q1_pricing_summary": q1_pricing_summary,
@@ -16506,6 +16626,8 @@ QUERIES = {
     "copurchase_assortativity": copurchase_assortativity,
     "source_dup_crosstab": source_dup_crosstab,
     "orders_seasonality_index": orders_seasonality_index,
+    "session_bounce_rate": session_bounce_rate,
+    "user_event_lorenz": user_event_lorenz,
     "doc_normalize_text": doc_normalize_text,
     "doc_gopher_repetition": doc_gopher_repetition,
     "sample_stratified_docs": sample_stratified_docs,
@@ -16947,4 +17069,6 @@ ORACLE_SQL = {
     "copurchase_assortativity": ASSORTATIVITY_SQL,
     "source_dup_crosstab": DUP_CROSSTAB_SQL,
     "orders_seasonality_index": SEASONALITY_SQL,
+    "session_bounce_rate": BOUNCE_SQL,
+    "user_event_lorenz": LORENZ_SQL,
 }

@@ -856,3 +856,75 @@ def test_seasonality_index_normalized(ray_session):
     assert out["seasonality_index"].mean() == pytest.approx(1.0,
                                                             abs=2e-5)
     assert (out["seasonality_index"] > 0).all()
+
+
+# ── session bounce rate ──────────────────────────────────────────────
+
+def test_bounce_rate_fixture(ray_session, tmp_path):
+    """User 1: [a] (bounce), 31 min later [b, c] (entry b, no bounce);
+    user 2: [a, a] (entry a, no bounce) ⇒ a: 2 sessions 1 bounce."""
+    from pdf_to_text_ray.pipelines.queries import session_bounce_rate
+
+    d = os.path.join(str(tmp_path), "bounce")
+    os.makedirs(d, exist_ok=True)
+    rows = [(1, "a", "2024-01-01 10:00:00"),
+            (1, "b", "2024-01-01 10:31:00"),
+            (1, "c", "2024-01-01 10:32:00"),
+            (2, "a", "2024-01-01 09:00:00"),
+            (2, "a", "2024-01-01 09:10:00")]
+    n = len(rows)
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array(pd.to_datetime([r[2] for r in rows])),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[1] for r in rows], pa.string()),
+        "value": pa.array([1.0] * n, pa.float64()),
+        "props": pa.array(["{}"] * n, pa.string()),
+    }), os.path.join(d, "events.parquet"))
+    out = session_bounce_rate(d).set_index("entry_type")
+    assert out.loc["a", "n_sessions"] == 2
+    assert out.loc["a", "n_bounces"] == 1
+    assert out.loc["a", "bounce_rate"] == pytest.approx(0.5)
+    assert out.loc["b", "n_sessions"] == 1
+    assert out.loc["b", "n_bounces"] == 0
+    assert "c" not in out.index          # c never opens a session
+
+
+def test_bounce_rate_bounded(ray_session):
+    from pdf_to_text_ray.pipelines.queries import session_bounce_rate
+
+    out = session_bounce_rate(SF)
+    assert (out["bounce_rate"].between(0, 1)).all()
+    assert (out["n_bounces"] <= out["n_sessions"]).all()
+
+
+# ── Lorenz curve ─────────────────────────────────────────────────────
+
+def test_lorenz_monotone_convex_and_ends_at_one(ray_session):
+    from pdf_to_text_ray.pipelines.queries import user_event_lorenz
+
+    out = user_event_lorenz(SF)
+    assert len(out) == 10
+    s = out["cum_share"].to_numpy()
+    assert (np.diff(s) > 0).all()            # strictly increasing
+    assert s[-1] == pytest.approx(1.0)
+    # Lorenz property: the bottom x% of users (x = the REALIZED
+    # fraction n_users/U — ceil overshoots p on a 15-user corpus)
+    # hold at most x% of the volume
+    u_total = out["n_users"].iloc[-1]
+    x = out["n_users"].to_numpy() / u_total
+    assert (s <= x + 1e-9).all()
+
+
+def test_lorenz_consistent_with_gini(ray_session):
+    """Gini ≈ 1 − 2·AUC of the Lorenz curve (trapezoid over deciles;
+    coarse grid ⇒ loose tolerance)."""
+    from pdf_to_text_ray.pipelines.queries import (user_event_gini,
+                                                   user_event_lorenz)
+
+    lz = user_event_lorenz(SF)
+    g = user_event_gini(SF).iloc[0]["gini"]
+    xs = np.concatenate([[0.0], lz["p"].to_numpy()])
+    ys = np.concatenate([[0.0], lz["cum_share"].to_numpy()])
+    auc = np.trapz(ys, xs)
+    assert g == pytest.approx(1 - 2 * auc, abs=0.05)
