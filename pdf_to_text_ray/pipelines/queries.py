@@ -14168,8 +14168,16 @@ def event_markov_stationary(sf_dir: str):
     Probabilities round at 6 dp only at the END, matching the unrolled
     pagerank-oracle precedent (cross-engine double drift through 20
     small dot products stays far below the hash's 9 dp)."""
+    from ..stages.groups import small_key_counts
+
     counts = event_transition_matrix(sf_dir)
-    types = sorted(set(counts["from_type"]) | set(counts["to_type"]))
+    # the type universe must match the oracle's SELECT DISTINCT
+    # event_type FROM events — a type with no transitions at all
+    # (single-event-only) would otherwise shrink k and shift every
+    # probability (code-review r19 finding)
+    types = sorted(small_key_counts(
+        _read(sf_dir, "events", ["event_type"]),
+        ["event_type"])["event_type"])
     idx = {t: i for i, t in enumerate(types)}
     k = len(types)
     P = np.zeros((k, k), dtype=np.float64)
@@ -15090,13 +15098,12 @@ def events_selfjoin_size_f2(sf_dir: str):
     ds = _read(sf_dir, "events", ["user_id"])
 
     def partial(df: pd.DataFrame) -> pa.Table:
+        # bucket is a pure function of user_id and the groupby below
+        # drops non-aggregate columns anyway — moment_partials derives
+        # it after the merge, so no hash is computed (or shuffled) here
         c = df.groupby("user_id").size()
-        uids = c.index.to_numpy()
-        b = np.array([int(hashlib.md5(str(u).encode()).hexdigest()[:8],
-                          16) % F2_BUCKETS for u in uids], np.int64)
         return arrow_out(pd.DataFrame({
-            "user_id": pd.Series(uids, dtype="int64"),
-            "bucket": pd.Series(b, dtype="int64"),
+            "user_id": pd.Series(c.index.to_numpy(), dtype="int64"),
             "n": pd.Series(c.to_numpy(), dtype="int64")}))
 
     per_user = (ds.map_batches(partial, batch_format="pandas")
@@ -15267,6 +15274,11 @@ def event_type_lift(sf_dir: str):
                      "n_both": int(n_both),
                      "lift": float(round6(
                          n_both * n_users / (singles[a] * singles[b])))})
+    if not rows:                 # no user holds two distinct types
+        return pd.DataFrame({"type_a": pd.Series([], dtype=object),
+                             "type_b": pd.Series([], dtype=object),
+                             "n_both": pd.Series([], dtype="int64"),
+                             "lift": pd.Series([], dtype="float64")})
     out = pd.DataFrame(rows)
     out["n_both"] = out["n_both"].astype("int64")
     return out.sort_values(["type_a", "type_b"]).reset_index(drop=True)
@@ -15675,7 +15687,10 @@ def contrastive_negative_plan(sf_dir: str):
                 [int(hashlib.md5(f"neg:{aid}:{c}".encode())
                      .hexdigest()[:8], 16) for c in cc],
                 np.float64) / 4294967296.0
-            k = np.argsort(u, kind="stable")[:NEG_K]
+            # (u, neg_id) tiebreak — the same ordering the driver
+            # merge and the SQL row_number use, so an equal-u pair
+            # straddling the per-batch cut keeps the right candidate
+            k = np.lexsort((cc, u))[:NEG_K]
             out_a.extend([aid] * len(k))
             out_c.extend(cc[k].tolist())
             out_u.extend(u[k].tolist())
@@ -15870,7 +15885,7 @@ def lang_token_fertility(sf_dir: str):
     no shuffle anywhere; the driver merges |langs| rows."""
     import ray
 
-    from ..stages.bpe import apply_merges_to_word, learn_merges
+    from ..stages.bpe import learn_merges, text_token_counter
 
     train = _read(sf_dir, "documents", ["text"])
     merges = [tuple(r) for r in learn_merges(train, n_merges=8)
@@ -15881,23 +15896,15 @@ def lang_token_fertility(sf_dir: str):
     def partial(t: pa.Table) -> pa.Table:
         import ray as _ray
 
-        ms = _ray.get(ref)
-        memo: dict[str, int] = {}
+        count = text_token_counter(_ray.get(ref))
         acc: dict[str, list] = {}
         for s, lang, nc in zip(t["text"].to_pylist(),
                                t["lang"].to_pylist(),
                                t["n_chars"].to_pylist()):
-            n = 0
-            for w in (s or "").lower().split():
-                c = memo.get(w)
-                if c is None:
-                    c = len(apply_merges_to_word(w, ms))
-                    memo[w] = c
-                n += c
             a = acc.setdefault(lang, [0, 0, 0])
             a[0] += 1
             a[1] += int(nc or 0)
-            a[2] += n
+            a[2] += count(s)
         langs = sorted(acc)
         return pa.table({
             "lang": pa.array(langs, pa.string()),

@@ -151,6 +151,26 @@ def apply_merges_to_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
     return sym.split(SEP)
 
 
+def text_token_counter(merges: list[tuple[str, str]]):
+    """Memoized text → BPE-token-count closure — THE single encode
+    convention (lower().split() words, per-distinct-word memo) shared
+    by bpe_token_counts and lang_token_fertility so the tokenization
+    cannot drift between the per-doc and per-lang metrics."""
+    memo: dict[str, int] = {}
+
+    def count(s: str | None) -> int:
+        n = 0
+        for w in (s or "").lower().split():
+            c = memo.get(w)
+            if c is None:
+                c = len(apply_merges_to_word(w, merges))
+                memo[w] = c
+            n += c
+        return n
+
+    return count
+
+
 def bpe_token_counts(ds, merges: list[tuple[str, str]], *,
                      key_col: str = "doc_id", text_col: str = "text"):
     """Apply a LEARNED merge table corpus-wide → (key, n_bpe_tokens).
@@ -167,18 +187,8 @@ def bpe_token_counts(ds, merges: list[tuple[str, str]], *,
     def encode(t: pa.Table) -> pa.Table:
         import ray as _ray
 
-        ms = _ray.get(ref)
-        memo: dict[str, int] = {}
-        counts = []
-        for s in t[text_col].to_pylist():
-            n = 0
-            for w in (s or "").lower().split():
-                c = memo.get(w)
-                if c is None:
-                    c = len(apply_merges_to_word(w, ms))
-                    memo[w] = c
-                n += c
-            counts.append(n)
+        count = text_token_counter(_ray.get(ref))
+        counts = [count(s) for s in t[text_col].to_pylist()]
         return pa.table({key_col: t[key_col],
                          "n_bpe_tokens": pa.array(counts, pa.int64())})
 

@@ -928,3 +928,55 @@ def test_lorenz_consistent_with_gini(ray_session):
     ys = np.concatenate([[0.0], lz["cum_share"].to_numpy()])
     auc = np.trapz(ys, xs)
     assert g == pytest.approx(1 - 2 * auc, abs=0.05)
+
+
+# ── code-review r19 regressions ──────────────────────────────────────
+
+def test_lift_empty_when_no_user_has_two_types(ray_session, tmp_path):
+    """Every user holds exactly one type ⇒ an EMPTY typed frame, not a
+    KeyError (code-review r19 finding)."""
+    from pdf_to_text_ray.pipelines.queries import event_type_lift
+
+    d = os.path.join(str(tmp_path), "lift0")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(4), pa.int64()),
+        "ts": pa.array(pd.date_range("2024-01-01", periods=4, freq="s")),
+        "user_id": pa.array([1, 1, 2, 3], pa.int64()),
+        "event_type": pa.array(["a", "a", "b", "c"], pa.string()),
+        "value": pa.array([1.0] * 4, pa.float64()),
+        "props": pa.array(["{}"] * 4, pa.string()),
+    }), os.path.join(d, "events.parquet"))
+    out = event_type_lift(d)
+    assert len(out) == 0
+    assert list(out.columns) == ["type_a", "type_b", "n_both", "lift"]
+
+
+def test_markov_universe_includes_transitionless_type(ray_session,
+                                                      tmp_path):
+    """A type that only ever appears as a user's single event (no
+    transition in or out) must still appear in the output with prob 0,
+    matching the oracle's DISTINCT-event_type universe (code-review
+    r19 finding)."""
+    from pdf_to_text_ray.pipelines.queries import event_markov_stationary
+
+    d = os.path.join(str(tmp_path), "markov2")
+    os.makedirs(d, exist_ok=True)
+    # user 1 cycles a<->b; user 2 fires a single 'z' event
+    rows = [(1, "a"), (1, "b"), (1, "a"), (1, "b"), (2, "z")]
+    n = len(rows)
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array(pd.date_range("2024-01-01", periods=n, freq="s")),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[1] for r in rows], pa.string()),
+        "value": pa.array([0.0] * n, pa.float64()),
+        "props": pa.array(["{}"] * n, pa.string()),
+    }), os.path.join(d, "events.parquet"))
+    out = event_markov_stationary(d).set_index("event_type")
+    assert "z" in out.index
+    assert out.loc["z", "stationary_prob"] == 0.0
+    # the a<->b cycle keeps all surviving mass; uniform start leaks
+    # z's 1/3 (documented dangling-type behavior, identical in SQL)
+    assert out.loc["a", "stationary_prob"] + \
+        out.loc["b", "stationary_prob"] == pytest.approx(2 / 3, abs=1e-5)
