@@ -16458,6 +16458,188 @@ ORDER BY ps.p
 """
 
 
+# ── Kaplan–Meier view→purchase survival (round 19) ───────────────────
+
+def view_purchase_kaplan_meier(sf_dir: str):
+    """Kaplan–Meier survival curve of time-to-purchase after first
+    view, with right-censoring at the corpus horizon — the estimator
+    behind 'X% still haven't purchased after t', which a naive mean
+    latency gets wrong the moment non-purchasers exist
+    (view_to_purchase_latency's censoring-aware sibling). Per-user
+    (duration, converted) rows come from one user-hash bucket pass;
+    the curve itself reduces over ≤ |users| rows (the Gini driver
+    bound). Survival replays the oracle's exp(Σ ln(1−dᵢ/nᵢ)) op
+    order exactly; the standard tie rule (censored at t still at
+    risk for the event at t) falls out of the duration < t rank."""
+    from ..stages.groups import bucketed_group_apply
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        v = (df[df["event_type"] == "view"]
+             .groupby("user_id")["ts"].min().rename("t_view"))
+        pur = df[df["event_type"] == "purchase"]
+        out = v.reset_index()
+        m = out.merge(pur[["user_id", "ts"]], on="user_id", how="left")
+        m = m[m["ts"].isna() | (m["ts"] >= m["t_view"])]
+        first_p = (m.dropna(subset=["ts"])
+                   .groupby("user_id")["ts"].min().rename("t_p"))
+        out = out.merge(first_p.reset_index(), on="user_id",
+                        how="left")
+        out["local_max"] = df["ts"].max()
+        return out[["user_id", "t_view", "t_p", "local_max"]]
+
+    per_user = (bucketed_group_apply(ds, "user_id", per_bucket)
+                .to_pandas())
+    horizon = per_user["local_max"].max()
+    conv = per_user["t_p"].notna().to_numpy()
+    end = per_user["t_p"].fillna(horizon)
+    # exact integer microseconds — a float-seconds cast would round
+    # differently from DuckDB's epoch_us
+    dur = (end.to_numpy("datetime64[us]").astype(np.int64)
+           - per_user["t_view"].to_numpy("datetime64[us]")
+           .astype(np.int64))
+    n = len(dur)
+    # KM over distinct EVENT times
+    order = np.argsort(dur, kind="stable")
+    dur, conv = dur[order], conv[order]
+    ts = np.unique(dur[conv])
+    rows = []
+    log_s = 0.0
+    dead = False     # the final at-risk user converted: S hits exact 0
+    for t in ts:
+        n_risk = int((dur >= t).sum())
+        d = int(((dur == t) & conv).sum())
+        if d == n_risk:
+            dead = True
+        else:
+            log_s += float(np.log(1.0 - d / n_risk))
+        rows.append({"t_us": int(t), "n_risk": n_risk, "n_events": d,
+                     "survival": 0.0 if dead
+                     else round(float(np.exp(log_s)), 6)})
+    out = pd.DataFrame(rows)
+    out["t_us"] = out["t_us"].astype("int64")
+    out["n_risk"] = out["n_risk"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    return out
+
+
+KM_SQL = """
+WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+p AS (SELECT v.user_id, min(e.ts) AS t_p
+      FROM v JOIN events e
+        ON e.user_id = v.user_id AND e.event_type = 'purchase'
+        AND e.ts >= v.t_view
+      GROUP BY v.user_id),
+h AS (SELECT max(ts) AS horizon FROM events),
+u AS (SELECT v.user_id,
+             epoch_us(coalesce(p.t_p, h.horizon) - v.t_view) AS dur,
+             (p.t_p IS NOT NULL) AS conv
+      FROM v LEFT JOIN p USING (user_id), h),
+ts AS (SELECT DISTINCT dur AS t FROM u WHERE conv),
+km AS (SELECT ts.t,
+              (SELECT count(*) FROM u WHERE u.dur >= ts.t) AS n_risk,
+              (SELECT count(*) FROM u
+               WHERE u.dur = ts.t AND u.conv) AS d
+       FROM ts)
+SELECT t AS t_us, n_risk::BIGINT AS n_risk, d::BIGINT AS n_events,
+       CASE WHEN sum(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+                 OVER pre > 0 THEN 0.0
+            ELSE round(exp(sum(CASE WHEN d < n_risk
+                                    THEN ln(1.0 - d::DOUBLE / n_risk)
+                                    ELSE 0.0 END) OVER pre), 6) END
+         AS survival
+FROM km
+WINDOW pre AS (ORDER BY t ROWS UNBOUNDED PRECEDING)
+ORDER BY t
+"""
+
+
+# ── CUPED variance reduction (round 19) ──────────────────────────────
+
+def cuped_variance_reduction(sf_dir: str):
+    """CUPED (Deng et al. 2013): use each user's PRE-period value sum
+    as the control covariate for the post-period metric — the standard
+    experimentation trick that shrinks A/B variance without bias.
+    θ = cov(x,y)/var(x) over users; reported variance reduction
+    1 − var(y−θx)/var(y) = corr². The pre/post cut is the exact
+    integer midpoint of the event-time range. Per-user (x, y) sums
+    come from one fixed-width groupby; the five moments reduce from
+    per-batch partials (one row per block)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    # global time range: tiny aggregate pass
+    lo = np.datetime64(ds.min("ts"), "us").astype("int64")
+    hi = np.datetime64(ds.max("ts"), "us").astype("int64")
+    mid = (int(lo) + int(hi)) // 2
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(np.float64)
+        keep = ~np.isnan(v)
+        t = df["ts"].to_numpy("datetime64[us]").astype("int64")[keep]
+        v = v[keep]
+        pre = t <= mid
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy()[keep],
+            "x": np.where(pre, v, 0.0),
+            "y": np.where(pre, 0.0, v)})
+
+    per_user = (ds.map_batches(tag, batch_format="pandas")
+                .groupby("user_id")
+                .aggregate(Sum("x", alias_name="x"),
+                           Sum("y", alias_name="y")))
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["x"].to_numpy(np.float64)
+        y = df["y"].to_numpy(np.float64)
+        return pd.DataFrame({
+            "n": pd.Series([len(x)], dtype="int64"),
+            "sx": [x.sum()], "sy": [y.sum()],
+            "sxx": [(x * x).sum()], "syy": [(y * y).sum()],
+            "sxy": [(x * y).sum()]})
+
+    p = (per_user.map_batches(moments, batch_format="pandas")
+         .to_pandas().sum())
+    n = float(p["n"])
+    vx = p["sxx"] / n - (p["sx"] / n) ** 2
+    vy = p["syy"] / n - (p["sy"] / n) ** 2
+    cov = p["sxy"] / n - (p["sx"] / n) * (p["sy"] / n)
+    theta = cov / vx
+    return pd.DataFrame({
+        "n_users": pd.Series([int(n)], dtype="int64"),
+        "theta": [round(float(theta), 6)],
+        "var_reduction": [round(float(cov * cov / (vx * vy)), 6)]})
+
+
+CUPED_SQL = """
+WITH r AS (SELECT epoch_us(min(ts)) AS lo, epoch_us(max(ts)) AS hi
+           FROM events),
+ev AS (SELECT user_id,
+              CASE WHEN epoch_us(ts) <= (r.lo + r.hi) // 2
+                   THEN value ELSE 0.0 END AS x,
+              CASE WHEN epoch_us(ts) <= (r.lo + r.hi) // 2
+                   THEN 0.0 ELSE value END AS y
+       FROM events, r WHERE value IS NOT NULL),
+u AS (SELECT user_id, sum(x) AS x, sum(y) AS y FROM ev
+      GROUP BY user_id),
+mo AS (SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+              sum(x * x) AS sxx, sum(y * y) AS syy,
+              sum(x * y) AS sxy
+       FROM u)
+SELECT n::BIGINT AS n_users,
+       round((sxy / n - (sx / n) * (sy / n))
+             / (sxx / n - (sx / n) * (sx / n)), 6) AS theta,
+       round(pow(sxy / n - (sx / n) * (sy / n), 2)
+             / ((sxx / n - (sx / n) * (sx / n))
+                * (syy / n - (sy / n) * (sy / n))), 6)
+         AS var_reduction
+FROM mo
+"""
+
+
 QUERIES = {
     # relational
     "q1_pricing_summary": q1_pricing_summary,
@@ -16635,6 +16817,8 @@ QUERIES = {
     "orders_seasonality_index": orders_seasonality_index,
     "session_bounce_rate": session_bounce_rate,
     "user_event_lorenz": user_event_lorenz,
+    "view_purchase_kaplan_meier": view_purchase_kaplan_meier,
+    "cuped_variance_reduction": cuped_variance_reduction,
     "doc_normalize_text": doc_normalize_text,
     "doc_gopher_repetition": doc_gopher_repetition,
     "sample_stratified_docs": sample_stratified_docs,
@@ -17078,4 +17262,6 @@ ORACLE_SQL = {
     "orders_seasonality_index": SEASONALITY_SQL,
     "session_bounce_rate": BOUNCE_SQL,
     "user_event_lorenz": LORENZ_SQL,
+    "view_purchase_kaplan_meier": KM_SQL,
+    "cuped_variance_reduction": CUPED_SQL,
 }

@@ -980,3 +980,84 @@ def test_markov_universe_includes_transitionless_type(ray_session,
     # z's 1/3 (documented dangling-type behavior, identical in SQL)
     assert out.loc["a", "stationary_prob"] + \
         out.loc["b", "stationary_prob"] == pytest.approx(2 / 3, abs=1e-5)
+
+
+# ── Kaplan–Meier ─────────────────────────────────────────────────────
+
+def test_km_analytic_with_censoring(ray_session, tmp_path):
+    """3 viewers: converts at 10s, converts at 20s, censored at 30s ⇒
+    S(10)=2/3, S(20)=1/3 (the censored user stays at risk through 20)."""
+    from pdf_to_text_ray.pipelines.queries import view_purchase_kaplan_meier
+
+    d = os.path.join(str(tmp_path), "km")
+    os.makedirs(d, exist_ok=True)
+    rows = [(1, "view", "2024-01-01 00:00:00"),
+            (1, "purchase", "2024-01-01 00:00:10"),
+            (2, "view", "2024-01-01 00:00:00"),
+            (2, "purchase", "2024-01-01 00:00:20"),
+            (3, "view", "2024-01-01 00:00:00"),
+            (3, "click", "2024-01-01 00:00:30")]   # horizon: censored
+    n = len(rows)
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array(pd.to_datetime([r[2] for r in rows])),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[1] for r in rows], pa.string()),
+        "value": pa.array([1.0] * n, pa.float64()),
+        "props": pa.array(["{}"] * n, pa.string()),
+    }), os.path.join(d, "events.parquet"))
+    out = view_purchase_kaplan_meier(d).set_index("t_us")
+    assert out.loc[10_000_000, "n_risk"] == 3
+    assert out.loc[10_000_000, "survival"] == pytest.approx(2 / 3,
+                                                            abs=1e-6)
+    assert out.loc[20_000_000, "n_risk"] == 2
+    assert out.loc[20_000_000, "survival"] == pytest.approx(1 / 3,
+                                                            abs=1e-6)
+
+
+def test_km_monotone_nonincreasing(ray_session):
+    from pdf_to_text_ray.pipelines.queries import view_purchase_kaplan_meier
+
+    out = view_purchase_kaplan_meier(SF)
+    s = out["survival"].to_numpy()
+    assert (np.diff(s) <= 1e-9).all()
+    assert (out["n_events"] >= 1).all()
+    assert ((0 <= s) & (s <= 1)).all()
+    # at-risk counts shrink as time advances
+    assert (np.diff(out["n_risk"].to_numpy()) <= 0).all()
+
+
+# ── CUPED ────────────────────────────────────────────────────────────
+
+def test_cuped_perfect_covariate(ray_session, tmp_path):
+    """Post value = 2 × pre value per user ⇒ corr² = 1: CUPED removes
+    ALL variance and θ = 2."""
+    from pdf_to_text_ray.pipelines.queries import cuped_variance_reduction
+
+    d = os.path.join(str(tmp_path), "cuped")
+    os.makedirs(d, exist_ok=True)
+    rows = []
+    for uid in range(1, 9):
+        rows.append((uid, f"2024-01-0{(uid % 3) + 1}", float(uid)))
+        rows.append((uid, f"2024-02-0{(uid % 3) + 1}", 2.0 * uid))
+    n = len(rows)
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array(pd.to_datetime([r[1] for r in rows])),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array(["x"] * n, pa.string()),
+        "value": pa.array([r[2] for r in rows], pa.float64()),
+        "props": pa.array(["{}"] * n, pa.string()),
+    }), os.path.join(d, "events.parquet"))
+    out = cuped_variance_reduction(d).iloc[0]
+    assert out["n_users"] == 8
+    assert out["theta"] == pytest.approx(2.0, abs=1e-6)
+    assert out["var_reduction"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_cuped_bounded_on_testdata(ray_session):
+    from pdf_to_text_ray.pipelines.queries import cuped_variance_reduction
+
+    out = cuped_variance_reduction(SF).iloc[0]
+    assert 0.0 <= out["var_reduction"] <= 1.0
+    assert out["n_users"] > 0
