@@ -16640,6 +16640,80 @@ FROM mo
 """
 
 
+# ── difference-in-differences (round 19) ─────────────────────────────
+
+def did_value_estimate(sf_dir: str):
+    """Difference-in-differences over the event value stream: assign
+    users to treatment by the engine-portable md5 coin (the synthetic
+    assignment the dp/bootstrap precedents use — a production run
+    swaps in the real flag column), cut pre/post at the exact integer
+    time midpoint, and report DiD = (ȳT,post − ȳT,pre) −
+    (ȳC,post − ȳC,pre) — the parallel-trends estimator that
+    completes the experimentation tier next to Welch and CUPED. One
+    pass of per-batch (group, period) sum/count partials — 4 rows per
+    block, no shuffle."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    lo = np.datetime64(ds.min("ts"), "us").astype("int64")
+    hi = np.datetime64(ds.max("ts"), "us").astype("int64")
+    mid = (int(lo) + int(hi)) // 2
+
+    from ..stages.sketches import md5_uniform
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(np.float64)
+        keep = ~np.isnan(v)
+        v = v[keep]
+        t = df["ts"].to_numpy("datetime64[us]").astype("int64")[keep]
+        u = md5_uniform([f"did:{x}" for x in
+                         df["user_id"].to_numpy()[keep]])
+        treat = u < 0.5
+        post = t > mid
+        rows = []
+        for g, p in ((0, 0), (0, 1), (1, 0), (1, 1)):
+            m = (treat == bool(g)) & (post == bool(p))
+            rows.append({"g": g, "p": p, "s": float(v[m].sum()),
+                         "n": int(m.sum())})
+        return pd.DataFrame(rows)
+
+    p = (ds.map_batches(partials, batch_format="pandas")
+         .to_pandas().groupby(["g", "p"]).sum())
+    mean = {k: p.loc[k, "s"] / p.loc[k, "n"] for k in p.index}
+    did = (mean[(1, 1)] - mean[(1, 0)]) - (mean[(0, 1)] - mean[(0, 0)])
+    return pd.DataFrame({
+        "n_events": pd.Series([int(p["n"].sum())], dtype="int64"),
+        "mean_t_pre": [round(mean[(1, 0)], 6)],
+        "mean_t_post": [round(mean[(1, 1)], 6)],
+        "mean_c_pre": [round(mean[(0, 0)], 6)],
+        "mean_c_post": [round(mean[(0, 1)], 6)],
+        "did": [round(did, 6)]})
+
+
+DID_SQL = """
+WITH r AS (SELECT epoch_us(min(ts)) AS lo, epoch_us(max(ts)) AS hi
+           FROM events),
+ev AS (SELECT value,
+              (('0x' || substr(md5('did:' || user_id::VARCHAR), 1, 8))
+                 ::UBIGINT / 4294967296.0 < 0.5)::INT AS g,
+              (epoch_us(ts) > (r.lo + r.hi) // 2)::INT AS p
+       FROM events, r WHERE value IS NOT NULL),
+m AS (SELECT g, p, sum(value) / count(*) AS mu, count(*) AS n
+      FROM ev GROUP BY g, p)
+SELECT (SELECT sum(n) FROM m)::BIGINT AS n_events,
+       round((SELECT mu FROM m WHERE g = 1 AND p = 0), 6)
+         AS mean_t_pre,
+       round((SELECT mu FROM m WHERE g = 1 AND p = 1), 6)
+         AS mean_t_post,
+       round((SELECT mu FROM m WHERE g = 0 AND p = 0), 6)
+         AS mean_c_pre,
+       round((SELECT mu FROM m WHERE g = 0 AND p = 1), 6)
+         AS mean_c_post,
+       round(((SELECT mu FROM m WHERE g = 1 AND p = 1)
+              - (SELECT mu FROM m WHERE g = 1 AND p = 0))
+             - ((SELECT mu FROM m WHERE g = 0 AND p = 1)
+                - (SELECT mu FROM m WHERE g = 0 AND p = 0)), 6) AS did
+"""
+
+
 QUERIES = {
     # relational
     "q1_pricing_summary": q1_pricing_summary,
@@ -16819,6 +16893,7 @@ QUERIES = {
     "user_event_lorenz": user_event_lorenz,
     "view_purchase_kaplan_meier": view_purchase_kaplan_meier,
     "cuped_variance_reduction": cuped_variance_reduction,
+    "did_value_estimate": did_value_estimate,
     "doc_normalize_text": doc_normalize_text,
     "doc_gopher_repetition": doc_gopher_repetition,
     "sample_stratified_docs": sample_stratified_docs,
@@ -17264,4 +17339,5 @@ ORACLE_SQL = {
     "user_event_lorenz": LORENZ_SQL,
     "view_purchase_kaplan_meier": KM_SQL,
     "cuped_variance_reduction": CUPED_SQL,
+    "did_value_estimate": DID_SQL,
 }

@@ -1061,3 +1061,46 @@ def test_cuped_bounded_on_testdata(ray_session):
     out = cuped_variance_reduction(SF).iloc[0]
     assert 0.0 <= out["var_reduction"] <= 1.0
     assert out["n_users"] > 0
+
+
+# ── difference-in-differences ────────────────────────────────────────
+
+def test_did_recovers_planted_effect(ray_session, tmp_path):
+    """Plant +5 on treated users' post-period values over a flat base:
+    DiD recovers exactly 5 (parallel trends hold by construction)."""
+    from pdf_to_text_ray.pipelines.queries import did_value_estimate
+    from pdf_to_text_ray.stages.sketches import md5_uniform
+
+    d = os.path.join(str(tmp_path), "did")
+    os.makedirs(d, exist_ok=True)
+    users = list(range(1, 41))
+    treat = {u: md5_uniform([f"did:{u}"])[0] < 0.5 for u in users}
+    rows = []
+    for u in users:
+        rows.append((u, "2024-01-01", 10.0))                  # pre
+        rows.append((u, "2024-03-01",
+                     12.0 + (5.0 if treat[u] else 0.0)))      # post
+    n = len(rows)
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array(pd.to_datetime([r[1] for r in rows])),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array(["x"] * n, pa.string()),
+        "value": pa.array([r[2] for r in rows], pa.float64()),
+        "props": pa.array(["{}"] * n, pa.string()),
+    }), os.path.join(d, "events.parquet"))
+    out = did_value_estimate(d).iloc[0]
+    assert out["did"] == pytest.approx(5.0, abs=1e-6)
+    assert out["mean_c_post"] - out["mean_c_pre"] == pytest.approx(
+        2.0, abs=1e-6)
+    assert out["n_events"] == n
+
+
+def test_did_near_zero_without_effect(ray_session):
+    """On the synthetic stream the hash coin is independent of value,
+    so DiD sits near zero relative to the value scale."""
+    from pdf_to_text_ray.pipelines.queries import did_value_estimate
+
+    out = did_value_estimate(SF01).iloc[0]
+    scale = abs(out["mean_c_post"]) + abs(out["mean_t_post"])
+    assert abs(out["did"]) < 0.5 * scale
