@@ -109,40 +109,64 @@ def round6(x):
 
 def q1_pricing_summary(sf_dir: str):
     """Grouped aggregation with vectorized pre-computation (TPC-H Q1
-    shape): one shuffle over small pre-aggregated partials."""
+    shape): one shuffle over small pre-aggregated partials.
+
+    Money sums run in EXACT fixed-point cents (int64): prices and
+    discounts are 2-decimal values, so round(p·100)·round((1−d)·100)
+    is an exact integer per row and the group sums carry ZERO
+    float-order noise. This is not pedantry — at sf0.001 one group's
+    true disc-price sum is 30158055.965000004, i.e. 5e-9 from the
+    2dp rounding boundary, while both engines' parallel float sums
+    wobble ~5e-6 across runs: the float formulation made this row a
+    literal coin flip (observed flaking in full-registry sweeps).
+    The classifier's int64 gradient quantization is the precedent."""
     from ray.data.aggregate import Count, Mean, Sum
 
     ds = _lineitem(sf_dir, ["l_returnflag", "l_linestatus", "l_quantity",
                             "l_extendedprice", "l_discount", "l_shipdate"])
 
-    def add_disc_price(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(pd.Timestamp("1998-09-01"))))
-        disc = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        return t.append_column("disc_price", disc)
+    def add_cents(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"],
+                                   pa.scalar(pd.Timestamp("1998-09-01"))))
+        p = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        d = t["l_discount"].to_numpy(zero_copy_only=False)
+        pc_ = np.rint(p * 100.0).astype(np.int64)
+        dc = np.rint((1.0 - d) * 100.0).astype(np.int64)
+        return (t.append_column("price_c", pa.array(pc_, pa.int64()))
+                .append_column("disc_c", pa.array(pc_ * dc, pa.int64())))
 
     out = (
-        ds.map_batches(add_disc_price, batch_format="pyarrow")
+        ds.map_batches(add_cents, batch_format="pyarrow")
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
             Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="sum_base_price"),
-            Sum("disc_price", alias_name="sum_disc_price"),
+            Sum("price_c", alias_name="base_c"),
+            Sum("disc_c", alias_name="disc_c"),
             Mean("l_quantity", alias_name="avg_qty"),
             Count(alias_name="count_order"),
         )
         .to_pandas()
     )
-    for c in ("sum_qty", "sum_base_price", "sum_disc_price", "avg_qty"):
-        out[c] = round2(out[c])
+    out["sum_base_price"] = round2(out["base_c"].astype("int64")
+                                   / 100.0)
+    out["sum_disc_price"] = round2(out["disc_c"].astype("int64")
+                                   / 10000.0)
+    out["sum_qty"] = round2(out["sum_qty"])
+    out["avg_qty"] = round2(out["avg_qty"])
     out["count_order"] = out["count_order"].astype("int64")
-    return out
+    return out[["l_returnflag", "l_linestatus", "sum_qty",
+                "sum_base_price", "sum_disc_price", "avg_qty",
+                "count_order"]]
 
 
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2)       AS sum_qty,
-       round(sum(l_extendedprice), 2)  AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+             / 100.0, 2)               AS sum_base_price,
+       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * CAST(round((1 - l_discount) * 100) AS BIGINT))
+             / 10000.0, 2)             AS sum_disc_price,
        round(avg(l_quantity), 2)       AS avg_qty,
        count(*)                        AS count_order
 FROM lineitem
