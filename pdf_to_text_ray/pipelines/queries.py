@@ -16738,6 +16738,108 @@ SELECT (SELECT sum(n) FROM m)::BIGINT AS n_events,
 """
 
 
+# ── Theil–Sen robust slope (round 19) ────────────────────────────────
+
+TS_SAMPLE = 200
+
+
+def lineitem_theil_sen(sf_dir: str):
+    """Theil–Sen robust slope of price on quantity: the median of all
+    pairwise slopes over a deterministic 200-row hash sample — the
+    outlier-immune sibling of lineitem_regression's OLS (breakdown
+    point 29% vs 0%). The distributed part is the engine-portable
+    sampling pass (per-batch md5-uniform top-k, candidate-exact like
+    every top-k here); the C(200,2) slope median runs on the driver —
+    the sample size, not the corpus, bounds it. Median = the exact
+    lower-median order statistic with (slope, i, j) never
+    materialized in SQL beyond the same 19,900-row grid."""
+    import hashlib
+
+    ds = _lineitem(sf_dir, ["l_orderkey", "l_linenumber", "l_quantity",
+                            "l_extendedprice"])
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        key = [f"ts:{o}:{l}" for o, l in
+               zip(df["l_orderkey"].to_numpy(),
+                   df["l_linenumber"].to_numpy())]
+        u = np.array([int(hashlib.md5(k.encode()).hexdigest()[:8], 16)
+                      for k in key], np.float64) / 4294967296.0
+        df = df.assign(u=u)
+        return df.nsmallest(TS_SAMPLE, ["u"])[
+            ["u", "l_quantity", "l_extendedprice"]]
+
+    s = (ds.map_batches(pick, batch_format="pandas")
+         .to_pandas().nsmallest(TS_SAMPLE, ["u"])
+         .sort_values("u").reset_index(drop=True))
+    x = s["l_quantity"].to_numpy(np.float64)
+    y = s["l_extendedprice"].to_numpy(np.float64)
+    i, j = np.triu_indices(len(x), k=1)
+    dx = x[j] - x[i]
+    keep = dx != 0
+    slopes = (y[j] - y[i])[keep] / dx[keep]
+    slopes.sort()
+    n = len(slopes)
+    med = float(slopes[(n - 1) // 2])     # lower median, exact
+    return pd.DataFrame({
+        "n_sample": pd.Series([len(x)], dtype="int64"),
+        "n_slopes": pd.Series([n], dtype="int64"),
+        "theil_sen_slope": [round(med, 6)]})
+
+
+THEIL_SEN_SQL = f"""
+WITH u AS (
+  SELECT l_quantity AS x, l_extendedprice AS y,
+         ('0x' || substr(md5('ts:' || l_orderkey::VARCHAR || ':'
+                             || l_linenumber::VARCHAR), 1, 8))::UBIGINT
+           / 4294967296.0 AS u
+  FROM lineitem),
+s AS (SELECT x, y, row_number() OVER (ORDER BY u) AS r FROM u
+      QUALIFY r <= {TS_SAMPLE}),
+sl AS (SELECT (b.y - a.y) / (b.x - a.x) AS slope
+       FROM s a JOIN s b ON a.r < b.r AND b.x <> a.x),
+st AS (SELECT count(*) AS n FROM sl),
+m AS (SELECT slope, row_number() OVER (ORDER BY slope) AS r FROM sl)
+SELECT (SELECT count(*) FROM s)::BIGINT AS n_sample,
+       st.n::BIGINT AS n_slopes,
+       round((SELECT slope FROM m, st WHERE m.r = (st.n - 1) // 2 + 1),
+             6) AS theil_sen_slope
+FROM st
+"""
+
+
+# ── Herfindahl concentration (round 19) ──────────────────────────────
+
+def source_hhi(sf_dir: str):
+    """Herfindahl–Hirschman concentration of the corpus across
+    sources: HHI = Σ share² and its effective source count 1/HHI —
+    the one-number dependence readout next to the Lorenz/Gini family
+    (an HHI drifting toward 1 means the corpus is quietly becoming a
+    single-origin dataset). Small-key count partials, no shuffle;
+    shares are exact int/int before the squared sum."""
+    from ..stages.groups import small_key_counts
+
+    c = small_key_counts(_read(sf_dir, "documents", ["source"]),
+                         ["source"])
+    n = c["n"].to_numpy(np.float64)
+    share = n / n.sum()
+    hhi = float(np.sum(share * share))
+    return pd.DataFrame({
+        "n_sources": pd.Series([len(n)], dtype="int64"),
+        "hhi": [round(hhi, 6)],
+        "effective_sources": [round(1.0 / hhi, 6)]})
+
+
+HHI_SQL = """
+WITH c AS (SELECT source, count(*)::DOUBLE AS n FROM documents
+           GROUP BY source),
+t AS (SELECT sum(n) AS s FROM c)
+SELECT (SELECT count(*) FROM c)::BIGINT AS n_sources,
+       round(sum((n / t.s) * (n / t.s)), 6) AS hhi,
+       round(1.0 / sum((n / t.s) * (n / t.s)), 6) AS effective_sources
+FROM c, t
+"""
+
+
 QUERIES = {
     # relational
     "q1_pricing_summary": q1_pricing_summary,
@@ -16918,6 +17020,8 @@ QUERIES = {
     "view_purchase_kaplan_meier": view_purchase_kaplan_meier,
     "cuped_variance_reduction": cuped_variance_reduction,
     "did_value_estimate": did_value_estimate,
+    "lineitem_theil_sen": lineitem_theil_sen,
+    "source_hhi": source_hhi,
     "doc_normalize_text": doc_normalize_text,
     "doc_gopher_repetition": doc_gopher_repetition,
     "sample_stratified_docs": sample_stratified_docs,
@@ -17364,4 +17468,6 @@ ORACLE_SQL = {
     "view_purchase_kaplan_meier": KM_SQL,
     "cuped_variance_reduction": CUPED_SQL,
     "did_value_estimate": DID_SQL,
+    "lineitem_theil_sen": THEIL_SEN_SQL,
+    "source_hhi": HHI_SQL,
 }

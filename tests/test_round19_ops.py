@@ -1104,3 +1104,70 @@ def test_did_near_zero_without_effect(ray_session):
     out = did_value_estimate(SF01).iloc[0]
     scale = abs(out["mean_c_post"]) + abs(out["mean_t_post"])
     assert abs(out["did"]) < 0.5 * scale
+
+
+# ── Theil–Sen robust slope ───────────────────────────────────────────
+
+def test_theil_sen_immune_to_planted_outliers(ray_session, tmp_path):
+    """y = 3x with 10% wild outliers: Theil–Sen recovers slope 3 while
+    OLS on the same data would be dragged far off."""
+    from pdf_to_text_ray.pipelines.queries import lineitem_theil_sen
+
+    d = os.path.join(str(tmp_path), "tsen")
+    os.makedirs(d, exist_ok=True)
+    rng = np.random.default_rng(11)
+    n = 400
+    x = rng.uniform(1, 50, n).round(2)
+    y = 3.0 * x
+    out_idx = rng.choice(n, n // 10, replace=False)
+    y[out_idx] = 50_000.0        # wild outliers
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(range(n), pa.int64()),
+        "l_linenumber": pa.array([1] * n, pa.int64()),
+        "l_quantity": pa.array(x, pa.float64()),
+        "l_extendedprice": pa.array(y, pa.float64()),
+        "l_discount": pa.array([0.0] * n, pa.float64()),
+        "l_tax": pa.array([0.0] * n, pa.float64()),
+    }), os.path.join(d, "lineitem.parquet"))
+    out = lineitem_theil_sen(d).iloc[0]
+    assert out["n_sample"] == 200
+    assert out["theil_sen_slope"] == pytest.approx(3.0, abs=0.2)
+
+
+def test_theil_sen_positive_on_testdata(ray_session):
+    from pdf_to_text_ray.pipelines.queries import lineitem_theil_sen
+
+    out = lineitem_theil_sen(SF).iloc[0]
+    # the synthetic lineitem prices are independent of quantity (no
+    # TPC-H qty×unit-price structure), so only shape is asserted
+    assert np.isfinite(out["theil_sen_slope"])
+    assert out["n_sample"] == 200
+    assert out["n_slopes"] > 19_000      # few duplicate-x pairs drop
+
+
+# ── Herfindahl index ─────────────────────────────────────────────────
+
+def test_hhi_uniform_sources(ray_session, tmp_path):
+    """4 equal sources ⇒ HHI = 0.25, effective sources = 4."""
+    from pdf_to_text_ray.pipelines.queries import source_hhi
+
+    d = os.path.join(str(tmp_path), "hhi")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(40), pa.int64()),
+        "text": pa.array(["w"] * 40, pa.string()),
+        "lang": pa.array(["en"] * 40, pa.string()),
+        "source": pa.array([f"s{i % 4}" for i in range(40)], pa.string()),
+    }), os.path.join(d, "documents.parquet"))
+    out = source_hhi(d).iloc[0]
+    assert out["hhi"] == pytest.approx(0.25, abs=1e-6)
+    assert out["effective_sources"] == pytest.approx(4.0, abs=1e-5)
+
+
+def test_hhi_bounds(ray_session):
+    from pdf_to_text_ray.pipelines.queries import source_hhi
+
+    out = source_hhi(SF).iloc[0]
+    k = out["n_sources"]
+    assert 1.0 / k - 1e-9 <= out["hhi"] <= 1.0
+    assert 1.0 <= out["effective_sources"] <= k
